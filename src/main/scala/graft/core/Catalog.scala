@@ -1,0 +1,133 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Directory-backed catalog: `warehouse/<db>/<table>/{meta.json, log/,
+  * state/, _offsets.json}`.
+  *
+  * The reference keeps table metadata in ZooKeeper and serializes the
+  * descriptor as JSON (TableDescriptor.toJsonBytes, fluss-common/.../
+  * metadata/TableDescriptor.java:323); we keep the same idea with a file
+  * per table. On a real cluster `warehouse` is an object-store prefix and
+  * every operation below is already driver-light (metadata only).
+  */
+final class Catalog(val warehouse: String, spark: SparkSession) {
+
+  def createTable(db: String, name: String, desc: TableDescriptor): GraftTable = {
+    val dir = Paths.get(warehouse, db, name)
+    require(!Files.exists(dir.resolve("meta.json")), s"table $db.$name exists")
+    Files.createDirectories(dir)
+    Files.createDirectories(dir.resolve("log"))
+    Files.write(dir.resolve("meta.json"),
+      CatalogJson.write(desc).getBytes(StandardCharsets.UTF_8))
+    new GraftTable(dir.toString, desc, spark)
+  }
+
+  def getTable(db: String, name: String): GraftTable = {
+    val dir = Paths.get(warehouse, db, name)
+    val metaFile = dir.resolve("meta.json")
+    require(Files.exists(metaFile), s"no such table $db.$name")
+    val desc = CatalogJson.read(
+      new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8))
+    new GraftTable(dir.toString, desc, spark)
+  }
+
+  def tableExists(db: String, name: String): Boolean =
+    Files.exists(Paths.get(warehouse, db, name, "meta.json"))
+
+  def dropTable(db: String, name: String): Unit = {
+    val dir = Paths.get(warehouse, db, name)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  def listTables(db: String): Seq[String] = {
+    val dir = Paths.get(warehouse, db)
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(p => Files.exists(p.resolve("meta.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+  }
+}
+
+/** Descriptor <-> JSON. Spark's StructType has a stable JSON form; the
+  * rest is a small hand-rolled object.
+  */
+object CatalogJson {
+  def write(d: TableDescriptor): String = {
+    val engine: JValue = d.mergeEngine match {
+      case MergeEngine.Default => JObject("type" -> JString("default"))
+      case MergeEngine.FirstRow => JObject("type" -> JString("first_row"))
+      case MergeEngine.Versioned(c) =>
+        JObject("type" -> JString("versioned"), "versionColumn" -> JString(c))
+      case MergeEngine.Aggregation(aggs) =>
+        JObject("type" -> JString("aggregation"),
+          "aggs" -> JObject(aggs.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    }
+    val obj = JObject(
+      "schema" -> JsonMethods.parse(d.schema.json),
+      "primaryKey" -> JArray(d.primaryKey.toList.map(JString(_))),
+      "bucketKeys" -> JArray(d.bucketKeys.toList.map(JString(_))),
+      "numBuckets" -> JInt(d.numBuckets),
+      "partitionKeys" -> JArray(d.partitionKeys.toList.map(JString(_))),
+      "mergeEngine" -> engine,
+      "deleteBehavior" -> JString(d.deleteBehavior match {
+        case DeleteBehavior.Allow => "allow"; case DeleteBehavior.Ignore => "ignore"
+      }),
+      "changelogImage" -> JString(d.changelogImage match {
+        case ChangelogImage.Full => "full"; case ChangelogImage.Wal => "wal"
+      }))
+    JsonMethods.pretty(JsonMethods.render(obj))
+  }
+
+  def read(json: String): TableDescriptor = {
+    val j = JsonMethods.parse(json)
+    def strs(v: JValue): Seq[String] =
+      v.asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    val fields = j.asInstanceOf[JObject].obj.toMap
+    val engineObj = fields("mergeEngine").asInstanceOf[JObject].obj.toMap
+    val engine = str(engineObj("type")) match {
+      case "default" => MergeEngine.Default
+      case "first_row" => MergeEngine.FirstRow
+      case "versioned" => MergeEngine.Versioned(str(engineObj("versionColumn")))
+      case "aggregation" => MergeEngine.Aggregation(
+        engineObj("aggs").asInstanceOf[JObject].obj
+          .map { case (k, v) => k -> str(v) }.toMap)
+    }
+    TableDescriptor(
+      schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(
+        fields("schema")))).asInstanceOf[StructType],
+      primaryKey = strs(fields("primaryKey")),
+      bucketKeys = strs(fields("bucketKeys")),
+      numBuckets = fields("numBuckets").asInstanceOf[JInt].num.toInt,
+      partitionKeys = strs(fields("partitionKeys")),
+      mergeEngine = engine,
+      deleteBehavior = str(fields("deleteBehavior")) match {
+        case "ignore" => DeleteBehavior.Ignore; case _ => DeleteBehavior.Allow
+      },
+      changelogImage = str(fields("changelogImage")) match {
+        case "wal" => ChangelogImage.Wal; case _ => ChangelogImage.Full
+      })
+  }
+
+  /** Atomic small-file write (manifesty things: offsets, txn log). */
+  def atomicWrite(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,347 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.merge.{Materialize, RowMergers}
+
+/** A table handle: append-only parquet log + lazily-materialized state.
+  *
+  * Storage model (SURVEY §7.1): the log is the table — every row carries
+  * `__bucket` (hash distribution, like FlussBucketingFunction.java:40),
+  * `__offset` (per-bucket contiguous, assigned at commit from a tiny
+  * driver-side manifest, mirroring the log tablet's next-offset), `__timestamp`
+  * (commit time) and `_change_type` (ChangeType.java:34-58). PK-table reads
+  * materialize current state from snapshot ∪ log tail — the same shape as
+  * the reference's KvSnapshotAndLogBatchScanner (fluss-client/.../batch/
+  * KvSnapshotAndLogBatchScanner.java:56) and lake union read (S7).
+  *
+  * Scale posture: the log is hive-partitioned by the table's partition keys
+  * and `__bucket`, so lookups and per-bucket scans prune files; offsets are
+  * assigned with one `row_number` window per bucket — the same shuffle that
+  * bucket routing needs anyway; nothing but the ~numBuckets-entry offset
+  * manifest ever reaches the driver.
+  */
+final class GraftTable(val path: String, val desc: TableDescriptor,
+    spark: SparkSession) {
+
+  private val logDir = s"$path/log"
+  private val snapshotDir = s"$path/snapshot"
+  private val offsetsFile = s"$path/_offsets.json"
+  private val snapshotMetaFile = s"$path/_snapshot.json"
+
+  /** Full log schema: data columns + system columns. */
+  val logSchema: StructType = StructType(desc.schema.fields ++ Seq(
+    StructField(Meta.ChangeTypeCol, StringType, nullable = false),
+    StructField(Meta.Offset, LongType, nullable = false),
+    StructField(Meta.Timestamp, TimestampType, nullable = false),
+    StructField(Meta.Bucket, IntegerType, nullable = false)))
+
+  // ---------------------------------------------------------------------
+  // log read
+  // ---------------------------------------------------------------------
+
+  private def hasLogFiles: Boolean = {
+    val d = Paths.get(logDir)
+    Files.exists(d) && Files.walk(d).anyMatch(p => p.toString.endsWith(".parquet"))
+  }
+
+  /** Raw log (changelog) with system columns. */
+  def logDF: DataFrame =
+    if (!hasLogFiles) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
+    } else {
+      // __bucket is a hive partition dir; project columns back into
+      // declared order.
+      spark.read.schema(logSchema).option("basePath", logDir).parquet(logDir)
+        .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
+  // ---------------------------------------------------------------------
+  // offset manifest
+  // ---------------------------------------------------------------------
+
+  private def readOffsets(): Map[Int, Long] =
+    if (!Files.exists(Paths.get(offsetsFile))) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+
+  private def writeOffsets(m: Map[Int, Long]): Unit =
+    CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(
+      JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+
+  /** Per-bucket next offsets (the "latest offset" metadata the reference
+    * answers count(*) from, PushdownUtils.java:348-440).
+    */
+  def latestOffsets: Map[Int, Long] = readOffsets()
+
+  // ---------------------------------------------------------------------
+  // write paths
+  // ---------------------------------------------------------------------
+
+  private def bucketCol: Column = {
+    val keys = desc.effectiveBucketKeys
+    if (keys.isEmpty) // round-robin-ish spread for key-less log tables
+      pmod(spark_partition_id(), lit(desc.numBuckets))
+    else pmod(hash(keys.map(col): _*), lit(desc.numBuckets))
+  }
+
+  /** Append rows to a log (no-PK) table; `orderBy` fixes intra-batch order
+    * for offset assignment (defaults to arrival order).
+    */
+  def append(df: DataFrame, orderBy: Seq[Column] = Nil): Unit = {
+    require(!desc.isPrimaryKeyTable, "use upsert() for PK tables")
+    val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
+    commitToLog(df
+      .withColumn(Meta.ChangeTypeCol, lit(ChangeType.AppendOnly))
+      .withColumn("__ord", ord.head.cast("long")))
+  }
+
+  /** Upsert a batch into a PK table (optionally a partial-update column
+    * subset, UpsertWrite.withPartialUpdate / PartialUpdater.java:35).
+    * Generates the changelog via the row mergers and appends it.
+    */
+  def upsert(df: DataFrame, targetColumns: Option[Seq[String]] = None,
+      orderBy: Seq[Column] = Nil): Unit =
+    writePk(df, deleteFlag = lit(false), targetColumns, orderBy)
+
+  /** Delete rows by PK (row content beyond the PK is ignored). */
+  def delete(df: DataFrame, orderBy: Seq[Column] = Nil): Unit =
+    writePk(df, deleteFlag = lit(true), None, orderBy)
+
+  /** Mixed batch: rows where boolean column `__delete` is true are DELETE
+    * intents, others upserts; all fold in one ordered pass per key — the
+    * shape of a CDC-stream apply (UpsertWriter.upsert/delete interleaved).
+    */
+  def upsertMixed(df: DataFrame, orderBy: Seq[Column] = Nil,
+      targetColumns: Option[Seq[String]] = None): Unit =
+    writePk(df, deleteFlag = df("__delete"), targetColumns, orderBy)
+
+  private def writePk(df: DataFrame, deleteFlag: Column,
+      targetColumns: Option[Seq[String]], orderBy: Seq[Column]): Unit = {
+    require(desc.isPrimaryKeyTable, "append-only table: use append()")
+    val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
+    // project to full schema (missing cols null — partial updates)
+    val projected = desc.schema.fieldNames.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(desc.schema(c).dataType))
+    }.select((desc.schema.fieldNames.map(col) ++ Seq(
+      ord.head.cast("long").as("__ord"), deleteFlag.as("__del"))).toIndexedSeq: _*)
+
+    val changes = computeChanges(projected, targetColumns)
+    commitToLog(changes)
+  }
+
+  /** Sequentially fold a batch against current state per PK, emitting
+    * change rows — the engine's KvTablet.putAsLeader (KvTablet.java:514):
+    * state lookup, RowMerger, changelog out. Distributed as a cogroup on
+    * the PK; each key's fold is local and ordered by `__ord`.
+    */
+  private def computeChanges(batch: DataFrame,
+      targetColumns: Option[Seq[String]]): DataFrame = {
+    val d = desc
+    val pk = d.primaryKey
+    val pkSchema = StructType(pk.map(c => d.schema(d.schema.fieldIndex(c))).toArray)
+    val keyEnc = Encoders.row(pkSchema)
+    val dataSchema = d.schema
+    val batchSchema = batch.schema
+    val outSchema = StructType(dataSchema.fields ++ Seq(
+      StructField(Meta.ChangeTypeCol, StringType, nullable = false),
+      StructField("__ord", LongType, nullable = false)))
+    def keyOf(r: Row, schema: StructType): Row =
+      new GenericRowWithSchema(pk.map(c => r.get(schema.fieldIndex(c))).toArray[Any], pkSchema)
+
+    val state = currentState()
+    val stateG = state.groupByKey(r => keyOf(r, dataSchema))(keyEnc)
+    val batchG = batch.groupByKey(r => keyOf(r, batchSchema))(keyEnc)
+    val ordIdx = batchSchema.fieldIndex("__ord")
+    val delIdx = batchSchema.fieldIndex("__del")
+
+    stateG.cogroup(batchG) { (_, sIt, bIt) =>
+      var st: Option[Row] = sIt.toSeq.headOption
+      val out = ArrayBuffer.empty[Row]
+      val sorted = bIt.toArray.sortBy(r => r.getAs[Number](ordIdx).longValue())
+      sorted.foreach { r =>
+        val ord = r.getAs[Number](ordIdx).longValue()
+        val dataRow = new GenericRowWithSchema(
+          (0 until dataSchema.length).map(r.get).toArray[Any], dataSchema)
+        val res = RowMergers.merge(d, st,
+          RowMergers.Incoming(dataRow, isDelete = r.getBoolean(delIdx),
+            targetColumns = targetColumns))
+        st = res.state
+        res.changes.foreach { case (ct, row) =>
+          out += new GenericRowWithSchema(
+            ((0 until dataSchema.length).map(row.get) :+ ct :+ ord).toArray[Any], outSchema)
+        }
+      }
+      out.iterator
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Assign per-bucket contiguous offsets and append to the log dir.
+    * Input: data cols + `_change_type` + `__ord`.
+    */
+  private def commitToLog(df: DataFrame): Unit = {
+    val bases = readOffsets()
+    val withBucket = df.withColumn(Meta.Bucket, bucketCol)
+    withBucket.cache()
+    try {
+      val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (counts.nonEmpty) {
+        val baseExpr = counts.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, b) =>
+          when(col(Meta.Bucket) === b, lit(bases.getOrElse(b, 0L))).otherwise(acc)
+        }
+        val w = Window.partitionBy(Meta.Bucket)
+          .orderBy(col("__ord"), col(Meta.ChangeTypeCol).desc) // -U before +U at same ord
+        val commitTs = new java.sql.Timestamp(System.currentTimeMillis())
+        val out = withBucket
+          .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
+          .withColumn(Meta.Timestamp, lit(commitTs))
+          .drop("__ord")
+          .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+        out.write.mode("append").partitionBy(Meta.Bucket).parquet(logDir)
+        writeOffsets(bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) })
+      }
+    } finally withBucket.unpersist()
+  }
+
+  // ---------------------------------------------------------------------
+  // snapshot (lake-tiering analog, S7/S13)
+  // ---------------------------------------------------------------------
+
+  private def readSnapshotMeta(): Option[Map[Int, Long]] =
+    if (!Files.exists(Paths.get(snapshotMetaFile))) None
+    else Some(JsonMethods.parse(new String(Files.readAllBytes(
+        Paths.get(snapshotMetaFile)), StandardCharsets.UTF_8))
+      .asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+
+  /** Compact current state into a parquet snapshot; subsequent reads union
+    * the snapshot with the log tail past the recorded offsets (the
+    * reference's KV snapshot / lake tiering, LakeTableTieringManager.java:110).
+    */
+  def compact(): Unit = {
+    require(desc.isPrimaryKeyTable, "compact() applies to PK tables")
+    val upTo = readOffsets()
+    currentState().write.mode("overwrite").parquet(snapshotDir)
+    CatalogJson.atomicWrite(snapshotMetaFile,
+      JsonMethods.compact(JsonMethods.render(JObject(
+        upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+  }
+
+  /** The log stores POST-merge row images (the write path already applied
+    * the merge engine, like the reference's KV store holding merged rows) —
+    * so state collapse is always last-write-wins over the changelog,
+    * whatever the engine (SortMergeReader.java:46 does the same).
+    */
+  private def collapseDesc: TableDescriptor =
+    desc.copy(mergeEngine = MergeEngine.Default,
+      deleteBehavior = DeleteBehavior.Allow)
+
+  /** Current state: snapshot ∪ log tail, keyed-merged (S4/S7 semantics:
+    * log wins, DELETE removes).
+    */
+  def currentState(): DataFrame = readSnapshotMeta() match {
+    case None => Materialize.currentState(logDF, collapseDesc)
+    case Some(snapOffsets) =>
+      val snap = spark.read.schema(desc.schema).parquet(snapshotDir)
+        // snapshot rows replay as inserts below any tail offset
+        .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+        .withColumn(Meta.Offset, lit(-1L))
+        .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
+        .withColumn(Meta.Bucket, bucketCol)
+      val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
+        when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+      }
+      val tail = logDF.filter(col(Meta.Offset) >= cutoff)
+      Materialize.currentState(snap.unionByName(tail), collapseDesc)
+  }
+
+  // ---------------------------------------------------------------------
+  // read surfaces
+  // ---------------------------------------------------------------------
+
+  /** Batch scan: log table = appended rows; PK table = current state. */
+  def scan(): DataFrame =
+    if (desc.isPrimaryKeyTable) currentState()
+    else logDF.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** `t$changelog` virtual table (website/docs/table-design/
+    * virtual-tables.md:14): data + `_change_type`, `_log_offset`,
+    * `_commit_timestamp`.
+    */
+  def changelog(): DataFrame =
+    logDF.select((desc.schema.fieldNames.map(col) ++ Seq(
+      col(Meta.ChangeTypeCol),
+      col(Meta.Offset).as(Meta.LogOffset),
+      col(Meta.Timestamp).as(Meta.CommitTimestamp))).toIndexedSeq: _*)
+
+  /** `t$binlog` virtual table (PK tables only): one row per state change
+    * with `before`/`after` ROW images (TableDescriptor.java:69-70).
+    * Before-images come from a per-key `lag`, so the view also works for
+    * WAL-image tables that never logged `-U` rows.
+    */
+  def binlog(): DataFrame = {
+    require(desc.isPrimaryKeyTable, "binlog requires a PK table")
+    val dataStruct = struct(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(desc.primaryKey.map(col): _*).orderBy(col(Meta.Offset))
+    logDF.filter(col(Meta.ChangeTypeCol) =!= ChangeType.UpdateBefore)
+      .withColumn("__img", dataStruct)
+      .withColumn("__prev", lag(col("__img"), 1).over(w))
+      .select(
+        col(Meta.ChangeTypeCol),
+        when(col(Meta.ChangeTypeCol) === ChangeType.Insert, lit(null))
+          .otherwise(col("__prev")).as("before"),
+        when(col(Meta.ChangeTypeCol) === ChangeType.Delete, lit(null))
+          .otherwise(col("__img")).as("after"),
+        col(Meta.Offset).as(Meta.LogOffset),
+        col(Meta.Timestamp).as(Meta.CommitTimestamp))
+  }
+
+  /** Primary-key point lookup (PrimaryKeyLookuper.java:49): bucket-pruned
+    * scan of the key's bucket only — file pruning via the `__bucket`
+    * partition dir.
+    */
+  def lookup(key: Map[String, Any]): DataFrame = {
+    require(desc.isPrimaryKeyTable, "lookup requires a PK table")
+    require(key.keySet == desc.primaryKey.toSet, s"full PK required: ${desc.primaryKey}")
+    prunedState(key).filter(keyPredicate(key))
+  }
+
+  /** Prefix-key lookup (PrefixKeyLookuper.java:49): prefix must be the
+    * bucket key — a prefix of the PK (LookupNormalizer.java:241-256).
+    */
+  def prefixLookup(prefix: Map[String, Any]): DataFrame = {
+    require(desc.isPrimaryKeyTable, "prefixLookup requires a PK table")
+    require(prefix.keySet == desc.effectiveBucketKeys.toSet,
+      s"prefix must equal bucket keys ${desc.effectiveBucketKeys}")
+    require(desc.primaryKey.startsWith(desc.effectiveBucketKeys),
+      "bucket keys must be a prefix of the PK for prefix lookup")
+    prunedState(prefix).filter(keyPredicate(prefix))
+  }
+
+  private def keyPredicate(key: Map[String, Any]): Column =
+    key.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+
+  /** Materialize only the key's bucket: same merge, 1/numBuckets the IO. */
+  private def prunedState(key: Map[String, Any]): DataFrame = {
+    val keys = desc.effectiveBucketKeys
+    val pruned =
+      if (keys.forall(key.contains)) {
+        val b = pmod(hash(keys.map(k => lit(key(k))): _*), lit(desc.numBuckets))
+        logDF.filter(col(Meta.Bucket) === b)
+      } else logDF
+    Materialize.currentState(pruned, collapseDesc)
+  }
+}

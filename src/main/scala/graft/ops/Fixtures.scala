@@ -1,0 +1,171 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Test-table fixtures shared by SparkEntry queries: graft tables derived
+  * deterministically from the driver-generated parquet. Cached per
+  * (fixture, sfDir) within the JVM so Verify/Bench build each once.
+  */
+object Fixtures {
+
+  private val cache = mutable.Map.empty[(String, String), GraftTable]
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-warehouse").toString
+
+  /** Read a testdata table. `events.ts` is nanosecond parquet, which Spark
+    * only reads as a long (spark.sql.legacy.parquet.nanosAsLong — set in
+    * Verify/Bench/test sessions); convert to a microsecond timestamp with
+    * exact integer division (ns values overflow double precision, so no
+    * float math here).
+    */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+
+  private def cached(key: String, sfDir: String)(build: => GraftTable): GraftTable =
+    synchronized { cache.getOrElseUpdate((key, sfDir), build) }
+
+  /** Create a fixture table, clearing any half-built leftover first. */
+  private def fresh(spark: SparkSession, sfDir: String, name: String,
+      desc: TableDescriptor): GraftTable = {
+    val cat = catalog(spark)
+    val db = "fx" + math.abs(sfDir.hashCode)
+    if (cat.tableExists(db, name)) cat.dropTable(db, name)
+    cat.createTable(db, name, desc)
+  }
+
+  /** Events with engine-typed columns: value as DECIMAL(18,6) so sums are
+    * exact and order-independent (doubles would make distributed vs
+    * sequential sums diverge in the last bits).
+    */
+  def eventsTyped(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "events").withColumn("value",
+      col("value").cast(DecimalType(18, 6)))
+
+  private def eventsSchema(spark: SparkSession, sfDir: String): StructType =
+    StructType(eventsTyped(spark, sfDir).schema.fields.filterNot(_.name == "event_id"))
+
+  private def catalog(spark: SparkSession) = new Catalog(warehouse, spark)
+
+  /** Append-only log table holding lineitem — proves the S8 append ->
+    * S2 scan roundtrip through the log format.
+    */
+  def lineitemLog(spark: SparkSession, sfDir: String): GraftTable =
+    cached("lineitem_log", sfDir) {
+      val li = read(spark, sfDir, "lineitem")
+      val t = fresh(spark, sfDir, "lineitem_log",
+        TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
+      t.append(li, orderBy = Seq(li("l_orderkey") * 10 + li("l_linenumber")))
+      t
+    }
+
+  /** PK table keyed by user_id, default (LWW) merge; all events upserted
+    * in event_id order.
+    */
+  def usersLww(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_lww", sfDir) {
+      val t = fresh(spark, sfDir, "users_lww",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** Same, but event_type='error' rows are DELETE intents — exercises the
+    * delete path of the default merge engine.
+    */
+  def usersLwwDeletes(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_lww_del", sfDir) {
+      val t = fresh(spark, sfDir, "users_lww_del",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      // one mixed batch: deletes and upserts interleave in event_id order
+      t.upsertMixed(ev.withColumn("__delete", col("event_type") === "error"),
+        orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** FIRST_ROW merge engine table. */
+  def usersFirst(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_first", sfDir) {
+      val t = fresh(spark, sfDir, "users_first",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.FirstRow))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** VERSIONED merge engine on ts. */
+  def usersVersioned(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_versioned", sfDir) {
+      val t = fresh(spark, sfDir, "users_versioned",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.Versioned("ts"),
+          deleteBehavior = DeleteBehavior.Ignore))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** AGGREGATION merge engine: sum(value), max(ts), listagg(event_type),
+    * last_value(props) per user.
+    */
+  def userAggs(spark: SparkSession, sfDir: String): GraftTable =
+    cached("user_aggs", sfDir) {
+      val t = fresh(spark, sfDir, "user_aggs",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.Aggregation(Map(
+            "value" -> AggFunction.Sum,
+            "ts" -> AggFunction.Max,
+            "event_type" -> (AggFunction.ListAgg + ":|"),
+            "props" -> AggFunction.LastValue))))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** Partial-update scenario (A2): full upserts of every event, then a
+    * second batch updating only `value` (doubled) from purchase events.
+    */
+  def usersPartial(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_partial", sfDir) {
+      val t = fresh(spark, sfDir, "users_partial",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      val raw = read(spark, sfDir, "events")
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value") * 2).cast(DecimalType(18, 6)).as("value"),
+          col("event_id"))
+      t.upsert(purchases, targetColumns = Some(Seq("value")),
+        orderBy = Seq(purchases("event_id")))
+      t
+    }
+
+  /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
+  def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
+    cached("user_type_state", sfDir) {
+      val t = fresh(spark, sfDir, "user_type_state",
+        TableDescriptor(eventsSchema(spark, sfDir),
+          primaryKey = Seq("user_id", "event_type"),
+          bucketKeys = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+}

@@ -1,0 +1,108 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** End-to-end table behavior over the parquet log: mirrors the shape of the
+  * reference's KvTabletTest / SparkPrimaryKeyTableReadTest scenarios.
+  */
+class GraftTableSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private def newCatalog() =
+    new Catalog(Files.createTempDirectory("graft-test-wh").toString, spark)
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", IntegerType),
+    StructField("s", StringType)))
+
+  private def df(rows: (Long, Integer, String)*) =
+    spark.createDataFrame(
+      rows.zipWithIndex.map { case ((k, v, s), i) =>
+        Row(k, v, s, i.toLong)
+      }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+
+  test("log table: append assigns contiguous per-bucket offsets") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "log1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 4))
+    t.append(df((1L, 1, "a"), (2L, 2, "b"), (1L, 3, "c")), orderBy = Seq(col("ord")))
+    t.append(df((1L, 4, "d")), orderBy = Seq(col("ord")))
+    val log = t.logDF.collect()
+    assert(log.length == 4)
+    // per-bucket offsets are 0..n-1 with no gaps
+    val perBucket = log.groupBy(_.getAs[Int](Meta.Bucket))
+    perBucket.foreach { case (_, rows) =>
+      val offs = rows.map(_.getAs[Long](Meta.Offset)).sorted
+      assert(offs.sameElements(offs.indices.map(_.toLong)))
+    }
+    assert(t.scan().count() == 4)
+    // count(*) from offset metadata alone (A6 semantics)
+    assert(t.latestOffsets.values.sum == 4)
+  }
+
+  test("pk table: upsert/delete lifecycle with changelog") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "pk1", TableDescriptor(schema, primaryKey = Seq("k")))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2")), orderBy = Seq(col("ord")))
+    t.delete(df((2L, null, null)), orderBy = Seq(col("ord")))
+
+    assertSameRows(t.scan().collect(), Seq(Row(1L, 10, "a2")))
+
+    val cts = t.changelog().select("_change_type").collect().map(_.getString(0))
+    assert(cts.count(_ == "+I") == 2)
+    assert(cts.count(_ == "-U") == 1 && cts.count(_ == "+U") == 1)
+    assert(cts.count(_ == "-D") == 1)
+
+    // binlog pairs before/after images
+    val bl = t.binlog().orderBy("_log_offset").collect()
+    val up = bl.find(_.getString(0) == "+U").get
+    assert(up.getStruct(1).getInt(1) == 1 && up.getStruct(2).getInt(1) == 10)
+    val del = bl.find(_.getString(0) == "-D").get
+    assert(del.getStruct(1).getInt(1) == 2 && del.isNullAt(2))
+  }
+
+  test("pk table: lookup and prefix lookup prune to one bucket") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "pk2",
+      TableDescriptor(schema, primaryKey = Seq("k", "s"), bucketKeys = Seq("k"),
+        numBuckets = 8))
+    t.upsert(df((1L, 1, "x"), (1L, 2, "y"), (2L, 3, "x"), (1L, 9, "x")),
+      orderBy = Seq(col("ord")))
+    assertSameRows(t.lookup(Map("k" -> 1L, "s" -> "x")).collect(),
+      Seq(Row(1L, 9, "x")))
+    assertSameRows(t.prefixLookup(Map("k" -> 1L)).collect(),
+      Seq(Row(1L, 9, "x"), Row(1L, 2, "y")))
+  }
+
+  test("pk table: compact snapshot + tail reads match full materialization") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "pk3", TableDescriptor(schema, primaryKey = Seq("k")))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    t.compact()
+    t.upsert(df((1L, 11, "a2")), orderBy = Seq(col("ord")))
+    t.delete(df((3L, null, null)), orderBy = Seq(col("ord")))
+    assertSameRows(t.scan().collect(),
+      Seq(Row(1L, 11, "a2"), Row(2L, 2, "b")))
+  }
+
+  test("descriptor json roundtrip") {
+    val d = TableDescriptor(schema, primaryKey = Seq("k"), bucketKeys = Seq("k"),
+      numBuckets = 16, partitionKeys = Seq("s"),
+      mergeEngine = MergeEngine.Aggregation(Map("v" -> "sum")),
+      deleteBehavior = DeleteBehavior.Ignore,
+      changelogImage = ChangelogImage.Wal)
+    assert(CatalogJson.read(CatalogJson.write(d)) == d)
+    val v = TableDescriptor(schema, primaryKey = Seq("k"),
+      mergeEngine = MergeEngine.Versioned("v"))
+    assert(CatalogJson.read(CatalogJson.write(v)) == v)
+  }
+}
