@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bitmaps
 import graft.ops.Fixtures
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -132,6 +133,113 @@ object SparkEntry {
         .agg(Bitmaps.rbCardinality(Bitmaps.rb_and_agg(col("bm"))).as("n_both"),
           Bitmaps.rbCardinality(Bitmaps.rb_or_agg(col("bm"))).as("n_either"))
       bm
+    }),
+
+    // ----- P4: partition pruning (hive partition dirs by day)
+    "p4_partition_pruning" -> ((s, dir) =>
+      Fixtures.eventsPartitioned(s, dir).scan()
+        .filter(col("dt") === "2024-01-15")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))),
+
+    // ----- S14: partition retention (TTL) — old partitions dropped
+    "s14_ttl_retention" -> ((s, dir) =>
+      Fixtures.eventsPartitionedExpired(s, dir).scan()
+        .groupBy(col("dt")).agg(count(lit(1)).as("n"))),
+
+    // ----- T3: $binlog virtual table (before/after images)
+    "t3_binlog" -> ((s, dir) =>
+      Fixtures.usersLww(s, dir).binlog()
+        .select(col("_change_type"),
+          coalesce(col("after.user_id"), col("before.user_id")).as("user_id"),
+          col("before.value").as("before_value"),
+          col("after.value").as("after_value"))),
+
+    // ----- D1: exact dedup (normalized text)
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- D2: exact n-gram Jaccard near-dup pairs (correctness baseline)
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.8)),
+
+    // ----- D3: MinHash+LSH near-dup candidates (the 100 TB path; recall
+    // vs D2 is asserted in DedupSpec — no SQL oracle for hash banding)
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("a_id"), col("b_id"))),
+
+    // ----- D4: SimHash near-dup pairs (hamming <= 3)
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("a_id"), col("b_id"), col("hamming"))),
+
+    // ----- D5: embedding-cosine near-dup pairs (exact baseline)
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.47, exact = true)
+        .select(col("a_id"), col("b_id"))),
+
+    // ----- SIM1: brute-force cosine top-k (exact baseline)
+    "sim1_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", q, k = 10).select(col("vec_id"))
+    }),
+
+    // ----- SIM2: LSH-bucketed ANN top-k (scale path; recall in test)
+    "sim2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Similarity.annTopKLsh(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", q, k = 10).select(col("vec_id"))
+    }),
+
+    // ----- SIM3: IVF coarse-quantizer top-k (scale path; recall in test)
+    "sim3_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      val (assigned, centroids) = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", nlist = 16, s)
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding", q,
+        k = 10, nprobe = 4).select(col("vec_id"))
+    }),
+
+    // ----- TA1: token counting (whitespace + BPE-ish segmenter)
+    "ta1_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars"))
+    }),
+
+    // ----- TA2: language id (stopword/CJK heuristic)
+    "ta2_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // ----- TA3: quality scoring
+    "ta3_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ----- FP1: document fingerprint (collision-free on corpus == oracle)
+    "fp1_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))),
+
+    // ----- MM1: multimodal binary plumbing (pack + frame-sample)
+    "mm1_multimodal" -> ((s, dir) => {
+      val media = Multimodal.packAsMedia(t(s, dir, "documents"), "doc_id", "text")
+      val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
+        .join(frames, Seq("media_id"))
     })
   )
 
@@ -240,6 +348,110 @@ object SparkEntry {
         |  (SELECT count(*) FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
         |    INTERSECT (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))) AS n_both,
         |  (SELECT count(*) FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
-        |    UNION (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))) AS n_either""".stripMargin
+        |    UNION (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))) AS n_either""".stripMargin,
+
+    "p4_partition_pruning" ->
+      """SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'""".stripMargin,
+
+    "s14_ttl_retention" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+        |GROUP BY 1""".stripMargin,
+
+    "t3_binlog" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |         row_number() OVER w AS rn,
+        |         lag(CAST(value AS DECIMAL(18,6))) OVER w AS pv
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type, user_id,
+        |       CASE WHEN rn = 1 THEN NULL ELSE pv END AS before_value,
+        |       v AS after_value
+        |FROM o""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        list_aggregate(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]), 'sum') AS d
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT p.a_id, p.b_id FROM p JOIN n na ON na.vec_id = p.a_id
+        |JOIN n nb ON nb.vec_id = p.b_id
+        |WHERE d / (na.nrm * nb.nrm) >= 0.47""".stripMargin,
+
+    "sim1_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT e FROM v WHERE vec_id = 0),
+        |n AS (SELECT vec_id, sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm FROM v)
+        |SELECT v.vec_id FROM v, q JOIN n ON n.vec_id = v.vec_id WHERE v.vec_id <> 0
+        |ORDER BY list_aggregate(list_transform(list_zip(v.e, q.e), x -> x[1]*x[2]), 'sum')
+        |  / (n.nrm * (SELECT sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) FROM q)) DESC,
+        |  v.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "ta1_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "ta2_langid" ->
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+        |    length(text) AS chars,
+        |    ${TextAnalysis.stopwords.map { case (l, ws) =>
+              s"len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')), " +
+                s"[${ws.map(w => s"'$w'").mkString(",")}])) AS s_$l"
+            }.mkString(",\n    ")}
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN cjk * 3 > chars THEN 'zh'
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |  WHEN s_es > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "ta3_quality" ->
+      """SELECT doc_id,
+        |  0.25 * least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) +
+        |  0.25 * least(CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |      ['the','a','and','of','to','in','is','it','that'])) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) +
+        |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) +
+        |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
+        |FROM documents""".stripMargin,
+
+    "fp1_fingerprint" ->
+      """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents""".stripMargin,
+
+    "mm1_multimodal" ->
+      """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+        |  CAST(((strlen(text) + 63) // 64 + 1) // 2 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
   )
 }

@@ -210,7 +210,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .withColumn(Meta.Timestamp, lit(commitTs))
           .drop("__ord")
           .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-        out.write.mode("append").partitionBy(Meta.Bucket).parquet(logDir)
+        out.write.mode("append")
+          .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
         writeOffsets(bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) })
       }
     } finally withBucket.unpersist()
@@ -329,6 +330,28 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(desc.primaryKey.startsWith(desc.effectiveBucketKeys),
       "bucket keys must be a prefix of the PK for prefix lookup")
     prunedState(prefix).filter(keyPredicate(prefix))
+  }
+
+  /** Partition retention (S14, ConfigOptions.java:1726-1803 auto-partition
+    * expiry): drop whole hive partitions of `partitionCol` whose value sorts
+    * strictly below `cutoff` (works for `yyyy-MM-dd`-style values where
+    * lexicographic order = time order). Metadata-only: deletes partition
+    * directories, never rewrites data files.
+    */
+  def expirePartitions(partitionCol: String, cutoff: String): Int = {
+    require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
+    val d = Paths.get(logDir)
+    if (!Files.exists(d)) return 0
+    import scala.jdk.CollectionConverters._
+    val prefix = s"$partitionCol="
+    val victims = Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .filter(p => p.getFileName.toString.stripPrefix(prefix) < cutoff)
+      .toSeq
+    victims.foreach { p =>
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    victims.size
   }
 
   private def keyPredicate(key: Map[String, Any]): Column =

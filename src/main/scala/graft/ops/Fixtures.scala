@@ -157,6 +157,34 @@ object Fixtures {
       t
     }
 
+  private def eventsWithDt(spark: SparkSession, sfDir: String): DataFrame =
+    eventsTyped(spark, sfDir).withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+
+  /** Hive-partitioned log table (partition key = day string) — P4
+    * partition pruning and S14 partition retention.
+    */
+  def eventsPartitioned(spark: SparkSession, sfDir: String): GraftTable =
+    cached("events_part", sfDir) {
+      val ev = eventsWithDt(spark, sfDir)
+      val t = fresh(spark, sfDir, "events_part",
+        TableDescriptor(StructType(ev.schema.fields),
+          partitionKeys = Seq("dt"), bucketKeys = Seq("user_id"), numBuckets = 4))
+      t.append(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** Same layout, with partitions below 2024-01-20 expired (S14). */
+  def eventsPartitionedExpired(spark: SparkSession, sfDir: String): GraftTable =
+    cached("events_part_ttl", sfDir) {
+      val ev = eventsWithDt(spark, sfDir)
+      val t = fresh(spark, sfDir, "events_part_ttl",
+        TableDescriptor(StructType(ev.schema.fields),
+          partitionKeys = Seq("dt"), bucketKeys = Seq("user_id"), numBuckets = 4))
+      t.append(ev, orderBy = Seq(ev("event_id")))
+      t.expirePartitions("dt", "2024-01-20")
+      t
+    }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {

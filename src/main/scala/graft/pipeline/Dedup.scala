@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: everything is explode → hash-aggregate → equi-join on a
+  * blocking key. No windows over the whole corpus, no driver-side state.
+  * The exact Jaccard self-join is the correctness baseline (oracle-
+  * checkable); MinHash-LSH and SimHash are the 100 TB paths — candidate
+  * generation touches only same-bucket pairs.
+  */
+object Dedup {
+
+  /** Exact dedup over normalized text: one keeper (min id) and the
+    * duplicate count per distinct normalized document.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.normalize(col(textCol)).as("__norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** Distinct character n-grams (shingles) of `text`. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substr(text, i, lit(n))))
+
+  /** Exact n-gram Jaccard near-dup pairs: (a_id < b_id, jaccard >= threshold).
+    *
+    * Plan: explode shingles → self-equi-join on the shingle (only pairs
+    * sharing >=1 shingle are candidates) → count intersections → join the
+    * two per-doc sizes → filter. Shuffles hash-partition on shingle then on
+    * (a,b); both have map-side partial aggregation.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("id").as("a_id"), col("g"))
+    val b = sh.select(col("id").as("b_id"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutations approximated by
+    * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes (the standard
+    * universal-hash construction). Deterministic seed.
+    *
+    * Returns (id, sig array<long>[numHashes]).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
+    // 2^31-1 Mersenne prime: (a*h+b) stays under 2^63 (ANSI-safe, no
+    // overflow) while 2^31 minhash space is ample for banding.
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val params = Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(p)))
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    sh.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signature split into `bands` bands; docs
+    * sharing any band bucket become candidate pairs; candidates are then
+    * exactly verified against the true signature similarity estimate.
+    *
+    * Output: (a_id, b_id, est_jaccard) with est >= threshold.
+    * est_jaccard = fraction of matching minhashes (unbiased Jaccard
+    * estimator).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
+    // one row per (doc, band): bucket key = hash of the band's slice
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig")).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Pure expressions: for each bit j, sum(+/-1 per token) > 0.
+    * One hash-aggregate; the fingerprint assembles via bit shifts.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
+    * Blocking: pigeonhole on 16-bit chunks — any pair within distance
+    * `maxHamming` (< 4) agrees on at least one of the 4 chunks, so the
+    * join only compares same-chunk buckets. Verified with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
+    val sig = simhash(df, idCol, textCol)
+    val chunked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("bucket"))
+    val a = chunked.select(col("chunk"), col("bucket"),
+      col("id").as("a_id"), col("simhash").as("a_sh"))
+    val b = chunked.select(col("chunk"), col("bucket"),
+      col("id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, Seq("chunk", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Embedding cosine near-dup pairs >= threshold.
+    * exact=true: full self-join (correctness baseline / oracle).
+    * exact=false: random-hyperplane LSH blocking (the scale path) — only
+    * same-bucket pairs are compared; recall controlled by `planes`.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = true, planes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val withKey =
+      if (exact) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", Similarity.hyperplaneSig(col("v"), planes, seed))
+    val a = withKey.select(col("bucket"), col("id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = withKey.select(col("bucket"), col("id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Keeper selection from near-dup pairs: connected-component-lite — keep
+    * a doc unless it pairs with a smaller id (min-id wins). One anti-join.
+    */
+  def keepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language id, quality scoring, fingerprinting.
+  *
+  * All pure `Column` expressions (whole-stage-codegen'd, no UDFs) so they
+  * run at scan speed over 100 TB of documents; every formula is also
+  * expressible in ANSI SQL for oracle checks.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segment count: runs of letters, runs of digits, and
+    * single other non-space chars — the usual pre-tokenizer shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword sets for the n-gram/stopword langid
+    * heuristic (public-knowledge function words).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "des", "une"),
+    "es" -> Seq("el", "los", "y", "es", "no", "con", "una", "por"))
+
+  /** Distinct-token overlap with a language's stopword set. */
+  def stopwordOverlap(text: Column, lang: String): Column = {
+    val set = stopwords.toMap.apply(lang)
+    size(array_intersect(array_distinct(tokens(text)), typedlit(set)))
+  }
+
+  /** Heuristic language id: CJK-character share first, then arg-max of
+    * stopword overlap in fixed priority order (en, de, fr, es); 'und'
+    * (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val s = stopwords.map { case (l, _) => l -> stopwordOverlap(text, l) }.toMap
+    when(cjk * 3 > length(text), lit("zh"))
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es") && s("en") > 0, lit("en"))
+      .when(s("de") >= s("fr") && s("de") >= s("es") && s("de") > 0, lit("de"))
+      .when(s("fr") >= s("es") && s("fr") > 0, lit("fr"))
+      .when(s("es") > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: length saturation, stopword density, and
+    * penalties for punctuation/digit excess. Fixed evaluation order so the
+    * double result is reproducible across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val stopRatio = stopwordOverlap(text, "en").cast("double") / greatest(n, lit(1.0))
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("double")
+    val digits = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+    lit(0.25) * least(n / lit(100.0), lit(1.0)) +
+      lit(0.25) * least(stopRatio * lit(5.0), lit(1.0)) +
+      lit(0.25) * (lit(1.0) - least(punct / greatest(chars, lit(1.0)) * lit(10.0), lit(1.0))) +
+      lit(0.25) * (lit(1.0) - least(digits / greatest(chars, lit(1.0)) * lit(10.0), lit(1.0)))
+  }
+
+  /** Normalized-text form used for fingerprinting/exact dedup: trim,
+    * collapse whitespace, lowercase.
+    */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized text
+    * (codegen'd native expression — no UDF in the 100 TB hot path).
+    */
+  def fingerprint(text: Column): Column = xxhash64(normalize(text))
+}

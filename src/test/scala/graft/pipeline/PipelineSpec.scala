@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Fixtures
+
+/** Recall/quality checks for the approximate pipeline operators against
+  * their exact baselines, on the sf0.001 testdata.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Fixtures.read(spark, sf, "documents")
+  private def emb = Fixtures.read(spark, sf, "embeddings")
+
+  test("minhash LSH finds the exact-jaccard near-dup pairs (recall = 1 here)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical docs collide; near-dup pairs overlap jaccard pairs") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == docs.count())
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.95)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // >=95% jaccard pairs should be within small hamming distance mostly
+    val close = exact.count { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
+    }
+    assert(exact.isEmpty || close.toDouble / exact.length >= 0.8,
+      s"$close/${exact.length} high-jaccard pairs within hamming 8")
+  }
+
+  test("ann lsh + ivf: top-10 recall vs brute force") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.cosineTopK(rest, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.annTopKLsh(rest, "vec_id", "embedding", q, 10,
+      planes = 10, maxBitDiff = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.count(lsh.contains) >= 5, s"lsh recall ${exact.count(lsh.contains)}/10")
+    val (assigned, cents) = Similarity.ivfAssign(rest, "vec_id", "embedding", 8, spark)
+    val ivf = Similarity.ivfTopK(assigned, cents, "vec_id", "embedding", q, 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.count(ivf.contains) >= 5, s"ivf recall ${exact.count(ivf.contains)}/10")
+  }
+
+  test("multimodal: feature extraction batch shape + determinism") {
+    val media = Multimodal.packAsMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    assert(feats.columns.toSeq == Seq("media_id", "meta", "features"))
+    val row = feats.filter(col("media_id") === 0).head
+    val f = row.getSeq[Float](2)
+    assert(f.length == 8 && f.forall(x => x >= 0f && x <= 1f))
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .filter(col("media_id") === 0).head.getSeq[Float](2)
+    assert(f == again)
+    // frame sampling covers the blob
+    val frames = Multimodal.frameSample(media, 64, 2)
+    assert(frames.count() > 0)
+    val one = frames.filter(col("media_id") === 0).orderBy("frame_no")
+      .select("frame").collect()
+    assert(one.nonEmpty && one.forall(!_.isNullAt(0)))
+  }
+
+  test("text analysis: langid responds to real language signals") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat and the dog went to the house of a friend"),
+      (2L, "der Hund und die Katze sind nicht mit der Maus"),
+      (3L, "le chat et la souris sont des animaux est pas"),
+      (4L, "el perro y los gatos no es una casa con por"),
+      (5L, "漢字漢字漢字漢字漢字漢字"),
+      (6L, "zzz qqq xxx")).toDF("id", "text")
+    val got = samples.select($"id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+}
