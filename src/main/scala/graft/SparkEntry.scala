@@ -233,6 +233,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))),
 
+    // ----- T6/S1: streaming upsert — events streamed in micro-batches
+    // through the exactly-once sink into an AGGREGATION PK table
+    "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
+
+    // ----- T5: windowed aggregation (engine-side, tumbling 1 day)
+    "t5_window_agg" -> ((s, dir) =>
+      Fixtures.eventsTyped(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("n"), col("sum_value"))),
+
     // ----- MM1: multimodal binary plumbing (pack + frame-sample)
     "mm1_multimodal" -> ((s, dir) => {
       val media = Multimodal.packAsMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -448,6 +459,16 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "t6_stream_agg" ->
+      """SELECT max(ts) AS ts, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "t5_window_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "mm1_multimodal" ->
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes,

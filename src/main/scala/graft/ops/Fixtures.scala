@@ -185,6 +185,32 @@ object Fixtures {
       t
     }
 
+  /** Streaming ingestion fixture (T6/S1): events split into range files,
+    * streamed with maxFilesPerTrigger=2 (several micro-batches) through the
+    * exactly-once upsert sink into an AGGREGATION PK table. sum/max are
+    * commutative, so the result is file-order independent and
+    * oracle-checkable.
+    */
+  def streamAggTable(spark: SparkSession, sfDir: String): GraftTable =
+    cached("stream_agg", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+        .select(col("ts"), col("user_id"), col("value"), col("event_id"))
+      val srcDir = Files.createTempDirectory("graft-stream-src").toString
+      ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(srcDir)
+      val t = fresh(spark, sfDir, "stream_agg",
+        TableDescriptor(
+          StructType(ev.schema.fields.filterNot(_.name == "event_id")),
+          primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.Aggregation(Map(
+            "value" -> AggFunction.Sum, "ts" -> AggFunction.Max))))
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      val q = graft.streaming.GraftStream.upsertSink(stream, t, "fixture",
+        "event_id", Files.createTempDirectory("graft-stream-ckpt").toString)
+      q.awaitTermination()
+      t
+    }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core._
+
+/** Structured Streaming surfaces of the engine.
+  *
+  * - [[readLog]]: continuous scan of a table's changelog (the reference's
+  *   LogScanner, fluss-client/.../scanner/log/LogScannerImpl.java:55) as a
+  *   file-based micro-batch stream with startup modes
+  *   (FlinkConnectorOptions.java:304-316: earliest / latest / timestamp;
+  *   `full` via [[hybrid]]).
+  * - [[upsertSink]]: exactly-once streaming upsert into a PK table
+  *   (§3.3 write path; idempotence via a per-sink committed-batch log, the
+  *   engine's WriterStateManager analog).
+  * - [[lookupJoin]]: stream-static join against a PK table's current state
+  *   re-read per micro-batch — the `FOR SYSTEM_TIME AS OF proctime` lookup
+  *   join (FlinkLookupFunction.java:51) semantics.
+  *
+  * Scale posture: micro-batches shuffle once on the PK (the same cogroup
+  * as the batch write path); checkpoint + commit-log give restart safety;
+  * nothing accumulates on the driver.
+  */
+object GraftStream {
+
+  sealed trait StartupMode
+  object StartupMode {
+    /** Read from the first retained offset. */
+    case object Earliest extends StartupMode
+    /** Only changes committed after stream start. */
+    case object Latest extends StartupMode
+    /** Changes with commit timestamp >= the given epoch-millis. */
+    final case class Timestamp(ms: Long) extends StartupMode
+  }
+
+  /** Streaming changelog scan of a graft table. */
+  def readLog(spark: SparkSession, table: GraftTable,
+      mode: StartupMode = StartupMode.Earliest): DataFrame = {
+    val stream = spark.readStream
+      .schema(table.logSchema)
+      .option("basePath", s"${table.path}/log")
+      .parquet(s"${table.path}/log")
+    mode match {
+      case StartupMode.Earliest => stream
+      case StartupMode.Latest =>
+        val now = System.currentTimeMillis()
+        stream.filter(col(Meta.Timestamp) >= lit(new java.sql.Timestamp(now)))
+      case StartupMode.Timestamp(ms) =>
+        stream.filter(col(Meta.Timestamp) >= lit(new java.sql.Timestamp(ms)))
+    }
+  }
+
+  /** `full` startup (T2 hybrid snapshot+log): run `handler` over the
+    * current state as batch -1, then stream the log tail from `fromOffsets`
+    * captured at snapshot time. The reference's HybridSnapshotLogSplit
+    * (fluss-flink/.../source/split/HybridSnapshotLogSplit.java:37) collapses
+    * to exactly this in micro-batch form.
+    */
+  def hybrid(spark: SparkSession, table: GraftTable)(
+      handler: (DataFrame, Long) => Unit): StreamingQuery = {
+    val snapOffsets = table.latestOffsets
+    handler(table.currentState(), -1L)
+    val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
+      when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+    }
+    val tail = readLog(spark, table).filter(col(Meta.Offset) >= cutoff)
+    tail.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => handler(df, id))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-hybrid-ckpt").toString)
+      .start()
+  }
+
+  // ----- exactly-once sink ------------------------------------------------
+
+  private def commitDir(table: GraftTable, sinkId: String) =
+    Paths.get(table.path, "_stream_commits", sinkId)
+
+  /** Batch ids already folded into the table by sink `sinkId`. */
+  def committedBatches(table: GraftTable, sinkId: String): Set[Long] = {
+    val d = commitDir(table, sinkId)
+    if (!Files.exists(d)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala.map(_.getFileName.toString.toLong).toSet
+    }
+  }
+
+  /** Streaming upsert sink: every micro-batch folds into the PK table via
+    * the merge engine; replayed batches (restart without checkpoint sync)
+    * are skipped via the commit log -> exactly-once table state (T6).
+    * `orderCol` fixes the intra-batch fold order.
+    */
+  def upsertSink(stream: DataFrame, table: GraftTable, sinkId: String,
+      orderCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val d = commitDir(table, sinkId)
+        Files.createDirectories(d)
+        if (!Files.exists(d.resolve(batchId.toString))) {
+          if (!batch.isEmpty) {
+            table.upsert(batch, orderBy = Seq(col(orderCol)))
+          }
+          Files.createFile(d.resolve(batchId.toString))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Stream-static lookup join: enrich a stream against the PK table's
+    * current state; the static side re-materializes per micro-batch
+    * (proctime semantics, engine-side broadcast when small).
+    */
+  def lookupJoin(stream: DataFrame, table: GraftTable, joinKeys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(table.currentState()), joinKeys, joinType)
+}

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.core._
+
+/** Streaming semantics (SURVEY §2.9): startup modes, exactly-once upsert
+  * sink, hybrid snapshot+log read, stream-static lookup join.
+  */
+class StreamingSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", IntegerType),
+    StructField("ord", LongType)))
+
+  private def writeSrc(dir: String, rows: Seq[(Long, Int, Long)], file: String): Unit =
+    spark.createDataFrame(rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def newCatalog() =
+    new Catalog(Files.createTempDirectory("graft-stream-wh").toString, spark)
+
+  private def tmp() = Files.createTempDirectory("graft-s").toString
+
+  test("stream upsert sink: multi-batch LWW ingest equals batch merge") {
+    val src = tmp()
+    writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
+    writeSrc(src, Seq((1L, 10, 2L), (3L, 3, 3L)), "b")
+    val t = newCatalog().createTable("db", "s1", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    GraftStream.upsertSink(stream, t, "sink1", "ord", tmp()).awaitTermination()
+    // files may arrive in either order; keys 2 and 3 are unambiguous
+    val got = t.scan().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(2L) == 2 && got(3L) == 3 && Set(1, 10).contains(got(1L)))
+    assert(GraftStream.committedBatches(t, "sink1").size == 2)
+  }
+
+  test("exactly-once: replayed batches are skipped via the commit log") {
+    val src = tmp()
+    writeSrc(src, Seq((1L, 5, 0L)), "a")
+    val t = newCatalog().createTable("db", "s2", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k"),
+      mergeEngine = MergeEngine.Aggregation(Map("v" -> AggFunction.Sum))))
+    val mk = () => spark.readStream.schema(schema).parquet(src)
+    val ckptA = tmp()
+    GraftStream.upsertSink(mk(), t, "sinkX", "ord", ckptA).awaitTermination()
+    // fresh checkpoint -> Spark replays the same data as batch 0; the
+    // sink's commit log must dedupe it
+    GraftStream.upsertSink(mk(), t, "sinkX", "ord", tmp()).awaitTermination()
+    assertSameRows(t.scan().collect(), Seq(Row(1L, 5)))
+    // a genuinely new batch (same checkpoint, new file -> batch 1) applies
+    writeSrc(src, Seq((1L, 7, 1L)), "b")
+    GraftStream.upsertSink(mk(), t, "sinkX", "ord", ckptA).awaitTermination()
+    assertSameRows(t.scan().collect(), Seq(Row(1L, 12)))
+  }
+
+  test("hybrid snapshot+log: snapshot batch then tail only") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "s3", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    t.upsert(df((1L, 1, 0L), (2L, 2, 1L)), orderBy = Seq(col("ord")))
+    t.upsert(df((3L, 3, 2L)), orderBy = Seq(col("ord")))
+
+    var snapshotRows = 0L
+    var tailRows = 0L
+    val q = GraftStream.hybrid(spark, t) { (batch, id) =>
+      if (id == -1L) snapshotRows = batch.count()
+      else tailRows += batch.count()
+    }
+    q.awaitTermination()
+    // snapshot = full state at hybrid() call; nothing was appended after
+    // the snapshot offsets were captured, so the tail replays nothing —
+    // exactly-once across the snapshot/log switch
+    assert(snapshotRows == 3)
+    assert(tailRows == 0)
+  }
+
+  test("startup mode timestamp filters older commits") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "s4", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    t.upsert(df((1L, 1, 0L)), orderBy = Seq(col("ord")))
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.upsert(df((2L, 2, 1L)), orderBy = Seq(col("ord")))
+
+    var seen = Vector.empty[Long]
+    val q = GraftStream.readLog(spark, t, GraftStream.StartupMode.Timestamp(cut))
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen = seen ++ b.select("k").collect().map(_.getLong(0))
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    assert(seen.toSet == Set(2L))
+  }
+
+  test("stream-static lookup join enriches against current state") {
+    val cat = newCatalog()
+    val dim = cat.createTable("db", "s5dim", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    dim.upsert(df((1L, 100, 0L), (2L, 200, 1L)), orderBy = Seq(col("ord")))
+
+    val src = tmp()
+    writeSrc(src, Seq((1L, 0, 0L), (2L, 0, 1L), (9L, 0, 2L)), "a")
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .select(col("k"), col("ord"))
+    var out = Vector.empty[(Long, Any)]
+    val q = GraftStream.lookupJoin(stream, dim, Seq("k"))
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out = out ++ b.select("k", "v").collect().map(r => (r.getLong(0), r.get(1)))
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    assert(out.toMap == Map(1L -> 100, 2L -> 200, 9L -> null))
+  }
+
+  test("watermarked tumbling window over an event stream") {
+    val src = tmp()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val tsSchema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("v", IntegerType)))
+    val rows = (0 until 100).map { i =>
+      Row(new java.sql.Timestamp(base.getTime + i * 60000L), i)
+    }
+    spark.createDataFrame(rows.asJava, tsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val agg = spark.readStream.schema(tsSchema).parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("win1")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT n FROM win1").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(40L, 60L))) // 100 minutes -> 60 + 40
+  }
+}
