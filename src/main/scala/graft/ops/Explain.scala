@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-review utility: prints `explain("formatted")` for representative
+  * queries so scan pushdowns (PushedFilters / partition pruning /
+  * ReadSchema pruning), join strategies (broadcast vs shuffle), and
+  * whole-stage-codegen spans can be audited per operator.
+  *
+  * Usage: runMain graft.ops.Explain [sfDir] [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (names.isEmpty || names.contains(name)) {
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}

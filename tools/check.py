@@ -36,7 +36,7 @@ fails = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only: continue
     try:
-        got_rel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_rel = con.sql(f"SELECT * FROM '{OUT}/{name}.parquet/*.parquet'")
         got_cols = sorted(got_rel.columns)
         got = sorted(tuple(canon(v) for v in row) for row in
                      con.sql(f"SELECT {','.join(got_cols)} FROM got_rel").fetchall())
