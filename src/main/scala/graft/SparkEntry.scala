@@ -233,6 +233,68 @@ object SparkEntry {
       t(s, dir, "documents")
         .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))),
 
+    // ----- P5: PK point-query rewrite — the optimizer rule derives the
+    // murmur bucket from the PK literal and partition-prunes the log scan
+    "p5_point_rewrite" -> ((s, dir) => {
+      graft.plans.BucketPruning.install(s)
+      Fixtures.usersLww(s, dir).scan().filter(col("user_id") === 7L)
+    }),
+
+    // ----- T1: startup mode `timestamp` — per-bucket timestamp→offset
+    // resolution, read from the resolved offsets onward
+    "t1_startup_timestamp" -> ((s, dir) => {
+      val (tbl, split) = Fixtures.lineitemTwoCommits(s, dir)
+      tbl.scanFromTimestamp(split)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // ----- A7: auto-increment column — contiguous commit-assigned ids
+    "a7_auto_increment" -> ((s, dir) =>
+      Fixtures.eventsAutoInc(s, dir).scan().agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("row_id")).as("n_ids"),
+        min(col("row_id")).as("min_id"),
+        max(col("row_id")).as("max_id"))),
+
+    // ----- S7: lake-tiered union read — snapshot ∪ log tail sort-merge
+    "s7_union_read" -> ((s, dir) => Fixtures.usersLwwCompacted(s, dir).scan()),
+
+    // ----- §2.8: bitmap scalar functions (rb_build/rb_to_array/rb_contains)
+    "f3_rb_scalar" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(Bitmaps.rbBuild(collect_list(col("user_id"))).as("bm"))
+        .select(col("event_type"),
+          size(Bitmaps.rbToArray(col("bm"))).cast("long").as("n_users"),
+          Bitmaps.rbContains(col("bm"), lit(7L)).as("has_user7"))),
+
+    // ----- H1: engine-supplied relational layer at scale — fact-fact
+    // shuffle join (lineitem ⋈ orders on orderkey) + broadcast dim
+    // (customer), one hash aggregation
+    "h1_segment_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("revenue"))
+    }),
+
+    // ----- H2: star join — fact + 3 broadcast dims, filter on the
+    // outermost dim (region) pushed before the aggregate
+    "h2_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("revenue"))
+    }),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -459,6 +521,46 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "p5_point_rewrite" ->
+      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 AND user_id = 7""".stripMargin,
+
+    "t1_startup_timestamp" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin,
+
+    "a7_auto_increment" ->
+      """SELECT count(*) AS n, count(*) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id, count(*) AS max_id
+        |FROM events""".stripMargin,
+
+    "s7_union_read" ->
+      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "f3_rb_scalar" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  bool_or(user_id = 7) AS has_user7
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "h1_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "h2_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,

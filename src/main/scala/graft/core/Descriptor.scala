@@ -85,7 +85,8 @@ final case class TableDescriptor(
     partitionKeys: Seq[String] = Nil,
     mergeEngine: MergeEngine = MergeEngine.Default,
     deleteBehavior: DeleteBehavior = DeleteBehavior.Allow,
-    changelogImage: ChangelogImage = ChangelogImage.Full) {
+    changelogImage: ChangelogImage = ChangelogImage.Full,
+    autoIncrementColumn: Option[String] = None) {
 
   def isPrimaryKeyTable: Boolean = primaryKey.nonEmpty
 
@@ -103,6 +104,11 @@ final case class TableDescriptor(
   require(partitionKeys.forall(schema.fieldNames.contains),
     s"partition keys $partitionKeys not in schema")
   require(numBuckets > 0, "numBuckets must be positive")
+  autoIncrementColumn.foreach { c =>
+    require(schema.fieldNames.contains(c), s"auto-increment column $c not in schema")
+    require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+      s"auto-increment column $c must be BIGINT (Schema.java:154)")
+  }
   mergeEngine match {
     case MergeEngine.Versioned(c) =>
       require(schema.fieldNames.contains(c), s"version column $c not in schema")

@@ -39,6 +39,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val snapshotDir = s"$path/snapshot"
   private val offsetsFile = s"$path/_offsets.json"
   private val snapshotMetaFile = s"$path/_snapshot.json"
+  private val autoIncFile = s"$path/_autoinc.json"
+
+  // P5: let the optimizer rule map this log dir back to its bucket layout.
+  graft.plans.BucketPruning.register(logDir, desc.effectiveBucketKeys, desc.numBuckets)
 
   /** Full log schema: data columns + system columns. */
   val logSchema: StructType = StructType(desc.schema.fields ++ Seq(
@@ -85,6 +89,39 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * answers count(*) from, PushdownUtils.java:348-440).
     */
   def latestOffsets: Map[Int, Long] = readOffsets()
+
+  private def readAutoInc(): Long =
+    if (!Files.exists(Paths.get(autoIncFile))) 1L
+    else new String(Files.readAllBytes(Paths.get(autoIncFile)),
+      StandardCharsets.UTF_8).trim.toLong
+
+  private def writeAutoInc(next: Long): Unit =
+    CatalogJson.atomicWrite(autoIncFile, next.toString)
+
+  /** Earliest offset at-or-after `ts` per bucket — the reference's
+    * timestamp→offset resolution (TimeIndex.java / ListOffsetsParam.java).
+    * Buckets with no such record resolve to their next offset (empty read).
+    * One tiny aggregate; only ≤numBuckets rows reach the driver.
+    */
+  def offsetsForTimestamp(ts: java.sql.Timestamp): Map[Int, Long] = {
+    val found = logDF.filter(col(Meta.Timestamp) >= lit(ts))
+      .groupBy(col(Meta.Bucket)).agg(min(col(Meta.Offset)).as("o")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    readOffsets().map { case (b, next) => b -> found.getOrElse(b, next) }
+  }
+
+  /** Startup-mode `timestamp` as a bounded read (T1,
+    * FlinkConnectorOptions.java:304-316): log records from the resolved
+    * per-bucket offsets onward. `earliest` = logDF; `latest` = empty tail.
+    */
+  def scanFromTimestamp(ts: java.sql.Timestamp): DataFrame = {
+    val offs = offsetsForTimestamp(ts)
+    val cutoff = offs.toSeq.sortBy(_._1).foldLeft(lit(Long.MaxValue)) {
+      (acc, kv) => when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+    }
+    logDF.filter(col(Meta.Offset) >= cutoff)
+      .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   // ---------------------------------------------------------------------
   // write paths
@@ -205,14 +242,34 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         val w = Window.partitionBy(Meta.Bucket)
           .orderBy(col("__ord"), col(Meta.ChangeTypeCol).desc) // -U before +U at same ord
         val commitTs = new java.sql.Timestamp(System.currentTimeMillis())
-        val out = withBucket
+        val numbered = withBucket
           .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
           .withColumn(Meta.Timestamp, lit(commitTs))
-          .drop("__ord")
+        // A7 auto-increment (AutoIncrementManager / BoundedSegment-
+        // SequenceGenerator): ids assigned commit-side from per-bucket
+        // ranges carved out of one counter — contiguous across the commit,
+        // no extra shuffle (reuses the offset window's numbering).
+        val out0 = desc.autoIncrementColumn match {
+          case Some(c) =>
+            val aiBase = readAutoInc()
+            val sortedBuckets = counts.keys.toSeq.sorted
+            val cumBases = sortedBuckets.scanLeft(0L)(_ + counts(_)).init
+            val cumExpr = sortedBuckets.zip(cumBases).foldLeft(lit(0L)) {
+              case (acc, (b, base)) =>
+                when(col(Meta.Bucket) === b, lit(base)).otherwise(acc)
+            }
+            numbered.withColumn(c,
+              lit(aiBase) + cumExpr + row_number().over(w) - 1)
+          case None => numbered
+        }
+        val out = out0.drop("__ord")
           .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
         out.write.mode("append")
           .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
         writeOffsets(bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) })
+        desc.autoIncrementColumn.foreach { _ =>
+          writeAutoInc(readAutoInc() + counts.values.sum)
+        }
       }
     } finally withBucket.unpersist()
   }

@@ -38,6 +38,19 @@ object Materialize {
   private def dataCols(desc: TableDescriptor): Seq[String] =
     desc.schema.fieldNames.toSeq
 
+  private def nonPkCols(desc: TableDescriptor): Seq[String] =
+    dataCols(desc).filterNot(desc.primaryKey.contains)
+
+  /** Project the result back into declared column order, taking PK columns
+    * from the GROUPING attributes (not from the aggregated struct): Catalyst
+    * can then push a PK predicate below the Aggregate down to the scan,
+    * which is what makes point queries prune down to one bucket (P5).
+    */
+  private def selectOut(desc: TableDescriptor, structCol: String)(df: DataFrame): DataFrame =
+    df.select(dataCols(desc).map(c =>
+      if (desc.primaryKey.contains(c)) col(c)
+      else col(s"$structCol.$c").as(c)): _*)
+
   /** Pre-filter applying DeleteBehavior.Ignore (DeleteBehavior.java:28-41). */
   private def withDeleteBehavior(log: DataFrame, desc: TableDescriptor): DataFrame =
     desc.deleteBehavior match {
@@ -53,11 +66,11 @@ object Materialize {
     val src = withDeleteBehavior(log, desc)
       .filter(col(Meta.ChangeTypeCol) =!= ChangeType.UpdateBefore)
     val payload = struct(
-      (col(Meta.ChangeTypeCol).as("__ct") +: dataCols(desc).map(col)): _*)
-    src.groupBy(pkCols(desc): _*)
-      .agg(max_by(payload, col(Meta.Offset)).as("__last"))
-      .filter(col("__last.__ct") =!= ChangeType.Delete)
-      .select(dataCols(desc).map(c => col(s"__last.$c").as(c)): _*)
+      (col(Meta.ChangeTypeCol).as("__ct") +: nonPkCols(desc).map(col)): _*)
+    selectOut(desc, "__last")(
+      src.groupBy(pkCols(desc): _*)
+        .agg(max_by(payload, col(Meta.Offset)).as("__last"))
+        .filter(col("__last.__ct") =!= ChangeType.Delete))
   }
 
   /** FIRST_ROW engine (FirstRowRowMerger.java:32): first write wins, later
@@ -65,10 +78,11 @@ object Materialize {
     */
   private def firstRow(log: DataFrame, desc: TableDescriptor): DataFrame = {
     val src = log.filter(col(Meta.ChangeTypeCol).isin(ChangeType.upserts: _*))
-    val payload = struct(dataCols(desc).map(col): _*)
-    src.groupBy(pkCols(desc): _*)
-      .agg(min_by(payload, col(Meta.Offset)).as("__first"))
-      .select(dataCols(desc).map(c => col(s"__first.$c").as(c)): _*)
+    val payload = struct(
+      (nonPkCols(desc).map(col) :+ col(Meta.Offset).as("__off")): _*)
+    selectOut(desc, "__first")(
+      src.groupBy(pkCols(desc): _*)
+        .agg(min_by(payload, col(Meta.Offset)).as("__first")))
   }
 
   /** VERSIONED engine (VersionedRowMerger.java:43): keep the row with max
@@ -78,7 +92,8 @@ object Materialize {
     */
   private def versioned(log: DataFrame, desc: TableDescriptor, vc: String): DataFrame = {
     val src = log.filter(col(Meta.ChangeTypeCol).isin(ChangeType.upserts: _*))
-    val payload = struct(dataCols(desc).map(col): _*)
+    val payload = struct(
+      (nonPkCols(desc).map(col) :+ col(Meta.Offset).as("__off")): _*)
     // Order key: (version NULLS FIRST ~ -inf, offset). struct ordering is
     // lexicographic; null version sorts first under max_by's ordering only
     // if we substitute a floor — use a two-field struct with a not-null
@@ -87,9 +102,9 @@ object Materialize {
       col(vc).isNotNull.as("__has_v"),
       col(vc).as("__v"),
       col(Meta.Offset).as("__o"))
-    src.groupBy(pkCols(desc): _*)
-      .agg(max_by(payload, orderKey).as("__best"))
-      .select(dataCols(desc).map(c => col(s"__best.$c").as(c)): _*)
+    selectOut(desc, "__best")(
+      src.groupBy(pkCols(desc): _*)
+        .agg(max_by(payload, orderKey).as("__best")))
   }
 
   /** AGGREGATION engine (AggregateRowMerger.java:57): per-column aggregate

@@ -211,6 +211,58 @@ object Fixtures {
       t
     }
 
+  private val pairCache =
+    mutable.Map.empty[(String, String), (GraftTable, java.sql.Timestamp)]
+
+  /** T1 startup-mode fixture: lineitem appended in two commits (even
+    * orderkeys, then odd) with the wall-clock split captured in between —
+    * `scanFromTimestamp(split)` must return exactly the second commit.
+    */
+  def lineitemTwoCommits(spark: SparkSession,
+      sfDir: String): (GraftTable, java.sql.Timestamp) = synchronized {
+    pairCache.getOrElseUpdate(("lineitem_2c", sfDir), {
+      val li = read(spark, sfDir, "lineitem")
+      val t = fresh(spark, sfDir, "lineitem_2c",
+        TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
+      val ord = Seq(li("l_orderkey") * 10 + li("l_linenumber"))
+      t.append(li.filter(col("l_orderkey") % 2 === 0), orderBy = ord)
+      Thread.sleep(20) // commit timestamps are ms-resolution; force distinct
+      val split = new java.sql.Timestamp(System.currentTimeMillis())
+      t.append(li.filter(col("l_orderkey") % 2 === 1), orderBy = ord)
+      (t, split)
+    })
+  }
+
+  /** A7 auto-increment fixture: events log with a server-assigned
+    * contiguous `row_id` (assigned at commit in event_id order).
+    */
+  def eventsAutoInc(spark: SparkSession, sfDir: String): GraftTable =
+    cached("events_autoinc", sfDir) {
+      val ev = eventsTyped(spark, sfDir).withColumn("row_id", lit(null).cast("long"))
+      val t = fresh(spark, sfDir, "events_autoinc",
+        TableDescriptor(StructType(ev.schema.fields),
+          bucketKeys = Seq("user_id"), numBuckets = 8,
+          autoIncrementColumn = Some("row_id")))
+      t.append(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** S7 union-read fixture: first half of events upserted, state compacted
+    * into a snapshot, second half upserted — scan() must merge snapshot ∪
+    * log tail (the lake-tiering read path).
+    */
+  def usersLwwCompacted(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_lww_comp", sfDir) {
+      val t = fresh(spark, sfDir, "users_lww_comp",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      t.upsert(ev.filter(col("event_id") <= mid), orderBy = Seq(ev("event_id")))
+      t.compact()
+      t.upsert(ev.filter(col("event_id") > mid), orderBy = Seq(ev("event_id")))
+      t
+    }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {

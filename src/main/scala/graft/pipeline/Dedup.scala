@@ -31,23 +31,42 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: (a_id < b_id, jaccard >= threshold).
     *
-    * Plan: explode shingles → self-equi-join on the shingle (only pairs
-    * sharing >=1 shingle are candidates) → count intersections → join the
-    * two per-doc sizes → filter. Shuffles hash-partition on shingle then on
-    * (a,b); both have map-side partial aggregation.
+    * A naive shingle self-join generates sum-over-shingles(freq²) pair rows
+    * — quadratic in practice because common shingles appear in most docs.
+    * This uses prefix filtering (Chaudhuri et al. SSJoin / Xiao et al.
+    * PPJoin): under a global canonical shingle order (rarest first), any
+    * pair with J >= t must collide within each doc's first
+    * |X| - ceil(t*|X|) + 1 shingles, so only those are indexed — and being
+    * the RAREST shingles, their join fan-out is small. Candidates are then
+    * verified exactly on the full shingle sets. All stages are
+    * explode → hash-aggregate → equi-join; nothing is quadratic in the
+    * corpus, so the plan survives a 1000× scale-up (candidate count scales
+    * with true near-dup density, not with corpus²).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("g"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("id").as("a_id"), col("g"))
-    val b = sh.select(col("id").as("b_id"), col("g"))
-    val inter = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"), Seq("b_id"))
+    // doc → distinct shingles, hashed to long so shuffles move 8 bytes
+    val docs = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), n), g => xxhash64(g)).as("gs"))
+      .withColumn("sz", size(col("gs")))
+    val sh = docs.select(col("id"), col("sz"), explode(col("gs")).as("g"))
+    // canonical order = (global frequency asc, hash): rarest first
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val ranked = sh.join(freq, Seq("g")).withColumn("rk",
+      row_number().over(Window.partitionBy(col("id")).orderBy(col("f"), col("g"))))
+    // +2 guards the prefix length against float wobble in ceil(t*sz)
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+      .select(col("g"), col("id"))
+    val cand = prefix.select(col("g"), col("id").as("a_id"))
+      .join(prefix.select(col("g"), col("id").as("b_id")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact verification on the full shingle sets
+    val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
+    val db = docs.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
+    cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_gs"), col("b_gs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,94 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.core.Meta
+
+/** P5 — PK point-query rewrite (SURVEY §2.2): the reference's planner turns
+  * a full-PK equality filter into a single-bucket lookup instead of a scan
+  * (fluss-flink/.../source/FlinkTableSource.java:570-609,
+  * PushdownUtils.java:259). Here the same idea is a Catalyst optimizer
+  * rule: when a Filter over a graft log relation pins every bucket key to a
+  * literal, derive the murmur bucket id and add a `__bucket = b` conjunct.
+  * `__bucket` is a hive partition column of the log, so FileSourceStrategy
+  * turns the conjunct into partition pruning — the scan touches 1/numBuckets
+  * of the files, which is exactly the reference's "route to the key's
+  * bucket leader" narrowed to Spark's storage model. At 1000 executors this
+  * is the difference between a point query costing a full-table scan and
+  * costing one file listing.
+  */
+object BucketPruning {
+
+  /** Bucket layout of one registered log directory. */
+  final case class Layout(bucketKeys: Seq[String], numBuckets: Int)
+
+  private val registry = new ConcurrentHashMap[String, Layout]()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Called by GraftTable on construction. */
+  def register(logDir: String, bucketKeys: Seq[String], numBuckets: Int): Unit =
+    if (bucketKeys.nonEmpty)
+      registry.put(normalize(logDir), Layout(bucketKeys, numBuckets))
+
+  private[plans] def lookup(rootPaths: Seq[String]): Option[Layout] =
+    rootPaths.map(normalize).flatMap(p => Option(registry.get(p))).headOption
+
+  /** Same hash the write path uses: pmod(murmur3(keys), n) — evaluated at
+    * plan time over the predicate's literals.
+    */
+  private[plans] def bucketOf(lits: Seq[Literal], n: Int): Int = {
+    val h = Pmod(new Murmur3Hash(lits), Literal(n)).eval(null)
+    h.asInstanceOf[Int]
+  }
+
+  /** Install into a live session (idempotent). */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(BucketPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BucketPruneRule
+  }
+}
+
+object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, r: LogicalRelation)
+        if r.relation.isInstanceOf[HadoopFsRelation] &&
+          !cond.references.exists(_.name == Meta.Bucket) =>
+      val fs = r.relation.asInstanceOf[HadoopFsRelation]
+      val layoutOpt =
+        if (!fs.partitionSchema.fieldNames.contains(Meta.Bucket)) None
+        else BucketPruning.lookup(fs.location.rootPaths.map(_.toString))
+      layoutOpt match {
+        case Some(layout) =>
+          // literal bindings: attrName -> literal, from top-level conjuncts
+          val eq = splitConjunctivePredicates(cond).collect {
+            case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
+            case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
+          }.toMap
+          if (layout.bucketKeys.forall(eq.contains)) {
+            val b = BucketPruning.bucketOf(
+              layout.bucketKeys.map(eq), layout.numBuckets)
+            val bucketAttr = r.output.find(_.name == Meta.Bucket).get
+            Filter(And(cond, EqualTo(bucketAttr, Literal(b))), r)
+          } else f
+        case None => f
+      }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` installs the rule at
+  * session build time (SparkSessionExtensions.injectOptimizerRule).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => BucketPruneRule)
+}
