@@ -295,6 +295,25 @@ object SparkEntry {
           .cast(DecimalType(18, 4))).as("revenue"))
     }),
 
+    // ----- §4 row-level ops: DELETE WHERE / UPDATE SET through the merge
+    // path (reference: SupportsDeletePushDown / RowLevelUpdate)
+    "rl1_row_level_ops" -> ((s, dir) => Fixtures.usersRowLevel(s, dir).scan()),
+
+    // ----- T3 + ChangelogImage.WAL: -U before-images suppressed
+    "t3_changelog_wal" -> ((s, dir) =>
+      Fixtures.usersLwwWal(s, dir).changelog()
+        .select(col("_change_type"), col("user_id"), col("ts"), col("value"))),
+
+    // ----- A8: table stats (row count)
+    "a8_table_stats" -> ((s, dir) => Fixtures.usersLww(s, dir).stats()),
+
+    // ----- A6 variant: count(*) answered from the offset manifest, no scan
+    "a6_count_offsets" -> ((s, dir) => {
+      val n = Fixtures.lineitemLog(s, dir).fastCount
+      import s.implicits._
+      Seq(n).toDF("cnt")
+    }),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -521,6 +540,29 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "rl1_row_level_ops" ->
+      """SELECT ts, user_id, event_type,
+        |  CASE WHEN event_type = 'purchase'
+        |       THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS value,
+        |  props
+        |FROM (SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "t3_changelog_wal" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type, user_id, ts, value
+        |FROM o""".stripMargin,
+
+    "a8_table_stats" ->
+      "SELECT count(DISTINCT user_id) AS n_rows FROM events",
+
+    "a6_count_offsets" -> "SELECT count(*) AS cnt FROM lineitem",
 
     "p5_point_rewrite" ->
       """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -388,6 +388,52 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       "bucket keys must be a prefix of the PK for prefix lookup")
     prunedState(prefix).filter(keyPredicate(prefix))
   }
+
+  /** Row-level DELETE (§4: FlinkTableSink SupportsDeletePushDown,
+    * PushdownUtils.deleteSingleRow:285): delete current-state rows matching
+    * `cond` through the merge path — emits `-D` change rows. More general
+    * than the reference (any predicate, not just full-PK equality).
+    */
+  def deleteWhere(cond: Column): Unit =
+    delete(currentState().filter(cond)
+      .select(desc.primaryKey.map(col).toIndexedSeq: _*))
+
+  /** Row-level UPDATE (§4: SupportsRowLevelUpdate): SET columns (computed
+    * over the current row) where `cond` holds; routed through the
+    * partial-update merge so untouched columns keep their values.
+    */
+  def updateWhere(cond: Column, set: Map[String, Column]): Unit = {
+    val touched = set.keys.toSeq
+    require(touched.forall(c => !desc.primaryKey.contains(c)),
+      "cannot update primary-key columns")
+    val updated = currentState().filter(cond)
+      .select((desc.primaryKey.map(col) ++
+        set.map { case (c, e) => e.as(c) }).toIndexedSeq: _*)
+    upsert(updated, targetColumns = Some(touched))
+  }
+
+  /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */
+  def stats(): DataFrame = scan().agg(count(lit(1)).as("n_rows"))
+
+  /** A6 count(*) from offset metadata — log tables only: the record count
+    * is the sum of per-bucket next offsets, no scan (the reference's
+    * `countTable`, PushdownUtils.java:348-440 summing latestOffset −
+    * earliestOffset per bucket).
+    */
+  def fastCount: Long = {
+    require(!desc.isPrimaryKeyTable,
+      "offset-metadata count requires an append-only log table")
+    readOffsets().values.sum
+  }
+
+  /** Typed read surface (TypedLogScanner, fluss-client/.../scanner/log/
+    * TypedLogScanner.java): current state / log as a Dataset[T].
+    */
+  def scanAs[T: org.apache.spark.sql.Encoder](): Dataset[T] = scan().as[T]
+
+  /** Typed point lookup (TypedLookuper, client/lookup/TypedLookuper.java). */
+  def lookupAs[T: org.apache.spark.sql.Encoder](key: Map[String, Any]): Option[T] =
+    lookup(key).as[T].collect().headOption
 
   /** Partition retention (S14, ConfigOptions.java:1726-1803 auto-partition
     * expiry): drop whole hive partitions of `partitionCol` whose value sorts

@@ -263,6 +263,33 @@ object Fixtures {
       t
     }
 
+  /** Row-level ops fixture (§4 DELETE/UPDATE pushdown): LWW state, then
+    * `DELETE WHERE event_type='error'` and
+    * `UPDATE SET value=value*2 WHERE event_type='purchase'`.
+    */
+  def usersRowLevel(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_rowlevel", sfDir) {
+      val t = fresh(spark, sfDir, "users_rowlevel",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t.deleteWhere(col("event_type") === "error")
+      t.updateWhere(col("event_type") === "purchase",
+        Map("value" -> (col("value") * 2).cast(DecimalType(18, 6))))
+      t
+    }
+
+  /** WAL-image LWW table (T3: ChangelogImage.WAL suppresses -U rows). */
+  def usersLwwWal(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_lww_wal", sfDir) {
+      val t = fresh(spark, sfDir, "users_lww_wal",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id"),
+          changelogImage = ChangelogImage.Wal))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      t
+    }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {

@@ -1,0 +1,55 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+case class KV(user_id: Long, v: String)
+
+/** Typed Dataset surface (TypedLogScanner / TypedLookuper analogs) and
+  * row-level DELETE/UPDATE.
+  */
+class TypedApiSpec extends SparkTestBase {
+
+  private lazy val cat =
+    new Catalog(Files.createTempDirectory("graft-typed").toString, spark)
+
+  private def build(): GraftTable = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", StringType)))
+    val t = cat.createTable("typed", "t_" + System.nanoTime(),
+      TableDescriptor(schema, primaryKey = Seq("user_id"), numBuckets = 4))
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("user_id", "v")
+    t.upsert(df, orderBy = Seq(df("user_id")))
+    t
+  }
+
+  test("scanAs/lookupAs return typed rows") {
+    import spark.implicits._
+    val t = build()
+    val ds = t.scanAs[KV]()
+    assert(ds.filter(_.user_id == 3L).collect().toSeq == Seq(KV(3L, "v3")))
+    assert(t.lookupAs[KV](Map("user_id" -> 7L)) == Some(KV(7L, "v7")))
+    assert(t.lookupAs[KV](Map("user_id" -> 999L)).isEmpty)
+  }
+
+  test("deleteWhere / updateWhere route through the merge path") {
+    import spark.implicits._
+    val t = build()
+    t.deleteWhere(col("user_id") > 15L)
+    t.updateWhere(col("user_id") <= 5L, Map("v" -> upper(col("v"))))
+    val state = t.scanAs[KV]().collect().sortBy(_.user_id).toSeq
+    assert(state.size == 15)
+    assert(state.take(5).map(_.v) == Seq("V1", "V2", "V3", "V4", "V5"))
+    assert(state.last == KV(15L, "v15"))
+    // changelog carries -D for deletes and -U/+U pairs for updates
+    val cts = t.changelog().groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cts(ChangeType.Delete) == 5)
+    assert(cts(ChangeType.UpdateBefore) == 5)
+    assert(cts(ChangeType.UpdateAfter) == 5)
+  }
+}
