@@ -57,10 +57,14 @@ object Dedup {
     // +2 guards the prefix length against float wobble in ceil(t*sz)
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
-      .select(col("g"), col("id"))
-    val cand = prefix.select(col("g"), col("id").as("a_id"))
-      .join(prefix.select(col("g"), col("id").as("b_id")), Seq("g"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("g"), col("id"), col("sz"))
+    // length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+    // (1-element slack absorbs float rounding)
+    val cand = prefix.select(col("g"), col("id").as("a_id"), col("sz").as("pa"))
+      .join(prefix.select(col("g"), col("id").as("b_id"), col("sz").as("pb")), Seq("g"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("pa"), col("pb")) >=
+          lit(threshold) * greatest(col("pa"), col("pb")) - 1)
       .select(col("a_id"), col("b_id")).distinct()
     // exact verification on the full shingle sets
     val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))

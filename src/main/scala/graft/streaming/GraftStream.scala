@@ -124,4 +124,20 @@ object GraftStream {
   def lookupJoin(stream: DataFrame, table: GraftTable, joinKeys: Seq[String],
       joinType: String = "left"): DataFrame =
     stream.join(broadcast(table.currentState()), joinKeys, joinType)
+
+  /** J4 delta join (website/docs/engine-flink/delta-joins.mdx:8-21): the
+    * reference rewrites a stream–stream join into bidirectional index
+    * lookups so neither side keeps unbounded join state. The Spark-native
+    * equivalent is a stream–stream equi-join with watermarks on both
+    * sides: state is bounded by the watermark delay instead of an index,
+    * with the same eventual join result. Both inputs must carry an event-
+    * time column; `delay` bounds how far the two streams may drift apart.
+    */
+  def deltaJoin(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      joinKeys: Seq[String], delay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    l.join(r, joinKeys, "inner")
+  }
 }

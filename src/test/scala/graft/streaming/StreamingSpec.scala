@@ -131,6 +131,32 @@ class StreamingSpec extends SparkTestBase {
     assert(out.toMap == Map(1L -> 100, 2L -> 200, 9L -> null))
   }
 
+  test("delta join: stream-stream equi-join with watermark-bounded state") {
+    val tsSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("v", IntegerType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def rows(vs: (Long, Int)*) = vs.zipWithIndex.map { case ((k, v), i) =>
+      Row(k, new java.sql.Timestamp(base.getTime + i * 1000L), v)
+    }
+    val (srcL, srcR) = (tmp(), tmp())
+    spark.createDataFrame(rows(1L -> 10, 2L -> 20, 3L -> 30).asJava, tsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(srcL)
+    spark.createDataFrame(rows(2L -> 200, 3L -> 300, 4L -> 400).asJava, tsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(srcR)
+    val l = spark.readStream.schema(tsSchema).parquet(srcL)
+      .select(col("k"), col("ts").as("lts"), col("v").as("lv"))
+    val r = spark.readStream.schema(tsSchema).parquet(srcR)
+      .select(col("k"), col("ts").as("rts"), col("v").as("rv"))
+    val joined = GraftStream.deltaJoin(l, "lts", r, "rts", Seq("k"), "1 minute")
+    val q = joined.writeStream.format("memory").queryName("dj1")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT k, lv, rv FROM dj1").collect()
+      .map(r0 => (r0.getLong(0), r0.getInt(1), r0.getInt(2))).sorted.toSeq
+    assert(got == Seq((2L, 20, 200), (3L, 30, 300)))
+  }
+
   test("watermarked tumbling window over an event stream") {
     val src = tmp()
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
