@@ -57,14 +57,21 @@ object Dedup {
     // +2 guards the prefix length against float wobble in ceil(t*sz)
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
-      .select(col("g"), col("id"), col("sz"))
-    // length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-    // (1-element slack absorbs float rounding)
-    val cand = prefix.select(col("g"), col("id").as("a_id"), col("sz").as("pa"))
-      .join(prefix.select(col("g"), col("id").as("b_id"), col("sz").as("pb")), Seq("g"))
+      .select(col("g"), col("id"), col("sz"), col("rk"))
+    // candidate filters (each with a 1-element slack for float rounding):
+    //  - length: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+    //  - positional (PPJoin): a shared prefix token at ranks (ra, rb) caps
+    //    the overlap at 1 + min(|A|-ra, |B|-rb), which must reach the
+    //    required overlap alpha = t/(1+t) * (|A|+|B|)
+    val cand = prefix.select(col("g"), col("id").as("a_id"),
+        col("sz").as("pa"), col("rk").as("ra"))
+      .join(prefix.select(col("g"), col("id").as("b_id"),
+        col("sz").as("pb"), col("rk").as("rb")), Seq("g"))
       .filter(col("a_id") < col("b_id") &&
         least(col("pa"), col("pb")) >=
-          lit(threshold) * greatest(col("pa"), col("pb")) - 1)
+          lit(threshold) * greatest(col("pa"), col("pb")) - 1 &&
+        lit(1) + least(col("pa") - col("ra"), col("pb") - col("rb")) >=
+          lit(threshold / (1 + threshold)) * (col("pa") + col("pb")) - 1)
       .select(col("a_id"), col("b_id")).distinct()
     // exact verification on the full shingle sets
     val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
