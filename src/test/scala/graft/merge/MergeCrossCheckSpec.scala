@@ -1,0 +1,128 @@
+package graft.merge
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.core._
+
+/** Randomized cross-check (SURVEY §5): the distributed write+read path
+  * (cogroup changelog generation → log → Materialize's SQL collapse,
+  * optionally through a snapshot) must agree with a sequential in-memory
+  * fold of RowMergers over the same ops. Materialize (hash-agg expressions)
+  * and RowMergers (row-at-a-time Scala) are independent implementations of
+  * the merge semantics, so agreement here pins both.
+  */
+class MergeCrossCheckSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("a", IntegerType),
+    StructField("b", StringType),
+    StructField("ver", LongType)))
+
+  private lazy val cat =
+    new Catalog(Files.createTempDirectory("graft-cc").toString, spark)
+
+  /** Random (row, isDelete) ops over a small keyspace, with nulls. */
+  private def randomOps(rnd: Random, n: Int): Seq[(Row, Boolean)] =
+    (0 until n).map { _ =>
+      val k = rnd.nextInt(12).toLong
+      val a: Any = if (rnd.nextInt(8) == 0) null else Int.box(rnd.nextInt(100))
+      val b: Any = if (rnd.nextInt(8) == 0) null else "s" + rnd.nextInt(30)
+      val ver: Any = if (rnd.nextInt(8) == 0) null else Long.box(rnd.nextInt(50).toLong)
+      (new GenericRowWithSchema(Array[Any](k, a, b, ver), schema): Row,
+        rnd.nextInt(6) == 0)
+    }
+
+  private type Batch = (Seq[(Row, Boolean)], Option[Seq[String]])
+
+  private def expectedState(desc: TableDescriptor,
+      batches: Seq[Batch]): Seq[Row] = {
+    var st = Map.empty[Long, Row]
+    batches.foreach { case (ops, target) =>
+      ops.foreach { case (row, del) =>
+        val res = RowMergers.merge(desc, st.get(row.getLong(0)),
+          RowMergers.Incoming(row, isDelete = del, targetColumns = target))
+        res.state match {
+          case Some(r) => st += row.getLong(0) -> r
+          case None => st -= row.getLong(0)
+        }
+      }
+    }
+    st.values.toSeq
+  }
+
+  private def run(name: String, desc: TableDescriptor,
+      compactBetween: Boolean, partialBatch: Boolean): Unit = {
+    val rnd = new Random(42 + name.hashCode)
+    val batches: Seq[Batch] = Seq(
+      (randomOps(rnd, 120), None),
+      (randomOps(rnd, 80), if (partialBatch) Some(Seq("a")) else None))
+    val t = cat.createTable("cc", name + System.nanoTime(), desc)
+    val inSchema = StructType(schema.fields ++ Seq(
+      StructField("__delete", BooleanType), StructField("ord", LongType)))
+    batches.zipWithIndex.foreach { case ((ops, target), i) =>
+      val df = spark.createDataFrame(
+        ops.zipWithIndex.map { case ((r, del), j) =>
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), del, j.toLong)
+        }.asJava, inSchema)
+      t.upsertMixed(df, orderBy = Seq(df("ord")), targetColumns = target)
+      if (compactBetween && i == 0) t.compact()
+    }
+    assertSameRows(t.scan().collect().toSeq, expectedState(desc, batches))
+  }
+
+  test("default engine: distributed == sequential (deletes, partial batch)") {
+    run("dflt", TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4),
+      compactBetween = false, partialBatch = true)
+  }
+
+  test("default engine through a snapshot compact") {
+    run("dflt_snap", TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4),
+      compactBetween = true, partialBatch = true)
+  }
+
+  test("default engine, DeleteBehavior.Ignore") {
+    run("dflt_ign", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, deleteBehavior = DeleteBehavior.Ignore),
+      compactBetween = false, partialBatch = false)
+  }
+
+  test("first_row engine: distributed == sequential") {
+    run("first", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.FirstRow),
+      compactBetween = false, partialBatch = false)
+  }
+
+  test("versioned engine: distributed == sequential (null = -inf)") {
+    run("ver", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.Versioned("ver"),
+      deleteBehavior = DeleteBehavior.Ignore),
+      compactBetween = false, partialBatch = false)
+  }
+
+  test("aggregation engine: distributed == sequential (sum/listagg/max)") {
+    run("agg", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.Aggregation(Map(
+        "a" -> AggFunction.Sum,
+        "b" -> (AggFunction.ListAgg + ":|"),
+        "ver" -> AggFunction.Max))),
+      compactBetween = false, partialBatch = false)
+  }
+
+  test("aggregation engine through a snapshot compact") {
+    run("agg_snap", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.Aggregation(Map(
+        "a" -> AggFunction.Sum,
+        "b" -> AggFunction.LastValueIgnoreNulls,
+        "ver" -> AggFunction.Min))),
+      compactBetween = true, partialBatch = false)
+  }
+}
