@@ -38,6 +38,25 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     new GraftTable(dir.toString, desc, spark)
   }
 
+  /** Schema evolution — ADD COLUMN LAST only, like the reference
+    * (fluss-server/.../kv/KvTablet.java:496-506, SchemaInfo schema ids):
+    * the new column must be nullable and is appended after existing data
+    * columns; rows written before the change read it as null (parquet
+    * by-name resolution fills missing columns).
+    */
+  def addColumn(db: String, name: String,
+      field: org.apache.spark.sql.types.StructField): GraftTable = {
+    val t = getTable(db, name)
+    require(!t.desc.schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
+    require(field.nullable, "added column must be nullable (ADD COLUMN LAST)")
+    val desc2 = t.desc.copy(schema = StructType(t.desc.schema.fields :+ field))
+    CatalogJson.atomicWrite(
+      Paths.get(warehouse, db, name, "meta.json").toString,
+      CatalogJson.write(desc2))
+    new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
+  }
+
   def tableExists(db: String, name: String): Boolean =
     Files.exists(Paths.get(warehouse, db, name, "meta.json"))
 
@@ -87,7 +106,9 @@ object CatalogJson {
       }),
       "changelogImage" -> JString(d.changelogImage match {
         case ChangelogImage.Full => "full"; case ChangelogImage.Wal => "wal"
-      }))
+      }),
+      "autoIncrementColumn" -> d.autoIncrementColumn.map(JString(_): JValue)
+        .getOrElse(JNull))
     JsonMethods.pretty(JsonMethods.render(obj))
   }
 
@@ -119,6 +140,9 @@ object CatalogJson {
       },
       changelogImage = str(fields("changelogImage")) match {
         case "wal" => ChangelogImage.Wal; case _ => ChangelogImage.Full
+      },
+      autoIncrementColumn = fields.get("autoIncrementColumn").collect {
+        case JString(s) => s
       })
   }
 

@@ -377,6 +377,26 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     prunedState(key).filter(keyPredicate(key))
   }
 
+  /** Batched point lookups (the reference's LookupClient/LookupSender
+    * batches lookups per bucket leader): one scan pruned to the union of
+    * the keys' buckets, then the key predicates — N point reads for one
+    * job, never N jobs.
+    */
+  def lookupAll(keys: Seq[Map[String, Any]]): DataFrame = {
+    require(desc.isPrimaryKeyTable, "lookup requires a PK table")
+    require(keys.nonEmpty, "no keys")
+    keys.foreach(k => require(k.keySet == desc.primaryKey.toSet,
+      s"full PK required: ${desc.primaryKey}"))
+    val bKeys = desc.effectiveBucketKeys
+    val buckets = keys
+      .map(k => graft.plans.BucketPruning.bucketForValues(
+        bKeys.map(k), desc.numBuckets))
+      .distinct
+    val pruned = logDF.filter(col(Meta.Bucket).isin(buckets: _*))
+    Materialize.currentState(pruned, collapseDesc)
+      .filter(keys.map(keyPredicate).reduce(_ || _))
+  }
+
   /** Prefix-key lookup (PrefixKeyLookuper.java:49): prefix must be the
     * bucket key — a prefix of the PK (LookupNormalizer.java:241-256).
     */

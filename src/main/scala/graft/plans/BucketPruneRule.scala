@@ -49,6 +49,10 @@ object BucketPruning {
     h.asInstanceOf[Int]
   }
 
+  /** Driver-side bucket routing for scala values (lookup batching). */
+  def bucketForValues(values: Seq[Any], n: Int): Int =
+    bucketOf(values.map(v => Literal(v)), n)
+
   /** Install into a live session (idempotent). */
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(BucketPruneRule))

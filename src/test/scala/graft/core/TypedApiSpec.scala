@@ -36,6 +36,39 @@ class TypedApiSpec extends SparkTestBase {
     assert(t.lookupAs[KV](Map("user_id" -> 999L)).isEmpty)
   }
 
+  test("lookupAll prunes to the union of the keys' buckets") {
+    val t = build()
+    val keys = Seq(3L, 7L, 11L).map(k => Map[String, Any]("user_id" -> k))
+    val got = t.lookupAll(keys).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "v3", 7L -> "v7", 11L -> "v11"))
+  }
+
+  test("schema evolution: ADD COLUMN LAST reads old rows as null") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", StringType)))
+    val name = "evo_" + System.nanoTime()
+    val t0 = cat.createTable("typed", name,
+      TableDescriptor(schema, primaryKey = Seq("user_id"), numBuckets = 4))
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("user_id", "v")
+    t0.upsert(df0, orderBy = Seq(df0("user_id")))
+    // append a nullable column; old rows read it as null, new writes fill it
+    val t1 = cat.addColumn("typed", name,
+      StructField("score", IntegerType, nullable = true))
+    val df1 = Seq((2L, "b2", 20), (3L, "c", 30)).toDF("user_id", "v", "score")
+    t1.upsert(df1, orderBy = Seq(df1("user_id")))
+    val got = t1.scan().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(got == Map(1L -> ("a", null), 2L -> ("b2", 20), 3L -> ("c", 30)))
+    // non-nullable or duplicate adds are rejected
+    intercept[IllegalArgumentException] {
+      cat.addColumn("typed", name, StructField("x", IntegerType, nullable = false))
+    }
+    intercept[IllegalArgumentException] {
+      cat.addColumn("typed", name, StructField("v", IntegerType, nullable = true))
+    }
+  }
+
   test("deleteWhere / updateWhere route through the merge path") {
     import spark.implicits._
     val t = build()
