@@ -192,14 +192,24 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
-    val withKey =
-      if (exact) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket", Similarity.hyperplaneSig(col("v"), planes, seed))
-    val a = withKey.select(col("bucket"), col("id").as("a_id"),
-      col("v").as("a_v"), col("nrm").as("a_n"))
-    val b = withKey.select(col("bucket"), col("id").as("b_id"),
-      col("v").as("b_v"), col("nrm").as("b_n"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    val pairs =
+      if (exact) {
+        // all-pairs baseline: broadcast nested-loop so the O(n²) work
+        // parallelizes over the left side's partitions (a join on a
+        // constant key would funnel every pair into one task)
+        val a = base.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+        val b = base.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+        a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
+      } else {
+        val withKey = base.withColumn("bucket",
+          Similarity.hyperplaneSig(col("v"), planes, seed))
+        val a = withKey.select(col("bucket"), col("id").as("a_id"),
+          col("v").as("a_v"), col("nrm").as("a_n"))
+        val b = withKey.select(col("bucket"), col("id").as("b_id"),
+          col("v").as("b_v"), col("nrm").as("b_n"))
+        a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      }
+    pairs
       .withColumn("cos", Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for building `Column`s from custom Catalyst expressions — the
+  * converters are private[sql], so extension libraries provide this shim
+  * (same pattern as connector packages in the wild).
+  */
+object GraftColumn {
+  def of(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
