@@ -54,9 +54,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements of two SORTED, duplicate-free array<bigint>
+  * columns — a merge walk with no allocation, vs `size(array_intersect)`
+  * which builds a hash set and a result array per row. Used by the exact
+  * verification stage of the set-similarity join.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+        |int $n = $a.numElements(); int $m = $b.numElements();
+        |int $i = 0; int $j = 0; long $c = 0L;
+        |while ($i < $n && $j < $m) {
+        |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+        |  if ($u == $v) { $c++; $i++; $j++; }
+        |  else if ($u < $v) { $i++; } else { $j++; }
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Dot product of two array<double> columns (codegen'd tight loop). */
   def dot(a: Column, b: Column): Column =
     GraftColumn.of(DotProduct(
+      GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
+
+  /** |A ∩ B| for sorted duplicate-free array<bigint> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumn.of(SortedIntersectCount(
       GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
 }

@@ -45,9 +45,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // doc → distinct shingles, hashed to long so shuffles move 8 bytes
+    // doc → distinct shingles, hashed to long so shuffles move 8 bytes;
+    // sorted so verification can merge-walk (SortedIntersectCount)
     val docs = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), n), g => xxhash64(g)).as("gs"))
+      array_sort(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gs"))
       .withColumn("sz", size(col("gs")))
     val sh = docs.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     // canonical order = (global frequency asc, hash): rarest first
@@ -77,7 +78,8 @@ object Dedup {
     val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
     val db = docs.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
     cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_gs"), col("b_gs"))))
+      .withColumn("inter", graft.functions.VectorExprs
+        .sortedIntersectCount(col("a_gs"), col("b_gs")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
