@@ -432,6 +432,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     upsert(updated, targetColumns = Some(touched))
   }
 
+  /** SQL surface: expose the table and its virtual tables as temp views —
+    * `name`, `name__changelog`, and for PK tables `name__binlog`. The
+    * reference names these `t$changelog`/`t$binlog`
+    * (website/docs/table-design/virtual-tables.md:14-16); Spark forbids
+    * `$` in view names, so the separator is `__`.
+    */
+  def createOrReplaceTempViews(name: String): Unit = {
+    scan().createOrReplaceTempView(name)
+    changelog().createOrReplaceTempView(s"${name}__changelog")
+    if (desc.isPrimaryKeyTable)
+      binlog().createOrReplaceTempView(s"${name}__binlog")
+  }
+
   /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */
   def stats(): DataFrame = scan().agg(count(lit(1)).as("n_rows"))
 
