@@ -95,6 +95,10 @@ object SparkEntry {
     // ----- A5: AGGREGATION merge engine (sum/max/listagg/last_value)
     "a5_aggregation" -> ((s, dir) => Fixtures.userAggs(s, dir).scan()),
 
+    // ----- A5 retraction: CDC changelog (+I/-U/+U) applied to a sum
+    // aggregate — retraction makes it converge to the last value
+    "a5_retraction" -> ((s, dir) => Fixtures.usersRetractAgg(s, dir).scan()),
+
     // ----- T3: changelog generation (+I / -U / +U)
     "t3_changelog" -> ((s, dir) =>
       Fixtures.usersLww(s, dir).changelog()
@@ -401,6 +405,11 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "a5_retraction" ->
+      """SELECT user_id, CAST(value AS DECIMAL(18,6)) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
 
     "t3_changelog" ->
       """WITH o AS (

@@ -165,15 +165,29 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       targetColumns: Option[Seq[String]] = None): Unit =
     writePk(df, deleteFlag = df("__delete"), targetColumns, orderBy)
 
+  /** Apply a CDC changelog batch: `df` carries `_change_type`
+    * (`+A/+I/+U` upsert, `-U` retraction, `-D` delete). Retractions reach
+    * the merge engines' retract path — the AGGREGATION engine's sum
+    * subtracts (AggregateRowMerger partial retraction support), other
+    * functions and engines ignore the row.
+    */
+  def applyChangelog(df: DataFrame, orderBy: Seq[Column] = Nil): Unit =
+    writePk(df,
+      deleteFlag = df(Meta.ChangeTypeCol) === ChangeType.Delete,
+      None, orderBy,
+      retractFlag = df(Meta.ChangeTypeCol) === ChangeType.UpdateBefore)
+
   private def writePk(df: DataFrame, deleteFlag: Column,
-      targetColumns: Option[Seq[String]], orderBy: Seq[Column]): Unit = {
+      targetColumns: Option[Seq[String]], orderBy: Seq[Column],
+      retractFlag: Column = lit(false)): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // project to full schema (missing cols null — partial updates)
     val projected = desc.schema.fieldNames.foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(desc.schema(c).dataType))
     }.select((desc.schema.fieldNames.map(col) ++ Seq(
-      ord.head.cast("long").as("__ord"), deleteFlag.as("__del"))).toIndexedSeq: _*)
+      ord.head.cast("long").as("__ord"), deleteFlag.as("__del"),
+      retractFlag.as("__retract"))).toIndexedSeq: _*)
 
     val changes = computeChanges(projected, targetColumns)
     commitToLog(changes)
@@ -203,6 +217,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val batchG = batch.groupByKey(r => keyOf(r, batchSchema))(keyEnc)
     val ordIdx = batchSchema.fieldIndex("__ord")
     val delIdx = batchSchema.fieldIndex("__del")
+    val retIdx = batchSchema.fieldIndex("__retract")
 
     stateG.cogroup(batchG) { (_, sIt, bIt) =>
       var st: Option[Row] = sIt.toSeq.headOption
@@ -214,7 +229,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           (0 until dataSchema.length).map(r.get).toArray[Any], dataSchema)
         val res = RowMergers.merge(d, st,
           RowMergers.Incoming(dataRow, isDelete = r.getBoolean(delIdx),
-            targetColumns = targetColumns))
+            isRetract = r.getBoolean(retIdx), targetColumns = targetColumns))
         st = res.state
         res.changes.foreach { case (ct, row) =>
           out += new GenericRowWithSchema(

@@ -290,6 +290,26 @@ object Fixtures {
       t
     }
 
+  /** A5 retraction fixture: the LWW table's CDC changelog (+I/-U/+U) fed
+    * into an AGGREGATION table with sum(value). Sum subtracts on -U, so
+    * the aggregate state converges to each user's last value — the
+    * reference's partial retraction support, end to end.
+    */
+  def usersRetractAgg(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_retract", sfDir) {
+      val src = usersLww(spark, sfDir).changelog()
+        .select(col("user_id"), col("value"),
+          col(Meta.ChangeTypeCol), col(Meta.LogOffset))
+      val t = fresh(spark, sfDir, "users_retract",
+        TableDescriptor(
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("value", DecimalType(18, 6)))),
+          primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.Aggregation(Map("value" -> AggFunction.Sum))))
+      t.applyChangelog(src, orderBy = Seq(src(Meta.LogOffset)))
+      t
+    }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {
