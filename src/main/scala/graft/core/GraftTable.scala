@@ -313,6 +313,31 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
   }
 
+  /** Log vacuum (S13/S14 log TTL for PK tables): once a snapshot covers a
+    * prefix of every bucket's log, the covered segments can be dropped —
+    * the reference deletes aged log segments and scans start from the KV
+    * snapshot instead (LogManager.java:167-175, RemoteLogManager). Here:
+    * rewrite the log to only offsets >= the snapshot cutoff, then swap
+    * directories. Afterwards `changelog()` starts at the cutoff (matching
+    * the reference: history before the retained log lives only in the
+    * snapshot).
+    */
+  def vacuumLog(): Unit = {
+    val snapOffsets = readSnapshotMeta().getOrElse(
+      throw new IllegalStateException("vacuumLog requires a snapshot: call compact() first"))
+    val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
+      when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+    }
+    val tmpDir = s"$path/log.vacuum"
+    logDF.filter(col(Meta.Offset) >= cutoff)
+      .write.mode("overwrite")
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+    import scala.jdk.CollectionConverters._
+    val old = Paths.get(logDir)
+    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(Paths.get(tmpDir), old)
+  }
+
   /** The log stores POST-merge row images (the write path already applied
     * the merge engine, like the reference's KV store holding merged rows) —
     * so state collapse is always last-write-wins over the changelog,

@@ -69,6 +69,21 @@ class TypedApiSpec extends SparkTestBase {
     }
   }
 
+  test("compact + vacuumLog: state survives, changelog starts at cutoff") {
+    import spark.implicits._
+    val t = build()
+    t.compact()
+    val df2 = (1L to 5L).map(i => (i, s"w$i")).toDF("user_id", "v")
+    t.upsert(df2, orderBy = Seq(df2("user_id")))
+    val before = t.scan().collect().toSeq
+    t.vacuumLog()
+    assertSameRows(t.scan().collect().toSeq, before)
+    // only the post-snapshot tail remains in the changelog (5 keys updated
+    // after compact -> -U,+U pairs)
+    assert(t.changelog().count() == 10)
+    assert(t.lookupAs[KV](Map("user_id" -> 3L)) == Some(KV(3L, "w3")))
+  }
+
   test("deleteWhere / updateWhere route through the merge path") {
     import spark.implicits._
     val t = build()
