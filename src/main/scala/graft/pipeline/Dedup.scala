@@ -46,10 +46,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     // doc → distinct shingles, hashed to long so shuffles move 8 bytes;
-    // sorted so verification can merge-walk (SortedIntersectCount)
+    // sorted so verification can merge-walk (SortedIntersectCount).
+    // Persisted: the index build and both verify sides read it, and
+    // shingle generation is the most expensive scalar work in the job
+    // (spills to disk beyond memory, so this holds at scale).
     val docs = df.select(col(idCol).as("id"),
       array_sort(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gs"))
       .withColumn("sz", size(col("gs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docs.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     // canonical order = (global frequency asc, hash): rarest first
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
