@@ -21,6 +21,8 @@ object Bench {
     // charged for it (standard benchmarking practice)
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    graft.ops.Fixtures.read(spark, sfDir, "events")
+      .groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -195,10 +195,69 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   /** Sequentially fold a batch against current state per PK, emitting
     * change rows — the engine's KvTablet.putAsLeader (KvTablet.java:514):
-    * state lookup, RowMerger, changelog out. Distributed as a cogroup on
-    * the PK; each key's fold is local and ordered by `__ord`.
+    * state lookup, RowMerger, changelog out.
+    *
+    * Two implementations with identical semantics (MergeCrossCheckSpec
+    * pins them to the sequential RowMergers fold):
+    *  - full-row DEFAULT engine: pure SQL — for last-write-wins, the state
+    *    before row i is exactly row i-1 (or the initial state row), so one
+    *    lag window + a generator emits the changelog inside whole-stage
+    *    codegen, no JVM row objects;
+    *  - everything else (partial updates, FIRST_ROW/VERSIONED/AGGREGATION):
+    *    cogroup on the PK; each key's fold is local and ordered by `__ord`.
     */
   private def computeChanges(batch: DataFrame,
+      targetColumns: Option[Seq[String]]): DataFrame =
+    if (desc.mergeEngine == MergeEngine.Default && targetColumns.isEmpty)
+      computeChangesDefaultSql(batch)
+    else computeChangesCogroup(batch, targetColumns)
+
+  /** SQL fast path: batch has data cols + __ord + __del + __retract. */
+  private def computeChangesDefaultSql(batch: DataFrame): DataFrame = {
+    val dataCols = desc.schema.fieldNames.toSeq
+    val emitBefore = desc.changelogImage == ChangelogImage.Full
+    // retractions are no-ops for the default engine; Ignore drops deletes
+    val src0 = batch.filter(!col("__retract")).drop("__retract")
+    val src = desc.deleteBehavior match {
+      case DeleteBehavior.Ignore => src0.filter(!col("__del"))
+      case DeleteBehavior.Allow => src0
+    }
+    // initial state participates as a pseudo-row below every batch ord
+    val statePseudo = currentState()
+      .withColumn("__ord", lit(Long.MinValue))
+      .withColumn("__del", lit(false))
+    val unioned = src.select((dataCols.map(col) ++
+      Seq(col("__ord"), col("__del"))).toIndexedSeq: _*)
+      .unionByName(statePseudo)
+    val w = Window.partitionBy(desc.primaryKey.map(col): _*).orderBy(col("__ord"))
+    val img = struct(dataCols.map(col): _*)
+    val change = (ct: Column, image: Column) =>
+      struct(ct.as("ct"), image.as("img"))
+    val upd =
+      if (emitBefore) array(
+        change(lit(ChangeType.UpdateBefore), col("__prev.img")),
+        change(lit(ChangeType.UpdateAfter), img))
+      else array(change(lit(ChangeType.UpdateAfter), img))
+    val withChanges = unioned
+      .withColumn("__prev", lag(struct(img.as("img"), col("__del").as("del")), 1).over(w))
+      .withColumn("__exists", col("__prev").isNotNull && !col("__prev.del"))
+      .filter(col("__ord") =!= Long.MinValue) // pseudo-rows emit nothing
+      .withColumn("__changes",
+        when(col("__del") && col("__exists"),
+          array(change(lit(ChangeType.Delete), col("__prev.img"))))
+        .when(col("__del") && !col("__exists"),
+          array().cast(ArrayType(StructType(Seq(
+            StructField("ct", StringType, nullable = false),
+            StructField("img", StructType(desc.schema.fields)))))))
+        .when(!col("__del") && col("__exists"), upd)
+        .otherwise(array(change(lit(ChangeType.Insert), img))))
+    withChanges
+      .select(col("__ord"), explode(col("__changes")).as("__c"))
+      .select((dataCols.map(c => col(s"__c.img.$c").as(c)) ++
+        Seq(col("__c.ct").as(Meta.ChangeTypeCol), col("__ord"))).toIndexedSeq: _*)
+  }
+
+  private def computeChangesCogroup(batch: DataFrame,
       targetColumns: Option[Seq[String]]): DataFrame = {
     val d = desc
     val pk = d.primaryKey
