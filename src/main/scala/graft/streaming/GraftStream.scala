@@ -2,11 +2,16 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
 import graft.core._
+import graft.merge.RowMergers
 
 /** Structured Streaming surfaces of the engine.
   *
@@ -124,6 +129,62 @@ object GraftStream {
   def lookupJoin(stream: DataFrame, table: GraftTable, joinKeys: Seq[String],
       joinType: String = "left"): DataFrame =
     stream.join(broadcast(table.currentState()), joinKeys, joinType)
+
+  /** Continuous changelog materializer: the streaming counterpart of the
+    * batch write path (SURVEY §7.1 item 4) — keyed state holds each PK's
+    * current merged row in the state store; every input row folds through
+    * the same RowMergers the batch path uses and the emitted rows ARE the
+    * CDC changelog (`+I/-U/+U/-D` in `_change_type`). State lives in
+    * Spark's state store (RocksDB-backed at scale), the exact shape of the
+    * reference's KvTablet: state lookup → RowMerger → changelog out.
+    *
+    * `stream` must carry the descriptor's data columns, an `ordCol` fixing
+    * intra-batch order, and optionally a boolean `__delete` column.
+    */
+  def changelogStream(stream: DataFrame, desc: TableDescriptor,
+      ordCol: String): DataFrame = {
+    require(desc.isPrimaryKeyTable, "changelogStream needs a PK table descriptor")
+    val dataSchema = desc.schema
+    val pk = desc.primaryKey
+    val pkSchema = StructType(pk.map(c => dataSchema(dataSchema.fieldIndex(c))).toArray)
+    val outSchema = StructType(dataSchema.fields :+
+      StructField(Meta.ChangeTypeCol, StringType, nullable = false))
+    val inSchema = stream.schema
+    val ordIdx = inSchema.fieldIndex(ordCol)
+    val delIdx = if (inSchema.fieldNames.contains("__delete"))
+      inSchema.fieldIndex("__delete") else -1
+    val dataIdx = dataSchema.fieldNames.map(inSchema.fieldIndex)
+    val pkIdxIn = pk.map(inSchema.fieldIndex)
+    val keyEnc = Encoders.row(pkSchema)
+    val stateEnc = Encoders.row(dataSchema)
+    val outEnc = Encoders.row(outSchema)
+
+    val fn = (_: Row, it: Iterator[Row], state: GroupState[Row]) => {
+      var st: Option[Row] = state.getOption
+      val out = ArrayBuffer.empty[Row]
+      it.toArray.sortBy(_.getAs[Number](ordIdx).longValue()).foreach { r =>
+        val dataRow = new GenericRowWithSchema(
+          dataIdx.map(r.get).toArray[Any], dataSchema)
+        val res = RowMergers.merge(desc, st, RowMergers.Incoming(dataRow,
+          isDelete = delIdx >= 0 && r.getBoolean(delIdx)))
+        st = res.state
+        res.changes.foreach { case (ct, row) =>
+          out += new GenericRowWithSchema(
+            ((0 until dataSchema.length).map(row.get) :+ ct).toArray[Any], outSchema)
+        }
+      }
+      st match {
+        case Some(s) => state.update(s)
+        case None => if (state.exists) state.remove()
+      }
+      out.iterator
+    }
+    stream.groupByKey { r =>
+      new GenericRowWithSchema(pkIdxIn.map(r.get).toArray[Any], pkSchema): Row
+    }(keyEnc).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(stateEnc, outEnc)
+      .toDF()
+  }
 
   /** J4 delta join (website/docs/engine-flink/delta-joins.mdx:8-21): the
     * reference rewrites a stream–stream join into bidirectional index

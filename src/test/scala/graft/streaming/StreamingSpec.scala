@@ -131,6 +131,34 @@ class StreamingSpec extends SparkTestBase {
     assert(out.toMap == Map(1L -> 100, 2L -> 200, 9L -> null))
   }
 
+  test("changelogStream: state-store materializer emits the same changelog as the batch path") {
+    val src = tmp()
+    writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
+    Thread.sleep(20) // file-source order is by modification time
+    writeSrc(src, Seq((1L, 10, 2L), (3L, 3, 3L)), "b")
+    val desc = TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = GraftStream.changelogStream(stream, desc, "ord")
+      .writeStream.format("memory").queryName("cs1")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT _change_type, k, v FROM cs1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // batch-path reference: same ops through a table
+    val t = newCatalog().createTable("db", "cs_ref", desc)
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    t.upsert(df((1L, 1, 0L), (2L, 2, 1L)), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, 2L), (3L, 3, 3L)), orderBy = Seq(col("ord")))
+    val exp = t.changelog().collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"), r.getAs[Int]("v")))
+      .sorted.toSeq
+    assert(got == exp)
+  }
+
   test("delta join: stream-stream equi-join with watermark-bounded state") {
     val tsSchema = StructType(Seq(StructField("k", LongType),
       StructField("ts", TimestampType), StructField("v", IntegerType)))
