@@ -318,6 +318,25 @@ object SparkEntry {
       Seq(n).toDF("cnt")
     }),
 
+    // ----- §2.5: engine-supplied window functions (top-2 orders per
+    // customer; partitioned rank, no global sort)
+    "h3_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // ----- §2.4 note: grouping sets / rollup from Catalyst
+    "h4_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -612,6 +631,17 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "h3_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "h4_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,
