@@ -23,6 +23,17 @@ object Bench {
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     graft.ops.Fixtures.read(spark, sfDir, "events")
       .groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    // warm the PK write path's generated code on a 100-row table
+    locally {
+      import org.apache.spark.sql.functions.col
+      val wh = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+      val cat = new graft.core.Catalog(wh, spark)
+      val df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      val t = cat.createTable("warm", "w1", graft.core.TableDescriptor(
+        df.schema, primaryKey = Seq("k"), numBuckets = 4))
+      t.upsert(df, orderBy = Seq(col("k")))
+      t.scan().write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
