@@ -11,11 +11,12 @@ import graft.core._
   * SortMergeReader.java:46) and of write-time merging in
   * KvTablet.putAsLeader (fluss-server/.../kv/KvTablet.java:514).
   *
-  * Everything here is a single hash aggregation per primary key —
-  * shuffle-once, map-side partial aggregation, no windows, no sorts —
-  * chosen over `row_number()` windows deliberately: at 100 TB a window
-  * requires a full sort per partition while `max_by` folds in O(n) with
-  * partial combine on the map side.
+  * Everything here is a single aggregation per primary key — shuffle-once
+  * with map-side partial aggregation — chosen over `row_number()` windows
+  * deliberately: the partial combine shrinks each key to one row before
+  * the exchange, where a window would ship every version. (Physically
+  * Spark picks SortAggregate because the `max_by` buffer holds a struct;
+  * the sort is per hash-partition and spillable, never global.)
   */
 object Materialize {
 
