@@ -57,6 +57,25 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
   }
 
+  /** Clone a table: descriptor + log + snapshot + manifests copied to a
+    * new name (the lakehouse `CREATE TABLE ... CLONE` analog; on an
+    * object store this is a metadata-level copy). The clone is fully
+    * independent — mutations never touch the source.
+    */
+  def cloneTable(db: String, src: String, dst: String): GraftTable = {
+    val s = Paths.get(warehouse, db, src)
+    require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
+    val d = Paths.get(warehouse, db, dst)
+    require(!Files.exists(d.resolve("meta.json")), s"table $db.$dst exists")
+    import scala.jdk.CollectionConverters._
+    Files.walk(s).iterator().asScala.foreach { p =>
+      val target = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    getTable(db, dst)
+  }
+
   def tableExists(db: String, name: String): Boolean =
     Files.exists(Paths.get(warehouse, db, name, "meta.json"))
 

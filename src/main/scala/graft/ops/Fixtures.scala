@@ -47,6 +47,15 @@ object Fixtures {
     cat.createTable(db, name, desc)
   }
 
+  /** Clone an already-built fixture table under a new name. */
+  private def freshClone(spark: SparkSession, sfDir: String, src: String,
+      dst: String): GraftTable = {
+    val cat = catalog(spark)
+    val db = "fx" + math.abs(sfDir.hashCode)
+    if (cat.tableExists(db, dst)) cat.dropTable(db, dst)
+    cat.cloneTable(db, src, dst)
+  }
+
   /** Events with engine-typed columns: value as DECIMAL(18,6) so sums are
     * exact and order-independent (doubles would make distributed vs
     * sequential sums diverge in the last bits).
@@ -143,10 +152,8 @@ object Fixtures {
     */
   def usersPartial(spark: SparkSession, sfDir: String): GraftTable =
     cached("users_partial", sfDir) {
-      val t = fresh(spark, sfDir, "users_partial",
-        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
-      val ev = eventsTyped(spark, sfDir)
-      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      usersLww(spark, sfDir) // ensure the source fixture is built
+      val t = freshClone(spark, sfDir, "users_lww", "users_partial")
       val raw = read(spark, sfDir, "events")
       val purchases = raw.filter(col("event_type") === "purchase")
         .select(col("user_id"),
@@ -176,11 +183,8 @@ object Fixtures {
   /** Same layout, with partitions below 2024-01-20 expired (S14). */
   def eventsPartitionedExpired(spark: SparkSession, sfDir: String): GraftTable =
     cached("events_part_ttl", sfDir) {
-      val ev = eventsWithDt(spark, sfDir)
-      val t = fresh(spark, sfDir, "events_part_ttl",
-        TableDescriptor(StructType(ev.schema.fields),
-          partitionKeys = Seq("dt"), bucketKeys = Seq("user_id"), numBuckets = 4))
-      t.append(ev, orderBy = Seq(ev("event_id")))
+      eventsPartitioned(spark, sfDir) // ensure the source fixture is built
+      val t = freshClone(spark, sfDir, "events_part", "events_part_ttl")
       t.expirePartitions("dt", "2024-01-20")
       t
     }
@@ -269,10 +273,8 @@ object Fixtures {
     */
   def usersRowLevel(spark: SparkSession, sfDir: String): GraftTable =
     cached("users_rowlevel", sfDir) {
-      val t = fresh(spark, sfDir, "users_rowlevel",
-        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
-      val ev = eventsTyped(spark, sfDir)
-      t.upsert(ev, orderBy = Seq(ev("event_id")))
+      usersLww(spark, sfDir) // ensure the source fixture is built
+      val t = freshClone(spark, sfDir, "users_lww", "users_rowlevel")
       t.deleteWhere(col("event_type") === "error")
       t.updateWhere(col("event_type") === "purchase",
         Map("value" -> (col("value") * 2).cast(DecimalType(18, 6))))

@@ -69,6 +69,24 @@ class TypedApiSpec extends SparkTestBase {
     }
   }
 
+  test("cloneTable: clone is independent of the source") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", StringType)))
+    val name = "src_" + System.nanoTime()
+    val src = cat.createTable("typed", name,
+      TableDescriptor(schema, primaryKey = Seq("user_id"), numBuckets = 4))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("user_id", "v")
+    src.upsert(df, orderBy = Seq(df("user_id")))
+    val clone = cat.cloneTable("typed", name, name + "_clone")
+    val df2 = Seq((1L, "MUT")).toDF("user_id", "v")
+    clone.upsert(df2, orderBy = Seq(df2("user_id")))
+    assert(clone.lookupAs[KV](Map("user_id" -> 1L)) == Some(KV(1L, "MUT")))
+    assert(src.lookupAs[KV](Map("user_id" -> 1L)) == Some(KV(1L, "a")))
+    assert(src.latestOffsets.values.sum == 2)
+    assert(clone.latestOffsets.values.sum == 4) // +I,+I then the -U,+U pair
+  }
+
   test("compact + vacuumLog: state survives, changelog starts at cutoff") {
     import spark.implicits._
     val t = build()
