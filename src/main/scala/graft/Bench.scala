@@ -33,6 +33,13 @@ object Bench {
         df.schema, primaryKey = Seq("k"), numBuckets = 4))
       t.upsert(df, orderBy = Seq(col("k")))
       t.scan().write.format("noop").mode("overwrite").save()
+      // and the cogroup path (stateful engines)
+      val t2 = cat.createTable("warm", "w2", graft.core.TableDescriptor(
+        df.schema, primaryKey = Seq("k"),
+        mergeEngine = graft.core.MergeEngine.Aggregation(
+          Map("v" -> graft.core.AggFunction.LastValue)), numBuckets = 4))
+      t2.upsert(df, orderBy = Seq(col("k")))
+      t2.scan().write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
