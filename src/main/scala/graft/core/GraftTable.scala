@@ -75,15 +75,38 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // offset manifest
   // ---------------------------------------------------------------------
 
-  private def readOffsets(): Map[Int, Long] =
-    if (!Files.exists(Paths.get(offsetsFile))) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj
-      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+  /** Manifest = per-bucket next offsets + per-sink last committed streaming
+    * batch id, in ONE file so a streaming upsert's "apply" and "mark batch
+    * committed" are a single atomic rename — no crash window between them
+    * (the reference's WriterStateManager batch-sequence dedup). Legacy
+    * format (flat bucket→offset map) still reads.
+    */
+  private def readManifest(): (Map[Int, Long], Map[String, Long]) =
+    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty)
+    else {
+      val obj = JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
+      obj.get("offsets") match {
+        case Some(o: JObject) =>
+          val offs = o.obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+          val commits = obj.get("commits").collect { case c: JObject =>
+            c.obj.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toLong }.toMap
+          }.getOrElse(Map.empty[String, Long])
+          (offs, commits)
+        case _ =>
+          (obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }, Map.empty)
+      }
+    }
 
-  private def writeOffsets(m: Map[Int, Long]): Unit =
-    CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(
-      JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+  private def readOffsets(): Map[Int, Long] = readManifest()._1
+
+  private def writeManifest(m: Map[Int, Long], commits: Map[String, Long]): Unit =
+    CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(JObject(List(
+      "offsets" -> JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }),
+      "commits" -> JObject(commits.toList.sorted.map { case (k, v) => k -> (JInt(v): JValue) }))))))
+
+  /** Last streaming batch id committed by sink `sinkId`, if any. */
+  def committedBatchId(sinkId: String): Option[Long] = readManifest()._2.get(sinkId)
 
   /** Per-bucket next offsets (the "latest offset" metadata the reference
     * answers count(*) from, PushdownUtils.java:348-440).
@@ -150,8 +173,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * Generates the changelog via the row mergers and appends it.
     */
   def upsert(df: DataFrame, targetColumns: Option[Seq[String]] = None,
-      orderBy: Seq[Column] = Nil): Unit =
-    writePk(df, deleteFlag = lit(false), targetColumns, orderBy)
+      orderBy: Seq[Column] = Nil,
+      commitTag: Option[(String, Long)] = None): Unit =
+    writePk(df, deleteFlag = lit(false), targetColumns, orderBy,
+      commitTag = commitTag)
 
   /** Delete rows by PK (row content beyond the PK is ignored). */
   def delete(df: DataFrame, orderBy: Seq[Column] = Nil): Unit =
@@ -179,7 +204,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   private def writePk(df: DataFrame, deleteFlag: Column,
       targetColumns: Option[Seq[String]], orderBy: Seq[Column],
-      retractFlag: Column = lit(false)): Unit = {
+      retractFlag: Column = lit(false),
+      commitTag: Option[(String, Long)] = None): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // project to full schema (missing cols null — partial updates)
@@ -190,7 +216,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       retractFlag.as("__retract"))).toIndexedSeq: _*)
 
     val changes = computeChanges(projected, targetColumns)
-    commitToLog(changes)
+    commitToLog(changes, commitTag)
   }
 
   /** Sequentially fold a batch against current state per PK, emitting
@@ -302,10 +328,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   /** Assign per-bucket contiguous offsets and append to the log dir.
     * Input: data cols + `_change_type` + `__ord`.
     */
-  private def commitToLog(df: DataFrame): Unit = {
-    val bases = readOffsets()
-    val withBucket = df.withColumn(Meta.Bucket, bucketCol)
-    withBucket.cache()
+  private def commitToLog(df: DataFrame,
+      commitTag: Option[(String, Long)] = None): Unit = {
+    val (bases, commits0) = readManifest()
+    val commits = commits0 ++ commitTag
+    // localCheckpoint (not cache): __ord / key-less __bucket derive from
+    // monotonically_increasing_id / spark_partition_id, so a recomputed
+    // partition (cache eviction, executor loss) could re-assign them
+    // between the counts job and the write job, corrupting the offset
+    // manifest. Checkpointing truncates lineage — recompute is impossible;
+    // a lost block fails loudly instead of silently diverging.
+    val withBucket = df.withColumn(Meta.Bucket, bucketCol).localCheckpoint()
     try {
       val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -340,12 +373,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
         out.write.mode("append")
           .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
-        writeOffsets(bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) })
+        writeManifest(
+          bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
+          commits)
         desc.autoIncrementColumn.foreach { _ =>
           writeAutoInc(readAutoInc() + counts.values.sum)
         }
+      } else if (commitTag.isDefined) {
+        // empty batch still records its commit tag (streaming replay dedup)
+        writeManifest(bases, commits)
       }
-    } finally withBucket.unpersist()
+    } finally withBucket.unpersist() // no-op for checkpointed plans; ContextCleaner frees the blocks
   }
 
   // ---------------------------------------------------------------------
@@ -487,9 +525,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     keys.foreach(k => require(k.keySet == desc.primaryKey.toSet,
       s"full PK required: ${desc.primaryKey}"))
     val bKeys = desc.effectiveBucketKeys
+    val bTypes = bKeys.map(c => desc.schema(c).dataType)
     val buckets = keys
       .map(k => graft.plans.BucketPruning.bucketForValues(
-        bKeys.map(k), desc.numBuckets))
+        bKeys.map(k), bTypes, desc.numBuckets))
       .distinct
     val pruned = logDF.filter(col(Meta.Bucket).isin(buckets: _*))
     Materialize.currentState(pruned, collapseDesc)
@@ -592,12 +631,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def keyPredicate(key: Map[String, Any]): Column =
     key.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
-  /** Materialize only the key's bucket: same merge, 1/numBuckets the IO. */
+  /** Materialize only the key's bucket: same merge, 1/numBuckets the IO.
+    * Key literals are cast to the DECLARED column type before hashing:
+    * the write path hashed e.g. LongType, so hashing a caller's Int 7
+    * as IntegerType would prune to the wrong bucket and silently return
+    * empty even though the row exists.
+    */
   private def prunedState(key: Map[String, Any]): DataFrame = {
     val keys = desc.effectiveBucketKeys
     val pruned =
       if (keys.forall(key.contains)) {
-        val b = pmod(hash(keys.map(k => lit(key(k))): _*), lit(desc.numBuckets))
+        val b = pmod(hash(keys.map(k =>
+          lit(key(k)).cast(desc.schema(k).dataType)): _*), lit(desc.numBuckets))
         logDF.filter(col(Meta.Bucket) === b)
       } else logDF
     Materialize.currentState(pruned, collapseDesc)

@@ -126,7 +126,26 @@ object RowMergers {
     }
     old match {
       case None =>
-        if (in.isRetract) noop(None)
+        if (in.isRetract) {
+          // Retraction with no prior state: subtract into an IMPLICIT ZERO
+          // for sum columns (others stay null) — the same thing the
+          // distributed path's sum(when(isRetract, -col)) computes for a
+          // key whose first log row is a -U. Keeping the two
+          // implementations byte-identical matters more than rejecting a
+          // malformed changelog (a -U should always follow a +I/+U).
+          val vals = desc.schema.fields.zipWithIndex.map { case (f, i) =>
+            if (desc.primaryKey.contains(f.name)) in.row.get(i)
+            else {
+              val fn = aggs.getOrElse(f.name, AggFunction.LastValue)
+              aggField(fn, f.dataType, null, in.row.get(i), retract = true)
+            }
+          }
+          val merged = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            vals.toArray[Any], desc.schema)
+          // state exists even when every aggregated value is null: the
+          // distributed groupBy emits a group for ANY log row of the key
+          MergeResult(Some(merged), Seq(ChangeType.Insert -> merged))
+        }
         else MergeResult(Some(in.row), Seq(ChangeType.Insert -> in.row))
       case Some(o) =>
         val target = in.targetColumns
@@ -145,13 +164,16 @@ object RowMergers {
   }
 
   /** Per-field aggregate step (Field*Agg.java): null-skipping; sum
-    * subtracts on retraction, others ignore retraction rows.
+    * subtracts on retraction (into an implicit zero when the accumulator
+    * is still null, matching [[Materialize.aggExpr]]'s
+    * sum(when(isRetract, -col)) semantics exactly), others ignore
+    * retraction rows.
     */
   private[graft] def aggField(fn: String, dt: DataType, acc: Any, in: Any,
       retract: Boolean): Any = {
     if (retract) {
-      if (fn == AggFunction.Sum && in != null && acc != null)
-        return numOp(dt, acc, in, add = false)
+      if (fn == AggFunction.Sum && in != null)
+        return numOp(dt, if (acc == null) zeroOf(dt) else acc, in, add = false)
       return acc
     }
     fn match {
@@ -186,6 +208,18 @@ object RowMergers {
           "rb32/rb64 row-merge handled via Bitmaps aggregators")
       case other => throw new IllegalArgumentException(s"unknown agg: $other")
     }
+  }
+
+  /** Additive identity of a numeric column type (implicit-zero retraction). */
+  private def zeroOf(dt: DataType): Any = dt match {
+    case ByteType => 0.toByte
+    case ShortType => 0.toShort
+    case IntegerType => 0
+    case LongType => 0L
+    case FloatType => 0f
+    case DoubleType => 0d
+    case _: DecimalType => java.math.BigDecimal.ZERO
+    case other => throw new IllegalArgumentException(s"sum unsupported on $other")
   }
 
   private def numOp(dt: DataType, a: Any, b: Any, add: Boolean): Any = dt match {

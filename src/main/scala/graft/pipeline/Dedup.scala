@@ -226,4 +226,81 @@ object Dedup {
     */
   def keepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise candidates into dedup CLUSTERS (pairs alone under-merge: if
+    * A~B and B~C but A!~C, min-id-per-pair keeps both A and C).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is groupBy(min) + equi-join, converging in O(log n) rounds even on
+    * path-shaped graphs, vs O(diameter) for naive min-propagation. Edges
+    * stay canonically oriented (u > v) throughout; at the fixpoint every
+    * edge points a node at its component's minimum id. Each round
+    * localCheckpoints so lineage doesn't grow unboundedly (the standard
+    * iterative-algorithm hazard at scale).
+    *
+    * Input: a pair DataFrame with two id columns. Output: (id, component)
+    * for every node that appears in a pair; component = min id of the
+    * component (representatives map to themselves). Nodes with no pairs
+    * are their own component — callers coalesce(component, id).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    var e = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
+
+    // large-star: each node u links every LARGER neighbor to the minimum
+    // of its closed neighborhood; small-star: links every smaller neighbor
+    // (and u itself) to that minimum. Both preserve connectivity and the
+    // u > v orientation.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m")) // all v < u, so min(N∪{u}) = min(v)
+      val linked = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v"))
+      linked.union(self).filter(col("u") =!= col("v")).distinct()
+    }
+
+    var converged = false
+    var round = 0
+    var sig = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
+      .head.toSeq
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = next.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      round += 1
+    }
+    // fixpoint edges are (node -> component min); representatives self-map
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
+  }
+
+  /** Dedup cluster assignment: every doc gets a canonical id = the minimum
+    * doc id of its near-dup connected component (itself when unpaired).
+    */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))
+  }
 }

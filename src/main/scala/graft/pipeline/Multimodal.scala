@@ -82,10 +82,15 @@ object Multimodal {
     */
   def frameSample(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(octet_length(col("media")).cast("double") / frameBytes).cast("int")
+    // Guard the generator for empty blobs: sequence(0, -1) in Spark yields
+    // the DESCENDING sequence [0, -1], so __n = 0 would emit phantom frames
+    // (index 0 survives the stride filter) instead of no rows.
+    val frameIdx = when(col("__n") > 0,
+      filter(sequence(lit(0), col("__n") - 1), i => i % stride === 0))
+      .otherwise(array())
     df.withColumn("__n", nFrames)
       .select(col("media_id"), col("meta"),
-        posexplode(transform(
-          filter(sequence(lit(0), col("__n") - 1), i => i % stride === 0),
+        posexplode(transform(frameIdx,
           i => substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")

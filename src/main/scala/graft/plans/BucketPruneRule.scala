@@ -49,9 +49,20 @@ object BucketPruning {
     h.asInstanceOf[Int]
   }
 
-  /** Driver-side bucket routing for scala values (lookup batching). */
-  def bucketForValues(values: Seq[Any], n: Int): Int =
-    bucketOf(values.map(v => Literal(v)), n)
+  /** Driver-side bucket routing for scala values (lookup batching).
+    * `types` are the DECLARED bucket-key column types: values are coerced
+    * before hashing so e.g. an Int key for a BIGINT column hashes as
+    * LongType — the type the write path hashed — not IntegerType.
+    */
+  def bucketForValues(values: Seq[Any],
+      types: Seq[org.apache.spark.sql.types.DataType], n: Int): Int = {
+    val lits = values.zip(types).map { case (v, dt) =>
+      val l = Literal(v)
+      if (l.dataType == dt) l
+      else Literal(Cast(l, dt, Some("UTC")).eval(null), dt)
+    }
+    bucketOf(lits, n)
+  }
 
   /** Install into a live session (idempotent). */
   def install(spark: SparkSession): Unit = synchronized {

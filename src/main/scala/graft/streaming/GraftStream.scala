@@ -99,22 +99,29 @@ object GraftStream {
 
   /** Streaming upsert sink: every micro-batch folds into the PK table via
     * the merge engine; replayed batches (restart without checkpoint sync)
-    * are skipped via the commit log -> exactly-once table state (T6).
-    * `orderCol` fixes the intra-batch fold order.
+    * are skipped -> exactly-once table state (T6). The dedup record is
+    * ATOMIC with the log commit: the batch id rides in the same manifest
+    * rename that publishes the offsets (GraftTable.commitToLog commitTag),
+    * so there is no crash window where the upsert applied but the batch
+    * isn't marked committed (which would double-apply AGGREGATION sums on
+    * replay). Marker files under `_stream_commits/` remain as an
+    * observability surface only. `orderCol` fixes the intra-batch fold
+    * order.
     */
   def upsertSink(stream: DataFrame, table: GraftTable, sinkId: String,
       orderCol: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = table.committedBatchId(sinkId).exists(_ >= batchId)
+        if (!replay) {
+          table.upsert(batch, orderBy = Seq(col(orderCol)),
+            commitTag = Some(sinkId -> batchId))
+        }
         val d = commitDir(table, sinkId)
         Files.createDirectories(d)
-        if (!Files.exists(d.resolve(batchId.toString))) {
-          if (!batch.isEmpty) {
-            table.upsert(batch, orderBy = Seq(col(orderCol)))
-          }
+        if (!Files.exists(d.resolve(batchId.toString)))
           Files.createFile(d.resolve(batchId.toString))
-        }
         ()
       }
       .trigger(trigger)
