@@ -184,6 +184,16 @@ object SparkEntry {
         "embedding", threshold = 0.47, exact = true)
         .select(col("a_id"), col("b_id"))),
 
+    // ----- D6: dedup clusters — connected components over the exact
+    // Jaccard pair graph (large-star/small-star; every doc gets the min
+    // doc_id of its near-dup component as canonical_id)
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.8)
+      Dedup.clusters(docs, "doc_id", pairs)
+    }),
+
     // ----- SIM1: brute-force cosine top-k (exact baseline)
     "sim1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -506,6 +516,28 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8""".stripMargin,
+
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u)
+        |SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -53,6 +53,23 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.count(ivf.contains) >= 5, s"ivf recall ${exact.count(ivf.contains)}/10")
   }
 
+  test("connected components: path, triangle, disjoint edges, singletons") {
+    import spark.implicits._
+    // path 1-2-3-4 (worst case for min-propagation), triangle 10-11-12,
+    // isolated pair 20-21; node 30 appears in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val cl = Dedup.clusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(30L) == 30L && cl(4L) == 1L && cl(12L) == 10L && cl(21L) == 20L)
+  }
+
   test("multimodal: feature extraction batch shape + determinism") {
     val media = Multimodal.packAsMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8)
