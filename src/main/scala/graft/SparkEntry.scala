@@ -162,10 +162,13 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
-    // ----- D2: exact n-gram Jaccard near-dup pairs (correctness baseline)
+    // ----- D2: exact n-gram Jaccard near-dup pairs (correctness baseline;
+    // persisted — d6 reuses the pair graph)
     "d2_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.8)),
+      Fixtures.cachedDf("jaccard_pairs", dir) {
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.8)
+      }),
 
     // ----- D3: MinHash+LSH near-dup candidates (the 100 TB path; recall
     // vs D2 is asserted in DedupSpec — no SQL oracle for hash banding)
@@ -189,8 +192,9 @@ object SparkEntry {
     // doc_id of its near-dup component as canonical_id)
     "d6_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 5, threshold = 0.8)
+      val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.8)
+      }
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 

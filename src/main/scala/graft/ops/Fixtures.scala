@@ -38,6 +38,15 @@ object Fixtures {
   private def cached(key: String, sfDir: String)(build: => GraftTable): GraftTable =
     synchronized { cache.getOrElseUpdate((key, sfDir), build) }
 
+  private val dfCache = mutable.Map.empty[(String, String), DataFrame]
+
+  /** Cache an expensive shared intermediate across queries (persisted —
+    * first action materializes it). Used where two SparkEntry queries
+    * share a stage, e.g. d2's Jaccard pair graph feeding d6's clusters.
+    */
+  def cachedDf(key: String, sfDir: String)(build: => DataFrame): DataFrame =
+    synchronized { dfCache.getOrElseUpdate((key, sfDir), build.persist()) }
+
   /** Create a fixture table, clearing any half-built leftover first. */
   private def fresh(spark: SparkSession, sfDir: String, name: String,
       desc: TableDescriptor): GraftTable = {
