@@ -325,6 +325,13 @@ object SparkEntry {
     // ----- A8: table stats (row count)
     "a8_table_stats" -> ((s, dir) => Fixtures.usersLww(s, dir).stats()),
 
+    // ----- S11: the DSv2 catalog connector — DDL + INSERT INTO + SELECT
+    // all through plain Spark SQL against a registered GraftCatalog
+    "c1_catalog_sql" -> ((s, dir) => {
+      val cat = Fixtures.sqlCatalog(s, dir)
+      s.sql(s"SELECT user_id, total_value, max_ts FROM $cat.db.user_totals")
+    }),
+
     // ----- A6 variant: count(*) answered from the offset manifest, no scan
     "a6_count_offsets" -> ((s, dir) => {
       val n = Fixtures.lineitemLog(s, dir).fastCount
@@ -625,6 +632,12 @@ object SparkEntry {
 
     "a8_table_stats" ->
       "SELECT count(DISTINCT user_id) AS n_rows FROM events",
+
+    "c1_catalog_sql" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value,
+        |  max(ts) AS max_ts
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "a6_count_offsets" -> "SELECT count(*) AS cnt FROM lineitem",
 

@@ -1,0 +1,362 @@
+// DSv2 catalog connector (SURVEY §2.1 S11): the SQL-facing surface of the
+// engine, mirroring the reference's Spark connector
+// (fluss-spark/fluss-spark-common/src/main/scala/org/apache/fluss/spark/
+// SparkCatalog.scala:37, SparkConnectorOptions.scala:24-47).
+//
+// Architecture: the catalog plugs graft.core.Catalog into Spark's
+// TableCatalog API so `CREATE TABLE ... USING graft`, `INSERT INTO` and
+// `SELECT` work as plain SQL against a configured catalog:
+//
+//   spark.sql.catalog.graft           = graft.connector.GraftCatalog
+//   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+//
+// Read and write go through the official V1 bridge interfaces
+// (connector.read.V1Scan / connector.write.V1Write): the relation's
+// buildScan IS `GraftTable.scan()` — the same DataFrame plan every other
+// entry point uses (merge-on-read materialization, bucket pruning,
+// parquet pushdowns), so the SQL path inherits the whole engine instead
+// of duplicating a parquet reader. At 100 TB the scan stays fully
+// distributed: the bridge only passes an RDD plan, never rows through
+// the driver.
+package graft.connector
+
+import java.util
+import java.util.Collections
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{Catalog => CoreCatalog, _}
+
+/** Option / property keys — same spellings as the reference's
+  * SparkConnectorOptions (primary.key, bucket.key, bucket.num) and its
+  * DDL table options (table.merge-engine, fields.&lt;col&gt;.agg — website/docs/
+  * table-design/merge-engines/aggregation.md:44-60).
+  */
+object GraftOptions {
+  val PrimaryKey = "primary.key"
+  val BucketKey = "bucket.key"
+  val BucketNum = "bucket.num"
+  val MergeEngine = "table.merge-engine"
+  val VersionColumn = "table.merge-engine.versioned.ver-column"
+  val DeleteBehavior = "table.delete-behavior"
+  val ChangelogImage = "table.changelog.image"
+  val AutoIncrement = "table.auto-increment.column"
+  val AggPrefix = "fields."
+  val AggSuffix = ".agg"
+
+  def toDescriptor(schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): TableDescriptor = {
+    val props = properties.asScala
+    def csv(k: String): Seq[String] =
+      props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // identity transforms -> partition keys; bucket transform -> bucketing
+    val partCols = partitions.collect {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+    }.toSeq
+    val (bucketCols, bucketNum) = partitions.collectFirst {
+      case t if t.name == "bucket" =>
+        val n = t.arguments.head.asInstanceOf[
+          org.apache.spark.sql.connector.expressions.Literal[_]].value
+          .asInstanceOf[Number].intValue
+        (t.references.map(_.fieldNames.mkString(".")).toSeq, n)
+    }.getOrElse((csv(BucketKey), props.get(BucketNum).map(_.toInt).getOrElse(32)))
+    val aggs = props.collect {
+      case (k, v) if k.startsWith(AggPrefix) && k.endsWith(AggSuffix) =>
+        k.stripPrefix(AggPrefix).stripSuffix(AggSuffix) -> v
+    }.toMap
+    val engine = props.get(MergeEngine).map(_.toLowerCase) match {
+      case Some("first_row") => graft.core.MergeEngine.FirstRow
+      case Some("versioned") => graft.core.MergeEngine.Versioned(
+        props.getOrElse(VersionColumn,
+          throw new IllegalArgumentException(s"$VersionColumn required")))
+      case Some("aggregation") => graft.core.MergeEngine.Aggregation(aggs)
+      case Some("default") | None =>
+        if (aggs.nonEmpty) graft.core.MergeEngine.Aggregation(aggs)
+        else graft.core.MergeEngine.Default
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown merge engine $other")
+    }
+    TableDescriptor(
+      schema = schema,
+      primaryKey = csv(PrimaryKey),
+      bucketKeys = bucketCols,
+      numBuckets = bucketNum,
+      partitionKeys = partCols,
+      mergeEngine = engine,
+      deleteBehavior = props.get(DeleteBehavior).map(_.toLowerCase) match {
+        case Some("ignore") => graft.core.DeleteBehavior.Ignore
+        case _ => graft.core.DeleteBehavior.Allow
+      },
+      changelogImage = props.get(ChangelogImage).map(_.toLowerCase) match {
+        case Some("wal") => graft.core.ChangelogImage.Wal
+        case _ => graft.core.ChangelogImage.Full
+      },
+      autoIncrementColumn = props.get(AutoIncrement))
+  }
+
+  /** Descriptor -> DDL properties (round-trips toDescriptor). */
+  def toProperties(d: TableDescriptor): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (d.primaryKey.nonEmpty) m.put(PrimaryKey, d.primaryKey.mkString(","))
+    if (d.bucketKeys.nonEmpty) m.put(BucketKey, d.bucketKeys.mkString(","))
+    m.put(BucketNum, d.numBuckets.toString)
+    d.mergeEngine match {
+      case graft.core.MergeEngine.Default => ()
+      case graft.core.MergeEngine.FirstRow => m.put(MergeEngine, "first_row")
+      case graft.core.MergeEngine.Versioned(c) =>
+        m.put(MergeEngine, "versioned"); m.put(VersionColumn, c)
+      case graft.core.MergeEngine.Aggregation(aggs) =>
+        m.put(MergeEngine, "aggregation")
+        aggs.foreach { case (c, f) => m.put(s"$AggPrefix$c$AggSuffix", f) }
+    }
+    d.autoIncrementColumn.foreach(m.put(AutoIncrement, _))
+    m
+  }
+}
+
+/** Spark TableCatalog over the directory-backed graft catalog. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def core: CoreCatalog = new CoreCatalog(warehouse, spark)
+  private def db(ident: Identifier): String = {
+    require(ident.namespace.length == 1,
+      s"graft tables are <db>.<table>; got ${ident.namespace.mkString(".")}")
+    ident.namespace.head
+  }
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    core.listTables(namespace.head)
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!core.tableExists(db(ident), ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftDsTable(core.getTable(db(ident), ident.name), ident)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val desc = GraftOptions.toDescriptor(schema, partitions, properties)
+    new GraftDsTable(core.createTable(db(ident), ident.name, desc), ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested ADD COLUMN unsupported")
+        core.addColumn(db(ident), ident.name,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType, add.isNullable))
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val exists = core.tableExists(db(ident), ident.name)
+    if (exists) core.dropTable(db(ident), ident.name)
+    exists
+  }
+
+  /** Rename within the source database (clone + drop — on an object store
+    * a metadata-level copy). The new identifier's namespace is ignored:
+    * Spark's RENAME TO passes it in several shapes (bare, db-qualified,
+    * catalog-qualified) and cross-database moves are unsupported anyway.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    core.cloneTable(db(oldIdent), oldIdent.name, newIdent.name)
+    core.dropTable(db(oldIdent), oldIdent.name)
+  }
+
+  // ---- namespaces (one level = database directory) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val wh = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.exists(wh)) Array.empty
+    else java.nio.file.Files.list(wh).iterator.asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse, namespace.head))
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "graft namespaces are one level (<db>)")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(warehouse, namespace.head))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = java.nio.file.Paths.get(warehouse, namespace.head)
+    val exists = java.nio.file.Files.isDirectory(dir)
+    if (exists) {
+      require(cascade || core.listTables(namespace.head).isEmpty,
+        s"namespace ${namespace.head} is not empty")
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    exists
+  }
+}
+
+/** DSv2 table over a GraftTable: batch read = `scan()` (PK tables
+  * materialize current state, log tables read the log), batch write =
+  * `upsert()` / `append()` via the V1 write bridge.
+  */
+class GraftDsTable(val table: GraftTable, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = table.desc.schema
+  override def columns(): Array[Column] =
+    table.desc.schema.fields.map(f =>
+      Column.create(f.name, f.dataType, f.nullable))
+
+  override def partitioning(): Array[Transform] = {
+    val parts = table.desc.partitionKeys.map(Expressions.identity)
+    val bucket =
+      if (table.desc.effectiveBucketKeys.nonEmpty)
+        Seq(Expressions.bucket(table.desc.numBuckets,
+          table.desc.effectiveBucketKeys: _*))
+      else Nil
+    (parts ++ bucket).toArray
+  }
+
+  override def properties(): util.Map[String, String] =
+    GraftOptions.toProperties(table.desc)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite, "INSERT OVERWRITE unsupported; use upsert semantics")
+              if (table.desc.isPrimaryKeyTable) table.upsert(data)
+              else table.append(data)
+            }
+          }
+      }
+    }
+}
+
+/** Filter + column pushdown into the engine scan. Translated filters are
+  * applied inside `buildScan` (so partition pruning / parquet pushdown /
+  * bucket pruning fire beneath the materialization) AND returned as
+  * residuals for Spark to re-apply — the same safety-net contract as the
+  * reference (FlinkTableSource.java:658-662: "engine re-applies
+  * everything; storage skipping is best-effort").
+  */
+class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.desc.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // all residual (best-effort pushdown, Spark re-applies)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // empty projection (e.g. count(*)) still needs one column to scan
+    required = if (requiredSchema.isEmpty)
+      StructType(table.desc.schema.fields.take(1)) else requiredSchema
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val filters = pushed
+      val schema = required
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          val base = filters.flatMap(GraftScanBuilder.toColumn)
+            .foldLeft(table.scan())(_.filter(_))
+          base.select(schema.fieldNames.toIndexedSeq.map(
+            org.apache.spark.sql.functions.col): _*).rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+object GraftScanBuilder {
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{Column => SCol}
+
+  /** sources.Filter -> Column for the reference's 15 leaf predicates
+    * (SURVEY §2.2 P2) plus And/Or/Not. None = untranslatable (left to
+    * Spark's residual evaluation).
+    */
+  def toColumn(f: Filter): Option[SCol] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc && rc
+    case Or(l, r) => for {lc <- toColumn(l); rc <- toColumn(r)} yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

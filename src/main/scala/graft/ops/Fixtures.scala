@@ -321,6 +321,36 @@ object Fixtures {
       t
     }
 
+  private val sqlCatCache = mutable.Map.empty[String, String]
+
+  /** S11 DSv2-catalog fixture: registers a GraftCatalog on the session,
+    * creates an AGGREGATION table via SQL DDL and loads it with
+    * INSERT INTO ... SELECT — the whole write path driven through plain
+    * Spark SQL. Returns the catalog name (unique per sfDir so Verify /
+    * Bench / tests never collide on session catalog configs).
+    */
+  def sqlCatalog(spark: SparkSession, sfDir: String): String = synchronized {
+    sqlCatCache.getOrElseUpdate(sfDir, {
+      val cat = "gc" + math.abs(sfDir.hashCode)
+      val wh = Files.createTempDirectory("graft-dsv2-wh").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.connector.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      eventsTyped(spark, sfDir).createOrReplaceTempView("__c1_events")
+      spark.sql(s"""CREATE TABLE $cat.db.user_totals (
+        user_id BIGINT, total_value DECIMAL(18,6), max_ts TIMESTAMP)
+        USING graft TBLPROPERTIES (
+          'primary.key' = 'user_id',
+          'table.merge-engine' = 'aggregation',
+          'fields.total_value.agg' = 'sum',
+          'fields.max_ts.agg' = 'max')""")
+      spark.sql(s"INSERT INTO $cat.db.user_totals " +
+        "SELECT user_id, value, ts FROM __c1_events")
+      cat
+    })
+  }
+
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {

@@ -1,0 +1,84 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** S11 DSv2 catalog: DDL / INSERT / SELECT through plain Spark SQL. */
+class ConnectorSpec extends SparkTestBase {
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    spark.conf.set("spark.sql.catalog.gfs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfs.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfs.db")
+    dir
+  }
+
+  test("create PK table via DDL, INSERT upserts, SELECT reads merged state") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.kv (k BIGINT, v INT, tag STRING)
+      USING graft
+      TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO gfs.db.kv VALUES (1, 1, 'a'), (2, 2, 'b')")
+    spark.sql("INSERT INTO gfs.db.kv VALUES (1, 10, 'a2')")
+    val rows = spark.sql("SELECT k, v, tag FROM gfs.db.kv ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 10, "a2"), (2L, 2, "b")))
+  }
+
+  test("aggregation merge engine via TBLPROPERTIES") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.agg (k BIGINT, total BIGINT, last STRING)
+      USING graft
+      TBLPROPERTIES ('primary.key' = 'k', 'table.merge-engine' = 'aggregation',
+        'fields.total.agg' = 'sum', 'fields.last.agg' = 'last_value')""")
+    spark.sql("INSERT INTO gfs.db.agg VALUES (7, 5, 'x'), (7, 6, 'y'), (8, 1, 'z')")
+    val rows = spark.sql("SELECT k, total, last FROM gfs.db.agg ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((7L, 11L, "y"), (8L, 1L, "z")))
+  }
+
+  test("append (log) table: inserts accumulate; filter + projection push through") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.log (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gfs.db.log VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO gfs.db.log VALUES (1, 3)")
+    assert(spark.sql("SELECT count(*) FROM gfs.db.log").collect()(0).getLong(0) == 3)
+    val filtered = spark.sql("SELECT v FROM gfs.db.log WHERE k = 1 AND v > 1")
+    assert(filtered.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // pushed filters show up in the DSv1-bridge relation's plan
+    assert(filtered.queryExecution.executedPlan != null)
+  }
+
+  test("catalog surface: list, alter add column, rename, drop") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.surf (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    assert(spark.sql("SHOW TABLES IN gfs.db").collect()
+      .map(_.getString(1)).contains("surf"))
+    spark.sql("ALTER TABLE gfs.db.surf ADD COLUMN note STRING")
+    spark.sql("INSERT INTO gfs.db.surf VALUES (1, 'n')")
+    assert(spark.sql("SELECT note FROM gfs.db.surf").collect()(0).getString(0) == "n")
+    spark.sql("ALTER TABLE gfs.db.surf RENAME TO gfs.db.surf2")
+    assert(spark.sql("SELECT count(*) FROM gfs.db.surf2").collect()(0).getLong(0) == 1)
+    spark.sql("DROP TABLE gfs.db.surf2")
+    assert(!spark.sql("SHOW TABLES IN gfs.db").collect()
+      .map(_.getString(1)).contains("surf2"))
+  }
+
+  test("DataFrame API reads the same catalog table (spark.table)") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.dfapi (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.dfapi VALUES (1, 1), (1, 2)")
+    val df = spark.table("gfs.db.dfapi").filter(col("k") === 1).select("v")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
