@@ -325,6 +325,15 @@ object SparkEntry {
     // ----- A8: table stats (row count)
     "a8_table_stats" -> ((s, dir) => Fixtures.usersLww(s, dir).stats()),
 
+    // ----- A5 variant: every remaining aggregate function of the 13
+    // (min, product, first_value[_ignore_nulls], last_value_ignore_nulls,
+    // bool_and, bool_or, rb64-as-cardinality)
+    "a5_all_functions" -> ((s, dir) =>
+      Fixtures.userAllFns(s, dir).scan()
+        .withColumn("seen_card",
+          graft.functions.Bitmaps.rbCardinality(col("seen")))
+        .drop("seen")),
+
     // ----- S11: the DSv2 catalog connector — DDL + INSERT INTO + SELECT
     // all through plain Spark SQL against a registered GraftCatalog
     "c1_catalog_sql" -> ((s, dir) => {
@@ -632,6 +641,31 @@ object SparkEntry {
 
     "a8_table_stats" ->
       "SELECT count(DISTINCT user_id) AS n_rows FROM events",
+
+    "a5_all_functions" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS value,
+        |         nullif(event_type, 'view') AS nv
+        |  FROM events),
+        |w AS (
+        |  SELECT DISTINCT user_id,
+        |    first_value(nv) OVER win AS first_v,
+        |    first_value(nv IGNORE NULLS) OVER win AS first_nn,
+        |    last_value(nv IGNORE NULLS) OVER win AS last_nn
+        |  FROM base
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |a AS (
+        |  SELECT user_id, min(ts) AS min_ts,
+        |    product(CASE WHEN event_id % 50 = 0
+        |                 THEN 1.0 + CAST(event_id % 7 AS DOUBLE) ELSE 1.0 END) AS prod,
+        |    bool_and(value > 50) AS ball,
+        |    bool_or(value > 500) AS bany,
+        |    count(DISTINCT event_id % 32) AS seen_card
+        |  FROM base GROUP BY user_id)
+        |SELECT a.user_id, a.min_ts, w.first_v, w.first_nn, w.last_nn,
+        |       a.prod, a.ball, a.bany, a.seen_card
+        |FROM a JOIN w USING (user_id)""".stripMargin,
 
     "c1_catalog_sql" ->
       """SELECT user_id,

@@ -33,6 +33,14 @@ object Bitmaps {
     bm
   }
 
+  /** Driver/executor-side bitmap union over the serialized form — the
+    * sequential-fold step of the rb32/rb64 AGGREGATION merge engine
+    * (FieldRb32Agg/FieldRb64Agg union the old and new bitmap BYTES).
+    */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b else if (b == null) a
+    else { val x = deser(a); x.or(deser(b)); ser(x) }
+
   // ----- scalar functions ------------------------------------------------
 
   import org.apache.spark.sql.functions.udf

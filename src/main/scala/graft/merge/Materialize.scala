@@ -174,7 +174,9 @@ object Materialize {
       case AggFunction.BoolAnd => bool_and(v)
       case AggFunction.BoolOr => bool_or(v)
       case AggFunction.Rb32 | AggFunction.Rb64 =>
-        graft.functions.Bitmaps.rb_build_agg(v)
+        // BYTES column of serialized bitmaps; group result = OR-union
+        // (same semantics as the sequential fold's Bitmaps.union)
+        graft.functions.Bitmaps.rb_or_agg(v)
       case other if other.startsWith(s"${AggFunction.ListAgg}") =>
         // "listagg" or "listagg:<delim>"; arrival order, nulls skipped
         val delim = if (other.contains(':')) other.split(":", 2)(1) else ","

@@ -204,8 +204,10 @@ object RowMergers {
         if (acc == null) in else if (in == null) acc
         else s"${acc.toString}$delim${in.toString}"
       case AggFunction.Rb32 | AggFunction.Rb64 =>
-        throw new UnsupportedOperationException(
-          "rb32/rb64 row-merge handled via Bitmaps aggregators")
+        // BYTES column holding a serialized roaring bitmap; merge = union
+        // (FieldRb32Agg/FieldRb64Agg — null-skipping like the others)
+        graft.functions.Bitmaps.union(
+          acc.asInstanceOf[Array[Byte]], in.asInstanceOf[Array[Byte]])
       case other => throw new IllegalArgumentException(s"unknown agg: $other")
     }
   }

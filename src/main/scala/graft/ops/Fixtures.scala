@@ -321,6 +321,53 @@ object Fixtures {
       t
     }
 
+  /** A5 all-functions fixture: one AGGREGATION table exercising every
+    * remaining agg function (min, product, first_value,
+    * first_value_ignore_nulls, last_value_ignore_nulls, bool_and,
+    * bool_or, rb64) — the others (sum, max, last_value, listagg) are
+    * covered by userAggs. Derived columns are built so every aggregate
+    * is exactly oracle-checkable:
+    *  - product factors are integer-valued doubles (exact in IEEE754 and
+    *    order-independent), 1.0 except on a sparse event subset;
+    *  - the first/last columns null out 'view' events so IGNORE NULLS
+    *    variants genuinely differ from the plain ones;
+    *  - the rb64 column takes single-value serialized bitmaps and unions
+    *    them; rb_cardinality(seen) == count(DISTINCT event_id % 32).
+    */
+  def userAllFns(spark: SparkSession, sfDir: String): GraftTable =
+    cached("user_allfns", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val nv = when(col("event_type") === "view", lit(null).cast(StringType))
+        .otherwise(col("event_type"))
+      val in = ev.select(
+        col("user_id"),
+        col("ts").as("min_ts"),
+        nv.as("first_v"), nv.as("first_nn"), nv.as("last_nn"),
+        when(col("event_id") % 50 === 0,
+          lit(1.0) + (col("event_id") % 7).cast(DoubleType))
+          .otherwise(lit(1.0)).as("prod"),
+        (col("value") > 50).as("ball"),
+        (col("value") > 500).as("bany"),
+        graft.functions.Bitmaps.rbBuild(
+          array((col("event_id") % 32).cast(LongType))).as("seen"),
+        col("event_id"))
+      val t = fresh(spark, sfDir, "user_allfns",
+        TableDescriptor(
+          StructType(in.schema.fields.filterNot(_.name == "event_id")),
+          primaryKey = Seq("user_id"),
+          mergeEngine = MergeEngine.Aggregation(Map(
+            "min_ts" -> AggFunction.Min,
+            "first_v" -> AggFunction.FirstValue,
+            "first_nn" -> AggFunction.FirstValueIgnoreNulls,
+            "last_nn" -> AggFunction.LastValueIgnoreNulls,
+            "prod" -> AggFunction.Product,
+            "ball" -> AggFunction.BoolAnd,
+            "bany" -> AggFunction.BoolOr,
+            "seen" -> AggFunction.Rb64))))
+      t.upsert(in, orderBy = Seq(in("event_id")))
+      t
+    }
+
   private val sqlCatCache = mutable.Map.empty[String, String]
 
   /** S11 DSv2-catalog fixture: registers a GraftCatalog on the session,
