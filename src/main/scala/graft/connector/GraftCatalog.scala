@@ -323,8 +323,11 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = {
+          // P5 through SQL: equality predicates pinning all bucket keys
+          // prune the scan to one bucket's partition dirs (snapshot+log)
+          val eqs = GraftScanBuilder.equalities(filters)
           val base = filters.flatMap(GraftScanBuilder.toColumn)
-            .foldLeft(table.scan())(_.filter(_))
+            .foldLeft(table.scanPruned(eqs))(_.filter(_))
           base.select(schema.fieldNames.toIndexedSeq.map(
             org.apache.spark.sql.functions.col): _*).rdd
         }
@@ -336,6 +339,16 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
 object GraftScanBuilder {
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.{Column => SCol}
+
+  /** Top-level equality constraints (column -> value) from a pushed
+    * filter set — the bucket-pruning input (conjuncts only; an OR can't
+    * pin a bucket).
+    */
+  def equalities(fs: Array[Filter]): Map[String, Any] = fs.flatMap {
+    case EqualTo(a, v) => Seq(a -> v)
+    case And(l, r) => equalities(Array(l, r))
+    case _ => Nil
+  }.toMap
 
   /** sources.Filter -> Column for the reference's 15 leaf predicates
     * (SURVEY §2.2 P2) plus And/Or/Not. None = untranslatable (left to

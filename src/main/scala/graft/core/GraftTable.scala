@@ -404,7 +404,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def compact(): Unit = {
     require(desc.isPrimaryKeyTable, "compact() applies to PK tables")
     val upTo = readOffsets()
-    currentState().write.mode("overwrite").parquet(snapshotDir)
+    // Bucket-partitioned like the log, so point lookups prune the
+    // snapshot's partition dirs exactly as they prune the log's
+    // (the reference's KV snapshots are per-bucket files too,
+    // KvSnapshotBatchScanner).
+    currentState().withColumn(Meta.Bucket, bucketCol)
+      .write.mode("overwrite").partitionBy(Meta.Bucket).parquet(snapshotDir)
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
         upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
@@ -444,24 +449,39 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     desc.copy(mergeEngine = MergeEngine.Default,
       deleteBehavior = DeleteBehavior.Allow)
 
+  /** The pre-merge state input: snapshot ∪ log tail (S4/S7: log wins,
+    * DELETE removes), with an optional bucket predicate pushed into BOTH
+    * sides so point lookups prune partition dirs of the snapshot AND the
+    * log. Routing every state read through here is what keeps lookups
+    * correct after `vacuumLog()` (history before the retained log lives
+    * only in the snapshot).
+    */
+  private def stateInput(bucketPred: Option[Column]): DataFrame = {
+    def p(df: DataFrame): DataFrame = bucketPred.map(df.filter).getOrElse(df)
+    readSnapshotMeta() match {
+      case None => p(logDF)
+      case Some(snapOffsets) =>
+        val snapSchema = StructType(desc.schema.fields :+
+          StructField(Meta.Bucket, IntegerType))
+        val snap = p(spark.read.schema(snapSchema)
+            .option("basePath", snapshotDir).parquet(snapshotDir))
+          // snapshot rows replay as inserts below any tail offset
+          .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+          .withColumn(Meta.Offset, lit(-1L))
+          .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
+        val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
+          when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+        }
+        val tail = p(logDF).filter(col(Meta.Offset) >= cutoff)
+        snap.unionByName(tail)
+    }
+  }
+
   /** Current state: snapshot ∪ log tail, keyed-merged (S4/S7 semantics:
     * log wins, DELETE removes).
     */
-  def currentState(): DataFrame = readSnapshotMeta() match {
-    case None => Materialize.currentState(logDF, collapseDesc)
-    case Some(snapOffsets) =>
-      val snap = spark.read.schema(desc.schema).parquet(snapshotDir)
-        // snapshot rows replay as inserts below any tail offset
-        .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
-        .withColumn(Meta.Offset, lit(-1L))
-        .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
-        .withColumn(Meta.Bucket, bucketCol)
-      val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
-        when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
-      }
-      val tail = logDF.filter(col(Meta.Offset) >= cutoff)
-      Materialize.currentState(snap.unionByName(tail), collapseDesc)
-  }
+  def currentState(): DataFrame =
+    Materialize.currentState(stateInput(None), collapseDesc)
 
   // ---------------------------------------------------------------------
   // read surfaces
@@ -471,6 +491,27 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def scan(): DataFrame =
     if (desc.isPrimaryKeyTable) currentState()
     else logDF.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Best-effort bucket-pruned scan (P5 through any entry point, e.g.
+    * the DSv2 connector): when equality predicates pin every bucket key,
+    * read only that bucket's partition directory — 1/numBuckets of the
+    * I/O before any merge work — and fall back to the full scan
+    * otherwise. Values are cast to the declared column types before
+    * hashing (same rule as lookup).
+    */
+  def scanPruned(eq: Map[String, Any]): DataFrame = {
+    val keys = desc.effectiveBucketKeys
+    if (keys.nonEmpty && keys.forall(eq.contains)) {
+      if (desc.isPrimaryKeyTable) prunedState(eq)
+      else {
+        val bTypes = keys.map(c => desc.schema(c).dataType)
+        val b = graft.plans.BucketPruning.bucketForValues(
+          keys.map(eq), bTypes, desc.numBuckets)
+        logDF.filter(col(Meta.Bucket) === b)
+          .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    } else scan()
+  }
 
   /** `t$changelog` virtual table (website/docs/table-design/
     * virtual-tables.md:14): data + `_change_type`, `_log_offset`,
@@ -530,8 +571,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .map(k => graft.plans.BucketPruning.bucketForValues(
         bKeys.map(k), bTypes, desc.numBuckets))
       .distinct
-    val pruned = logDF.filter(col(Meta.Bucket).isin(buckets: _*))
-    Materialize.currentState(pruned, collapseDesc)
+    Materialize.currentState(
+        stateInput(Some(col(Meta.Bucket).isin(buckets: _*))), collapseDesc)
       .filter(keys.map(keyPredicate).reduce(_ || _))
   }
 
@@ -639,12 +680,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def prunedState(key: Map[String, Any]): DataFrame = {
     val keys = desc.effectiveBucketKeys
-    val pruned =
+    val pred =
       if (keys.forall(key.contains)) {
         val b = pmod(hash(keys.map(k =>
           lit(key(k)).cast(desc.schema(k).dataType)): _*), lit(desc.numBuckets))
-        logDF.filter(col(Meta.Bucket) === b)
-      } else logDF
-    Materialize.currentState(pruned, collapseDesc)
+        Some(col(Meta.Bucket) === b) // foldable -> partition pruning
+      } else None
+    Materialize.currentState(stateInput(pred), collapseDesc)
   }
 }

@@ -100,6 +100,9 @@ class TypedApiSpec extends SparkTestBase {
     // after compact -> -U,+U pairs)
     assert(t.changelog().count() == 10)
     assert(t.lookupAs[KV](Map("user_id" -> 3L)) == Some(KV(3L, "w3")))
+    // a key never touched after compact lives ONLY in the snapshot after
+    // vacuum — the lookup must union snapshot + log, not scan the log alone
+    assert(t.lookupAs[KV](Map("user_id" -> 10L)) == Some(KV(10L, "v10")))
   }
 
   test("deleteWhere / updateWhere route through the merge path") {
