@@ -157,6 +157,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftDsTable(core.getTable(db(ident), ident.name), ident)
   }
 
+  /** `TIMESTAMP AS OF` time travel: Spark hands micros since epoch; the
+    * returned table reads the state as of that commit time (scanAsOf) and
+    * is read-only.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!core.tableExists(db(ident), ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftDsTable(core.getTable(db(ident), ident.name), ident,
+      asOf = Some(new java.sql.Timestamp(timestampMicros / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val desc = GraftOptions.toDescriptor(schema, partitions, properties)
@@ -243,7 +254,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * materialize current state, log tables read the log), batch write =
   * `upsert()` / `append()` via the V1 write bridge.
   */
-class GraftDsTable(val table: GraftTable, ident: Identifier)
+class GraftDsTable(val table: GraftTable, ident: Identifier,
+    asOf: Option[java.sql.Timestamp] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident.toString
@@ -269,7 +281,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    new GraftScanBuilder(table, asOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -293,7 +305,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier)
   * reference (FlinkTableSource.java:658-662: "engine re-applies
   * everything; storage skipping is best-effort").
   */
-class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+class GraftScanBuilder(table: GraftTable,
+    asOf: Option[java.sql.Timestamp] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -326,8 +339,12 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
           // P5 through SQL: equality predicates pinning all bucket keys
           // prune the scan to one bucket's partition dirs (snapshot+log)
           val eqs = GraftScanBuilder.equalities(filters)
+          val source = asOf match {
+            case Some(ts) => table.scanAsOf(ts)
+            case None => table.scanPruned(eqs)
+          }
           val base = filters.flatMap(GraftScanBuilder.toColumn)
-            .foldLeft(table.scanPruned(eqs))(_.filter(_))
+            .foldLeft(source)(_.filter(_))
           base.select(schema.fieldNames.toIndexedSeq.map(
             org.apache.spark.sql.functions.col): _*).rdd
         }

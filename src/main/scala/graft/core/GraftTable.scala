@@ -146,6 +146,31 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Time travel (`TIMESTAMP AS OF`, lakehouse semantics): the table
+    * STATE as of `ts` — every log record committed at or before `ts`,
+    * keyed-merged for PK tables. Distinct from [[scanFromTimestamp]]
+    * (T1 startup mode = records from `ts` ONWARD). History is bounded by
+    * log retention: after `vacuumLog()` only times at/after the snapshot
+    * cutoff are reconstructible, so reads older than the retained log
+    * fail loudly rather than returning partial state.
+    */
+  def scanAsOf(ts: java.sql.Timestamp): DataFrame = {
+    if (readSnapshotMeta().isDefined) {
+      // a vacuumed log starts above offset 0 in some bucket -> truncated
+      // history; only times within the retained log are reconstructible
+      val vacuumed = logDF.groupBy(col(Meta.Bucket))
+        .agg(min(col(Meta.Offset)).as("mn")).collect().exists(_.getLong(1) > 0L)
+      if (vacuumed) {
+        val minTs = logDF.agg(min(col(Meta.Timestamp))).head.getTimestamp(0)
+        require(!ts.before(minTs),
+          s"time travel to $ts precedes retained log history (vacuumed up to $minTs)")
+      }
+    }
+    val upTo = logDF.filter(col(Meta.Timestamp) <= lit(ts))
+    if (desc.isPrimaryKeyTable) Materialize.currentState(upTo, collapseDesc)
+    else upTo.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   // ---------------------------------------------------------------------
   // write paths
   // ---------------------------------------------------------------------

@@ -33,6 +33,17 @@ object Bitmaps {
     bm
   }
 
+  /** Build a serialized bitmap from values (driver/executor-side). */
+  def build(xs: Seq[Long]): Array[Byte] = {
+    val bm = new Roaring64Bitmap()
+    xs.foreach(bm.addLong)
+    ser(bm)
+  }
+
+  /** Decode a serialized bitmap to its ascending values. */
+  def toValues(b: Array[Byte]): Seq[Long] =
+    if (b == null) Nil else deser(b).toArray.toSeq
+
   /** Driver/executor-side bitmap union over the serialized form — the
     * sequential-fold step of the rb32/rb64 AGGREGATION merge engine
     * (FieldRb32Agg/FieldRb64Agg union the old and new bitmap BYTES).

@@ -73,6 +73,38 @@ class ConnectorSpec extends SparkTestBase {
       .map(_.getString(1)).contains("surf2"))
   }
 
+  test("TIMESTAMP AS OF reads the state as of an earlier commit") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.tt (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.tt VALUES (1, 1), (2, 2)")
+    Thread.sleep(20) // commit timestamps are ms-resolution
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gfs.db.tt VALUES (1, 99), (3, 3)")
+    val now = spark.sql("SELECT k, v FROM gfs.db.tt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(now == Seq((1L, 99), (2L, 2), (3L, 3)))
+    val then_ = spark.sql(
+      s"SELECT k, v FROM gfs.db.tt TIMESTAMP AS OF '$ts' ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(then_ == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("PARTITIONED BY creates a hive-partitioned log table; pruning works") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.part (k BIGINT, v INT, dt STRING)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gfs.db.part VALUES " +
+      "(1, 1, '2024-01-01'), (2, 2, '2024-01-02'), (3, 3, '2024-01-02')")
+    assert(spark.sql("SELECT count(*) FROM gfs.db.part WHERE dt = '2024-01-02'")
+      .collect()(0).getLong(0) == 2)
+    // partition keys landed in the descriptor (identity transform mapping)
+    assert(spark.table("gfs.db.part").schema.fieldNames.contains("dt"))
+  }
+
   test("DataFrame API reads the same catalog table (spark.table)") {
     wh
     spark.sql("CREATE TABLE gfs.db.dfapi (k BIGINT, v INT) USING graft " +

@@ -125,4 +125,39 @@ class MergeCrossCheckSpec extends SparkTestBase {
         "ver" -> AggFunction.Min))),
       compactBetween = true, partialBatch = false)
   }
+
+  test("aggregation engine rb64: write-path union == expected value sets") {
+    import graft.functions.Bitmaps
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("bm", BinaryType)))
+    val desc = TableDescriptor(sch, primaryKey = Seq("k"), numBuckets = 4,
+      mergeEngine = MergeEngine.Aggregation(Map("bm" -> AggFunction.Rb64)))
+    val rnd = new Random(7)
+    val ops = (0 until 150).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(64).toLong))
+    val t = cat.createTable("cc", "rb" + System.nanoTime(), desc)
+    val inSchema = StructType(sch.fields :+ StructField("ord", LongType))
+    val df = spark.createDataFrame(
+      ops.zipWithIndex.map { case ((k, v), i) =>
+        Row(k, Bitmaps.build(Seq(v)), i.toLong)
+      }.asJava, inSchema)
+    t.upsert(df, orderBy = Seq(df("ord")))
+    val got = t.scan().collect()
+      .map(r => r.getLong(0) -> Bitmaps.toValues(r.getAs[Array[Byte]](1)))
+      .toMap
+    val exp = ops.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).distinct.sorted.toSeq
+    }
+    assert(got == exp)
+    // and the distributed collapse path (Materialize with the agg desc)
+    val dist = Materialize.currentState(
+      t.changelog()
+        .filter(org.apache.spark.sql.functions.col(Meta.ChangeTypeCol) =!=
+          ChangeType.UpdateBefore)
+        .withColumnRenamed(Meta.LogOffset, Meta.Offset), desc)
+    // post-merge images collapse to the same final bitmap per key
+    val got2 = dist.collect()
+      .map(r => r.getLong(0) -> Bitmaps.toValues(r.getAs[Array[Byte]](1)))
+      .toMap
+    assert(got2 == exp)
+  }
 }
