@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bitmaps
 import graft.ops.Fixtures
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -250,6 +250,20 @@ object SparkEntry {
     "fp1_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))),
+
+    // ----- TA4: deterministic stratified sampling (data mixing — md5
+    // membership, so the exact selected set is engine-reproducible)
+    "ta4_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.75), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))),
+
+    // ----- T7: sessionization via native session_window (30-min gap)
+    "t7_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(Fixtures.eventsTyped(s, dir), "user_id", "ts",
+        "value", "30 minutes")
+        .withColumn("session_value",
+          col("session_value").cast(DecimalType(18, 6)))),
 
     // ----- P5: PK point-query rewrite — the optimizer rule derives the
     // murmur bucket from the PK literal and partition-prunes the log scan
@@ -620,6 +634,27 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "ta4_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  (CASE WHEN lang = 'en' THEN '8000'
+        |        WHEN lang = 'zh' THEN 'c000'
+        |        ELSE '4000' END)""".stripMargin,
+
+    "t7_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |       CAST(sum(value) AS DECIMAL(18,6)) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "rl1_row_level_ops" ->
       """SELECT ts, user_id, event_type,

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from an RNG, so the selected set changes with
+  * partitioning, retries and engine version — unusable for reproducible
+  * corpus construction or cross-engine verification. These samplers
+  * decide membership from a cryptographic hash of a stable id instead:
+  * the same row is in or out everywhere, forever, with no seed
+  * coordination across executors and no shuffle. At 100 TB this is a
+  * pure map-side filter that combines with column pruning and predicate
+  * pushdown like any other filter.
+  */
+object Sampling {
+
+  /** First 16 bits of md5(id) as a 4-hex-digit string — uniform on
+    * [0, 0x10000). Lexicographic order on the fixed-width lowercase hex
+    * equals numeric order, so any engine with md5 reproduces the sample.
+    */
+  private def hashFrac(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  private def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    val n = math.round(rate * 65536).toInt
+    // comparisons are lexicographic on fixed-width strings, so rate 1.0
+    // needs a sentinel ABOVE the hex alphabet ("10000" would sort below
+    // "2av3"-style hashes, not above)
+    if (n >= 65536) "g" else f"$n%04x"
+  }
+
+  /** Bernoulli(rate) sample, deterministic in `idCol`. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashFrac(col(idCol)) < lit(thresholdHex(rate)))
+
+  /** Stratified sample: per-stratum keep rates (data mixing — e.g.
+    * upweight low-resource languages by sampling high-resource ones
+    * down), strata absent from `rates` fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(thresholdHex(defaultRate))) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(thresholdHex(r))).otherwise(acc)
+    }
+    df.filter(hashFrac(col(idCol)) < thr)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSessionsSpec extends SparkTestBase {
+
+  test("deterministic sample: rate 0 and 1 are exact, membership is stable") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 1000)
+    val a = Sampling.deterministicSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // roughly the requested fraction (md5 is uniform; 1000 draws at 0.3)
+    assert(a.size > 230 && a.size < 370, s"got ${a.size}")
+    // monotone: a lower rate selects a subset of a higher rate
+    val c = Sampling.deterministicSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "src")
+    val s = Sampling.stratifiedSample(df, "id", "src",
+      Map("big" -> 0.1), defaultRate = 1.0)
+    val bySrc = s.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 1000) // default rate 1.0 keeps all
+    assert(bySrc("big") > 50 && bySrc("big") < 150, s"got ${bySrc("big")}")
+  }
+
+  test("sessionize splits on gaps >= the threshold and aggregates per session") {
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: events at 0,10,20 (one session), 60,65 (second session)
+    // user 2: single event
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(20), 3.0),
+      (1L, ts(60), 4.0), (1L, ts(65), 5.0),
+      (2L, ts(5), 7.0)).toDF("user_id", "ts", "value")
+    val got = Sessions.sessionize(df, "user_id", "ts", "value", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, ts(0), 3L, 6.0),
+      (1L, ts(60), 2L, 9.0),
+      (2L, ts(5), 1L, 7.0)))
+  }
+}
