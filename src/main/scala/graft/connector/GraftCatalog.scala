@@ -29,7 +29,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -307,10 +308,34 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
   */
 class GraftScanBuilder(table: GraftTable,
     asOf: Option[java.sql.Timestamp] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.desc.schema
+  private var countStarPushed = false
+
+  /** A6 count(*) pushdown: a bare `SELECT count(*)` on an append-only
+    * unpartitioned log table is answered from the offset manifest — zero
+    * files scanned (the reference's `countTable`, PushdownUtils.java:
+    * 348-440, summing per-bucket latest offsets; same caveats: PK tables
+    * and retention-expired tables must scan).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    canPushCount(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    countStarPushed = canPushCount(aggregation)
+    countStarPushed
+  }
+
+  private def canPushCount(aggregation: Aggregation): Boolean =
+    !table.desc.isPrimaryKeyTable &&
+      table.desc.partitionKeys.isEmpty && // expirePartitions skews offsets
+      asOf.isEmpty && pushed.isEmpty &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -326,10 +351,24 @@ class GraftScanBuilder(table: GraftTable,
   }
 
   override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
+    private val countSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("count(*)",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+    override def readSchema(): StructType =
+      if (countStarPushed) countSchema else required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
+      if (countStarPushed) {
+        val n = table.fastCount // manifest read, no scan
+        return new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = countSchema
+          override def buildScan(): RDD[Row] =
+            context.sparkSession.sparkContext.parallelize(Seq(Row(n)), 1)
+        }.asInstanceOf[T]
+      }
       val filters = pushed
       val schema = required
       new BaseRelation with TableScan {

@@ -73,6 +73,19 @@ class ConnectorSpec extends SparkTestBase {
       .map(_.getString(1)).contains("surf2"))
   }
 
+  test("count(*) on an unpartitioned log table is answered from the offset manifest") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.cnt (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')")
+    spark.sql("INSERT INTO gfs.db.cnt VALUES (1, 1), (2, 2), (3, 3)")
+    spark.sql("INSERT INTO gfs.db.cnt VALUES (4, 4)")
+    val q = spark.sql("SELECT count(*) FROM gfs.db.cnt")
+    assert(q.collect()(0).getLong(0) == 4)
+    // the pushed aggregate leaves no parquet scan in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+  }
+
   test("TIMESTAMP AS OF reads the state as of an earlier commit") {
     wh
     spark.sql("CREATE TABLE gfs.db.tt (k BIGINT, v INT) USING graft " +
