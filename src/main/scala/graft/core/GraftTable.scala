@@ -240,9 +240,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       ord.head.cast("long").as("__ord"), deleteFlag.as("__del"),
       retractFlag.as("__retract"))).toIndexedSeq: _*)
 
-    val changes = computeChanges(projected, targetColumns)
+    // O(touched-buckets) write path: state participates in the merge only
+    // for buckets the batch can collide with (the reference's putAsLeader
+    // reads only the touched RocksDB keys — KvTablet.java:514; here the
+    // batch's bucket set partition-prunes snapshot and log before the
+    // merge). The pre-pass is a distinct over <= numBuckets ints — for a
+    // small batch against a huge table this turns a full state read into
+    // a few partition dirs.
+    val bKeys = desc.effectiveBucketKeys
+    val touched: Option[Column] =
+      if (bKeys.isEmpty) None
+      else {
+        val bs = projected.select(pmod(hash(bKeys.map(col): _*),
+          lit(desc.numBuckets)).as("b")).distinct().collect().map(_.getInt(0))
+        if (bs.length >= desc.numBuckets) None
+        else Some(col(Meta.Bucket).isin(bs.toIndexedSeq: _*))
+      }
+
+    val changes = computeChanges(projected, targetColumns, touched)
     commitToLog(changes, commitTag)
   }
+
+  /** Current state restricted to a bucket subset (write-path merge input). */
+  private def touchedState(buckets: Option[Column]): DataFrame =
+    Materialize.currentState(stateInput(buckets), collapseDesc)
 
   /** Sequentially fold a batch against current state per PK, emitting
     * change rows — the engine's KvTablet.putAsLeader (KvTablet.java:514):
@@ -258,13 +279,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     *    cogroup on the PK; each key's fold is local and ordered by `__ord`.
     */
   private def computeChanges(batch: DataFrame,
-      targetColumns: Option[Seq[String]]): DataFrame =
+      targetColumns: Option[Seq[String]],
+      touched: Option[Column] = None): DataFrame =
     if (desc.mergeEngine == MergeEngine.Default && targetColumns.isEmpty)
-      computeChangesDefaultSql(batch)
-    else computeChangesCogroup(batch, targetColumns)
+      computeChangesDefaultSql(batch, touched)
+    else computeChangesCogroup(batch, targetColumns, touched)
 
   /** SQL fast path: batch has data cols + __ord + __del + __retract. */
-  private def computeChangesDefaultSql(batch: DataFrame): DataFrame = {
+  private def computeChangesDefaultSql(batch: DataFrame,
+      touched: Option[Column] = None): DataFrame = {
     val dataCols = desc.schema.fieldNames.toSeq
     val emitBefore = desc.changelogImage == ChangelogImage.Full
     // retractions are no-ops for the default engine; Ignore drops deletes
@@ -274,7 +297,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       case DeleteBehavior.Allow => src0
     }
     // initial state participates as a pseudo-row below every batch ord
-    val statePseudo = currentState()
+    val statePseudo = touchedState(touched)
       .withColumn("__ord", lit(Long.MinValue))
       .withColumn("__del", lit(false))
     val unioned = src.select((dataCols.map(col) ++
@@ -309,7 +332,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   }
 
   private def computeChangesCogroup(batch: DataFrame,
-      targetColumns: Option[Seq[String]]): DataFrame = {
+      targetColumns: Option[Seq[String]],
+      touched: Option[Column] = None): DataFrame = {
     val d = desc
     val pk = d.primaryKey
     val pkSchema = StructType(pk.map(c => d.schema(d.schema.fieldIndex(c))).toArray)
@@ -322,7 +346,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     def keyOf(r: Row, schema: StructType): Row =
       new GenericRowWithSchema(pk.map(c => r.get(schema.fieldIndex(c))).toArray[Any], pkSchema)
 
-    val state = currentState()
+    val state = touchedState(touched)
     val stateG = state.groupByKey(r => keyOf(r, dataSchema))(keyEnc)
     val batchG = batch.groupByKey(r => keyOf(r, batchSchema))(keyEnc)
     val ordIdx = batchSchema.fieldIndex("__ord")

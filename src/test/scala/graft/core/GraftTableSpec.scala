@@ -105,4 +105,24 @@ class GraftTableSpec extends SparkTestBase {
       mergeEngine = MergeEngine.Versioned("v"))
     assert(CatalogJson.read(CatalogJson.write(v)) == v)
   }
+
+  test("single-key upsert against a wide table reads prior state (touched-bucket merge)") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "touched",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 16))
+    val base = df((1L to 100L).map(i => (i, Int.box(i.toInt), s"v$i")): _*)
+    t.upsert(base, orderBy = Seq(col("ord")))
+    // second commit touches ONE bucket; the merge still sees the prior
+    // row (correct -U before-image) and every other key is untouched
+    val one = df((7L, 999, "upd"))
+    t.upsert(one, orderBy = Seq(col("ord")))
+    val state = t.scan().collect()
+    assert(state.length == 100)
+    assert(state.find(_.getLong(0) == 7L).get.getInt(1) == 999)
+    val ch = t.changelog().filter(col("k") === 7L)
+      .orderBy(col(Meta.LogOffset)).collect()
+    assert(ch.map(_.getAs[String](Meta.ChangeTypeCol)).toSeq ==
+      Seq("+I", "-U", "+U"))
+    assert(ch(1).getInt(1) == 7) // -U carries the pre-update image
+  }
 }
