@@ -249,7 +249,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // a few partition dirs.
     val bKeys = desc.effectiveBucketKeys
     val touched: Option[Column] =
-      if (bKeys.isEmpty) None
+      // empty table (first commit): nothing to prune, skip the pre-pass
+      if (bKeys.isEmpty || (!hasLogFiles && readSnapshotMeta().isEmpty)) None
       else {
         val bs = projected.select(pmod(hash(bKeys.map(col): _*),
           lit(desc.numBuckets)).as("b")).distinct().collect().map(_.getInt(0))
