@@ -48,6 +48,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("lookup on a compacted table prunes snapshot AND log partition dirs") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cat = new graft.core.Catalog(
+      java.nio.file.Files.createTempDirectory("graft-audit").toString, spark)
+    val t = cat.createTable("audit", "snapprune", graft.core.TableDescriptor(
+      StructType(Seq(StructField("k", LongType), StructField("v", IntegerType))),
+      primaryKey = Seq("k"), numBuckets = 8))
+    val df = spark.range(50).selectExpr("id AS k", "CAST(id AS INT) AS v")
+    t.upsert(df, orderBy = Seq(col("k")))
+    t.compact()
+    val df2 = spark.range(5).selectExpr("id AS k", "CAST(id + 100 AS INT) AS v")
+    t.upsert(df2, orderBy = Seq(col("k")))
+    val p = t.lookup(Map("k" -> 3L)).queryExecution.executedPlan.toString
+    // both parquet scans (snapshot + log tail) carry a __bucket partition
+    // filter -> 1/numBuckets of the files on each side
+    val hits = raw"PartitionFilters: \[[^\]]*__bucket[^\]]*\]".r.findAllIn(p).size
+    assert(hits >= 2, p)
+  }
+
   test("sim1: scoring runs inside whole-stage codegen") {
     val p = plan("sim1_cosine_topk")
     // `*(n)` prefixes mark WholeStageCodegen spans; graft_dot must be
