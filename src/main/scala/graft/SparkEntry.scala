@@ -163,18 +163,23 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
     // ----- D2: exact n-gram Jaccard near-dup pairs (correctness baseline;
-    // persisted — d6 reuses the pair graph)
+    // pair graph persisted — d6 reuses it; the hashed-shingle stage is
+    // shared with d3's MinHash path)
     "d2_ngram_jaccard" -> ((s, dir) =>
       Fixtures.cachedDf("jaccard_pairs", dir) {
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 5, threshold = 0.8)
+        Dedup.ngramJaccardPairsFromDocs(
+          Fixtures.cachedDf("shingle_docs", dir) {
+            Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
+          }, threshold = 0.8)
       }),
 
     // ----- D3: MinHash+LSH near-dup candidates (the 100 TB path; recall
     // vs D2 is asserted in DedupSpec — no SQL oracle for hash banding)
     "d3_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("a_id"), col("b_id"))),
+      Dedup.minhashLshPairsFromDocs(
+        Fixtures.cachedDf("shingle_docs", dir) {
+          Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        }).select(col("a_id"), col("b_id"))),
 
     // ----- D4: SimHash near-dup pairs (hamming <= 3)
     "d4_simhash" -> ((s, dir) =>

@@ -43,17 +43,30 @@ object Dedup {
     * corpus, so the plan survives a 1000× scale-up (candidate count scales
     * with true near-dup density, not with corpus²).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // doc → distinct shingles, hashed to long so shuffles move 8 bytes;
-    // sorted so verification can merge-walk (SortedIntersectCount).
-    // Persisted: the index build and both verify sides read it, and
-    // shingle generation is the most expensive scalar work in the job
-    // (spills to disk beyond memory, so this holds at scale).
-    val docs = df.select(col(idCol).as("id"),
+  /** doc -> (id, gs: sorted distinct xxhash64 shingle hashes, sz).
+    * The shared first stage of the exact-Jaccard AND MinHash paths:
+    * hashing to long means shuffles move 8 bytes per shingle, sorting
+    * lets verification merge-walk (SortedIntersectCount). Shingle
+    * generation is the most expensive scalar work in either job, so
+    * pipelines computing both should build this once and persist it.
+    */
+  def hashedShingleDocs(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       array_sort(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gs"))
       .withColumn("sz", size(col("gs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsFromDocs(
+      hashedShingleDocs(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** Same, over a pre-built (and ideally persisted) [[hashedShingleDocs]]
+    * table — the index build and both verify sides read it.
+    */
+  def ngramJaccardPairsFromDocs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docs.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     // canonical order = (global frequency asc, hash): rarest first
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
@@ -97,16 +110,23 @@ object Dedup {
     * Returns (id, sig array<long>[numHashes]).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
+      n: Int, numHashes: Int, seed: Long = 42L): DataFrame =
+    minhashSignaturesFromDocs(hashedShingleDocs(df, idCol, textCol, n),
+      numHashes, seed)
+
+  /** Same, over a pre-built [[hashedShingleDocs]] table (the xxhash64
+    * shingle hash doubles as the universal-hash input).
+    */
+  def minhashSignaturesFromDocs(docs: DataFrame, numHashes: Int,
+      seed: Long = 42L): DataFrame = {
     // 2^31-1 Mersenne prime: (a*h+b) stays under 2^63 (ANSI-safe, no
     // overflow) while 2^31 minhash space is ample for banding.
     val p = 2147483647L
     val rnd = new scala.util.Random(seed)
     val params = Array.fill(numHashes)(
       (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("g"))
-      .withColumn("h", pmod(xxhash64(col("g")), lit(p)))
+    val sh = docs.select(col("id"), explode(col("gs")).as("g"))
+      .withColumn("h", pmod(col("g"), lit(p)))
     val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
@@ -124,21 +144,39 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame =
+    minhashLshPairsFromDocs(hashedShingleDocs(df, idCol, textCol, n),
+      numHashes, bands, threshold, seed)
+
+  /** Same, over a pre-built [[hashedShingleDocs]] table. */
+  def minhashLshPairsFromDocs(docs: DataFrame,
+      numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, seed)
-    // one row per (doc, band): bucket key = hash of the band's slice
-    val banded = sigs.select(col("id"), col("sig"),
+    // signatures are read three times (banding + both verify sides):
+    // persist the small (docs x numHashes-longs) table instead of
+    // recomputing the shingle aggregation per use
+    val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per (doc, band): bucket key = hash of the band's slice.
+    // Only (band, bucket, id) flows through the self-join and the pair
+    // distinct — 24-byte rows, NOT the ~1 KB signature arrays; the
+    // signatures rejoin only for the surviving candidate pairs. At scale
+    // the banding shuffle is the widest stage, so row width there is
+    // what the plan lives or dies on.
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig")).distinct()
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
           m => m)).cast("double") / lit(numHashes.toDouble))
