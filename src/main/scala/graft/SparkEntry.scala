@@ -203,6 +203,19 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // ----- J6 (beyond the reference): temporal AS OF join — each view
+    // event enriched with the user's latest purchase value at/before it
+    "j6_asof_join" -> ((s, dir) => {
+      val ev = Fixtures.eventsTyped(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ops.AsOfJoin.asofJoin(views, purchases,
+        Seq("user_id"), "ts", "ts")
+    }),
+
     // ----- SIM1: brute-force cosine top-k (exact baseline)
     "sim1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -639,6 +652,16 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "j6_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts,
+        |         arg_max(CAST(value AS DECIMAL(18,6)), event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT v.user_id, v.ts, v.event_id, p.value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "ta4_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
