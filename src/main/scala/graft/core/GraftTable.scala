@@ -188,9 +188,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def append(df: DataFrame, orderBy: Seq[Column] = Nil): Unit = {
     require(!desc.isPrimaryKeyTable, "use upsert() for PK tables")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
+    // Bulk ingestion: when ord and bucket are both content-derived
+    // (caller-supplied orderBy — which must be a deterministic function
+    // of the row — and keyed bucketing), every job recomputes identical
+    // per-bucket row sets, so the commit skips the batch materialization
+    // entirely — at scale, checkpointing the full ingest batch to
+    // executor disks is the last thing a 100 TB append should do.
+    val deterministic = orderBy.nonEmpty && desc.effectiveBucketKeys.nonEmpty
     commitToLog(df
       .withColumn(Meta.ChangeTypeCol, lit(ChangeType.AppendOnly))
-      .withColumn("__ord", ord.head.cast("long")))
+      .withColumn("__ord", ord.head.cast("long")),
+      materializeBatch = !deterministic)
   }
 
   /** Upsert a batch into a PK table (optionally a partial-update column
@@ -379,7 +387,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * Input: data cols + `_change_type` + `__ord`.
     */
   private def commitToLog(df: DataFrame,
-      commitTag: Option[(String, Long)] = None): Unit = {
+      commitTag: Option[(String, Long)] = None,
+      materializeBatch: Boolean = true): Unit = {
     val (bases, commits0) = readManifest()
     val commits = commits0 ++ commitTag
     // localCheckpoint (not cache): __ord / key-less __bucket derive from
@@ -387,8 +396,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // partition (cache eviction, executor loss) could re-assign them
     // between the counts job and the write job, corrupting the offset
     // manifest. Checkpointing truncates lineage — recompute is impossible;
-    // a lost block fails loudly instead of silently diverging.
-    val withBucket = df.withColumn(Meta.Bucket, bucketCol).localCheckpoint()
+    // a lost block fails loudly instead of silently diverging. Merge
+    // writes also benefit: the counts job and the write job share one
+    // merge computation. Deterministic appends (see append()) skip it:
+    // their per-bucket row sets recompute identically and their lineage
+    // is a cheap projection, so counts and write just run it twice.
+    val withBucket0 = df.withColumn(Meta.Bucket, bucketCol)
+    val withBucket =
+      if (materializeBatch) withBucket0.localCheckpoint() else withBucket0
     try {
       val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -433,7 +448,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         // empty batch still records its commit tag (streaming replay dedup)
         writeManifest(bases, commits)
       }
-    } finally withBucket.unpersist() // no-op for checkpointed plans; ContextCleaner frees the blocks
+    } finally if (materializeBatch) withBucket.unpersist() // no-op for checkpointed plans; ContextCleaner frees the blocks
   }
 
   // ---------------------------------------------------------------------
