@@ -274,6 +274,113 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def touchedState(buckets: Option[Column]): DataFrame =
     Materialize.currentState(stateInput(buckets), collapseDesc)
 
+  /** AGGREGATION-engine SQL fast path: the sequential per-key fold of
+    * RowMergers re-expressed as running-window aggregates, so the whole
+    * changelog generation stays inside Tungsten (no JVM row objects, no
+    * cogroup serialization). Exactness is what gates eligibility
+    * (WindowableAggs): every function here has a running form with
+    * byte-identical results to the fold — MergeCrossCheckSpec's
+    * randomized agg cases run through this path and pin it to the
+    * sequential implementation.
+    *
+    * Deletes reset aggregation state, which a running window cannot do —
+    * so rows are first split into per-key SEGMENTS (cumulative count of
+    * preceding deletes); each segment restarts the running aggregates.
+    * A delete row is always the last row of its own segment, and emits
+    * `-D` of the segment's final state via the same lag that gives every
+    * row its before-image.
+    */
+  private def computeChangesAggSql(batch: DataFrame,
+      aggs: Map[String, String], touched: Option[Column]): DataFrame = {
+    val dataCols = desc.schema.fieldNames.toSeq
+    val emitBefore = desc.changelogImage == ChangelogImage.Full
+    val src = desc.deleteBehavior match {
+      case DeleteBehavior.Ignore => batch.filter(!col("__del"))
+      case DeleteBehavior.Allow => batch
+    }
+    // initial state participates as a pseudo-row below every batch ord:
+    // its stored per-column values are exactly the accumulators the
+    // running aggregates must start from
+    val statePseudo = touchedState(touched)
+      .withColumn("__ord", lit(Long.MinValue))
+      .withColumn("__del", lit(false))
+      .withColumn("__retract", lit(false))
+    val unioned = src.select((dataCols.map(col) ++
+      Seq(col("__ord"), col("__del"), col("__retract"))).toIndexedSeq: _*)
+      .unionByName(statePseudo)
+
+    val pk = desc.primaryKey.map(col)
+    val wKey = Window.partitionBy(pk: _*).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isDel = col("__del")
+    val isRet = col("__retract")
+    // segment id = deletes strictly before this row (per key); a delete
+    // row belongs to the segment it terminates
+    val withSeg = unioned.withColumn("__seg",
+      sum(when(isDel, 1L).otherwise(0L)).over(wKey) - when(isDel, 1L).otherwise(0L))
+    val wSeg = Window.partitionBy((pk :+ col("__seg")): _*).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val active = !isDel && !isRet
+
+    // running accumulator per column — each case mirrors RowMergers
+    // .aggField exactly (null-skipping; sum subtracts on retraction into
+    // an implicit zero; FirstValue fixes at the state-creating row)
+    def acc(c: String): Column = {
+      val dt = desc.schema(c).dataType
+      aggs.getOrElse(c, AggFunction.LastValue) match {
+        case AggFunction.Sum =>
+          sum(when(isDel, lit(null).cast(dt))
+            .when(isRet, -col(c)).otherwise(col(c))).over(wSeg).cast(dt)
+        case AggFunction.Max => max(when(active, col(c))).over(wSeg)
+        case AggFunction.Min => min(when(active, col(c))).over(wSeg)
+        case AggFunction.LastValue =>
+          // wrap in struct: the last non-retract row wins even when its
+          // value is null
+          last(when(active, struct(col(c).as("v"))), ignoreNulls = true)
+            .over(wSeg)("v")
+        case AggFunction.LastValueIgnoreNulls =>
+          last(when(active, col(c)), ignoreNulls = true).over(wSeg)
+        case AggFunction.FirstValue =>
+          // value at state creation: the segment's first row (a creating
+          // retraction contributes null, and it never changes after)
+          first(when(!isRet, struct(col(c).as("v"))), ignoreNulls = false)
+            .over(wSeg)("v")
+        case AggFunction.FirstValueIgnoreNulls =>
+          first(when(active, col(c)), ignoreNulls = true).over(wSeg)
+        case AggFunction.BoolAnd => bool_and(when(active, col(c))).over(wSeg)
+        case AggFunction.BoolOr => bool_or(when(active, col(c))).over(wSeg)
+        case other => throw new IllegalStateException(s"not windowable: $other")
+      }
+    }
+    val rs = struct(dataCols.map(c =>
+      (if (desc.primaryKey.contains(c)) col(c) else acc(c)).as(c)): _*)
+    val wLag = Window.partitionBy((pk :+ col("__seg")): _*).orderBy(col("__ord"))
+
+    val change = (ct: Column, image: Column) =>
+      struct(ct.as("ct"), image.as("img"))
+    val emptyChanges = array().cast(ArrayType(StructType(Seq(
+      StructField("ct", StringType, nullable = false),
+      StructField("img", StructType(desc.schema.fields))))))
+    val upd =
+      if (emitBefore) array(
+        change(lit(ChangeType.UpdateBefore), col("__prev")),
+        change(lit(ChangeType.UpdateAfter), col("__rs")))
+      else array(change(lit(ChangeType.UpdateAfter), col("__rs")))
+    withSeg
+      .withColumn("__rs", rs)
+      .withColumn("__prev", lag(col("__rs"), 1).over(wLag))
+      .filter(col("__ord") =!= Long.MinValue) // pseudo-rows emit nothing
+      .withColumn("__changes",
+        when(isDel && col("__prev").isNotNull,
+          array(change(lit(ChangeType.Delete), col("__prev"))))
+        .when(isDel, emptyChanges)
+        .when(col("__prev").isNotNull, upd)
+        .otherwise(array(change(lit(ChangeType.Insert), col("__rs")))))
+      .select(col("__ord"), explode(col("__changes")).as("__c"))
+      .select((dataCols.map(c => col(s"__c.img.$c").as(c)) ++
+        Seq(col("__c.ct").as(Meta.ChangeTypeCol), col("__ord"))).toIndexedSeq: _*)
+  }
+
   /** Sequentially fold a batch against current state per PK, emitting
     * change rows — the engine's KvTablet.putAsLeader (KvTablet.java:514):
     * state lookup, RowMerger, changelog out.
@@ -290,9 +397,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def computeChanges(batch: DataFrame,
       targetColumns: Option[Seq[String]],
       touched: Option[Column] = None): DataFrame =
-    if (desc.mergeEngine == MergeEngine.Default && targetColumns.isEmpty)
-      computeChangesDefaultSql(batch, touched)
-    else computeChangesCogroup(batch, targetColumns, touched)
+    (desc.mergeEngine, targetColumns) match {
+      case (MergeEngine.Default, None) =>
+        computeChangesDefaultSql(batch, touched)
+      case (MergeEngine.Aggregation(aggs), None)
+          if aggs.values.forall(WindowableAggs.contains) =>
+        computeChangesAggSql(batch, aggs, touched)
+      case _ => computeChangesCogroup(batch, targetColumns, touched)
+    }
+
+  /** Aggregate functions with an exact running-window equivalent (the
+    * SQL fast path below). listagg (O(n^2) as a running concat), product
+    * (no exact running form) and the bitmap unions stay on the cogroup.
+    */
+  private val WindowableAggs: Set[String] = Set(
+    AggFunction.Sum, AggFunction.Max, AggFunction.Min,
+    AggFunction.LastValue, AggFunction.LastValueIgnoreNulls,
+    AggFunction.FirstValue, AggFunction.FirstValueIgnoreNulls,
+    AggFunction.BoolAnd, AggFunction.BoolOr)
 
   /** SQL fast path: batch has data cols + __ord + __del + __retract. */
   private def computeChangesDefaultSql(batch: DataFrame,

@@ -25,7 +25,8 @@ class MergeCrossCheckSpec extends SparkTestBase {
     StructField("k", LongType),
     StructField("a", IntegerType),
     StructField("b", StringType),
-    StructField("ver", LongType)))
+    StructField("ver", LongType),
+    StructField("fl", BooleanType)))
 
   private lazy val cat =
     new Catalog(Files.createTempDirectory("graft-cc").toString, spark)
@@ -37,7 +38,8 @@ class MergeCrossCheckSpec extends SparkTestBase {
       val a: Any = if (rnd.nextInt(8) == 0) null else Int.box(rnd.nextInt(100))
       val b: Any = if (rnd.nextInt(8) == 0) null else "s" + rnd.nextInt(30)
       val ver: Any = if (rnd.nextInt(8) == 0) null else Long.box(rnd.nextInt(50).toLong)
-      (new GenericRowWithSchema(Array[Any](k, a, b, ver), schema): Row,
+      val fl: Any = if (rnd.nextInt(8) == 0) null else Boolean.box(rnd.nextBoolean())
+      (new GenericRowWithSchema(Array[Any](k, a, b, ver, fl), schema): Row,
         rnd.nextInt(6) == 0)
     }
 
@@ -71,7 +73,7 @@ class MergeCrossCheckSpec extends SparkTestBase {
     batches.zipWithIndex.foreach { case ((ops, target), i) =>
       val df = spark.createDataFrame(
         ops.zipWithIndex.map { case ((r, del), j) =>
-          Row(r.get(0), r.get(1), r.get(2), r.get(3), del, j.toLong)
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), del, j.toLong)
         }.asJava, inSchema)
       t.upsertMixed(df, orderBy = Seq(df("ord")), targetColumns = target)
       if (compactBetween && i == 0) t.compact()
@@ -123,6 +125,21 @@ class MergeCrossCheckSpec extends SparkTestBase {
         "a" -> AggFunction.Sum,
         "b" -> AggFunction.LastValueIgnoreNulls,
         "ver" -> AggFunction.Min))),
+      compactBetween = true, partialBatch = false)
+  }
+
+  test("aggregation engine first/bool window forms: distributed == sequential") {
+    run("agg_fv", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.Aggregation(Map(
+        "a" -> AggFunction.FirstValue,
+        "b" -> AggFunction.FirstValueIgnoreNulls,
+        "ver" -> AggFunction.LastValue,
+        "fl" -> AggFunction.BoolAnd))),
+      compactBetween = false, partialBatch = false)
+    run("agg_bool", TableDescriptor(schema, primaryKey = Seq("k"),
+      numBuckets = 4, mergeEngine = MergeEngine.Aggregation(Map(
+        "a" -> AggFunction.Min,
+        "fl" -> AggFunction.BoolOr))),
       compactBetween = true, partialBatch = false)
   }
 
