@@ -197,8 +197,13 @@ object SparkEntry {
     // doc_id of its near-dup component as canonical_id)
     "d6_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // same builder composition as d2 — whichever runs first, the pair
+      // graph and the shingle stage are each built exactly once
       val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.8)
+        Dedup.ngramJaccardPairsFromDocs(
+          Fixtures.cachedDf("shingle_docs", dir) {
+            Dedup.hashedShingleDocs(docs, "doc_id", "text", n = 5)
+          }, threshold = 0.8)
       }
       Dedup.clusters(docs, "doc_id", pairs)
     }),

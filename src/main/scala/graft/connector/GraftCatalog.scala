@@ -120,6 +120,10 @@ object GraftOptions {
         m.put(MergeEngine, "aggregation")
         aggs.foreach { case (c, f) => m.put(s"$AggPrefix$c$AggSuffix", f) }
     }
+    if (d.deleteBehavior == graft.core.DeleteBehavior.Ignore)
+      m.put(DeleteBehavior, "ignore")
+    if (d.changelogImage == graft.core.ChangelogImage.Wal)
+      m.put(ChangelogImage, "wal")
     d.autoIncrementColumn.foreach(m.put(AutoIncrement, _))
     m
   }
@@ -194,14 +198,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     exists
   }
 
-  /** Rename within the source database (clone + drop — on an object store
-    * a metadata-level copy). The new identifier's namespace is ignored:
-    * Spark's RENAME TO passes it in several shapes (bare, db-qualified,
-    * catalog-qualified) and cross-database moves are unsupported anyway.
+  /** Rename within the source database (one atomic directory move). The
+    * new identifier's namespace is ignored: Spark's RENAME TO passes it
+    * in several shapes (bare, db-qualified, catalog-qualified) and
+    * cross-database moves are unsupported anyway.
     */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    core.cloneTable(db(oldIdent), oldIdent.name, newIdent.name)
-    core.dropTable(db(oldIdent), oldIdent.name)
+    core.renameTable(db(oldIdent), oldIdent.name, newIdent.name)
+    ()
   }
 
   // ---- namespaces (one level = database directory) ----

@@ -76,6 +76,18 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     getTable(db, dst)
   }
 
+  /** Rename = one directory move (atomic on a local filesystem, a
+    * metadata operation on an object store) — never a data copy.
+    */
+  def renameTable(db: String, src: String, dst: String): GraftTable = {
+    val s = Paths.get(warehouse, db, src)
+    require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
+    val d = Paths.get(warehouse, db, dst)
+    require(!Files.exists(d), s"table $db.$dst exists")
+    Files.move(s, d)
+    getTable(db, dst)
+  }
+
   def tableExists(db: String, name: String): Boolean =
     Files.exists(Paths.get(warehouse, db, name, "meta.json"))
 

@@ -155,18 +155,28 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * fail loudly rather than returning partial state.
     */
   def scanAsOf(ts: java.sql.Timestamp): DataFrame = {
-    if (readSnapshotMeta().isDefined) {
-      // a vacuumed log starts above offset 0 in some bucket -> truncated
-      // history; only times within the retained log are reconstructible
-      val vacuumed = logDF.groupBy(col(Meta.Bucket))
-        .agg(min(col(Meta.Offset)).as("mn")).collect().exists(_.getLong(1) > 0L)
-      if (vacuumed) {
-        val minTs = logDF.agg(min(col(Meta.Timestamp))).head.getTimestamp(0)
-        require(!ts.before(minTs),
-          s"time travel to $ts precedes retained log history (vacuumed up to $minTs)")
-      }
+    val vacuumed = readSnapshotMeta().isDefined && {
+      // a vacuumed log is empty or starts above offset 0 in some bucket
+      val mins = logDF.groupBy(col(Meta.Bucket))
+        .agg(min(col(Meta.Offset)).as("mn")).collect()
+      mins.isEmpty || mins.exists(_.getLong(1) > 0L)
     }
-    val upTo = logDF.filter(col(Meta.Timestamp) <= lit(ts))
+    val upTo =
+      if (!vacuumed) {
+        // full history retained: replay the log alone (a snapshot, which
+        // reflects state at compact time, must NOT leak into older reads)
+        logDF.filter(col(Meta.Timestamp) <= lit(ts))
+      } else {
+        // truncated history: pre-cutoff state lives only in the snapshot,
+        // which is valid for reads at/after its creation time
+        val snapTime = new java.sql.Timestamp(
+          Files.getLastModifiedTime(Paths.get(snapshotMetaFile)).toMillis)
+        require(!ts.before(snapTime),
+          s"time travel to $ts precedes retained history (log vacuumed; " +
+            s"snapshot taken $snapTime)")
+        // snapshot rows carry Timestamp(0) and replay below any tail row
+        stateInput(None).filter(col(Meta.Timestamp) <= lit(ts))
+      }
     if (desc.isPrimaryKeyTable) Materialize.currentState(upTo, collapseDesc)
     else upTo.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -241,10 +251,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       commitTag: Option[(String, Long)] = None): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
-    // project to full schema (missing cols null — partial updates)
+    // project to full schema (missing cols null — partial updates) and
+    // COERCE every column to its declared type up front: downstream
+    // bucket hashing must see the stored type (an Int 7 for a BIGINT
+    // column hashes to a different bucket than the Long 7 the log holds)
     val projected = desc.schema.fieldNames.foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(desc.schema(c).dataType))
-    }.select((desc.schema.fieldNames.map(col) ++ Seq(
+    }.select((desc.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)) ++ Seq(
       ord.head.cast("long").as("__ord"), deleteFlag.as("__del"),
       retractFlag.as("__retract"))).toIndexedSeq: _*)
 
@@ -400,8 +413,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     (desc.mergeEngine, targetColumns) match {
       case (MergeEngine.Default, None) =>
         computeChangesDefaultSql(batch, touched)
-      case (MergeEngine.Aggregation(aggs), None)
-          if aggs.values.forall(WindowableAggs.contains) =>
+      case (MergeEngine.Aggregation(aggs), None) if windowable(aggs) =>
         computeChangesAggSql(batch, aggs, touched)
       case _ => computeChangesCogroup(batch, targetColumns, touched)
     }
@@ -415,6 +427,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     AggFunction.LastValue, AggFunction.LastValueIgnoreNulls,
     AggFunction.FirstValue, AggFunction.FirstValueIgnoreNulls,
     AggFunction.BoolAnd, AggFunction.BoolOr)
+
+  /** STRING max/min is additionally excluded: Spark's window max orders
+    * by UTF-8 bytes while the sequential fold uses Java compareTo
+    * (UTF-16 code units) — they disagree on supplementary characters,
+    * and the two paths must stay byte-identical.
+    */
+  private def windowable(aggs: Map[String, String]): Boolean =
+    aggs.forall { case (c, fn) =>
+      WindowableAggs.contains(fn) &&
+        !((fn == AggFunction.Max || fn == AggFunction.Min) &&
+          desc.schema(c).dataType == StringType)
+    }
 
   /** SQL fast path: batch has data cols + __ord + __del + __retract. */
   private def computeChangesDefaultSql(batch: DataFrame,

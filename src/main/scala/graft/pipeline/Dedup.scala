@@ -320,11 +320,17 @@ object Dedup {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextSig = next.agg(count(lit(1)),
         coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
-      converged = nextSig == sig
+      // the (count, hash-sum) signature is a cheap screen; an exact
+      // set-difference confirms the fixpoint (guards the 2^-32 hash-sum
+      // collision that would otherwise stop the loop on a wrong answer —
+      // it runs once, at the suspected fixpoint)
+      converged = nextSig == sig && next.exceptAll(e).isEmpty
       sig = nextSig
       e = next
       round += 1
     }
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
     // fixpoint edges are (node -> component min); representatives self-map
     e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")).distinct())

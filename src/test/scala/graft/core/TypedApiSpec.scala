@@ -103,6 +103,14 @@ class TypedApiSpec extends SparkTestBase {
     // a key never touched after compact lives ONLY in the snapshot after
     // vacuum — the lookup must union snapshot + log, not scan the log alone
     assert(t.lookupAs[KV](Map("user_id" -> 10L)) == Some(KV(10L, "v10")))
+    // time travel after vacuum: a current-time read still sees all 20
+    // keys (snapshot ∪ tail), and a read predating the snapshot fails
+    // loudly instead of returning partial state
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(t.scanAsOf(now).count() == 20)
+    intercept[IllegalArgumentException] {
+      t.scanAsOf(new java.sql.Timestamp(0L)).count()
+    }
   }
 
   test("deleteWhere / updateWhere route through the merge path") {
