@@ -261,7 +261,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 class GraftDsTable(val table: GraftTable, ident: Identifier,
     asOf: Option[java.sql.Timestamp] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** `DELETE FROM` (SURVEY §4 row-level ops through SQL): routed through
+    * the merge path — emits `-D` change rows like any other delete, so
+    * the changelog stays consistent. PK tables only; predicates that
+    * don't translate are rejected up front (canDeleteWhere), making
+    * Spark fall back to an error rather than a wrong partial delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    table.desc.isPrimaryKeyTable && asOf.isEmpty &&
+      filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters), "untranslatable DELETE predicate")
+    val cond = filters.flatMap(GraftScanBuilder.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.deleteWhere(cond)
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = table.desc.schema

@@ -118,6 +118,23 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.table("gfs.db.part").schema.fieldNames.contains("dt"))
   }
 
+  test("DELETE FROM routes through the merge path and logs -D changes") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.del (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.del VALUES (1, 1), (2, 2), (3, 3)")
+    spark.sql("DELETE FROM gfs.db.del WHERE v >= 2")
+    assert(spark.sql("SELECT k FROM gfs.db.del").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // the deletes went through the changelog, not a file rewrite
+    val cat = spark.sessionState.catalogManager.catalog("gfs")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "del")).asInstanceOf[GraftDsTable].table
+    assert(t.changelog().filter(org.apache.spark.sql.functions
+      .col("_change_type") === "-D").count() == 2)
+  }
+
   test("DataFrame API reads the same catalog table (spark.table)") {
     wh
     spark.sql("CREATE TABLE gfs.db.dfapi (k BIGINT, v INT) USING graft " +
