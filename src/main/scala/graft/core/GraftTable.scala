@@ -584,6 +584,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
         out.write.mode("append")
           .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
+        // optimistic concurrency: a concurrent commit would have advanced
+        // the manifest since we read it — overwriting would assign the
+        // same offsets twice. Fail loudly (the reference serializes
+        // through a single tablet leader; we detect instead of lock).
+        val currentBases = readManifest()._1
+        if (currentBases != bases)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit detected on $path: offsets advanced from " +
+              s"$bases to $currentBases during this commit")
         writeManifest(
           bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
           commits)
