@@ -551,24 +551,48 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val withBucket =
       if (materializeBatch) withBucket0.localCheckpoint() else withBucket0
     try {
-      val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (counts.nonEmpty) {
-        val baseExpr = counts.keys.toSeq.sorted.foldLeft(lit(0L)) { (acc, b) =>
-          when(col(Meta.Bucket) === b, lit(bases.getOrElse(b, 0L))).otherwise(acc)
+      val w = Window.partitionBy(Meta.Bucket)
+        .orderBy(col("__ord"), col(Meta.ChangeTypeCol).desc) // -U before +U at same ord
+      val commitTs = new java.sql.Timestamp(System.currentTimeMillis())
+      val baseExpr = (0 until desc.numBuckets).foldLeft(lit(0L)) { (acc, b) =>
+        when(col(Meta.Bucket) === b, lit(bases.getOrElse(b, 0L))).otherwise(acc)
+      }
+      val numbered = withBucket
+        .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
+        .withColumn(Meta.Timestamp, lit(commitTs))
+
+      // finalize: conflict-check then publish the advanced offsets
+      def publish(counts: Map[Int, Long]): Unit =
+        if (counts.nonEmpty) {
+          // optimistic concurrency: a concurrent commit would have
+          // advanced the manifest since we read it — overwriting would
+          // assign the same offsets twice. Fail loudly (the reference
+          // serializes through a single tablet leader; we detect instead
+          // of lock).
+          val currentBases = readManifest()._1
+          if (currentBases != bases)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit detected on $path: offsets advanced from " +
+                s"$bases to $currentBases during this commit")
+          writeManifest(
+            bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
+            commits)
+        } else if (commitTag.isDefined) {
+          // empty batch still records its commit tag (streaming replay dedup)
+          writeManifest(bases, commits)
         }
-        val w = Window.partitionBy(Meta.Bucket)
-          .orderBy(col("__ord"), col(Meta.ChangeTypeCol).desc) // -U before +U at same ord
-        val commitTs = new java.sql.Timestamp(System.currentTimeMillis())
-        val numbered = withBucket
-          .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
-          .withColumn(Meta.Timestamp, lit(commitTs))
-        // A7 auto-increment (AutoIncrementManager / BoundedSegment-
-        // SequenceGenerator): ids assigned commit-side from per-bucket
-        // ranges carved out of one counter — contiguous across the commit,
-        // no extra shuffle (reuses the offset window's numbering).
-        val out0 = desc.autoIncrementColumn match {
-          case Some(c) =>
+
+      desc.autoIncrementColumn match {
+        case Some(c) =>
+          // A7 auto-increment (AutoIncrementManager / BoundedSegment-
+          // SequenceGenerator): ids assigned commit-side from per-bucket
+          // ranges carved out of one counter — contiguous across the
+          // commit, no extra shuffle (reuses the offset window's
+          // numbering). Needs counts BEFORE the write, so this path keeps
+          // the separate counts job.
+          val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          if (counts.nonEmpty) {
             val aiBase = readAutoInc()
             val sortedBuckets = counts.keys.toSeq.sorted
             val cumBases = sortedBuckets.scanLeft(0L)(_ + counts(_)).init
@@ -576,32 +600,32 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               case (acc, (b, base)) =>
                 when(col(Meta.Bucket) === b, lit(base)).otherwise(acc)
             }
-            numbered.withColumn(c,
-              lit(aiBase) + cumExpr + row_number().over(w) - 1)
-          case None => numbered
-        }
-        val out = out0.drop("__ord")
-          .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-        out.write.mode("append")
-          .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
-        // optimistic concurrency: a concurrent commit would have advanced
-        // the manifest since we read it — overwriting would assign the
-        // same offsets twice. Fail loudly (the reference serializes
-        // through a single tablet leader; we detect instead of lock).
-        val currentBases = readManifest()._1
-        if (currentBases != bases)
-          throw new java.util.ConcurrentModificationException(
-            s"concurrent commit detected on $path: offsets advanced from " +
-              s"$bases to $currentBases during this commit")
-        writeManifest(
-          bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
-          commits)
-        desc.autoIncrementColumn.foreach { _ =>
-          writeAutoInc(readAutoInc() + counts.values.sum)
-        }
-      } else if (commitTag.isDefined) {
-        // empty batch still records its commit tag (streaming replay dedup)
-        writeManifest(bases, commits)
+            val out = numbered
+              .withColumn(c, lit(aiBase) + cumExpr + row_number().over(w) - 1)
+              .drop("__ord")
+              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+            out.write.mode("append")
+              .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
+          }
+          publish(counts)
+          if (counts.nonEmpty) writeAutoInc(readAutoInc() + counts.values.sum)
+        case None =>
+          // per-bucket counts ride the WRITE job as observed metrics —
+          // no separate counting pass over the batch (one pass saved per
+          // commit; for non-materialized appends it halves the compute)
+          val obs = org.apache.spark.sql.Observation()
+          val countExprs = (0 until desc.numBuckets).map(b =>
+            count(when(col(Meta.Bucket) === b, 1)).as(s"__c$b"))
+          val out = numbered.drop("__ord")
+            .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+            .observe(obs, countExprs.head, countExprs.tail: _*)
+          out.write.mode("append")
+            .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
+          val row = obs.get
+          val counts = (0 until desc.numBuckets)
+            .map(b => b -> row(s"__c$b").asInstanceOf[Long])
+            .filter(_._2 > 0).toMap
+          publish(counts)
       }
     } finally if (materializeBatch) withBucket.unpersist() // no-op for checkpointed plans; ContextCleaner frees the blocks
   }
