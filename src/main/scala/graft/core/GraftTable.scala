@@ -219,7 +219,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       orderBy: Seq[Column] = Nil,
       commitTag: Option[(String, Long)] = None): Unit =
     writePk(df, deleteFlag = lit(false), targetColumns, orderBy,
-      commitTag = commitTag)
+      commitTag = commitTag, mayDelete = false)
 
   /** Delete rows by PK (row content beyond the PK is ignored). */
   def delete(df: DataFrame, orderBy: Seq[Column] = Nil): Unit =
@@ -248,7 +248,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def writePk(df: DataFrame, deleteFlag: Column,
       targetColumns: Option[Seq[String]], orderBy: Seq[Column],
       retractFlag: Column = lit(false),
-      commitTag: Option[(String, Long)] = None): Unit = {
+      commitTag: Option[(String, Long)] = None,
+      mayDelete: Boolean = true): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // project to full schema (missing cols null — partial updates) and
@@ -279,7 +280,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         else Some(col(Meta.Bucket).isin(bs.toIndexedSeq: _*))
       }
 
-    val changes = computeChanges(projected, targetColumns, touched)
+    val changes = computeChanges(projected, targetColumns, touched, mayDelete)
     commitToLog(changes, commitTag)
   }
 
@@ -409,10 +410,23 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def computeChanges(batch: DataFrame,
       targetColumns: Option[Seq[String]],
-      touched: Option[Column] = None): DataFrame =
+      touched: Option[Column] = None,
+      mayDelete: Boolean = true): DataFrame =
     (desc.mergeEngine, targetColumns) match {
       case (MergeEngine.Default, None) =>
         computeChangesDefaultSql(batch, touched)
+      case (MergeEngine.Default, Some(target)) if !mayDelete =>
+        // Partial update IS an aggregation: target columns take the
+        // incoming value (last_value), untouched columns keep the value
+        // fixed at state creation (first_value) — the overwrite fold and
+        // this mapping are the same function when no deletes can occur
+        // (a partial DELETE nulls target columns instead, which only the
+        // cogroup models; upsert() guarantees delete-free batches).
+        val aggs = desc.schema.fieldNames.toSeq
+          .filterNot(desc.primaryKey.contains)
+          .map(c => c -> (if (target.contains(c)) AggFunction.LastValue
+            else AggFunction.FirstValue)).toMap
+        computeChangesAggSql(batch, aggs, touched)
       case (MergeEngine.Aggregation(aggs), None) if windowable(aggs) =>
         computeChangesAggSql(batch, aggs, touched)
       case _ => computeChangesCogroup(batch, targetColumns, touched)

@@ -128,6 +128,26 @@ class MergeCrossCheckSpec extends SparkTestBase {
       compactBetween = true, partialBatch = false)
   }
 
+  test("default partial update, delete-free: windowed path == sequential") {
+    // upsert() (no deletes possible) routes Default+targetColumns through
+    // the windowed aggregation mapping — pin it to the sequential fold
+    val desc = TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4)
+    val rnd = new Random(99)
+    val full = randomOps(rnd, 120).map { case (r, _) => (r, false) }
+    val partial = randomOps(rnd, 80).map { case (r, _) => (r, false) }
+    val batches: Seq[Batch] = Seq((full, None), (partial, Some(Seq("a", "ver"))))
+    val t = cat.createTable("cc", "pwin" + System.nanoTime(), desc)
+    val inSchema = StructType(schema.fields :+ StructField("ord", LongType))
+    batches.foreach { case (ops, target) =>
+      val df = spark.createDataFrame(
+        ops.zipWithIndex.map { case ((r, _), j) =>
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), j.toLong)
+        }.asJava, inSchema)
+      t.upsert(df, targetColumns = target, orderBy = Seq(df("ord")))
+    }
+    assertSameRows(t.scan().collect().toSeq, expectedState(desc, batches))
+  }
+
   test("aggregation engine first/bool window forms: distributed == sequential") {
     run("agg_fv", TableDescriptor(schema, primaryKey = Seq("k"),
       numBuckets = 4, mergeEngine = MergeEngine.Aggregation(Map(
