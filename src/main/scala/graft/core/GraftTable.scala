@@ -429,8 +429,75 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         computeChangesAggSql(batch, aggs, touched)
       case (MergeEngine.Aggregation(aggs), None) if windowable(aggs) =>
         computeChangesAggSql(batch, aggs, touched)
+      case (MergeEngine.FirstRow, None) =>
+        computeChangesFirstRowSql(batch, touched)
+      case (MergeEngine.Versioned(vc), None)
+          if Seq(LongType, IntegerType, TimestampType)
+            .contains(desc.schema(vc).dataType) =>
+        computeChangesVersionedSql(batch, vc, touched)
       case _ => computeChangesCogroup(batch, targetColumns, touched)
     }
+
+  /** FIRST_ROW engine in SQL: deletes and retractions are no-ops, and a
+    * key emits exactly one `+I` — its first-ever row. A batch row wins
+    * only when nothing (state or earlier batch row) precedes it.
+    */
+  private def computeChangesFirstRowSql(batch: DataFrame,
+      touched: Option[Column]): DataFrame = {
+    val dataCols = desc.schema.fieldNames.toSeq
+    val src = batch.filter(!col("__del") && !col("__retract"))
+    val statePseudo = touchedState(touched).withColumn("__ord", lit(Long.MinValue))
+    val unioned = src.select((dataCols.map(col) :+ col("__ord")).toIndexedSeq: _*)
+      .unionByName(statePseudo)
+    val w = Window.partitionBy(desc.primaryKey.map(col): _*).orderBy(col("__ord"))
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__ord") =!= Long.MinValue && col("__rn") === 1)
+      .select((dataCols.map(col) ++ Seq(
+        lit(ChangeType.Insert).as(Meta.ChangeTypeCol), col("__ord"))).toIndexedSeq: _*)
+  }
+
+  /** VERSIONED engine in SQL: the running state is the max of
+    * (version, ord) — ties go to the later row, null version = -inf,
+    * exactly compareVersions' ordering. A batch row emits only when it
+    * IS the new running state (its ord equals the winner's).
+    */
+  private def computeChangesVersionedSql(batch: DataFrame, vc: String,
+      touched: Option[Column]): DataFrame = {
+    val dataCols = desc.schema.fieldNames.toSeq
+    val emitBefore = desc.changelogImage == ChangelogImage.Full
+    val src = batch.filter(!col("__del") && !col("__retract"))
+    val statePseudo = touchedState(touched).withColumn("__ord", lit(Long.MinValue))
+    val unioned = src.select((dataCols.map(col) :+ col("__ord")).toIndexedSeq: _*)
+      .unionByName(statePseudo)
+    // version key in compareVersions' units: raw integer, or epoch millis
+    // for timestamps (Timestamp.getTime)
+    val vkey = coalesce(desc.schema(vc).dataType match {
+      case TimestampType => unix_millis(col(vc))
+      case _ => col(vc).cast(LongType)
+    }, lit(Long.MinValue))
+    val img = struct(dataCols.map(col): _*)
+    val w2 = Window.partitionBy(desc.primaryKey.map(col): _*).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(desc.primaryKey.map(col): _*).orderBy(col("__ord"))
+    val change = (ct: Column, image: Column) =>
+      struct(ct.as("ct"), image.as("img"))
+    val upd =
+      if (emitBefore) array(
+        change(lit(ChangeType.UpdateBefore), col("__prev.img")),
+        change(lit(ChangeType.UpdateAfter), img))
+      else array(change(lit(ChangeType.UpdateAfter), img))
+    unioned
+      .withColumn("__st", max(struct(vkey.as("vk"), col("__ord").as("o"),
+        img.as("img"))).over(w2))
+      .withColumn("__prev", lag(col("__st"), 1).over(wLag))
+      .filter(col("__ord") =!= Long.MinValue && col("__st.o") === col("__ord"))
+      .withColumn("__changes",
+        when(col("__prev").isNull,
+          array(change(lit(ChangeType.Insert), img))).otherwise(upd))
+      .select(col("__ord"), explode(col("__changes")).as("__c"))
+      .select((dataCols.map(c => col(s"__c.img.$c").as(c)) ++
+        Seq(col("__c.ct").as(Meta.ChangeTypeCol), col("__ord"))).toIndexedSeq: _*)
+  }
 
   /** Aggregate functions with an exact running-window equivalent (the
     * SQL fast path below). listagg (O(n^2) as a running concat), product
