@@ -271,6 +271,15 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     table.desc.isPrimaryKeyTable && asOf.isEmpty &&
+      // engines that treat deletes as no-ops (FIRST_ROW, VERSIONED) or
+      // tables configured to ignore them must REJECT the statement —
+      // accepting it would report success while deleting nothing
+      (table.desc.mergeEngine match {
+        case graft.core.MergeEngine.Default |
+             graft.core.MergeEngine.Aggregation(_) => true
+        case _ => false
+      }) &&
+      table.desc.deleteBehavior == graft.core.DeleteBehavior.Allow &&
       filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

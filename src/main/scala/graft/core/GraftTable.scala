@@ -40,6 +40,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val offsetsFile = s"$path/_offsets.json"
   private val snapshotMetaFile = s"$path/_snapshot.json"
   private val autoIncFile = s"$path/_autoinc.json"
+  private val vacuumMarkerFile = s"$path/_vacuumed.json"
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
   graft.plans.BucketPruning.register(logDir, desc.effectiveBucketKeys, desc.numBuckets)
@@ -60,15 +61,23 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     Files.exists(d) && Files.walk(d).anyMatch(p => p.toString.endsWith(".parquet"))
   }
 
-  /** Raw log (changelog) with system columns. */
+  /** Raw log (changelog) with system columns. Reads are gated on the
+    * offset manifest: only rows below each bucket's published next
+    * offset are visible, so files from a commit that crashed between
+    * its file move and its manifest publish never surface.
+    */
   def logDF: DataFrame =
     if (!hasLogFiles) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     } else {
       // __bucket is a hive partition dir; project columns back into
       // declared order.
+      val cut = readOffsets().toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+        (acc, kv) => when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
+      }
       spark.read.schema(logSchema).option("basePath", logDir).parquet(logDir)
         .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .filter(col(Meta.Offset) < cut)
     }
 
   // ---------------------------------------------------------------------
@@ -155,28 +164,26 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * fail loudly rather than returning partial state.
     */
   def scanAsOf(ts: java.sql.Timestamp): DataFrame = {
-    val vacuumed = readSnapshotMeta().isDefined && {
-      // a vacuumed log is empty or starts above offset 0 in some bucket
-      val mins = logDF.groupBy(col(Meta.Bucket))
-        .agg(min(col(Meta.Offset)).as("mn")).collect()
-      mins.isEmpty || mins.exists(_.getLong(1) > 0L)
-    }
-    val upTo =
-      if (!vacuumed) {
+    // vacuum leaves a driver-readable marker: no log scan needed to
+    // learn whether history was truncated (or what the travel floor is)
+    val bound = if (!Files.exists(Paths.get(vacuumMarkerFile))) None
+      else Some(new java.sql.Timestamp(JsonMethods.parse(new String(
+        Files.readAllBytes(Paths.get(vacuumMarkerFile)), StandardCharsets.UTF_8))
+        .asInstanceOf[JObject].obj.toMap[String, JValue]
+        .apply("boundMillis").asInstanceOf[JInt].num.toLong))
+    val upTo = bound match {
+      case None =>
         // full history retained: replay the log alone (a snapshot, which
         // reflects state at compact time, must NOT leak into older reads)
         logDF.filter(col(Meta.Timestamp) <= lit(ts))
-      } else {
-        // truncated history: pre-cutoff state lives only in the snapshot,
-        // which is valid for reads at/after its creation time
-        val snapTime = new java.sql.Timestamp(
-          Files.getLastModifiedTime(Paths.get(snapshotMetaFile)).toMillis)
-        require(!ts.before(snapTime),
+      case Some(floor) =>
+        // truncated history: pre-cutoff state lives only in the snapshot
+        require(!ts.before(floor),
           s"time travel to $ts precedes retained history (log vacuumed; " +
-            s"snapshot taken $snapTime)")
+            s"valid from $floor)")
         // snapshot rows carry Timestamp(0) and replay below any tail row
         stateInput(None).filter(col(Meta.Timestamp) <= lit(ts))
-      }
+    }
     if (desc.isPrimaryKeyTable) Materialize.currentState(upTo, collapseDesc)
     else upTo.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -422,11 +429,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         // this mapping are the same function when no deletes can occur
         // (a partial DELETE nulls target columns instead, which only the
         // cogroup models; upsert() guarantees delete-free batches).
+        // Non-target batch values are NULLED first: a key with no prior
+        // state must store null for untouched columns (the fold's
+        // overwrite(nullRow, row, target)), not the batch row's value.
+        val nonTarget = desc.schema.fieldNames.toSeq
+          .filterNot(c => desc.primaryKey.contains(c) || target.contains(c))
+        val nulled = nonTarget.foldLeft(batch)((d, c) =>
+          d.withColumn(c, lit(null).cast(desc.schema(c).dataType)))
         val aggs = desc.schema.fieldNames.toSeq
           .filterNot(desc.primaryKey.contains)
           .map(c => c -> (if (target.contains(c)) AggFunction.LastValue
             else AggFunction.FirstValue)).toMap
-        computeChangesAggSql(batch, aggs, touched)
+        computeChangesAggSql(nulled, aggs, touched)
       case (MergeEngine.Aggregation(aggs), None) if windowable(aggs) =>
         computeChangesAggSql(batch, aggs, touched)
       case (MergeEngine.FirstRow, None) =>
@@ -610,14 +624,48 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }(Encoders.row(outSchema)).toDF()
   }
 
+  // -- staged commits --------------------------------------------------
+  // The batch is written OUTSIDE the log dir, validated, then moved in
+  // file-by-file (Spark part names are globally unique). Readers never
+  // see a commit that failed validation or crashed mid-write; a crash
+  // between move and manifest publish leaves files above the manifest
+  // cutoffs, which the offset gate in logDF keeps invisible. (A crash
+  // mid-move can leave a partial residue that a subsequent commit’s
+  // offsets may overlap — the full fix is an iceberg-style per-commit
+  // file manifest; documented limitation.)
+
+  private def newStagingDir(): String =
+    s"$path/log.staging-${java.util.UUID.randomUUID()}"
+
+  private def deleteTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(dir)
+    if (Files.exists(d))
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  private def moveStagedFiles(staging: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(staging)
+    val dst = Paths.get(logDir)
+    Files.walk(src).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val target = dst.resolve(src.relativize(p))
+        Files.createDirectories(target.getParent)
+        Files.move(p, target)
+      }
+    deleteTree(staging)
+  }
+
   /** Assign per-bucket contiguous offsets and append to the log dir.
     * Input: data cols + `_change_type` + `__ord`.
     */
   private def commitToLog(df: DataFrame,
       commitTag: Option[(String, Long)] = None,
       materializeBatch: Boolean = true): Unit = {
-    val (bases, commits0) = readManifest()
-    val commits = commits0 ++ commitTag
+    val (bases, _) = readManifest()
     // localCheckpoint (not cache): __ord / key-less __bucket derive from
     // monotonically_increasing_id / spark_partition_id, so a recomputed
     // partition (cache eviction, executor loss) could re-assign them
@@ -642,26 +690,37 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
         .withColumn(Meta.Timestamp, lit(commitTs))
 
-      // finalize: conflict-check then publish the advanced offsets
-      def publish(counts: Map[Int, Long]): Unit =
+      // finalize: re-read the manifest, conflict-check, move the staged
+      // files into the readers’ view, publish. The manifest is re-read
+      // AT publish time so a concurrent sink’s commit tags are merged,
+      // never clobbered, and an empty batch can’t rewind offsets another
+      // writer advanced.
+      def publish(counts: Map[Int, Long], staging: Option[String]): Unit = {
+        val (currentBases, currentCommits) = readManifest()
         if (counts.nonEmpty) {
           // optimistic concurrency: a concurrent commit would have
-          // advanced the manifest since we read it — overwriting would
-          // assign the same offsets twice. Fail loudly (the reference
-          // serializes through a single tablet leader; we detect instead
-          // of lock).
-          val currentBases = readManifest()._1
-          if (currentBases != bases)
+          // advanced the manifest since we read it — our staged files
+          // carry offsets computed from the stale bases, so they are
+          // DISCARDED, not moved. Fail loudly (the reference serializes
+          // through a single tablet leader; we detect instead of lock).
+          if (currentBases != bases) {
+            staging.foreach(deleteTree)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit detected on $path: offsets advanced from " +
                 s"$bases to $currentBases during this commit")
+          }
+          staging.foreach(moveStagedFiles)
           writeManifest(
             bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
-            commits)
-        } else if (commitTag.isDefined) {
-          // empty batch still records its commit tag (streaming replay dedup)
-          writeManifest(bases, commits)
+            currentCommits ++ commitTag)
+        } else {
+          staging.foreach(deleteTree)
+          if (commitTag.isDefined)
+            // empty batch still records its commit tag (streaming replay
+            // dedup) — merged into the CURRENT manifest
+            writeManifest(currentBases, currentCommits ++ commitTag)
         }
+      }
 
       desc.autoIncrementColumn match {
         case Some(c) =>
@@ -685,10 +744,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               .withColumn(c, lit(aiBase) + cumExpr + row_number().over(w) - 1)
               .drop("__ord")
               .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-            out.write.mode("append")
-              .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
-          }
-          publish(counts)
+            val staging = newStagingDir()
+            out.write.mode("overwrite")
+              .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
+            publish(counts, Some(staging))
+          } else publish(counts, None)
           if (counts.nonEmpty) writeAutoInc(readAutoInc() + counts.values.sum)
         case None =>
           // per-bucket counts ride the WRITE job as observed metrics —
@@ -700,13 +760,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           val out = numbered.drop("__ord")
             .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             .observe(obs, countExprs.head, countExprs.tail: _*)
-          out.write.mode("append")
-            .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(logDir)
+          val staging = newStagingDir()
+          out.write.mode("overwrite")
+            .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
           val row = obs.get
           val counts = (0 until desc.numBuckets)
             .map(b => b -> row(s"__c$b").asInstanceOf[Long])
             .filter(_._2 > 0).toMap
-          publish(counts)
+          publish(counts, Some(staging))
       }
     } finally if (materializeBatch) withBucket.unpersist() // no-op for checkpointed plans; ContextCleaner frees the blocks
   }
@@ -763,6 +824,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val old = Paths.get(logDir)
     Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     Files.move(Paths.get(tmpDir), old)
+    // record the time-travel floor ONCE, so scanAsOf never needs a log
+    // scan to learn whether history was truncated: reads are valid from
+    // the earliest retained commit (or the vacuum itself if none remain)
+    val minTs = Option(logDF.agg(min(col(Meta.Timestamp))).head.getTimestamp(0))
+      .map(_.getTime).getOrElse(System.currentTimeMillis())
+    CatalogJson.atomicWrite(vacuumMarkerFile,
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "boundMillis" -> (JInt(minTs): JValue))))))
   }
 
   /** The log stores POST-merge row images (the write path already applied
@@ -786,6 +855,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     readSnapshotMeta() match {
       case None => p(logDF)
       case Some(snapOffsets) =>
+        // snapshots are bucket-partitioned dirs; a flat legacy layout
+        // would read __bucket as null and silently vanish under bucket
+        // pruning — fail loudly instead
+        locally {
+          import scala.jdk.CollectionConverters._
+          val flat = Files.list(Paths.get(snapshotDir)).iterator().asScala
+            .exists(f => f.getFileName.toString.endsWith(".parquet"))
+          require(!flat, s"snapshot at $snapshotDir uses the legacy " +
+            "unpartitioned layout; re-run compact() to rewrite it")
+        }
         val snapSchema = StructType(desc.schema.fields :+
           StructField(Meta.Bucket, IntegerType))
         val snap = p(spark.read.schema(snapSchema)

@@ -47,10 +47,14 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL join semantics: a null key never matches. The window groups
+    // null keys into one partition, so the carried payload is masked out
+    // for null-key left rows (null-key right rows can only land there).
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     unioned
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((leftCols.map(c => col(s"__l.$c").as(c)) ++
-        payload.map(c => col(s"__c.$c").as(c))).toIndexedSeq: _*)
+        payload.map(c => when(keysNotNull, col(s"__c.$c")).as(c))).toIndexedSeq: _*)
   }
 }

@@ -156,7 +156,10 @@ object Dedup {
     val rows = numHashes / bands
     // signatures are read three times (banding + both verify sides):
     // persist the small (docs x numHashes-longs) table instead of
-    // recomputing the shingle aggregation per use
+    // recomputing the shingle aggregation per use. The persist is
+    // intentionally left to Spark's CacheManager/ContextCleaner:
+    // repeated calls with the same inputs reuse the same cache entry
+    // (plan-keyed), and callers hold no handle to unpersist sooner.
     val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per (doc, band): bucket key = hash of the band's slice.
@@ -285,6 +288,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25): DataFrame = {
+    // ids must be integral: a silent cast of e.g. string ids to long
+    // would null every edge and "converge" on all-singleton components
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+        s"connectedComponents needs integral ids; $c is $dt " +
+          "(hash or dense-rank non-numeric ids first)")
+    }
     val spark = pairs.sparkSession
     var e = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))

@@ -74,10 +74,21 @@ object BucketPruning {
 
 object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Idempotence guard: has the rule already added its `__bucket = b`
+    * conjunct? Must look at TOP-LEVEL conjuncts only — the offset-gate
+    * filter references `__bucket` inside a CASE expression on every log
+    * read, and that must not disable the rewrite.
+    */
+  private def alreadyPruned(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a: AttributeReference, _: Literal) => a.name == Meta.Bucket
+      case EqualTo(_: Literal, a: AttributeReference) => a.name == Meta.Bucket
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: LogicalRelation)
-        if r.relation.isInstanceOf[HadoopFsRelation] &&
-          !cond.references.exists(_.name == Meta.Bucket) =>
+        if r.relation.isInstanceOf[HadoopFsRelation] && !alreadyPruned(cond) =>
       val fs = r.relation.asInstanceOf[HadoopFsRelation]
       val layoutOpt =
         if (!fs.partitionSchema.fieldNames.contains(Meta.Bucket)) None

@@ -133,7 +133,11 @@ class MergeCrossCheckSpec extends SparkTestBase {
     // the windowed aggregation mapping — pin it to the sequential fold
     val desc = TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4)
     val rnd = new Random(99)
+    // batch 1 touches only half the keyspace, so batch 2's partial rows
+    // hit BOTH merge cases: existing state (untouched cols keep state
+    // values) and no state (untouched cols must store null)
     val full = randomOps(rnd, 120).map { case (r, _) => (r, false) }
+      .filter(_._1.getLong(0) < 6)
     val partial = randomOps(rnd, 80).map { case (r, _) => (r, false) }
     val batches: Seq[Batch] = Seq((full, None), (partial, Some(Seq("a", "ver"))))
     val t = cat.createTable("cc", "pwin" + System.nanoTime(), desc)

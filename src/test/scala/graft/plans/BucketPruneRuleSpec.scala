@@ -46,11 +46,21 @@ class BucketPruneRuleSpec extends SparkTestBase {
     val t = usersTable()
     val q = t.scan().filter(col("v") === "v7")
     assert(q.collect().toSeq == Seq(Row(7L, "v7")))
-    val bucketFilters = q.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if f.condition.references.exists(_.name == Meta.Bucket) => f
+    // the rule must not have added a top-level `__bucket = b` conjunct
+    // (the offset-gate filter legitimately references __bucket inside a
+    // CASE, so only TOP-LEVEL conjuncts count)
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
     }
-    assert(bucketFilters.isEmpty)
+    val pruned = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.flatMap(f => conjuncts(f.condition).collect {
+      case e @ EqualTo(a: AttributeReference, _: Literal) if a.name == Meta.Bucket => e
+      case e @ EqualTo(_: Literal, a: AttributeReference) if a.name == Meta.Bucket => e
+    })
+    assert(pruned.isEmpty)
   }
 
   test("auto-increment assigns contiguous unique ids across commits") {
