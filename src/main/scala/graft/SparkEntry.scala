@@ -108,6 +108,12 @@ object SparkEntry {
     "j1_pk_lookup" -> ((s, dir) =>
       Fixtures.usersLww(s, dir).lookup(Map("user_id" -> 7L))),
 
+    // ----- J1 batched: N point reads in ONE job, pruned to the union of
+    // the keys' buckets (LookupClient/LookupSender batching)
+    "j1_batched_lookup" -> ((s, dir) =>
+      Fixtures.usersLww(s, dir).lookupAll(
+        Seq(3L, 7L, 11L, 42L).map(k => Map[String, Any]("user_id" -> k)))),
+
     // ----- J2: prefix-key lookup (bucket key = PK prefix)
     "j2_prefix_lookup" -> ((s, dir) =>
       Fixtures.userTypeState(s, dir).prefixLookup(Map("user_id" -> 7L))),
@@ -512,6 +518,11 @@ object SparkEntry {
       """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id = 7""".stripMargin,
+
+    "j1_batched_lookup" ->
+      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 AND user_id IN (3, 7, 11, 42)""".stripMargin,
 
     "j2_prefix_lookup" ->
       """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
