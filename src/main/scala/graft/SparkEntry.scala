@@ -236,6 +236,10 @@ object SparkEntry {
         "embedding", q, k = 10).select(col("vec_id"))
     }),
 
+    // ----- SIM4: exact kNN graph (top-3 cosine neighbors per vector)
+    "sim4_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
+
     // ----- SIM2: LSH-bucketed ANN top-k (scale path; recall in test)
     "sim2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -678,6 +682,26 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT v.user_id, v.ts, v.event_id, p.value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "sim4_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |    DESC, b.vec_id) AS rank
+        |FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "sim4_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |    DESC, b.vec_id) AS rank
+        |FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
 
     "ta4_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

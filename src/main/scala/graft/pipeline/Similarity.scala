@@ -56,6 +56,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact kNN graph: every vector's top-k cosine neighbors (the
+    * embedding-space structure dedup/clustering/retrieval pipelines
+    * consume). Brute force with a broadcast nested loop — the exact
+    * baseline; at corpus scale the LSH (sim2) and IVF (sim3) paths
+    * bound candidates instead. Norms are computed once per side, and
+    * the per-key top-k is a window rank, never a global sort.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val a = v.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
+    val b = v.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
+    a.crossJoin(broadcast(b)).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: only vectors whose hyperplane signature is
     * within `maxBitDiff` bits of the query's signature are scored. With a
     * layout bucketed on the signature this prunes to a handful of files.
