@@ -684,17 +684,8 @@ object SparkEntry {
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "sim4_knn_graph" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        |SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |    list_dot_product(a.e, b.e) /
-        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-        |    DESC, b.vec_id) AS rank
-        |FROM v a JOIN v b ON a.vec_id <> b.vec_id
-        |QUALIFY rank <= 3""".stripMargin,
-
-    "sim4_knn_graph" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE list_dot_product(embedding, embedding) > 0)
         |SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |    list_dot_product(a.e, b.e) /

@@ -41,6 +41,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val snapshotMetaFile = s"$path/_snapshot.json"
   private val autoIncFile = s"$path/_autoinc.json"
   private val vacuumMarkerFile = s"$path/_vacuumed.json"
+  @volatile private var snapshotLayoutChecked = false
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
   graft.plans.BucketPruning.register(logDir, desc.effectiveBucketKeys, desc.numBuckets)
@@ -61,6 +62,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     Files.exists(d) && Files.walk(d).anyMatch(p => p.toString.endsWith(".parquet"))
   }
 
+  /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
+    * grow a numBuckets-deep expression tree on every read/commit).
+    */
+  private def bucketMapExpr(m: Map[Int, Long], default: Long): Column =
+    if (m.isEmpty) lit(default)
+    else coalesce(element_at(typedlit(m), col(Meta.Bucket)), lit(default))
+
   /** Raw log (changelog) with system columns. Reads are gated on the
     * offset manifest: only rows below each bucket's published next
     * offset are visible, so files from a commit that crashed between
@@ -72,12 +80,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     } else {
       // __bucket is a hive partition dir; project columns back into
       // declared order.
-      val cut = readOffsets().toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-        (acc, kv) => when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
-      }
       spark.read.schema(logSchema).option("basePath", logDir).parquet(logDir)
         .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .filter(col(Meta.Offset) < cut)
+        .filter(col(Meta.Offset) < bucketMapExpr(readOffsets(), 0L))
     }
 
   // ---------------------------------------------------------------------
@@ -148,10 +153,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def scanFromTimestamp(ts: java.sql.Timestamp): DataFrame = {
     val offs = offsetsForTimestamp(ts)
-    val cutoff = offs.toSeq.sortBy(_._1).foldLeft(lit(Long.MaxValue)) {
-      (acc, kv) => when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
-    }
-    logDF.filter(col(Meta.Offset) >= cutoff)
+    logDF.filter(col(Meta.Offset) >= bucketMapExpr(offs, Long.MaxValue))
       .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -172,6 +174,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .asInstanceOf[JObject].obj.toMap[String, JValue]
         .apply("boundMillis").asInstanceOf[JInt].num.toLong))
     val upTo = bound match {
+      case None if readSnapshotMeta().isDefined && {
+          // belt over the marker: a table vacuumed by pre-marker code (or
+          // a vacuum that crashed before writing its marker) still has a
+          // truncated log — detect it from the retained offsets once
+          val mins = logDF.groupBy(col(Meta.Bucket))
+            .agg(min(col(Meta.Offset)).as("mn")).collect()
+          mins.isEmpty || mins.exists(_.getLong(1) > 0L)
+        } =>
+        throw new IllegalStateException(
+          s"log at $path is truncated but has no vacuum marker; " +
+            "re-run vacuumLog() to record the time-travel floor")
       case None =>
         // full history retained: replay the log alone (a snapshot, which
         // reflects state at compact time, must NOT leak into older reads)
@@ -634,6 +647,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // offsets may overlap — the full fix is an iceberg-style per-commit
   // file manifest; documented limitation.)
 
+  /** File-based mutual exclusion around validate+move+publish: the
+    * optimistic manifest check alone is check-then-act — two commits
+    * interleaving between check and manifest write would both pass and
+    * both move duplicate-offset files in. `createFile` is atomic on any
+    * POSIX filesystem; a holder that crashed leaves a stale lock which
+    * is broken after 10 minutes. (The reference serializes commits
+    * through the tablet leader; this is the shared-filesystem analog.)
+    */
+  private def withCommitLock[T](staging: Option[String])(body: => T): T = {
+    val lock = Paths.get(s"$path/_commit.lock")
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val ageMs = System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        if (ageMs > 10 * 60 * 1000) Files.deleteIfExists(lock) // stale holder
+        staging.foreach(deleteTree)
+        throw new java.util.ConcurrentModificationException(
+          s"another commit holds the lock on $path" +
+            (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   private def newStagingDir(): String =
     s"$path/log.staging-${java.util.UUID.randomUUID()}"
 
@@ -683,9 +720,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       val w = Window.partitionBy(Meta.Bucket)
         .orderBy(col("__ord"), col(Meta.ChangeTypeCol).desc) // -U before +U at same ord
       val commitTs = new java.sql.Timestamp(System.currentTimeMillis())
-      val baseExpr = (0 until desc.numBuckets).foldLeft(lit(0L)) { (acc, b) =>
-        when(col(Meta.Bucket) === b, lit(bases.getOrElse(b, 0L))).otherwise(acc)
-      }
+      val baseExpr = bucketMapExpr(bases, 0L)
       val numbered = withBucket
         .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
         .withColumn(Meta.Timestamp, lit(commitTs))
@@ -695,7 +730,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // AT publish time so a concurrent sink’s commit tags are merged,
       // never clobbered, and an empty batch can’t rewind offsets another
       // writer advanced.
-      def publish(counts: Map[Int, Long], staging: Option[String]): Unit = {
+      def publish(counts: Map[Int, Long], staging: Option[String]): Unit = withCommitLock(staging) {
         val (currentBases, currentCommits) = readManifest()
         if (counts.nonEmpty) {
           // optimistic concurrency: a concurrent commit would have
@@ -750,6 +785,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             publish(counts, Some(staging))
           } else publish(counts, None)
           if (counts.nonEmpty) writeAutoInc(readAutoInc() + counts.values.sum)
+        case None if desc.numBuckets > 64 =>
+          // very wide bucketing: numBuckets observation aggregates would
+          // bloat every commit plan — one separate counts job is cheaper
+          val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          if (counts.nonEmpty) {
+            val out = numbered.drop("__ord")
+              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+            val staging = newStagingDir()
+            out.write.mode("overwrite")
+              .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
+            publish(counts, Some(staging))
+          } else publish(counts, None)
         case None =>
           // per-bucket counts ride the WRITE job as observed metrics —
           // no separate counting pass over the batch (one pass saved per
@@ -813,25 +861,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def vacuumLog(): Unit = {
     val snapOffsets = readSnapshotMeta().getOrElse(
       throw new IllegalStateException("vacuumLog requires a snapshot: call compact() first"))
-    val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
-      when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
-    }
     val tmpDir = s"$path/log.vacuum"
-    logDF.filter(col(Meta.Offset) >= cutoff)
-      .write.mode("overwrite")
+    val retained = logDF.filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
+    retained.write.mode("overwrite")
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
-    import scala.jdk.CollectionConverters._
-    val old = Paths.get(logDir)
-    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    Files.move(Paths.get(tmpDir), old)
-    // record the time-travel floor ONCE, so scanAsOf never needs a log
-    // scan to learn whether history was truncated: reads are valid from
-    // the earliest retained commit (or the vacuum itself if none remain)
-    val minTs = Option(logDF.agg(min(col(Meta.Timestamp))).head.getTimestamp(0))
+    // record the time-travel floor BEFORE the destructive swap: a crash
+    // after the swap but before the marker would otherwise leave a
+    // truncated log that scanAsOf mistakes for full history. With the
+    // marker already present, a crash before the swap is also safe —
+    // snapshot ∪ tail reconstructs state correctly either way.
+    val minTs = Option(spark.read.schema(logSchema).option("basePath", tmpDir)
+        .parquet(tmpDir).agg(min(col(Meta.Timestamp))).head.getTimestamp(0))
       .map(_.getTime).getOrElse(System.currentTimeMillis())
     CatalogJson.atomicWrite(vacuumMarkerFile,
       JsonMethods.compact(JsonMethods.render(JObject(List(
         "boundMillis" -> (JInt(minTs): JValue))))))
+    import scala.jdk.CollectionConverters._
+    val old = Paths.get(logDir)
+    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(Paths.get(tmpDir), old)
   }
 
   /** The log stores POST-merge row images (the write path already applied
@@ -857,13 +905,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       case Some(snapOffsets) =>
         // snapshots are bucket-partitioned dirs; a flat legacy layout
         // would read __bucket as null and silently vanish under bucket
-        // pruning — fail loudly instead
-        locally {
-          import scala.jdk.CollectionConverters._
-          val flat = Files.list(Paths.get(snapshotDir)).iterator().asScala
-            .exists(f => f.getFileName.toString.endsWith(".parquet"))
+        // pruning — fail loudly instead (checked once per handle, with
+        // the directory stream closed)
+        if (!snapshotLayoutChecked) {
+          val st = Files.list(Paths.get(snapshotDir))
+          val flat = try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.exists(
+              f => f.getFileName.toString.endsWith(".parquet"))
+          } finally st.close()
           require(!flat, s"snapshot at $snapshotDir uses the legacy " +
             "unpartitioned layout; re-run compact() to rewrite it")
+          snapshotLayoutChecked = true
         }
         val snapSchema = StructType(desc.schema.fields :+
           StructField(Meta.Bucket, IntegerType))
@@ -873,10 +926,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
           .withColumn(Meta.Offset, lit(-1L))
           .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
-        val cutoff = snapOffsets.toSeq.sortBy(_._1).foldLeft(lit(0L)) { (acc, kv) =>
-          when(col(Meta.Bucket) === kv._1, lit(kv._2)).otherwise(acc)
-        }
-        val tail = p(logDF).filter(col(Meta.Offset) >= cutoff)
+        val tail = p(logDF).filter(
+          col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
         snap.unionByName(tail)
     }
   }

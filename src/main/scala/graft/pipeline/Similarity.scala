@@ -68,6 +68,10 @@ object Similarity {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", l2norm(col("v")))
+      // zero vectors have no direction: cosine would be 0/0 = NaN, and
+      // Spark orders NaN greatest — a degenerate vector would rank as
+      // everyone's nearest neighbor. Excluded from both sides.
+      .filter(col("n") > 0)
     val a = v.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
     val b = v.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
     a.crossJoin(broadcast(b)).filter(col("a_id") =!= col("b_id"))
