@@ -153,9 +153,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def scanFromTimestamp(ts: java.sql.Timestamp): DataFrame = {
     val offs = offsetsForTimestamp(ts)
-    logDF.filter(col(Meta.Offset) >= bucketMapExpr(offs, Long.MaxValue))
-      .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+    scanFromOffsets(offs)
   }
+
+  /** Bounded read from explicit per-bucket offsets — the batch form of
+    * LogScanner.subscribe(bucket, offset) (LogScannerImpl.java:55):
+    * records at/after each bucket's offset; buckets absent from the map
+    * are not read.
+    */
+  def scanFromOffsets(offsets: Map[Int, Long]): DataFrame =
+    logDF.filter(col(Meta.Offset) >= bucketMapExpr(offsets, Long.MaxValue))
+      .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Time travel (`TIMESTAMP AS OF`, lakehouse semantics): the table
     * STATE as of `ts` — every log record committed at or before `ts`,

@@ -106,6 +106,22 @@ class GraftTableSpec extends SparkTestBase {
     assert(CatalogJson.read(CatalogJson.write(v)) == v)
   }
 
+  test("scanFromOffsets reads each bucket from its own offset") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "offs",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "a"), (2L, 2, "b"), (1L, 3, "c"), (2L, 4, "d")),
+      orderBy = Seq(col("ord")))
+    val all = t.logDF.collect()
+    val buckets = all.map(_.getAs[Int](Meta.Bucket)).distinct.sorted
+    // from offset 1 in every present bucket -> exactly the second record
+    // of each; absent buckets are not read at all
+    val got = t.scanFromOffsets(buckets.map(b => b -> 1L).toMap).collect()
+    assert(got.length == all.length - buckets.length)
+    assert(t.scanFromOffsets(Map(buckets.head -> 0L)).count() ==
+      all.count(_.getAs[Int](Meta.Bucket) == buckets.head))
+  }
+
   test("single-key upsert against a wide table reads prior state (touched-bucket merge)") {
     val cat = newCatalog()
     val t = cat.createTable("db", "touched",
