@@ -135,6 +135,21 @@ class ConnectorSpec extends SparkTestBase {
       .col("_change_type") === "-D").count() == 2)
   }
 
+  test("DELETE FROM errors on engines that treat deletes as no-ops") {
+    wh
+    spark.sql("""CREATE TABLE gfs.db.ver (k BIGINT, v INT, ts BIGINT)
+      USING graft TBLPROPERTIES ('primary.key' = 'k',
+        'table.merge-engine' = 'versioned',
+        'table.merge-engine.versioned.ver-column' = 'ts')""")
+    spark.sql("INSERT INTO gfs.db.ver VALUES (1, 1, 10)")
+    // silently succeeding while deleting nothing would be worse than
+    // failing: the engine ignores deletes, so the statement must error
+    intercept[Exception] {
+      spark.sql("DELETE FROM gfs.db.ver WHERE k = 1")
+    }
+    assert(spark.sql("SELECT count(*) FROM gfs.db.ver").collect()(0).getLong(0) == 1)
+  }
+
   test("DataFrame API reads the same catalog table (spark.table)") {
     wh
     spark.sql("CREATE TABLE gfs.db.dfapi (k BIGINT, v INT) USING graft " +
