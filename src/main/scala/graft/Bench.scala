@@ -23,6 +23,12 @@ object Bench {
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     graft.ops.Fixtures.read(spark, sfDir, "events")
       .groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    // Build every fixture table before timing: converting driver parquet
+    // into graft tables is setup (in a deployment those tables already
+    // exist), and leaving it inline charged whichever query ran first
+    // alphabetically for it (a6_count_offsets "cost" 5.6s in round 1 for
+    // what is an offset-manifest read).
+    graft.ops.Fixtures.prebuild(spark, sfDir)
     // warm the PK write path's generated code on a 100-row table
     locally {
       import org.apache.spark.sql.functions.col

@@ -399,6 +399,27 @@ object Fixtures {
   }
 
   /** PK (user_id, event_type) with bucket key user_id — prefix lookups. */
+  /** Build every fixture table up front. Bench calls this in its warmup
+    * phase so per-query timings measure QUERY execution, not the one-time
+    * conversion of driver parquet into graft tables (which in a real
+    * deployment happened long before any query ran). Query-level work —
+    * including the cachedDf intermediates that are genuinely part of a
+    * query's cost — is NOT touched here.
+    */
+  def prebuild(spark: SparkSession, sfDir: String): Unit = {
+    lineitemLog(spark, sfDir); usersLww(spark, sfDir)
+    usersLwwDeletes(spark, sfDir); usersFirst(spark, sfDir)
+    usersVersioned(spark, sfDir); userAggs(spark, sfDir)
+    usersPartial(spark, sfDir); eventsPartitioned(spark, sfDir)
+    eventsPartitionedExpired(spark, sfDir); streamAggTable(spark, sfDir)
+    lineitemTwoCommits(spark, sfDir); eventsAutoInc(spark, sfDir)
+    usersLwwCompacted(spark, sfDir); usersRowLevel(spark, sfDir)
+    usersLwwWal(spark, sfDir); usersRetractAgg(spark, sfDir)
+    userAllFns(spark, sfDir); userTypeState(spark, sfDir)
+    sqlCatalog(spark, sfDir)
+    ()
+  }
+
   def userTypeState(spark: SparkSession, sfDir: String): GraftTable =
     cached("user_type_state", sfDir) {
       val t = fresh(spark, sfDir, "user_type_state",
