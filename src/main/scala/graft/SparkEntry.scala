@@ -83,6 +83,22 @@ object SparkEntry {
     // ----- A1 + DeleteBehavior.ALLOW: deletes remove, later upserts re-add
     "a1_upsert_delete" -> ((s, dir) => Fixtures.usersLwwDeletes(s, dir).scan()),
 
+    // ----- A1 + DeleteBehavior.IGNORE: delete intents dropped by the engine
+    "a1_upsert_delete_ignore" -> ((s, dir) =>
+      Fixtures.usersLwwDeletesIgnore(s, dir).scan()),
+
+    // ----- §1.4 schema evolution: ADD COLUMN LAST mid-history; pre-ALTER
+    // log rows read the new column as null
+    "e1_add_column" -> ((s, dir) => Fixtures.usersEvolved(s, dir).scan()),
+
+    // ----- S3/S13 time travel: state as of the between-commits timestamp
+    // (only the first commit's rows are visible)
+    "tt1_time_travel" -> ((s, dir) => {
+      val (tbl, split) = Fixtures.lineitemTwoCommits(s, dir)
+      tbl.scanAsOf(split)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
     // ----- A2: partial update (declared column subset)
     "a2_partial_update" -> ((s, dir) => Fixtures.usersPartial(s, dir).scan()),
 
@@ -432,6 +448,18 @@ object SparkEntry {
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
       media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"))
         .join(frames, Seq("media_id"))
+    }),
+
+    // ----- MM2: the full media pipeline — pack → resize (nearest-neighbor
+    // byte resample) → feature-extract (stubbed decode); oracle checks the
+    // plumbing shape (byte lengths, feature dimensionality), the spec pins
+    // the stub's float values
+    "mm2_media_pipeline" -> ((s, dir) => {
+      val media = Multimodal.packAsMedia(t(s, dir, "documents"), "doc_id", "text")
+      val resized = Multimodal.resizeMedia(media, targetBytes = 32)
+      Multimodal.extractFeatures(resized, dim = 8)
+        .select(col("media_id"), col("meta.n_bytes").as("n_resized"),
+          size(col("features")).cast("long").as("n_features"))
     })
   )
 
@@ -473,6 +501,28 @@ object SparkEntry {
       """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "a1_upsert_delete_ignore" ->
+      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_type <> 'error') WHERE rn = 1""".stripMargin,
+
+    "e1_add_column" ->
+      """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+        |SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value,
+        |  CASE WHEN event_id <= (SELECT mid FROM mx) THEN NULL ELSE props END AS props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "tt1_time_travel" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin,
+
+    "mm2_media_pipeline" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN strlen(text) > 0 THEN 32 ELSE 0 END AS BIGINT) AS n_resized,
+        |  CAST(8 AS BIGINT) AS n_features
+        |FROM documents""".stripMargin,
 
     "a2_partial_update" ->
       """WITH base AS (

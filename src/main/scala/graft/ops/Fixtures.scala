@@ -116,6 +116,42 @@ object Fixtures {
       t
     }
 
+  /** DeleteBehavior.IGNORE (DeleteBehavior.java:28-41): same mixed batch
+    * as [[usersLwwDeletes]] but the engine IGNORES delete intents — the
+    * state must equal plain LWW over the non-delete rows.
+    */
+  def usersLwwDeletesIgnore(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_lww_del_ign", sfDir) {
+      val t = fresh(spark, sfDir, "users_lww_del_ign",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id"),
+          deleteBehavior = DeleteBehavior.Ignore))
+      val ev = eventsTyped(spark, sfDir)
+      t.upsertMixed(ev.withColumn("__delete", col("event_type") === "error"),
+        orderBy = Seq(ev("event_id")))
+      t
+    }
+
+  /** Schema evolution (ADD COLUMN LAST, KvTablet.java:496-506): table
+    * created WITHOUT `props`, first half of events upserted, column added,
+    * second half upserted with it. Rows whose last write predates the ALTER
+    * read the new column as null.
+    */
+  def usersEvolved(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_evolved", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val narrow = StructType(eventsSchema(spark, sfDir).fields.filterNot(_.name == "props"))
+      val t0 = fresh(spark, sfDir, "users_evolved",
+        TableDescriptor(narrow, primaryKey = Seq("user_id")))
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      t0.upsert(ev.filter(col("event_id") <= mid).drop("props"),
+        orderBy = Seq(col("event_id")))
+      val db = "fx" + math.abs(sfDir.hashCode)
+      val t = catalog(spark).addColumn(db, "users_evolved",
+        StructField("props", StringType, nullable = true))
+      t.upsert(ev.filter(col("event_id") > mid), orderBy = Seq(col("event_id")))
+      t
+    }
+
   /** FIRST_ROW merge engine table. */
   def usersFirst(spark: SparkSession, sfDir: String): GraftTable =
     cached("users_first", sfDir) {
@@ -408,7 +444,8 @@ object Fixtures {
     */
   def prebuild(spark: SparkSession, sfDir: String): Unit = {
     lineitemLog(spark, sfDir); usersLww(spark, sfDir)
-    usersLwwDeletes(spark, sfDir); usersFirst(spark, sfDir)
+    usersLwwDeletes(spark, sfDir); usersLwwDeletesIgnore(spark, sfDir)
+    usersEvolved(spark, sfDir); usersFirst(spark, sfDir)
     usersVersioned(spark, sfDir); userAggs(spark, sfDir)
     usersPartial(spark, sfDir); eventsPartitioned(spark, sfDir)
     eventsPartitionedExpired(spark, sfDir); streamAggTable(spark, sfDir)

@@ -76,6 +76,38 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** "Resize" the media blob to exactly `targetBytes` by nearest-neighbor
+    * resampling of the byte stream (out[i] = in[floor(i*n/target)]) — the
+    * byte-level stand-in for an image resize. Same per-partition batch
+    * shape as [[extractFeatures]]; a real build swaps the resample loop
+    * for a codec resize. Empty blobs stay empty; `meta.n_bytes` tracks the
+    * new length.
+    */
+  def resizeMedia(df: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val inSchema = df.schema
+    val mediaIdx = inSchema.fieldIndex("media")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val resized = df.mapPartitions { it =>
+      it.map { r =>
+        val blob = r.getAs[Array[Byte]](mediaIdx)
+        val out =
+          if (blob == null || blob.isEmpty) Array.emptyByteArray
+          else Array.tabulate(targetBytes)(i =>
+            blob((i.toLong * blob.length / targetBytes).toInt))
+        val vals = (0 until inSchema.length).map {
+          case `mediaIdx` => out
+          case i => r.get(i)
+        }
+        new GenericRowWithSchema(vals.toArray[Any], inSchema): Row
+      }
+    }(Encoders.row(inSchema))
+    resized.withColumn("meta", struct(
+      col("meta.kind").as("kind"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height")))
+  }
+
   /** Frame sampling: slice the blob into fixed-size "frames" and keep every
     * `stride`-th one — a generator (posexplode), so it parallelizes and
     * never materializes all frames of a blob at once downstream of the scan.
