@@ -489,27 +489,27 @@ object SparkEntry {
 
     "s8_append_scan" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "a1_upsert_lww" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
 
     "a1_upsert_delete" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "a1_upsert_delete_ignore" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_type <> 'error') WHERE rn = 1""".stripMargin,
 
     "e1_add_column" ->
       """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
-        |SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value,
+        |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value,
         |  CASE WHEN event_id <= (SELECT mid FROM mx) THEN NULL ELSE props END AS props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
@@ -532,60 +532,62 @@ object SparkEntry {
         |p AS (
         |  SELECT user_id, CAST(arg_max(value, event_id) * 2 AS DECIMAL(18,6)) AS v2
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
-        |SELECT b.ts, b.user_id, b.event_type, COALESCE(p.v2, b.value) AS value, b.props
+        |SELECT b.ts, b.user_id, b.event_type,
+        |  CAST(COALESCE(p.v2, b.value) AS DOUBLE) AS value, b.props
         |FROM base b LEFT JOIN p USING (user_id) WHERE b.rn = 1""".stripMargin,
 
     "a3_first_row" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
 
     "a4_versioned" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
 
     "a5_aggregation" ->
       """SELECT max(ts) AS ts, user_id,
         |  string_agg(event_type, '|' ORDER BY event_id) AS event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id""".stripMargin,
 
     "a5_retraction" ->
-      """SELECT user_id, CAST(value AS DECIMAL(18,6)) AS value
+      """SELECT user_id, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
 
     "t3_changelog" ->
       """WITH o AS (
-        |  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
+        |  SELECT user_id, ts, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts,
-        |         lag(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+        |         lag(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE))
+        |           OVER (PARTITION BY user_id ORDER BY event_id) AS pv
         |  FROM events)
         |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type, user_id, ts, value FROM o
         |UNION ALL
         |SELECT '-U' AS _change_type, user_id, pts AS ts, pv AS value FROM o WHERE rn > 1""".stripMargin,
 
     "j1_pk_lookup" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id = 7""".stripMargin,
 
     "j1_batched_lookup" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id IN (3, 7, 11, 42)""".stripMargin,
 
     "j2_prefix_lookup" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id = 7""".stripMargin,
 
     "j3_lookup_join" ->
       """WITH state AS (
-        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value
+        |  SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT s.user_id, s.event_type, s.value, c.c_name, c.c_mktsegment
@@ -613,9 +615,9 @@ object SparkEntry {
 
     "t3_binlog" ->
       """WITH o AS (
-        |  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v,
         |         row_number() OVER w AS rn,
-        |         lag(CAST(value AS DECIMAL(18,6))) OVER w AS pv
+        |         lag(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE)) OVER w AS pv
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type, user_id,
         |       CASE WHEN rn = 1 THEN NULL ELSE pv END AS before_value,
@@ -730,7 +732,7 @@ object SparkEntry {
         |  SELECT user_id, ts,
         |         arg_max(CAST(value AS DECIMAL(18,6)), event_id) AS value
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
-        |SELECT v.user_id, v.ts, v.event_id, p.value
+        |SELECT v.user_id, v.ts, v.event_id, CAST(p.value AS DOUBLE) AS value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "sim4_knn_graph" ->
@@ -762,13 +764,13 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |       CAST(sum(value) AS DECIMAL(18,6)) AS session_value
+        |       CAST(CAST(sum(value) AS DECIMAL(18,6)) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "rl1_row_level_ops" ->
       """SELECT ts, user_id, event_type,
-        |  CASE WHEN event_type = 'purchase'
-        |       THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS value,
+        |  CAST(CASE WHEN event_type = 'purchase'
+        |       THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS DOUBLE) AS value,
         |  props
         |FROM (SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props,
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -777,7 +779,7 @@ object SparkEntry {
 
     "t3_changelog_wal" ->
       """WITH o AS (
-        |  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
+        |  SELECT user_id, ts, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         |  FROM events)
         |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type, user_id, ts, value
@@ -813,14 +815,14 @@ object SparkEntry {
 
     "c1_catalog_sql" ->
       """SELECT user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value,
         |  max(ts) AS max_ts
         |FROM events GROUP BY user_id""".stripMargin,
 
     "a6_count_offsets" -> "SELECT count(*) AS cnt FROM lineitem",
 
     "p5_point_rewrite" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id = 7""".stripMargin,
 
@@ -834,7 +836,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "s7_union_read" ->
-      """SELECT ts, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value, props
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
 
@@ -845,14 +847,14 @@ object SparkEntry {
 
     "h1_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "h2_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -867,17 +869,17 @@ object SparkEntry {
 
     "h4_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS value
         |FROM events GROUP BY user_id""".stripMargin,
 
     "t5_window_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "mm1_multimodal" ->

@@ -1,9 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Cast every top-level DECIMAL output column to DOUBLE before dumping.
+    *
+    * The engine aggregates in decimal on purpose (exact, order-independent
+    * across shuffle partitions), but the comparison surface must be double:
+    * the driver's oracle path materializes DuckDB results through pandas,
+    * which renders DECIMAL as float64, while a decimal parquet column read
+    * back keeps Decimal objects — "38.9" vs "38.900000" then hash-mismatch
+    * even though the values are equal (every round-3/4 hash miss was exactly
+    * the decimal-bearing outputs). A decimal→double cast of the *same* exact
+    * decimal is deterministic and identical in Spark and DuckDB, so each
+    * oracle in SparkEntry.oracleSql applies the same final CAST(… AS DOUBLE).
+    */
+  private[graft] def canon(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +41,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canon(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
