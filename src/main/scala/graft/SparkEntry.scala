@@ -195,17 +195,23 @@ object SparkEntry {
           }, threshold = 0.8)
       }),
 
-    // ----- D3: MinHash+LSH near-dup candidates (the 100 TB path; recall
-    // vs D2 is asserted in DedupSpec — no SQL oracle for hash banding)
+    // ----- D3: MinHash+LSH candidates + exact-Jaccard verification (the
+    // 100 TB path): with r=2/b=32 banding the candidate set misses a
+    // t>=0.8 pair with prob ~6e-15, so the verified output equals the
+    // exact all-pairs answer — oracle-checked against the same SQL as D2
     "d3_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairsFromDocs(
+      Dedup.minhashLshVerifiedPairs(
         Fixtures.cachedDf("shingle_docs", dir) {
           Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
-        }).select(col("a_id"), col("b_id"))),
+        }, threshold = 0.8)),
 
-    // ----- D4: SimHash near-dup pairs (hamming <= 3)
+    // ----- D4: SimHash near-dup pairs (hamming <= 3). The 60-bit
+    // md5-derived token hash has an exact DuckDB twin, so the whole
+    // pipeline (hash → per-bit majority → pigeonhole blocking → hamming
+    // filter) is oracle-checked, not just row-counted
     "d4_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, nBits = 60, hashFn = Dedup.md5Hash60)
         .select(col("a_id"), col("b_id"), col("hamming"))),
 
     // ----- D5: embedding-cosine near-dup pairs (exact baseline)
@@ -465,8 +471,95 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The sim2/sim3 oracles are *generated*: the LSH hyperplanes and the
+    * IVF probe logic are deterministic index metadata, so the SQL embeds
+    * the exact plane constants (via [[Similarity.planesFor]]) and DuckDB
+    * replicates bucketing + exact re-rank bit-for-bit — a full oracle for
+    * the ANN operators, not a weaker rows-only check.
     */
+  private def sqlArr(p: Array[Double]): String = p.mkString("[", ",", "]")
+
+  private lazy val sim2OracleSql: String = {
+    // mirrors annTopKLsh defaults: planes=10, maxBitDiff=2, seed=42, dim=64
+    val ps = Similarity.planesFor(64, 10, 42L)
+    def sigExpr(v: String): String = ps.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e FROM v WHERE vec_id = 0),
+       |s AS (SELECT v.vec_id, v.e, ${sigExpr("v.e")} AS sig FROM v WHERE vec_id <> 0),
+       |qs AS (SELECT ${sigExpr("q.e")} AS sig FROM q)
+       |SELECT s.vec_id FROM s, q, qs
+       |WHERE bit_count(xor(s.sig, qs.sig)) <= 2
+       |ORDER BY list_dot_product(s.e, q.e)
+       |  / (sqrt(list_dot_product(s.e, s.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+       |  s.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  private lazy val sim3OracleSql: String =
+    // mirrors ivfAssign(nlist=16) + ivfTopK(k=10, nprobe=4): centroids are
+    // the first 16 vectors by id; assignment = argmax centroid cosine
+    // (ties -> larger index, like Spark's greatest(struct)); probe lists =
+    // top-4 centroids by query cosine (ties -> smaller index, like the
+    // stable sortBy); exact top-10 within the probed lists
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT e FROM v WHERE vec_id = 0),
+      |nz AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
+      |      FROM (SELECT vec_id, e FROM nz ORDER BY vec_id LIMIT 16)),
+      |asg AS (
+      |  SELECT vec_id, i FROM (
+      |    SELECT nz.vec_id, c.i, row_number() OVER (PARTITION BY nz.vec_id ORDER BY
+      |      list_dot_product(nz.e, c.e)
+      |        / (sqrt(list_dot_product(nz.e, nz.e)) * sqrt(list_dot_product(c.e, c.e)))
+      |      DESC, c.i DESC) AS rn
+      |    FROM nz CROSS JOIN c) WHERE rn = 1),
+      |pl AS (
+      |  SELECT i FROM (
+      |    SELECT c.i, row_number() OVER (ORDER BY
+      |      list_dot_product(c.e, q.e)
+      |        / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e)))
+      |      DESC, c.i ASC) AS rn
+      |    FROM c, q) WHERE rn <= 4)
+      |SELECT nz.vec_id
+      |FROM nz JOIN asg USING (vec_id) JOIN pl ON asg.i = pl.i, q
+      |ORDER BY list_dot_product(nz.e, q.e)
+      |  / (sqrt(list_dot_product(nz.e, nz.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+      |  nz.vec_id
+      |LIMIT 10""".stripMargin
+
+  private lazy val d4OracleSql: String = {
+    // mirrors simhashPairs(maxHamming=3, nBits=60, hashFn=md5Hash60). The
+    // oracle verifies ALL pairs; the Spark side only compares same-chunk
+    // buckets — identical answers because the 4-chunk pigeonhole is exact
+    // for hamming <= 3.
+    val bitSums = (0 until 60).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until 60).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $assemble AS sh FROM bits)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sim2_ann_lsh" -> sim2OracleSql,
+    "sim3_ivf" -> sim3OracleSql,
+    "d4_simhash" -> d4OracleSql,
     "s2_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45""".stripMargin,
@@ -629,6 +722,21 @@ object SparkEntry {
         |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin,
 
     "d2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8""".stripMargin,
+
+    // same exact-pair answer as d2: LSH banding only bounds the candidate
+    // set; the exact-Jaccard verification makes the output identical
+    "d3_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(length(text)-4, 1)),

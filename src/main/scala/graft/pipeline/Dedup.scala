@@ -91,7 +91,17 @@ object Dedup {
         lit(1) + least(col("pa") - col("ra"), col("pb") - col("rb")) >=
           lit(threshold / (1 + threshold)) * (col("pa") + col("pb")) - 1)
       .select(col("a_id"), col("b_id")).distinct()
-    // exact verification on the full shingle sets
+    verifyJaccard(cand, docs, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against the
+    * full shingle sets in a [[hashedShingleDocs]] table. Shared by the
+    * prefix-filter path (candidates are provably complete) and the
+    * MinHash-LSH path (candidates are complete up to the banding miss
+    * probability). Output: (a_id, b_id, jaccard) with jaccard >= threshold.
+    */
+  def verifyJaccard(cand: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame = {
     val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
     val db = docs.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
     cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
@@ -152,16 +162,25 @@ object Dedup {
   def minhashLshPairsFromDocs(docs: DataFrame,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // signatures are read three times (banding + both verify sides):
-    // persist the small (docs x numHashes-longs) table instead of
-    // recomputing the shingle aggregation per use. The persist is
-    // intentionally left to Spark's CacheManager/ContextCleaner:
-    // repeated calls with the same inputs reuse the same cache entry
-    // (plan-keyed), and callers hold no handle to unpersist sooner.
     val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshCandidates(sigs, numHashes, bands)
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** LSH banding over pre-built minhash signatures → candidate (a_id, b_id)
+    * pairs (a_id < b_id), deduplicated.
+    */
+  private def minhashLshCandidates(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     // one row per (doc, band): bucket key = hash of the band's slice.
     // Only (band, bucket, id) flows through the self-join and the pair
     // distinct — 24-byte rows, NOT the ~1 KB signature arrays; the
@@ -172,51 +191,73 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+    banded.select(col("band"), col("bucket"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    cand
-      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          m => m)).cast("double") / lit(numHashes.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+  /** MinHash-LSH candidates verified by EXACT Jaccard — the production
+    * shape of near-dup detection at scale: banding bounds the candidate
+    * set, verification makes the answer exact. With rows-per-band r = 2
+    * and b = 32 bands, a pair at the t = 0.8 threshold is missed with
+    * probability (1 - 0.8²)^32 = 0.36³² ≈ 6e-15 — the output equals the
+    * all-pairs exact answer with near-certainty, at a fraction of the
+    * comparisons (candidates scale with near-dup density, not corpus²).
+    */
+  def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
+    verifyJaccard(minhashLshCandidates(sigs, numHashes, bands), docs, threshold)
+  }
+
+  /** Token hash with an exact cross-engine twin: the top 60 bits of
+    * md5(token) (15 hex chars, so the value stays positive in a signed
+    * 64-bit long). DuckDB computes the identical value as
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`, which is what lets the
+    * whole SimHash pipeline be oracle-checked end to end.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over whitespace tokens: per-bit majority vote of token
     * hashes. Pure expressions: for each bit j, sum(+/-1 per token) > 0.
     * One hash-aggregate; the fingerprint assembles via bit shifts.
+    * `hashFn` defaults to xxhash64 (fastest); [[md5Hash60]] with
+    * nBits = 60 gives a DuckDB-replicable variant.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 64, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", hashFn(col("t")))
+    val bitSums = (0 until nBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0,
+        (0 until nBits).map(j => when(col(s"b$j") > 0,
           shiftleft(lit(1L), j)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
-    * Blocking: pigeonhole on 16-bit chunks — any pair within distance
+    * Blocking: pigeonhole on nBits/4-bit chunks — any pair within distance
     * `maxHamming` (< 4) agrees on at least one of the 4 chunks, so the
     * join only compares same-chunk buckets. Verified with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, nBits: Int = 64,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
-    val sig = simhash(df, idCol, textCol)
+    require(nBits % 4 == 0, "4-chunk pigeonhole needs nBits % 4 == 0")
+    val chunkBits = nBits / 4
+    val sig = simhash(df, idCol, textCol, nBits, hashFn)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1)): _*)))
       .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("bucket"))
     val a = chunked.select(col("chunk"), col("bucket"),
       col("id").as("a_id"), col("simhash").as("a_sh"))

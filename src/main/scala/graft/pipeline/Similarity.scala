@@ -27,8 +27,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Deterministic random hyperplanes (unit-free gaussians, seed-fixed). */
-  private[pipeline] def planesFor(dim: Int, k: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (unit-free gaussians, seed-fixed).
+    * Public: the planes are index *metadata* — tests and the SQL oracle
+    * embed them as literals to replicate the bucketing exactly.
+    */
+  def planesFor(dim: Int, k: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
   }
