@@ -195,10 +195,10 @@ object SparkEntry {
           }, threshold = 0.8)
       }),
 
-    // ----- D3: MinHash+LSH candidates + exact-Jaccard verification (the
-    // 100 TB path): with r=2/b=32 banding the candidate set misses a
-    // t>=0.8 pair with prob ~6e-15, so the verified output equals the
-    // exact all-pairs answer — oracle-checked against the same SQL as D2
+    // ----- D3: MinHash+LSH candidates + signature prescreen + exact-
+    // Jaccard verification (the 100 TB path): total miss prob for a
+    // t>=0.8 pair is ~1.4e-6, so the verified output equals the exact
+    // all-pairs answer — oracle-checked against the same SQL as D2
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshVerifiedPairs(
         Fixtures.cachedDf("shingle_docs", dir) {

@@ -51,10 +51,20 @@ object Dedup {
     * pipelines computing both should build this once and persist it.
     */
   def hashedShingleDocs(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+      n: Int): DataFrame = {
+    // Shingling is the most expensive per-row scalar work in the dedup
+    // family (~|text| substr+hash ops per doc). A small corpus arrives as
+    // one parquet file = 1-2 scan partitions, which would serialize all
+    // that compute on one core; widening is a cheap shuffle of the raw
+    // docs. Large inputs already carry >= defaultParallelism partitions
+    // and skip the shuffle entirely.
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    wide.select(col(idCol).as("id"),
       array_sort(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gs"))
       .withColumn("sz", size(col("gs")))
+  }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
@@ -200,16 +210,38 @@ object Dedup {
 
   /** MinHash-LSH candidates verified by EXACT Jaccard — the production
     * shape of near-dup detection at scale: banding bounds the candidate
-    * set, verification makes the answer exact. With rows-per-band r = 2
-    * and b = 32 bands, a pair at the t = 0.8 threshold is missed with
-    * probability (1 - 0.8²)^32 = 0.36³² ≈ 6e-15 — the output equals the
-    * all-pairs exact answer with near-certainty, at a fraction of the
-    * comparisons (candidates scale with near-dup density, not corpus²).
+    * set, a signature-level prescreen discards the bulk of spurious
+    * band collisions cheaply, and exact verification on the survivors
+    * makes the answer exact.
+    *
+    * Miss probability per true pair at t = 0.8 (defaults r = 3, b = 20):
+    * banding (1 - 0.8³)^20 ≈ 5.7e-7, plus the prescreen P(Binom(60, 0.8)
+    * < 0.55·60) ≈ 8e-7 — the output equals the all-pairs exact answer
+    * with near-certainty. The prescreen matters because band collisions
+    * scale with the corpus's MODERATE-similarity mass (a J = 0.4 pair
+    * collides with p = 0.73 at r = 3): comparing two 60-long signatures
+    * costs ~500 B per pair, while exact verification drags the full
+    * shingle arrays (~1.6 KB avg per doc) through a shuffle — the
+    * prescreen cuts that candidate stream by orders of magnitude before
+    * the heavy join. Signatures are a small per-doc table, so Catalyst
+    * broadcast-joins it under the default threshold; at billions of docs
+    * it becomes an ordinary shuffle join with no code change.
     */
   def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 64, bands: Int = 32, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
+      estMargin: Double = 0.25): DataFrame = {
     val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
-    verifyJaccard(minhashLshCandidates(sigs, numHashes, bands), docs, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashLshCandidates(sigs, numHashes, bands)
+    val screened = cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .withColumn("est",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est") >= threshold - estMargin)
+      .select(col("a_id"), col("b_id"))
+    verifyJaccard(screened, docs, threshold)
   }
 
   /** Token hash with an exact cross-engine twin: the top 60 bits of

@@ -68,6 +68,7 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", l2norm(col("v")))
@@ -75,10 +76,19 @@ object Similarity {
       // Spark orders NaN greatest — a degenerate vector would rank as
       // everyone's nearest neighbor. Excluded from both sides.
       .filter(col("n") > 0)
-    val a = v.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
+    // a small corpus arrives as one parquet file = 1-2 scan partitions,
+    // which would serialize the O(n²·dim) dot products on one core; widen
+    // the left (streamed) side so the nested loop parallelizes
+    val target = spark.sparkContext.defaultParallelism
+    val widened = if (v.rdd.getNumPartitions < target) v.repartition(target) else v
+    val a = widened.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
     val b = v.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
     a.crossJoin(broadcast(b)).filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      // project the vectors away BEFORE the rank shuffle: the window moves
+      // O(n²) rows, and 24-byte (id, id, cos) rows shuffle ~50× less than
+      // rows still carrying two dim-length arrays
+      .select(col("a_id"), col("b_id"), col("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id")))
         .cast("long"))
