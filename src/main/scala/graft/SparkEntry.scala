@@ -236,6 +236,11 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // ----- J4: delta join — true stream-stream join (both sides micro-
+    // batch file streams) with watermarks + a time-range predicate that
+    // bounds the join state; equals the batch join since no row is late
+    "j4_delta_join" -> ((s, dir) => Fixtures.deltaJoinResult(s, dir)),
+
     // ----- J6 (beyond the reference): temporal AS OF join — each view
     // event enriched with the user's latest purchase value at/before it
     "j6_asof_join" -> ((s, dir) => {
@@ -832,6 +837,13 @@ object SparkEntry {
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+
+    "j4_delta_join" ->
+      """SELECT v.user_id, v.event_id AS v_event_id, p.event_id AS p_event_id
+        |FROM events v JOIN events p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.user_id = v.user_id
+        | AND p.ts >= v.ts - INTERVAL 30 MINUTE AND p.ts <= v.ts""".stripMargin,
 
     "j6_asof_join" ->
       """WITH v AS (

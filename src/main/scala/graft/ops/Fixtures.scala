@@ -260,6 +260,63 @@ object Fixtures {
       t
     }
 
+  /** J4 delta join: stream-stream join of the view stream against the
+    * purchase stream (purchases in the 30 minutes before each view by the
+    * same user). Both sides are genuine file streams consumed in
+    * micro-batches; the time-range predicate + watermark bound the join
+    * state (the property the reference's delta-join rewrite provides via
+    * index lookups). The watermark delay spans the fixture's whole event
+    * range so no late row is dropped and the result equals the batch join
+    * exactly — at production scale the delay is the knob trading lateness
+    * tolerance for state size.
+    */
+  def deltaJoinResult(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf("delta_join", sfDir) {
+      // only the two joined event types reach the stream source: a
+      // production pipeline subscribes to the filtered changelog, and
+      // rows that can never match would only inflate join state
+      val ev = eventsTyped(spark, sfDir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      val srcDir = Files.createTempDirectory("graft-dj-src").toString
+      ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(srcDir)
+      // a stream-stream join instantiates FOUR state stores per shuffle
+      // partition, each with a per-batch load/commit cycle — that fixed
+      // machinery, not the data, dominates at fixture scale (the same
+      // wall-clock at sf0.01 and sf0.1). Size the stateful shuffle to the
+      // data volume instead of inheriting the session's scan-oriented
+      // setting; restored after the stream finishes.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      def src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event_id"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"))
+      val joined = graft.streaming.GraftStream.deltaJoin(
+        views, "v_ts", purchases, "p_ts",
+        views("user_id") === purchases("p_user_id") &&
+          purchases("p_ts") >= views("v_ts") - expr("INTERVAL 30 MINUTES") &&
+          purchases("p_ts") <= views("v_ts"),
+        delay = "35 days")
+      val outDir = Files.createTempDirectory("graft-dj-out").toString
+      val q = joined
+        .select(col("user_id"), col("v_event_id"), col("p_event_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-dj-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.read.schema(
+        "user_id BIGINT, v_event_id BIGINT, p_event_id BIGINT").parquet(outDir)
+    }
+
   private val pairCache =
     mutable.Map.empty[(String, String), (GraftTable, java.sql.Timestamp)]
 

@@ -208,4 +208,18 @@ object GraftStream {
     val r = right.withWatermark(rightTsCol, delay)
     l.join(r, joinKeys, "inner")
   }
+
+  /** Time-bounded variant: an arbitrary join condition (equi-keys plus an
+    * event-time range). With a time-range predicate Spark can evict join
+    * state as the watermark advances — the state-boundedness property the
+    * reference's delta-join rewrite exists to provide; `delay` trades
+    * how late a row may arrive against how much state each side retains.
+    */
+  def deltaJoin(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      condition: org.apache.spark.sql.Column, delay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withWatermark(rightTsCol, delay)
+    l.join(r, condition, "inner")
+  }
 }
