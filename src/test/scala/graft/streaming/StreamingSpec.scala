@@ -185,6 +185,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((2L, 20, 200), (3L, 30, 300)))
   }
 
+  test("delta join: time-range condition joins only rows within the bound") {
+    val tsSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("v", IntegerType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val (srcL, srcR) = (tmp(), tmp())
+    // left rows at t=60 and t=120; right rows at t=50 (within 30 min of
+    // t=60), t=115 (within 30 min of t=120), and t=10 (too early for both)
+    spark.createDataFrame(Seq(
+      Row(1L, at(60), 1), Row(1L, at(120), 2)).asJava, tsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(srcL)
+    spark.createDataFrame(Seq(
+      Row(1L, at(50), 100), Row(1L, at(115), 200), Row(1L, at(10), 300),
+      Row(2L, at(55), 400)).asJava, tsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(srcR)
+    val l = spark.readStream.schema(tsSchema).parquet(srcL)
+      .select(col("k"), col("ts").as("lts"), col("v").as("lv"))
+    val r = spark.readStream.schema(tsSchema).parquet(srcR)
+      .select(col("k").as("rk"), col("ts").as("rts"), col("v").as("rv"))
+    val joined = GraftStream.deltaJoin(l, "lts", r, "rts",
+      l("k") === r("rk") &&
+        r("rts") >= l("lts") - expr("INTERVAL 30 MINUTES") &&
+        r("rts") <= l("lts"),
+      "1 hour")
+    val q = joined.writeStream.format("memory").queryName("dj2")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT lv, rv FROM dj2").collect()
+      .map(r0 => (r0.getInt(0), r0.getInt(1))).sorted.toSeq
+    assert(got == Seq((1, 100), (2, 200)))
+  }
+
   test("watermarked tumbling window over an event stream") {
     val src = tmp()
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
