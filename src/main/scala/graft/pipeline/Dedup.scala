@@ -82,25 +82,36 @@ object Dedup {
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
     val ranked = sh.join(freq, Seq("g")).withColumn("rk",
       row_number().over(Window.partitionBy(col("id")).orderBy(col("f"), col("g"))))
-    // +2 guards the prefix length against float wobble in ceil(t*sz)
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
       .select(col("g"), col("id"), col("sz"), col("rk"))
+    // All-Pairs (Bayardo et al., WWW'07) asymmetric prefixes, +2 slack
+    // against float wobble in ceil():
+    //  - probing prefix |X| - ceil(t·|X|) + 1 on the larger-record side
+    //  - indexing prefix |X| - ceil(2t/(1+t)·|X|) + 1 on the smaller side
+    // Every pair with J >= t shares a token within (probe ∩ index) when
+    // records are ordered by (sz, id) — the index prefix being ~half the
+    // probing prefix roughly halves the candidate join's output.
+    val probe = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+    val index = ranked
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(2 * threshold / (1 + threshold)) * col("sz")) + 2)
     // candidate filters (each with a 1-element slack for float rounding):
+    //  - orientation: index side strictly before probe side in (sz, id)
     //  - length: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
     //  - positional (PPJoin): a shared prefix token at ranks (ra, rb) caps
     //    the overlap at 1 + min(|A|-ra, |B|-rb), which must reach the
     //    required overlap alpha = t/(1+t) * (|A|+|B|)
-    val cand = prefix.select(col("g"), col("id").as("a_id"),
-        col("sz").as("pa"), col("rk").as("ra"))
-      .join(prefix.select(col("g"), col("id").as("b_id"),
-        col("sz").as("pb"), col("rk").as("rb")), Seq("g"))
-      .filter(col("a_id") < col("b_id") &&
-        least(col("pa"), col("pb")) >=
-          lit(threshold) * greatest(col("pa"), col("pb")) - 1 &&
-        lit(1) + least(col("pa") - col("ra"), col("pb") - col("rb")) >=
-          lit(threshold / (1 + threshold)) * (col("pa") + col("pb")) - 1)
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = probe.select(col("g"), col("id").as("p_id"),
+        col("sz").as("pp"), col("rk").as("rp"))
+      .join(index.select(col("g"), col("id").as("i_id"),
+        col("sz").as("pi"), col("rk").as("ri")), Seq("g"))
+      .filter((col("pi") < col("pp") ||
+          (col("pi") === col("pp") && col("i_id") < col("p_id"))) &&
+        col("pi") >= lit(threshold) * col("pp") - 1 &&
+        lit(1) + least(col("pp") - col("rp"), col("pi") - col("ri")) >=
+          lit(threshold / (1 + threshold)) * (col("pp") + col("pi")) - 1)
+      .select(least(col("p_id"), col("i_id")).as("a_id"),
+        greatest(col("p_id"), col("i_id")).as("b_id")).distinct()
     verifyJaccard(cand, docs, threshold)
   }
 
