@@ -318,6 +318,31 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.75), defaultRate = 0.25)
         .select(col("doc_id"), col("lang"))),
 
+    // ----- TA5: PII detection — per-doc email/phone counts plus the
+    // length after length-preserving email redaction (the scrub stage a
+    // training pipeline runs first; patterns shared verbatim with the
+    // oracle so Java regex and DuckDB RE2 agree)
+    "ta5_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.piiEmails(col("text")).as("n_emails"),
+        TextAnalysis.piiPhones(col("text")).as("n_phones"),
+        length(TextAnalysis.redactEmails(col("text"))).as("redacted_len"))),
+
+    // ----- TA6: repetition score — 1 - distinct/total word 3-grams
+    // (Gopher/RefinedWeb-style repetitiousness quality signal)
+    "ta6_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionScore(col("text")).as("repetition"))),
+
+    // ----- TA7: token-budget shard packing — global running-sum shard
+    // assignment via the two-level scan (range partition + local cumsum +
+    // per-partition offset join), never a single-task global window
+    "ta7_token_shards" -> ((s, dir) =>
+      Sampling.packTokenShards(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 10000L)),
+
     // ----- T7: sessionization via native session_window (30-min gap)
     "t7_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Fixtures.eventsTyped(s, dir), "user_id", "ts",
@@ -872,6 +897,38 @@ object SparkEntry {
         |  (CASE WHEN lang = 'en' THEN '8000'
         |        WHEN lang = 'zh' THEN 'c000'
         |        ELSE '4000' END)""".stripMargin,
+
+    "ta5_pii" ->
+      s"""SELECT doc_id,
+        |  len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS n_emails,
+        |  len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS n_phones,
+        |  length(regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g')) AS redacted_len
+        |FROM documents""".stripMargin,
+
+    "ta6_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1],
+        |                   toks[CAST(i AS INT) + 2])) AS tg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(tg) < 1 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+        |  END AS repetition
+        |FROM g""".stripMargin,
+
+    "ta7_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |     - n_tokens) // 10000 AS shard
+        |FROM t""".stripMargin,
 
     "t7_sessionize" ->
       """WITH x AS (

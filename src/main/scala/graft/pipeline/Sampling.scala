@@ -48,4 +48,39 @@ object Sampling {
     }
     df.filter(hashFrac(col(idCol)) < thr)
   }
+
+  /** Token-budget shard packing: documents in `idCol` order are packed
+    * into fixed-budget training shards — doc D goes to shard
+    * floor(sum(tokens of docs before D) / budget). The semantics are a
+    * global running sum, but a bare `Window.orderBy` would pull the whole
+    * corpus through ONE task; instead the classic two-level scan:
+    * range-repartition by id (partition i holds ids strictly below
+    * partition i+1), local running sums per partition, then a driver-size
+    * prefix over the per-partition totals (one row per partition) joined
+    * back. Identical result, and every wide stage stays parallel at
+    * 100 TB.
+    */
+  def packTokenShards(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val local = parted.withColumn("__lcum",
+      sum(col(tokensCol)).over(wLocal)) // inclusive local running sum
+    // per-partition totals: n rows, so the single-partition prefix window
+    // is driver-scale work, not data-scale
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__lcum")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col(idCol), col(tokensCol),
+        ((col("__off") + col("__lcum") - col(tokensCol)) / budget)
+          .cast("long").as("shard"))
+  }
 }

@@ -69,6 +69,47 @@ object TextAnalysis {
       lit(0.25) * (lit(1.0) - least(digits / greatest(chars, lit(1.0)) * lit(10.0), lit(1.0)))
   }
 
+  /** Conservative email pattern shared verbatim with the SQL oracle (both
+    * Java regex and DuckDB/RE2 interpret it identically).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Digit-run pattern for phone-ish PII: 9+ digits allowing separators. */
+  val phonePattern = "[0-9][0-9 ()./-]{7,}[0-9]"
+
+  /** PII counts per document (emails, phone-ish digit runs) — the scrub
+    * stage every training-data pipeline runs before anything else.
+    */
+  def piiEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def piiPhones(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
+  /** Text with emails masked — length-preserving redaction marker. */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, emailPattern, "<EMAIL>")
+
+  /** Word 3-grams of the document's whitespace tokens (callers must guard
+    * size >= 3: ANSI mode makes out-of-bounds element_at an error).
+    */
+  private def wordTrigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+  }
+
+  /** Repetition score in [0,1]: 1 - distinct/total word 3-grams (the
+    * Gopher/RefinedWeb-style repetitiousness signal; boilerplate and
+    * looping generations score high). Docs under 3 tokens score 0.
+    */
+  def repetitionScore(text: Column): Column =
+    when(size(tokens(text)) < 3, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(wordTrigrams(text))).cast("double") /
+          size(wordTrigrams(text)).cast("double"))
+
   /** Normalized-text form used for fingerprinting/exact dedup: trim,
     * collapse whitespace, lowercase.
     */

@@ -35,6 +35,53 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(bySrc("big") > 50 && bySrc("big") < 150, s"got ${bySrc("big")}")
   }
 
+  test("pii detection counts and redacts emails and phone-like runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.example.org today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "no pii here at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.piiEmails(col("text")).as("e"),
+        TextAnalysis.piiPhones(col("text")).as("p"),
+        TextAnalysis.redactEmails(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 2, 0, "contact <EMAIL> or <EMAIL> today"),
+      (2L, 0, 1, "call +1 (555) 123-4567 now"),
+      (3L, 0, 0, "no pii here at all"),
+      (4L, 0, 0, "")))
+  }
+
+  test("repetition score: 0 for short/distinct text, high for loops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "one two"),                          // < 3 tokens -> 0
+      (2L, "a b c d e"),                        // all trigrams distinct -> 0
+      (3L, ("spam ham " * 20).trim)).toDF("doc_id", "text") // looping -> high
+    val got = df.select(col("doc_id"),
+        TextAnalysis.repetitionScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.0)
+    assert(got(3L) > 0.9, s"got ${got(3L)}")
+  }
+
+  test("packTokenShards assigns by global running token budget") {
+    import spark.implicits._
+    // 6 docs x 40 tokens, budget 100: cum-before = 0,40,80,120,160,200
+    // -> shards 0,0,0,1,1,2
+    val df = (1L to 6L).map(i => (i, ("w " * 40).trim)).toDF("doc_id", "text")
+    val withTokens = df.select($"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val got = Sampling.packTokenShards(withTokens, "doc_id", "n_tokens", 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+  }
+
   test("sessionize splits on gaps >= the threshold and aggregates per session") {
     import spark.implicits._
     def ts(min: Long) = new Timestamp(min * 60000L)
