@@ -91,13 +91,21 @@ object TextAnalysis {
     regexp_replace(text, emailPattern, "<EMAIL>")
 
   /** Word 3-grams of the document's whitespace tokens (callers must guard
-    * size >= 3: ANSI mode makes out-of-bounds element_at an error).
+    * size >= 3). Built by zipping three shifted slices — NOT by indexed
+    * element_at inside a transform lambda: a lambda body's subexpressions
+    * re-evaluate per element, so `element_at(tokens(text), i)` would
+    * re-split the full text for every trigram (O(tokens² · len) per doc,
+    * measured 13.7 s vs 0.3 s on the sf0.1 corpus). Slices evaluate the
+    * split a constant number of times per row.
     */
   private def wordTrigrams(text: Column): Column = {
     val t = tokens(text)
-    transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ",
-        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val n = size(t)
+    zip_with(
+      slice(t, lit(1), n - 2),
+      zip_with(slice(t, lit(2), n - 2), slice(t, lit(3), n - 2),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
   }
 
   /** Repetition score in [0,1]: 1 - distinct/total word 3-grams (the
