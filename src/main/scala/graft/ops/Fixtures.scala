@@ -47,6 +47,12 @@ object Fixtures {
   def cachedDf(key: String, sfDir: String)(build: => DataFrame): DataFrame =
     synchronized { dfCache.getOrElseUpdate((key, sfDir), build.persist()) }
 
+  /** Drop all cachedDf entries (profiling: re-measure a query cold). */
+  def clearCache(spark: SparkSession): Unit = synchronized {
+    dfCache.values.foreach(_.unpersist(blocking = true))
+    dfCache.clear()
+  }
+
   /** Create a fixture table, clearing any half-built leftover first. */
   private def fresh(spark: SparkSession, sfDir: String, name: String,
       desc: TableDescriptor): GraftTable = {

@@ -80,9 +80,6 @@ object Dedup {
     val sh = docs.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     // canonical order = (global frequency asc, hash): rarest first
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("f"))
-    val ranked = sh.join(freq, Seq("g")).withColumn("rk",
-      row_number().over(Window.partitionBy(col("id")).orderBy(col("f"), col("g"))))
-      .select(col("g"), col("id"), col("sz"), col("rk"))
     // All-Pairs (Bayardo et al., WWW'07) asymmetric prefixes, +2 slack
     // against float wobble in ceil():
     //  - probing prefix |X| - ceil(t·|X|) + 1 on the larger-record side
@@ -90,11 +87,20 @@ object Dedup {
     // Every pair with J >= t shares a token within (probe ∩ index) when
     // records are ordered by (sz, id) — the index prefix being ~half the
     // probing prefix roughly halves the candidate join's output.
-    val probe = ranked
+    // The prefix table is persisted: without it, the probe and index sides
+    // of the candidate join would EACH re-run the freq join + per-doc
+    // ranking over every shingle occurrence (the widest stage of the whole
+    // job) — materializing only the surviving ~(1-t)·|X| prefix rows makes
+    // the second side a cache read, and shrinks it ~5× at t = 0.8.
+    val prefix = sh.join(freq, Seq("g")).withColumn("rk",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("f"), col("g"))))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 2)
-    val index = ranked
-      .filter(col("rk") <=
+      .withColumn("in_index", col("rk") <=
         col("sz") - ceil(lit(2 * threshold / (1 + threshold)) * col("sz")) + 2)
+      .select(col("g"), col("id"), col("sz"), col("rk"), col("in_index"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = prefix
+    val index = prefix.filter(col("in_index"))
     // candidate filters (each with a 1-element slack for float rounding):
     //  - orientation: index side strictly before probe side in (sz, id)
     //  - length: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
@@ -112,6 +118,11 @@ object Dedup {
           lit(threshold / (1 + threshold)) * (col("pp") + col("pi")) - 1)
       .select(least(col("p_id"), col("i_id")).as("a_id"),
         greatest(col("p_id"), col("i_id")).as("b_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates are tiny (scale with true near-dup density); materialize
+    // them now so the wide prefix table can be released immediately
+    cand.count()
+    prefix.unpersist()
     verifyJaccard(cand, docs, threshold)
   }
 
