@@ -214,12 +214,35 @@ object GraftStream {
     * state as the watermark advances — the state-boundedness property the
     * reference's delta-join rewrite exists to provide; `delay` trades
     * how late a row may arrive against how much state each side retains.
+    *
+    * The condition's attribute references are remapped onto the
+    * watermarked children: callers naturally build the condition from the
+    * PRE-watermark DataFrames (`left(...)`/`right(...)`), whose attribute
+    * instances lack the watermark-delay metadata — and
+    * `StreamingJoinHelper` reads that metadata off the CONDITION's
+    * attributes when deriving state-eviction bounds from the time range.
+    * Without the remap the derivation fails (logged, not thrown) and both
+    * sides' join state grows without bound.
     */
   def deltaJoin(left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       condition: org.apache.spark.sql.Column, delay: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val l = left.withWatermark(leftTsCol, delay)
     val r = right.withWatermark(rightTsCol, delay)
-    l.join(r, condition, "inner")
+    val joined = l.join(r, condition, "inner")
+    // DSL conditions resolve by plan id against the PRE-watermark Dataset
+    // nodes, yielding metadata-free attribute instances in the analyzed
+    // Join; rewrite them to the watermarked children's attributes (same
+    // exprId, delay metadata attached) so the state bound is derivable.
+    val fixed = joined.queryExecution.analyzed.transform {
+      case j: Join =>
+        val byId = (j.left.output ++ j.right.output).map(a => a.exprId -> a).toMap
+        j.copy(condition = j.condition.map(_.transform {
+          case a: AttributeReference => byId.getOrElse(a.exprId, a)
+        }))
+    }
+    org.apache.spark.sql.GraftPlans.ofRows(left.sparkSession, fixed)
   }
 }

@@ -10,3 +10,12 @@ object GraftColumn {
   def of(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Same bridge for logical plans: rebuild a DataFrame from a transformed
+  * analyzed plan (`Dataset.ofRows` is private[sql]).
+  */
+object GraftPlans {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
