@@ -216,6 +216,24 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.sql("SELECT lv, rv FROM dj2").collect()
       .map(r0 => (r0.getInt(0), r0.getInt(1))).sorted.toSeq
     assert(got == Seq((1, 100), (2, 200)))
+
+    // state-boundedness regression: the analyzed Join condition must carry
+    // the watermark-delay metadata on its event-time attributes — that is
+    // what StreamingJoinHelper reads to derive state-eviction bounds from
+    // the time range (DSL conditions resolve against the pre-watermark
+    // plans and lose it; deltaJoin rewrites them)
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val conds = joined.queryExecution.analyzed.collect {
+      case j: Join => j.condition.get
+    }
+    assert(conds.nonEmpty)
+    val tsAttrs = conds.flatMap(_.collect {
+      case a: AttributeReference if a.name == "lts" || a.name == "rts" => a
+    })
+    assert(tsAttrs.nonEmpty &&
+      tsAttrs.forall(_.metadata.contains("spark.watermarkDelayMs")),
+      tsAttrs.map(a => s"${a.name}:${a.metadata}").mkString(", "))
   }
 
   test("watermarked tumbling window over an event stream") {
