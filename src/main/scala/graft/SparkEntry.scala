@@ -343,6 +343,24 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 10000L)),
 
+    // ----- TA8: corpus-statistics token rarity (unigram-LM-style quality
+    // filter: explode → vocab count → join back → per-doc aggregate)
+    "ta8_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ----- CH1: context-window chunking (overlapping token windows,
+    // per-row array ops only — no shuffle at any corpus size)
+    "ch1_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)),
+
+    // ----- MIX1: temperature-based domain mixing (alpha = 0.5 keep-rates
+    // computed from the data, broadcast onto the scan, md5 membership;
+    // lang is the skewed axis in the corpus — en is downsampled ~0.54,
+    // the low-resource languages are kept whole)
+    "mix1_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang")),
+
     // ----- T7: sessionization via native session_window (30-min gap)
     "t7_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Fixtures.eventsTyped(s, dir), "user_id", "ts",
@@ -929,6 +947,43 @@ object SparkEntry {
         |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |     - n_tokens) // 10000 AS shard
         |FROM t""".stripMargin,
+
+    "ta8_token_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(f) AS DOUBLE) / count(*) AS mean_tf
+        |FROM tok JOIN freq USING (t)
+        |GROUP BY doc_id""".stripMargin,
+
+    "ch1_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks) - 1) // 48)) AS k
+        |  FROM t)
+        |SELECT doc_id, k AS chunk_id,
+        |  CAST(len(toks[k*48+1 : least(k*48+64, len(toks))]) AS INT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(toks[k*48+1 : least(k*48+64, len(toks))], ' '))
+        |    AS chunk_hash
+        |FROM s""".stripMargin,
+
+    "mix1_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        sqrt(CAST((SELECT min(c) FROM c) AS DOUBLE) / CAST(c AS DOUBLE))
+        |          AS rate
+        |      FROM c)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      < round(rate * 65536.0)""".stripMargin,
 
     "t7_sessionize" ->
       """WITH x AS (

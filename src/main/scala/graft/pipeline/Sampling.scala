@@ -49,6 +49,29 @@ object Sampling {
     df.filter(hashFrac(col(idCol)) < thr)
   }
 
+  /** Temperature-based domain mixing (alpha = 0.5): per-domain keep rate
+    * sqrt(c_min / c_domain), so the smallest domain is kept whole and
+    * large domains are flattened toward it — the standard multilingual /
+    * multi-source rebalancing move (cf. the sampling-temperature scheme
+    * in multilingual LM training). Unlike [[stratifiedSample]] the rates
+    * come from the data, not the caller, and the whole computation stays
+    * in the plan: domain counts are a tiny aggregate broadcast back onto
+    * the scan, membership is the same deterministic md5 test. The double
+    * arithmetic is division + sqrt + one multiply — all IEEE-exact, so
+    * any engine selects the identical set.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+    val rates = counts.crossJoin(counts.agg(min(col("__c")).as("__cmin")))
+      .select(col(domainCol),
+        sqrt(col("__cmin").cast("double") / col("__c").cast("double")).as("__rate"))
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(h < round(col("__rate") * lit(65536.0)))
+      .select(col(idCol), col(domainCol))
+  }
+
   /** Token-budget shard packing: documents in `idCol` order are packed
     * into fixed-budget training shards — doc D goes to shard
     * floor(sum(tokens of docs before D) / budget). The semantics are a

@@ -118,6 +118,57 @@ object TextAnalysis {
         size(array_distinct(wordTrigrams(text))).cast("double") /
           size(wordTrigrams(text)).cast("double"))
 
+  /** Overlapping token-window chunking — the context-window splitting
+    * step of a training pipeline (docs → fixed-size chunks with stride
+    * overlap so no boundary context is lost). One row per chunk:
+    * (id, chunk_id, n_chunk_tokens, chunk_hash). Pure per-row array ops —
+    * no shuffle, no UDF: at 100 TB this runs at scan speed and the output
+    * is immediately repackable with [[Sampling.packTokenShards]].
+    *
+    * Chunk k covers tokens [k·stride + 1, k·stride + chunkSize]; the last
+    * chunk may be short. `chunk_hash` (md5 of the space-joined window)
+    * stands in for the chunk text so result rows stay narrow; callers
+    * wanting the text swap `array_join` in for the hash.
+    */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), ((col("__n") - 1) / stride).cast("long")),
+          k => slice(col("__toks"), (k * stride + 1).cast("int"), lit(chunkSize)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).as("n_chunk_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_hash"))
+  }
+
+  /** Corpus-statistics token rarity per document: token count, number of
+    * rare tokens (corpus frequency <= rareMax), and mean corpus term
+    * frequency — the cheap stand-in for unigram-LM perplexity filtering
+    * (a doc whose tokens are mostly corpus-rare is likely noise; one
+    * whose tokens are all ultra-common is likely boilerplate).
+    *
+    * Shape at scale: explode → count per token (map-side combined) →
+    * equi-join back → per-doc aggregate. The frequency table is a
+    * fraction of corpus size (vocabulary), so Catalyst broadcasts it at
+    * small scale and shuffle-joins at large — no code change. Outputs are
+    * integer counts and a ratio of exact integers, so the doubles are
+    * bit-identical across engines.
+    */
+  def tokenRarity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    tok.join(freq, Seq("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__f") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        (sum(col("__f")).cast("double") / count(lit(1)).cast("double")).as("mean_tf"))
+  }
+
   /** Normalized-text form used for fingerprinting/exact dedup: trim,
     * collapse whitespace, lowercase.
     */

@@ -70,6 +70,54 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(got(3L) > 0.9, s"got ${got(3L)}")
   }
 
+  test("temperatureMix keeps the smallest domain whole and flattens large ones") {
+    import spark.implicits._
+    // 100 small-domain rows, 900 big-domain rows
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) "small" else "big"))
+      .toDF("id", "dom")
+    val kept = Sampling.temperatureMix(df, "id", "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate_small = sqrt(100/100) = 1.0 -> all kept
+    assert(bySrc("small") == 100, bySrc)
+    // rate_big = sqrt(100/900) = 1/3 -> ~300 of 900 (md5-uniform)
+    assert(bySrc("big") > 240 && bySrc("big") < 360, bySrc)
+    // deterministic
+    val again = Sampling.temperatureMix(df, "id", "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("chunkWindows covers every token with stride overlap") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "solo")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkWindows(df, "doc_id", "text", 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // doc 1: 150 tokens -> starts 1, 49, 97, 145 -> sizes 64, 64, 54, 6
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(d1 == Seq(64, 64, 54, 6), d1)
+    // doc 2: single token -> one chunk of 1
+    val d2 = chunks.filter(_._1 == 2L).map(_._3).toSeq
+    assert(d2 == Seq(1), d2)
+    // chunk k starts at k*stride: token coverage is total with overlap 16
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum == 64 + 64 + 54 + 6)
+  }
+
+  test("tokenRarity: counts, rare tokens and mean corpus frequency") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple"),       // apple f=3 (2 here + 1 in doc 2)
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenRarity(df, "doc_id", "text", rareMax = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // corpus freq: apple=3, banana=1, cherry=1
+    // doc1: n=3, rare(banana)=1, mean=(3+1+3)/3
+    // doc2: n=2, rare(cherry)=1, mean=(3+1)/2
+    assert(got == Seq((1L, 3L, 1L, 7.0 / 3.0), (2L, 2L, 1L, 2.0)), got)
+  }
+
   test("packTokenShards assigns by global running token budget") {
     import spark.implicits._
     // 6 docs x 40 tokens, budget 100: cum-before = 0,40,80,120,160,200
