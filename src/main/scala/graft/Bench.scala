@@ -55,6 +55,37 @@ object Bench {
       graft.pipeline.Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
         .write.format("noop").mode("overwrite").save()
     }
+    // warm the stream-stream join machinery (state-store providers,
+    // streaming parquet sink, watermark codegen) on a 2-row stream — j4
+    // otherwise pays ~1-2 s of one-time setup for what is fixed-cost
+    // infrastructure, not per-row work
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-warm-dj").toString
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 2L))
+        .toDF("user_id", "ts", "event_id")
+      df.write.mode("overwrite").parquet(dir)
+      def src = spark.readStream.schema(df.schema).parquet(dir)
+      val l = src.select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      val r = src.select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      val j = graft.streaming.GraftStream.deltaJoin(l, "v_ts", r, "p_ts",
+        l("user_id") === r("p_user_id") &&
+          r("p_ts") >= l("v_ts") - expr("INTERVAL 30 MINUTES") &&
+          r("p_ts") <= l("v_ts"), "35 days")
+      val q = j.writeStream.format("parquet")
+        .option("path", java.nio.file.Files.createTempDirectory("graft-warm-djo").toString)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-warm-djc").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     // warm the PK write path's generated code on a 100-row table
     locally {
       import org.apache.spark.sql.functions.col

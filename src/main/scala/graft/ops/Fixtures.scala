@@ -293,7 +293,7 @@ object Fixtures {
       // data volume instead of inheriting the session's scan-oriented
       // setting; restored after the stream finishes.
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       def src = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "2").parquet(srcDir)
       val views = src.filter(col("event_type") === "view")
