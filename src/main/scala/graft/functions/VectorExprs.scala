@@ -112,4 +112,88 @@ object VectorExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumn.of(SortedIntersectCount(
       GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
+
+  /** Full MinHash signature of an array<bigint> shingle-hash column in one
+    * pass (k universal hashes (a_i·h + b_i) mod p, elementwise min).
+    */
+  def minhashSig(gs: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    GraftColumn.of(MinHashSig(GraftColumn.expressionOf(gs), a, b, p))
+}
+
+/** MinHash signature in a single pass over the shingle array.
+  *
+  * The declarative formulation — explode(gs) then a hash-aggregate with k
+  * `min(pmod(h·a_i + b_i, p))` columns — walks every (row, hash) pair
+  * through the aggregation buffer machinery and shuffles the exploded
+  * occurrences. This expression computes the identical k mins in a tight
+  * generated loop per document: no explode, no aggregate, no shuffle —
+  * signature building becomes a scan-speed map stage at any corpus size.
+  * Semantics match the aggregate version bit for bit: h = pmod(g, p),
+  * slot j = min over g of pmod(h·a(j) + b(j), p); empty input → null.
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(a.length == b.length && a.nonEmpty, "need matching non-empty a/b")
+  require(a.forall(x => x >= 1 && x < p) && b.forall(x => x >= 0 && x < p),
+    "universal-hash params outside [1,p) / [0,p)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  // empty input maps to null even when the child is non-nullable
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val gs = input.asInstanceOf[ArrayData]
+    val n = gs.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val g = gs.getLong(i)
+      val h = ((g % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, gs => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val g = ctx.freshName("g"); val v = ctx.freshName("v")
+      val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      s"""
+        |int $n = $gs.numElements();
+        |if ($n == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $k = $aRef.length;
+        |  long[] $out = new long[$k];
+        |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    long $g = $gs.getLong($i);
+        |    long $h = (($g % ${p}L) + ${p}L) % ${p}L;
+        |    for (int $j = 0; $j < $k; $j++) {
+        |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+        |      if ($v < $out[$j]) $out[$j] = $v;
+        |    }
+        |  }
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -158,6 +158,12 @@ object Dedup {
 
   /** Same, over a pre-built [[hashedShingleDocs]] table (the xxhash64
     * shingle hash doubles as the universal-hash input).
+    *
+    * One codegen'd pass per document ([[graft.functions.MinHashSig]]):
+    * the explode → k-column min-aggregate formulation walks every
+    * (occurrence, hash) pair through aggregation buffers and shuffles the
+    * exploded rows; the native expression computes the identical k mins
+    * in a tight loop, keeping signature building a shuffle-free map stage.
     */
   def minhashSignaturesFromDocs(docs: DataFrame, numHashes: Int,
       seed: Long = 42L): DataFrame = {
@@ -167,13 +173,10 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val params = Array.fill(numHashes)(
       (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val sh = docs.select(col("id"), explode(col("gs")).as("g"))
-      .withColumn("h", pmod(col("g"), lit(p)))
-    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
-    sh.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    docs.select(col("id"),
+      graft.functions.VectorExprs.minhashSig(col("gs"),
+        params.map(_._1), params.map(_._2), p).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** MinHash + LSH banding: signature split into `bands` bands; docs
