@@ -118,6 +118,86 @@ object VectorExprs {
     */
   def minhashSig(gs: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     GraftColumn.of(MinHashSig(GraftColumn.expressionOf(gs), a, b, p))
+
+  /** Sorted distinct xxhash64 values of a string's character n-gram
+    * windows, in one pass over the UTF-8 bytes.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftColumn.of(ShingleHashes(GraftColumn.expressionOf(text), n))
+}
+
+/** Sorted distinct xxhash64 hashes of character n-gram windows.
+  *
+  * Bit-equal to `array_sort(transform(array_distinct(transform(
+  * sequence(1, greatest(len-n+1, 1)), i -> substr(text, i, n))),
+  * xxhash64))` — the declarative form materializes an array of substring
+  * copies, walks them through two interpreted higher-order lambdas and a
+  * string hash set; this expression walks the UTF-8 bytes once, hashes
+  * each window in place (no substring allocation; xxhash64 of a substring
+  * IS the hash of its byte range), and dedups after an O(w log w) sort of
+  * primitive longs. Shingling is the widest scalar stage of every
+  * set-similarity job, so this is the scan-speed path at corpus scale.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"shingle width $n must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val numBytes = s.numBytes()
+    // char-start byte offsets (UTF-8 windows are per CHARACTER, matching
+    // substr semantics on multibyte text)
+    val starts = new Array[Int](s.numChars() + 1)
+    var b = 0; var c = 0
+    while (b < numBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      c += 1
+    }
+    starts(c) = numBytes
+    val numChars = c
+    val nWin = math.max(numChars - (n - 1), 1)
+    val hs = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      val s0 = starts(i)
+      val s1 = starts(math.min(i + n, numChars))
+      // matches xxhash64(substr): Spark's XxHash64 seed is 42
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s0, s1 - s0, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted hashes
+    var w = 0; var r = 1
+    while (r < nWin) {
+      if (hs(r) != hs(w)) { w += 1; hs(w) = hs(r) }
+      r += 1
+    }
+    val out = if (w + 1 == nWin) hs else java.util.Arrays.copyOf(hs, w + 1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** MinHash signature in a single pass over the shingle array.

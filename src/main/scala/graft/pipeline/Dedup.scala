@@ -61,8 +61,12 @@ object Dedup {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // one-pass native kernel (see [[graft.functions.ShingleHashes]]):
+    // hash-then-distinct on longs equals distinct-then-hash on strings up
+    // to 64-bit hash collisions, which the whole hashed pipeline already
+    // assumes away
     wide.select(col(idCol).as("id"),
-      array_sort(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gs"))
+      graft.functions.VectorExprs.shingleHashes(col(textCol), n).as("gs"))
       .withColumn("sz", size(col("gs")))
   }
 

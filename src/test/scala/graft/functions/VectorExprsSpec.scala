@@ -37,4 +37,46 @@ class VectorExprsSpec extends SparkTestBase {
       size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("ShingleHashes matches the declarative substr+xxhash64 formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde 日本語中文ü€"
+    val texts = Seq("", "ab", "abcd", "abcde", "aaaaaaaaaa", "日本語中文字符串测试") ++
+      (0 until 30).map(_ => (0 until rnd.nextInt(200))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.toDF("t")
+    val n = 5
+    val got = df.select(
+      VectorExprs.shingleHashes(col("t"), n).as("fast"),
+      array_sort(transform(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+        i => col("t").substr(i, lit(n)))), g => xxhash64(g))).as("ref")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+  }
+
+  test("MinHashSig matches explode + min-aggregate universal hashing") {
+    import spark.implicits._
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val k = 8
+    val params = Array.fill(k)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong()).distinct.sorted))
+    val df = rows.toDF("id", "gs")
+    val fast = df.select(col("id"), VectorExprs.minhashSig(col("gs"),
+        params.map(_._1), params.map(_._2), p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sh = df.select(col("id"), explode(col("gs")).as("g"))
+      .withColumn("h", pmod(col("g"), lit(p)))
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    val ref = sh.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == ref)
+  }
 }
