@@ -50,6 +50,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ch1: chunking is scan -> generate with no exchange") {
+    val p = plan("ch1_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate") && p.contains("posexplode"), p)
+  }
+
+  test("mix1: keep-rates broadcast onto the scan, no shuffle of the corpus") {
+    val p = plan("mix1_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges aggregate the tiny per-domain counts
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ta8: vocabulary joins back via broadcast; per-doc agg is partial+final") {
+    val p = plan("ta8_token_rarity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final x2
+  }
+
   test("lookup on a compacted table prunes snapshot AND log partition dirs") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
