@@ -46,7 +46,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       sd.unpersist()
       graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text",
-          maxHamming = 3, nBits = 60, hashFn = graft.pipeline.Dedup.md5Hash60)
+          maxHamming = 3, nBits = 60, md560 = true)
         .write.format("noop").mode("overwrite").save()
       graft.pipeline.Dedup.connectedComponents(
           spark.range(8).selectExpr("id AS a_id", "id + 1 AS b_id"), "a_id", "b_id")

@@ -211,7 +211,7 @@ object SparkEntry {
     // filter) is oracle-checked, not just row-counted
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, nBits = 60, hashFn = Dedup.md5Hash60)
+        maxHamming = 3, nBits = 60, md560 = true)
         .select(col("a_id"), col("b_id"), col("hamming"))),
 
     // ----- D5: embedding-cosine near-dup pairs (exact baseline)
@@ -579,7 +579,7 @@ object SparkEntry {
       |LIMIT 10""".stripMargin
 
   private lazy val d4OracleSql: String = {
-    // mirrors simhashPairs(maxHamming=3, nBits=60, hashFn=md5Hash60). The
+    // mirrors simhashPairs(maxHamming=3, nBits=60, md560=true). The
     // oracle verifies ALL pairs; the Spark side only compares same-chunk
     // buckets — identical answers because the 4-chunk pigeonhole is exact
     // for hamming <= 3.

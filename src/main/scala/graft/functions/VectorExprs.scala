@@ -124,6 +124,98 @@ object VectorExprs {
     */
   def shingleHashes(text: Column, n: Int): Column =
     GraftColumn.of(ShingleHashes(GraftColumn.expressionOf(text), n))
+
+  /** SimHash fingerprint of an array<string> token column in one pass:
+    * per-bit majority vote of per-token hashes. `md560 = true` hashes
+    * each token to the top 60 bits of its md5 (the cross-engine-
+    * replicable variant); false uses xxhash64.
+    */
+  def simhashSig(tokens: Column, nBits: Int, md560: Boolean): Column =
+    GraftColumn.of(SimHashSig(GraftColumn.expressionOf(tokens), nBits, md560))
+}
+
+/** SimHash fingerprint in a single pass over the token array.
+  *
+  * Replaces explode → per-token hash → nBits `sum(when(bit, 1, -1))`
+  * aggregate columns → bit reassembly: the declarative form walks every
+  * (token, bit) pair through aggregation buffers and shuffles the
+  * exploded tokens; this kernel votes all bits in a tight loop per
+  * document. Hash parity: md560 = top 60 bits of md5(token) — identical
+  * to `conv(substring(md5(t),1,15),16,10)` and DuckDB's
+  * `('0x'||substr(md5(t),1,15))::BIGINT` — else xxhash64(token).
+  * Empty token arrays yield null (the exploded form emits no group).
+  */
+case class SimHashSig(child: Expression, nBits: Int, md560: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= (if (md560) 60 else 64),
+    s"nBits $nBits out of range for ${if (md560) "md5-60" else "xxhash64"}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashSig.compute(input.asInstanceOf[ArrayData], nBits, md560)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val r = ctx.freshName("shRes")
+      s"""
+        |Object $r = graft.functions.SimHashSig.compute($t, $nBits, $md560);
+        |if ($r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = ((Long) $r).longValue(); }
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Returns java.lang.Long (null for an empty array) — shared by
+    * interpreted eval and generated code.
+    */
+  def compute(tokens: ArrayData, nBits: Int, md560: Boolean): java.lang.Long = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h =
+        if (md560) {
+          val d = md.get()
+          d.reset()
+          val dig = d.digest(t.getBytes)
+          // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+          (v << 4) | ((dig(7) >> 4) & 0xfL)
+        } else {
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        }
+      var j = 0
+      while (j < nBits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < nBits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
 }
 
 /** Sorted distinct xxhash64 hashes of character n-gram windows.

@@ -283,25 +283,18 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Pure expressions: for each bit j, sum(+/-1 per token) > 0.
-    * One hash-aggregate; the fingerprint assembles via bit shifts.
-    * `hashFn` defaults to xxhash64 (fastest); [[md5Hash60]] with
-    * nBits = 60 gives a DuckDB-replicable variant.
+    * hashes, computed in one codegen'd pass per document
+    * ([[graft.functions.SimHashSig]] — no explode, no nBits-column
+    * aggregate, no shuffle). `md560 = true` hashes tokens to the top 60
+    * bits of md5 (exact DuckDB twin, see [[md5Hash60]]); false uses
+    * xxhash64 (fastest).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      nBits: Int = 64, hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", hashFn(col("t")))
-    val bitSums = (0 until nBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until nBits).map(j => when(col(s"b$j") > 0,
-          shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      nBits: Int = 64, md560: Boolean = false): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.simhashSig(
+        TextAnalysis.tokens(col(textCol)), nBits, md560).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming.
     * Blocking: pigeonhole on nBits/4-bit chunks — any pair within distance
@@ -310,11 +303,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, nBits: Int = 64,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      md560: Boolean = false): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
     require(nBits % 4 == 0, "4-chunk pigeonhole needs nBits % 4 == 0")
     val chunkBits = nBits / 4
-    val sig = simhash(df, idCol, textCol, nBits, hashFn)
+    val sig = simhash(df, idCol, textCol, nBits, md560)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * chunkBits)

@@ -56,6 +56,36 @@ class VectorExprsSpec extends SparkTestBase {
       s"${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
   }
 
+  test("SimHashSig matches explode + per-bit majority aggregate (both hashes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = Seq("the", "cat", "sat", "日本", "ü", "x1", "", "longerword")
+    val docs = (1L to 25L).map(i =>
+      (i, (0 until rnd.nextInt(40) + 1).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    for ((md560, nBits) <- Seq((true, 60), (false, 64))) {
+      val fast = graft.pipeline.Dedup.simhash(df, "doc_id", "text", nBits, md560)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: the former declarative formulation
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md560) graft.pipeline.Dedup.md5Hash60 else xxhash64(_)
+      val tok = df.select(col("doc_id").as("id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("t"))
+        .withColumn("h", hashFn(col("t")))
+      val bitSums = (0 until nBits).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      }
+      val ref = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"),
+          (0 until nBits).map(j => when(col(s"b$j") > 0,
+            shiftleft(lit(1L), j)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == ref, s"md560=$md560")
+    }
+  }
+
   test("MinHashSig matches explode + min-aggregate universal hashing") {
     import spark.implicits._
     val p = 2147483647L
