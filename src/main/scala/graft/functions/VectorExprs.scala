@@ -171,6 +171,19 @@ case class SimHashSig(child: Expression, nBits: Int, md560: Boolean)
     copy(child = newChild)
 }
 
+object MinHashSig {
+  /** Mersenne prime 2^31-1: (a·h + b) stays under 2^63. */
+  val P: Long = 2147483647L
+
+  /** Deterministic universal-hash parameters (a_i in [1,p), b_i in [0,p)). */
+  def params(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val ps = Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    (ps.map(_._1), ps.map(_._2))
+  }
+}
+
 object SimHashSig {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

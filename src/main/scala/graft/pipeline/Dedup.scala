@@ -171,15 +171,11 @@ object Dedup {
     */
   def minhashSignaturesFromDocs(docs: DataFrame, numHashes: Int,
       seed: Long = 42L): DataFrame = {
-    // 2^31-1 Mersenne prime: (a*h+b) stays under 2^63 (ANSI-safe, no
-    // overflow) while 2^31 minhash space is ample for banding.
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val params = Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    // 2^31 minhash space (p = 2^31-1) is ample for banding
+    val (a, b) = graft.functions.MinHashSig.params(numHashes, seed)
     docs.select(col("id"),
-      graft.functions.VectorExprs.minhashSig(col("gs"),
-        params.map(_._1), params.map(_._2), p).as("sig"))
+      graft.functions.VectorExprs.minhashSig(col("gs"), a, b,
+        graft.functions.MinHashSig.P).as("sig"))
       .filter(col("sig").isNotNull)
   }
 

@@ -111,10 +111,13 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` installs the rule at
-  * session build time (SparkSessionExtensions.injectOptimizerRule).
+/** `spark.sql.extensions=graft.plans.GraftExtensions` installs the
+  * point-query rewrite rule and the native SQL function library at
+  * session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BucketPruneRule)
+    graft.functions.NativeFunctions.registrations.foreach(e.injectFunction)
+  }
 }

@@ -86,6 +86,29 @@ class VectorExprsSpec extends SparkTestBase {
     }
   }
 
+  test("native kernels are callable from SQL after registration") {
+    import spark.implicits._
+    NativeFunctions.register(spark)
+    Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+      .createOrReplaceTempView("nf_docs")
+    val r = spark.sql("""
+      SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+             graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c,
+             size(graft_shingle_hashes(text, 5)) AS nsh,
+             graft_simhash_sig(split(trim(text), '\\s+'), 60, true) AS sh,
+             size(graft_minhash_sig(graft_shingle_hashes(text, 5), 16)) AS nmh
+      FROM nf_docs""").head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getInt(2) > 0)
+    // SQL result equals the Scala-API result
+    val scalaSh = graft.pipeline.Dedup.simhash(
+      Seq((1L, "the cat sat on the mat")).toDF("id", "text"),
+      "id", "text", 60, md560 = true).head.getLong(1)
+    assert(r.getLong(3) == scalaSh)
+    assert(r.getInt(4) == 16)
+  }
+
   test("MinHashSig matches explode + min-aggregate universal hashing") {
     import spark.implicits._
     val p = 2147483647L
