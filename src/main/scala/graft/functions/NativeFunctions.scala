@@ -39,11 +39,13 @@ object NativeFunctions {
       s"$what must be a boolean literal, got $other")
   }
 
-  private def reg(name: String, usage: String)(
+  private def reg(name: String, className: String, usage: String)(
       builder: PartialFunction[Seq[Expression], Expression])
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions." + name, name, usage),
+      // 5-arg form: (className, db, name, usage, extended) — the 3-arg
+      // overload is (className, db, name) and would garble DESCRIBE
+      new ExpressionInfo(className, null, name, usage, ""),
       (exprs: Seq[Expression]) =>
         builder.applyOrElse(exprs, (e: Seq[Expression]) =>
           throw new IllegalArgumentException(
@@ -51,22 +53,23 @@ object NativeFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
-      reg("graft_dot", "dot product of two array<double> columns") {
+      reg("graft_dot", classOf[DotProduct].getName,
+        "dot product of two array<double> columns") {
         case Seq(a, b) => DotProduct(a, b)
       },
-      reg("graft_sorted_intersect_count",
+      reg("graft_sorted_intersect_count", classOf[SortedIntersectCount].getName,
         "common-element count of two sorted duplicate-free array<bigint> columns") {
         case Seq(a, b) => SortedIntersectCount(a, b)
       },
-      reg("graft_shingle_hashes",
+      reg("graft_shingle_hashes", classOf[ShingleHashes].getName,
         "sorted distinct xxhash64 hashes of character n-gram windows") {
         case Seq(t, n) => ShingleHashes(t, intLit(n, "n"))
       },
-      reg("graft_simhash_sig",
+      reg("graft_simhash_sig", classOf[SimHashSig].getName,
         "SimHash fingerprint of an array<string> token column") {
         case Seq(t, n, md) => SimHashSig(t, intLit(n, "nBits"), boolLit(md, "md560"))
       },
-      reg("graft_minhash_sig",
+      reg("graft_minhash_sig", classOf[MinHashSig].getName,
         "MinHash signature of an array<bigint> shingle-hash column") {
         case Seq(gs, k) =>
           val (a, b) = MinHashSig.params(intLit(k, "numHashes"))

@@ -48,7 +48,7 @@ object Fixtures {
     synchronized { dfCache.getOrElseUpdate((key, sfDir), build.persist()) }
 
   /** Drop all cachedDf entries (profiling: re-measure a query cold). */
-  def clearCache(spark: SparkSession): Unit = synchronized {
+  def clearCache(): Unit = synchronized {
     dfCache.values.foreach(_.unpersist(blocking = true))
     dfCache.clear()
   }

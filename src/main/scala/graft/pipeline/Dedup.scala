@@ -122,10 +122,13 @@ object Dedup {
           lit(threshold / (1 + threshold)) * (col("pp") + col("pi")) - 1)
       .select(least(col("p_id"), col("i_id")).as("a_id"),
         greatest(col("p_id"), col("i_id")).as("b_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidates are tiny (scale with true near-dup density); materialize
-    // them now so the wide prefix table can be released immediately
-    cand.count()
+      // candidates are tiny (scale with true near-dup density); an EAGER
+      // localCheckpoint materializes them now — so the wide prefix table
+      // can be released immediately — and truncates lineage WITHOUT
+      // registering a CacheManager entry (a persist here would be held
+      // until session end with no handle for the caller to release;
+      // checkpoint blocks are GC-reclaimed with the DataFrame)
+      .localCheckpoint()
     prefix.unpersist()
     verifyJaccard(cand, docs, threshold)
   }
@@ -197,8 +200,11 @@ object Dedup {
   def minhashLshPairsFromDocs(docs: DataFrame,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    // eager localCheckpoint: signatures are computed once and read by the
+    // banding and both join probes; unlike persist, the blocks are
+    // GC-reclaimed with the DataFrame instead of pinned in CacheManager
     val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     minhashLshCandidates(sigs, numHashes, bands)
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
@@ -255,8 +261,11 @@ object Dedup {
   def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
       estMargin: Double = 0.25): DataFrame = {
+    // eager localCheckpoint: signatures are computed once and read by the
+    // banding and both join probes; unlike persist, the blocks are
+    // GC-reclaimed with the DataFrame instead of pinned in CacheManager
     val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cand = minhashLshCandidates(sigs, numHashes, bands)
     val screened = cand
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))

@@ -65,8 +65,9 @@ object Sampling {
     val rates = counts.crossJoin(counts.agg(min(col("__c")).as("__cmin")))
       .select(col(domainCol),
         sqrt(col("__cmin").cast("double") / col("__c").cast("double")).as("__rate"))
-    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
-      16, 10).cast("long")
+    // same membership hash as deterministicSample/stratifiedSample,
+    // compared numerically because the threshold is data-derived
+    val h = conv(hashFrac(col(idCol)), 16, 10).cast("long")
     df.join(broadcast(rates), Seq(domainCol))
       .filter(h < round(col("__rate") * lit(65536.0)))
       .select(col(idCol), col(domainCol))

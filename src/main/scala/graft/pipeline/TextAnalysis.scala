@@ -160,13 +160,21 @@ object TextAnalysis {
     */
   def tokenRarity(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
-    val freq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__f"))
-    tok.join(freq, Seq("__t"))
+    // one explode pass: the compact per-(doc, distinct-token) TF table is
+    // materialized once (eager localCheckpoint — lineage cut, blocks
+    // GC-reclaimed) and feeds both the vocabulary count and the per-doc
+    // aggregate; deriving both from raw occurrences would scan and
+    // explode the whole corpus twice
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val freq = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__f"))
+    tf.join(freq, Seq("__t"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__f") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
-        (sum(col("__f")).cast("double") / count(lit(1)).cast("double")).as("mean_tf"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(when(col("__f") <= rareMax, col("__tf")).otherwise(0L)).as("n_rare"),
+        (sum(col("__tf") * col("__f")).cast("double") /
+          sum(col("__tf")).cast("double")).as("mean_tf"))
   }
 
   /** Normalized-text form used for fingerprinting/exact dedup: trim,

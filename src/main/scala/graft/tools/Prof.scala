@@ -23,7 +23,7 @@ object Prof {
     graft.ops.Fixtures.prebuild(spark, sfDir)
     for (r <- 1 to reps) {
       // fresh per-rep cache names so cachedDf doesn't hide the cost
-      graft.ops.Fixtures.clearCache(spark)
+      graft.ops.Fixtures.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
