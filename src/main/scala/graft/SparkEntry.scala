@@ -361,6 +361,11 @@ object SparkEntry {
     "mix1_temperature" -> ((s, dir) =>
       Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang")),
 
+    // ----- T8: streaming exact dedup — dropDuplicatesWithinWatermark
+    // over the event stream (idempotent ingest; state bounded by the
+    // watermark, key set equals batch DISTINCT)
+    "t8_stream_dedup" -> ((s, dir) => Fixtures.streamDedupResult(s, dir)),
+
     // ----- T7: sessionization via native session_window (30-min gap)
     "t7_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Fixtures.eventsTyped(s, dir), "user_id", "ts",
@@ -984,6 +989,9 @@ object SparkEntry {
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
         |      < round(rate * 65536.0)""".stripMargin,
+
+    "t8_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "t7_sessionize" ->
       """WITH x AS (

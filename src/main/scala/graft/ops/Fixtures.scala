@@ -323,6 +323,39 @@ object Fixtures {
         "user_id BIGINT, v_event_id BIGINT, p_event_id BIGINT").parquet(outDir)
     }
 
+  /** T8 streaming dedup: the event stream deduplicated on
+    * (user_id, event_type) with watermark-bounded state. Only the KEY set
+    * is emitted — which of a key's duplicate rows survives depends on
+    * arrival order within a micro-batch, but the key set equals batch
+    * DISTINCT exactly (the watermark delay spans the fixture's whole
+    * event range, so no late duplicate slips through).
+    */
+  def streamDedupResult(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf("stream_dedup", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      val srcDir = Files.createTempDirectory("graft-sd-src").toString
+      ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(srcDir)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = spark.readStream.schema(
+          spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      val deduped = graft.streaming.GraftStream.dedupStream(
+        stream, "ts", "35 days", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val outDir = Files.createTempDirectory("graft-sd-out").toString
+      val q = deduped.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sd-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.read.schema("user_id BIGINT, event_type STRING").parquet(outDir)
+    }
+
   private val pairCache =
     mutable.Map.empty[(String, String), (GraftTable, java.sql.Timestamp)]
 

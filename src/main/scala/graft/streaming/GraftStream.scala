@@ -193,6 +193,21 @@ object GraftStream {
       .toDF()
   }
 
+  /** Streaming exact deduplication with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps the first row per key and
+    * evicts a key's state once the watermark passes its event time — the
+    * idempotent-ingest primitive (the reference dedups re-sent batches
+    * server-side via writer-id + batch sequence,
+    * fluss-server/.../log/WriterStateManager.java; a Spark pipeline gets
+    * the same at-most-once-per-key guarantee from keyed streaming state).
+    * `delay` bounds how late a duplicate may arrive and still be caught;
+    * state size is (keys seen within the watermark window), not (all
+    * keys ever) — the property that keeps it viable on unbounded streams.
+    */
+  def dedupStream(stream: DataFrame, tsCol: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** J4 delta join (website/docs/engine-flink/delta-joins.mdx:8-21): the
     * reference rewrites a stream–stream join into bidirectional index
     * lookups so neither side keeps unbounded join state. The Spark-native

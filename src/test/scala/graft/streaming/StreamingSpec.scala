@@ -236,6 +236,32 @@ class StreamingSpec extends SparkTestBase {
       tsAttrs.map(a => s"${a.name}:${a.metadata}").mkString(", "))
   }
 
+  test("dedupStream: duplicates across micro-batches collapse to one row per key") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("v", IntegerType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val src = tmp()
+    // two files = two micro-batches; key 1 duplicated within AND across
+    // batches, key 2 once, key 3 only in batch 2
+    spark.createDataFrame(Seq(
+      Row(1L, at(0), 1), Row(1L, at(1), 2), Row(2L, at(2), 3)).asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(Seq(
+      Row(1L, at(3), 4), Row(3L, at(4), 5)).asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src + "/f*")
+    val q = GraftStream.dedupStream(stream, "ts", "1 hour", Seq("k"))
+      .select(col("k"))
+      .writeStream.format("memory").queryName("sdq")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT k FROM sdq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("watermarked tumbling window over an event stream") {
     val src = tmp()
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
