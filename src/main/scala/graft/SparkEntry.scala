@@ -361,6 +361,27 @@ object SparkEntry {
     "mix1_temperature" -> ((s, dir) =>
       Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang")),
 
+    // ----- PIPE1: the composed cleaning pipeline — PII-redact → language
+    // filter → quality filter → exact dedup (min-id keeper) → token
+    // count → token-budget shard packing, end to end as ONE plan. Every
+    // stage is an operator with its own oracle-checked query; this query
+    // checks that they compose (filters stay pushable, the dedup is one
+    // aggregate + semi-join, packing keeps the two-level scan shape).
+    "pipe1_clean_corpus" -> ((s, dir) => {
+      val red = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactEmails(col("text")).as("text"))
+      val clean = red
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val keep = clean.groupBy(TextAnalysis.normalize(col("text")).as("__norm"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = clean.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      Sampling.packTokenShards(
+        kept.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 8000L)
+    }),
+
     // ----- T8: streaming exact dedup — dropDuplicatesWithinWatermark
     // over the event stream (idempotent ingest; state bounded by the
     // watermark, key set equals batch DISTINCT)
@@ -992,6 +1013,45 @@ object SparkEntry {
 
     "t8_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "pipe1_clean_corpus" ->
+      s"""WITH red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g') AS text
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+        |    length(text) AS chars,
+        |    ${TextAnalysis.stopwords.map { case (l, ws) =>
+              s"len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')), " +
+                s"[${ws.map(w => s"'$w'").mkString(",")}])) AS s_$l"
+            }.mkString(",\n    ")},
+        |    0.25 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) +
+        |    0.25 * least(CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+        |        ['the','a','and','of','to','in','is','it','that'])) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) +
+        |    0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) +
+        |    0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
+        |  FROM red),
+        |en AS (
+        |  SELECT doc_id, text FROM feat
+        |  WHERE NOT (cjk * 3 > chars)
+        |    AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+        |    AND quality >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM en
+        |  GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+        |tok AS (
+        |  SELECT e.doc_id,
+        |    CAST(len(string_split_regex(trim(e.text), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM en e JOIN keep k ON e.doc_id = k.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |     - n_tokens) // 8000 AS shard
+        |FROM tok""".stripMargin,
 
     "t7_sessionize" ->
       """WITH x AS (
