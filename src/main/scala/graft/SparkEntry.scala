@@ -370,9 +370,14 @@ object SparkEntry {
     "pipe1_clean_corpus" -> ((s, dir) => {
       val red = t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.redactEmails(col("text")).as("text"))
+      // materialize the cleaned corpus once (eager localCheckpoint): the
+      // keeper aggregate and the semi-join probe would otherwise EACH
+      // re-run the langid/quality regex pass over every document — and a
+      // real pipeline persists its cleaned corpus before dedup anyway
       val clean = red
         .filter(TextAnalysis.langId(col("text")) === "en")
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .localCheckpoint()
       val keep = clean.groupBy(TextAnalysis.normalize(col("text")).as("__norm"))
         .agg(min(col("doc_id")).as("doc_id"))
       val kept = clean.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
