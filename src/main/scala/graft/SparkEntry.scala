@@ -214,6 +214,12 @@ object SparkEntry {
         maxHamming = 3, nBits = 60, md560 = true)
         .select(col("a_id"), col("b_id"), col("hamming"))),
 
+    // ----- FP2: winnowing (MOSS) near-dup pairs — LOCAL-overlap
+    // fingerprinting (shared substrings >= w+k-1 chars), vs d2/d3's
+    // global resemblance; md5-60-bit hash = exact DuckDB twin
+    "fp2_winnowing" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text")),
+
     // ----- D5: embedding-cosine near-dup pairs (exact baseline)
     "d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -1018,6 +1024,27 @@ object SparkEntry {
 
     "t8_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "fp2_winnowing" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(length(text) - 11, 1)),
+        |    i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 12)), 1, 15))::BIGINT) AS hs
+        |  FROM documents),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(hs) - 4, 1)),
+        |      j -> list_min(hs[CAST(j AS INT) : CAST(j AS INT) + 4]))) AS fp
+        |    FROM h)),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20),
+        |pruned AS (SELECT doc_id, fp FROM fp SEMI JOIN rare USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pruned a JOIN pruned b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 10""".stripMargin,
 
     "pipe1_clean_corpus" ->
       s"""WITH red AS (

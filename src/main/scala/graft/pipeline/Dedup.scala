@@ -329,6 +329,55 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * algorithm): hash every character k-gram POSITIONALLY, then keep the
+    * minimum hash of each w-hash sliding window. Guarantee: any shared
+    * substring of length >= w + k - 1 contributes at least one shared
+    * fingerprint, with only ~2/(w+1) of the k-gram hashes retained.
+    *
+    * Distinct from the set-similarity family (d2/d3: global resemblance)
+    * — winnowing finds LOCAL overlap (a copied paragraph inside an
+    * otherwise different document). Uses the md5-top-60-bit hash so the
+    * whole pipeline has an exact DuckDB twin.
+    *
+    * Returns (id, fps: array of distinct selected fingerprint hashes).
+    * Per-row array ops only — no shuffle.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+        i => md5Hash60(substr(col(textCol), i, lit(k)))).as("__hs"))
+      // __hs must be a BOUND column before the window-min pass: a lambda
+      // body re-evaluates its subexpressions per element, so inlining the
+      // hash array would recompute every md5 for every window
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
+        j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
+
+  /** Winnowing near-dup pairs: documents sharing >= minShared selected
+    * fingerprints (after dropping "stop fingerprints" that appear in more
+    * than maxDocFreq documents — the blocking-key cap that keeps the
+    * self-join linear in true overlap, same role as the prefix filter in
+    * the Jaccard join).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 5, minShared: Long = 10,
+      maxDocFreq: Long = 20): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pruned = fp.join(rare.select(col("fp")), Seq("fp"))
+    pruned.select(col("fp"), col("id").as("a_id"))
+      .join(pruned.select(col("fp"), col("id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding cosine near-dup pairs >= threshold.
     * exact=true: full self-join (correctness baseline / oracle).
     * exact=false: random-hyperplane LSH blocking (the scale path) — only

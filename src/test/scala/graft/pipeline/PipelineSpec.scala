@@ -53,6 +53,28 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.count(ivf.contains) >= 5, s"ivf recall ${exact.count(ivf.contains)}/10")
   }
 
+  test("winnowing: detects a copied paragraph inside otherwise different docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def prose(words: Int) = (0 until words)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar.toString * (rnd.nextInt(6) + 2))
+      .mkString(" ")
+    val para = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    // docs 1 and 2 share ONLY the paragraph (local overlap); doc 3 is unrelated
+    val df = Seq(
+      (1L, prose(120) + " " + para + " " + prose(120)),
+      (2L, prose(120) + " " + para + " " + prose(120)),
+      (3L, prose(260))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs)
+    // ...while global Jaccard at 0.8 does NOT consider them near-dups
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 5, threshold = 0.8)
+      .collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("connected components: path, triangle, disjoint edges, singletons") {
     import spark.implicits._
     // path 1-2-3-4 (worst case for min-propagation), triangle 10-11-12,
