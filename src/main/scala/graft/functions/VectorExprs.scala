@@ -132,6 +132,106 @@ object VectorExprs {
     */
   def simhashSig(tokens: Column, nBits: Int, md560: Boolean): Column =
     GraftColumn.of(SimHashSig(GraftColumn.expressionOf(tokens), nBits, md560))
+
+  /** Distinct winnowing fingerprints of a string (Schleimer et al.
+    * SIGMOD'03): md5-top-60-bit hash per character k-gram, min per
+    * w-hash sliding window, deduplicated.
+    */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    GraftColumn.of(WinnowHashes(GraftColumn.expressionOf(text), k, w))
+}
+
+/** Winnowing fingerprints in one pass over the UTF-8 bytes.
+  *
+  * The declarative two-projection form (hash array, then window-min
+  * transform) is a trap: CollapseProject merges the projections, inlining
+  * the WHOLE hash-array computation into the window lambda — every window
+  * re-hashes the entire document, O(n²·k) md5 calls per row (measured:
+  * minutes for a 5k-doc corpus). This kernel hashes each k-gram window
+  * once (md5 of the byte range — identical to the SQL twin
+  * `('0x'||substr(md5(substr(text,i,k)),1,15))::BIGINT`), takes sliding
+  * minima with an O(n·w) scan over primitive longs, and dedups after a
+  * sort. Matches the declarative form bit for bit, including the short-
+  * text clamps (one k-gram when len < k; one window when nH < w).
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WinnowHashes.compute($t, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val numBytes = s.numBytes()
+    val starts = new Array[Int](s.numChars() + 1)
+    var b = 0; var c = 0
+    while (b < numBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      c += 1
+    }
+    starts(c) = numBytes
+    val numChars = c
+    val nH = math.max(numChars - (k - 1), 1)
+    val digest = md.get()
+    val all = s.getBytes // one copy per row; k-grams hash byte ranges of it
+    val hs = new Array[Long](nH)
+    var i = 0
+    while (i < nH) {
+      val s0 = starts(i)
+      val s1 = starts(math.min(i + k, numChars))
+      digest.reset()
+      digest.update(all, s0, s1 - s0)
+      // top 60 bits = first 15 hex chars of the digest
+      val dig = digest.digest()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      hs(i) = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      i += 1
+    }
+    // sliding min over windows of w consecutive hashes (clamped at end)
+    val nW = math.max(nH - (w - 1), 1)
+    val fps = new Array[Long](nW)
+    var j = 0
+    while (j < nW) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, nH)
+      while (t < end) { if (hs(t) < m) m = hs(t); t += 1 }
+      fps(j) = m
+      j += 1
+    }
+    java.util.Arrays.sort(fps)
+    var wr = 0; var rd = 1
+    while (rd < nW) {
+      if (fps(rd) != fps(wr)) { wr += 1; fps(wr) = fps(rd) }
+      rd += 1
+    }
+    val out = if (wr + 1 == nW) fps else java.util.Arrays.copyOf(fps, wr + 1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** SimHash fingerprint in a single pass over the token array.

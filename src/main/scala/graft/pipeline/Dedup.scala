@@ -52,15 +52,7 @@ object Dedup {
     */
   def hashedShingleDocs(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    // Shingling is the most expensive per-row scalar work in the dedup
-    // family (~|text| substr+hash ops per doc). A small corpus arrives as
-    // one parquet file = 1-2 scan partitions, which would serialize all
-    // that compute on one core; widening is a cheap shuffle of the raw
-    // docs. Large inputs already carry >= defaultParallelism partitions
-    // and skip the shuffle entirely.
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val wide = TextAnalysis.widen(df)
     // one-pass native kernel (see [[graft.functions.ShingleHashes]]):
     // hash-then-distinct on longs equals distinct-then-hash on strings up
     // to 64-bit hash collisions, which the whole hashed pipeline already
@@ -296,7 +288,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       nBits: Int = 64, md560: Boolean = false): DataFrame =
-    df.select(col(idCol).as("id"),
+    TextAnalysis.widen(df).select(col(idCol).as("id"),
       graft.functions.VectorExprs.simhashSig(
         TextAnalysis.tokens(col(textCol)), nBits, md560).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -346,16 +338,8 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-        i => md5Hash60(substr(col(textCol), i, lit(k)))).as("__hs"))
-      // __hs must be a BOUND column before the window-min pass: a lambda
-      // body re-evaluates its subexpressions per element, so inlining the
-      // hash array would recompute every md5 for every window
-      .select(col("id"), array_distinct(transform(
-        sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
-        j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
+    TextAnalysis.widen(df).select(col(idCol).as("id"),
+      graft.functions.VectorExprs.winnowHashes(col(textCol), k, w).as("fps"))
 
   /** Winnowing near-dup pairs: documents sharing >= minShared selected
     * fingerprints (after dropping "stop fingerprints" that appear in more

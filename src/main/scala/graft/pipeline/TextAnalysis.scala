@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Spread a narrow scan across the cluster before heavy per-row scalar
+    * work. A small corpus arrives as one parquet file = 1-2 scan
+    * partitions, which would serialize all the per-document compute
+    * (regex, hashing, winnowing) on one core — the repartition is a cheap
+    * shuffle of the raw rows. Large inputs already carry >=
+    * defaultParallelism partitions and skip the shuffle entirely.
+    */
+  private[pipeline] def widen(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -134,7 +147,7 @@ object TextAnalysis {
       textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    widen(df).select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .select(col(idCol),
         posexplode(transform(
@@ -165,7 +178,8 @@ object TextAnalysis {
     // GC-reclaimed) and feeds both the vocabulary count and the per-doc
     // aggregate; deriving both from raw occurrences would scan and
     // explode the whole corpus twice
-    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+    val tf = widen(df)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
       .localCheckpoint()
     val freq = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__f"))

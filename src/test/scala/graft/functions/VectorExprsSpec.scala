@@ -109,6 +109,28 @@ class VectorExprsSpec extends SparkTestBase {
     assert(r.getInt(4) == 16)
   }
 
+  test("WinnowHashes matches the declarative hash-array + window-min form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abcd efgh 字符 .x"
+    val texts = Seq("", "ab", "abcdefghijk", "日本語中文字符串测试の長い文") ++
+      (0 until 20).map(_ => (0 until rnd.nextInt(120))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.toDF("t")
+    val (k, w) = (12, 5)
+    // reference: the O(n²) declarative formulation — fine at test size
+    val hs = transform(
+      sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+      i => graft.pipeline.Dedup.md5Hash60(col("t").substr(i, lit(k))))
+    val ref = array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w))))))
+    val got = df.select(
+      VectorExprs.winnowHashes(col("t"), k, w).as("fast"), ref.as("ref")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+  }
+
   test("MinHashSig matches explode + min-aggregate universal hashing") {
     import spark.implicits._
     val p = 2147483647L
