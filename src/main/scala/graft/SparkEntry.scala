@@ -295,7 +295,7 @@ object SparkEntry {
 
     // ----- TA1: token counting (whitespace + BPE-ish segmenter)
     "ta1_text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = TextAnalysis.widen(t(s, dir, "documents"))
       d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
@@ -304,17 +304,17 @@ object SparkEntry {
 
     // ----- TA2: language id (stopword/CJK heuristic)
     "ta2_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
     // ----- TA3: quality scoring
     "ta3_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // ----- FP1: document fingerprint (collision-free on corpus == oracle)
     "fp1_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      TextAnalysis.widen(t(s, dir, "documents"))
         .agg(countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))),
 
     // ----- TA4: deterministic stratified sampling (data mixing — md5
@@ -329,7 +329,7 @@ object SparkEntry {
     // training pipeline runs first; patterns shared verbatim with the
     // oracle so Java regex and DuckDB RE2 agree)
     "ta5_pii" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.piiEmails(col("text")).as("n_emails"),
         TextAnalysis.piiPhones(col("text")).as("n_phones"),
         length(TextAnalysis.redactEmails(col("text"))).as("redacted_len"))),
@@ -337,7 +337,7 @@ object SparkEntry {
     // ----- TA6: repetition score — 1 - distinct/total word 3-grams
     // (Gopher/RefinedWeb-style repetitiousness quality signal)
     "ta6_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.repetitionScore(col("text")).as("repetition"))),
 
     // ----- TA7: token-budget shard packing — global running-sum shard
@@ -374,7 +374,7 @@ object SparkEntry {
     // checks that they compose (filters stay pushable, the dedup is one
     // aggregate + semi-join, packing keeps the two-level scan shape).
     "pipe1_clean_corpus" -> ((s, dir) => {
-      val red = t(s, dir, "documents").select(col("doc_id"),
+      val red = TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.redactEmails(col("text")).as("text"))
       // materialize the cleaned corpus once (eager localCheckpoint): the
       // keeper aggregate and the semi-join probe would otherwise EACH

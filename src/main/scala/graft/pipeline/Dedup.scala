@@ -19,7 +19,8 @@ object Dedup {
     * duplicate count per distinct normalized document.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextAnalysis.normalize(col(textCol)).as("__norm"))
+    TextAnalysis.widen(df)
+      .groupBy(TextAnalysis.normalize(col(textCol)).as("__norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 

@@ -19,7 +19,7 @@ object TextAnalysis {
     * shuffle of the raw rows. Large inputs already carry >=
     * defaultParallelism partitions and skip the shuffle entirely.
     */
-  private[pipeline] def widen(df: org.apache.spark.sql.DataFrame)
+  def widen(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
