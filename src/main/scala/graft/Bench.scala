@@ -114,17 +114,24 @@ object Bench {
     def runPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          // a failed pass must not undercut the other pass's valid time
+          // via the min below; a query failing BOTH passes surfaces as an
+          // unmissable 9999 in the report
+          name -> Double.MaxValue
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     val pass1 = runPass().toMap
     graft.ops.Fixtures.clearCache()
     val pass2 = runPass().toMap
-    val results = pass1.keys.toSeq.sorted.map(n =>
-      n -> math.min(pass1(n), pass2.getOrElse(n, Double.MaxValue)))
+    val results = pass1.keys.toSeq.sorted.map { n =>
+      val m = math.min(pass1(n), pass2.getOrElse(n, Double.MaxValue))
+      n -> (if (m == Double.MaxValue) 9999.0 else m)
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -293,35 +293,55 @@ object Fixtures {
       // data volume instead of inheriting the session's scan-oriented
       // setting; restored after the stream finishes.
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      def src = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "2").parquet(srcDir)
-      val views = src.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event_id"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
-          col("event_id").as("p_event_id"))
-      val joined = graft.streaming.GraftStream.deltaJoin(
-        views, "v_ts", purchases, "p_ts",
-        views("user_id") === purchases("p_user_id") &&
-          purchases("p_ts") >= views("v_ts") - expr("INTERVAL 30 MINUTES") &&
-          purchases("p_ts") <= views("v_ts"),
-        delay = "35 days")
       val outDir = Files.createTempDirectory("graft-dj-out").toString
-      val q = joined
-        .select(col("user_id"), col("v_event_id"), col("p_event_id"))
-        .writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-dj-ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val ckptDir = Files.createTempDirectory("graft-dj-ckpt").toString
+      // everything from the conf change onward is guarded: a failure in
+      // stream construction or start() must still restore the session conf
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        def src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event_id"))
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("event_id").as("p_event_id"))
+        val joined = graft.streaming.GraftStream.deltaJoin(
+          views, "v_ts", purchases, "p_ts",
+          views("user_id") === purchases("p_user_id") &&
+            purchases("p_ts") >= views("v_ts") - expr("INTERVAL 30 MINUTES") &&
+            purchases("p_ts") <= views("v_ts"),
+          delay = "35 days")
+        val q = joined
+          .select(col("user_id"), col("v_event_id"), col("p_event_id"))
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        // the source copy and checkpoint are dead once the stream is done
+        // (outDir stays — the returned DataFrame reads it lazily)
+        deleteRecursively(srcDir)
+        deleteRecursively(ckptDir)
+      }
       spark.read.schema(
         "user_id BIGINT, v_event_id BIGINT, p_event_id BIGINT").parquet(outDir)
     }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: java.io.IOException =>
+        })
+    }
+  }
 
   /** T8 streaming dedup: the event stream deduplicated on
     * (user_id, event_type) with watermark-bounded state. Only the KEY set
@@ -337,22 +357,27 @@ object Fixtures {
       val srcDir = Files.createTempDirectory("graft-sd-src").toString
       ev.repartitionByRange(4, col("event_id")).write.mode("overwrite").parquet(srcDir)
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val stream = spark.readStream.schema(
-          spark.read.parquet(srcDir).schema)
-        .option("maxFilesPerTrigger", "2").parquet(srcDir)
-      val deduped = graft.streaming.GraftStream.dedupStream(
-        stream, "ts", "35 days", Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type"))
       val outDir = Files.createTempDirectory("graft-sd-out").toString
-      val q = deduped.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-sd-ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val ckptDir = Files.createTempDirectory("graft-sd-ckpt").toString
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val stream = spark.readStream.schema(
+            spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", "2").parquet(srcDir)
+        val deduped = graft.streaming.GraftStream.dedupStream(
+          stream, "ts", "35 days", Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+        val q = deduped.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        deleteRecursively(srcDir)
+        deleteRecursively(ckptDir)
+      }
       spark.read.schema("user_id BIGINT, event_type STRING").parquet(outDir)
     }
 

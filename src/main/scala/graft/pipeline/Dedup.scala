@@ -351,8 +351,12 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 5, minShared: Long = 10,
       maxDocFreq: Long = 20): DataFrame = {
+    // materialize the fingerprint table once: the rare-fp aggregate and
+    // the join probe are different subtrees, so without this the winnow
+    // kernel (an md5 per k-gram over every document) would run twice
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pruned = fp.join(rare.select(col("fp")), Seq("fp"))
