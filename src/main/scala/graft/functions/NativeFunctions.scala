@@ -69,6 +69,11 @@ object NativeFunctions {
         "SimHash fingerprint of an array<string> token column") {
         case Seq(t, n, md) => SimHashSig(t, intLit(n, "nBits"), boolLit(md, "md560"))
       },
+      reg("graft_winnow_hashes", classOf[WinnowHashes].getName,
+        "distinct winnowing fingerprints (md5-60 k-gram hashes, min per w-window)") {
+        case Seq(t, k, w) =>
+          WinnowHashes(t, intLit(k, "k"), intLit(w, "w"))
+      },
       reg("graft_minhash_sig", classOf[MinHashSig].getName,
         "MinHash signature of an array<bigint> shingle-hash column") {
         case Seq(gs, k) =>

@@ -96,6 +96,7 @@ class VectorExprsSpec extends SparkTestBase {
              graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c,
              size(graft_shingle_hashes(text, 5)) AS nsh,
              graft_simhash_sig(split(trim(text), '\\s+'), 60, true) AS sh,
+             size(graft_winnow_hashes(text, 12, 5)) AS nwh,
              size(graft_minhash_sig(graft_shingle_hashes(text, 5), 16)) AS nmh
       FROM nf_docs""").head
     assert(r.getDouble(0) == 11.0)
@@ -106,7 +107,8 @@ class VectorExprsSpec extends SparkTestBase {
       Seq((1L, "the cat sat on the mat")).toDF("id", "text"),
       "id", "text", 60, md560 = true).head.getLong(1)
     assert(r.getLong(3) == scalaSh)
-    assert(r.getInt(4) == 16)
+    assert(r.getInt(4) > 0)  // winnow fingerprints
+    assert(r.getInt(5) == 16)
   }
 
   test("WinnowHashes matches the declarative hash-array + window-min form") {
