@@ -89,11 +89,20 @@ object Sampling {
     require(budget > 0, s"budget $budget must be positive")
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sparkContext.defaultParallelism
-    val parted = df.repartitionByRange(n, col(idCol))
-      .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    val local = parted.withColumn("__lcum",
-      sum(col(tokensCol)).over(wLocal)) // inclusive local running sum
+    // __pid comes from spark_partition_id(), which is only stable within a
+    // single evaluation of the range shuffle: two consumer stages may see
+    // different AQE coalescing of the same exchange, in which case offsets
+    // computed under one pid layout would join rows labeled under another.
+    // So materialize (pid, local cumsum) exactly ONCE — localCheckpoint
+    // freezes the values before the plan branches — and carry only the two
+    // columns the packing needs, so the materialized footprint is the pack
+    // input, not the full row.
+    val local = df.select(col(idCol), col(tokensCol))
+      .repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum(col(tokensCol)).over(wLocal)) // inclusive
+      .localCheckpoint()
     // per-partition totals: n rows, so the single-partition prefix window
     // is driver-scale work, not data-scale
     val wPrefix = Window.orderBy(col("__pid"))

@@ -130,6 +130,45 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("packTokenShards is deterministic under AQE coalescing variations") {
+    import spark.implicits._
+    // Skewed token counts so shard boundaries land mid-partition; 500 docs
+    // across many range partitions. The reference assignment is the global
+    // running sum computed in one window (exact semantics, driver-scale
+    // here). Regression for the spark_partition_id() branch-recompute bug:
+    // the two-level scan must give the SAME assignment no matter how AQE
+    // coalesces the range shuffle between its two consumer stages.
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, 1L + (i * 37) % 113)).toDF("doc_id", "n_tokens")
+    val expected = df
+      .withColumn("shard", ((coalesce(sum($"n_tokens").over(
+          Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))) / 1000L).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val confs = Seq(
+      Map("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8"),
+      Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1b"),
+      Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m"))
+    for (conf <- confs) {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val got = Sampling.packTokenShards(df, "doc_id", "n_tokens", 1000L)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got == expected, s"mismatch under $conf")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("sessionize splits on gaps >= the threshold and aggregates per session") {
     import spark.implicits._
     def ts(min: Long) = new Timestamp(min * 60000L)
