@@ -275,11 +275,15 @@ object MinHashSig {
   /** Mersenne prime 2^31-1: (a·h + b) stays under 2^63. */
   val P: Long = 2147483647L
 
-  /** Deterministic universal-hash parameters (a_i in [1,p), b_i in [0,p)). */
+  /** Deterministic universal-hash parameters (a_i in [1,p), b_i in [0,p)).
+    * floorMod, not abs-then-mod: abs(Long.MinValue) is negative, which
+    * would yield an out-of-range param for unlucky seeds.
+    */
   def params(numHashes: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val ps = Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+      (java.lang.Math.floorMod(rnd.nextLong(), P - 1) + 1,
+        java.lang.Math.floorMod(rnd.nextLong(), P)))
     (ps.map(_._1), ps.map(_._2))
   }
 }
@@ -297,8 +301,14 @@ object SimHashSig {
     val n = tokens.numElements()
     if (n == 0) return null
     val votes = new Array[Int](nBits)
+    var any = false
     var i = 0
     while (i < n) {
+      // SQL-registered form can receive arrays with null elements; skip
+      // them like the exploded declarative twin (md5(null) joins nothing)
+      if (tokens.isNullAt(i)) { i += 1 }
+      else {
+      any = true
       val t = tokens.getUTF8String(i)
       val h =
         if (md560) {
@@ -320,7 +330,9 @@ object SimHashSig {
         j += 1
       }
       i += 1
+      }
     }
+    if (!any) return null // all-null array, like empty
     var fp = 0L
     var j = 0
     while (j < nBits) {
@@ -434,18 +446,25 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
     if (n == 0) return null
     val k = a.length
     val out = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val g = gs.getLong(i)
-      val h = ((g % p) + p) % p
-      var j = 0
-      while (j < k) {
-        val v = (h * a(j) + b(j)) % p
-        if (v < out(j)) out(j) = v
-        j += 1
+      // skip null elements (SQL-supplied arrays may contain them);
+      // getLong on a null slot reads garbage
+      if (!gs.isNullAt(i)) {
+        any = true
+        val g = gs.getLong(i)
+        val h = ((g % p) + p) % p
+        var j = 0
+        while (j < k) {
+          val v = (h * a(j) + b(j)) % p
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return null // all-null array, like empty
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
@@ -457,6 +476,7 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
       val j = ctx.freshName("j"); val h = ctx.freshName("h")
       val g = ctx.freshName("g"); val v = ctx.freshName("v")
       val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      val any = ctx.freshName("any")
       s"""
         |int $n = $gs.numElements();
         |if ($n == 0) {
@@ -465,7 +485,10 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
         |  int $k = $aRef.length;
         |  long[] $out = new long[$k];
         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+        |  boolean $any = false;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($gs.isNullAt($i)) continue;
+        |    $any = true;
         |    long $g = $gs.getLong($i);
         |    long $h = (($g % ${p}L) + ${p}L) % ${p}L;
         |    for (int $j = 0; $j < $k; $j++) {
@@ -473,7 +496,11 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long
         |      if ($v < $out[$j]) $out[$j] = $v;
         |    }
         |  }
-        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |  if (!$any) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |  }
         |}
       """.stripMargin
     })

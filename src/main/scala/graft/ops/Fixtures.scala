@@ -336,7 +336,9 @@ object Fixtures {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator
         .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
           case _: java.io.IOException =>
         })

@@ -111,6 +111,35 @@ class VectorExprsSpec extends SparkTestBase {
     assert(r.getInt(5) == 16)
   }
 
+  test("simhash/minhash sigs skip null array elements instead of crashing") {
+    import spark.implicits._
+    NativeFunctions.register(spark)
+    // arrays with null elements can reach the SQL-registered forms; nulls
+    // must be skipped like the exploded declarative twin would drop them
+    val r = spark.sql("""
+      SELECT graft_simhash_sig(array('cat', CAST(NULL AS STRING), 'mat'), 60, true) AS sh_n,
+             graft_simhash_sig(array('cat', 'mat'), 60, true) AS sh,
+             graft_simhash_sig(array(CAST(NULL AS STRING)), 60, true) AS sh_all_null,
+             graft_minhash_sig(array(1L, CAST(NULL AS BIGINT), 7L), 16) AS mh_n,
+             graft_minhash_sig(array(1L, 7L), 16) AS mh,
+             graft_minhash_sig(array(CAST(NULL AS BIGINT)), 16) AS mh_all_null
+      """).head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.isNullAt(2))
+    assert(r.getSeq[Long](3) == r.getSeq[Long](4))
+    assert(r.isNullAt(5))
+    // interpreted (non-codegen) path agrees
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val r2 = spark.sql(
+        """SELECT graft_simhash_sig(array('cat', CAST(NULL AS STRING), 'mat'), 60, true),
+                  graft_minhash_sig(array(1L, CAST(NULL AS BIGINT), 7L), 16)""").head
+      assert(r2.getLong(0) == r.getLong(1))
+      assert(r2.getSeq[Long](1) == r.getSeq[Long](4))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("WinnowHashes matches the declarative hash-array + window-min form") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
