@@ -57,9 +57,44 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // log read
   // ---------------------------------------------------------------------
 
-  private def hasLogFiles: Boolean = {
+  // Commit-id prefix on log file names: every committed file is named
+  // `cid-<uuid>--<sparkPartName>` and its commit id is recorded in the
+  // manifest ATOMICALLY with the offsets (same _offsets.json rename). A
+  // crash mid-move leaves files whose id was never published — readers
+  // enumerate only manifested files, so the residue can never surface,
+  // even after later commits reuse its offset range (the reference closes
+  // this with the tablet leader's WriterStateManager; this is the
+  // shared-filesystem analog of iceberg's per-commit file manifest, one
+  // ~36-byte id per commit instead of every file name). Un-prefixed files
+  // (legacy layout) stay visible unconditionally, gated only by offsets.
+  private val CidPrefix = "cid-"
+  private val CidLen = CidPrefix.length + 36 // uuid is 36 chars
+
+  private def cidOf(fileName: String): Option[String] =
+    if (fileName.startsWith(CidPrefix) && fileName.length > CidLen)
+      Some(fileName.substring(CidPrefix.length, CidLen))
+    else None
+
+  /** Existing log parquet files visible under the manifest's committed-id
+    * set. Driver-side listing — the same work Spark's file index does for
+    * a directory scan, reused here to drop unmanifested residue.
+    */
+  private def visibleLogFiles(): Seq[String] = {
     val d = Paths.get(logDir)
-    Files.exists(d) && Files.walk(d).anyMatch(p => p.toString.endsWith(".parquet"))
+    if (!Files.exists(d)) return Nil
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(d)
+    val all = try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+      finally walk.close()
+    readManifest()._3 match {
+      case None => all // legacy manifest: the directory is the source of truth
+      case Some(ids) => all.filter { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        cidOf(name).forall(ids.contains)
+      }
+    }
   }
 
   /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
@@ -74,29 +109,34 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * offset are visible, so files from a commit that crashed between
     * its file move and its manifest publish never surface.
     */
-  def logDF: DataFrame =
-    if (!hasLogFiles) {
+  def logDF: DataFrame = {
+    val files = visibleLogFiles()
+    if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     } else {
-      // __bucket is a hive partition dir; project columns back into
-      // declared order.
-      spark.read.schema(logSchema).option("basePath", logDir).parquet(logDir)
+      // __bucket is a hive partition dir; explicit file paths + basePath
+      // keep partition parsing (and partition pruning) identical to a
+      // directory scan while excluding unmanifested residue files.
+      spark.read.schema(logSchema).option("basePath", logDir).parquet(files: _*)
         .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
         .filter(col(Meta.Offset) < bucketMapExpr(readOffsets(), 0L))
     }
+  }
 
   // ---------------------------------------------------------------------
   // offset manifest
   // ---------------------------------------------------------------------
 
   /** Manifest = per-bucket next offsets + per-sink last committed streaming
-    * batch id, in ONE file so a streaming upsert's "apply" and "mark batch
-    * committed" are a single atomic rename — no crash window between them
+    * batch id + the committed-commit-id set, in ONE file so a commit's
+    * "advance offsets", "mark batch committed" and "make files visible"
+    * are a single atomic rename — no crash window between any of them
     * (the reference's WriterStateManager batch-sequence dedup). Legacy
-    * format (flat bucket→offset map) still reads.
+    * formats (flat bucket→offset map; offsets+commits without ids) still
+    * read; ids=None marks a manifest written before id gating existed.
     */
-  private def readManifest(): (Map[Int, Long], Map[String, Long]) =
-    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty)
+  private def readManifest(): (Map[Int, Long], Map[String, Long], Option[Set[String]]) =
+    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, Some(Set.empty))
     else {
       val obj = JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
         StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
@@ -106,18 +146,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           val commits = obj.get("commits").collect { case c: JObject =>
             c.obj.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toLong }.toMap
           }.getOrElse(Map.empty[String, Long])
-          (offs, commits)
+          val ids = obj.get("ids").collect { case a: org.json4s.JArray =>
+            a.arr.map(_.asInstanceOf[JString].s).toSet
+          }
+          (offs, commits, ids)
         case _ =>
-          (obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }, Map.empty)
+          (obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong },
+            Map.empty, None)
       }
     }
 
   private def readOffsets(): Map[Int, Long] = readManifest()._1
 
-  private def writeManifest(m: Map[Int, Long], commits: Map[String, Long]): Unit =
+  private def writeManifest(m: Map[Int, Long], commits: Map[String, Long],
+      ids: Set[String]): Unit =
     CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(JObject(List(
       "offsets" -> JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }),
-      "commits" -> JObject(commits.toList.sorted.map { case (k, v) => k -> (JInt(v): JValue) }))))))
+      "commits" -> JObject(commits.toList.sorted.map { case (k, v) => k -> (JInt(v): JValue) }),
+      "ids" -> org.json4s.JArray(ids.toList.sorted.map(i => JString(i): JValue)))))))
 
   /** Last streaming batch id committed by sink `sinkId`, if any. */
   def committedBatchId(sinkId: String): Option[Long] = readManifest()._2.get(sinkId)
@@ -300,7 +346,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val bKeys = desc.effectiveBucketKeys
     val touched: Option[Column] =
       // empty table (first commit): nothing to prune, skip the pre-pass
-      if (bKeys.isEmpty || (!hasLogFiles && readSnapshotMeta().isEmpty)) None
+      if (bKeys.isEmpty || (visibleLogFiles().isEmpty && readSnapshotMeta().isEmpty)) None
       else {
         val bs = projected.select(pmod(hash(bKeys.map(col): _*),
           lit(desc.numBuckets)).as("b")).distinct().collect().map(_.getInt(0))
@@ -647,13 +693,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   // -- staged commits --------------------------------------------------
   // The batch is written OUTSIDE the log dir, validated, then moved in
-  // file-by-file (Spark part names are globally unique). Readers never
-  // see a commit that failed validation or crashed mid-write; a crash
-  // between move and manifest publish leaves files above the manifest
-  // cutoffs, which the offset gate in logDF keeps invisible. (A crash
-  // mid-move can leave a partial residue that a subsequent commit’s
-  // offsets may overlap — the full fix is an iceberg-style per-commit
-  // file manifest; documented limitation.)
+  // file-by-file under a commit-id name prefix (Spark part names are
+  // globally unique). Visibility is granted by ONE atomic manifest write
+  // that publishes the id together with the advanced offsets — readers
+  // enumerate only manifested files, so a commit that failed validation
+  // or crashed anywhere between move and publish can never surface, even
+  // after later commits reuse its offset range. Residue from crashed
+  // commits is deleted by the next commit under the same lock.
 
   /** File-based mutual exclusion around validate+move+publish: the
     * optimistic manifest check alone is check-then-act — two commits
@@ -689,19 +735,45 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
-  private def moveStagedFiles(staging: String): Unit = {
+  /** Move staged parquet files into the log dir under `commitId`'s name
+    * prefix. The files stay INVISIBLE until the manifest publishes the id,
+    * so a crash anywhere in here leaves only inert residue.
+    */
+  private def moveStagedFiles(staging: String, commitId: String): Unit = {
     import scala.jdk.CollectionConverters._
     val src = Paths.get(staging)
     val dst = Paths.get(logDir)
-    Files.walk(src).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
-        val target = dst.resolve(src.relativize(p))
-        Files.createDirectories(target.getParent)
-        Files.move(p, target)
-      }
+    val walk = Files.walk(src)
+    val files = try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toVector
+      finally walk.close()
+    files.foreach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel).getParent
+        .resolve(s"$CidPrefix$commitId--${p.getFileName}")
+      Files.createDirectories(target.getParent)
+      Files.move(p, target)
+    }
     deleteTree(staging)
+  }
+
+  /** Delete cid-prefixed files whose commit id was never published —
+    * residue of a commit that crashed between move and publish. Runs
+    * under the commit lock, so no in-flight commit's files qualify;
+    * un-prefixed (legacy) files are never touched.
+    */
+  private def cleanUnmanifestedResidue(ids: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(logDir)
+    if (!Files.exists(d)) return
+    val walk = Files.walk(d)
+    val residue = try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          cidOf(p.getFileName.toString).exists(!ids.contains(_)))
+        .toVector
+      finally walk.close()
+    residue.foreach(Files.deleteIfExists(_))
   }
 
   /** Assign per-bucket contiguous offsets and append to the log dir.
@@ -710,7 +782,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def commitToLog(df: DataFrame,
       commitTag: Option[(String, Long)] = None,
       materializeBatch: Boolean = true): Unit = {
-    val (bases, _) = readManifest()
+    val (bases, _, _) = readManifest()
     // localCheckpoint (not cache): __ord / key-less __bucket derive from
     // monotonically_increasing_id / spark_partition_id, so a recomputed
     // partition (cache eviction, executor loss) could re-assign them
@@ -739,7 +811,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // never clobbered, and an empty batch can’t rewind offsets another
       // writer advanced.
       def publish(counts: Map[Int, Long], staging: Option[String]): Unit = withCommitLock(staging) {
-        val (currentBases, currentCommits) = readManifest()
+        val (currentBases, currentCommits, currentIds) = readManifest()
         if (counts.nonEmpty) {
           // optimistic concurrency: a concurrent commit would have
           // advanced the manifest since we read it — our staged files
@@ -752,16 +824,22 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               s"concurrent commit detected on $path: offsets advanced from " +
                 s"$bases to $currentBases during this commit")
           }
-          staging.foreach(moveStagedFiles)
+          // self-heal residue of commits that crashed mid-move (their ids
+          // were never published, so their files were never readable)
+          currentIds.foreach(cleanUnmanifestedResidue)
+          val commitId = java.util.UUID.randomUUID().toString
+          staging.foreach(moveStagedFiles(_, commitId))
           writeManifest(
             bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
-            currentCommits ++ commitTag)
+            currentCommits ++ commitTag,
+            currentIds.getOrElse(Set.empty) + commitId)
         } else {
           staging.foreach(deleteTree)
           if (commitTag.isDefined)
             // empty batch still records its commit tag (streaming replay
             // dedup) — merged into the CURRENT manifest
-            writeManifest(currentBases, currentCommits ++ commitTag)
+            writeManifest(currentBases, currentCommits ++ commitTag,
+              currentIds.getOrElse(Set.empty))
         }
       }
 
@@ -873,10 +951,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val retained = logDF.filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
     retained.write.mode("overwrite")
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
-    // record the time-travel floor BEFORE the destructive swap: a crash
-    // after the swap but before the marker would otherwise leave a
+    // record the time-travel floor BEFORE the visibility flip: a crash
+    // after the flip but before the marker would otherwise leave a
     // truncated log that scanAsOf mistakes for full history. With the
-    // marker already present, a crash before the swap is also safe —
+    // marker already present, a crash before the flip is also safe —
     // snapshot ∪ tail reconstructs state correctly either way.
     val minTs = Option(spark.read.schema(logSchema).option("basePath", tmpDir)
         .parquet(tmpDir).agg(min(col(Meta.Timestamp))).head.getTimestamp(0))
@@ -884,10 +962,33 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     CatalogJson.atomicWrite(vacuumMarkerFile,
       JsonMethods.compact(JsonMethods.render(JObject(List(
         "boundMillis" -> (JInt(minTs): JValue))))))
-    import scala.jdk.CollectionConverters._
-    val old = Paths.get(logDir)
-    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    Files.move(Paths.get(tmpDir), old)
+    // Same protocol as a commit, under the same lock: move the rewritten
+    // files in alongside the old ones (invisible — their id is not yet
+    // manifested), flip visibility with ONE atomic manifest write whose id
+    // set is exactly {vacuumId}, then delete the now-invisible old files.
+    // A crash before the flip leaves the old log intact (the rewrite is
+    // inert residue a later commit cleans); a crash after it leaves
+    // invisible garbage only. The one non-atomic window is a LEGACY table
+    // whose un-prefixed files are visible unconditionally: those are
+    // deleted after the flip, so a crash in between briefly double-reads
+    // them — tables written entirely by the id-gated path are safe in
+    // every ordering.
+    withCommitLock(Some(tmpDir)) {
+      val (bases, commits, _) = readManifest()
+      val vacuumId = java.util.UUID.randomUUID().toString
+      moveStagedFiles(tmpDir, vacuumId)
+      writeManifest(bases, commits, Set(vacuumId))
+      cleanUnmanifestedResidue(Set(vacuumId))
+      // legacy un-prefixed files are not "residue"; remove them explicitly
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(logDir))
+      val legacy = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet") &&
+            cidOf(p.getFileName.toString).isEmpty).toVector
+        finally walk.close()
+      legacy.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** The log stores POST-merge row images (the write path already applied

@@ -38,8 +38,17 @@ object BucketPruning {
     if (bucketKeys.nonEmpty)
       registry.put(normalize(logDir), Layout(bucketKeys, numBuckets))
 
-  private[plans] def lookup(rootPaths: Seq[String]): Option[Layout] =
-    rootPaths.map(normalize).flatMap(p => Option(registry.get(p))).headOption
+  private[plans] def lookup(rootPaths: Seq[String]): Option[Layout] = {
+    // rootPaths may be the log DIRECTORY (directory scan) or individual
+    // FILES under it (manifest-gated scans list visible files explicitly),
+    // so match each path and its ancestors against the registry
+    def ancestors(p: String): Iterator[String] =
+      Iterator.iterate(p)(s => s.substring(0, math.max(s.lastIndexOf('/'), 0)))
+        .takeWhile(_.nonEmpty)
+    rootPaths.iterator.map(normalize)
+      .flatMap(p => ancestors(p).flatMap(a => Option(registry.get(a))).take(1))
+      .nextOption()
+  }
 
   /** Same hash the write path uses: pmod(murmur3(keys), n) — evaluated at
     * plan time over the predicate's literals.

@@ -48,6 +48,65 @@ class GraftTableSpec extends SparkTestBase {
     assert(t.latestOffsets.values.sum == 4)
   }
 
+  test("crash residue between move and publish is invisible and self-healed") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "crash1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    assert(t.scan().count() == 3)
+
+    // Simulate a commit that crashed between moveStagedFiles and the
+    // manifest publish: a data file lands in the log dir under a commit
+    // id that was never manifested. Its offsets OVERLAP already-committed
+    // ones — the exact case the pre-manifest offset gate could not catch.
+    val logDir = java.nio.file.Paths.get(s"${t.path}/log")
+    val committed = Files.walk(logDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    assert(committed.nonEmpty)
+    assert(committed.forall(_.getFileName.toString.startsWith("cid-")),
+      "committed files must carry the commit-id prefix")
+    val victim = committed.head
+    val residue = victim.getParent.resolve(
+      s"cid-${java.util.UUID.randomUUID()}--part-crashed.snappy.parquet")
+    Files.copy(victim, residue)
+
+    // every batch read surface excludes the residue
+    assert(t.scan().count() == 3)
+    assert(t.logDF.count() == 3)
+    assert(t.fastCount == 3)
+
+    // the next successful commit deletes the residue from disk
+    t.append(df((4L, 4, "d")), orderBy = Seq(col("ord")))
+    assert(!Files.exists(residue), "residue file should be cleaned by the next commit")
+    assert(t.scan().count() == 4)
+
+    // an UNPREFIXED (legacy-layout) file stays visible subject to the
+    // offset gate only — backward compatibility for pre-id tables
+    val legacy = victim.getParent.resolve("part-legacy.snappy.parquet")
+    Files.copy(victim, legacy)
+    assert(t.logDF.count() > 4) // duplicate rows visible: gated by offsets, not ids
+    Files.delete(legacy)
+  }
+
+  test("vacuumLog keeps only the vacuum commit's files, atomically flipped") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "crash2",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    t.compact()
+    t.upsert(df((4L, 4, "d")), orderBy = Seq(col("ord")))
+    t.vacuumLog()
+    val logDir = java.nio.file.Paths.get(s"${t.path}/log")
+    val files = Files.walk(logDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    // all survivors share ONE commit id (the vacuum's)
+    val ids = files.map(_.getFileName.toString.substring(4, 40)).distinct
+    assert(ids.size == 1, s"expected one vacuum id, got $ids")
+    assertSameRows(t.scan().select("k", "v", "s").collect().toSeq,
+      Seq(Row(1L, 10, "a2"), Row(2L, 2, "b"), Row(3L, 3, "c"), Row(4L, 4, "d")))
+  }
+
   test("pk table: upsert/delete lifecycle with changelog") {
     val cat = newCatalog()
     val t = cat.createTable("db", "pk1", TableDescriptor(schema, primaryKey = Seq("k")))
