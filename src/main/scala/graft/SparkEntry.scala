@@ -273,6 +273,13 @@ object SparkEntry {
     "sim4_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)),
 
+    // ----- SIM5: ANN kNN graph — the scale path for sim4: LSH-blocked
+    // candidate pairs (3 independent hyperplane tables), exact cosine +
+    // top-k within candidates only; nothing broadcast, nothing all-pairs
+    "sim5_knn_ann" -> ((s, dir) =>
+      Similarity.knnGraphAnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3)),
+
     // ----- SIM2: LSH-bucketed ANN top-k (scale path; recall in test)
     "sim2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -615,6 +622,41 @@ object SparkEntry {
       |  nz.vec_id
       |LIMIT 10""".stripMargin
 
+  private lazy val sim5OracleSql: String = {
+    // mirrors knnGraphAnn defaults: k=3, planes=8, tables=3, seed=42,
+    // dim=64 — the three plane sets are embedded as literals, so DuckDB
+    // replicates bucketing, candidate union and exact re-rank bit-for-bit
+    val sigs = (0 until 3).map { tb =>
+      val ps = Similarity.planesFor(64, 8, 42L + tb)
+      ps.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(e, ${sqlArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    // multi-probe: same-bucket OR one bit apart. The Spark side explodes
+    // probes for a keyed join; the oracle can afford the all-pairs
+    // hamming form (like d4's oracle) — identical answer by construction.
+    val cands = (0 until 3).map { tb =>
+      s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM s a JOIN s b " +
+        s"ON bit_count(xor(a.s$tb, b.s$tb)) <= 1 AND a.vec_id <> b.vec_id"
+    }.mkString("\n  UNION\n  ")
+    s"""WITH v AS (SELECT vec_id, e FROM (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |  WHERE list_dot_product(e, e) > 0),
+       |s AS (SELECT vec_id,
+       |  ${(0 until 3).map(tb => s"${sigs(tb)} AS s$tb").mkString(",\n  ")}
+       |  FROM v),
+       |cand AS (
+       |  $cands),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id, list_dot_product(a.e, b.e)
+       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+       |  FROM cand c JOIN v a ON c.a_id = a.vec_id JOIN v b ON c.b_id = b.vec_id)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, rank FROM (
+       |  SELECT a_id, b_id,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+  }
+
   private lazy val d4OracleSql: String = {
     // mirrors simhashPairs(maxHamming=3, nBits=60, md560=true). The
     // oracle verifies ALL pairs; the Spark side only compares same-chunk
@@ -643,6 +685,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "sim2_ann_lsh" -> sim2OracleSql,
+    "sim5_knn_ann" -> sim5OracleSql,
     "sim3_ivf" -> sim3OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_scan_filter" ->

@@ -96,6 +96,58 @@ object Similarity {
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("rank"))
   }
 
+  /** ANN kNN graph — the scale path for [[knnGraph]]: candidate pairs come
+    * from `tables` independent hyperplane-LSH bucketings (seeds seed,
+    * seed+1, …), then exact cosine + per-key top-k within the candidate
+    * set only. Each table's candidates are an equi-join on the packed
+    * signature — a keyed shuffle whose volume scales with bucket occupancy
+    * (≈ n²/2^planes per table), never all-pairs, and nothing is broadcast —
+    * so the construction survives corpus sizes where [[knnGraph]]'s
+    * broadcast nested loop dies. Multi-probe (on by default) also matches
+    * buckets ONE bit away — the probe side explodes each signature into
+    * its planes+1 single-bit flips, the classic multi-probe-LSH recall
+    * boost for (planes+1)× candidate lookups instead of another full
+    * table. A true neighbor at angle θ collides in one table with
+    * p^planes (+ planes·p^(planes-1)(1-p) multi-probed), p = 1-θ/π;
+    * tables independent draws on top.
+    */
+  def knnGraphAnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 3, seed: Long = 42L,
+      dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+      .filter(col("n") > 0) // zero vectors have no direction (see knnGraph)
+    // signatures cost tables×planes dot products per row and feed
+    // 2×tables+2 plan branches — materialize them once
+    val sigs = (0 until tables).foldLeft(v) { (acc, t) =>
+      acc.withColumn(s"__sig$t", hyperplaneSig(col("v"), planes, seed + t, dim))
+    }.localCheckpoint()
+    def probes(sig: Column): Column =
+      if (!multiProbe) array(sig)
+      else array((sig +: (0 until planes).map(j =>
+        sig.bitwiseXOR(lit(1L << j)))): _*)
+    val cand = (0 until tables).map { t =>
+      val a = sigs.select(col("id").as("a_id"),
+        explode(probes(col(s"__sig$t"))).as("__s"))
+      val b = sigs.select(col("id").as("b_id"), col(s"__sig$t").as("__s"))
+      a.join(b, "__s").filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }.reduce(_ union _).distinct()
+    val av = sigs.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
+    val bv = sigs.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
+    cand.join(av, "a_id").join(bv, "b_id")
+      // project vectors away before the rank shuffle, like knnGraph
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: only vectors whose hyperplane signature is
     * within `maxBitDiff` bits of the query's signature are scored. With a
     * layout bucketed on the signature this prunes to a handful of files.
@@ -138,6 +190,78 @@ object Similarity {
         lit(i).as("i"))
     }
     (df.withColumn("__list", greatest(best: _*)("i")), centroids)
+  }
+
+  /** IVF coarse centroids via deterministic spherical k-means — the
+    * production quantizer ([[ivfAssign]]'s first-n-by-id centroids stay as
+    * the oracle-stable baseline; on skewed data they give arbitrarily
+    * unbalanced lists). Seeding is greedy farthest-point over an
+    * md5-ordered deterministic sample (k-means++'s spread without RNG);
+    * each of `iters` Lloyd rounds assigns by argmax centroid cosine and
+    * re-centers each list on its mean direction. Every round is one
+    * aggregate job; only nlist×dim doubles ever reach the driver.
+    * (Per-list double sums commute differently across partitionings, so
+    * centroid coordinates can differ in final ulps between runs — an
+    * index-build property, fine for an index, which is why the sim3
+    * ORACLE keeps the first-n baseline.)
+    */
+  def ivfAssignKMeans(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5, seed: Long = 42L,
+      sampleSize: Int = 2048): (DataFrame, Array[(Int, Seq[Double])]) = {
+    val vd = col(vecCol).cast("array<double>")
+    // unit vectors: assignment score is then a plain dot product, and the
+    // re-center step is robust to magnitude outliers
+    val unit = df.select(col(idCol).as("__id"), vd.as("__v"))
+      .withColumn("__n", l2norm(col("__v"))).filter(col("__n") > 0)
+      .select(col("__id"),
+        transform(col("__v"), x => x / col("__n")).as("__u"))
+      .persist()
+    try {
+      val sample = unit
+        .orderBy(md5(concat_ws(":", col("__id").cast("string"), lit(seed))),
+          col("__id"))
+        .limit(math.max(sampleSize, nlist))
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(sample.length >= nlist,
+        s"k-means needs >= $nlist non-zero vectors, got ${sample.length}")
+      def dotA(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      // greedy farthest-point seeding: next centroid = sample point with
+      // the smallest max-cosine to any chosen one (deterministic spread)
+      val picked = scala.collection.mutable.ArrayBuffer(sample.head)
+      while (picked.length < nlist)
+        picked += sample.minBy(s => picked.map(c => dotA(s, c)).max)
+      var centroids = picked.toArray
+      def argmaxList(u: Column, cs: Array[Array[Double]]): Column =
+        greatest(cs.zipWithIndex.map { case (c, i) =>
+          struct(dot(u, typedlit(c.toSeq)).as("s"), lit(i).as("i"))
+        }.toIndexedSeq: _*)("i")
+      val dim = centroids(0).length
+      for (_ <- 1 to iters) {
+        val sums = unit.withColumn("__list", argmaxList(col("__u"), centroids))
+          .select(col("__list"), posexplode(col("__u")).as(Seq("__p", "__x")))
+          .groupBy("__list", "__p").agg(sum("__x").as("__s"))
+          .collect()
+        val next = centroids.map(_.clone()) // empty lists keep their centroid
+        sums.groupBy(_.getInt(0)).foreach { case (listId, rows) =>
+          val mean = new Array[Double](dim)
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
+          val norm = math.sqrt(dotA(mean, mean))
+          if (norm > 0) next(listId) = mean.map(_ / norm)
+        }
+        centroids = next
+      }
+      // assign the ORIGINAL frame like ivfAssign (zero vectors included;
+      // centroids are unit so cosine = dot / ||v||)
+      val best = centroids.zipWithIndex.map { case (c, i) =>
+        struct((dot(vd, typedlit(c.toSeq)) / l2norm(vd)).as("s"), lit(i).as("i"))
+      }
+      (df.withColumn("__list", greatest(best.toIndexedSeq: _*)("i")),
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+    } finally unit.unpersist()
   }
 
   /** IVF probe: score only vectors in the `nprobe` lists nearest to the

@@ -53,6 +53,63 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.count(ivf.contains) >= 5, s"ivf recall ${exact.count(ivf.contains)}/10")
   }
 
+  test("knnGraphAnn: edge recall vs the exact kNN graph") {
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // more tables + coarser buckets than the sim5 defaults: the recall
+    // knobs doing their job even on near-orthogonal random embeddings
+    // (the hard regime — real clustered embeddings recall far higher)
+    val ann = Similarity.knnGraphAnn(emb, "vec_id", "embedding", k = 3,
+      planes = 6, tables = 6).select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"ann knn-graph recall $recall over ${exact.size} edges")
+    // multi-probe is the recall lever: without it the same params find less
+    val noProbe = Similarity.knnGraphAnn(emb, "vec_id", "embedding", k = 3,
+      planes = 6, tables = 6, multiProbe = false)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.count(noProbe.contains) <= exact.count(ann.contains))
+    // every ANN edge's endpoints are real vectors and no self-edges
+    assert(ann.forall { case (a, b) => a != b })
+  }
+
+  test("ivf k-means centroids: recall on skewed data >= first-n centroids") {
+    import spark.implicits._
+    // Skewed corpus: 3 tight clusters with very different sizes plus the
+    // query's true neighbors in the smallest one. first-n-by-id centroids
+    // all land in cluster A (ids are clustered too — the adversarial but
+    // realistic case), so probing misses the small cluster.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def noisy(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + eps * rnd.nextGaussian() }
+    val a = Array.fill(dim)(rnd.nextGaussian())
+    val b = Array.fill(dim)(rnd.nextGaussian())
+    val c = Array.fill(dim)(rnd.nextGaussian())
+    val rows =
+      (1 to 400).map(i => (i.toLong, noisy(a, 0.05).toSeq)) ++
+      (401 to 460).map(i => (i.toLong, noisy(b, 0.05).toSeq)) ++
+      (461 to 480).map(i => (i.toLong, noisy(c, 0.05).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = noisy(c, 0.05).toSeq
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallOf(assigned: org.apache.spark.sql.DataFrame,
+        cents: Array[(Int, Seq[Double])]): Int = {
+      val got = Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
+        q, 10, nprobe = 2).select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.count(got.contains)
+    }
+    val (aF, cF) = Similarity.ivfAssign(df, "vec_id", "embedding", 8, spark)
+    val (aK, cK) = Similarity.ivfAssignKMeans(df, "vec_id", "embedding", 8)
+    val (rF, rK) = (recallOf(aF, cF), recallOf(aK, cK))
+    assert(rK >= rF, s"k-means recall $rK < first-n recall $rF")
+    assert(rK == 10, s"k-means should fully recover the small cluster, got $rK/10")
+  }
+
   test("winnowing: detects a copied paragraph inside otherwise different docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
