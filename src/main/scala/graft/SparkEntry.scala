@@ -172,6 +172,14 @@ object SparkEntry {
       Fixtures.eventsPartitionedExpired(s, dir).scan()
         .groupBy(col("dt")).agg(count(lit(1)).as("n"))),
 
+    // ----- S14b: retention BY POLICY — one maintainPartitions tick at a
+    // fixed now (AutoPartitionManager.java:86 analog; retain 5 days from
+    // 2024-01-28 → cutoff 2024-01-23, pre-create 2 → empty 01-29 dir that
+    // scans must not surface)
+    "s14_auto_policy" -> ((s, dir) =>
+      Fixtures.eventsAutoPartitioned(s, dir).scan()
+        .groupBy(col("dt")).agg(count(lit(1)).as("n"))),
+
     // ----- T3: $binlog virtual table (before/after images)
     "t3_binlog" -> ((s, dir) =>
       Fixtures.usersLww(s, dir).binlog()
@@ -832,6 +840,11 @@ object SparkEntry {
     "s14_ttl_retention" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n
         |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+        |GROUP BY 1""".stripMargin,
+
+    "s14_auto_policy" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-23'
         |GROUP BY 1""".stripMargin,
 
     "t3_binlog" ->

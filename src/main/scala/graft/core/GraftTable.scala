@@ -1217,20 +1217,83 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * lexicographic order = time order). Metadata-only: deletes partition
     * directories, never rewrites data files.
     */
-  def expirePartitions(partitionCol: String, cutoff: String): Int = {
+  def expirePartitions(partitionCol: String, cutoff: String): Int =
+    expirePartitionValues(partitionCol, cutoff).size
+
+  private def expirePartitionValues(partitionCol: String, cutoff: String): Seq[String] = {
     require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
     val d = Paths.get(logDir)
-    if (!Files.exists(d)) return 0
+    if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
     val prefix = s"$partitionCol="
-    val victims = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix))
-      .filter(p => p.getFileName.toString.stripPrefix(prefix) < cutoff)
-      .toSeq
+    val listing = Files.list(d)
+    val victims =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix))
+        .filter(p => p.getFileName.toString.stripPrefix(prefix) < cutoff)
+        .toSeq
+      finally listing.close()
     victims.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
-    victims.size
+    victims.map(_.getFileName.toString.stripPrefix(prefix)).sorted
+  }
+
+  /** One auto-partition maintenance tick (the coordinator's periodic
+    * AutoPartitionManager.java:86 task; policy knobs from ConfigOptions
+    * .java:1726-1817): pre-create the partition directories for
+    * now .. now+numPreCreate-1 time units and expire every partition
+    * strictly older than the newest `numToRetain`. Pre-created directories
+    * are empty hive partitions — invisible to scans (readers enumerate
+    * manifested files only) but listed by [[listPartitions]], so writers
+    * and operators can see the upcoming layout, the reference's reason for
+    * pre-creating. Scheduling the tick is the caller's concern (cron,
+    * stream-batch hook); the engine stays a library. Returns
+    * (created, expired) partition values, each sorted.
+    */
+  def maintainPartitions(policy: AutoPartitionPolicy,
+      now: java.time.Instant): (Seq[String], Seq[String]) = {
+    val keyCol = policy.key.getOrElse {
+      require(desc.partitionKeys.size == 1,
+        "auto-partition key is required for a multi-partition-key table " +
+          "(TABLE_AUTO_PARTITION_KEY)")
+      desc.partitionKeys.head
+    }
+    require(desc.partitionKeys.contains(keyCol), s"$keyCol is not a partition key")
+    // pre-create is single-key only (ConfigOptions.java:1803 forces 0 for
+    // composite partitioning — a one-key dir would be a malformed hive path)
+    val created =
+      if (desc.partitionKeys.size > 1) Nil
+      else (0 until policy.numPreCreate).map(policy.partitionValue(now, _))
+        .distinct.sorted.filter { v =>
+          val dir = Paths.get(logDir, s"$keyCol=$v")
+          val fresh = !Files.exists(dir)
+          if (fresh) Files.createDirectories(dir)
+          fresh
+        }
+    val expired = policy.retentionCutoff(now) match {
+      case Some(cutoff) => expirePartitionValues(keyCol, cutoff)
+      case None => Nil
+    }
+    (created, expired)
+  }
+
+  /** Current partition values of `partitionCol` (directory listing, the
+    * metadataManager.getPartitions analog) — includes empty pre-created
+    * partitions.
+    */
+  def listPartitions(partitionCol: String): Seq[String] = {
+    require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
+    val d = Paths.get(logDir)
+    if (!Files.exists(d)) return Nil
+    import scala.jdk.CollectionConverters._
+    val prefix = s"$partitionCol="
+    val listing = Files.list(d)
+    try listing.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq.sorted
+    finally listing.close()
   }
 
   private def keyPredicate(key: Map[String, Any]): Column =

@@ -240,6 +240,21 @@ object Fixtures {
       t
     }
 
+  /** Same layout, maintained by an [[graft.core.AutoPartitionPolicy]] tick
+    * at a fixed "now" of 2024-01-28 UTC (retain 5 days → partitions below
+    * 2024-01-23 expire; pre-create 2 → empty 2024-01-29 dir appears).
+    */
+  def eventsAutoPartitioned(spark: SparkSession, sfDir: String): GraftTable =
+    cached("events_part_auto", sfDir) {
+      eventsPartitioned(spark, sfDir) // ensure the source fixture is built
+      val t = freshClone(spark, sfDir, "events_part", "events_part_auto")
+      t.maintainPartitions(
+        AutoPartitionPolicy(timeUnit = AutoPartitionUnit.Day,
+          numPreCreate = 2, numToRetain = 5, timeFormat = Some("yyyy-MM-dd")),
+        java.time.Instant.parse("2024-01-28T12:00:00Z"))
+      t
+    }
+
   /** Streaming ingestion fixture (T6/S1): events split into range files,
     * streamed with maxFilesPerTrigger=2 (several micro-batches) through the
     * exactly-once upsert sink into an AGGREGATION PK table. sum/max are
@@ -572,6 +587,7 @@ object Fixtures {
     usersVersioned(spark, sfDir); userAggs(spark, sfDir)
     usersPartial(spark, sfDir); eventsPartitioned(spark, sfDir)
     eventsPartitionedExpired(spark, sfDir); streamAggTable(spark, sfDir)
+    eventsAutoPartitioned(spark, sfDir)
     lineitemTwoCommits(spark, sfDir); eventsAutoInc(spark, sfDir)
     usersLwwCompacted(spark, sfDir); usersRowLevel(spark, sfDir)
     usersLwwWal(spark, sfDir); usersRetractAgg(spark, sfDir)

@@ -200,4 +200,81 @@ class GraftTableSpec extends SparkTestBase {
       Seq("+I", "-U", "+U"))
     assert(ch(1).getInt(1) == 7) // -U carries the pre-update image
   }
+
+  test("auto-partition tick: pre-create + retention, idempotent") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
+    val t = cat.createTable("db", "autopart",
+      TableDescriptor(pSchema, partitionKeys = Seq("dt"),
+        bucketKeys = Seq("k"), numBuckets = 2))
+    val days = (20 to 28).map(d => f"2024-01-$d%02d")
+    val rows = days.zipWithIndex.map { case (d, i) =>
+      Row(i.toLong, Int.box(i), s"s$i", d, i.toLong)
+    }
+    t.append(spark.createDataFrame(rows.asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val policy = AutoPartitionPolicy(timeUnit = AutoPartitionUnit.Day,
+      numPreCreate = 2, numToRetain = 3, timeFormat = Some("yyyy-MM-dd"))
+    val now = java.time.Instant.parse("2024-01-28T06:00:00Z")
+    val (created, expired) = t.maintainPartitions(policy, now)
+    assert(created == Seq("2024-01-29")) // 01-28 already exists
+    assert(expired == (20 to 24).map(d => f"2024-01-$d%02d"))
+    assert(t.listPartitions("dt") ==
+      (25 to 29).map(d => f"2024-01-$d%02d"))
+    // the empty pre-created partition is invisible to scans
+    assert(t.scan().select("dt").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == (25 to 28).map(d => f"2024-01-$d%02d"))
+    // a second tick at the same instant changes nothing
+    assert(t.maintainPartitions(policy, now) == ((Nil, Nil)))
+    // numToRetain < 0 disables expiry (TABLE_AUTO_PARTITION_NUM_RETENTION)
+    val keepAll = policy.copy(numToRetain = -1, numPreCreate = 0)
+    assert(t.maintainPartitions(keepAll,
+      java.time.Instant.parse("2030-01-01T00:00:00Z")) == ((Nil, Nil)))
+  }
+
+  test("auto-partition units: default formats and arithmetic") {
+    val now = java.time.Instant.parse("2024-11-11T13:30:00Z")
+    def v(u: AutoPartitionUnit, off: Int = 0) =
+      AutoPartitionPolicy(timeUnit = u).partitionValue(now, off)
+    assert(v(AutoPartitionUnit.Hour) == "2024111113")
+    assert(v(AutoPartitionUnit.Hour, 11) == "2024111200")
+    assert(v(AutoPartitionUnit.Day) == "20241111")
+    assert(v(AutoPartitionUnit.Day, -11) == "20241031")
+    assert(v(AutoPartitionUnit.Month) == "202411")
+    assert(v(AutoPartitionUnit.Month, 2) == "202501")
+    assert(v(AutoPartitionUnit.Quarter) == "20244")
+    assert(v(AutoPartitionUnit.Quarter, 1) == "20251")
+    assert(v(AutoPartitionUnit.Year) == "2024")
+    // time zone shifts the bucket the instant lands in
+    val tokyo = AutoPartitionPolicy(timeUnit = AutoPartitionUnit.Hour,
+      timeZone = java.time.ZoneId.of("Asia/Tokyo"))
+    assert(tokyo.partitionValue(now, 0) == "2024111122")
+  }
+
+  test("auto-partition on a multi-key table: key required, no pre-create") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields ++
+      Seq(StructField("dt", StringType), StructField("region", StringType)))
+    val t = cat.createTable("db", "autopart2",
+      TableDescriptor(pSchema, partitionKeys = Seq("dt", "region"),
+        bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(spark.createDataFrame(Seq(
+        Row(1L, Int.box(1), "a", "2024-01-20", "eu", 0L),
+        Row(2L, Int.box(2), "b", "2024-01-27", "us", 1L)).asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val policy = AutoPartitionPolicy(timeUnit = AutoPartitionUnit.Day,
+      key = Some("dt"), numPreCreate = 2, numToRetain = 3,
+      timeFormat = Some("yyyy-MM-dd"))
+    val now = java.time.Instant.parse("2024-01-28T06:00:00Z")
+    val (created, expired) = t.maintainPartitions(policy, now)
+    assert(created.isEmpty) // pre-create unsupported for composite keys
+    assert(expired == Seq("2024-01-20"))
+    assert(t.scan().count() == 1)
+    // without an explicit key the tick must refuse, not guess
+    intercept[IllegalArgumentException] {
+      t.maintainPartitions(policy.copy(key = None), now)
+    }
+  }
 }
