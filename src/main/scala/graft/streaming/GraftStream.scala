@@ -137,6 +137,67 @@ object GraftStream {
       joinType: String = "left"): DataFrame =
     stream.join(broadcast(table.currentState()), joinKeys, joinType)
 
+  /** TTL-cached lookup-table handle — the engine's analog of the
+    * reference's PARTIAL lookup cache with expire-after-write
+    * (fluss-flink/.../source/lookup/FlinkLookupFunction.java:51; options
+    * in website/docs/engine-flink/lookups.md:140). [[join]] enriches a
+    * micro-batch against a snapshot of the PK table's current state that
+    * is re-materialized at most once per `ttlMs`: between refreshes every
+    * batch joins the SAME persisted snapshot — the snapshot∪log merge
+    * runs once per TTL window, not once per micro-batch — and a refresh
+    * also picks up commits made after the stream started, with staleness
+    * bounded by the TTL exactly like the reference's cache.
+    *
+    * Use inside `foreachBatch`: a stream-static join plan freezes its
+    * static subtree at `start()`, so the refresh decision must happen at
+    * the micro-batch boundary, where the enrichment join is an ordinary
+    * batch join (broadcast when small). Call [[close]] when the stream
+    * stops to release the snapshot's storage.
+    *
+    * @param clock injectable time source (tests pin it; production uses
+    *              the default wall clock)
+    */
+  final class CachedLookup private[GraftStream] (table: GraftTable,
+      ttlMs: Long, clock: () => Long) {
+    private var snapshot: Option[(Long, DataFrame)] = None
+    private var nMaterializations = 0
+
+    /** Current snapshot, refreshed when older than the TTL. */
+    def current(): DataFrame = synchronized {
+      val now = clock()
+      snapshot match {
+        case Some((at, df)) if now - at < ttlMs => df
+        case stale =>
+          val fresh = table.currentState()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fresh.count() // materialize now: batches pay a cache read only
+          stale.foreach(_._2.unpersist(blocking = false))
+          snapshot = Some((now, fresh))
+          nMaterializations += 1
+          fresh
+      }
+    }
+
+    def join(batch: DataFrame, joinKeys: Seq[String],
+        joinType: String = "left"): DataFrame =
+      batch.join(broadcast(current()), joinKeys, joinType)
+
+    /** How many times the state was materialized (observability + tests). */
+    def materializations: Int = synchronized(nMaterializations)
+
+    def close(): Unit = synchronized {
+      snapshot.foreach(_._2.unpersist(blocking = false))
+      snapshot = None
+    }
+  }
+
+  /** Build a [[CachedLookup]] for `table` with the given expire-after-write
+    * TTL (lookup.partial-cache.expire-after-write).
+    */
+  def cachedLookup(table: GraftTable, ttl: java.time.Duration,
+      clock: () => Long = () => System.currentTimeMillis()): CachedLookup =
+    new CachedLookup(table, ttl.toMillis, clock)
+
   /** Continuous changelog materializer: the streaming counterpart of the
     * batch write path (SURVEY §7.1 item 4) — keyed state holds each PK's
     * current merged row in the state store; every input row folds through

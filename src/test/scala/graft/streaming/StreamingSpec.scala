@@ -131,6 +131,54 @@ class StreamingSpec extends SparkTestBase {
     assert(out.toMap == Map(1L -> 100, 2L -> 200, 9L -> null))
   }
 
+  test("cached lookup join: one materialization across micro-batches, TTL refresh sees new commits") {
+    val cat = newCatalog()
+    val dim = cat.createTable("db", "s5dimc", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    dim.upsert(df((1L, 100, 0L), (2L, 200, 1L)), orderBy = Seq(col("ord")))
+
+    val src = tmp()
+    writeSrc(src, Seq((1L, 0, 0L)), "a")
+    writeSrc(src, Seq((2L, 0, 1L)), "b")
+    writeSrc(src, Seq((9L, 0, 2L)), "c")
+    var fakeNow = 0L
+    val cache = GraftStream.cachedLookup(dim,
+      java.time.Duration.ofMinutes(10), () => fakeNow)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(col("k"), col("ord"))
+    var out = Vector.empty[(Long, Any)]
+    var batches = 0
+    val q = stream.writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches += 1
+          out = out ++ cache.join(b, Seq("k"))
+            .select("k", "v").collect().map(r => (r.getLong(0), r.get(1)))
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    assert(cache.materializations == 1,
+      s"state materialized ${cache.materializations} times for $batches batches")
+    // same answer as the uncached per-batch path
+    assert(out.toMap == Map(1L -> 100, 2L -> 200, 9L -> null))
+    // a commit after stream start is invisible inside the TTL window …
+    dim.upsert(df((9L, 900, 2L)), orderBy = Seq(col("ord")))
+    assert(cache.join(spark.createDataFrame(Seq(Row(9L, 9L)).asJava,
+        StructType(Seq(StructField("k", LongType), StructField("ord", LongType)))),
+      Seq("k")).select("v").collect().head.get(0) == null)
+    assert(cache.materializations == 1)
+    // … and visible after the TTL expires (expire-after-write refresh)
+    fakeNow += java.time.Duration.ofMinutes(11).toMillis
+    assert(cache.join(spark.createDataFrame(Seq(Row(9L, 9L)).asJava,
+        StructType(Seq(StructField("k", LongType), StructField("ord", LongType)))),
+      Seq("k")).select("v").collect().head.get(0) == 900)
+    assert(cache.materializations == 2)
+    cache.close()
+  }
+
   test("changelogStream: state-store materializer emits the same changelog as the batch path") {
     val src = tmp()
     writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
