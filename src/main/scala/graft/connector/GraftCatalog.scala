@@ -55,6 +55,27 @@ object GraftOptions {
   val AggPrefix = "fields."
   val AggSuffix = ".agg"
 
+  /** DDL CHAR(n)/VARCHAR(n) columns (SURVEY §1.2): stored as STRING with
+    * the raw type recorded under Spark's own `__CHAR_VARCHAR_TYPE_STRING`
+    * metadata key — the same replacement Spark's session catalog performs —
+    * which [[graft.core.TableDescriptor.charLengths]] turns into the
+    * write-time length check. Top-level fields only (the reference's type
+    * system has no nested CHAR).
+    */
+  private def stringifyCharVarchar(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      def withRaw(raw: String) = f.copy(
+        dataType = org.apache.spark.sql.types.StringType,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("__CHAR_VARCHAR_TYPE_STRING", raw).build())
+      f.dataType match {
+        case c: org.apache.spark.sql.types.CharType => withRaw(s"char(${c.length})")
+        case v: org.apache.spark.sql.types.VarcharType => withRaw(s"varchar(${v.length})")
+        case _ => f
+      }
+    })
+
   def toDescriptor(schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): TableDescriptor = {
     val props = properties.asScala
@@ -88,7 +109,7 @@ object GraftOptions {
         throw new IllegalArgumentException(s"unknown merge engine $other")
     }
     TableDescriptor(
-      schema = schema,
+      schema = stringifyCharVarchar(schema),
       primaryKey = csv(PrimaryKey),
       bucketKeys = bucketCols,
       numBuckets = bucketNum,

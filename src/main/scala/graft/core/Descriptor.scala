@@ -90,6 +90,28 @@ final case class TableDescriptor(
 
   def isPrimaryKeyTable: Boolean = primaryKey.nonEmpty
 
+  /** Declared CHAR(n)/VARCHAR(n) length constraints (SURVEY §1.2; the
+    * reference's fixed-length CHAR, fluss-common/.../types/DataTypeRoot
+    * .java:49). Spark analyzes char/varchar columns to STRING and records
+    * the raw type in StructField metadata under
+    * `__CHAR_VARCHAR_TYPE_STRING` — DDL-created schemas carry it already;
+    * programmatic schemas opt in by setting the same key. The write path
+    * enforces these ([[GraftTable]] rejects over-length values; the
+    * reference's IndexedRowWriter.writeChar encodes into a fixed n-char
+    * buffer, so an over-length value is a write error, never a silent
+    * truncation).
+    */
+  lazy val charLengths: Map[String, Int] = {
+    val raw = "(?i)^(?:char|varchar)\\s*\\((\\d+)\\)$".r
+    schema.fields.iterator.flatMap { f =>
+      if (!f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING")) None
+      else f.metadata.getString("__CHAR_VARCHAR_TYPE_STRING") match {
+        case raw(n) => Some(f.name -> n.toInt)
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Effective bucket keys: explicit, else the PK minus partition keys
     * (the reference's default, TableDescriptor.java:188).
     */

@@ -266,6 +266,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     else pmod(hash(keys.map(col): _*), lit(desc.numBuckets))
   }
 
+  /** CHAR(n)/VARCHAR(n) write-time length check ([[TableDescriptor
+    * .charLengths]]): an over-length value fails the write job in-plan
+    * (`raise_error` inside the projection — no extra pass, no silent
+    * truncation), matching the reference where CHAR encodes into a fixed
+    * n-char buffer (IndexedRowWriter.writeChar). Values shorter than n are
+    * stored as-is (STRING storage), Spark's own charVarcharAsString
+    * posture.
+    */
+  private def enforceCharLengths(df: DataFrame): DataFrame =
+    desc.charLengths.filter { case (c, _) => df.columns.contains(c) }
+      .foldLeft(df) { case (d, (c, n)) =>
+        d.withColumn(c,
+          when(char_length(col(c)) > lit(n),
+            raise_error(concat(lit(s"value too long for CHAR/VARCHAR($n) column $c: '"),
+              col(c), lit("'"))))
+            .otherwise(col(c)))
+      }
+
   /** Append rows to a log (no-PK) table; `orderBy` fixes intra-batch order
     * for offset assignment (defaults to arrival order).
     */
@@ -279,7 +297,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // entirely — at scale, checkpointing the full ingest batch to
     // executor disks is the last thing a 100 TB append should do.
     val deterministic = orderBy.nonEmpty && desc.effectiveBucketKeys.nonEmpty
-    commitToLog(df
+    commitToLog(enforceCharLengths(df)
       .withColumn(Meta.ChangeTypeCol, lit(ChangeType.AppendOnly))
       .withColumn("__ord", ord.head.cast("long")),
       materializeBatch = !deterministic)
@@ -330,11 +348,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // COERCE every column to its declared type up front: downstream
     // bucket hashing must see the stored type (an Int 7 for a BIGINT
     // column hashes to a different bucket than the Long 7 the log holds)
-    val projected = desc.schema.fieldNames.foldLeft(df) { (d, c) =>
+    val projected = enforceCharLengths(desc.schema.fieldNames.foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(desc.schema(c).dataType))
     }.select((desc.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)) ++ Seq(
       ord.head.cast("long").as("__ord"), deleteFlag.as("__del"),
-      retractFlag.as("__retract"))).toIndexedSeq: _*)
+      retractFlag.as("__retract"))).toIndexedSeq: _*))
 
     // O(touched-buckets) write path: state participates in the merge only
     // for buckets the batch can collide with (the reference's putAsLeader

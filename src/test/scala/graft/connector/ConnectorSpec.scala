@@ -158,4 +158,24 @@ class ConnectorSpec extends SparkTestBase {
     val df = spark.table("gfs.db.dfapi").filter(col("k") === 1).select("v")
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  test("DDL CHAR(n) column: over-length INSERT fails, valid rows read back") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.chr (k BIGINT, code CHAR(3)) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.chr VALUES (1, 'abc'), (2, 'ab')")
+    // Spark's char-padding reads 'ab' back as 'ab ' (charVarcharAsString
+    // off) or 'ab'; compare on rtrim to stay semantics-agnostic
+    val got = spark.sql("SELECT k, rtrim(code) c FROM gfs.db.chr ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "abc"), (2L, "ab")))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gfs.db.chr VALUES (3, 'abcd')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("value too long") ||
+      m.contains("EXCEED_LIMIT_LENGTH") || m.contains("exceeds char/varchar")))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.chr").collect()(0).getLong(0) == 2)
+  }
 }

@@ -82,4 +82,45 @@ class AllTypesSpec extends SparkTestBase {
     assert(bl.select(col("before.rec.b"), col("after.rec.b"))
       .collect().toSeq.contains(Row("n1", "n2")))
   }
+
+  test("CHAR(n): write-time length check rejects over-length values") {
+    // char/varchar columns analyze to STRING + raw-type metadata; the
+    // descriptor derives the length constraint from that metadata
+    val md = new MetadataBuilder()
+      .putString("__CHAR_VARCHAR_TYPE_STRING", "char(3)").build()
+    val vmd = new MetadataBuilder()
+      .putString("__CHAR_VARCHAR_TYPE_STRING", "varchar(5)").build()
+    val cSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("code", StringType, metadata = md),
+      StructField("tag", StringType, metadata = vmd)))
+    val desc = TableDescriptor(cSchema, primaryKey = Seq("id"), numBuckets = 2)
+    assert(desc.charLengths == Map("code" -> 3, "tag" -> 5))
+    // the constraint survives the catalog JSON roundtrip (schema metadata)
+    assert(CatalogJson.read(CatalogJson.write(desc)).charLengths ==
+      desc.charLengths)
+    val t = cat.createTable("types", "char_" + System.nanoTime(), desc)
+    def df(rows: (Long, String, String)*) = spark.createDataFrame(
+      rows.map { case (i, c, g) => Row(i, c, g) }.asJava, cSchema)
+    t.upsert(df((1L, "abc", "12345"), (2L, "ab", null)), orderBy = Seq(lit(1)))
+    assert(t.scan().count() == 2) // exact-length, shorter, and null all pass
+    val e1 = intercept[Exception] {
+      t.upsert(df((3L, "abcd", "ok")), orderBy = Seq(lit(1)))
+    }
+    assert(e1.getMessage.contains("value too long") ||
+      Option(e1.getCause).exists(_.getMessage.contains("value too long")))
+    val e2 = intercept[Exception] {
+      t.upsert(df((4L, "ok", "123456")), orderBy = Seq(lit(1)))
+    }
+    assert(e2.getMessage.contains("value too long") ||
+      Option(e2.getCause).exists(_.getMessage.contains("value too long")))
+    // the failed writes left no partial state behind
+    assert(t.scan().count() == 2)
+    // append path of a log table enforces the same constraint
+    val lt = cat.createTable("types", "charlog_" + System.nanoTime(),
+      TableDescriptor(cSchema, bucketKeys = Seq("id"), numBuckets = 2))
+    lt.append(df((1L, "abc", "ok")), orderBy = Seq(lit(1)))
+    intercept[Exception] { lt.append(df((2L, "toolong", "ok")), orderBy = Seq(lit(1))) }
+    assert(lt.scan().count() == 1)
+  }
 }
