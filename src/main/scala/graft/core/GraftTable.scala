@@ -76,12 +76,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     else None
 
   /** Existing log parquet files visible under the manifest's committed-id
-    * set. Driver-side listing — the same work Spark's file index does for
-    * a directory scan, reused here to drop unmanifested residue.
+    * set, plus whether any unmanifested residue was excluded. Driver-side
+    * listing — the same work Spark's file index does for a directory scan,
+    * reused here to drop unmanifested residue.
     */
-  private def visibleLogFiles(): Seq[String] = {
+  private def visibleLogFiles(): (Seq[String], Boolean) = {
     val d = Paths.get(logDir)
-    if (!Files.exists(d)) return Nil
+    if (!Files.exists(d)) return (Nil, false)
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(d)
     val all = try walk.iterator().asScala
@@ -89,11 +90,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .map(_.toString).toVector
       finally walk.close()
     readManifest()._3 match {
-      case None => all // legacy manifest: the directory is the source of truth
-      case Some(ids) => all.filter { f =>
-        val name = f.substring(f.lastIndexOf('/') + 1)
-        cidOf(name).forall(ids.contains)
-      }
+      case None => (all, false) // legacy manifest: the directory is the truth
+      case Some(ids) =>
+        val vis = all.filter { f =>
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          cidOf(name).forall(ids.contains)
+        }
+        (vis, vis.length != all.length)
     }
   }
 
@@ -110,15 +113,22 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * its file move and its manifest publish never surface.
     */
   def logDF: DataFrame = {
-    val files = visibleLogFiles()
+    val (files, residue) = visibleLogFiles()
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     } else {
-      // __bucket is a hive partition dir; explicit file paths + basePath
-      // keep partition parsing (and partition pruning) identical to a
-      // directory scan while excluding unmanifested residue files.
-      spark.read.schema(logSchema).option("basePath", logDir).parquet(files: _*)
-        .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+      // Steady state (no crash residue): one recursive root listing —
+      // Spark qualifies EXPLICIT paths one driver FS call apiece, which
+      // showed up as +0.1-0.4 s per table query at sf0.1. Only when the
+      // walk finds unmanifested residue (a crashed commit, until the next
+      // commit deletes it) does the scan pin the visible file list
+      // explicitly; basePath keeps partition parsing (and pruning)
+      // identical in both shapes.
+      val src = if (residue) spark.read.schema(logSchema)
+          .option("basePath", logDir).parquet(files: _*)
+        else spark.read.schema(logSchema)
+          .option("basePath", logDir).parquet(logDir)
+      src.select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
         .filter(col(Meta.Offset) < bucketMapExpr(readOffsets(), 0L))
     }
   }
@@ -364,7 +374,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val bKeys = desc.effectiveBucketKeys
     val touched: Option[Column] =
       // empty table (first commit): nothing to prune, skip the pre-pass
-      if (bKeys.isEmpty || (visibleLogFiles().isEmpty && readSnapshotMeta().isEmpty)) None
+      if (bKeys.isEmpty || (visibleLogFiles()._1.isEmpty && readSnapshotMeta().isEmpty)) None
       else {
         val bs = projected.select(pmod(hash(bKeys.map(col): _*),
           lit(desc.numBuckets)).as("b")).distinct().collect().map(_.getInt(0))
