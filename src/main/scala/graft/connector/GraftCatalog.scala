@@ -282,7 +282,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 class GraftDsTable(val table: GraftTable, ident: Identifier,
     asOf: Option[java.sql.Timestamp] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
+
+  // ----- partition management (SHOW PARTITIONS / ALTER TABLE ADD|DROP
+  // PARTITION — the reference's partition admin surface, Admin
+  // .createPartition/dropPartition, fluss-client/.../admin/Admin.java;
+  // data dirs are the source of truth, same as the engine API) -----------
+
+  override def partitionSchema(): StructType =
+    StructType(table.desc.partitionKeys.map(k =>
+      table.desc.schema(table.desc.schema.fieldIndex(k))).toArray)
+
+  private def partValues(id: org.apache.spark.sql.catalyst.InternalRow): Seq[String] = {
+    val ps = partitionSchema()
+    require(ps.nonEmpty, s"table ${ident.toString} is not partitioned")
+    ps.fields.zipWithIndex.map { case (f, i) =>
+      require(!id.isNullAt(i), "null partition values are unsupported")
+      String.valueOf(id.get(i, f.dataType))
+    }.toSeq
+  }
+
+  private def toIdent(values: Seq[String]): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      partitionSchema().fields.zip(values).map { case (f, v) =>
+        f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          case org.apache.spark.sql.types.IntegerType => v.toInt
+          case org.apache.spark.sql.types.LongType => v.toLong
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.parse(v).toEpochDay.toInt
+          case other =>
+            throw new UnsupportedOperationException(s"partition key type $other")
+        }
+      }.toIndexedSeq)
+
+  override def createPartition(id: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    if (!table.createPartition(partValues(id)))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        ident.toString, id, partitionSchema())
+
+  override def dropPartition(id: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    table.dropPartition(partValues(id))
+
+  override def partitionExists(id: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    table.partitionExists(partValues(id))
+
+  override def replacePartitionMetadata(id: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("partition metadata")
+
+  override def loadPartitionMetadata(id: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      id: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val idx = names.map(ps.fieldIndex)
+    val wanted = names.indices.map(i =>
+      String.valueOf(id.get(i, ps(idx(i)).dataType)))
+    table.partitionValues()
+      .filter(vs => idx.zip(wanted).forall { case (fi, w) => vs(fi) == w })
+      .map(toIdent).toArray
+  }
 
   /** `DELETE FROM` (SURVEY §4 row-level ops through SQL): routed through
     * the merge path — emits `-D` change rows like any other delete, so

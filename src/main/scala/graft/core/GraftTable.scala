@@ -1324,6 +1324,69 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     finally listing.close()
   }
 
+  // ----- generic partition-directory admin (the reference's partition
+  // admin surface: Admin.createPartition / dropPartition, fluss-client/
+  // .../admin/Admin.java; values are hive dir levels in partition-key
+  // order, `k1=v1/k2=v2/...`) -------------------------------------------
+
+  private def partitionDir(values: Seq[String]): java.nio.file.Path = {
+    require(desc.partitionKeys.nonEmpty, "table is not partitioned")
+    require(values.length == desc.partitionKeys.length,
+      s"expected values for ${desc.partitionKeys}, got ${values.length}")
+    desc.partitionKeys.zip(values).foldLeft(Paths.get(logDir)) {
+      case (p, (k, v)) => p.resolve(s"$k=$v")
+    }
+  }
+
+  /** Create an (empty) partition; false if it already existed. Empty
+    * partitions are invisible to scans but listed by [[partitionValues]].
+    */
+  def createPartition(values: Seq[String]): Boolean = {
+    val dir = partitionDir(values)
+    val fresh = !Files.exists(dir)
+    if (fresh) Files.createDirectories(dir)
+    fresh
+  }
+
+  /** Drop one partition (all its data); false if it did not exist. */
+  def dropPartition(values: Seq[String]): Boolean = {
+    val dir = partitionDir(values)
+    if (!Files.exists(dir)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+      true
+    }
+  }
+
+  def partitionExists(values: Seq[String]): Boolean =
+    Files.exists(partitionDir(values))
+
+  /** All current partition value tuples in partition-key order. */
+  def partitionValues(): Seq[Seq[String]] = {
+    require(desc.partitionKeys.nonEmpty, "table is not partitioned")
+    import scala.jdk.CollectionConverters._
+    def level(dir: java.nio.file.Path, keys: Seq[String]): Seq[Seq[String]] =
+      keys match {
+        case Seq() => Seq(Nil)
+        case k +: rest =>
+          if (!Files.exists(dir)) Nil
+          else {
+            val prefix = s"$k="
+            val listing = Files.list(dir)
+            val subs = try listing.iterator().asScala
+                .filter(p => Files.isDirectory(p) &&
+                  p.getFileName.toString.startsWith(prefix)).toSeq
+              finally listing.close()
+            subs.flatMap(p => level(p, rest)
+              .map(p.getFileName.toString.stripPrefix(prefix) +: _))
+          }
+      }
+    level(Paths.get(logDir), desc.partitionKeys).sortBy(_.mkString("/"))
+  }
+
   private def keyPredicate(key: Map[String, Any]): Column =
     key.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 

@@ -159,6 +159,29 @@ class ConnectorSpec extends SparkTestBase {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("SHOW PARTITIONS / ALTER TABLE ADD|DROP PARTITION") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.pm (k BIGINT, v INT, dt STRING)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gfs.db.pm VALUES (1, 1, '2024-01-01'), (2, 2, '2024-01-02')")
+    def parts() = spark.sql("SHOW PARTITIONS gfs.db.pm")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts() == Seq("dt=2024-01-01", "dt=2024-01-02"))
+    // pre-create an upcoming partition: listed, but scans stay unaffected
+    spark.sql("ALTER TABLE gfs.db.pm ADD PARTITION (dt='2024-01-03')")
+    assert(parts() == Seq("dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.pm").collect()(0).getLong(0) == 2)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gfs.db.pm ADD PARTITION (dt='2024-01-03')")
+    }
+    // drop removes data and listing
+    spark.sql("ALTER TABLE gfs.db.pm DROP PARTITION (dt='2024-01-01')")
+    assert(parts() == Seq("dt=2024-01-02", "dt=2024-01-03"))
+    assert(spark.sql("SELECT k FROM gfs.db.pm").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("DDL CHAR(n) column: over-length INSERT fails, valid rows read back") {
     wh
     spark.sql("CREATE TABLE gfs.db.chr (k BIGINT, code CHAR(3)) USING graft " +
