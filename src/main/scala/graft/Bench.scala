@@ -20,9 +20,9 @@ object Bench {
     // Warm-up failures must never abort or skew the timed passes: log and
     // move on (the affected query just pays its own compile cost).
     def warm(name: String)(body: => Unit): Unit =
-      try body catch { case e: Throwable =>
+      try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up '$name' failed: ${e.getMessage}")
-      }
+      } // fatal errors (OOM etc.) must abort: timings on a broken JVM are garbage
     // JIT/codegen/session warmup so the alphabetically-first query isn't
     // charged for it (standard benchmarking practice)
     warm("scan-agg") {
@@ -126,7 +126,7 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           name -> (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           // a failed pass must not undercut the other pass's valid time
           // via the min below; a query failing BOTH passes surfaces as an

@@ -68,7 +68,7 @@ object GraftOptions {
         dataType = org.apache.spark.sql.types.StringType,
         metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putString("__CHAR_VARCHAR_TYPE_STRING", raw).build())
+          .putString(TableDescriptor.CharVarcharTypeKey, raw).build())
       f.dataType match {
         case c: org.apache.spark.sql.types.CharType => withRaw(s"char(${c.length})")
         case v: org.apache.spark.sql.types.VarcharType => withRaw(s"varchar(${v.length})")
@@ -299,7 +299,14 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     require(ps.nonEmpty, s"table ${ident.toString} is not partitioned")
     ps.fields.zipWithIndex.map { case (f, i) =>
       require(!id.isNullAt(i), "null partition values are unsupported")
-      String.valueOf(id.get(i, f.dataType))
+      f.dataType match {
+        // DATE arrives as epoch-day; the hive dir name (what the write
+        // path produces) is yyyy-MM-dd — the inverse of toIdent
+        case org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.ofEpochDay(
+            id.get(i, f.dataType).asInstanceOf[Int].toLong).toString
+        case dt => String.valueOf(id.get(i, dt))
+      }
     }.toSeq
   }
 

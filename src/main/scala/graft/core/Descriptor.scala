@@ -69,6 +69,14 @@ object ChangelogImage {
   case object Wal extends ChangelogImage
 }
 
+object TableDescriptor {
+  /** Spark's raw-type metadata key for char/varchar columns analyzed to
+    * STRING (CharVarcharUtils.CHAR_VARCHAR_TYPE_STRING_METADATA_KEY —
+    * private[sql], so the literal is mirrored here, in ONE place).
+    */
+  val CharVarcharTypeKey = "__CHAR_VARCHAR_TYPE_STRING"
+}
+
 /** Table descriptor — the engine's schema + layout + merge configuration.
   *
   * Mirrors the reference's TableDescriptor (fluss-common/.../metadata/
@@ -104,8 +112,8 @@ final case class TableDescriptor(
   lazy val charLengths: Map[String, Int] = {
     val raw = "(?i)^(?:char|varchar)\\s*\\((\\d+)\\)$".r
     schema.fields.iterator.flatMap { f =>
-      if (!f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING")) None
-      else f.metadata.getString("__CHAR_VARCHAR_TYPE_STRING") match {
+      if (!f.metadata.contains(TableDescriptor.CharVarcharTypeKey)) None
+      else f.metadata.getString(TableDescriptor.CharVarcharTypeKey) match {
         case raw(n) => Some(f.name -> n.toInt)
         case _ => None
       }

@@ -80,7 +80,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * listing — the same work Spark's file index does for a directory scan,
     * reused here to drop unmanifested residue.
     */
-  private def visibleLogFiles(): (Seq[String], Boolean) = {
+  private def visibleLogFiles(ids: Option[Set[String]]): (Seq[String], Boolean) = {
     val d = Paths.get(logDir)
     if (!Files.exists(d)) return (Nil, false)
     import scala.jdk.CollectionConverters._
@@ -89,16 +89,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .map(_.toString).toVector
       finally walk.close()
-    readManifest()._3 match {
+    ids match {
       case None => (all, false) // legacy manifest: the directory is the truth
-      case Some(ids) =>
+      case Some(idSet) =>
         val vis = all.filter { f =>
           val name = f.substring(f.lastIndexOf('/') + 1)
-          cidOf(name).forall(ids.contains)
+          cidOf(name).forall(idSet.contains)
         }
         (vis, vis.length != all.length)
     }
   }
+
+  private def visibleLogFiles(): (Seq[String], Boolean) =
+    visibleLogFiles(readManifest()._3)
 
   /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
     * grow a numBuckets-deep expression tree on every read/commit).
@@ -112,8 +115,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * offset are visible, so files from a commit that crashed between
     * its file move and its manifest publish never surface.
     */
-  def logDF: DataFrame = {
-    val (files, residue) = visibleLogFiles()
+  def logDF: DataFrame = logDFFor(readManifest())
+
+  /** [[logDF]] against ONE pinned manifest version: the visible-file set
+    * and the offset gate must come from the same read, or a commit landing
+    * between two manifest reads could gate in rows whose files were listed
+    * from the older version (and vice versa). Also the only way callers
+    * like [[vacuumLog]] can conflict-check against exactly the state their
+    * rewrite saw.
+    */
+  private def logDFFor(
+      manifest: (Map[Int, Long], Map[String, Long], Option[Set[String]])): DataFrame = {
+    val (offsets, _, ids) = manifest
+    val (files, residue) = visibleLogFiles(ids)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     } else {
@@ -129,7 +143,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         else spark.read.schema(logSchema)
           .option("basePath", logDir).parquet(logDir)
       src.select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .filter(col(Meta.Offset) < bucketMapExpr(readOffsets(), 0L))
+        .filter(col(Meta.Offset) < bucketMapExpr(offsets, 0L))
     }
   }
 
@@ -144,9 +158,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * (the reference's WriterStateManager batch-sequence dedup). Legacy
     * formats (flat bucket→offset map; offsets+commits without ids) still
     * read; ids=None marks a manifest written before id gating existed.
+    *
+    * A MISSING manifest also maps to ids=None ("directory is the truth"),
+    * NOT Some(empty): with an empty id set, a table whose manifest was
+    * lost (partial restore, operator mistake) would treat every committed
+    * file as unmanifested residue and the next commit would physically
+    * delete all of it. With None the data stays on disk (rows are still
+    * hidden by the empty offset gate until offsets are rebuilt) —
+    * fail-safe, not fail-destructive. The cost: residue of a crashed
+    * FIRST commit is cleaned by the second successful commit rather than
+    * the first (its rows were never visible either way).
     */
   private def readManifest(): (Map[Int, Long], Map[String, Long], Option[Set[String]]) =
-    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, Some(Set.empty))
+    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, None)
     else {
       val obj = JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
         StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
@@ -952,12 +976,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def compact(): Unit = {
     require(desc.isPrimaryKeyTable, "compact() applies to PK tables")
     val upTo = readOffsets()
-    // Bucket-partitioned like the log, so point lookups prune the
-    // snapshot's partition dirs exactly as they prune the log's
-    // (the reference's KV snapshots are per-bucket files too,
-    // KvSnapshotBatchScanner).
+    // Partitioned EXACTLY like the log (partition keys, then bucket), so
+    // partition pruning and point lookups prune the snapshot's dirs the
+    // same way they prune the log's (the reference's KV snapshots are
+    // per-bucket files too, KvSnapshotBatchScanner) — and partition
+    // drop/expiry stays an O(1) dir delete on BOTH tiers instead of
+    // silently resurfacing dropped partitions from a partition-blind
+    // snapshot.
     currentState().withColumn(Meta.Bucket, bucketCol)
-      .write.mode("overwrite").partitionBy(Meta.Bucket).parquet(snapshotDir)
+      .write.mode("overwrite")
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(snapshotDir)
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
         upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
@@ -976,7 +1004,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val snapOffsets = readSnapshotMeta().getOrElse(
       throw new IllegalStateException("vacuumLog requires a snapshot: call compact() first"))
     val tmpDir = s"$path/log.vacuum"
-    val retained = logDF.filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
+    // Pin ONE manifest version for the rewrite; the lock body below
+    // conflict-checks against it (same optimistic protocol as publish) —
+    // otherwise a commit landing between this read and the lock would
+    // have its files deleted as "residue" while its offsets stay
+    // published: silent data loss.
+    val manifestAtStart = readManifest()
+    val retained = logDFFor(manifestAtStart)
+      .filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
     retained.write.mode("overwrite")
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     // record the time-travel floor BEFORE the visibility flip: a crash
@@ -1003,6 +1038,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // every ordering.
     withCommitLock(Some(tmpDir)) {
       val (bases, commits, _) = readManifest()
+      if (bases != manifestAtStart._1) {
+        deleteTree(tmpDir)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected on $path during vacuum: offsets " +
+            s"advanced from ${manifestAtStart._1} to $bases; retry vacuumLog()")
+      }
       val vacuumId = java.util.UUID.randomUUID().toString
       moveStagedFiles(tmpDir, vacuumId)
       writeManifest(bases, commits, Set(vacuumId))
@@ -1250,23 +1291,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   private def expirePartitionValues(partitionCol: String, cutoff: String): Seq[String] = {
     require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
-    val d = Paths.get(logDir)
-    if (!Files.exists(d)) return Nil
+    requirePartitionedSnapshotLayout()
     import scala.jdk.CollectionConverters._
     val prefix = s"$partitionCol="
-    val listing = Files.list(d)
-    val victims =
+    def victimsUnder(root: String): Seq[java.nio.file.Path] = {
+      val d = Paths.get(root)
+      if (!Files.exists(d)) return Nil
+      val listing = Files.list(d)
       try listing.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(prefix))
         .filter(p => p.getFileName.toString.stripPrefix(prefix) < cutoff)
         .toSeq
       finally listing.close()
-    victims.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
     }
-    victims.map(_.getFileName.toString.stripPrefix(prefix)).sorted
+    // expiry hits BOTH tiers: a partition-blind delete from the log alone
+    // would resurface expired rows from the snapshot
+    val victims = victimsUnder(logDir) ++ victimsUnder(snapshotDir)
+    victims.foreach(p => deleteTree(p.toString))
+    victims.map(_.getFileName.toString.stripPrefix(prefix)).distinct.sorted
   }
 
   /** One auto-partition maintenance tick (the coordinator's periodic
@@ -1314,14 +1356,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def listPartitions(partitionCol: String): Seq[String] = {
     require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
-    val d = Paths.get(logDir)
-    if (!Files.exists(d)) return Nil
     import scala.jdk.CollectionConverters._
     val prefix = s"$partitionCol="
-    val listing = Files.list(d)
-    try listing.iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq.sorted
-    finally listing.close()
+    def under(root: String): Seq[String] = {
+      val d = Paths.get(root)
+      if (!Files.exists(d)) return Nil
+      val listing = Files.list(d)
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
+      finally listing.close()
+    }
+    (under(logDir) ++ under(snapshotDir)).distinct.sorted
   }
 
   // ----- generic partition-directory admin (the reference's partition
@@ -1329,42 +1374,63 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // .../admin/Admin.java; values are hive dir levels in partition-key
   // order, `k1=v1/k2=v2/...`) -------------------------------------------
 
-  private def partitionDir(values: Seq[String]): java.nio.file.Path = {
+  private def partitionDirUnder(root: String,
+      values: Seq[String]): java.nio.file.Path = {
     require(desc.partitionKeys.nonEmpty, "table is not partitioned")
     require(values.length == desc.partitionKeys.length,
       s"expected values for ${desc.partitionKeys}, got ${values.length}")
-    desc.partitionKeys.zip(values).foldLeft(Paths.get(logDir)) {
+    desc.partitionKeys.zip(values).foldLeft(Paths.get(root)) {
       case (p, (k, v)) => p.resolve(s"$k=$v")
     }
+  }
+
+  /** A snapshot written before the partition-aware layout (bucket dirs at
+    * the top, partition values only inside the files) cannot drop a
+    * partition with a dir delete — deleting from the log alone would
+    * resurface the partition's rows from the snapshot on the next scan.
+    */
+  private def requirePartitionedSnapshotLayout(): Unit = {
+    val d = Paths.get(snapshotDir)
+    if (!Files.exists(d) || desc.partitionKeys.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(d)
+    val tops = try listing.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toVector
+      finally listing.close()
+    require(!tops.exists(_.startsWith(s"${Meta.Bucket}=")),
+      s"snapshot at $snapshotDir predates the partition-aware layout; " +
+        "re-run compact() before dropping partitions")
   }
 
   /** Create an (empty) partition; false if it already existed. Empty
     * partitions are invisible to scans but listed by [[partitionValues]].
     */
   def createPartition(values: Seq[String]): Boolean = {
-    val dir = partitionDir(values)
+    val dir = partitionDirUnder(logDir, values)
     val fresh = !Files.exists(dir)
     if (fresh) Files.createDirectories(dir)
     fresh
   }
 
-  /** Drop one partition (all its data); false if it did not exist. */
+  /** Drop one partition (all its data, in the log AND the snapshot tier);
+    * false if it existed in neither.
+    */
   def dropPartition(values: Seq[String]): Boolean = {
-    val dir = partitionDir(values)
-    if (!Files.exists(dir)) false
-    else {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-      true
-    }
+    requirePartitionedSnapshotLayout()
+    val dirs = Seq(partitionDirUnder(logDir, values),
+      partitionDirUnder(snapshotDir, values)).filter(Files.exists(_))
+    dirs.foreach(d => deleteTree(d.toString))
+    dirs.nonEmpty
   }
 
   def partitionExists(values: Seq[String]): Boolean =
-    Files.exists(partitionDir(values))
+    Files.exists(partitionDirUnder(logDir, values)) ||
+      Files.exists(partitionDirUnder(snapshotDir, values))
 
-  /** All current partition value tuples in partition-key order. */
+  /** All current partition value tuples in partition-key order — union of
+    * the log and snapshot tiers (after [[vacuumLog]] a partition with no
+    * retained tail rows lives only in the snapshot).
+    */
   def partitionValues(): Seq[Seq[String]] = {
     require(desc.partitionKeys.nonEmpty, "table is not partitioned")
     import scala.jdk.CollectionConverters._
@@ -1384,7 +1450,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               .map(p.getFileName.toString.stripPrefix(prefix) +: _))
           }
       }
-    level(Paths.get(logDir), desc.partitionKeys).sortBy(_.mkString("/"))
+    (level(Paths.get(logDir), desc.partitionKeys) ++
+      level(Paths.get(snapshotDir), desc.partitionKeys))
+      .distinct.sortBy(_.mkString("/"))
   }
 
   private def keyPredicate(key: Map[String, Any]): Column =

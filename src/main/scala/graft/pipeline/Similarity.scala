@@ -230,10 +230,28 @@ object Similarity {
         s
       }
       // greedy farthest-point seeding: next centroid = sample point with
-      // the smallest max-cosine to any chosen one (deterministic spread)
+      // the smallest max-cosine to any chosen one (deterministic spread).
+      // A running per-point max — updated once per newly picked centroid —
+      // keeps this O(nlist·sample·dim) instead of O(nlist²·sample·dim),
+      // which at nlist ~1k would stall the driver for hours.
       val picked = scala.collection.mutable.ArrayBuffer(sample.head)
-      while (picked.length < nlist)
-        picked += sample.minBy(s => picked.map(c => dotA(s, c)).max)
+      val maxCos = sample.map(s => dotA(s, sample.head))
+      while (picked.length < nlist) {
+        var best = 0
+        var i = 1
+        while (i < sample.length) {
+          if (maxCos(i) < maxCos(best)) best = i
+          i += 1
+        }
+        val next = sample(best)
+        picked += next
+        i = 0
+        while (i < sample.length) {
+          val d = dotA(sample(i), next)
+          if (d > maxCos(i)) maxCos(i) = d
+          i += 1
+        }
+      }
       var centroids = picked.toArray
       def argmaxList(u: Column, cs: Array[Array[Double]]): Column =
         greatest(cs.zipWithIndex.map { case (c, i) =>

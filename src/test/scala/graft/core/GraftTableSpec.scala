@@ -201,6 +201,51 @@ class GraftTableSpec extends SparkTestBase {
     assert(ch(1).getInt(1) == 7) // -U carries the pre-update image
   }
 
+  test("partition drop reaches the snapshot tier (no resurfacing after compact)") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
+    val t = cat.createTable("db", "snapdrop",
+      TableDescriptor(pSchema, primaryKey = Seq("dt", "k"),
+        partitionKeys = Seq("dt"), numBuckets = 2))
+    def df(rows: (Long, Int, String, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, dt, o) => Row(k, Int.box(v), s"s$k", dt, o) }.asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType)))
+    t.upsert(df((1L, 1, "2024-01-01", 0L), (2L, 2, "2024-01-01", 1L),
+      (3L, 3, "2024-01-02", 2L)), orderBy = Seq(col("ord")))
+    t.compact() // dropped-partition rows now ALSO live in the snapshot
+    assert(t.dropPartition(Seq("2024-01-01")))
+    assert(t.scan().select("dt").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("2024-01-02"))
+    assert(t.partitionValues() == Seq(Seq("2024-01-02")))
+    assert(!t.partitionExists(Seq("2024-01-01")))
+    // TTL expiry takes the same both-tier path
+    t.upsert(df((4L, 4, "2024-01-03", 3L)), orderBy = Seq(col("ord")))
+    t.compact()
+    assert(t.expirePartitions("dt", "2024-01-03") == 1)
+    assert(t.scan().select("dt").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("2024-01-03"))
+  }
+
+  test("missing offsets manifest hides rows but never deletes data") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "lostman",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    assert(t.scan().count() == 2)
+    Files.delete(java.nio.file.Paths.get(s"${t.path}/_offsets.json"))
+    def dataFiles = {
+      val walk = Files.walk(java.nio.file.Paths.get(s"${t.path}/log"))
+      try walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    val before = dataFiles
+    assert(before > 0)
+    // rows are hidden by the empty offset gate — fail-safe, not visible garbage
+    assert(t.scan().count() == 0)
+    // …and the files survive the read (nothing treated them as residue)
+    assert(dataFiles == before)
+  }
+
   test("auto-partition tick: pre-create + retention, idempotent") {
     val cat = newCatalog()
     val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
