@@ -134,11 +134,16 @@ object Bench {
           name -> Double.MaxValue
         }
       }
-    val pass1 = runPass().toMap
-    graft.ops.Fixtures.clearCache()
-    val pass2 = runPass().toMap
-    val results = pass1.keys.toSeq.sorted.map { n =>
-      val m = math.min(pass1(n), pass2.getOrElse(n, Double.MaxValue))
+    // three passes by default: observed steal bursts hit 1-2 queries per
+    // pass at multi-second magnitude, so two passes still leave ~4% of
+    // queries with no clean sample; a third squeezes that to ~1%
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = (1 to nPasses).map { i =>
+      if (i > 1) graft.ops.Fixtures.clearCache()
+      runPass().toMap
+    }
+    val results = passes.head.keys.toSeq.sorted.map { n =>
+      val m = passes.map(_.getOrElse(n, Double.MaxValue)).min
       n -> (if (m == Double.MaxValue) 9999.0 else m)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -1255,6 +1255,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     changelog().createOrReplaceTempView(s"${name}__changelog")
     if (desc.isPrimaryKeyTable)
       binlog().createOrReplaceTempView(s"${name}__binlog")
+    if (desc.partitionKeys.nonEmpty) {
+      // partition metadata view (the lakehouse `$partitions` analog; the
+      // DSv2 path answers the same via SHOW PARTITIONS)
+      import spark.implicits._
+      partitionValues()
+        .map(vs => desc.partitionKeys.zip(vs)
+          .map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .toDF("partition")
+        .createOrReplaceTempView(s"${name}__partitions")
+    }
   }
 
   /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */

@@ -43,4 +43,20 @@ class SkewAndSqlSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
     assert(bl == Seq(("+I", null, 1), ("+I", null, 2), ("+U", 1, 10)))
   }
+
+  test("partitioned table exposes a __partitions metadata view") {
+    val cat = new Catalog(Files.createTempDirectory("graft-sqlp").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType),
+      StructField("dt", StringType)))
+    val t = cat.createTable("sql", "pv", TableDescriptor(
+      schema, partitionKeys = Seq("dt"), bucketKeys = Seq("k"), numBuckets = 2))
+    import spark.implicits._
+    val df = Seq((1L, 1, "2024-01-01"), (2L, 2, "2024-01-02")).toDF("k", "v", "dt")
+    t.append(df, orderBy = Seq(df("k")))
+    t.createOrReplaceTempViews("pv")
+    assert(spark.sql("SELECT partition FROM pv__partitions ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("dt=2024-01-01", "dt=2024-01-02"))
+  }
 }
