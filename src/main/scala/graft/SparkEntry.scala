@@ -250,6 +250,24 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // ----- DC1: benchmark decontamination — corpus docs sharing any word
+    // 8-gram with the (broadcast) benchmark split are flagged with their
+    // distinct-hit count; corpus side is a pure map-side probe, no
+    // corpus-scale shuffle
+    "dc1_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 8)
+    }),
+
+    // ----- D7: cross-doc duplicated-n-gram stats (corpus-level
+    // boilerplate/template signal — the across-documents companion to
+    // ta6's within-doc repetition score)
+    "d7_dup_ngrams" -> ((s, dir) =>
+      Dedup.dupNGramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
     // ----- J4: delta join — true stream-stream join (both sides micro-
     // batch file streams) with watermarks + a time-range predicate that
     // bounds the join state; equals the batch join since no row is late
@@ -911,6 +929,39 @@ object SparkEntry {
         |comp AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u)
         |SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    "dc1_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks) - 7),
+        |    i -> array_to_string(toks[i : i + 7], ' '))) AS g
+        |  FROM tok),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+        |c AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 20 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM c JOIN b USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
+    "d7_dup_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |gd AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(toks) - 7),
+        |      i -> array_to_string(toks[i : i + 7], ' '))) AS g
+        |    FROM tok)),
+        |freq AS (SELECT g, count(*) AS df FROM gd GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS dup_frac
+        |FROM gd JOIN freq USING (g)
+        |GROUP BY doc_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

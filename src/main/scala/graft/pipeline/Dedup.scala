@@ -44,6 +44,63 @@ object Dedup {
     * corpus, so the plan survives a 1000× scale-up (candidate count scales
     * with true near-dup density, not with corpus²).
     */
+  /** Benchmark decontamination (the n-gram overlap check run before
+    * training: any document sharing a word n-gram with the eval/benchmark
+    * set is flagged — the GPT-3 appendix-C / Dolma practice, usually with
+    * n in 8..13). Returns (idCol, n_hits) for CONTAMINATED corpus docs
+    * only, n_hits = number of distinct shared n-grams.
+    *
+    * Scale shape: the benchmark side (eval suites — MBs, not TBs) is
+    * reduced to a distinct 8-byte gram-hash set and broadcast, so the
+    * 100 TB corpus side is a pure map-side explode + hash-join probe —
+    * ZERO corpus shuffle until the matched rows (contamination hits, tiny
+    * by construction) reach the per-doc count. Gram equality is checked on
+    * xxhash64 hashes; a 64-bit collision could flag one extra gram, the
+    * same correctness budget every hashed dedup path here assumes.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def gramHash(c: Column) = xxhash64(c)
+    val cg = TextAnalysis.widen(corpus).select(col(idCol),
+        explode(TextAnalysis.wordNGrams(lower(col(textCol)), n)).as("__gs"))
+      .select(col(idCol), gramHash(col("__gs")).as("__g"))
+    val bg = TextAnalysis.widen(benchmark)
+      .select(explode(TextAnalysis.wordNGrams(lower(col(textCol)), n)).as("__gs"))
+      .select(gramHash(col("__gs")).as("__g")).distinct()
+    cg.join(broadcast(bg), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_hits"))
+  }
+
+  /** Cross-document duplicated-n-gram stats: per document, how many of its
+    * distinct word n-grams also occur in at least one OTHER document —
+    * the corpus-level companion to the within-doc repetition score
+    * ([[TextAnalysis.repetitionScore]]); high dup_frac means boilerplate /
+    * template / near-duplicate content even when no single pair crosses a
+    * Jaccard threshold.
+    *
+    * Shape at scale: explode per-doc distinct grams once (materialized —
+    * the frequency count and the join-back both read it), count docs per
+    * gram, join back, per-doc aggregate — the [[TextAnalysis.tokenRarity]]
+    * pattern, all map-side-combined equi-joins on 8-byte hashes.
+    */
+  def dupNGramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val dg = TextAnalysis.widen(df)
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.wordNGrams(lower(col(textCol)), n))).as("__gs"))
+      .select(col(idCol), xxhash64(col("__gs")).as("__g"))
+      .localCheckpoint()
+    // per-doc-distinct input, so count(*) per gram == doc frequency
+    val freq = dg.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    dg.join(freq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** doc -> (id, gs: sorted distinct xxhash64 shingle hashes, sz).
     * The shared first stage of the exact-Jaccard AND MinHash paths:
     * hashing to long means shuffles move 8 bytes per shingle, sorting

@@ -103,23 +103,26 @@ object TextAnalysis {
   def redactEmails(text: Column): Column =
     regexp_replace(text, emailPattern, "<EMAIL>")
 
-  /** Word 3-grams of the document's whitespace tokens (callers must guard
-    * size >= 3). Built by zipping three shifted slices — NOT by indexed
-    * element_at inside a transform lambda: a lambda body's subexpressions
-    * re-evaluate per element, so `element_at(tokens(text), i)` would
-    * re-split the full text for every trigram (O(tokens² · len) per doc,
-    * measured 13.7 s vs 0.3 s on the sf0.1 corpus). Slices evaluate the
-    * split a constant number of times per row.
+  /** Space-joined word n-grams of the document's whitespace tokens; empty
+    * array when the doc has fewer than n tokens. Built by zipping n
+    * shifted slices — NOT by indexed element_at inside a transform lambda:
+    * a lambda body's subexpressions re-evaluate per element, so
+    * `element_at(tokens(text), i)` would re-split the full text for every
+    * n-gram (O(tokens² · len) per doc, measured 13.7 s vs 0.3 s on the
+    * sf0.1 corpus). Slices evaluate the split a constant (n) number of
+    * times per row.
     */
-  private def wordTrigrams(text: Column): Column = {
+  def wordNGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size $n must be positive")
     val t = tokens(text)
-    val n = size(t)
-    zip_with(
-      slice(t, lit(1), n - 2),
-      zip_with(slice(t, lit(2), n - 2), slice(t, lit(3), n - 2),
-        (b, c) => concat(b, lit(" "), c)),
-      (a, bc) => concat(a, lit(" "), bc))
+    val cnt = size(t) - (n - 1)
+    val joined = (1 to n).map(i => slice(t, lit(i), cnt))
+      .reduceRight[Column]((s, acc) =>
+        zip_with(s, acc, (a, b) => concat(a, lit(" "), b)))
+    when(cnt < 1, array().cast("array<string>")).otherwise(joined)
   }
+
+  private def wordTrigrams(text: Column): Column = wordNGrams(text, 3)
 
   /** Repetition score in [0,1]: 1 - distinct/total word 3-grams (the
     * Gopher/RefinedWeb-style repetitiousness signal; boilerplate and

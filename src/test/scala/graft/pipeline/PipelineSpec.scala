@@ -168,6 +168,31 @@ class PipelineSpec extends SparkTestBase {
     assert(one.nonEmpty && one.forall(!_.isNullAt(0)))
   }
 
+  test("decontaminate flags exactly the docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),        // grams: a..h, b..i, c..j
+      (2L, "A B c d e f g h x y"),        // shares "a b c d e f g h" (case-folded)
+      (3L, "p q r s t u v w"),            // no overlap
+      (4L, "too short")).toDF("id", "text")
+    val bench = Seq((100L, "q w a b c d e f g h")).toDF("id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("dupNGramStats counts cross-doc duplicated grams, not within-doc repeats") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y"),
+      (3L, "z z z z z z z z z"),          // 2 positions, 1 distinct gram, no partner
+      (4L, "too short")).toDF("id", "text")
+    val got = Dedup.dupNGramStats(in, "id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 1L)), 2L -> ((3L, 1L)), 3L -> ((1L, 0L))))
+  }
+
   test("text analysis: langid responds to real language signals") {
     import spark.implicits._
     val samples = Seq(
