@@ -431,6 +431,13 @@ object SparkEntry {
     // watermark, key set equals batch DISTINCT)
     "t8_stream_dedup" -> ((s, dir) => Fixtures.streamDedupResult(s, dir)),
 
+    // ----- T9: continuous derived aggregate view — the source PK table's
+    // changelog (with -U/+U retractions) folded into a downstream
+    // Aggregation-merge table across two commits; view state equals the
+    // batch aggregate of the final source state (Flink continuous-query
+    // semantics in micro-batch form)
+    "t9_agg_view" -> ((s, dir) => Fixtures.aggViewResult(s, dir)),
+
     // ----- T7: sessionization via native session_window (30-min gap)
     "t7_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Fixtures.eventsTyped(s, dir), "user_id", "ts",
@@ -1131,6 +1138,15 @@ object SparkEntry {
 
     "t8_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "t9_agg_view" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |GROUP BY event_type""".stripMargin,
 
     "fp2_winnowing" ->
       """WITH h AS (

@@ -398,6 +398,48 @@ object Fixtures {
       spark.read.schema("user_id BIGINT, event_type STRING").parquet(outDir)
     }
 
+  /** T9 continuous aggregate view (materialized-view maintenance): a LWW
+    * PK source table is built in TWO commits with an aggView catch-up sync
+    * after each — the second commit's upserts must RETRACT first-commit
+    * rows out of their groups (-U) and add the new versions (+U), so the
+    * final view equals the batch aggregate of the final source state. The
+    * commits split on an event_id boundary so per-user offset order equals
+    * event_id order and the oracle stays expressible as plain LWW SQL.
+    */
+  def aggViewResult(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf("agg_view", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val src = fresh(spark, sfDir, "users_lww_viewsrc",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val tgt = fresh(spark, sfDir, "users_by_type_view", TableDescriptor(
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("n_users", LongType),
+          StructField("total_value", DecimalType(18, 6)))),
+        primaryKey = Seq("event_type"),
+        mergeEngine = MergeEngine.Aggregation(Map(
+          "n_users" -> AggFunction.Sum, "total_value" -> AggFunction.Sum))))
+      val ckpt = Files.createTempDirectory("graft-aggview-ckpt").toString
+      def sync(): Unit = {
+        val q = graft.streaming.GraftStream.aggView(spark, src, tgt,
+          Seq("event_type"),
+          Map("total_value" -> col("value").cast("decimal(18,6)")),
+          countCol = Some("n_users"), "agg_view", ckpt)
+        q.awaitTermination()
+      }
+      val splitId = ev.agg(max(col("event_id"))).head.getLong(0) * 3 / 4
+      src.upsert(ev.filter(col("event_id") <= splitId),
+        orderBy = Seq(col("event_id")))
+      sync()
+      src.upsert(ev.filter(col("event_id") > splitId),
+        orderBy = Seq(col("event_id")))
+      sync()
+      deleteRecursively(ckpt)
+      tgt.scan().filter(col("n_users") > 0)
+        .select(col("event_type"), col("n_users"),
+          col("total_value").cast("double").as("total_value"))
+    }
+
   private val pairCache =
     mutable.Map.empty[(String, String), (GraftTable, java.sql.Timestamp)]
 

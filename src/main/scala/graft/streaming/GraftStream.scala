@@ -254,6 +254,57 @@ object GraftStream {
       .toDF()
   }
 
+  /** Continuous derived aggregate view (materialized-view maintenance over
+    * a changelog — the reference's Flink continuous query
+    * `SELECT keys, sum(..), count(..) FROM pk_table GROUP BY keys` in
+    * micro-batch form): consume `source`'s changelog stream and fold it
+    * into `target`, an AGGREGATION-merge PK table keyed by the view's
+    * GROUP BY columns.
+    *
+    * Retraction handling is the whole point: an upsert to `source` emits
+    * `-U`(old)/`+U`(new), and the old row's contribution must LEAVE its
+    * group — each changelog row contributes its value with a sign
+    * (+I/+U add, -U/-D subtract), so a key that moves between groups is
+    * subtracted from one and added to the other. Each micro-batch
+    * pre-aggregates the signed deltas per key (map-side reduction — one
+    * row per (batch, key) regardless of batch size) and upserts them; the
+    * target's Sum merge folds deltas commutatively, so after every sync
+    * `target` state == the batch aggregate of `source`'s current state.
+    * Aggregate DECIMAL (exact, order-independent) so retractions cancel
+    * bit-exactly; a group whose count reaches 0 keeps a zero row until
+    * compaction — readers filter `countCol > 0`.
+    *
+    * Exactly-once: the batch id rides the same atomic commit tag as
+    * [[upsertSink]], so a replayed micro-batch can never double-apply its
+    * deltas.
+    */
+  def aggView(spark: SparkSession, source: GraftTable, target: GraftTable,
+      keys: Seq[String], sumExprs: Map[String, org.apache.spark.sql.Column],
+      countCol: Option[String], sinkId: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keys.nonEmpty, "aggView needs at least one group key")
+    require(sumExprs.nonEmpty || countCol.nonEmpty,
+      "aggView needs at least one aggregate column")
+    val retract = col(Meta.ChangeTypeCol).isin("-U", "-D")
+    val aggs =
+      sumExprs.toSeq.sortBy(_._1).map { case (name, e) =>
+        sum(when(retract, -e).otherwise(e)).as(name)
+      } ++ countCol.map(c => sum(when(retract, -1L).otherwise(1L)).as(c))
+    readLog(spark, source).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val replay = target.committedBatchId(sinkId).exists(_ >= batchId)
+        if (!replay) {
+          val deltas = batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          target.upsert(deltas, orderBy = Seq(lit(0L)),
+            commitTag = Some(sinkId -> batchId))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming exact deduplication with watermark-bounded state:
     * `dropDuplicatesWithinWatermark` keeps the first row per key and
     * evicts a key's state once the watermark passes its event time — the

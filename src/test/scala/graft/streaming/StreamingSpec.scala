@@ -310,6 +310,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("aggView: derived aggregate equals batch agg of source state, incl. retractions") {
+    val cat = newCatalog()
+    val src = cat.createTable("av", "src", TableDescriptor(
+      StructType(Seq(
+        StructField("k", LongType), StructField("grp", StringType),
+        StructField("v", IntegerType))),
+      primaryKey = Seq("k")))
+    val tgt = cat.createTable("av", "view", TableDescriptor(
+      StructType(Seq(
+        StructField("grp", StringType, nullable = false),
+        StructField("n", LongType), StructField("total", LongType))),
+      primaryKey = Seq("grp"),
+      mergeEngine = MergeEngine.Aggregation(Map(
+        "n" -> AggFunction.Sum, "total" -> AggFunction.Sum))))
+    val ckpt = tmp()
+    import spark.implicits._
+    def sync(): Unit = {
+      val q = graft.streaming.GraftStream.aggView(spark, src, tgt, Seq("grp"),
+        Map("total" -> col("v").cast("long")), Some("n"), "t", ckpt)
+      q.awaitTermination()
+    }
+    // commit 1: keys 1,2 in group a; key 3 in group b
+    src.upsert(Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 5))
+      .toDF("k", "grp", "v"), orderBy = Seq(col("k")))
+    sync()
+    assert(tgt.scan().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set(("a", 2L, 30L), ("b", 1L, 5L)))
+    // commit 2: key 2 MOVES a->b (retract from a, add to b); key 3 value bumps
+    src.upsert(Seq((2L, "b", 21), (3L, "b", 7)).toDF("k", "grp", "v"),
+      orderBy = Seq(col("k")))
+    sync()
+    val got = tgt.scan().filter(col("n") > 0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = src.scan().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp && got == Set(("a", 1L, 10L), ("b", 2L, 28L)))
+    // replay safety: a third sync with no new commits changes nothing
+    sync()
+    assert(tgt.scan().filter(col("n") > 0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == exp)
+  }
+
   test("watermarked tumbling window over an event stream") {
     val src = tmp()
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
