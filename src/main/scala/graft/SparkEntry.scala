@@ -99,6 +99,11 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
 
+    // ----- S3/S13 version travel (`VERSION AS OF`): PK-merged state at
+    // recorded commit version 1 of 2 — exact offsets, not wall-clock
+    "tt2_version_travel" -> ((s, dir) =>
+      Fixtures.usersTwoVersions(s, dir).scanAtVersion(1L)),
+
     // ----- A2: partial update (declared column subset)
     "a2_partial_update" -> ((s, dir) => Fixtures.usersPartial(s, dir).scan()),
 
@@ -771,6 +776,12 @@ object SparkEntry {
     "tt1_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin,
+
+    "tt2_version_travel" ->
+      """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+        |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id <= (SELECT mid FROM mx)) WHERE rn = 1""".stripMargin,
 
     "mm2_media_pipeline" ->
       """SELECT doc_id AS media_id,

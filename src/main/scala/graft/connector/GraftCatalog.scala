@@ -194,6 +194,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       asOf = Some(new java.sql.Timestamp(timestampMicros / 1000L)))
   }
 
+  /** `VERSION AS OF` version travel: versions are the engine's recorded
+    * commit versions (see `GraftTable.history`); the returned table reads
+    * `scanAtVersion` and is read-only.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!core.tableExists(db(ident), ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects a numeric commit version, got '$version'")
+    }
+    new GraftDsTable(core.getTable(db(ident), ident.name), ident,
+      atVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val desc = GraftOptions.toDescriptor(schema, partitions, properties)
@@ -281,7 +296,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * `upsert()` / `append()` via the V1 write bridge.
   */
 class GraftDsTable(val table: GraftTable, ident: Identifier,
-    asOf: Option[java.sql.Timestamp] = None)
+    asOf: Option[java.sql.Timestamp] = None,
+    atVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement {
 
@@ -363,7 +379,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     * Spark fall back to an error rather than a wrong partial delete.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    table.desc.isPrimaryKeyTable && asOf.isEmpty &&
+    table.desc.isPrimaryKeyTable && asOf.isEmpty && atVersion.isEmpty &&
       // engines that treat deletes as no-ops (FIRST_ROW, VERSIONED) or
       // tables configured to ignore them must REJECT the statement —
       // accepting it would report success while deleting nothing
@@ -406,7 +422,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, asOf)
+    new GraftScanBuilder(table, asOf, atVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -431,7 +447,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
   * everything; storage skipping is best-effort").
   */
 class GraftScanBuilder(table: GraftTable,
-    asOf: Option[java.sql.Timestamp] = None) extends ScanBuilder
+    asOf: Option[java.sql.Timestamp] = None,
+    atVersion: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -456,7 +473,7 @@ class GraftScanBuilder(table: GraftTable,
   private def canPushCount(aggregation: Aggregation): Boolean =
     !table.desc.isPrimaryKeyTable &&
       table.desc.partitionKeys.isEmpty && // expirePartitions skews offsets
-      asOf.isEmpty && pushed.isEmpty &&
+      asOf.isEmpty && atVersion.isEmpty && pushed.isEmpty &&
       aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.length == 1 &&
       aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
@@ -502,9 +519,10 @@ class GraftScanBuilder(table: GraftTable,
           // P5 through SQL: equality predicates pinning all bucket keys
           // prune the scan to one bucket's partition dirs (snapshot+log)
           val eqs = GraftScanBuilder.equalities(filters)
-          val source = asOf match {
-            case Some(ts) => table.scanAsOf(ts)
-            case None => table.scanPruned(eqs)
+          val source = (asOf, atVersion) match {
+            case (Some(ts), _) => table.scanAsOf(ts)
+            case (_, Some(v)) => table.scanAtVersion(v)
+            case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)
             .foldLeft(source)(_.filter(_))

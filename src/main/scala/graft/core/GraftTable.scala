@@ -192,12 +192,41 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   private def readOffsets(): Map[Int, Long] = readManifest()._1
 
+  /** Commit history: one entry per offset-advancing commit, recorded in
+    * the SAME `_offsets.json` the commit publishes through — version,
+    * offsets and visibility advance in one atomic rename, so the history
+    * can never name a version whose files aren't readable (or vice
+    * versa). Iceberg keeps the analogous snapshot list in its table
+    * metadata file; the reference navigates history by per-bucket
+    * offsets, which is exactly what each entry pins. Entries are tiny
+    * (≤numBuckets longs), so thousands of commits stay driver-scale.
+    */
+  private def readVersionHistory(): List[VersionEntry] =
+    if (!Files.exists(Paths.get(offsetsFile))) Nil
+    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
+      .get("history").collect { case a: org.json4s.JArray =>
+        a.arr.map { e =>
+          val m = e.asInstanceOf[JObject].obj.toMap
+          VersionEntry(
+            m("v").asInstanceOf[JInt].num.toLong,
+            m("ts").asInstanceOf[JInt].num.toLong,
+            m("o").asInstanceOf[JObject].obj
+              .map { case (k, x) => k.toInt -> x.asInstanceOf[JInt].num.toLong }.toMap)
+        }
+      }.getOrElse(Nil)
+
   private def writeManifest(m: Map[Int, Long], commits: Map[String, Long],
-      ids: Set[String]): Unit =
+      ids: Set[String], history: List[VersionEntry]): Unit =
     CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(JObject(List(
       "offsets" -> JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }),
       "commits" -> JObject(commits.toList.sorted.map { case (k, v) => k -> (JInt(v): JValue) }),
-      "ids" -> org.json4s.JArray(ids.toList.sorted.map(i => JString(i): JValue)))))))
+      "ids" -> org.json4s.JArray(ids.toList.sorted.map(i => JString(i): JValue)),
+      "history" -> org.json4s.JArray(history.map(e => JObject(List(
+        "v" -> (JInt(e.version): JValue),
+        "ts" -> (JInt(e.tsMillis): JValue),
+        "o" -> (JObject(e.offsets.toList.sortBy(_._1)
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue))): JValue)))))))
 
   /** Last streaming batch id committed by sink `sinkId`, if any. */
   def committedBatchId(sinkId: String): Option[Long] = readManifest()._2.get(sinkId)
@@ -284,6 +313,74 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             s"valid from $floor)")
         // snapshot rows carry Timestamp(0) and replay below any tail row
         stateInput(None).filter(col(Meta.Timestamp) <= lit(ts))
+    }
+    if (desc.isPrimaryKeyTable) Materialize.currentState(upTo, collapseDesc)
+    else upTo.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Commit history (iceberg `history`/`snapshots` analog): one row per
+    * offset-advancing commit — version, commit time, rows appended by the
+    * commit and cumulative log length. Driver-scale (the manifest's
+    * history list), no file scan. Tables written before history recording
+    * existed have entries only from their first post-upgrade commit.
+    */
+  def history(): DataFrame = {
+    val hist = readVersionHistory()
+    val rows = hist.foldLeft((0L, List.empty[Row])) { case ((prev, acc), e) =>
+      val total = e.offsets.values.sum
+      (total, acc :+ Row(e.version, new java.sql.Timestamp(e.tsMillis),
+        total - prev, total))
+    }._2
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("rows_appended", LongType, nullable = false),
+        StructField("total_rows", LongType, nullable = false))))
+  }
+
+  /** Latest recorded version, if any commit has been recorded. */
+  def latestVersion: Option[Long] = readVersionHistory().lastOption.map(_.version)
+
+  /** Version travel (`VERSION AS OF`, lakehouse semantics): the table
+    * STATE as of recorded commit `v` — every log record the version's
+    * per-bucket offsets cover, keyed-merged for PK tables. Unlike
+    * [[scanAsOf]] the bound is exact offsets, not wall-clock, so two
+    * commits inside one millisecond are still distinguishable. History is
+    * bounded by log retention the same way: after `vacuumLog()` only
+    * versions at/after the snapshot cutoff are reconstructible, and older
+    * ones fail loudly rather than returning partial state.
+    */
+  def scanAtVersion(v: Long): DataFrame = {
+    val hist = readVersionHistory()
+    require(hist.nonEmpty, s"table at $path has no recorded version history")
+    val entry = hist.find(_.version == v).getOrElse(throw new IllegalArgumentException(
+      s"version $v not recorded for $path (recorded: " +
+        s"${hist.head.version}..${hist.last.version})"))
+    val bound = entry.offsets
+    val truncated = Files.exists(Paths.get(vacuumMarkerFile))
+    val upTo = if (!truncated) {
+      // same belt as scanAsOf: a log truncated by pre-marker code must
+      // not silently replay as if it were full history
+      if (readSnapshotMeta().isDefined && {
+          val mins = logDF.groupBy(col(Meta.Bucket))
+            .agg(min(col(Meta.Offset)).as("mn")).collect()
+          mins.isEmpty || mins.exists(_.getLong(1) > 0L)
+        })
+        throw new IllegalStateException(
+          s"log at $path is truncated but has no vacuum marker; " +
+            "re-run vacuumLog() to record the time-travel floor")
+      logDF.filter(col(Meta.Offset) < bucketMapExpr(bound, 0L))
+    } else {
+      // truncated history: state below the snapshot cutoff lives only in
+      // the snapshot (whose rows carry offset -1, below any bound), so
+      // the version is reconstructible iff the snapshot covers no MORE
+      // log than the version does
+      val snapOffsets = readSnapshotMeta().getOrElse(Map.empty)
+      require(snapOffsets.forall { case (b, o) => o <= bound.getOrElse(b, 0L) },
+        s"version $v precedes retained history (log vacuumed past it; " +
+          s"earliest reconstructible offsets: $snapOffsets)")
+      stateInput(None).filter(col(Meta.Offset) < bucketMapExpr(bound, 0L))
     }
     if (desc.isPrimaryKeyTable) Materialize.currentState(upTo, collapseDesc)
     else upTo.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -881,17 +978,23 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           currentIds.foreach(cleanUnmanifestedResidue)
           val commitId = java.util.UUID.randomUUID().toString
           staging.foreach(moveStagedFiles(_, commitId))
-          writeManifest(
-            bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) },
+          val advanced =
+            bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) }
+          // every offset-advancing commit is a new table version, appended
+          // atomically with the offsets it pins (VERSION AS OF travel)
+          val hist = readVersionHistory()
+          writeManifest(advanced,
             currentCommits ++ commitTag,
-            currentIds.getOrElse(Set.empty) + commitId)
+            currentIds.getOrElse(Set.empty) + commitId,
+            hist :+ VersionEntry(hist.lastOption.map(_.version + 1).getOrElse(1L),
+              commitTs.getTime, advanced))
         } else {
           staging.foreach(deleteTree)
           if (commitTag.isDefined)
             // empty batch still records its commit tag (streaming replay
             // dedup) — merged into the CURRENT manifest
             writeManifest(currentBases, currentCommits ++ commitTag,
-              currentIds.getOrElse(Set.empty))
+              currentIds.getOrElse(Set.empty), readVersionHistory())
         }
       }
 
@@ -1046,7 +1149,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       }
       val vacuumId = java.util.UUID.randomUUID().toString
       moveStagedFiles(tmpDir, vacuumId)
-      writeManifest(bases, commits, Set(vacuumId))
+      writeManifest(bases, commits, Set(vacuumId), readVersionHistory())
       cleanUnmanifestedResidue(Set(vacuumId))
       // legacy un-prefixed files are not "residue"; remove them explicitly
       import scala.jdk.CollectionConverters._
@@ -1265,6 +1368,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .toDF("partition")
         .createOrReplaceTempView(s"${name}__partitions")
     }
+    // commit-history metadata view (the lakehouse `$history` analog)
+    history().createOrReplaceTempView(s"${name}__history")
   }
 
   /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */
@@ -1485,3 +1590,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     Materialize.currentState(stateInput(pred), collapseDesc)
   }
 }
+
+/** One commit in a table's version history: the manifest's per-bucket
+  * next offsets as of `version`, plus the commit wall-clock time.
+  * Recorded atomically with the offsets (same `_offsets.json` rename) by
+  * every offset-advancing commit — see `GraftTable.history`.
+  */
+final case class VersionEntry(version: Long, tsMillis: Long,
+    offsets: Map[Int, Long])

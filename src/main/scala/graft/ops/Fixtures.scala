@@ -492,6 +492,22 @@ object Fixtures {
       t
     }
 
+  /** Version-travel fixture (VERSION AS OF): two upsert commits on a PK
+    * table — version 1 is the LWW state of the first half of events,
+    * version 2 the full state. No compaction, so both versions replay
+    * from the full log.
+    */
+  def usersTwoVersions(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_2v", sfDir) {
+      val t = fresh(spark, sfDir, "users_2v",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val ev = eventsTyped(spark, sfDir)
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      t.upsert(ev.filter(col("event_id") <= mid), orderBy = Seq(ev("event_id")))
+      t.upsert(ev.filter(col("event_id") > mid), orderBy = Seq(ev("event_id")))
+      t
+    }
+
   /** Row-level ops fixture (§4 DELETE/UPDATE pushdown): LWW state, then
     * `DELETE WHERE event_type='error'` and
     * `UPDATE SET value=value*2 WHERE event_type='purchase'`.

@@ -104,6 +104,20 @@ class ConnectorSpec extends SparkTestBase {
     assert(then_ == Seq((1L, 1), (2L, 2)))
   }
 
+  test("VERSION AS OF reads the state at a recorded commit version") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.vt (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.vt VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO gfs.db.vt VALUES (1, 99), (3, 3)")
+    val v1 = spark.sql("SELECT k, v FROM gfs.db.vt VERSION AS OF 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(v1 == Seq((1L, 1), (2L, 2)))
+    val v2 = spark.sql("SELECT k, v FROM gfs.db.vt VERSION AS OF 2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(v2 == Seq((1L, 99), (2L, 2), (3L, 3)))
+  }
+
   test("PARTITIONED BY creates a hive-partitioned log table; pruning works") {
     wh
     spark.sql("""

@@ -107,6 +107,49 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b"), Row(3L, 3, "c"), Row(4L, 4, "d")))
   }
 
+  test("version history records one entry per commit; scanAtVersion replays each") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "vt1", TableDescriptor(schema, primaryKey = Seq("k")))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    t.delete(df((2L, null, null)), orderBy = Seq(col("ord")))
+
+    val hist = t.history().orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // log-record deltas: commit 2 appends -U/+U for key 1 plus +I for key 3
+    assert(hist.map(_.getLong(2)).toSeq == Seq(2L, 3L, 1L))
+    assert(hist.map(_.getLong(3)).toSeq == Seq(2L, 5L, 6L)) // cumulative log length
+    assert(t.latestVersion.contains(3L))
+
+    assertSameRows(t.scanAtVersion(1L).select("k", "v").collect().toSeq,
+      Seq(Row(1L, 1), Row(2L, 2)))
+    assertSameRows(t.scanAtVersion(2L).select("k", "v").collect().toSeq,
+      Seq(Row(1L, 10), Row(2L, 2), Row(3L, 3)))
+    assertSameRows(t.scanAtVersion(3L).select("k", "v").collect().toSeq,
+      Seq(Row(1L, 10), Row(3L, 3)))
+    intercept[IllegalArgumentException](t.scanAtVersion(99L))
+  }
+
+  test("scanAtVersion after vacuum: covered versions replay snapshot ∪ tail; older fail") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "vt2",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    t.compact() // snapshot covers versions 1-2
+    t.upsert(df((4L, 4, "d")), orderBy = Seq(col("ord")))
+    t.vacuumLog() // log below the snapshot cutoff is gone
+
+    // at the snapshot cutoff: reconstructible from snapshot alone
+    assertSameRows(t.scanAtVersion(2L).select("k", "v").collect().toSeq,
+      Seq(Row(1L, 10), Row(2L, 2), Row(3L, 3)))
+    // past the cutoff: snapshot ∪ retained tail
+    assertSameRows(t.scanAtVersion(3L).select("k", "v").collect().toSeq,
+      Seq(Row(1L, 10), Row(2L, 2), Row(3L, 3), Row(4L, 4)))
+    // before the cutoff: unreconstructible — loud failure, not partial state
+    intercept[IllegalArgumentException](t.scanAtVersion(1L).collect())
+  }
+
   test("pk table: upsert/delete lifecycle with changelog") {
     val cat = newCatalog()
     val t = cat.createTable("db", "pk1", TableDescriptor(schema, primaryKey = Seq("k")))
