@@ -104,6 +104,10 @@ object SparkEntry {
     "tt2_version_travel" -> ((s, dir) =>
       Fixtures.usersTwoVersions(s, dir).scanAtVersion(1L)),
 
+    // ----- S1 poll consumer (LogScanner poll/commit + group resume):
+    // two polls across a committed restart cover the log exactly once
+    "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
+
     // ----- A2: partial update (declared column subset)
     "a2_partial_update" -> ((s, dir) => Fixtures.usersPartial(s, dir).scan()),
 
@@ -776,6 +780,9 @@ object SparkEntry {
     "tt1_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin,
+
+    "s1_log_poller" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
 
     "tt2_version_travel" ->
       """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)

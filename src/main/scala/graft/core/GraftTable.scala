@@ -274,6 +274,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     logDF.filter(col(Meta.Offset) >= bucketMapExpr(offsets, Long.MaxValue))
       .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** Bounded log-range read — the batch form of one LogScanner poll
+    * (LogScannerImpl.java:55): records with `from <= __offset < until`
+    * per bucket. Buckets absent from `until` are not read; buckets
+    * absent from `from` start at 0. System columns are retained (the
+    * ScanRecord surface: change type, offset, timestamp, bucket). The
+    * offset gates make the result immutable under later commits — new
+    * records land at/above `until`, so a lazily-executed range read
+    * still returns exactly the polled window.
+    */
+  def scanRange(from: Map[Int, Long], until: Map[Int, Long]): DataFrame =
+    logDF.filter(col(Meta.Offset) >= bucketMapExpr(from, 0L) &&
+      col(Meta.Offset) < bucketMapExpr(until, 0L))
+
   /** Time travel (`TIMESTAMP AS OF`, lakehouse semantics): the table
     * STATE as of `ts` — every log record committed at or before `ts`,
     * keyed-merged for PK tables. Distinct from [[scanFromTimestamp]]

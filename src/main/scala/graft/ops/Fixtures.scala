@@ -492,6 +492,28 @@ object Fixtures {
       t
     }
 
+  /** S1 poll-consumer fixture (LogScanner poll/commit): even orderkeys
+    * appended, polled and committed by group "g1"; odd orderkeys appended;
+    * a NEW poller for the same group resumes from the committed position —
+    * the two polls together must cover the log exactly once.
+    */
+  def lineitemPolled(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf("lineitem_polled", sfDir) {
+      val li = read(spark, sfDir, "lineitem")
+      val t = fresh(spark, sfDir, "lineitem_polled",
+        TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
+      val ord = Seq(li("l_orderkey") * 10 + li("l_linenumber"))
+      t.append(li.filter(col("l_orderkey") % 2 === 0), orderBy = ord)
+      val poller = new graft.streaming.LogPoller(t, "g1")
+      val first = poller.poll()
+      poller.commit()
+      t.append(li.filter(col("l_orderkey") % 2 === 1), orderBy = ord)
+      // restart: a fresh poller for the group resumes from the commit
+      val second = new graft.streaming.LogPoller(t, "g1").poll()
+      val cols = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+      first.select(cols.map(col): _*).unionAll(second.select(cols.map(col): _*))
+    }
+
   /** Version-travel fixture (VERSION AS OF): two upsert commits on a PK
     * table — version 1 is the LWW state of the first half of events,
     * version 2 the full state. No compaction, so both versions replay

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{CatalogJson, GraftTable}
+
+/** Poll-based log consumer — the reference's client scanner surface
+  * (LogScannerImpl.java:55: `subscribe(bucket, offset)` + `poll()`), with
+  * named, durably committed positions (the offsets a Flink source would
+  * keep in checkpoint state, FlussSourceOffset; materialized here as a
+  * consumer-group file so independent processes resume where the group
+  * left off).
+  *
+  * Contract: [[poll]] returns every record in `[position, latest)` per
+  * bucket and advances the in-memory position to `latest`; [[commit]]
+  * makes the current position durable; a NEW poller for the same group
+  * resumes from the committed position (or the startup mode when the
+  * group has never committed). Positions move only forward via poll —
+  * [[seek]] rewinds/skips explicitly, exactly like the reference's
+  * per-bucket subscribe offsets.
+  *
+  * Scale posture: a poll is one manifest read (≤numBuckets entries)
+  * plus a lazily-planned offset-gated scan — the offset gates make the
+  * returned frame immutable under later commits, so callers can process
+  * it whenever they like. Nothing data-scale touches the driver, and
+  * bucket subscription prunes the scan to the subscribed buckets'
+  * partition directories.
+  */
+final class LogPoller(table: GraftTable, group: String,
+    mode: GraftStream.StartupMode = GraftStream.StartupMode.Earliest,
+    buckets: Option[Set[Int]] = None) {
+
+  private val offsetsFile =
+    Paths.get(table.path, "_consumer_offsets", s"$group.json")
+
+  private def sub(m: Map[Int, Long]): Map[Int, Long] =
+    buckets.map(bs => m.filter { case (b, _) => bs.contains(b) }).getOrElse(m)
+
+  private var pos: Map[Int, Long] = committed.map(sub).getOrElse(sub(mode match {
+    case GraftStream.StartupMode.Earliest => Map.empty
+    case GraftStream.StartupMode.Latest => table.latestOffsets
+    case GraftStream.StartupMode.Timestamp(ms) =>
+      table.offsetsForTimestamp(new java.sql.Timestamp(ms))
+  }))
+
+  /** Per-bucket next offset this poller will read from. */
+  def position: Map[Int, Long] = pos
+
+  /** The group's durably committed position, if it ever committed. */
+  def committed: Option[Map[Int, Long]] =
+    if (!Files.exists(offsetsFile)) None
+    else Some(JsonMethods.parse(new String(Files.readAllBytes(offsetsFile),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+
+  /** Explicit reposition (LogScanner.subscribe with an offset). */
+  def seek(offsets: Map[Int, Long]): Unit = { pos = sub(offsets) }
+
+  /** All records committed since the last poll: `[position, latest)` per
+    * subscribed bucket, with system columns (the ScanRecord view). The
+    * in-memory position advances to `latest` immediately; call [[commit]]
+    * to make it durable for the group.
+    */
+  def poll(): DataFrame = {
+    val latest = sub(table.latestOffsets)
+    val batch = table.scanRange(pos, latest)
+    pos = latest
+    batch
+  }
+
+  /** Durably commit the current position for the group (atomic rename,
+    * same discipline as the table manifest).
+    */
+  def commit(): Unit = {
+    Files.createDirectories(offsetsFile.getParent)
+    CatalogJson.atomicWrite(offsetsFile.toString,
+      JsonMethods.compact(JsonMethods.render(JObject(
+        pos.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+  }
+}

@@ -30,6 +30,45 @@ class StreamingSpec extends SparkTestBase {
 
   private def tmp() = Files.createTempDirectory("graft-s").toString
 
+  test("log poller: poll/commit/resume covers the log exactly once") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "poll1", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")),
+      bucketKeys = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava, schema)
+    t.append(rows((1L, 1), (2L, 2)), orderBy = Seq(col("ord")))
+
+    val p = new LogPoller(t, "grp")
+    val b1 = p.poll().select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(b1.toSet == Set((1L, 1), (2L, 2)))
+    assert(p.poll().count() == 0) // position advanced; nothing new
+    p.commit()
+
+    t.append(rows((3L, 3)), orderBy = Seq(col("ord")))
+    // a fresh poller for the same group resumes from the commit
+    val p2 = new LogPoller(t, "grp")
+    val b2 = p2.poll().select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(b2.toSeq == Seq((3L, 3)))
+
+    // an uncommitted group starts over per its startup mode
+    assert(new LogPoller(t, "grp2").poll().count() == 3)
+    // Latest mode sees only post-construction commits
+    val pl = new LogPoller(t, "grp3", GraftStream.StartupMode.Latest)
+    assert(pl.poll().count() == 0)
+    t.append(rows((4L, 4)), orderBy = Seq(col("ord")))
+    assert(pl.poll().select("k").collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // seek rewinds explicitly
+    p2.seek(Map.empty)
+    assert(p2.poll().count() == 4)
+
+    // a polled frame is immutable under later commits (offset-gated):
+    val frozen = p2.poll() // empty window at current tail
+    t.append(rows((5L, 5)), orderBy = Seq(col("ord")))
+    assert(frozen.count() == 0)
+  }
+
   test("stream upsert sink: multi-batch LWW ingest equals batch merge") {
     val src = tmp()
     writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
