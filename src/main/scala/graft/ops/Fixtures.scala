@@ -406,8 +406,20 @@ object Fixtures {
     * commits split on an event_id boundary so per-user offset order equals
     * event_id order and the oracle stays expressible as plain LWW SQL.
     */
-  def aggViewResult(spark: SparkSession, sfDir: String): DataFrame =
-    cachedDf("agg_view", sfDir) {
+  def aggViewResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val tgt = aggViewTable(spark, sfDir)
+    tgt.scan().filter(col("n_users") > 0)
+      .select(col("event_type"), col("n_users"),
+        col("total_value").cast("double").as("total_value"))
+  }
+
+  /** The maintained view TABLE — a `cached` table fixture (built once per
+    * JVM, like every other graft-table conversion: it's setup, not query
+    * work), so the bench measures reading the continuously-maintained
+    * view, not rebuilding its two-commit streaming history every pass.
+    */
+  def aggViewTable(spark: SparkSession, sfDir: String): GraftTable =
+    cached("agg_view_tbl", sfDir) {
       val ev = eventsTyped(spark, sfDir)
       val src = fresh(spark, sfDir, "users_lww_viewsrc",
         TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
@@ -435,9 +447,7 @@ object Fixtures {
         orderBy = Seq(col("event_id")))
       sync()
       deleteRecursively(ckpt)
-      tgt.scan().filter(col("n_users") > 0)
-        .select(col("event_type"), col("n_users"),
-          col("total_value").cast("double").as("total_value"))
+      tgt
     }
 
   private val pairCache =
@@ -497,21 +507,37 @@ object Fixtures {
     * a NEW poller for the same group resumes from the committed position —
     * the two polls together must cover the log exactly once.
     */
-  def lineitemPolled(spark: SparkSession, sfDir: String): DataFrame =
-    cachedDf("lineitem_polled", sfDir) {
+  def lineitemPolled(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lineitemPolledTable(spark, sfDir)
+    // restart: a fresh poller for the group resumes from the durable
+    // commit; its poll is the second window, and the committed position
+    // bounds the first (what the pre-restart poll returned)
+    val resumed = new graft.streaming.LogPoller(t, "g1")
+    val mid = resumed.committed.getOrElse(
+      throw new IllegalStateException("fixture group g1 never committed"))
+    val second = resumed.poll()
+    val first = t.scanRange(Map.empty, mid)
+    val cols = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
+    first.select(cols.map(col): _*).unionAll(second.select(cols.map(col): _*))
+  }
+
+  /** The polled TABLE fixture (built once per JVM): even orderkeys
+    * appended, polled and committed by group "g1", then odd orderkeys
+    * appended — leaving a mid-log committed position for [[lineitemPolled]]
+    * to resume from.
+    */
+  def lineitemPolledTable(spark: SparkSession, sfDir: String): GraftTable =
+    cached("lineitem_polled", sfDir) {
       val li = read(spark, sfDir, "lineitem")
       val t = fresh(spark, sfDir, "lineitem_polled",
         TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
       val ord = Seq(li("l_orderkey") * 10 + li("l_linenumber"))
       t.append(li.filter(col("l_orderkey") % 2 === 0), orderBy = ord)
       val poller = new graft.streaming.LogPoller(t, "g1")
-      val first = poller.poll()
+      poller.poll()
       poller.commit()
       t.append(li.filter(col("l_orderkey") % 2 === 1), orderBy = ord)
-      // restart: a fresh poller for the group resumes from the commit
-      val second = new graft.streaming.LogPoller(t, "g1").poll()
-      val cols = Seq("l_orderkey", "l_linenumber", "l_extendedprice")
-      first.select(cols.map(col): _*).unionAll(second.select(cols.map(col): _*))
+      t
     }
 
   /** Version-travel fixture (VERSION AS OF): two upsert commits on a PK
@@ -672,7 +698,8 @@ object Fixtures {
     usersLwwCompacted(spark, sfDir); usersRowLevel(spark, sfDir)
     usersLwwWal(spark, sfDir); usersRetractAgg(spark, sfDir)
     userAllFns(spark, sfDir); userTypeState(spark, sfDir)
-    sqlCatalog(spark, sfDir)
+    sqlCatalog(spark, sfDir); aggViewTable(spark, sfDir)
+    lineitemPolledTable(spark, sfDir); usersTwoVersions(spark, sfDir)
     ()
   }
 
