@@ -108,6 +108,12 @@ object SparkEntry {
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
 
+    // ----- S13 small-file compaction: scan after rewriteLogFiles must
+    // return the same rows the two pre-rewrite commits appended
+    "s13_rewrite_files" -> ((s, dir) =>
+      Fixtures.lineitemRewritten(s, dir).scan()
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
     // ----- A2: partial update (declared column subset)
     "a2_partial_update" -> ((s, dir) => Fixtures.usersPartial(s, dir).scan()),
 
@@ -782,6 +788,9 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin,
 
     "s1_log_poller" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+
+    "s13_rewrite_files" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
 
     "tt2_version_travel" ->

@@ -1176,6 +1176,57 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
   }
 
+  /** Small-file compaction (iceberg `rewrite_data_files` analog; the
+    * reference rolls log segments to a size target, LogSegment/LogManager):
+    * every commit writes at least one file per touched (partition, bucket)
+    * dir, so a frequently-committed table accumulates files whose count —
+    * not size — dominates scan planning and open() cost at 100 TB. This
+    * rewrites the visible log into one file per (partition, bucket) dir
+    * (bounded by `maxRecordsPerFile` when > 0), byte-preserving every row
+    * INCLUDING system columns — offsets, timestamps and version history
+    * are untouched, so changelog reads, `scanAsOf` and `scanAtVersion`
+    * are unaffected. Publication is the vacuum protocol: rewrite outside
+    * the log dir, conflict-check under the commit lock, flip visibility
+    * with one atomic manifest write whose id set is exactly the rewrite's,
+    * then drop the now-invisible originals. Works on log tables and PK
+    * tables alike (for PK tables it compacts the retained log tier;
+    * [[compact]] is the state-snapshot tier).
+    */
+  def rewriteLogFiles(maxRecordsPerFile: Long = 0L): Unit = {
+    val tmpDir = s"$path/log.rewrite"
+    val manifestAtStart = readManifest()
+    val retained = logDFFor(manifestAtStart)
+    // one shuffle keyed by the dir layout: each (partition, bucket) lands
+    // in one task -> one output file per dir (plus maxRecordsPerFile splits)
+    val dirKeys = (desc.partitionKeys :+ Meta.Bucket).map(col)
+    retained.repartition(dirKeys: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+    withCommitLock(Some(tmpDir)) {
+      val (bases, commits, _) = readManifest()
+      if (bases != manifestAtStart._1) {
+        deleteTree(tmpDir)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected on $path during rewrite: offsets " +
+            s"advanced from ${manifestAtStart._1} to $bases; retry rewriteLogFiles()")
+      }
+      val rewriteId = java.util.UUID.randomUUID().toString
+      moveStagedFiles(tmpDir, rewriteId)
+      writeManifest(bases, commits, Set(rewriteId), readVersionHistory())
+      cleanUnmanifestedResidue(Set(rewriteId))
+      // legacy un-prefixed files are not "residue"; remove them explicitly
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(logDir))
+      val legacy = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet") &&
+            cidOf(p.getFileName.toString).isEmpty).toVector
+        finally walk.close()
+      legacy.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** The log stores POST-merge row images (the write path already applied
     * the merge engine, like the reference's KV store holding merged rows) —
     * so state collapse is always last-write-wins over the changelog,

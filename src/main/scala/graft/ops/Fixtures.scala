@@ -502,6 +502,22 @@ object Fixtures {
       t
     }
 
+  /** S13 small-file-compaction fixture: lineitem appended in two commits,
+    * then [[GraftTable.rewriteLogFiles]] coalesces the log to one file per
+    * bucket — rows, offsets and timestamps must survive byte-identically.
+    */
+  def lineitemRewritten(spark: SparkSession, sfDir: String): GraftTable =
+    cached("lineitem_rewritten", sfDir) {
+      val li = read(spark, sfDir, "lineitem")
+      val t = fresh(spark, sfDir, "lineitem_rewritten",
+        TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
+      val ord = Seq(li("l_orderkey") * 10 + li("l_linenumber"))
+      t.append(li.filter(col("l_orderkey") % 2 === 0), orderBy = ord)
+      t.append(li.filter(col("l_orderkey") % 2 === 1), orderBy = ord)
+      t.rewriteLogFiles()
+      t
+    }
+
   /** S1 poll-consumer fixture (LogScanner poll/commit): even orderkeys
     * appended, polled and committed by group "g1"; odd orderkeys appended;
     * a NEW poller for the same group resumes from the committed position —
@@ -700,6 +716,7 @@ object Fixtures {
     userAllFns(spark, sfDir); userTypeState(spark, sfDir)
     sqlCatalog(spark, sfDir); aggViewTable(spark, sfDir)
     lineitemPolledTable(spark, sfDir); usersTwoVersions(spark, sfDir)
+    lineitemRewritten(spark, sfDir)
     ()
   }
 

@@ -107,6 +107,35 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b"), Row(3L, 3, "c"), Row(4L, 4, "d")))
   }
 
+  test("rewriteLogFiles compacts to one file per bucket, byte-preserving history") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "rw1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.append(df((1L, 3, "c"), (2L, 4, "d")), orderBy = Seq(col("ord")))
+    t.append(df((3L, 5, "e")), orderBy = Seq(col("ord")))
+    val before = t.logDF.orderBy(Meta.Bucket, Meta.Offset).collect()
+    def files() = Files.walk(java.nio.file.Paths.get(s"${t.path}/log"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files().size >= 3)
+
+    t.rewriteLogFiles()
+    // one file per touched bucket dir, all under the rewrite's commit id
+    val after = files()
+    val perBucket = after.groupBy(_.getParent.getFileName.toString)
+    assert(perBucket.values.forall(_.size == 1), s"expected 1 file/bucket: $perBucket")
+    assert(after.map(_.getFileName.toString.substring(4, 40)).distinct.size == 1)
+    // every row, system columns included, survives byte-identically
+    assertSameRows(t.logDF.orderBy(Meta.Bucket, Meta.Offset).collect().toSeq,
+      before.toSeq)
+    // offsets and version history are untouched -> version travel still works
+    assert(t.latestVersion.contains(3L))
+    assert(t.scanAtVersion(1L).count() == 2)
+    // appends after the rewrite continue the same offset sequence
+    t.append(df((4L, 6, "f")), orderBy = Seq(col("ord")))
+    assert(t.scan().count() == 6)
+  }
+
   test("version history records one entry per commit; scanAtVersion replays each") {
     val cat = newCatalog()
     val t = cat.createTable("db", "vt1", TableDescriptor(schema, primaryKey = Seq("k")))
