@@ -397,6 +397,11 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 10000L)),
 
+    // ----- TA9: deterministic corpus shuffle — reproducible global
+    // training order by md5(id), two-level scan (no single-task window)
+    "ta9_shuffle" -> ((s, dir) =>
+      Sampling.shufflePositions(t(s, dir, "documents"), "doc_id")),
+
     // ----- TA8: corpus-statistics token rarity (unigram-LM-style quality
     // filter: explode → vocab count → join back → per-doc aggregate)
     "ta8_token_rarity" -> ((s, dir) =>
@@ -1115,6 +1120,11 @@ object SparkEntry {
         |       ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
         |  END AS repetition
         |FROM g""".stripMargin,
+
+    "ta9_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS position
+        |FROM documents""".stripMargin,
 
     "ta7_token_shards" ->
       """WITH t AS (

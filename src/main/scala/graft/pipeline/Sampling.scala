@@ -73,6 +73,43 @@ object Sampling {
       .select(col(idCol), col(domainCol))
   }
 
+  /** Deterministic corpus shuffle: assign every row a global training
+    * position by ordering on md5(id) — breaks source/crawl ordering (the
+    * bias a sequential reader would otherwise train through) while being
+    * bit-reproducible across engines, retries and cluster sizes, unlike
+    * `orderBy(rand())`. Positions are dense 0..n-1.
+    *
+    * Scale: the semantics are a global sort + row_number, but a bare
+    * `Window.orderBy` would pull the corpus through ONE task. Same
+    * two-level scan as [[packTokenShards]]: range-partition on the hash
+    * key (every partition's keys strictly below the next's), local
+    * row_number per partition, driver-size prefix over per-partition
+    * counts joined back. One range shuffle total.
+    */
+  def shufflePositions(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__skey"))
+    // localCheckpoint before branching: spark_partition_id() is only
+    // stable within one evaluation of the range shuffle (see
+    // packTokenShards — two consumer stages may see different AQE
+    // coalescing of the same exchange)
+    val local = df.select(col(idCol))
+      .withColumn("__skey", md5(col(idCol).cast("string").cast("binary")))
+      .repartitionByRange(n, col("__skey"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .localCheckpoint()
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__lrn")).as("__pcnt"))
+      .withColumn("__off", coalesce(sum(col("__pcnt")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col(idCol), (col("__off") + col("__lrn") - 1).as("position"))
+  }
+
   /** Token-budget shard packing: documents in `idCol` order are packed
     * into fixed-budget training shards — doc D goes to shard
     * floor(sum(tokens of docs before D) / budget). The semantics are a

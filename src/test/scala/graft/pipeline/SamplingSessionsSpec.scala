@@ -169,6 +169,24 @@ class SamplingSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("shufflePositions: dense md5-ordered permutation, stable under partitioning") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
+    val expected = df
+      .withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5($"doc_id".cast("string").cast("binary")))).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sampling.shufflePositions(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSeq.sorted == (0L until 300L)) // dense 0..n-1
+    // invariant under input partitioning (reproducible across cluster sizes)
+    val got1 = Sampling.shufflePositions(df.repartition(13), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == expected)
+  }
+
   test("sessionize splits on gaps >= the threshold and aggregates per session") {
     import spark.implicits._
     def ts(min: Long) = new Timestamp(min * 60000L)
