@@ -283,6 +283,12 @@ object SparkEntry {
     "d7_dup_ngrams" -> ((s, dir) =>
       Dedup.dupNGramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)),
 
+    // ----- D8: cross-doc duplicated-SPAN removal (Lee et al. dedup at
+    // word-8-gram granularity): tokens inside any gram shared with
+    // another document are dropped; unique prose survives
+    "d8_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+
     // ----- J4: delta join — true stream-stream join (both sides micro-
     // batch file streams) with watermarks + a time-range predicate that
     // bounds the join state; equals the batch join since no row is late
@@ -1001,6 +1007,37 @@ object SparkEntry {
         |    AS dup_frac
         |FROM gd JOIN freq USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    "d8_remove_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> struct_pack(i := i, g := lower(array_to_string(toks[i : i + 7], ' '))))) AS s
+        |  FROM tok),
+        |g2 AS (SELECT doc_id, s.i AS i, s.g AS g FROM g),
+        |freq AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g2 GROUP BY g)
+        |  WHERE df >= 2),
+        |ds AS (
+        |  SELECT doc_id, list(i) AS starts
+        |  FROM g2 WHERE g IN (SELECT g FROM freq) GROUP BY doc_id),
+        |r AS (
+        |  SELECT t.doc_id, t.toks, coalesce(d.starts, []) AS starts
+        |  FROM tok t LEFT JOIN ds d USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(generate_series(1, len(toks)),
+        |          p -> struct_pack(p := p, tk := toks[p])),
+        |        x -> len(list_filter(starts, s2 -> x.p >= s2 AND x.p <= s2 + 7)) = 0),
+        |      x -> x.tk) AS kept
+        |  FROM r)""".stripMargin,
 
     "d5_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -101,6 +101,59 @@ object Dedup {
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Cross-document duplicated-SPAN removal — the removal counterpart of
+    * [[dupNGramStats]] (the "dedup training data" transform of Lee et al.,
+    * Deduplicating Training Data Makes Language Models Better, ACL 2022,
+    * approximated at word-n-gram granularity): a token is dropped when it
+    * lies inside any word n-gram that also occurs in at least one OTHER
+    * document, so shared boilerplate (headers, license blocks, templates)
+    * disappears while each document's unique prose survives. Gram
+    * identity is lowercased; emitted tokens keep their original case, and
+    * `clean_text` is the kept tokens joined by single spaces
+    * (whitespace-normalized, same as every tokenizing op here).
+    * Within-doc repetition alone (df = 1) is NOT removed — that is
+    * [[TextAnalysis.repetitionScore]]'s domain.
+    *
+    * Shape at scale: gram positions explode once (8-byte hashes),
+    * doc-frequency count + semi-join back are map-side-combined equi
+    * joins — the [[dupNGramStats]] pipeline plus one per-doc rebuild.
+    * The rebuild is per-row lambda work bounded by doc length × dup-span
+    * count; documents in a training pipeline are chunk-bounded, so the
+    * worst case is capped by construction.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = TextAnalysis.widen(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint() // gram side and rebuild side both read it
+    // (start, gramHash) per position; starts are 1-based
+    // sequence(1, x) is DESCENDING for x < 1 (Spark semantics), so gate
+    // short docs to an explicit empty start list
+    val startIdx = when(size(col("__toks")) >= n,
+      sequence(lit(1), size(col("__toks")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val g = toks.select(col(idCol), posexplode(transform(startIdx,
+        i => xxhash64(lower(concat_ws(" ", slice(col("__toks"), i, lit(n))))))))
+      .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__g"))
+    // cross-doc frequency over per-doc DISTINCT grams (dupNGramStats rule)
+    val dupG = g.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("__g"))
+    val starts = g.join(dupG, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("__start"))).as("__starts"))
+    val rebuilt = toks.join(starts, Seq(idCol), "left")
+    val st = coalesce(col("__starts"), array().cast("array<int>"))
+    val kept = transform(
+      filter(
+        transform(col("__toks"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
+        x => !exists(st, s => x("p") >= s && x("p") <= s + (n - 1))),
+      x => x("t"))
+    rebuilt.select(col(idCol),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      (size(col("__toks")) - size(kept)).cast("long").as("n_removed"),
+      concat_ws(" ", kept).as("clean_text"))
+  }
+
   /** doc -> (id, gs: sorted distinct xxhash64 shingle hashes, sz).
     * The shared first stage of the exact-Jaccard AND MinHash paths:
     * hashing to long means shuffles move 8 bytes per shingle, sorting

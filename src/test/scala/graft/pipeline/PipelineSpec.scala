@@ -193,6 +193,31 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> ((3L, 1L)), 2L -> ((3L, 1L)), 3L -> ((1L, 0L))))
   }
 
+  test("removeDupSpans drops only tokens inside cross-doc shared 8-grams") {
+    import spark.implicits._
+    val in = Seq(
+      // docs 1 and 2 share "a b c d e f g h" (positions 1-8); doc 1's
+      // tail i j and doc 2's tail x y are unique and must survive
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y"),
+      // within-doc repetition only: nothing shared cross-doc, keep all
+      (3L, "z z z z z z z z z"),
+      // shorter than one gram: untouched
+      (4L, "too short"),
+      // fully shared with doc 6: everything removed, empty string out
+      (5L, "p q r s t u v w"),
+      (6L, "p q r s t u v w")).toDF("id", "text")
+    val got = Dedup.removeDupSpans(in, "id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 8L, "i j")))
+    assert(got(2L) == ((10L, 8L, "x y")))
+    assert(got(3L) == ((9L, 0L, "z z z z z z z z z")))
+    assert(got(4L) == ((2L, 0L, "too short")))
+    assert(got(5L) == ((8L, 8L, "")))
+    assert(got(6L) == ((8L, 8L, "")))
+  }
+
   test("text analysis: langid responds to real language signals") {
     import spark.implicits._
     val samples = Seq(
