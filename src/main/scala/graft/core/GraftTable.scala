@@ -41,6 +41,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val snapshotMetaFile = s"$path/_snapshot.json"
   private val autoIncFile = s"$path/_autoinc.json"
   private val vacuumMarkerFile = s"$path/_vacuumed.json"
+  private val retentionMarkerFile = s"$path/_retention.json"
   @volatile private var snapshotLayoutChecked = false
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
@@ -169,8 +170,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * FIRST commit is cleaned by the second successful commit rather than
     * the first (its rows were never visible either way).
     */
-  private def readManifest(): (Map[Int, Long], Map[String, Long], Option[Set[String]]) =
-    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, None)
+  /** One read + parse of `_offsets.json`: offsets, streaming commit tags,
+    * committed-id set, version history. Multi-field callers (publish,
+    * vacuum, rewrite) use this directly so the manifest is parsed once
+    * per operation.
+    */
+  private def parseManifest(): (Map[Int, Long], Map[String, Long],
+      Option[Set[String]], List[VersionEntry]) =
+    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, None, Nil)
     else {
       val obj = JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
         StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
@@ -183,12 +190,27 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           val ids = obj.get("ids").collect { case a: org.json4s.JArray =>
             a.arr.map(_.asInstanceOf[JString].s).toSet
           }
-          (offs, commits, ids)
+          val hist = obj.get("history").collect { case a: org.json4s.JArray =>
+            a.arr.map { e =>
+              val m = e.asInstanceOf[JObject].obj.toMap
+              VersionEntry(
+                m("v").asInstanceOf[JInt].num.toLong,
+                m("ts").asInstanceOf[JInt].num.toLong,
+                m("o").asInstanceOf[JObject].obj
+                  .map { case (k, x) => k.toInt -> x.asInstanceOf[JInt].num.toLong }.toMap)
+            }
+          }.getOrElse(Nil)
+          (offs, commits, ids, hist)
         case _ =>
           (obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong },
-            Map.empty, None)
+            Map.empty, None, Nil)
       }
     }
+
+  private def readManifest(): (Map[Int, Long], Map[String, Long], Option[Set[String]]) = {
+    val (o, c, ids, _) = parseManifest()
+    (o, c, ids)
+  }
 
   private def readOffsets(): Map[Int, Long] = readManifest()._1
 
@@ -201,20 +223,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * offsets, which is exactly what each entry pins. Entries are tiny
     * (≤numBuckets longs), so thousands of commits stay driver-scale.
     */
-  private def readVersionHistory(): List[VersionEntry] =
-    if (!Files.exists(Paths.get(offsetsFile))) Nil
-    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
-      .get("history").collect { case a: org.json4s.JArray =>
-        a.arr.map { e =>
-          val m = e.asInstanceOf[JObject].obj.toMap
-          VersionEntry(
-            m("v").asInstanceOf[JInt].num.toLong,
-            m("ts").asInstanceOf[JInt].num.toLong,
-            m("o").asInstanceOf[JObject].obj
-              .map { case (k, x) => k.toInt -> x.asInstanceOf[JInt].num.toLong }.toMap)
-        }
-      }.getOrElse(Nil)
+  private def readVersionHistory(): List[VersionEntry] = parseManifest()._4
 
   private def writeManifest(m: Map[Int, Long], commits: Map[String, Long],
       ids: Set[String], history: List[VersionEntry]): Unit =
@@ -296,6 +305,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * fail loudly rather than returning partial state.
     */
   def scanAsOf(ts: java.sql.Timestamp): DataFrame = {
+    // partition retention/drop physically deleted history that the log's
+    // offsets still count — state before the delete is unreconstructible
+    retentionFloorMillis().foreach { floor =>
+      require(ts.getTime >= floor,
+        s"time travel to $ts precedes a partition retention delete at " +
+          s"${new java.sql.Timestamp(floor)}; that state is unreconstructible")
+    }
     // vacuum leaves a driver-readable marker: no log scan needed to
     // learn whether history was truncated (or what the travel floor is)
     val bound = if (!Files.exists(Paths.get(vacuumMarkerFile))) None
@@ -370,6 +386,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val entry = hist.find(_.version == v).getOrElse(throw new IllegalArgumentException(
       s"version $v not recorded for $path (recorded: " +
         s"${hist.head.version}..${hist.last.version})"))
+    // versions committed before a partition retention delete counted rows
+    // that no longer exist on disk — refuse rather than replay partially
+    retentionFloorMillis().foreach { floor =>
+      require(entry.tsMillis >= floor,
+        s"version $v (committed ${new java.sql.Timestamp(entry.tsMillis)}) " +
+          s"precedes a partition retention delete at " +
+          s"${new java.sql.Timestamp(floor)}; that state is unreconstructible")
+    }
     val bound = entry.offsets
     val truncated = Files.exists(Paths.get(vacuumMarkerFile))
     val upTo = if (!truncated) {
@@ -973,7 +997,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // never clobbered, and an empty batch can’t rewind offsets another
       // writer advanced.
       def publish(counts: Map[Int, Long], staging: Option[String]): Unit = withCommitLock(staging) {
-        val (currentBases, currentCommits, currentIds) = readManifest()
+        val (currentBases, currentCommits, currentIds, hist) = parseManifest()
         if (counts.nonEmpty) {
           // optimistic concurrency: a concurrent commit would have
           // advanced the manifest since we read it — our staged files
@@ -995,7 +1019,6 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) }
           // every offset-advancing commit is a new table version, appended
           // atomically with the offsets it pins (VERSION AS OF travel)
-          val hist = readVersionHistory()
           writeManifest(advanced,
             currentCommits ++ commitTag,
             currentIds.getOrElse(Set.empty) + commitId,
@@ -1007,7 +1030,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             // empty batch still records its commit tag (streaming replay
             // dedup) — merged into the CURRENT manifest
             writeManifest(currentBases, currentCommits ++ commitTag,
-              currentIds.getOrElse(Set.empty), readVersionHistory())
+              currentIds.getOrElse(Set.empty), hist)
         }
       }
 
@@ -1152,28 +1175,41 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // deleted after the flip, so a crash in between briefly double-reads
     // them — tables written entirely by the id-gated path are safe in
     // every ordering.
-    withCommitLock(Some(tmpDir)) {
-      val (bases, commits, _) = readManifest()
-      if (bases != manifestAtStart._1) {
-        deleteTree(tmpDir)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit detected on $path during vacuum: offsets " +
-            s"advanced from ${manifestAtStart._1} to $bases; retry vacuumLog()")
-      }
-      val vacuumId = java.util.UUID.randomUUID().toString
-      moveStagedFiles(tmpDir, vacuumId)
-      writeManifest(bases, commits, Set(vacuumId), readVersionHistory())
-      cleanUnmanifestedResidue(Set(vacuumId))
-      // legacy un-prefixed files are not "residue"; remove them explicitly
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(Paths.get(logDir))
-      val legacy = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet") &&
-            cidOf(p.getFileName.toString).isEmpty).toVector
-        finally walk.close()
-      legacy.foreach(Files.deleteIfExists(_))
+    swapRewrittenLog(tmpDir, manifestAtStart, "vacuumLog")
+  }
+
+  /** Publish tail shared by [[vacuumLog]] and [[rewriteLogFiles]]: under
+    * the commit lock, conflict-check against the pinned manifest — BOTH
+    * offsets and the committed-id set, because a concurrent vacuum or
+    * rewrite leaves offsets unchanged but always replaces the id set
+    * (offsets alone would let this op resurrect files the other one
+    * dropped) — then move the rewritten files in, flip visibility with
+    * ONE atomic manifest write whose id set is exactly the new commit's,
+    * and delete the now-invisible originals.
+    */
+  private def swapRewrittenLog(tmpDir: String,
+      manifestAtStart: (Map[Int, Long], Map[String, Long], Option[Set[String]]),
+      op: String): Unit = withCommitLock(Some(tmpDir)) {
+    val (bases, commits, ids, hist) = parseManifest()
+    if (bases != manifestAtStart._1 || ids != manifestAtStart._3) {
+      deleteTree(tmpDir)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit detected on $path during $op: manifest " +
+          s"advanced since the rewrite was planned; retry $op()")
     }
+    val newId = java.util.UUID.randomUUID().toString
+    moveStagedFiles(tmpDir, newId)
+    writeManifest(bases, commits, Set(newId), hist)
+    cleanUnmanifestedResidue(Set(newId))
+    // legacy un-prefixed files are not "residue"; remove them explicitly
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(logDir))
+    val legacy = try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet") &&
+          cidOf(p.getFileName.toString).isEmpty).toVector
+      finally walk.close()
+    legacy.foreach(Files.deleteIfExists(_))
   }
 
   /** Small-file compaction (iceberg `rewrite_data_files` analog; the
@@ -1203,28 +1239,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
-    withCommitLock(Some(tmpDir)) {
-      val (bases, commits, _) = readManifest()
-      if (bases != manifestAtStart._1) {
-        deleteTree(tmpDir)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit detected on $path during rewrite: offsets " +
-            s"advanced from ${manifestAtStart._1} to $bases; retry rewriteLogFiles()")
-      }
-      val rewriteId = java.util.UUID.randomUUID().toString
-      moveStagedFiles(tmpDir, rewriteId)
-      writeManifest(bases, commits, Set(rewriteId), readVersionHistory())
-      cleanUnmanifestedResidue(Set(rewriteId))
-      // legacy un-prefixed files are not "residue"; remove them explicitly
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(Paths.get(logDir))
-      val legacy = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet") &&
-            cidOf(p.getFileName.toString).isEmpty).toVector
-        finally walk.close()
-      legacy.foreach(Files.deleteIfExists(_))
-    }
+    swapRewrittenLog(tmpDir, manifestAtStart, "rewriteLogFiles")
   }
 
   /** The log stores POST-merge row images (the write path already applied
@@ -1486,9 +1501,41 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // expiry hits BOTH tiers: a partition-blind delete from the log alone
     // would resurface expired rows from the snapshot
     val victims = victimsUnder(logDir) ++ victimsUnder(snapshotDir)
+    // pre-created partitions are empty dirs — deleting one destroys no
+    // history, so only data-bearing deletes poison the travel floor
+    val hadData = victims.exists(p => containsDataFiles(p))
     victims.foreach(p => deleteTree(p.toString))
+    if (hadData) stampRetentionDelete()
     victims.map(_.getFileName.toString.stripPrefix(prefix)).distinct.sorted
   }
+
+  private def containsDataFiles(dir: java.nio.file.Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dir)) return false
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.exists(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    finally walk.close()
+  }
+
+  /** Partition retention/drop physically deletes history that offsets and
+    * the version list still count, so time/version travel to any point
+    * BEFORE the delete would silently return partial state. The marker
+    * records the last delete's wall-clock; [[scanAsOf]] and
+    * [[scanAtVersion]] refuse anything older — loud, like the vacuum
+    * floor.
+    */
+  private def stampRetentionDelete(): Unit =
+    CatalogJson.atomicWrite(retentionMarkerFile,
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "lastDeleteMillis" -> (JInt(System.currentTimeMillis()): JValue))))))
+
+  private def retentionFloorMillis(): Option[Long] =
+    if (!Files.exists(Paths.get(retentionMarkerFile))) None
+    else Some(JsonMethods.parse(new String(Files.readAllBytes(
+        Paths.get(retentionMarkerFile)), StandardCharsets.UTF_8))
+      .asInstanceOf[JObject].obj.toMap[String, JValue]
+      .apply("lastDeleteMillis").asInstanceOf[JInt].num.toLong)
 
   /** One auto-partition maintenance tick (the coordinator's periodic
     * AutoPartitionManager.java:86 task; policy knobs from ConfigOptions
@@ -1598,7 +1645,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     requirePartitionedSnapshotLayout()
     val dirs = Seq(partitionDirUnder(logDir, values),
       partitionDirUnder(snapshotDir, values)).filter(Files.exists(_))
+    val hadData = dirs.exists(d => containsDataFiles(d))
     dirs.foreach(d => deleteTree(d.toString))
+    if (hadData) stampRetentionDelete()
     dirs.nonEmpty
   }
 

@@ -298,6 +298,46 @@ class GraftTableSpec extends SparkTestBase {
       Seq("2024-01-03"))
   }
 
+  test("partition retention poisons travel to older points, loudly") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
+    val t = cat.createTable("db", "retguard",
+      TableDescriptor(pSchema, bucketKeys = Seq("k"),
+        partitionKeys = Seq("dt"), numBuckets = 2))
+    def df(rows: (Long, Int, String, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, dt, o) => Row(k, Int.box(v), s"s$k", dt, o) }.asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType)))
+    t.append(df((1L, 1, "2024-01-01", 0L), (2L, 2, "2024-01-02", 1L)),
+      orderBy = Seq(col("ord")))
+    Thread.sleep(20)
+    val preExpiry = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    assert(t.expirePartitions("dt", "2024-01-02") == 1)
+    // v1 counted the expired rows -> unreconstructible, must refuse
+    intercept[IllegalArgumentException](t.scanAtVersion(1L).collect())
+    intercept[IllegalArgumentException](t.scanAsOf(preExpiry).collect())
+    // post-expiry commits are fine
+    t.append(df((3L, 3, "2024-01-03", 2L)), orderBy = Seq(col("ord")))
+    assert(t.scanAtVersion(2L).count() == 2)
+    assert(t.scan().count() == 2)
+  }
+
+  test("expiring an EMPTY pre-created partition does not poison travel") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
+    val t = cat.createTable("db", "retguard2",
+      TableDescriptor(pSchema, bucketKeys = Seq("k"),
+        partitionKeys = Seq("dt"), numBuckets = 2))
+    def df(rows: (Long, Int, String, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, dt, o) => Row(k, Int.box(v), s"s$k", dt, o) }.asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType)))
+    t.append(df((1L, 1, "2024-01-02", 0L)), orderBy = Seq(col("ord")))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"${t.path}/log/dt=2024-01-01"))
+    assert(t.expirePartitions("dt", "2024-01-02") == 1) // empty dir only
+    assert(t.scanAtVersion(1L).count() == 1) // travel floor untouched
+  }
+
   test("missing offsets manifest hides rows but never deletes data") {
     val cat = newCatalog()
     val t = cat.createTable("db", "lostman",
