@@ -245,6 +245,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def latestOffsets: Map[Int, Long] = readOffsets()
 
+  /** Per-bucket earliest RETAINED offset after a [[vacuumLog]] (the
+    * reference's earliest-offset / log-start-offset metadata); None while
+    * the full log is retained. Consumers positioned below this floor
+    * have unreadably-purged records ahead of them.
+    */
+  def retainedFloorOffsets: Option[Map[Int, Long]] =
+    if (!Files.exists(Paths.get(vacuumMarkerFile))) None
+    else readSnapshotMeta()
+
   private def readAutoInc(): Long =
     if (!Files.exists(Paths.get(autoIncFile))) 1L
     else new String(Files.readAllBytes(Paths.get(autoIncFile)),

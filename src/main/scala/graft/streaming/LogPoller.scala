@@ -42,7 +42,9 @@ final class LogPoller(table: GraftTable, group: String,
     buckets.map(bs => m.filter { case (b, _) => bs.contains(b) }).getOrElse(m)
 
   private var pos: Map[Int, Long] = committed.map(sub).getOrElse(sub(mode match {
-    case GraftStream.StartupMode.Earliest => Map.empty
+    // Earliest = first RETAINED offset (post-vacuum, the log start moved)
+    case GraftStream.StartupMode.Earliest =>
+      table.retainedFloorOffsets.getOrElse(Map.empty)
     case GraftStream.StartupMode.Latest => table.latestOffsets
     case GraftStream.StartupMode.Timestamp(ms) =>
       table.offsetsForTimestamp(new java.sql.Timestamp(ms))
@@ -67,6 +69,16 @@ final class LogPoller(table: GraftTable, group: String,
     * to make it durable for the group.
     */
   def poll(): DataFrame = {
+    // OFFSET_OUT_OF_RANGE (the reference's fetch error for a position
+    // below the log start): a vacuum may have purged records this group
+    // never consumed — failing loudly beats silently skipping them.
+    table.retainedFloorOffsets.foreach { floor =>
+      val behind = floor.filter { case (b, f) => pos.getOrElse(b, 0L) < f }
+      if (behind.nonEmpty) throw new IllegalStateException(
+        s"group '$group' position $pos is below the retained log start " +
+          s"$behind (log vacuumed); records in between are gone — " +
+          "seek() past the floor or rebuild from the table snapshot")
+    }
     val latest = sub(table.latestOffsets)
     val batch = table.scanRange(pos, latest)
     pos = latest

@@ -69,6 +69,34 @@ class StreamingSpec extends SparkTestBase {
     assert(frozen.count() == 0)
   }
 
+  test("log poller: position below the vacuumed log start fails loudly") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "poll2", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")),
+      primaryKey = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava, schema)
+    t.upsert(rows((1L, 1), (2L, 2)), orderBy = Seq(col("ord")))
+    val lagging = new LogPoller(t, "lag")
+    lagging.poll() // reads commit 1; never commits
+    t.upsert(rows((3L, 3)), orderBy = Seq(col("ord")))
+    t.compact()
+    t.vacuumLog() // log below the snapshot cutoff is purged
+
+    // a group committed at 0 (or an explicit seek below the floor) has
+    // unreadable records ahead -> OFFSET_OUT_OF_RANGE analog
+    val stale = new LogPoller(t, "stale")
+    stale.seek(Map.empty)
+    intercept[IllegalStateException](stale.poll())
+
+    // a FRESH Earliest group starts at the retained floor: no throw,
+    // and it sees only post-vacuum records (none yet)
+    assert(new LogPoller(t, "fresh").poll().count() == 0)
+    t.upsert(rows((4L, 4)), orderBy = Seq(col("ord")))
+    assert(new LogPoller(t, "fresh2").poll().select("k").collect()
+      .map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("stream upsert sink: multi-batch LWW ingest equals batch merge") {
     val src = tmp()
     writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
