@@ -151,13 +151,37 @@ object GraftOptions {
 }
 
 /** Spark TableCatalog over the directory-backed graft catalog. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
 
   private def spark: SparkSession = SparkSession.active
   private def core: CoreCatalog = new CoreCatalog(warehouse, spark)
+
+  // ---- maintenance procedures (CALL <cat>.system.<proc>(...)) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(GraftProcedures.Namespace),
+      s"procedures live under ${GraftProcedures.Namespace.mkString(".")}; got $ident")
+    GraftProcedures.load(this, ident.name).getOrElse(
+      throw new IllegalArgumentException(s"unknown procedure ${ident.name} " +
+        s"(known: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  /** Resolve a procedure's `'db.tbl'` argument to the engine table. */
+  private[connector] def tableForProcedure(qualified: String): GraftTable = {
+    val parts = qualified.split('.')
+    require(parts.length == 2, s"expected 'db.table', got '$qualified'")
+    core.getTable(parts(0), parts(1))
+  }
   private def db(ident: Identifier): String = {
     require(ident.namespace.length == 1,
       s"graft tables are <db>.<table>; got ${ident.namespace.mkString(".")}")

@@ -1,0 +1,123 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{AutoPartitionPolicy, AutoPartitionUnit, GraftTable}
+
+/** SQL stored procedures for table maintenance (Spark 4 DSv2
+  * ProcedureCatalog — the iceberg `CALL catalog.system.…` surface; the
+  * reference exposes the same operations through its Admin RPC,
+  * fluss-client/.../admin/Admin.java):
+  *
+  *   CALL gfs.system.compact('db.tbl')            -- KV snapshot (S3/S7)
+  *   CALL gfs.system.vacuum_log('db.tbl')         -- drop snapshot-covered log (S13)
+  *   CALL gfs.system.rewrite_files('db.tbl')      -- small-file compaction
+  *   CALL gfs.system.expire_partitions('db.tbl', 'dt', '2024-02-01')
+  *   CALL gfs.system.maintain_partitions('db.tbl', 'day', 2, 7)
+  *
+  * Each call runs the same engine method the Scala API exposes and
+  * returns a one-row summary via a LocalScan (driver-side result; the
+  * heavy lifting inside — snapshot writes, log rewrites — is distributed
+  * Spark jobs like any other engine operation).
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  def names: Seq[String] = Seq(
+    "compact", "vacuum_log", "rewrite_files", "expire_partitions",
+    "maintain_partitions")
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(proc(catalog, "compact",
+        Seq(in("table", StringType)),
+        out("result", StringType)) { (t, _) =>
+        t.compact(); s"snapshot written at offsets ${t.latestOffsets}"
+      })
+      case "vacuum_log" => Some(proc(catalog, "vacuum_log",
+        Seq(in("table", StringType)),
+        out("result", StringType)) { (t, _) =>
+        t.vacuumLog(); "log vacuumed to the snapshot cutoff"
+      })
+      case "rewrite_files" => Some(proc(catalog, "rewrite_files",
+        Seq(in("table", StringType),
+          in("max_records_per_file", LongType, Some("0"))),
+        out("result", StringType)) { (t, row) =>
+        t.rewriteLogFiles(row.getLong(1))
+        "log rewritten to one file per (partition, bucket)"
+      })
+      case "expire_partitions" => Some(proc(catalog, "expire_partitions",
+        Seq(in("table", StringType), in("partition_col", StringType),
+          in("cutoff", StringType)),
+        out("expired", IntegerType)) { (t, row) =>
+        Int.box(t.expirePartitions(
+          row.getUTF8String(1).toString, row.getUTF8String(2).toString))
+      })
+      case "maintain_partitions" => Some(proc(catalog, "maintain_partitions",
+        Seq(in("table", StringType),
+          in("time_unit", StringType, Some("'day'")),
+          in("pre_create", IntegerType, Some("2")),
+          in("retain", IntegerType, Some("7"))),
+        out("result", StringType)) { (t, row) =>
+        val unit = row.getUTF8String(1).toString.toLowerCase match {
+          case "hour" => AutoPartitionUnit.Hour
+          case "day" => AutoPartitionUnit.Day
+          case "month" => AutoPartitionUnit.Month
+          case "quarter" => AutoPartitionUnit.Quarter
+          case "year" => AutoPartitionUnit.Year
+          case other => throw new IllegalArgumentException(
+            s"unknown time unit '$other' (hour/day/month/quarter/year)")
+        }
+        val (created, expired) = t.maintainPartitions(
+          AutoPartitionPolicy(timeUnit = unit,
+            numPreCreate = row.getInt(2), numToRetain = row.getInt(3)),
+          java.time.Instant.now())
+        s"pre-created ${created.mkString("[", ",", "]")}, " +
+          s"expired ${expired.mkString("[", ",", "]")}"
+      })
+      case _ => None
+    }
+
+  private def in(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def out(name: String, dt: DataType): StructType =
+    StructType(Seq(StructField(name, dt, nullable = false)))
+
+  /** Bound+unbound in one: our procedures take literal maintenance args,
+    * so bind() has nothing to specialize.
+    */
+  private def proc(catalog: GraftCatalog, procName: String,
+      params: Seq[ProcedureParameter], outSchema: StructType)(
+      body: (GraftTable, InternalRow) => Any): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false // mutates table state
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = catalog.tableForProcedure(input.getUTF8String(0).toString)
+        val result = body(table, input) match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType = outSchema
+          override def rows(): Array[InternalRow] =
+            Array(new GenericInternalRow(Array[Any](result)))
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+}

@@ -104,6 +104,36 @@ class ConnectorSpec extends SparkTestBase {
     assert(then_ == Seq((1L, 1), (2L, 2)))
   }
 
+  test("CALL system procedures: compact, rewrite_files, expire_partitions") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.mt (k BIGINT, v INT, dt STRING) USING graft " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')")
+    spark.sql("INSERT INTO gfs.db.mt VALUES (1, 1, '2024-01-01'), (2, 2, '2024-01-02')")
+    spark.sql("INSERT INTO gfs.db.mt VALUES (3, 3, '2024-01-02')")
+
+    val rewritten = spark.sql("CALL gfs.system.rewrite_files('db.mt')").collect()
+    assert(rewritten.head.getString(0).contains("rewritten"))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 3)
+
+    val expired = spark.sql(
+      "CALL gfs.system.expire_partitions('db.mt', 'dt', '2024-01-02')").collect()
+    assert(expired.head.getInt(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 2)
+
+    // PK table: compact then vacuum through SQL
+    spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.mpk VALUES (1, 1), (2, 2)")
+    assert(spark.sql("CALL gfs.system.compact('db.mpk')")
+      .head.getString(0).contains("snapshot"))
+    spark.sql("INSERT INTO gfs.db.mpk VALUES (1, 9)")
+    assert(spark.sql("CALL gfs.system.vacuum_log('db.mpk')")
+      .head.getString(0).contains("vacuumed"))
+    val st = spark.sql("SELECT k, v FROM gfs.db.mpk ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(st == Seq((1L, 9), (2L, 2)))
+  }
+
   test("VERSION AS OF reads the state at a recorded commit version") {
     wh
     spark.sql("CREATE TABLE gfs.db.vt (k BIGINT, v INT) USING graft " +
