@@ -408,6 +408,14 @@ object SparkEntry {
     "ta9_shuffle" -> ((s, dir) =>
       Sampling.shufflePositions(t(s, dir, "documents"), "doc_id")),
 
+    // ----- TA10: sequence packing — fixed-2048-token training sequences
+    // spanning documents; output is the (doc, seq) span map
+    "ta10_seq_pack" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 2048L)),
+
     // ----- TA8: corpus-statistics token rarity (unigram-LM-style quality
     // filter: explode → vocab count → join back → per-doc aggregate)
     "ta8_token_rarity" -> ((s, dir) =>
@@ -1162,6 +1170,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS position
         |FROM documents""".stripMargin,
+
+    "ta10_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |  FROM t WHERE n_tokens > 0),
+        |g AS (
+        |  SELECT doc_id, o, n_tokens,
+        |    unnest(generate_series(o // 2048, (o + n_tokens - 1) // 2048)) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(seq_id * 2048 - o, 0) AS BIGINT) AS doc_start,
+        |  CAST(least((seq_id + 1) * 2048, o + n_tokens)
+        |    - greatest(seq_id * 2048, o) AS BIGINT) AS seq_tokens
+        |FROM g""".stripMargin,
 
     "ta7_token_shards" ->
       """WITH t AS (

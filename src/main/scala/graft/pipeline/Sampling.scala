@@ -124,17 +124,31 @@ object Sampling {
   def packTokenShards(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
+    withGlobalStart(df, idCol, tokensCol)
+      .select(col(idCol), col(tokensCol),
+        (col("__gstart") / budget).cast("long").as("shard"))
+  }
+
+  /** (idCol, tokensCol, __gstart): each row's global running-sum-before of
+    * `tokensCol` in `idCol` order — the shared first stage of
+    * [[packTokenShards]] and [[packSequences]]. Two-level scan: range-
+    * repartition by id (partition i holds ids strictly below partition
+    * i+1), local running sums per partition, then a driver-size prefix
+    * over per-partition totals (one row per partition) joined back.
+    *
+    * `__pid` comes from spark_partition_id(), which is only stable within
+    * a single evaluation of the range shuffle: two consumer stages may see
+    * different AQE coalescing of the same exchange, in which case offsets
+    * computed under one pid layout would join rows labeled under another.
+    * So (pid, local cumsum) is materialized exactly ONCE — localCheckpoint
+    * freezes the values before the plan branches — carrying only the two
+    * columns the packing needs.
+    */
+  private def withGlobalStart(df: DataFrame, idCol: String,
+      tokensCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sparkContext.defaultParallelism
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    // __pid comes from spark_partition_id(), which is only stable within a
-    // single evaluation of the range shuffle: two consumer stages may see
-    // different AQE coalescing of the same exchange, in which case offsets
-    // computed under one pid layout would join rows labeled under another.
-    // So materialize (pid, local cumsum) exactly ONCE — localCheckpoint
-    // freezes the values before the plan branches — and carry only the two
-    // columns the packing needs, so the materialized footprint is the pack
-    // input, not the full row.
     val local = df.select(col(idCol), col(tokensCol))
       .repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
@@ -150,7 +164,32 @@ object Sampling {
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), Seq("__pid"))
       .select(col(idCol), col(tokensCol),
-        ((col("__off") + col("__lcum") - col(tokensCol)) / budget)
-          .cast("long").as("shard"))
+        (col("__off") + col("__lcum") - col(tokensCol)).as("__gstart"))
+  }
+
+  /** Sequence packing for pretraining: documents concatenated in `idCol`
+    * order and cut into fixed-`seqLen`-token training sequences — the
+    * standard "packing" step that eliminates padding waste. Output is the
+    * SPAN MAP, one row per (document, sequence) the document overlaps:
+    * `seq_id`, `doc_start` (0-based first token of the span within the
+    * doc) and `seq_tokens` (span length) — enough for a loader to
+    * assemble any sequence by slicing its documents, without this job
+    * materializing corpus-sized token arrays. Pure integer arithmetic on
+    * the global running sum, so any engine reproduces it exactly; a doc
+    * spans ceil(n/L)+1 sequences at most, so the explode is bounded.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val o = col("__gstart")
+    val n = col(tokensCol)
+    withGlobalStart(df, idCol, tokensCol)
+      .filter(n > 0)
+      .withColumn("seq_id", explode(sequence(
+        (o / seqLen).cast("long"), ((o + n - 1) / seqLen).cast("long"))))
+      .select(col(idCol), col("seq_id"),
+        greatest(col("seq_id") * seqLen - o, lit(0L)).as("doc_start"),
+        (least((col("seq_id") + 1) * seqLen, o + n) -
+          greatest(col("seq_id") * seqLen, o)).as("seq_tokens"))
   }
 }

@@ -169,6 +169,28 @@ class SamplingSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("packSequences maps docs onto fixed-length sequence spans exactly") {
+    import spark.implicits._
+    // L=10; docs of 4, 12, 10, 5 tokens at global starts 0, 4, 16, 26:
+    //   doc 1 -> seq 0 [0..3]           (start 0, 4 toks)
+    //   doc 2 -> seq 0 [4..9] (6), seq 1 [10..15] (6)
+    //   doc 3 -> seq 1 [16..19] (4), seq 2 [20..25] (6)
+    //   doc 4 -> seq 2 [26..29] (4), seq 3 [30] (1)
+    val df = Seq((1L, 4L), (2L, 12L), (3L, 10L), (4L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packSequences(df, "doc_id", "n_tokens", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 6L), (2L, 1L, 6L, 6L),
+      (3L, 1L, 0L, 4L), (3L, 2L, 4L, 6L),
+      (4L, 2L, 0L, 4L), (4L, 3L, 4L, 1L)))
+    // spans tile every sequence: per-seq token sums are full except the tail
+    val perSeq = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perSeq == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 1L))
+  }
+
   test("shufflePositions: dense md5-ordered permutation, stable under partitioning") {
     import spark.implicits._
     val df = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
