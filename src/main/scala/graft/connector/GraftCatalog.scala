@@ -202,6 +202,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(t => Identifier.of(namespace, t)).toArray
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata / virtual tables: SELECT * FROM <cat>.<db>.<tbl>.<meta> —
+    // the reference's `t$changelog`/`t$binlog` virtual tables
+    // (website/docs/table-design/virtual-tables.md:14-16) plus the
+    // lakehouse `history`/`partitions` metadata tables
+    if (ident.namespace().length == 2 &&
+        core.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      val t = core.getTable(ident.namespace()(0), ident.namespace()(1))
+      val qualified = s"${ident.namespace().mkString(".")}.${ident.name}"
+      ident.name match {
+        case "changelog" => return new GraftMetaTable(qualified, () => t.changelog())
+        case "binlog" => return new GraftMetaTable(qualified, () => t.binlog())
+        case "history" => return new GraftMetaTable(qualified, () => t.history())
+        case "partitions" => return new GraftMetaTable(qualified, () => {
+          import org.apache.spark.sql.functions.col
+          val rows = t.partitionValues().map(vs =>
+            Row(t.desc.partitionKeys.zip(vs)
+              .map { case (k, v) => s"$k=$v" }.mkString("/")))
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("partition",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+            .select(col("partition"))
+        })
+        case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      }
+    }
     if (!core.tableExists(db(ident), ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new GraftDsTable(core.getTable(db(ident), ident.name), ident)
@@ -594,4 +619,35 @@ object GraftScanBuilder {
     case Not(c) => toColumn(c).map(!_)
     case _ => None
   }
+}
+
+/** Read-only metadata / virtual table (`<db>.<tbl>.changelog|binlog|
+  * history|partitions`): a thin V1Scan over an engine DataFrame thunk,
+  * re-planned per query so it always reflects current table state. The
+  * changelog/binlog forms stay fully distributed (they are the engine's
+  * own log scans); history/partitions are driver-size by construction.
+  */
+class GraftMetaTable(qualified: String,
+    frame: () => DataFrame) extends Table with SupportsRead {
+
+  override def name(): String = qualified
+  override def schema(): StructType = frame().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = readSchema()
+            override def buildScan(): RDD[Row] = frame().rdd
+          }.asInstanceOf[T]
+      }
+    }
 }

@@ -104,6 +104,31 @@ class ConnectorSpec extends SparkTestBase {
     assert(then_ == Seq((1L, 1), (2L, 2)))
   }
 
+  test("metadata tables: SELECT from .changelog/.binlog/.history/.partitions") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.meta (k BIGINT, v INT, dt STRING) USING graft " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('primary.key' = 'dt,k')")
+    spark.sql("INSERT INTO gfs.db.meta VALUES (1, 1, '2024-01-01'), (2, 2, '2024-01-02')")
+    spark.sql("INSERT INTO gfs.db.meta VALUES (1, 9, '2024-01-01')")
+
+    val cl = spark.sql("SELECT _change_type FROM gfs.db.meta.changelog")
+      .collect().map(_.getString(0))
+    assert(cl.count(_ == "+I") == 2 && cl.count(_ == "+U") == 1 && cl.count(_ == "-U") == 1)
+
+    val bl = spark.sql(
+      "SELECT _change_type FROM gfs.db.meta.binlog WHERE _change_type = '+U'").collect()
+    assert(bl.length == 1)
+
+    val hist = spark.sql(
+      "SELECT version, rows_appended FROM gfs.db.meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.toSeq == Seq((1L, 2L), (2L, 2L))) // commit 2: -U/+U pair
+
+    val parts = spark.sql("SELECT partition FROM gfs.db.meta.partitions ORDER BY 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("dt=2024-01-01", "dt=2024-01-02"))
+  }
+
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
     wh
     spark.sql("CREATE TABLE gfs.db.mt (k BIGINT, v INT, dt STRING) USING graft " +
