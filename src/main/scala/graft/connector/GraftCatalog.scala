@@ -206,8 +206,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the reference's `t$changelog`/`t$binlog` virtual tables
     // (website/docs/table-design/virtual-tables.md:14-16) plus the
     // lakehouse `history`/`partitions` metadata tables
-    if (ident.namespace().length == 2 &&
-        core.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+    if (ident.namespace().length == 2) {
+      // a 2-level namespace is ONLY ever a metadata-table reference, so a
+      // missing base table is a (clean) table-not-found, not a fall
+      // -through to the <db>.<table> shape check
+      if (!core.tableExists(ident.namespace()(0), ident.namespace()(1)))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       val t = core.getTable(ident.namespace()(0), ident.namespace()(1))
       val qualified = s"${ident.namespace().mkString(".")}.${ident.name}"
       ident.name match {
@@ -631,7 +635,10 @@ class GraftMetaTable(qualified: String,
     frame: () => DataFrame) extends Table with SupportsRead {
 
   override def name(): String = qualified
-  override def schema(): StructType = frame().schema
+  // Spark calls schema() repeatedly during analysis; plan the frame once
+  // for it (the data itself is still re-planned per query in buildScan)
+  private lazy val cachedSchema: StructType = frame().schema
+  override def schema(): StructType = cachedSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 

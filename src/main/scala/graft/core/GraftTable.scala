@@ -248,11 +248,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   /** Per-bucket earliest RETAINED offset after a [[vacuumLog]] (the
     * reference's earliest-offset / log-start-offset metadata); None while
     * the full log is retained. Consumers positioned below this floor
-    * have unreadably-purged records ahead of them.
+    * have unreadably-purged records ahead of them. Read from the vacuum
+    * marker's pinned cutoff — NOT current snapshot meta, which keeps
+    * advancing with later `compact()` calls while the log start stays
+    * put until the next vacuum. Markers written by pre-floor code fall
+    * back to snapshot meta (the old, possibly-inflated behavior).
     */
   def retainedFloorOffsets: Option[Map[Int, Long]] =
     if (!Files.exists(Paths.get(vacuumMarkerFile))) None
-    else readSnapshotMeta()
+    else {
+      val obj = JsonMethods.parse(new String(Files.readAllBytes(
+          Paths.get(vacuumMarkerFile)), StandardCharsets.UTF_8))
+        .asInstanceOf[JObject].obj.toMap[String, JValue]
+      obj.get("floorOffsets") match {
+        case Some(o: JObject) => Some(o.obj
+          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+        case _ => readSnapshotMeta()
+      }
+    }
 
   private def readAutoInc(): Long =
     if (!Files.exists(Paths.get(autoIncFile))) 1L
@@ -323,11 +336,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
     // vacuum leaves a driver-readable marker: no log scan needed to
     // learn whether history was truncated (or what the travel floor is)
-    val bound = if (!Files.exists(Paths.get(vacuumMarkerFile))) None
-      else Some(new java.sql.Timestamp(JsonMethods.parse(new String(
-        Files.readAllBytes(Paths.get(vacuumMarkerFile)), StandardCharsets.UTF_8))
-        .asInstanceOf[JObject].obj.toMap[String, JValue]
-        .apply("boundMillis").asInstanceOf[JInt].num.toLong))
+    val bound = readMarkerMillis(vacuumMarkerFile, "boundMillis")
+      .map(new java.sql.Timestamp(_))
     val upTo = bound match {
       case None if readSnapshotMeta().isDefined && {
           // belt over the marker: a table vacuumed by pre-marker code (or
@@ -1170,9 +1180,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val minTs = Option(spark.read.schema(logSchema).option("basePath", tmpDir)
         .parquet(tmpDir).agg(min(col(Meta.Timestamp))).head.getTimestamp(0))
       .map(_.getTime).getOrElse(System.currentTimeMillis())
+    // the marker also pins the VACUUM-TIME cutoff offsets: snapshot meta
+    // keeps advancing with later compact() calls, but the log start only
+    // moves on the next vacuum — the floor must not move with it
     CatalogJson.atomicWrite(vacuumMarkerFile,
       JsonMethods.compact(JsonMethods.render(JObject(List(
-        "boundMillis" -> (JInt(minTs): JValue))))))
+        "boundMillis" -> (JInt(minTs): JValue),
+        "floorOffsets" -> (JObject(snapOffsets.toList.sortBy(_._1)
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue))))))
     // Same protocol as a commit, under the same lock: move the rewritten
     // files in alongside the old ones (invisible — their id is not yet
     // manifested), flip visibility with ONE atomic manifest write whose id
@@ -1511,10 +1526,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // would resurface expired rows from the snapshot
     val victims = victimsUnder(logDir) ++ victimsUnder(snapshotDir)
     // pre-created partitions are empty dirs — deleting one destroys no
-    // history, so only data-bearing deletes poison the travel floor
+    // history, so only data-bearing deletes poison the travel floor.
+    // Stamp BEFORE deleting (the vacuum marker-before-flip discipline): a
+    // crash mid-delete must leave the guard in place, not the window open.
     val hadData = victims.exists(p => containsDataFiles(p))
-    victims.foreach(p => deleteTree(p.toString))
     if (hadData) stampRetentionDelete()
+    victims.foreach(p => deleteTree(p.toString))
     victims.map(_.getFileName.toString.stripPrefix(prefix)).distinct.sorted
   }
 
@@ -1540,11 +1557,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         "lastDeleteMillis" -> (JInt(System.currentTimeMillis()): JValue))))))
 
   private def retentionFloorMillis(): Option[Long] =
-    if (!Files.exists(Paths.get(retentionMarkerFile))) None
-    else Some(JsonMethods.parse(new String(Files.readAllBytes(
-        Paths.get(retentionMarkerFile)), StandardCharsets.UTF_8))
-      .asInstanceOf[JObject].obj.toMap[String, JValue]
-      .apply("lastDeleteMillis").asInstanceOf[JInt].num.toLong)
+    readMarkerMillis(retentionMarkerFile, "lastDeleteMillis")
+
+  /** One epoch-millis field out of a small JSON marker file. */
+  private def readMarkerMillis(file: String, key: String): Option[Long] =
+    if (!Files.exists(Paths.get(file))) None
+    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(file)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
+      .get(key).collect { case JInt(n) => n.toLong }
 
   /** One auto-partition maintenance tick (the coordinator's periodic
     * AutoPartitionManager.java:86 task; policy knobs from ConfigOptions
@@ -1654,9 +1674,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     requirePartitionedSnapshotLayout()
     val dirs = Seq(partitionDirUnder(logDir, values),
       partitionDirUnder(snapshotDir, values)).filter(Files.exists(_))
-    val hadData = dirs.exists(d => containsDataFiles(d))
+    // stamp before deleting — see expirePartitionValues
+    if (dirs.exists(d => containsDataFiles(d))) stampRetentionDelete()
     dirs.foreach(d => deleteTree(d.toString))
-    if (hadData) stampRetentionDelete()
     dirs.nonEmpty
   }
 

@@ -72,7 +72,7 @@ final class LogPoller(table: GraftTable, group: String,
     // OFFSET_OUT_OF_RANGE (the reference's fetch error for a position
     // below the log start): a vacuum may have purged records this group
     // never consumed — failing loudly beats silently skipping them.
-    table.retainedFloorOffsets.foreach { floor =>
+    table.retainedFloorOffsets.map(sub).foreach { floor =>
       val behind = floor.filter { case (b, f) => pos.getOrElse(b, 0L) < f }
       if (behind.nonEmpty) throw new IllegalStateException(
         s"group '$group' position $pos is below the retained log start " +

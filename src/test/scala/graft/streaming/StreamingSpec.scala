@@ -93,8 +93,16 @@ class StreamingSpec extends SparkTestBase {
     // and it sees only post-vacuum records (none yet)
     assert(new LogPoller(t, "fresh").poll().count() == 0)
     t.upsert(rows((4L, 4)), orderBy = Seq(col("ord")))
+    // a LATER compact (no vacuum) advances snapshot meta but NOT the log
+    // start: the floor must stay pinned at the vacuum-time cutoff, so a
+    // fresh Earliest group still sees the retained post-vacuum records
+    t.compact()
     assert(new LogPoller(t, "fresh2").poll().select("k").collect()
       .map(_.getLong(0)).toSet == Set(4L))
+    // a bucket-subscribed poller checks the floor only for ITS buckets
+    (0 until 2).foreach { b =>
+      new LogPoller(t, s"sub$b", buckets = Some(Set(b))).poll()
+    }
   }
 
   test("stream upsert sink: multi-batch LWW ingest equals batch merge") {
