@@ -475,7 +475,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, asOf, atVersion)
+    new GraftScanBuilder(table, asOf, atVersion,
+      GraftScanBuilder.startupMode(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -501,7 +502,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
   */
 class GraftScanBuilder(table: GraftTable,
     asOf: Option[java.sql.Timestamp] = None,
-    atVersion: Option[Long] = None) extends ScanBuilder
+    atVersion: Option[Long] = None,
+    startup: Option[GraftScanBuilder.Startup] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -526,7 +528,7 @@ class GraftScanBuilder(table: GraftTable,
   private def canPushCount(aggregation: Aggregation): Boolean =
     !table.desc.isPrimaryKeyTable &&
       table.desc.partitionKeys.isEmpty && // expirePartitions skews offsets
-      asOf.isEmpty && atVersion.isEmpty && pushed.isEmpty &&
+      asOf.isEmpty && atVersion.isEmpty && startup.isEmpty && pushed.isEmpty &&
       aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.length == 1 &&
       aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
@@ -572,9 +574,20 @@ class GraftScanBuilder(table: GraftTable,
           // P5 through SQL: equality predicates pinning all bucket keys
           // prune the scan to one bucket's partition dirs (snapshot+log)
           val eqs = GraftScanBuilder.equalities(filters)
-          val source = (asOf, atVersion) match {
-            case (Some(ts), _) => table.scanAsOf(ts)
-            case (_, Some(v)) => table.scanAtVersion(v)
+          val dataCols = table.desc.schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col)
+          val source = (asOf, atVersion, startup) match {
+            case (Some(ts), _, _) => table.scanAsOf(ts)
+            case (_, Some(v), _) => table.scanAtVersion(v)
+            // T1 startup modes through reader options (the reference's
+            // scan.startup.mode connector option): log RECORDS, not
+            // merged state
+            case (_, _, Some(GraftScanBuilder.Earliest)) =>
+              table.scanRange(Map.empty, table.latestOffsets).select(dataCols: _*)
+            case (_, _, Some(GraftScanBuilder.Latest)) =>
+              table.scanFromOffsets(table.latestOffsets)
+            case (_, _, Some(GraftScanBuilder.FromTimestamp(ms))) =>
+              table.scanFromTimestamp(new java.sql.Timestamp(ms))
             case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)
@@ -590,6 +603,37 @@ class GraftScanBuilder(table: GraftTable,
 object GraftScanBuilder {
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.{Column => SCol}
+
+  /** T1 startup modes as DataFrameReader options — the reference's
+    * `scan.startup.mode` / `scan.startup.timestamp` connector options
+    * (FlinkConnectorOptions.java:304-316), batch form:
+    *
+    *   spark.read.option("scan.startup.mode", "timestamp")
+    *     .option("scan.startup.timestamp-millis", ts)
+    *     .table("gfs.db.t")
+    *
+    * `initial` (or no option) keeps the default read — merged current
+    * state; `earliest`/`latest`/`timestamp` read log RECORDS from the
+    * resolved position (changelog semantics, like the reference's
+    * non-initial modes).
+    */
+  sealed trait Startup
+  case object Earliest extends Startup
+  case object Latest extends Startup
+  final case class FromTimestamp(ms: Long) extends Startup
+
+  def startupMode(options: CaseInsensitiveStringMap): Option[Startup] =
+    Option(options.get("scan.startup.mode")).map(_.toLowerCase).flatMap {
+      case "initial" | "full" => None
+      case "earliest" => Some(Earliest)
+      case "latest" => Some(Latest)
+      case "timestamp" => Some(FromTimestamp(
+        Option(options.get("scan.startup.timestamp-millis"))
+          .map(_.toLong).getOrElse(throw new IllegalArgumentException(
+            "scan.startup.mode=timestamp requires scan.startup.timestamp-millis"))))
+      case other => throw new IllegalArgumentException(
+        s"unknown scan.startup.mode '$other' (initial/earliest/latest/timestamp)")
+    }
 
   /** Top-level equality constraints (column -> value) from a pushed
     * filter set — the bucket-pruning input (conjuncts only; an OR can't

@@ -104,6 +104,33 @@ class ConnectorSpec extends SparkTestBase {
     assert(then_ == Seq((1L, 1), (2L, 2)))
   }
 
+  test("scan.startup.mode reader options: earliest/latest/timestamp") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.su (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.su VALUES (1, 1), (2, 2)")
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO gfs.db.su VALUES (1, 9)")
+
+    // default read: merged state
+    assert(spark.read.table("gfs.db.su").count() == 2)
+    // earliest: every log RECORD (+I, +I, -U, +U)
+    assert(spark.read.option("scan.startup.mode", "earliest")
+      .table("gfs.db.su").count() == 4)
+    // timestamp: records committed at/after mid (-U/+U of the second commit)
+    val fromMid = spark.read.option("scan.startup.mode", "timestamp")
+      .option("scan.startup.timestamp-millis", mid.toString)
+      .table("gfs.db.su")
+    assert(fromMid.count() == 2)
+    // latest: nothing yet
+    assert(spark.read.option("scan.startup.mode", "latest")
+      .table("gfs.db.su").count() == 0)
+    intercept[Exception](spark.read.option("scan.startup.mode", "bogus")
+      .table("gfs.db.su").count())
+  }
+
   test("metadata tables: SELECT from .changelog/.binlog/.history/.partitions") {
     wh
     spark.sql("CREATE TABLE gfs.db.meta (k BIGINT, v INT, dt STRING) USING graft " +
