@@ -104,6 +104,33 @@ class ConnectorSpec extends SparkTestBase {
     assert(then_ == Seq((1L, 1), (2L, 2)))
   }
 
+  test("procedure and metadata-table error surfaces") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.err (k BIGINT, v INT, dt STRING) USING graft " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('bucket.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.err VALUES (1, 1, '2099-01-01')")
+    // maintain_partitions through SQL: pre-creates upcoming day dirs
+    val res = spark.sql(
+      "CALL gfs.system.maintain_partitions('db.err', 'day', 2, 400)").collect()
+    assert(res.head.getString(0).startsWith("pre-created"))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.err.partitions")
+      .head.getLong(0) >= 3) // data partition + 2 pre-created
+    // unknown procedure name fails with the known list
+    val e1 = intercept[Exception](spark.sql("CALL gfs.system.nope('db.err')"))
+    assert(e1.getMessage.contains("unknown procedure")
+      || Option(e1.getCause).exists(_.getMessage.contains("unknown procedure")))
+    // metadata table on a MISSING base table is a clean table-not-found
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM gfs.db.typo.changelog"))
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e2.getMessage.toLowerCase.contains("cannot be found")
+      || e2.getMessage.toLowerCase.contains("not found"))
+    // non-numeric VERSION AS OF is rejected up front
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM gfs.db.err VERSION AS OF 'abc'").collect())
+    assert(e3.getMessage.contains("numeric commit version")
+      || Option(e3.getCause).exists(_.getMessage.contains("numeric commit version")))
+  }
+
   test("scan.startup.mode reader options: earliest/latest/timestamp") {
     wh
     spark.sql("CREATE TABLE gfs.db.su (k BIGINT, v INT) USING graft " +
