@@ -43,21 +43,26 @@ object GraftStream {
     final case class Timestamp(ms: Long) extends StartupMode
   }
 
-  /** Streaming changelog scan of a graft table. */
+  /** Streaming changelog scan of a graft table — the [[GraftSource]]
+    * manifest-offset stream (per-bucket positions in checkpoint state, the
+    * reference's FlussSourceOffset), NOT file discovery: offset tracking
+    * survives [[GraftTable.rewriteLogFiles]] compaction, plans immutable
+    * batches under concurrent commits, and fails loudly when a checkpoint
+    * falls below the vacuumed log start.
+    */
   def readLog(spark: SparkSession, table: GraftTable,
       mode: StartupMode = StartupMode.Earliest): DataFrame = {
-    val stream = spark.readStream
-      .schema(table.logSchema)
-      .option("basePath", s"${table.path}/log")
-      .parquet(s"${table.path}/log")
+    val reader = spark.readStream.format("graft").option("path", table.path)
     mode match {
-      case StartupMode.Earliest => stream
+      case StartupMode.Earliest =>
+        reader.option("scan.startup.mode", "earliest")
       case StartupMode.Latest =>
-        val now = System.currentTimeMillis()
-        stream.filter(col(Meta.Timestamp) >= lit(new java.sql.Timestamp(now)))
+        reader.option("scan.startup.mode", "latest")
       case StartupMode.Timestamp(ms) =>
-        stream.filter(col(Meta.Timestamp) >= lit(new java.sql.Timestamp(ms)))
+        reader.option("scan.startup.mode", "timestamp")
+          .option("scan.startup.timestamp-millis", ms.toString)
     }
+    reader.load()
   }
 
   /** `full` startup (T2 hybrid snapshot+log): run `handler` over the

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.core._
+
+/** The `format("graft")` streaming source: manifest-offset tracking,
+  * startup modes, admission control, and the properties file-discovery
+  * streams cannot give — compaction immunity and loud vacuum-gap errors.
+  */
+class GraftSourceSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v", IntegerType),
+    StructField("ord", LongType)))
+
+  private def newTable(name: String, buckets: Int = 2): GraftTable =
+    new Catalog(Files.createTempDirectory("graft-src-wh").toString, spark)
+      .createTable("db", name, TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        bucketKeys = Seq("k"), numBuckets = buckets))
+
+  private def rows(kv: (Long, Int)*) = spark.createDataFrame(
+    kv.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava, schema)
+
+  /** Drain the source with AvailableNow into a buffer; returns (rows,
+    * non-empty batch count). Same checkpoint ⇒ resumes where it left off.
+    */
+  private def drain(table: GraftTable, ckpt: String,
+      options: Map[String, String] = Map.empty): (Seq[(Long, Int)], Int) = {
+    val buf = ArrayBuffer.empty[(Long, Int)]
+    var batches = 0
+    val reader = spark.readStream.format("graft").option("path", table.path)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load()
+      .select(col("k"), col("v"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+        if (got.nonEmpty) batches += 1
+        buf ++= got; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (buf.toSeq, batches)
+  }
+
+  test("earliest: drains the log once; resume delivers only new commits") {
+    val t = newTable("src1")
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    t.append(rows(3L -> 3), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+
+    val (b1, _) = drain(t, ckpt)
+    assert(b1.toSet == Set(1L -> 1, 2L -> 2, 3L -> 3))
+
+    // nothing new: zero rows, not a re-read
+    assert(drain(t, ckpt)._1.isEmpty)
+
+    t.append(rows(4L -> 4, 5L -> 5), orderBy = Seq(col("ord")))
+    val (b2, _) = drain(t, ckpt)
+    assert(b2.toSet == Set(4L -> 4, 5L -> 5))
+  }
+
+  test("offset tracking is immune to small-file compaction (file streams are not)") {
+    val t = newTable("src2")
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    assert(drain(t, ckpt)._1.toSet == Set(1L -> 1, 2L -> 2))
+
+    // rewrite containers (same records, new files), then commit new rows:
+    // a file-discovery stream would re-deliver everything in the new files
+    t.append(rows(3L -> 3), orderBy = Seq(col("ord")))
+    t.rewriteLogFiles()
+    t.append(rows(4L -> 4), orderBy = Seq(col("ord")))
+    val (b2, _) = drain(t, ckpt)
+    assert(b2.toSet == Set(3L -> 3, 4L -> 4), s"duplicates or loss: $b2")
+  }
+
+  test("maxOffsetsPerTrigger paces batches without losing records") {
+    val t = newTable("src3", buckets = 2)
+    t.append(rows((1L to 10L).map(k => k -> k.toInt): _*), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val (got, batches) = drain(t, ckpt, Map("maxOffsetsPerTrigger" -> "3"))
+    assert(got.toSet == (1L to 10L).map(k => k -> k.toInt).toSet)
+    assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
+  }
+
+  test("timestamp startup skips commits before the cutover") {
+    val t = newTable("src4")
+    t.append(rows(1L -> 1), orderBy = Seq(col("ord")))
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(rows(2L -> 2), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val (got, _) = drain(t, ckpt, Map(
+      "scan.startup.mode" -> "timestamp",
+      "scan.startup.timestamp-millis" -> cut.toString))
+    assert(got.toSet == Set(2L -> 2))
+  }
+
+  test("latest startup sees only post-start commits across resumes") {
+    val t = newTable("src5")
+    t.append(rows(1L -> 1), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    assert(drain(t, ckpt, Map("scan.startup.mode" -> "latest"))._1.isEmpty)
+    t.append(rows(2L -> 2), orderBy = Seq(col("ord")))
+    // the checkpointed position, not the startup mode, governs the resume
+    assert(drain(t, ckpt, Map("scan.startup.mode" -> "latest"))._1.toSet ==
+      Set(2L -> 2))
+  }
+
+  test("resume below the vacuumed log start fails loudly, not silently") {
+    val t = newTable("src6")
+    // PK table so compact() builds a snapshot and vacuum moves the floor
+    val pk = new Catalog(Files.createTempDirectory("graft-src-wh").toString, spark)
+      .createTable("db", "src6pk", TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        primaryKey = Seq("k"), numBuckets = 2))
+    pk.upsert(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    // position the checkpoint at offset 0 by draining an empty prefix:
+    // start the stream BEFORE any processing? simplest: drain fully, then
+    // vacuum AND upsert, then hand-rot the checkpoint is overkill — instead
+    // drain nothing (latest on empty), vacuum, and restart from scratch in
+    // earliest mode which starts AT the floor (no error), so the loud path
+    // needs a checkpoint that predates the vacuum:
+    assert(drain(pk, ckpt)._1.size == 2) // checkpoint now at tail offset 2
+    pk.upsert(rows(1L -> 10), orderBy = Seq(col("ord"))) // offsets 2..3 (change pair)
+    pk.compact()
+    pk.vacuumLog() // floor moves past the checkpointed position
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(pk, ckpt)
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("below the retained log start")), ex.toString)
+  }
+
+  test("fresh earliest stream after vacuum starts at the floor cleanly") {
+    val pk = new Catalog(Files.createTempDirectory("graft-src-wh").toString, spark)
+      .createTable("db", "src7pk", TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        primaryKey = Seq("k"), numBuckets = 2))
+    pk.upsert(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    pk.compact()
+    pk.vacuumLog()
+    pk.upsert(rows(3L -> 3), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val (got, _) = drain(pk, ckpt)
+    assert(got.toSet == Set(3L -> 3))
+  }
+}
