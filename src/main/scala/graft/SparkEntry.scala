@@ -421,6 +421,25 @@ object SparkEntry {
     "ta8_token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ----- TA11: budget-constrained quality selection — keep the global
+    // top 10% of docs by quality score (two-level scan: no single-task
+    // global ranking window at any corpus size)
+    "ta11_top_fraction" -> ((s, dir) =>
+      Sampling.selectTopFraction(
+        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality", frac = 0.1)),
+
+    // ----- TA12: token-budget corpus fill — highest-quality docs first
+    // until 25% of the corpus's tokens are spent (the greedy step that
+    // turns per-doc scores into a fixed-size training corpus)
+    "ta12_budget_fill" -> ((s, dir) =>
+      Sampling.selectByTokenBudgetFraction(
+        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "quality", "n_tokens", frac = 0.25)),
+
     // ----- CH1: context-window chunking (overlapping token windows,
     // per-row array ops only — no shuffle at any corpus size)
     "ch1_chunk_windows" -> ((s, dir) =>
@@ -750,7 +769,45 @@ object SparkEntry {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
   }
 
+  /** The ta3 quality-score formula as a DuckDB expression over `text` —
+    * shared by the ta3/ta11/ta12 oracles so all three pin the identical
+    * fixed-order double arithmetic.
+    */
+  private val qualitySqlExpr =
+    """0.25 * least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) +
+      |  0.25 * least(CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+      |      ['the','a','and','of','to','in','is','it','that'])) AS DOUBLE)
+      |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) +
+      |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) +
+      |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ta11_top_fraction" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, quality,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM scored)
+         |SELECT doc_id, quality FROM r WHERE rn <= floor(0.1 * n)""".stripMargin,
+
+    "ta12_budget_fill" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, $qualitySqlExpr AS quality,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT floor(0.25 * sum(n_tokens)) AS budget FROM scored),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM scored)
+         |SELECT c.doc_id, c.quality, c.n_tokens FROM c, tot
+         |WHERE c.cum <= tot.budget""".stripMargin,
+
     "sim2_ann_lsh" -> sim2OracleSql,
     "sim5_knn_ann" -> sim5OracleSql,
     "sim3_ivf" -> sim3OracleSql,

@@ -49,6 +49,31 @@ object Sampling {
     df.filter(hashFrac(col(idCol)) < thr)
   }
 
+  /** Theta-sketch-style approximate distinct count: hash every value,
+    * keep only hashes below a fixed threshold θ (a map-side filter — the
+    * shuffle sees just the θ-fraction sample), count the distinct
+    * sampled hashes exactly, and scale by 1/θ. Standard error is
+    * ~1/sqrt(n_sampled), tunable via `rate`.
+    *
+    * Unlike HLL-family sketches (whose register layouts differ per
+    * engine) this estimator is a pure deterministic function of the data
+    * — the md5 membership test and the final division reproduce
+    * bit-identically on any engine, so the ESTIMATE itself is
+    * oracle-checkable. At 100 TB: scan-speed filter, then a distinct
+    * aggregate over ~θ·N 32-char keys with map-side partial dedup.
+    */
+  def thetaDistinct(df: DataFrame, valueCol: String,
+      rate: Double = 1.0 / 16): DataFrame = {
+    val h = md5(col(valueCol).cast("string").cast("binary"))
+    // quantized so the filter and the scale factor agree exactly
+    val actualRate = math.round(rate * 65536).toDouble / 65536.0
+    df.select(h.as("__h"))
+      .filter(substring(col("__h"), 1, 4) < lit(thresholdHex(rate)))
+      .agg(count_distinct(col("__h")).as("n_sampled"))
+      .select(col("n_sampled"),
+        (col("n_sampled").cast("double") / lit(actualRate)).as("est_distinct"))
+  }
+
   /** Temperature-based domain mixing (alpha = 0.5): per-domain keep rate
     * sqrt(c_min / c_domain), so the smallest domain is kept whole and
     * large domains are flattened toward it — the standard multilingual /
@@ -165,6 +190,77 @@ object Sampling {
     local.join(broadcast(offsets), Seq("__pid"))
       .select(col(idCol), col(tokensCol),
         (col("__off") + col("__lcum") - col(tokensCol)).as("__gstart"))
+  }
+
+  /** (selection core) Rows with `__cum` = running sum of `weight` in
+    * global (`scoreCol` DESC, `idCol`) order and `__total` = the grand
+    * total — the two-level scan again (range partition on the sort key,
+    * local running sums, driver-size prefix joined back), so computing a
+    * GLOBAL greedy order never funnels the corpus through one task. The
+    * sort key ends in the unique id, so the global order is strict (no
+    * tie straddles a partition boundary) and any engine reproduces it.
+    */
+  private def scoreOrderedCum(df: DataFrame, idCol: String, scoreCol: String,
+      extraCols: Seq[String], weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val ord = Seq(col(scoreCol).desc, col(idCol))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    // localCheckpoint before branching — see [[withGlobalStart]]
+    val local = df.select((Seq(idCol, scoreCol) ++ extraCols).map(col): _*)
+      .withColumn("__w", weight.cast("long"))
+      .repartitionByRange(n, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum(col("__w")).over(wLocal))
+      .localCheckpoint()
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__lcum")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wPrefix), lit(0L)))
+    val total = offsets.agg(sum(col("__ptot")).as("__total"))
+    local
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__off") + col("__lcum"))
+  }
+
+  /** Keep the globally best `frac` of rows by `scoreCol` (ties broken by
+    * `idCol`) — budget-constrained quality filtering, e.g. "train on the
+    * top 10% of the corpus by quality score". Exactly
+    * floor(frac · count) rows survive, the same set on any engine.
+    */
+  def selectTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac $frac outside [0,1]")
+    scoreOrderedCum(df, idCol, scoreCol, Nil, lit(1L))
+      .filter(col("__cum") <= floor(lit(frac) * col("__total")))
+      .select(col(idCol), col(scoreCol))
+  }
+
+  /** Fill a fixed token budget with the highest-scoring documents: docs in
+    * global (`scoreCol` DESC, `idCol`) order are kept while the running
+    * token total stays within `budget` — the greedy step that turns
+    * per-doc quality scores into a training corpus of a target size.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget must be non-negative")
+    scoreOrderedCum(df, idCol, scoreCol, Seq(tokensCol), col(tokensCol))
+      .filter(col("__cum") <= budget)
+      .select(col(idCol), col(scoreCol), col(tokensCol))
+  }
+
+  /** [[selectByTokenBudget]] with the budget as a FRACTION of the corpus's
+    * total tokens (floor(frac · total)), computed in-plan — no action, no
+    * driver round-trip, and the cutoff scales with the data.
+    */
+  def selectByTokenBudgetFraction(df: DataFrame, idCol: String,
+      scoreCol: String, tokensCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac $frac outside [0,1]")
+    scoreOrderedCum(df, idCol, scoreCol, Seq(tokensCol), col(tokensCol))
+      .filter(col("__cum") <= floor(lit(frac) * col("__total")))
+      .select(col(idCol), col(scoreCol), col(tokensCol))
   }
 
   /** Sequence packing for pretraining: documents concatenated in `idCol`

@@ -209,6 +209,70 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(got1 == expected)
   }
 
+  test("selectTopFraction keeps exactly the globally best frac by score") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scores with duplicates so the doc_id tie-break matters
+    val df = (1L to 200L).map(i => (i, ((i * 7) % 23).toDouble)).toDF("doc_id", "score")
+    val expected = df
+      .withColumn("rn", row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .filter($"rn" <= 20) // floor(0.1 * 200)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = Sampling.selectTopFraction(df, "doc_id", "score", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.size == 20)
+  }
+
+  test("selectByTokenBudget fills greedily by score within the budget") {
+    import spark.implicits._
+    // scores 5,4,3,2,1 with tokens 10,20,40,10,10; budget 70 keeps the
+    // score-order prefix 10+20+40=70 and nothing after it
+    val df = Seq((1L, 5.0, 10L), (2L, 4.0, 20L), (3L, 3.0, 40L),
+      (4L, 2.0, 10L), (5L, 1.0, 10L)).toDF("doc_id", "score", "n_tokens")
+    val got = Sampling.selectByTokenBudget(df, "doc_id", "score", "n_tokens", 70L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+    // fractional budget: floor(0.5 * 90) = 45 -> prefix 10+20 fits, +40 not
+    val got2 = Sampling.selectByTokenBudgetFraction(
+      df, "doc_id", "score", "n_tokens", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L))
+  }
+
+  test("budget selection is deterministic under AQE coalescing variations") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i =>
+      (i, ((i * 31) % 97).toDouble, 1L + (i * 37) % 113))
+      .toDF("doc_id", "score", "n_tokens")
+    val expected = df
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.orderBy($"score".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"cum" <= 7000L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val confs = Seq(
+      Map("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8"),
+      Map("spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1b"))
+    for (conf <- confs) {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        val got = Sampling.selectByTokenBudget(df, "doc_id", "score", "n_tokens", 7000L)
+          .collect().map(_.getLong(0)).toSet
+        assert(got == expected, s"mismatch under $conf")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("sessionize splits on gaps >= the threshold and aggregates per session") {
     import spark.implicits._
     def ts(min: Long) = new Timestamp(min * 60000L)
