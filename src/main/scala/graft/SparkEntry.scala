@@ -614,6 +614,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))),
 
+    // ----- H5: ordered conversion funnel over the event stream — one
+    // shuffle (all step mins chain over the same partitionBy(user))
+    "h5_funnel" -> ((s, dir) =>
+      Sessions.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))),
+
+    // ----- H6: weekly cohort retention triangle — events collapse
+    // map-side to distinct (user, week) before any join
+    "h6_retention" -> ((s, dir) =>
+      Sessions.retention(t(s, dir, "events"), "user_id", "ts")),
+
+    // ----- H7: exact global quantiles without a single-task sort —
+    // two-level scan order statistics (range partition + local ranks +
+    // broadcast prefix counts); Spark's own exact percentile would
+    // buffer the full column in one executor
+    "h7_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.exactQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))),
+
+    // ----- F4: theta-sketch distinct estimate (deterministic md5
+    // membership, so the ESTIMATE itself is oracle-checkable — unlike
+    // engine-specific HLL register layouts)
+    "f4_theta_distinct" -> ((s, dir) =>
+      Sampling.thetaDistinct(t(s, dir, "orders"), "o_custkey")),
+
+    // ----- TA13: Gopher/C4 rule-based quality filter — per-rule audit
+    // flags plus the combined keep decision, at scan speed
+    "ta13_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 20)),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -1485,6 +1516,85 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // ts cast to microsecond TIMESTAMP so strict-inequality comparisons
+    // match the engine (which reads the ns parquet as truncated micros)
+    "h5_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |t0 AS (SELECT user_id, min(ts) AS t FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+        |       JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+        |       (SELECT count(*) FROM t0) AS n_users
+        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM t1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM t2)""".stripMargin,
+
+    "h6_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "h7_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT t.q, r.v AS value
+        |FROM r JOIN (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS q) t
+        |  ON r.rn = CAST(ceil(t.q * CAST(r.n AS DOUBLE)) AS BIGINT)""".stripMargin,
+
+    // threshold '1000' and scale 0.0625 are the quantized rate 4096/65536
+    // baked by Sampling.thetaDistinct(rate = 1/16)
+    "f4_theta_distinct" ->
+      """WITH s AS (
+        |  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+        |  WHERE substring(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < '1000')
+        |SELECT count(*) AS n_sampled,
+        |  CAST(count(*) AS DOUBLE) / 0.0625 AS est_distinct FROM s""".stripMargin,
+
+    "ta13_gopher_rules" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 100000
+        |    AS r_word_count,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    <= 0.1 AS r_symbol_ratio,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    >= 0.8 AS r_alpha_words,
+        |  len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |    ['the','a','and','of','to','in','is','it','that'])) >= 2 AS r_stopwords,
+        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 100000)
+        |  AND (CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    BETWEEN 3.0 AND 10.0)
+        |  AND (CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    <= 0.1)
+        |  AND (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+        |    >= 0.8)
+        |  AND (len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |    ['the','a','and','of','to','in','is','it','that'])) >= 2) AS keep
+        |FROM documents""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,

@@ -194,6 +194,45 @@ object TextAnalysis {
           sum(col("__tf")).cast("double")).as("mean_tf"))
   }
 
+  /** Gopher/C4-style rule-based quality filter (cf. Rae et al. 2021
+    * §A.1.1 and Raffel et al. 2020 §2.2 — public heuristics): per-doc
+    * rule flags plus the combined keep decision, so a pipeline can both
+    * filter and audit WHY documents were dropped. Rules:
+    *
+    *   - `r_word_count`: word count in [minWords, maxWords]
+    *   - `r_mean_word_len`: mean word length in [3, 10] characters
+    *   - `r_symbol_ratio`: (# or ellipsis) occurrences / words <= 0.1
+    *   - `r_alpha_words`: >= 80% of words contain an alphabetic char
+    *   - `r_stopwords`: >= 2 distinct English stopwords present
+    *
+    * Pure codegen'd Column arithmetic (ratios are single divisions of
+    * exact integers — cross-engine bit-identical), runs at scan speed;
+    * every rule has a direct DuckDB twin for the oracle.
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val meanLen = length(regexp_replace(trim(text), "\\s+", ""))
+      .cast("double") / greatest(n, lit(1.0))
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+      .cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+    widen(df).select(
+      col(idCol),
+      n.cast("long").as("n_words"),
+      (n >= minWords && n <= maxWords).as("r_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_word_len"),
+      (symbols / greatest(n, lit(1.0)) <= 0.1).as("r_symbol_ratio"),
+      (alphaWords / greatest(n, lit(1.0)) >= 0.8).as("r_alpha_words"),
+      (stopwordOverlap(text, "en") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** Normalized-text form used for fingerprinting/exact dedup: trim,
     * collapse whitespace, lowercase.
     */

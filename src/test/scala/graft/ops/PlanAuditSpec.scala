@@ -99,4 +99,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("*(1) Project") || p.contains("*(1) Filter"), p)
     assert(p.contains("graft_dot"), p)
   }
+
+  test("h5: all funnel step windows share ONE user-keyed exchange") {
+    val p = plan("h5_funnel")
+    // three chained step-min windows + the per-user collapse must reuse a
+    // single hashpartitioning(user_id) exchange — funnel cost is one
+    // shuffle regardless of step count
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ta13: rule filter runs at scan speed — no keyed shuffle") {
+    val p = plan("ta13_gopher_rules")
+    assert(!p.contains("hashpartitioning"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p) // only the input widen
+  }
+
+  test("f4: theta sketch filters before the distinct agg; scan reads one column") {
+    val p = plan("f4_theta_distinct")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
+    // the threshold filter is below the aggregation (map-side sample)
+    assert(p.indexOf("HashAggregate") < p.indexOf("Filter"), p)
+  }
+
+  test("h7: quantiles never globally sort the data after ranking") {
+    // the range partition + per-partition rank live inside the
+    // localCheckpoint (the audited plan scans the materialized RDD); the
+    // visible plan must join the driver-size offsets/total by broadcast
+    // and never sort the value column globally
+    val p = plan("h7_quantiles")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin [__pid"), p)
+    assert(raw"Sort \[__v[^\n]*\], true".r.findFirstIn(p).isEmpty, p)
+  }
 }

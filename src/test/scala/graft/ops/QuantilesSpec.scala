@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkTestBase {
+
+  test("exactQuantiles matches a single-node sort at every requested q") {
+    import spark.implicits._
+    // non-uniform values with duplicates: (i*17 % 1000) over 5000 rows
+    val df = (1L to 5000L).map(i => (i * 17) % 1000).toDF("v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val sorted = df.orderBy($"v").collect().map(_.getLong(0))
+    val expected = qs.map(q =>
+      q -> sorted(math.ceil(q * sorted.length).toInt - 1)).toMap
+    val got = Quantiles.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("exactQuantiles is deterministic under repartitioning and AQE") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i * 31) % 500).toDF("v")
+    val base = Quantiles.exactQuantiles(df, "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val shuffled = Quantiles.exactQuantiles(df.repartition(13), "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
+    assert(base.keySet == Set(0.5, 0.9))
+  }
+
+  test("exactQuantiles rejects out-of-range quantiles") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "v", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "v", Seq(1.5))
+    }
+  }
+}

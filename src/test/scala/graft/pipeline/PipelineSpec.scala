@@ -232,4 +232,28 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
       5L -> "zh", 6L -> "und"))
   }
+
+  test("gopherRules flags each rule independently and combines into keep") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and runs to " +
+      "the old mill where it rests in the warm sun of late afternoon"
+    val samples = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "short text the a of"),                    // too few words
+      (3L, good + " ###### ##### #### ### ## # ... ... ..."), // symbol ratio
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 " +
+        "the a of in is"),                            // alpha-word share low
+      (5L, "zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk " +
+        "ll mm nn bb vv cc xx"))                      // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(samples, "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._6)       // word count fails -> keep false
+    assert(!got(3L)._3 && !got(3L)._6)       // symbol ratio fails
+    assert(!got(4L)._4 && !got(4L)._6)       // alpha words fail
+    assert(!got(5L)._5 && !got(5L)._6)       // stopwords fail
+  }
 }

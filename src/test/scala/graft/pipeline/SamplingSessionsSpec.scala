@@ -290,4 +290,68 @@ class SamplingSessionsSpec extends SparkTestBase {
       (1L, ts(60), 2L, 9.0),
       (2L, ts(5), 1L, 7.0)))
   }
+
+  test("funnel counts strictly time-ordered step subsequences per user") {
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val df = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "signup"), (1L, ts(5), "view"), (1L, ts(9), "purchase"),
+      // user 2: purchase BEFORE the view -> reaches only step 1
+      (2L, ts(0), "signup"), (2L, ts(3), "purchase"), (2L, ts(6), "view"),
+      // user 3: never signed up -> reaches nothing
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"),
+      // user 4: signup only; same-instant view must NOT count (strict >)
+      (4L, ts(7), "signup"), (4L, ts(7), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessions.funnel(df, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, "signup", 3L), (1L, "view", 2L), (2L, "purchase", 1L)))
+  }
+
+  test("funnel emits zero-count rows for unreached steps") {
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val df = Seq((1L, ts(0), "view")).toDF("user_id", "ts", "event_type")
+    val got = Sessions.funnel(df, "user_id", "ts", "event_type",
+      Seq("signup", "view")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L), (1L, 0L)))
+  }
+
+  test("retention cohorts users by first week and counts active offsets") {
+    import spark.implicits._
+    // Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+    def t(day: Int, hour: Int = 12) =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val df = Seq(
+      (1L, t(1)), (1L, t(3)),   // cohort wk0, active wk0 (twice, one row)
+      (1L, t(9)),               // wk1
+      (2L, t(2)),               // cohort wk0, only wk0
+      (3L, t(10)), (3L, t(16))) // cohort wk1, active wk1 + wk2(offset 1)
+      .toDF("user_id", "ts")
+    val got = Sessions.retention(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),   // users 1,2 active in their cohort week
+      ("2024-01-01", 1L, 1L),   // user 1 back in week 1
+      ("2024-01-08", 0L, 1L),   // user 3 cohort week
+      ("2024-01-08", 1L, 1L)))  // user 3 back the next week
+  }
+
+  test("thetaDistinct estimate tracks true cardinality and is deterministic") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => i % 5000).toDF("v") // 5000 distinct
+    val r1 = Sampling.thetaDistinct(df, "v", rate = 1.0 / 8).collect()(0)
+    val r2 = Sampling.thetaDistinct(df.repartition(7), "v", rate = 1.0 / 8)
+      .collect()(0)
+    assert(r1 == r2) // deterministic under repartitioning
+    val est = r1.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15,
+      s"estimate $est too far from 5000")
+    assert(r1.getLong(0) == math.round(est / 8.0)) // scale = n/rate exactly
+  }
 }
