@@ -14,6 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_minhash_sig(gs, k[, seed])        — MinHash signature (deterministic
   *                                             universal-hash params from seed)
   *
+  * plus the composed text-analysis scalars (shared tree with the Scala
+  * API, so SQL results are bit-identical): graft_token_count,
+  * graft_bpeish_count, graft_lang_id, graft_quality_score,
+  * graft_repetition_score, graft_fingerprint, graft_normalize,
+  * graft_word_ngrams(text, n).
+  *
   * Installed by [[graft.plans.GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or per-session via
   * [[NativeFunctions.register]].
@@ -82,7 +88,43 @@ object NativeFunctions {
         case Seq(gs, k, seed) =>
           val (a, b) = MinHashSig.params(intLit(k, "numHashes"), longLit(seed, "seed"))
           MinHashSig(gs, a, b, MinHashSig.P)
+      }) ++ textScalars
+
+  /** The composed text-analysis scalars (pure Column expression trees —
+    * [[graft.pipeline.TextAnalysis]]) re-exposed to SQL: the builder
+    * rebuilds the same tree over the call-site argument, so SQL and the
+    * Scala API share one definition and stay bit-identical.
+    */
+  private def textScalars
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.{Column, GraftColumn}
+    val cls = "graft.pipeline.TextAnalysis"
+    def expr1(name: String, usage: String)(f: Column => Column) =
+      reg(name, cls, usage) {
+        case Seq(t) => GraftColumn.catalystOf(f(GraftColumn.of(t)))
+      }
+    Seq(
+      expr1("graft_token_count", "whitespace token count")(
+        TextAnalysis.tokenCount),
+      expr1("graft_bpeish_count", "BPE-ish sub-word segment count")(
+        TextAnalysis.bpeishTokenCount),
+      expr1("graft_lang_id", "heuristic language id (en/de/fr/es/zh/und)")(
+        TextAnalysis.langId),
+      expr1("graft_quality_score", "document quality score in [0,1]")(
+        TextAnalysis.qualityScore),
+      expr1("graft_repetition_score", "1 - distinct/total word 3-grams")(
+        TextAnalysis.repetitionScore),
+      expr1("graft_fingerprint", "xxhash64 of the normalized text")(
+        TextAnalysis.fingerprint),
+      expr1("graft_normalize", "trimmed, whitespace-collapsed, lowercased text")(
+        TextAnalysis.normalize),
+      reg("graft_word_ngrams", cls, "space-joined word n-grams") {
+        case Seq(t, n) =>
+          GraftColumn.catalystOf(
+            TextAnalysis.wordNGrams(GraftColumn.of(t), intLit(n, "n")))
       })
+  }
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

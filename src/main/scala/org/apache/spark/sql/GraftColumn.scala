@@ -9,6 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumn {
   def of(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager conversion of a Column tree to catalyst expressions.
+    * [[expressionOf]] wraps the node in a LAZY `ColumnNodeExpression`,
+    * which stays Unevaluable when returned from a function-registry
+    * builder (the analyzer never looks inside it); this converter
+    * produces the real `UnresolvedFunction` tree, which the fixed-point
+    * analyzer then resolves like any parsed SQL.
+    */
+  def catalystOf(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Same bridge for logical plans: rebuild a DataFrame from a transformed

@@ -111,6 +111,41 @@ class VectorExprsSpec extends SparkTestBase {
     assert(r.getInt(5) == 16)
   }
 
+  test("text-analysis scalars are callable from SQL and match the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    NativeFunctions.register(spark)
+    val text = "The cat and the dog went to a house of friends. It is old."
+    val df = Seq((1L, text)).toDF("id", "text")
+    df.createOrReplaceTempView("nf_text")
+    val r = spark.sql("""
+      SELECT graft_token_count(text) AS tc,
+             graft_bpeish_count(text) AS bc,
+             graft_lang_id(text) AS lang,
+             graft_quality_score(text) AS q,
+             graft_repetition_score(text) AS rep,
+             graft_fingerprint(text) AS fp,
+             graft_normalize(text) AS norm,
+             size(graft_word_ngrams(text, 3)) AS n3
+      FROM nf_text""").head
+    val api = df.select(
+      graft.pipeline.TextAnalysis.tokenCount(col("text")),
+      graft.pipeline.TextAnalysis.bpeishTokenCount(col("text")),
+      graft.pipeline.TextAnalysis.langId(col("text")),
+      graft.pipeline.TextAnalysis.qualityScore(col("text")),
+      graft.pipeline.TextAnalysis.repetitionScore(col("text")),
+      graft.pipeline.TextAnalysis.fingerprint(col("text")),
+      graft.pipeline.TextAnalysis.normalize(col("text"))).head
+    assert(r.getInt(0) == api.getInt(0))
+    assert(r.getInt(1) == api.getInt(1))
+    assert(r.getString(2) == api.getString(2) && r.getString(2) == "en")
+    assert(r.getDouble(3) == api.getDouble(3)) // bit-identical, shared tree
+    assert(r.getDouble(4) == api.getDouble(4))
+    assert(r.getLong(5) == api.getLong(5))
+    assert(r.getString(6) == api.getString(6))
+    assert(r.getInt(7) == r.getInt(0) - 2)
+  }
+
   test("simhash/minhash sigs skip null array elements instead of crashing") {
     import spark.implicits._
     NativeFunctions.register(spark)
