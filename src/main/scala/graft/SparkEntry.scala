@@ -633,6 +633,12 @@ object SparkEntry {
       graft.ops.Quantiles.exactQuantiles(t(s, dir, "lineitem"),
         "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))),
 
+    // ----- H8: per-group exact quantiles — one keyed shuffle; rank and
+    // group-count windows share the exchange
+    "h8_group_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.groupedQuantiles(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", Seq(0.5, 0.95))),
+
     // ----- F4: theta-sketch distinct estimate (deterministic md5
     // membership, so the ESTIMATE itself is oracle-checkable — unlike
     // engine-specific HLL register layouts)
@@ -1553,6 +1559,17 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT t.q, r.v AS value
         |FROM r JOIN (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS q) t
+        |  ON r.rn = CAST(ceil(t.q * CAST(r.n AS DOUBLE)) AS BIGINT)""".stripMargin,
+
+    "h8_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, t.q, r.v AS value
+        |FROM r JOIN (SELECT unnest([0.5e0, 0.95e0]) AS q) t
         |  ON r.rn = CAST(ceil(t.q * CAST(r.n AS DOUBLE)) AS BIGINT)""".stripMargin,
 
     // threshold '1000' and scale 0.0625 are the quantized rate 4096/65536

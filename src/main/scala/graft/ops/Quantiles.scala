@@ -56,4 +56,27 @@ object Quantiles {
         ceil(col("q") * col("__n").cast("double")).cast("long"))
       .select(col("q"), col("__v").as("value"))
   }
+
+  /** Exact per-group quantiles: for every key, the discrete quantile of
+    * `valueCol` at each requested q. One shuffle on the key; the rank and
+    * group-count windows share the same partitioning (a single exchange +
+    * sort in the plan). Per-key data must fit a task — the usual window
+    * contract; for the GLOBAL quantile (one giant key) use
+    * [[exactQuantiles]] instead.
+    */
+  def groupedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile $q outside (0,1]"))
+    import df.sparkSession.implicits._
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valueCol))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("__rn") ===
+        ceil(col("q") * col("__n").cast("double")).cast("long"))
+      .select(col(keyCol), col("q"), col(valueCol).as("value"))
+  }
 }

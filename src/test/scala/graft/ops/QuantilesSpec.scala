@@ -29,6 +29,21 @@ class QuantilesSpec extends SparkTestBase {
     assert(base.keySet == Set(0.5, 0.9))
   }
 
+  test("groupedQuantiles matches per-key single-node sorts") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (s"k${i % 3}", (i * 13) % 700))
+      .toDF("k", "v")
+    val qs = Seq(0.5, 0.9)
+    val expected = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.map(_._2).sorted
+        qs.map(q => (k, q, sorted(math.ceil(q * sorted.length).toInt - 1)))
+      }.toSet
+    val got = Quantiles.groupedQuantiles(df, "k", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("exactQuantiles rejects out-of-range quantiles") {
     import spark.implicits._
     val df = Seq(1L).toDF("v")
