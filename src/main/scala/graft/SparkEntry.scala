@@ -440,6 +440,14 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "quality", "n_tokens", frac = 0.25)),
 
+    // ----- MIX2: epoch-style domain upsampling — repeat factors > 1
+    // (2.25 epochs of en, 1.5 of zh, 0.5 of the rest), per-row explode,
+    // no shuffle
+    "mix2_epoch_mix" -> ((s, dir) =>
+      Sampling.upsampleDomains(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 2.25, "zh" -> 1.5), defaultRate = 0.5)),
+
     // ----- CH1: context-window chunking (overlapping token windows,
     // per-row array ops only — no shuffle at any corpus size)
     "ch1_chunk_windows" -> ((s, dir) =>
@@ -1580,6 +1588,19 @@ object SparkEntry {
         |  WHERE substring(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < '1000')
         |SELECT count(*) AS n_sampled,
         |  CAST(count(*) AS DOUBLE) / 0.0625 AS est_distinct FROM s""".stripMargin,
+
+    // repeat factors: en 2.25 -> 2 whole + '4000' frac threshold,
+    // zh 1.5 -> 1 + '8000', default 0.5 -> 0 + '8000'
+    "mix2_epoch_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |         (CASE lang WHEN 'en' THEN '4000' ELSE '8000' END)
+        |       THEN 1 ELSE 0 END) AS nc
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(g.c AS BIGINT) AS copy
+        |FROM d, UNNEST(generate_series(0, d.nc - 1)) AS g(c)""".stripMargin,
 
     "ta13_gopher_rules" ->
       """SELECT doc_id,

@@ -49,6 +49,39 @@ object Sampling {
     df.filter(hashFrac(col(idCol)) < thr)
   }
 
+  /** Epoch-style domain upsampling — the complement of the keep-rate
+    * samplers: a repeat factor λ >= 0 per domain, where each row appears
+    * floor(λ) times plus one more with probability frac(λ) (decided by
+    * the same deterministic md5 membership test, so the materialized mix
+    * is reproducible everywhere). This is the "2.3 epochs of Wikipedia,
+    * 0.5 epochs of CommonCrawl" step of a training-mix recipe. Output
+    * carries a 0-based `copy` index so downstream shuffling/packing can
+    * treat copies as distinct rows. Per-row arithmetic + a bounded
+    * explode — no shuffle at any corpus size.
+    */
+  def upsampleDomains(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0, s"rate $r must be non-negative"))
+    def whole(r: Double) = math.floor(r).toLong
+    def fracHex(r: Double) = thresholdHex(r - math.floor(r))
+    val sorted = rates.toSeq.sortBy(_._1)
+    val wholeCol = sorted.foldLeft(lit(whole(defaultRate))) {
+      case (acc, (d, r)) => when(col(domainCol) === d, lit(whole(r))).otherwise(acc)
+    }
+    val thrCol = sorted.foldLeft(lit(fracHex(defaultRate))) {
+      case (acc, (d, r)) => when(col(domainCol) === d, lit(fracHex(r))).otherwise(acc)
+    }
+    val nc = wholeCol +
+      when(hashFrac(col(idCol)) < thrCol, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__nc", nc)
+      .filter(col("__nc") > 0)
+      // sequence(0, -1) would generate a DESCENDING range, so the filter
+      // above must precede the explode
+      .withColumn("copy", explode(sequence(lit(0L), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
   /** Theta-sketch-style approximate distinct count: hash every value,
     * keep only hashes below a fixed threshold θ (a map-side filter — the
     * shuffle sees just the θ-fraction sample), count the distinct

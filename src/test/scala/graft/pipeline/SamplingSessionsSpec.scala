@@ -342,6 +342,34 @@ class SamplingSessionsSpec extends SparkTestBase {
       ("2024-01-08", 1L, 1L)))  // user 3 back the next week
   }
 
+  test("upsampleDomains repeats rows floor(rate) times plus a hash-decided extra") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.upsampleDomains(df, "doc_id", "lang",
+      Map("a" -> 2.5), defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    // every 'a' doc appears 2 or 3 times; 'b' docs 0 or 1 times
+    val aCounts = (2L to 400L by 2).map(i => byDoc.getOrElse(i, 0))
+    val bCounts = (1L to 400L by 2).map(i => byDoc.getOrElse(i, 0))
+    assert(aCounts.forall(c => c == 2 || c == 3))
+    assert(bCounts.forall(c => c == 0 || c == 1))
+    // fractions land near the rates (hash-uniform): ~50% of a's get the
+    // 3rd copy, ~25% of b's survive
+    assert(math.abs(aCounts.count(_ == 3) / 200.0 - 0.5) < 0.15)
+    assert(math.abs(bCounts.count(_ == 1) / 200.0 - 0.25) < 0.15)
+    // copy indices are 0-based and dense
+    got.groupBy(_._1).values.foreach { copies =>
+      assert(copies.map(_._3).sorted.sameElements(0L until copies.length))
+    }
+    // deterministic under repartitioning
+    val again = Sampling.upsampleDomains(df.repartition(7), "doc_id", "lang",
+      Map("a" -> 2.5), defaultRate = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == got.toSet)
+  }
+
   test("thetaDistinct estimate tracks true cardinality and is deterministic") {
     import spark.implicits._
     val df = (1L to 20000L).map(i => i % 5000).toDF("v") // 5000 distinct
