@@ -123,8 +123,28 @@ object GraftOptions {
         case Some("wal") => graft.core.ChangelogImage.Wal
         case _ => graft.core.ChangelogImage.Full
       },
-      autoIncrementColumn = props.get(AutoIncrement))
+      autoIncrementColumn = props.get(AutoIncrement),
+      properties = (props.toMap -- structuralKeys -- sparkReserved)
+        .filterNot { case (k, _) => isAggKey(k) })
   }
+
+  /** Options fixed at CREATE TABLE time (ALTER ... SET rejects them). */
+  val structuralKeys: Set[String] = Set(
+    PrimaryKey, BucketKey, BucketNum, MergeEngine, VersionColumn,
+    DeleteBehavior, ChangelogImage, AutoIncrement)
+
+  /** Keys Spark itself stamps onto v2 createTable properties — catalog
+    * bookkeeping, not user table options.
+    */
+  private val sparkReserved: Set[String] = Set(
+    "provider", "owner", "comment", "location", "external",
+    "option.path", "path")
+
+  private def isAggKey(k: String): Boolean =
+    k.startsWith(AggPrefix) && k.endsWith(AggSuffix)
+
+  def isStructural(k: String): Boolean =
+    structuralKeys.contains(k) || isAggKey(k)
 
   /** Descriptor -> DDL properties (round-trips toDescriptor). */
   def toProperties(d: TableDescriptor): util.Map[String, String] = {
@@ -146,6 +166,7 @@ object GraftOptions {
     if (d.changelogImage == graft.core.ChangelogImage.Wal)
       m.put(ChangelogImage, "wal")
     d.autoIncrementColumn.foreach(m.put(AutoIncrement, _))
+    d.properties.foreach { case (k, v) => m.put(k, v) }
     m
   }
 }
@@ -269,12 +290,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    (sets.keys ++ unsets).foreach(k => require(!GraftOptions.isStructural(k),
+      s"'$k' is fixed at CREATE TABLE time (like the reference's schema/" +
+        "key/merge-engine options) — create a new table instead"))
+    if (sets.nonEmpty || unsets.nonEmpty)
+      core.updateProperties(db(ident), ident.name, sets, unsets)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested ADD COLUMN unsupported")
         core.addColumn(db(ident), ident.name,
           org.apache.spark.sql.types.StructField(
             add.fieldNames.head, add.dataType, add.isNullable))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }

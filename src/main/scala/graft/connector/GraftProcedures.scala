@@ -65,18 +65,19 @@ object GraftProcedures {
           in("pre_create", IntegerType, Some("2")),
           in("retain", IntegerType, Some("7"))),
         out("result", StringType)) { (t, row) =>
-        val unit = row.getUTF8String(1).toString.toLowerCase match {
-          case "hour" => AutoPartitionUnit.Hour
-          case "day" => AutoPartitionUnit.Day
-          case "month" => AutoPartitionUnit.Month
-          case "quarter" => AutoPartitionUnit.Quarter
-          case "year" => AutoPartitionUnit.Year
-          case other => throw new IllegalArgumentException(
-            s"unknown time unit '$other' (hour/day/month/quarter/year)")
+        // time_unit 'table' reads the policy from the table's own
+        // `table.auto-partition.*` properties (the reference's per-table
+        // options, set via ALTER TABLE ... SET TBLPROPERTIES) — the shape
+        // a scheduler loop over all tables uses
+        val policy = row.getUTF8String(1).toString.toLowerCase match {
+          case "table" => AutoPartitionPolicy.fromProperties(t.desc.properties)
+            .getOrElse(throw new IllegalArgumentException(
+              "table.auto-partition.enabled is not 'true' on this table"))
+          case unit => AutoPartitionPolicy(
+            timeUnit = AutoPartitionPolicy.unitOf(unit),
+            numPreCreate = row.getInt(2), numToRetain = row.getInt(3))
         }
-        val (created, expired) = t.maintainPartitions(
-          AutoPartitionPolicy(timeUnit = unit,
-            numPreCreate = row.getInt(2), numToRetain = row.getInt(3)),
+        val (created, expired) = t.maintainPartitions(policy,
           java.time.Instant.now())
         s"pre-created ${created.mkString("[", ",", "]")}, " +
           s"expired ${expired.mkString("[", ",", "]")}"

@@ -68,3 +68,34 @@ final case class AutoPartitionPolicy(
   def retentionCutoff(now: Instant): Option[String] =
     if (numToRetain < 0) None else Some(partitionValue(now, -numToRetain))
 }
+
+object AutoPartitionPolicy {
+
+  /** Policy from table properties, under the reference's option names
+    * (ConfigOptions.java:1726-1817): `table.auto-partition.enabled`,
+    * `.time-unit`, `.num-precreate`, `.num-retention`, `.key`,
+    * `.time-zone`. None unless enabled=true — the maintenance tick then
+    * skips the table, like AutoPartitionManager does.
+    */
+  def fromProperties(props: Map[String, String]): Option[AutoPartitionPolicy] = {
+    val p = "table.auto-partition."
+    if (!props.get(p + "enabled").exists(_.equalsIgnoreCase("true"))) None
+    else Some(AutoPartitionPolicy(
+      timeUnit = unitOf(props.getOrElse(p + "time-unit", "day")),
+      key = props.get(p + "key"),
+      numPreCreate = props.get(p + "num-precreate").map(_.toInt).getOrElse(2),
+      numToRetain = props.get(p + "num-retention").map(_.toInt).getOrElse(7),
+      timeZone = props.get(p + "time-zone").map(ZoneId.of)
+        .getOrElse(ZoneId.of("UTC"))))
+  }
+
+  def unitOf(s: String): AutoPartitionUnit = s.toLowerCase match {
+    case "hour" => AutoPartitionUnit.Hour
+    case "day" => AutoPartitionUnit.Day
+    case "month" => AutoPartitionUnit.Month
+    case "quarter" => AutoPartitionUnit.Quarter
+    case "year" => AutoPartitionUnit.Year
+    case other => throw new IllegalArgumentException(
+      s"unknown time unit '$other' (hour/day/month/quarter/year)")
+  }
+}

@@ -57,6 +57,21 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
   }
 
+  /** Dynamic table options — the reference's `ALTER TABLE ... SET (...)`
+    * / `RESET (...)` (engine-flink/ddl.md "SET properties"): free-form
+    * key/values persisted in the descriptor; structural options (schema,
+    * keys, merge engine) are immutable after create, like the reference.
+    */
+  def updateProperties(db: String, name: String,
+      set: Map[String, String], unset: Seq[String]): GraftTable = {
+    val t = getTable(db, name)
+    val desc2 = t.desc.copy(properties = t.desc.properties ++ set -- unset)
+    CatalogJson.atomicWrite(
+      Paths.get(warehouse, db, name, "meta.json").toString,
+      CatalogJson.write(desc2))
+    new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
+  }
+
   /** Clone a table: descriptor + log + snapshot + manifests copied to a
     * new name (the lakehouse `CREATE TABLE ... CLONE` analog; on an
     * object store this is a metadata-level copy). The clone is fully
@@ -139,7 +154,9 @@ object CatalogJson {
         case ChangelogImage.Full => "full"; case ChangelogImage.Wal => "wal"
       }),
       "autoIncrementColumn" -> d.autoIncrementColumn.map(JString(_): JValue)
-        .getOrElse(JNull))
+        .getOrElse(JNull),
+      "properties" -> JObject(d.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }))
     JsonMethods.pretty(JsonMethods.render(obj))
   }
 
@@ -174,7 +191,11 @@ object CatalogJson {
       },
       autoIncrementColumn = fields.get("autoIncrementColumn").collect {
         case JString(s) => s
-      })
+      },
+      // absent in metas written before the field existed
+      properties = fields.get("properties").collect {
+        case JObject(kvs) => kvs.collect { case (k, JString(v)) => k -> v }.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Atomic small-file write (manifesty things: offsets, txn log). */

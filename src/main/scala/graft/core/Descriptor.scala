@@ -94,7 +94,8 @@ final case class TableDescriptor(
     mergeEngine: MergeEngine = MergeEngine.Default,
     deleteBehavior: DeleteBehavior = DeleteBehavior.Allow,
     changelogImage: ChangelogImage = ChangelogImage.Full,
-    autoIncrementColumn: Option[String] = None) {
+    autoIncrementColumn: Option[String] = None,
+    properties: Map[String, String] = Map.empty) {
 
   def isPrimaryKeyTable: Boolean = primaryKey.nonEmpty
 

@@ -305,6 +305,58 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.sql("SELECT k FROM gfs.db.pm").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES persists dynamic options") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.props (k BIGINT, v INT) USING graft
+      TBLPROPERTIES ('primary.key' = 'k', 'table.log.ttl' = '7d')""")
+    def props() = spark.sql("SHOW TBLPROPERTIES gfs.db.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("table.log.ttl").contains("7d"))
+    spark.sql("""ALTER TABLE gfs.db.props SET TBLPROPERTIES (
+      'table.log.ttl' = '3d', 'table.auto-partition.enabled' = 'true')""")
+    assert(props().get("table.log.ttl").contains("3d"))
+    assert(props().get("table.auto-partition.enabled").contains("true"))
+    spark.sql("ALTER TABLE gfs.db.props UNSET TBLPROPERTIES ('table.log.ttl')")
+    assert(!props().contains("table.log.ttl"))
+    // survives a fresh catalog load (persisted in meta.json)
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "props")
+    assert(t.desc.properties ==
+      Map("table.auto-partition.enabled" -> "true"))
+    // structural options stay immutable, like the reference
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gfs.db.props SET TBLPROPERTIES ('primary.key' = 'v')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fixed at CREATE TABLE time")))
+  }
+
+  test("maintain_partitions reads the policy from table properties") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.autop (k BIGINT, v INT, dt STRING)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    // not enabled -> clean error
+    val e = intercept[Exception] {
+      spark.sql("CALL gfs.system.maintain_partitions('db.autop', 'table')").collect()
+    }
+    assert(e.getMessage.contains("table.auto-partition.enabled"))
+    spark.sql("""ALTER TABLE gfs.db.autop SET TBLPROPERTIES (
+      'table.auto-partition.enabled' = 'true',
+      'table.auto-partition.time-unit' = 'day',
+      'table.auto-partition.num-precreate' = '2',
+      'table.auto-partition.num-retention' = '7')""")
+    val msg = spark.sql("CALL gfs.system.maintain_partitions('db.autop', 'table')")
+      .collect()(0).getString(0)
+    assert(msg.startsWith("pre-created ["))
+    val today = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .format(java.time.Instant.now().atZone(java.time.ZoneId.of("UTC")))
+    assert(spark.sql("SHOW PARTITIONS gfs.db.autop")
+      .collect().map(_.getString(0)).contains(s"dt=$today"))
+  }
+
   test("DDL CHAR(n) column: over-length INSERT fails, valid rows read back") {
     wh
     spark.sql("CREATE TABLE gfs.db.chr (k BIGINT, code CHAR(3)) USING graft " +
