@@ -31,7 +31,28 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "rewrite_files", "expire_partitions",
-    "maintain_partitions")
+    "maintain_partitions", "expire_log")
+
+  /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
+    * reference's Duration-typed `table.log.ttl`).
+    */
+  private[connector] def parseTtlMillis(s: String): Long = {
+    val t = s.trim.toLowerCase
+    require(t.nonEmpty, "empty ttl")
+    val (num, unit) = t.last match {
+      case 'd' => (t.dropRight(1), 86400000L)
+      case 'h' => (t.dropRight(1), 3600000L)
+      case 'm' => (t.dropRight(1), 60000L)
+      case 's' => (t.dropRight(1), 1000L)
+      case _ => (t, 1L)
+    }
+    val n = try num.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"bad ttl '$s' (expected <n>[d|h|m|s] or milliseconds)")
+    }
+    require(n >= 0, s"ttl '$s' must be non-negative")
+    n * unit
+  }
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -51,6 +72,21 @@ object GraftProcedures {
         out("result", StringType)) { (t, row) =>
         t.rewriteLogFiles(row.getLong(1))
         "log rewritten to one file per (partition, bucket)"
+      })
+      case "expire_log" => Some(proc(catalog, "expire_log",
+        Seq(in("table", StringType),
+          in("ttl", StringType, Some("'table'"))),
+        out("dropped", LongType)) { (t, row) =>
+        // ttl 'table' reads the table's own `table.log.ttl` property
+        // (ConfigOptions.java:1814), settable via ALTER TABLE ... SET
+        val ttl = row.getUTF8String(1).toString match {
+          case "table" => parseTtlMillis(t.desc.properties.getOrElse(
+            "table.log.ttl", throw new IllegalArgumentException(
+              "table.log.ttl is not set on this table; pass an explicit " +
+                "ttl like '7d' or set the property")))
+          case explicit => parseTtlMillis(explicit)
+        }
+        Long.box(t.expireLog(ttl))
       })
       case "expire_partitions" => Some(proc(catalog, "expire_partitions",
         Seq(in("table", StringType), in("partition_col", StringType),

@@ -1202,6 +1202,66 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     swapRewrittenLog(tmpDir, manifestAtStart, "vacuumLog")
   }
 
+  /** Age-based log retention for LOG tables — the reference's
+    * `table.log.ttl` (fluss-common/.../config/ConfigOptions.java:1814;
+    * aged segments deleted by fluss-server/.../log/LogManager.java:553).
+    * Rows whose commit `__timestamp` is older than `ttlMillis` are
+    * dropped by rewriting the retained tail through the SAME publish
+    * protocol as [[vacuumLog]] (pinned manifest, marker BEFORE the
+    * atomic visibility flip). Because per-bucket offsets are assigned in
+    * commit order, a TTL cut is always a per-bucket PREFIX cut, so the
+    * marker's floor offsets (first retained offset per bucket; the next
+    * offset when a bucket empties) keep [[fastCount]], the poller floor
+    * check and the time-travel guard exact — the reference's
+    * highwatermark − logStartOffset accounting.
+    *
+    * PK tables must `compact()` + [[vacuumLog]] instead: dropping
+    * un-compacted log rows there would silently lose state.
+    *
+    * @return number of rows dropped (0 = no rewrite performed)
+    */
+  def expireLog(ttlMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Long = {
+    require(!desc.isPrimaryKeyTable,
+      "expireLog is for log tables; PK tables: compact() then vacuumLog()")
+    require(ttlMillis >= 0, s"ttl $ttlMillis must be non-negative")
+    val cutoff = new java.sql.Timestamp(nowMillis - ttlMillis)
+    val manifestAtStart = readManifest()
+    val all = logDFFor(manifestAtStart)
+    val stats = all.groupBy(col(Meta.Bucket)).agg(
+      sum(when(col(Meta.Timestamp) < lit(cutoff), 1L).otherwise(0L)).as("dropped"),
+      min(when(col(Meta.Timestamp) >= lit(cutoff), col(Meta.Offset))).as("minKept"),
+      min(when(col(Meta.Timestamp) >= lit(cutoff), col(Meta.Timestamp))).as("minTs"))
+      .collect()
+    val dropped = stats.map(_.getLong(1)).sum
+    if (dropped == 0L) return 0L
+    val nextOffsets = manifestAtStart._1
+    val newFloors = stats.map { r =>
+      val b = r.getInt(0)
+      b -> (if (r.isNullAt(2)) nextOffsets.getOrElse(b, 0L) else r.getLong(2))
+    }.toMap
+    // monotone-merge with any existing marker (earlier expire/vacuum):
+    // floors and the travel bound only ever advance
+    val mergedFloors = (retainedFloorOffsets.getOrElse(Map.empty).toSeq ++
+      newFloors.toSeq).groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
+    val newBound = stats.collect {
+      case r if !r.isNullAt(3) => r.getTimestamp(3).getTime
+    } match { case a if a.nonEmpty => a.min; case _ => nowMillis }
+    val mergedBound = math.max(newBound,
+      readMarkerMillis(vacuumMarkerFile, "boundMillis").getOrElse(Long.MinValue))
+    val tmpDir = s"$path/log.expire"
+    all.filter(col(Meta.Timestamp) >= lit(cutoff))
+      .write.mode("overwrite")
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+    CatalogJson.atomicWrite(vacuumMarkerFile,
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "boundMillis" -> (JInt(mergedBound): JValue),
+        "floorOffsets" -> (JObject(mergedFloors.toList.sortBy(_._1)
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue))))))
+    swapRewrittenLog(tmpDir, manifestAtStart, "expireLog")
+    dropped
+  }
+
   /** Publish tail shared by [[vacuumLog]] and [[rewriteLogFiles]]: under
     * the commit lock, conflict-check against the pinned manifest — BOTH
     * offsets and the committed-id set, because a concurrent vacuum or
@@ -1486,7 +1546,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def fastCount: Long = {
     require(!desc.isPrimaryKeyTable,
       "offset-metadata count requires an append-only log table")
-    readOffsets().values.sum
+    // highwatermark − logStartOffset per bucket: TTL expiry ([[expireLog]])
+    // advances the floor, so the metadata count stays exact after
+    // retention — offsets alone would keep counting purged rows
+    val floors = retainedFloorOffsets.getOrElse(Map.empty)
+    readOffsets().map { case (b, next) =>
+      next - floors.getOrElse(b, 0L) }.sum
   }
 
   /** Typed read surface (TypedLogScanner, fluss-client/.../scanner/log/
