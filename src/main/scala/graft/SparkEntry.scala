@@ -289,6 +289,17 @@ object SparkEntry {
     "d8_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)),
 
+    // ----- D9: SemDeDup (Abbas et al. 2023) — semantic dedup over the
+    // embedding space: coarse IVF clustering bounds the pairwise cosine
+    // work to same-cluster pairs (n²/nlist, not corpus²); min-id
+    // representative kept per duplicate group. The oracle replays the
+    // deterministic first-nlist quantizer + in-cluster threshold exactly.
+    "d9_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", nlist = 16, threshold = 0.4, s)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))),
+
     // ----- J4: delta join — true stream-stream join (both sides micro-
     // batch file streams) with watermarks + a time-range predicate that
     // bounds the join state; equals the batch join since no row is late
@@ -658,6 +669,32 @@ object SparkEntry {
     "ta13_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
         minWords = 20)),
+
+    // ----- TA14: DSIR importance scores (Xie et al. 2023) — hashed
+    // n-gram log importance weights of each doc against a target subset
+    // (here: every 10th doc as the "target distribution"). n_grams is an
+    // exact integer cross-check; the double score is rounded to 6 dp in
+    // both engines (log is the one transcendental the oracle can't
+    // replay bit-for-bit).
+    "ta14_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+        targetCol = col("doc_id") % 10 === 0, buckets = 4096)
+        .withColumn("dsir_score", round(col("dsir_score"), 6))),
+
+    // ----- TA15: per-source document cap (crawl-pipeline "at most N pages
+    // per domain") — salted local prune bounds the per-group shuffle at
+    // k·salts rows no matter how skewed the domain is
+    "ta15_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
+          col("source"), TextAnalysis.qualityScore(col("text")).as("quality")),
+        "doc_id", "source", "quality", k = 20)),
+
+    // ----- TA16: CCNet-style unigram-LM NLL/token (head/middle/tail
+    // perplexity bucketing signal); rounded to 6 dp in both engines
+    "ta16_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("unigram_nll", round(col("unigram_nll"), 6))),
 
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
@@ -1602,6 +1639,30 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(g.c AS BIGINT) AS copy
         |FROM d, UNNEST(generate_series(0, d.nc - 1)) AS g(c)""".stripMargin,
 
+    // mirrors semanticDedup(nlist=16, threshold=0.4, first-n quantizer):
+    // same centroid/assignment replay as sim3 (ties -> larger index, like
+    // Spark's greatest(struct)), then same-cluster pairwise cosine
+    "d9_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id <> 0),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
+        |      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+        |asg AS (
+        |  SELECT vec_id, i AS cluster, e FROM (
+        |    SELECT v.vec_id, c.i, v.e, row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_dot_product(v.e, c.e)
+        |        / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.e, c.e)))
+        |      DESC, c.i DESC) AS rn
+        |    FROM v CROSS JOIN c) WHERE rn = 1),
+        |rm AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |    >= 0.4)
+        |SELECT asg.vec_id, cluster, rm.vec_id IS NULL AS kept
+        |FROM asg LEFT JOIN rm ON asg.vec_id = rm.vec_id""".stripMargin,
+
     "ta13_gopher_rules" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
@@ -1633,6 +1694,64 @@ object SparkEntry {
         |  AND (len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
         |    ['the','a','and','of','to','in','is','it','that'])) >= 2) AS keep
         |FROM documents""".stripMargin,
+
+    // mirrors dsirScore(buckets=4096, target = doc_id % 10 = 0): unigram
+    // + bigram hashed features (md5-60 % 4096), add-one-smoothed log
+    // importance weight; n_grams is exact, the score rounds to 6 dp
+    "ta14_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 10 = 0 AS tgt,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt, unnest(ts) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, tgt, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g FROM tok),
+        |docb AS (
+        |  SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b,
+        |    count(*) AS cnt
+        |  FROM g GROUP BY ALL),
+        |stats AS (
+        |  SELECT b, sum(cnt) AS rc,
+        |    sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS tc
+        |  FROM docb GROUP BY b),
+        |tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM stats)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  round(sum(CAST(cnt AS DOUBLE) * (
+        |    ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |    - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE)))), 6)
+        |    AS dsir_score
+        |FROM docb JOIN stats USING (b), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // mirrors capPerGroup(k=20): rank within source by (quality DESC,
+    // doc_id); the salted pre-prune is plan shape only, not semantics
+    "ta15_source_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, $qualitySqlExpr AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    // mirrors unigramNll: nll = ln(T) - (1/N)·sum(tf·ln(f)); counts are
+    // exact, the score rounds to 6 dp (ln is transcendental)
+    "ta16_unigram_nll" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) GROUP BY doc_id, t),
+        |freq AS (SELECT t, sum(tf) AS f FROM tf GROUP BY t),
+        |tot AS (SELECT sum(f) AS n_corpus FROM freq)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(n_corpus AS DOUBLE))
+        |    - sum(CAST(tf AS DOUBLE) * ln(CAST(f AS DOUBLE)))
+        |      / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
+        |FROM tf JOIN freq USING (t), tot
+        |GROUP BY doc_id, n_corpus""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,

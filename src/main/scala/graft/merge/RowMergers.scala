@@ -104,9 +104,15 @@ object RowMergers {
       else desc.schema(i).dataType match {
         case LongType => r.getLong(i)
         case IntegerType => r.getInt(i).toLong
-        case TimestampType | TimestampNTZType => r.getAs[java.sql.Timestamp](i) match {
+        // r.get can surface any of the external timestamp classes depending
+        // on datetime conf (java8 API, NTZ columns) — match on the value,
+        // never cast first (getAs[Timestamp] would throw on LocalDateTime)
+        case TimestampType | TimestampNTZType => r.get(i) match {
           case t: java.sql.Timestamp => t.getTime
-          case _ => r.getAs[Any](i).toString.toLong
+          case t: java.time.Instant => t.toEpochMilli
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case other => other.toString.toLong
         }
         case other => throw new IllegalArgumentException(
           s"version column must be INT/BIGINT/TIMESTAMP, got $other")

@@ -27,12 +27,20 @@ object Fixtures {
     * float math here).
     */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = df0.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+        df0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df0
     }
+    // Depending on the writer, testdata timestamps arrive either UTC-
+    // adjusted (-> TimestampType) or naive (-> TimestampNTZType under
+    // Spark's parquet NTZ inference). The engine standardizes on instant
+    // semantics: sessions run in UTC, so casting NTZ to TimestampType is
+    // value-preserving — and watermarks / versioned merge require
+    // TimestampType.
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   private def cached(key: String, sfDir: String)(build: => GraftTable): GraftTable =

@@ -516,6 +516,55 @@ object Dedup {
   def keepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space coarsely, then within each cluster mark
+    * cosine near-duplicates and keep one representative per duplicate
+    * group — greedy by id, i.e. a vector is dropped iff a smaller-id
+    * vector in its cluster is within the threshold (the same min-id-wins
+    * rule as [[keepers]]).
+    *
+    * Scale shape: clustering bounds the pairwise work — candidates are
+    * same-cluster only, so comparisons cost sum(|c_i|²) ≈ n²/nlist with
+    * balanced clusters, and nlist grows with the corpus (the paper runs
+    * 50k clusters at web scale). The cluster id is also the natural
+    * storage partition key, making each cluster's self-join co-located —
+    * no corpus-wide shuffle. `kmeansClusters=true` uses the production
+    * quantizer ([[Similarity.ivfAssignKMeans]]); false uses the
+    * deterministic first-nlist assignment ([[Similarity.ivfAssign]]),
+    * exactly reproducible in SQL — the oracle path.
+    *
+    * Returns every input id with its cluster and kept flag.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double,
+      spark: org.apache.spark.sql.SparkSession,
+      kmeansClusters: Boolean = false): DataFrame = {
+    val (assigned, _) =
+      if (kmeansClusters)
+        Similarity.ivfAssignKMeans(df, idCol, vecCol, nlist)
+      else Similarity.ivfAssign(df, idCol, vecCol, nlist, spark)
+    // materialize the assignment once: the nlist-way argmax would
+    // otherwise run three times (both join sides + final output)
+    val base = assigned.select(col("__list").as("cluster"),
+        col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+      .localCheckpoint()
+    val a = base.select(col("cluster"), col("id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = base.select(col("cluster"), col("id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_n"))
+    val removed = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    base.select(col("id"), col("cluster"))
+      .join(removed.withColumn("__rm", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__rm").isNull.as("kept"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise candidates into dedup CLUSTERS (pairs alone under-merge: if
     * A~B and B~C but A!~C, min-id-per-pair keeps both A and C).

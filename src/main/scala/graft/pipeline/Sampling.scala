@@ -296,6 +296,36 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col(tokensCol))
   }
 
+  /** Per-group cap: keep the top `k` rows of each group by (`scoreCol`
+    * DESC, `idCol`) — the "at most N documents per domain" rule every
+    * crawl pipeline applies so one giant domain can't dominate the mix.
+    *
+    * Skew shape: a plain window over `groupCol` puts an entire domain in
+    * one task — a 100M-page domain becomes a straggler. So rows are first
+    * pruned within (`group`, salt-of-id) cells: a cell's rank-> k rows can
+    * never be in the group's global top k, so at most k·`salts` rows per
+    * group reach the final window, bounding the heavy shuffle by k·salts
+    * regardless of domain size. The salt is md5-derived from the id —
+    * deterministic, so the result is reproducible anywhere.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    import org.apache.spark.sql.expressions.Window
+    val salt = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 4), 16, 10).cast("long") % salts
+    val local = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__salt", salt)
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__lr")
+  }
+
   /** Sequence packing for pretraining: documents concatenated in `idCol`
     * order and cut into fixed-`seqLen`-token training sequences — the
     * standard "packing" step that eliminates padding waste. Output is the

@@ -194,6 +194,96 @@ object TextAnalysis {
           sum(col("__tf")).cast("double")).as("mean_tf"))
   }
 
+  /** CCNet-style unigram-LM negative log-likelihood per token (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020 — there a KenLM 5-gram; the unigram form is
+    * the same filter shape): nll = ln(T) − (1/N_doc)·Σ_t cnt_t·ln(f_t),
+    * where f_t is the corpus frequency of token t and T the corpus token
+    * total. Low = fluent/common text, high = noise; CCNet buckets the
+    * corpus into head/middle/tail by this score.
+    *
+    * Same one-explode shape as [[tokenRarity]] (the TF table feeds the
+    * vocabulary count and the per-doc aggregate). The per-doc double sum
+    * folds in ascending-token order (sort_array + aggregate) so the score
+    * is reproducible across partitionings; `ln` is transcendental, so
+    * cross-engine oracles round (6 dp leaves ~1e7 ulp of headroom).
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = widen(df)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val freq = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__f"))
+    val total = freq.agg(sum(col("__f")).as("__tot"))
+    tf.join(freq, Seq("__t")).crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (first(log(col("__tot").cast("double"))) -
+          aggregate(
+            sort_array(collect_list(struct(col("__t"),
+              (col("__tf").cast("double") * log(col("__f").cast("double")))
+                .as("__term")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("__term"))
+          / sum(col("__tf")).cast("double")).as("unigram_nll"))
+  }
+
+  /** DSIR-style importance score (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): hashed
+    * n-gram features (unigrams + bigrams → `buckets` via the md5-60
+    * hash), per-bucket counts over a TARGET subset vs the whole corpus,
+    * and per-doc score = Σ_b cnt_b · (ln p̂_target(b) − ln p̂_corpus(b))
+    * with add-one smoothing — the log importance weight under bag-of-
+    * hashed-ngrams unigram models. High scores = documents that look
+    * like the target distribution; selection/resampling ranks on it.
+    *
+    * Shape at scale: one explode pass → per-(doc,bucket) counts
+    * (map-side combined), bucket stats aggregated from that same table,
+    * then an equi-join on bucket (≤`buckets` distinct keys; Catalyst
+    * broadcasts the stats side) and a per-doc aggregate. Nothing is
+    * corpus²; the stats table is O(buckets).
+    *
+    * Determinism: counts are exact integers; the per-doc double sum
+    * folds in ascending-bucket order (sort_array + aggregate), so the
+    * score is bit-reproducible across partitionings AND engines — the
+    * [[quality]]-score discipline applied to an aggregate.
+    */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetCol: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bi = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val grams = widen(df).select(col(idCol), targetCol.as("__tgt"),
+        explode(concat(toks, bi)).as("__g"))
+      .select(col(idCol), col("__tgt"),
+        (Dedup.md5Hash60(col("__g")) % buckets).as("__b"))
+    // one (doc, bucket) count table feeds the doc terms AND the global
+    // bucket stats — explode runs once
+    val docb = grams.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val stats = docb.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("__rc"),
+        sum(when(col("__tgt"), col("__cnt")).otherwise(0L)).as("__tc"))
+    val totals = stats.agg(sum(col("__rc")).as("__rt"), sum(col("__tc")).as("__tt"))
+    val term = docb.join(stats, Seq("__b")).crossJoin(broadcast(totals))
+      .withColumn("__term", col("__cnt").cast("double") * (
+        log((col("__tc") + 1).cast("double") /
+          (col("__tt") + buckets).cast("double")) -
+        log((col("__rc") + 1).cast("double") /
+          (col("__rt") + buckets).cast("double"))))
+    term.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        aggregate(
+          sort_array(collect_list(struct(col("__b"), col("__term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__term")).as("dsir_score"))
+  }
+
   /** Gopher/C4-style rule-based quality filter (cf. Rae et al. 2021
     * §A.1.1 and Raffel et al. 2020 §2.2 — public heuristics): per-doc
     * rule flags plus the combined keep decision, so a pipeline can both

@@ -256,4 +256,132 @@ class PipelineSpec extends SparkTestBase {
     assert(!got(4L)._4 && !got(4L)._6)       // alpha words fail
     assert(!got(5L)._5 && !got(5L)._6)       // stopwords fail
   }
+
+  test("semanticDedup matches the brute-force in-cluster rule; kmeans variant covers all ids") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val vecs = rest.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // replicate ivfAssign: centroids = first 16 by id, argmax cosine,
+    // ties -> larger index (Spark greatest(struct) semantics)
+    val cents = vecs.take(16).map(_._2)
+    val cluster = vecs.map { case (id, v) =>
+      var best = 0; var bestS = Double.NegativeInfinity
+      for (i <- cents.indices) {
+        val s = cos(v, cents(i))
+        if (s >= bestS) { bestS = s; best = i }
+      }
+      id -> best
+    }.toMap
+    val byId = vecs.toMap
+    val expRemoved = vecs.map(_._1).filter { id =>
+      vecs.exists { case (o, _) =>
+        o < id && cluster(o) == cluster(id) && cos(byId(o), byId(id)) >= 0.4
+      }
+    }.toSet
+    val got = Dedup.semanticDedup(rest, "vec_id", "embedding",
+        nlist = 16, threshold = 0.4, spark)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.length == vecs.length)
+    assert(got.map(r => r._1 -> r._2).toMap == cluster)
+    assert(got.filterNot(_._3).map(_._1).toSet == expRemoved)
+    assert(expRemoved.nonEmpty, "threshold should remove something here")
+    // production quantizer: same ids, one row each, kept is a subset rule
+    val km = Dedup.semanticDedup(rest, "vec_id", "embedding",
+        nlist = 8, threshold = 0.4, spark, kmeansClusters = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(km.map(_._1).sorted.toSeq == vecs.map(_._1).toSeq)
+  }
+
+  test("capPerGroup keeps exactly the top-k per group regardless of salting") {
+    import spark.implicits._
+    // 3 groups with sizes 50/30/5; score has deliberate ties (i % 7) so
+    // the doc_id tiebreak matters; k=4 with salts>1 exercises the salted
+    // local prune (cells hold fewer than k rows each)
+    val df = (1L to 85L).map { i =>
+      val g = if (i <= 50) "a" else if (i <= 80) "b" else "c"
+      (i, g, (i % 7).toDouble)
+    }.toDF("id", "grp", "score")
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(4).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1) }
+      }.toMap
+    for (salts <- Seq(1, 4, 64)) {
+      val got = Sampling.capPerGroup(df, "id", "grp", "score", k = 4, salts)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+      assert(got == expected, s"salts=$salts")
+    }
+  }
+
+  test("unigramNll matches a driver-side replay; common text scores lower") {
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val freq = toks.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    val total = freq.values.sum
+    val exp = toks.map { case (id, ts) =>
+      id -> (math.log(total.toDouble) -
+        ts.map(t => math.log(freq(t).toDouble)).sum / ts.size)
+    }.toMap
+    val got = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == exp.keySet)
+    for ((id, e) <- exp)
+      assert(math.abs(got(id) - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"doc $id: got ${got(id)}, expected $e")
+  }
+
+  test("dsirScore matches a driver-side replay and is partition-invariant") {
+    val target = col("doc_id") % 10 === 0
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val buckets = 512
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val docb = toks.flatMap { case (id, ts) =>
+      val grams = ts ++ ts.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      grams.groupBy(h).map { case (b, gs) => (id, b, gs.size.toLong) }
+    }
+    val tgt = (id: Long) => id % 10 == 0
+    val rc = docb.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._3).sum }
+    val tc = docb.filter(x => tgt(x._1)).groupBy(_._2)
+      .map { case (b, xs) => b -> xs.map(_._3).sum }.withDefaultValue(0L)
+    val rt = rc.values.sum; val tt = tc.values.sum
+    val exp = docb.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, b, cnt) =>
+        cnt * (math.log((tc(b) + 1.0) / (tt + buckets)) -
+          math.log((rc(b) + 1.0) / (rt + buckets)))
+      }.sum
+    }
+    val run = () => TextAnalysis.dsirScore(docs, "doc_id", "text",
+        target, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = run()
+    assert(got.keySet == exp.keySet)
+    for ((id, e) <- exp)
+      assert(math.abs(got(id) - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"doc $id: got ${got(id)}, expected $e")
+    // bit-reproducibility across partitionings (the sort_array fold)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(run() == got)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }
