@@ -114,6 +114,15 @@ object SparkEntry {
       Fixtures.lineitemRewritten(s, dir).scan()
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
 
+    // ----- S15: z-order-clustered rewrite (Delta/Iceberg ZORDER analog) —
+    // range predicates on BOTH clustered dims; rows must round-trip
+    // exactly, and the layout makes min/max skipping fire on each dim
+    "s15_zorder" -> ((s, dir) =>
+      Fixtures.lineitemZordered(s, dir).scan()
+        .filter(col("l_partkey") <= 50 && col("l_suppkey") <= 5)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))),
+
     // ----- A2: partial update (declared column subset)
     "a2_partial_update" -> ((s, dir) => Fixtures.usersPartial(s, dir).scan()),
 
@@ -950,6 +959,10 @@ object SparkEntry {
 
     "s13_rewrite_files" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+
+    "s15_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem WHERE l_partkey <= 50 AND l_suppkey <= 5""".stripMargin,
 
     "tt2_version_travel" ->
       """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)

@@ -68,10 +68,14 @@ object GraftProcedures {
       })
       case "rewrite_files" => Some(proc(catalog, "rewrite_files",
         Seq(in("table", StringType),
-          in("max_records_per_file", LongType, Some("0"))),
+          in("max_records_per_file", LongType, Some("0")),
+          in("zorder_by", StringType, Some("''"))),
         out("result", StringType)) { (t, row) =>
-        t.rewriteLogFiles(row.getLong(1))
-        "log rewritten to one file per (partition, bucket)"
+        val zcols = row.getUTF8String(2).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        t.rewriteLogFiles(row.getLong(1), zorderBy = zcols)
+        if (zcols.isEmpty) "log rewritten to one file per (partition, bucket)"
+        else s"log rewritten, z-ordered by ${zcols.mkString(",")}"
       })
       case "expire_log" => Some(proc(catalog, "expire_log",
         Seq(in("table", StringType),

@@ -1310,17 +1310,33 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * with one atomic manifest write whose id set is exactly the rewrite's,
     * then drop the now-invisible originals. Works on log tables and PK
     * tables alike (for PK tables it compacts the retained log tier;
-    * [[compact]] is the state-snapshot tier).
+    * [[compact]] is the state-snapshot tier). `zorderBy` additionally
+    * clusters the rewritten rows by a Morton z-value over the named
+    * columns (the Delta/Iceberg `ZORDER BY` analog — see
+    * [[graft.ops.Zorder]]) so min/max skipping works on every clustered
+    * dimension at once.
     */
-  def rewriteLogFiles(maxRecordsPerFile: Long = 0L): Unit = {
+  def rewriteLogFiles(maxRecordsPerFile: Long = 0L,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 16): Unit = {
     val tmpDir = s"$path/log.rewrite"
     val manifestAtStart = readManifest()
     val retained = logDFFor(manifestAtStart)
     // one shuffle keyed by the dir layout: each (partition, bucket) lands
     // in one task -> one output file per dir (plus maxRecordsPerFile splits)
     val dirKeys = (desc.partitionKeys :+ Meta.Bucket).map(col)
-    retained.repartition(dirKeys: _*)
-      .write.mode("overwrite")
+    val parted = retained.repartition(dirKeys: _*)
+    // Z-order clustering (Zorder.zvalueFor): rows sort by the interleaved
+    // key so every row group / split file has a narrow min/max on EVERY
+    // clustered column — multi-dimensional batch-stats skipping (P3).
+    // The dir keys LEAD the sort so FileFormatWriter sees its required
+    // partition-column ordering already satisfied and inserts no sort of
+    // its own (a writer-inserted, possibly unstable sort on the dir keys
+    // alone would silently destroy the clustering).
+    val laid =
+      if (zorderBy.isEmpty) parted
+      else parted.sortWithinPartitions(
+        dirKeys :+ graft.ops.Zorder.zvalueFor(retained, zorderBy, zorderBits): _*)
+    laid.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     swapRewrittenLog(tmpDir, manifestAtStart, "rewriteLogFiles")

@@ -526,6 +526,24 @@ object Fixtures {
       t
     }
 
+  /** S15 z-order fixture: lineitem appended, then the log rewritten with
+    * `zorderBy = (l_partkey, l_suppkey)` and a file-size bound — every
+    * output file gets a narrow min/max on BOTH columns, so range
+    * predicates on either prune files/row groups. Rows must still
+    * round-trip byte-identically (clustering is layout, not semantics).
+    */
+  def lineitemZordered(spark: SparkSession, sfDir: String): GraftTable =
+    cached("lineitem_zordered", sfDir) {
+      val li = read(spark, sfDir, "lineitem")
+      val t = fresh(spark, sfDir, "lineitem_zordered",
+        TableDescriptor(li.schema, bucketKeys = Seq("l_orderkey")))
+      val ord = Seq(li("l_orderkey") * 10 + li("l_linenumber"))
+      t.append(li, orderBy = ord)
+      t.rewriteLogFiles(maxRecordsPerFile = 2000,
+        zorderBy = Seq("l_partkey", "l_suppkey"))
+      t
+    }
+
   /** S1 poll-consumer fixture (LogScanner poll/commit): even orderkeys
     * appended, polled and committed by group "g1"; odd orderkeys appended;
     * a NEW poller for the same group resumes from the committed position —

@@ -194,6 +194,12 @@ class ConnectorSpec extends SparkTestBase {
     assert(rewritten.head.getString(0).contains("rewritten"))
     assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 3)
 
+    // z-ordered variant: layout-only change, rows intact
+    val zrw = spark.sql(
+      "CALL gfs.system.rewrite_files('db.mt', 0, 'k, v')").collect()
+    assert(zrw.head.getString(0).contains("z-ordered by k,v"))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 3)
+
     val expired = spark.sql(
       "CALL gfs.system.expire_partitions('db.mt', 'dt', '2024-01-02')").collect()
     assert(expired.head.getInt(0) == 1)
