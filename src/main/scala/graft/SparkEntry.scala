@@ -507,6 +507,26 @@ object SparkEntry {
         "doc_id", "n_tokens", budget = 8000L)
     }),
 
+    // ----- PIPE2: the corpus-SELECTION pipeline composed end-to-end —
+    // Gopher rule filter → quality score → per-source top-k cap (salted,
+    // skew-safe) → token-shard packing; the shape that turns raw crawl
+    // into a training mix
+    "pipe2_select_corpus" -> ((s, dir) => {
+      val docs = TextAnalysis.widen(t(s, dir, "documents"))
+      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 20).filter(col("keep")).select("doc_id")
+      val scored = docs.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val capped = Sampling.capPerGroup(scored, "doc_id", "source",
+        "quality", k = 20)
+      Sampling.packTokenShards(capped.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 10000L)
+        .join(capped.select(col("doc_id"), col("source"), col("quality"),
+          col("rank")), Seq("doc_id"))
+    }),
+
     // ----- T8: streaming exact dedup — dropDuplicatesWithinWatermark
     // over the event stream (idempotent ingest; state bounded by the
     // watermark, key set equals batch DISTINCT)
@@ -873,6 +893,24 @@ object SparkEntry {
       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) +
       |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))""".stripMargin
+
+  /** The ta13 combined Gopher keep decision as a DuckDB predicate over
+    * `text` — shared by the ta13 and pipe2 oracles.
+    */
+  private val gopherKeepSqlExpr =
+    """(len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 100000)
+      |  AND (CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+      |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+      |    BETWEEN 3.0 AND 10.0)
+      |  AND (CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+      |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+      |    <= 0.1)
+      |  AND (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
+      |    >= 0.8)
+      |  AND (len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+      |    ['the','a','and','of','to','in','is','it','that'])) >= 2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ta11_top_fraction" ->
@@ -1677,36 +1715,43 @@ object SparkEntry {
         |FROM asg LEFT JOIN rm ON asg.vec_id = rm.vec_id""".stripMargin,
 
     "ta13_gopher_rules" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-        |  len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 100000
-        |    AS r_word_count,
-        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
-        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    <= 0.1 AS r_symbol_ratio,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    >= 0.8 AS r_alpha_words,
-        |  len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
-        |    ['the','a','and','of','to','in','is','it','that'])) >= 2 AS r_stopwords,
-        |  (len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 100000)
-        |  AND (CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    BETWEEN 3.0 AND 10.0)
-        |  AND (CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    <= 0.1)
-        |  AND (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |    / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)
-        |    >= 0.8)
-        |  AND (len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
-        |    ['the','a','and','of','to','in','is','it','that'])) >= 2) AS keep
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 100000
+         |    AS r_word_count,
+         |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |    / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
+         |    BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |    / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
+         |    <= 0.1 AS r_symbol_ratio,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |    / greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)
+         |    >= 0.8 AS r_alpha_words,
+         |  len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+         |    ['the','a','and','of','to','in','is','it','that'])) >= 2 AS r_stopwords,
+         |  $gopherKeepSqlExpr AS keep
+         |FROM documents""".stripMargin,
+
+    // the full selection pipeline in one statement: rule filter → quality
+    // → per-source cap → token-shard packing (mirrors pipe2_select_corpus)
+    "pipe2_select_corpus" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, source, $qualitySqlExpr AS quality,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE $gopherKeepSqlExpr),
+         |capped AS (
+         |  SELECT doc_id, source, quality, n_tokens, rank FROM (
+         |    SELECT doc_id, source, quality, n_tokens,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY quality DESC, doc_id) AS rank
+         |    FROM kept) WHERE rank <= 20)
+         |SELECT doc_id, source, quality, n_tokens, rank,
+         |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |     - n_tokens) // 10000 AS shard
+         |FROM capped""".stripMargin,
 
     // mirrors dsirScore(buckets=4096, target = doc_id % 10 = 0): unigram
     // + bigram hashed features (md5-60 % 4096), add-one-smoothed log

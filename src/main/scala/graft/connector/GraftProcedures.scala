@@ -71,8 +71,17 @@ object GraftProcedures {
           in("max_records_per_file", LongType, Some("0")),
           in("zorder_by", StringType, Some("''"))),
         out("result", StringType)) { (t, row) =>
-        val zcols = row.getUTF8String(2).toString.split(",")
-          .map(_.trim).filter(_.nonEmpty).toSeq
+        // zorder_by 'table' reads the table's own `table.rewrite.zorder-by`
+        // property (settable via ALTER TABLE ... SET TBLPROPERTIES) — the
+        // shape a maintenance loop over many tables uses
+        val spec = row.getUTF8String(2).toString match {
+          case "table" => t.desc.properties.getOrElse(
+            "table.rewrite.zorder-by", throw new IllegalArgumentException(
+              "table.rewrite.zorder-by is not set on this table; pass " +
+                "explicit columns like 'c1,c2' or set the property"))
+          case explicit => explicit
+        }
+        val zcols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         t.rewriteLogFiles(row.getLong(1), zorderBy = zcols)
         if (zcols.isEmpty) "log rewritten to one file per (partition, bucket)"
         else s"log rewritten, z-ordered by ${zcols.mkString(",")}"

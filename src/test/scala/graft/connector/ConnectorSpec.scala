@@ -200,6 +200,14 @@ class ConnectorSpec extends SparkTestBase {
     assert(zrw.head.getString(0).contains("z-ordered by k,v"))
     assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 3)
 
+    // property-driven variant: the spec lives on the table
+    spark.sql("ALTER TABLE gfs.db.mt SET TBLPROPERTIES " +
+      "('table.rewrite.zorder-by' = 'v,k')")
+    val zrw2 = spark.sql(
+      "CALL gfs.system.rewrite_files('db.mt', 0, 'table')").collect()
+    assert(zrw2.head.getString(0).contains("z-ordered by v,k"))
+    assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 3)
+
     val expired = spark.sql(
       "CALL gfs.system.expire_partitions('db.mt', 'dt', '2024-01-02')").collect()
     assert(expired.head.getInt(0) == 1)
