@@ -239,6 +239,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "changelog" => return new GraftMetaTable(qualified, () => t.changelog())
         case "binlog" => return new GraftMetaTable(qualified, () => t.binlog())
         case "history" => return new GraftMetaTable(qualified, () => t.history())
+        case "files" => return new GraftMetaTable(qualified, () => t.filesMeta())
         case "partitions" => return new GraftMetaTable(qualified, () => {
           import org.apache.spark.sql.functions.col
           val rows = t.partitionValues().map(vs =>

@@ -387,6 +387,42 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         StructField("total_rows", LongType, nullable = false))))
   }
 
+  /** File-level metadata (iceberg `files` analog): one row per visible
+    * log file — relative path, originating commit id, size, and from one
+    * distributed pass over the log: row count and the file's offset
+    * range. The operational view for layout decisions (small-file
+    * pressure → [[rewriteLogFiles]], clustering quality after a z-order
+    * rewrite) and for debugging which commit produced which file.
+    */
+  def filesMeta(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (files, _) = visibleLogFiles()
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("commit_id", StringType, nullable = true),
+      StructField("bytes", LongType, nullable = false),
+      StructField("__path", StringType, nullable = false)))
+    if (files.isEmpty)
+      return spark.createDataFrame(List.empty[Row].asJava,
+        StructType(schema.fields.dropRight(1) ++ Seq(
+          StructField("bucket", IntegerType), StructField("n_rows", LongType),
+          StructField("min_offset", LongType), StructField("max_offset", LongType))))
+    val base = Paths.get(logDir)
+    val listed = files.map { f =>
+      val p = Paths.get(f)
+      Row(base.relativize(p).toString,
+        cidOf(p.getFileName.toString).orNull, Files.size(p), f)
+    }
+    val sizes = spark.createDataFrame(listed.asJava, schema)
+    val counts = logDF
+      .groupBy(regexp_replace(input_file_name(), "^file:/*", "/").as("__path"))
+      .agg(first(col(Meta.Bucket)).as("bucket"), count(lit(1)).as("n_rows"),
+        min(col(Meta.Offset)).as("min_offset"),
+        max(col(Meta.Offset)).as("max_offset"))
+    sizes.join(counts, Seq("__path"), "left").drop("__path")
+      .orderBy(col("file"))
+  }
+
   /** Latest recorded version, if any commit has been recorded. */
   def latestVersion: Option[Long] = readVersionHistory().lastOption.map(_.version)
 

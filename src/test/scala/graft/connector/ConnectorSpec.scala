@@ -181,6 +181,17 @@ class ConnectorSpec extends SparkTestBase {
     val parts = spark.sql("SELECT partition FROM gfs.db.meta.partitions ORDER BY 1")
       .collect().map(_.getString(0)).toSeq
     assert(parts == Seq("dt=2024-01-01", "dt=2024-01-02"))
+
+    // files metadata: every visible file accounted for, rows sum to the
+    // changelog row count, offset ranges and commit ids populated
+    val fl = spark.sql("SELECT file, commit_id, bytes, bucket, n_rows, " +
+        "min_offset, max_offset FROM gfs.db.meta.files")
+      .collect()
+    assert(fl.nonEmpty)
+    assert(fl.map(_.getLong(4)).sum == 4)             // 2 + (-U,+U pair) rows
+    assert(fl.forall(r => r.getString(0).endsWith(".parquet")
+      && r.getString(1) != null && r.getLong(2) > 0
+      && r.getLong(6) >= r.getLong(5)))
   }
 
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
