@@ -393,8 +393,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * range. The operational view for layout decisions (small-file
     * pressure → [[rewriteLogFiles]], clustering quality after a z-order
     * rewrite) and for debugging which commit produced which file.
+    *
+    * `statsFor` adds per-file `min_<c>`/`max_<c>` for the named columns
+    * (same distributed pass) — exactly what min/max skipping prunes on,
+    * so narrow ranges here mean predicates on that column skip files.
     */
-  def filesMeta(): DataFrame = {
+  def filesMeta(statsFor: Seq[String] = Nil): DataFrame = {
     import scala.jdk.CollectionConverters._
     val (files, _) = visibleLogFiles()
     val schema = StructType(Seq(
@@ -414,11 +418,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         cidOf(p.getFileName.toString).orNull, Files.size(p), f)
     }
     val sizes = spark.createDataFrame(listed.asJava, schema)
+    val aggExprs = Seq(
+      first(col(Meta.Bucket)).as("bucket"), count(lit(1)).as("n_rows"),
+      min(col(Meta.Offset)).as("min_offset"),
+      max(col(Meta.Offset)).as("max_offset")) ++
+      statsFor.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val counts = logDF
       .groupBy(regexp_replace(input_file_name(), "^file:/*", "/").as("__path"))
-      .agg(first(col(Meta.Bucket)).as("bucket"), count(lit(1)).as("n_rows"),
-        min(col(Meta.Offset)).as("min_offset"),
-        max(col(Meta.Offset)).as("max_offset"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
     sizes.join(counts, Seq("__path"), "left").drop("__path")
       .orderBy(col("file"))
   }

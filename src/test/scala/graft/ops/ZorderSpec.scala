@@ -56,18 +56,20 @@ class ZorderSpec extends SparkTestBase {
     assertSameRows(after.collect().toSeq, before.toSeq)
     // skipping property: mean per-file value span is a small fraction of
     // the global span on BOTH clustered columns (an id-ordered layout
-    // leaves l_partkey/l_suppkey spans ~ the full domain in every file)
-    val perFile = after.groupBy(input_file_name())
-      .agg(max(col("l_partkey")) - min(col("l_partkey")),
-        max(col("l_suppkey")) - min(col("l_suppkey")))
+    // leaves l_partkey/l_suppkey spans ~ the full domain in every file).
+    // Measured through the files metadata table's per-column stats — the
+    // same numbers an operator would read via filesMeta/t.files.
+    val perFile = t.filesMeta(statsFor = Seq("l_partkey", "l_suppkey"))
+      .select((col("max_l_partkey") - col("min_l_partkey")).as("ps"),
+        (col("max_l_suppkey") - col("min_l_suppkey")).as("ss"))
       .collect()
     assert(perFile.length > 5, s"expected many split files, got ${perFile.length}")
     def globalSpan(c: String) = {
       val r = after.agg(max(col(c)) - min(col(c))).head
       r.getLong(0).toDouble
     }
-    val meanPart = perFile.map(_.getLong(1)).sum.toDouble / perFile.length
-    val meanSupp = perFile.map(_.getLong(2)).sum.toDouble / perFile.length
+    val meanPart = perFile.map(_.getLong(0)).sum.toDouble / perFile.length
+    val meanSupp = perFile.map(_.getLong(1)).sum.toDouble / perFile.length
     assert(meanPart < 0.5 * globalSpan("l_partkey"),
       s"l_partkey mean file span $meanPart vs global ${globalSpan("l_partkey")}")
     assert(meanSupp < 0.5 * globalSpan("l_suppkey"),
