@@ -725,6 +725,12 @@ object SparkEntry {
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("unigram_nll", round(col("unigram_nll"), 6))),
 
+    // ----- TA17: domain-balanced training order — every source spread
+    // uniformly through the global order (no all-one-domain batches),
+    // deterministic and engine-reproducible like ta9
+    "ta17_balanced_order" -> ((s, dir) =>
+      Sampling.balancedPositions(t(s, dir, "documents"), "doc_id", "source")),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -1810,6 +1816,22 @@ object SparkEntry {
         |      / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
         |FROM tf JOIN freq USING (t), tot
         |GROUP BY doc_id, n_corpus""".stripMargin,
+
+    // mirrors balancedPositions: per-source md5 rank -> stratum key
+    // r/(cnt+1), global order by (stratum, md5, id). The double division
+    // is exact integer-derived IEEE arithmetic — identical both engines.
+    "ta17_balanced_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY CAST(rk AS DOUBLE) / (cnt + 1.0),
+        |    skey, doc_id) - 1 AS position
+        |FROM r""".stripMargin,
 
     "t6_stream_agg" ->
       """SELECT max(ts) AS ts, user_id,

@@ -168,6 +168,52 @@ object Sampling {
       .select(col(idCol), (col("__off") + col("__lrn") - 1).as("position"))
   }
 
+  /** Domain-BALANCED deterministic training order: like
+    * [[shufflePositions]], but every domain is spread uniformly through
+    * the global order instead of landing wherever its hashes fall — the
+    * "interleave domains so no batch is all-web or all-code" data-order
+    * rule. Doc ranked r of `cnt` in its domain (md5 order within domain)
+    * gets stratum key r/(cnt+1) ∈ (0,1); the global order sorts by
+    * (stratum, md5, id), so consecutive docs of one domain sit ~n/cnt
+    * apart for ANY mix of domain sizes. Pure integer-derived arithmetic —
+    * reproducible across engines, partitionings and retries.
+    *
+    * Scale: one keyed shuffle for the per-domain rank window, then the
+    * same two-level scan as [[shufflePositions]] for global positions —
+    * no single-task global window.
+    */
+  def balancedPositions(df: DataFrame, idCol: String,
+      domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val wDom = Window.partitionBy(col("__dom"))
+      .orderBy(col("__skey"), col(idCol))
+    val ranked = df.select(col(idCol), col(domainCol).as("__dom"))
+      .withColumn("__skey", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__r", row_number().over(wDom).cast("double"))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__dom"))).cast("double"))
+      .withColumn("__frac", col("__r") / (col("__cnt") + 1.0))
+    // two-level scan; localCheckpoint before the branch (packTokenShards
+    // lesson: spark_partition_id() must not be recomputed per consumer)
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("__frac"), col("__skey"), col(idCol))
+    val local = ranked
+      .repartitionByRange(n, col("__frac"), col("__skey"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .localCheckpoint()
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(max(col("__lrn")).as("__pcnt"))
+      .withColumn("__off", coalesce(sum(col("__pcnt")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col(idCol), col("__dom").as(domainCol),
+        (col("__off") + col("__lrn") - 1).as("position"))
+  }
+
   /** Token-budget shard packing: documents in `idCol` order are packed
     * into fixed-budget training shards — doc D goes to shard
     * floor(sum(tokens of docs before D) / budget). The semantics are a

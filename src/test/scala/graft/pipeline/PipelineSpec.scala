@@ -342,6 +342,32 @@ class PipelineSpec extends SparkTestBase {
         s"doc $id: got ${got(id)}, expected $e")
   }
 
+  test("balancedPositions: permutation, stratified spread, partition-invariant") {
+    import spark.implicits._
+    // skewed mix: domain a 60, b 30, c 6
+    val df = ((1L to 60L).map((_, "a")) ++ (61L to 90L).map((_, "b")) ++
+      (91L to 96L).map((_, "c"))).toDF("id", "dom")
+    val run = () => Sampling.balancedPositions(df, "id", "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = run()
+    // permutation of 0..n-1
+    assert(got.map(_._3).sorted.toSeq == (0L until 96L).toSeq)
+    // stratified: each domain puts half (±1 by the r/(cnt+1) strata) of
+    // its docs in each half of the global order — an unbalanced shuffle
+    // would routinely land domain c entirely in one half
+    for ((dom, cnt) <- Seq(("a", 60), ("b", 30), ("c", 6))) {
+      val firstHalf = got.filter(r => r._2 == dom && r._3 < 48).length
+      assert(math.abs(firstHalf - cnt / 2.0) <= 1.5,
+        s"domain $dom: $firstHalf of $cnt in first half")
+    }
+    // deterministic under partitioning changes
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(run().sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("dsirScore matches a driver-side replay and is partition-invariant") {
     val target = col("doc_id") % 10 === 0
     val toks = docs.select(col("doc_id"),
