@@ -327,6 +327,38 @@ object SparkEntry {
         Seq("user_id"), "ts", "ts")
     }),
 
+    // ----- J7 (beyond the reference): bin-packed range join — views
+    // inside the 15-minute window after any high-value purchase. Spark
+    // would plan the raw theta-join as a broadcast nested loop (O(n·m));
+    // the bin equi-join shuffles on the bucketed time domain instead
+    "j7_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_event_id"), col("ts"))
+      val promos = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id").as("p_event_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(views, promos, "ts",
+        "w_start", "w_end", binWidth = 15L * 60 * 1000000)
+        .select(col("v_event_id"), col("p_event_id"))
+    }),
+
+    // ----- J8: interval-overlap join — promo windows that overlap error
+    // bursts; each overlapping pair matched exactly once (first-shared-bin
+    // dedup), no distinct pass
+    "j8_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val promos = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("p_end"))
+      val errors = ev.filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("event_id").as("e_event_id"), col("ts").as("e_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_end"))
+      graft.ops.RangeJoin.intervalOverlap(promos, errors,
+        "p_start", "p_end", "e_start", "e_end", binWidth = 10L * 60 * 1000000)
+        .select(col("p_event_id"), col("e_event_id"))
+    }),
+
     // ----- SIM1: brute-force cosine top-k (exact baseline)
     "sim1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1321,6 +1353,22 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT v.user_id, v.ts, v.event_id, CAST(p.value AS DOUBLE) AS value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "j7_range_join" ->
+      """SELECT v.event_id AS v_event_id, p.event_id AS p_event_id
+        |FROM events v JOIN events p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.value > 150
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""".stripMargin,
+
+    "j8_interval_overlap" ->
+      """SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND p.value > 150
+        | AND e.event_type = 'error' AND e.value > 200
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        | AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""".stripMargin,
 
     "sim4_knn_graph" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
