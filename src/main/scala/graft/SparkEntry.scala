@@ -399,6 +399,18 @@ object SparkEntry {
         k = 10, nprobe = 4).select(col("vec_id"))
     }),
 
+    // ----- SIM6: product-quantization ANN top-k — vectors compress to
+    // m=8 4-bit codes (32× smaller than float[64]); the query builds an
+    // ADC lookup table on the driver and the scan ranks rows with m array
+    // lookups, never touching raw vectors (recall vs exact in test)
+    "sim6_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Similarity.pqTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", q, k = 10)
+    }),
+
     // ----- TA1: token counting (whitespace + BPE-ish segmenter)
     "ta1_text_stats" -> ((s, dir) => {
       val d = TextAnalysis.widen(t(s, dir, "documents"))
@@ -892,6 +904,38 @@ object SparkEntry {
        |  FROM scored) WHERE rank <= 3""".stripMargin
   }
 
+  private lazy val sim6OracleSql: String =
+    // mirrors pqTopK(m=8, ksub=16, k=10): codebook = subvectors of the
+    // first 16 vectors by id (the deterministic ivfAssign-style sampling);
+    // encode = argmin of the reduced distance cc - 2·v_sub·c (ties -> the
+    // smaller centroid index, like Spark's least(struct)); ADC = the sum
+    // over subspaces of the same reduced distance against the query.
+    // list(… ORDER BY j) + list_sum fixes the summation order so the
+    // doubles match Spark's left-to-right reduce bit-for-bit.
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id <> 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
+      |       FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+      |sub AS (SELECT j FROM generate_series(0, 7) t(j)),
+      |cbs AS (SELECT cb.i, sub.j, cb.e[sub.j*8+1 : sub.j*8+8] AS c,
+      |               list_dot_product(cb.e[sub.j*8+1 : sub.j*8+8],
+      |                                cb.e[sub.j*8+1 : sub.j*8+8]) AS cc
+      |        FROM cb CROSS JOIN sub),
+      |enc AS (
+      |  SELECT v.vec_id, cbs.j, cbs.i, cbs.c, cbs.cc,
+      |    row_number() OVER (PARTITION BY v.vec_id, cbs.j ORDER BY
+      |      cbs.cc - 2 * list_dot_product(v.e[cbs.j*8+1 : cbs.j*8+8], cbs.c) ASC,
+      |      cbs.i ASC) AS rn
+      |  FROM v CROSS JOIN cbs),
+      |codes AS (SELECT vec_id, j, i, c, cc FROM enc WHERE rn = 1),
+      |adc AS (
+      |  SELECT codes.vec_id,
+      |    list_sum(list(codes.cc - 2 * list_dot_product(q.e[codes.j*8+1 : codes.j*8+8],
+      |                                                  codes.c)
+      |                  ORDER BY codes.j)) AS d
+      |  FROM codes, q GROUP BY codes.vec_id)
+      |SELECT vec_id FROM adc ORDER BY d ASC, vec_id LIMIT 10""".stripMargin
+
   private lazy val d4OracleSql: String = {
     // mirrors simhashPairs(maxHamming=3, nBits=60, md560=true). The
     // oracle verifies ALL pairs; the Spark side only compares same-chunk
@@ -976,6 +1020,7 @@ object SparkEntry {
          |WHERE c.cum <= tot.budget""".stripMargin,
 
     "sim2_ann_lsh" -> sim2OracleSql,
+    "sim6_pq_ann" -> sim6OracleSql,
     "sim5_knn_ann" -> sim5OracleSql,
     "sim3_ivf" -> sim3OracleSql,
     "d4_simhash" -> d4OracleSql,

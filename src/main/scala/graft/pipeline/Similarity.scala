@@ -300,4 +300,78 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Product-quantization codebook: the vector dimension splits into `m`
+    * subspaces; each subspace gets `ksub` centroids = the subvectors of
+    * the first `ksub` vectors by id — the same deterministic,
+    * oracle-replayable sampling as [[ivfAssign]] (a kmeans-refined
+    * codebook would drop in the same way [[ivfAssignKMeans]] does for
+    * IVF; the SQL oracle needs the reproducible baseline).
+    * Returns codebook(j)(i) = centroid i of subspace j.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val sample = df.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ksub, s"PQ needs >= $ksub vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m)(j => sample.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes (4 bits each
+    * at ksub=16) — 8 bytes instead of 256 for a float[64] — by taking,
+    * per subspace, the L2-nearest codebook centroid. The distance is the
+    * reduced form `||c||² - 2·v_sub·c` (the `||v_sub||²` term is constant
+    * across candidates, so the argmin is unchanged and one dot product
+    * per candidate is saved); ties break to the smaller centroid index.
+    * Adds `__code: array<int>`. At 100 TB the codes column is what gets
+    * stored and scanned — the raw vectors are only read to build it.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { j =>
+      val sub = slice(v, j * dsub + 1, dsub)
+      val cands = codebook(j).zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * dot(sub, typedlit(c.toSeq))).as("d"),
+          lit(i).as("i"))
+      }
+      least(cands.toIndexedSeq: _*)("i")
+    }
+    df.withColumn("__code", array(codes: _*))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): the query builds
+    * an m×ksub lookup table of subspace distances ONCE on the driver, and
+    * the scan ranks every vector by `Σ_j lut(j)(code_j)` — m array
+    * lookups + adds per row, never touching the raw vectors. The LUT uses
+    * the same reduced distance as [[pqEncode]] (the query's own subnorms
+    * are constant across all vectors, so the ranking is unchanged).
+    * Approximate by construction; the exact baseline is [[cosineTopK]].
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val codebook = pqCodebook(df, idCol, vecCol, m, ksub)
+    val dsub = codebook(0)(0).length
+    val lut: Array[Seq[Double]] = Array.tabulate(m) { j =>
+      val qs = query.slice(j * dsub, (j + 1) * dsub)
+      codebook(j).map { c =>
+        c.map(x => x * x).sum - 2.0 * qs.zip(c).map { case (a, b) => a * b }.sum
+      }.toSeq
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedlit(lut(j)), col("__code")(j) + 1)
+    }.reduce(_ + _)
+    pqEncode(df, idCol, vecCol, codebook)
+      .select(col(idCol), adc.as("__adc"))
+      .orderBy(col("__adc").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+  }
 }

@@ -53,6 +53,34 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.count(ivf.contains) >= 5, s"ivf recall ${exact.count(ivf.contains)}/10")
   }
 
+  test("pq ann: codes are compact, encoding is partition-invariant, top-10 recall") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val cb = Similarity.pqCodebook(rest, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb(0)(0).length == 8)
+    val codes = Similarity.pqEncode(rest, "vec_id", "embedding", cb)
+      .select(col("vec_id"), col("__code"))
+    val collected = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(collected.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic under a different partitioning (encoding is per-row)
+    val reparted = Similarity.pqEncode(rest.repartition(7), "vec_id", "embedding", cb)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.length - 1)).toMap
+    assert(reparted == collected)
+    // recall vs exact L2 top-10 (random near-orthogonal vectors are the
+    // hard regime for a 4-bit codebook; real clustered data does better)
+    val v = col("embedding").cast("array<double>")
+    val exact = rest
+      .select(col("vec_id"),
+        (Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, typedlit(q))).as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.count(pq.contains) >= 2, s"pq recall ${exact.count(pq.contains)}/10")
+  }
+
   test("knnGraphAnn: edge recall vs the exact kNN graph") {
     val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
       .select("vec_id", "neighbor_id").collect()
