@@ -31,7 +31,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "rewrite_files", "expire_partitions",
-    "maintain_partitions", "expire_log")
+    "maintain_partitions", "expire_log", "remove_orphan_files")
 
   /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
     * reference's Duration-typed `table.log.ttl`).
@@ -85,6 +85,13 @@ object GraftProcedures {
         t.rewriteLogFiles(row.getLong(1), zorderBy = zcols)
         if (zcols.isEmpty) "log rewritten to one file per (partition, bucket)"
         else s"log rewritten, z-ordered by ${zcols.mkString(",")}"
+      })
+      case "remove_orphan_files" => Some(proc(catalog, "remove_orphan_files",
+        Seq(in("table", StringType),
+          in("staging_older_than", StringType, Some("'24h'"))),
+        out("result", StringType)) { (t, row) =>
+        t.removeOrphanFiles(parseTtlMillis(row.getUTF8String(1).toString))
+        "orphan files removed"
       })
       case "expire_log" => Some(proc(catalog, "expire_log",
         Seq(in("table", StringType),

@@ -497,6 +497,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     else pmod(hash(keys.map(col): _*), lit(desc.numBuckets))
   }
 
+  /** Parquet bloom filters on the lookup columns: ON by default for PK
+    * tables (blooms on the effective bucket keys), so a point read prunes
+    * ROW GROUPS within the key's bucket — the file-level complement of
+    * bucket pruning: at 100 TB one bucket still holds many files, and the
+    * pushed `pk = x` equality skips every row group whose bloom rejects x
+    * (parquet-mr applies blooms to pushed filters at read time; nothing
+    * extra to do on the scan side). Adaptive sizing keeps the filter
+    * proportional to the chunk's actual NDV instead of the 1M-row
+    * default. Properties: `table.file.bloom-filter.enabled`,
+    * `table.file.bloom-filter.columns` (comma-separated override).
+    */
+  private lazy val bloomWriteOptions: Map[String, String] = {
+    val enabled = desc.properties
+      .get("table.file.bloom-filter.enabled")
+      .map(_.equalsIgnoreCase("true"))
+      .getOrElse(desc.isPrimaryKeyTable)
+    val cols = desc.properties.get("table.file.bloom-filter.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(desc.effectiveBucketKeys)
+    if (!enabled || cols.isEmpty) Map.empty
+    else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+      cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
+  }
+
   /** CHAR(n)/VARCHAR(n) write-time length check ([[TableDescriptor
     * .charLengths]]): an over-length value fails the write job in-plan
     * (`raise_error` inside the projection — no extra pass, no silent
@@ -518,7 +542,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   /** Append rows to a log (no-PK) table; `orderBy` fixes intra-batch order
     * for offset assignment (defaults to arrival order).
     */
-  def append(df: DataFrame, orderBy: Seq[Column] = Nil): Unit = {
+  def append(df: DataFrame, orderBy: Seq[Column] = Nil,
+      commitTag: Option[(String, Long)] = None): Unit = {
     require(!desc.isPrimaryKeyTable, "use upsert() for PK tables")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // Bulk ingestion: when ord and bucket are both content-derived
@@ -531,6 +556,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     commitToLog(enforceCharLengths(df)
       .withColumn(Meta.ChangeTypeCol, lit(ChangeType.AppendOnly))
       .withColumn("__ord", ord.head.cast("long")),
+      commitTag = commitTag,
       materializeBatch = !deterministic)
   }
 
@@ -1025,6 +1051,36 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     residue.foreach(Files.deleteIfExists(_))
   }
 
+  /** Delete crash residue: staged-then-never-published log files, and
+    * abandoned staging dirs older than `stagingOlderThanMs`, whose commit
+    * id the manifest never recorded. Readers already exclude them
+    * ([[visibleLogFiles]]); this frees the storage — iceberg's
+    * `remove_orphan_files` analog. Every commit also cleans unmanifested
+    * log files opportunistically; the explicit form covers tables that
+    * stopped committing. Unmanifested cid-files can only appear under the
+    * commit lock (moveStagedFiles runs inside publish), so deleting them
+    * here — also under the lock — is race-free. Staging DIRS are written
+    * BEFORE the lock is taken, so those are only removed past the age
+    * threshold (default 24 h, iceberg's olderThan posture).
+    */
+  def removeOrphanFiles(stagingOlderThanMs: Long = 24L * 3600 * 1000): Unit =
+    withCommitLock(None) {
+      readManifest()._3.foreach(cleanUnmanifestedResidue)
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        val now = System.currentTimeMillis()
+        val stray = Files.list(root)
+        val dirs = try stray.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("log.staging-") &&
+              now - Files.getLastModifiedTime(p).toMillis >= stagingOlderThanMs)
+            .toVector
+          finally stray.close()
+        dirs.foreach(d => deleteTree(d.toString))
+      }
+    }
+
   /** Assign per-bucket contiguous offsets and append to the log dir.
     * Input: data cols + `_change_type` + `__ord`.
     */
@@ -1120,7 +1176,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               .drop("__ord")
               .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             val staging = newStagingDir()
-            out.write.mode("overwrite")
+            out.write.mode("overwrite").options(bloomWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
             publish(counts, Some(staging))
           } else publish(counts, None)
@@ -1134,7 +1190,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             val out = numbered.drop("__ord")
               .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             val staging = newStagingDir()
-            out.write.mode("overwrite")
+            out.write.mode("overwrite").options(bloomWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
             publish(counts, Some(staging))
           } else publish(counts, None)
@@ -1149,7 +1205,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             .observe(obs, countExprs.head, countExprs.tail: _*)
           val staging = newStagingDir()
-          out.write.mode("overwrite")
+          out.write.mode("overwrite").options(bloomWriteOptions)
             .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
           val row = obs.get
           val counts = (0 until desc.numBuckets)
@@ -1186,7 +1242,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // silently resurfacing dropped partitions from a partition-blind
     // snapshot.
     currentState().withColumn(Meta.Bucket, bucketCol)
-      .write.mode("overwrite")
+      .write.mode("overwrite").options(bloomWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(snapshotDir)
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
@@ -1214,7 +1270,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val manifestAtStart = readManifest()
     val retained = logDFFor(manifestAtStart)
       .filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
-    retained.write.mode("overwrite")
+    retained.write.mode("overwrite").options(bloomWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     // record the time-travel floor BEFORE the visibility flip: a crash
     // after the flip but before the marker would otherwise leave a
@@ -1295,7 +1351,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       readMarkerMillis(vacuumMarkerFile, "boundMillis").getOrElse(Long.MinValue))
     val tmpDir = s"$path/log.expire"
     all.filter(col(Meta.Timestamp) >= lit(cutoff))
-      .write.mode("overwrite")
+      .write.mode("overwrite").options(bloomWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     CatalogJson.atomicWrite(vacuumMarkerFile,
       JsonMethods.compact(JsonMethods.render(JObject(List(
@@ -1380,7 +1436,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       if (zorderBy.isEmpty) parted
       else parted.sortWithinPartitions(
         dirKeys :+ graft.ops.Zorder.zvalueFor(retained, zorderBy, zorderBits): _*)
-    laid.write.mode("overwrite")
+    laid.write.mode("overwrite").options(bloomWriteOptions)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     swapRewrittenLog(tmpDir, manifestAtStart, "rewriteLogFiles")

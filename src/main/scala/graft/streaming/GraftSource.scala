@@ -180,9 +180,16 @@ object GraftSourceOffset {
   * DataFrame API (distributed, pushdown-friendly); V2's MicroBatchStream
   * would force hand-rolled per-file readers for no semantic gain.
   */
-final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+final class GraftSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    GraftSink.create(sqlContext, parameters, outputMode)
 
   private def open(sqlContext: SQLContext, parameters: Map[String, String]): GraftTable = {
     val path = parameters.collectFirst {

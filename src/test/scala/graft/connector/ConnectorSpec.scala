@@ -115,6 +115,11 @@ class ConnectorSpec extends SparkTestBase {
     assert(res.head.getString(0).startsWith("pre-created"))
     assert(spark.sql("SELECT count(*) FROM gfs.db.err.partitions")
       .head.getLong(0) >= 3) // data partition + 2 pre-created
+    // remove_orphan_files through SQL (no orphans -> clean no-op)
+    val ro = spark.sql(
+      "CALL gfs.system.remove_orphan_files('db.err', '0s')").collect()
+    assert(ro.head.getString(0) == "orphan files removed")
+    assert(spark.sql("SELECT count(*) FROM gfs.db.err").head.getLong(0) == 1)
     // unknown procedure name fails with the known list
     val e1 = intercept[Exception](spark.sql("CALL gfs.system.nope('db.err')"))
     assert(e1.getMessage.contains("unknown procedure")

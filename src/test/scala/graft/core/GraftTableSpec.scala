@@ -88,6 +88,37 @@ class GraftTableSpec extends SparkTestBase {
     Files.delete(legacy)
   }
 
+  test("removeOrphanFiles frees residue and stale staging without a commit") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "orphan1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    val logDir = java.nio.file.Paths.get(s"${t.path}/log")
+    val victim = Files.walk(logDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq.head
+    val residue = victim.getParent.resolve(
+      s"cid-${java.util.UUID.randomUUID()}--part-crashed.snappy.parquet")
+    Files.copy(victim, residue)
+    val staleStaging = java.nio.file.Paths.get(
+      s"${t.path}/log.staging-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(staleStaging)
+    Files.createFile(staleStaging.resolve("part-0.snappy.parquet"))
+    val freshStaging = java.nio.file.Paths.get(
+      s"${t.path}/log.staging-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(freshStaging)
+    Files.setLastModifiedTime(staleStaging,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+
+    t.removeOrphanFiles() // default 24h threshold
+    assert(!Files.exists(residue), "unmanifested cid file should be deleted")
+    assert(!Files.exists(staleStaging), "stale staging dir should be deleted")
+    assert(Files.exists(freshStaging),
+      "fresh staging dir may belong to an in-flight commit — must survive")
+    assert(t.scan().count() == 2)
+    Files.delete(freshStaging)
+  }
+
   test("vacuumLog keeps only the vacuum commit's files, atomically flipped") {
     val cat = newCatalog()
     val t = cat.createTable("db", "crash2",
