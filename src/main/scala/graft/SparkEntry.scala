@@ -104,6 +104,13 @@ object SparkEntry {
     "tt2_version_travel" -> ((s, dir) =>
       Fixtures.usersTwoVersions(s, dir).scanAtVersion(1L)),
 
+    // ----- T3 incremental read (delta `table_changes` / CDF analog):
+    // the changelog of commits after version 1 up to version 2 — offset-
+    // slice read, no full-log scan
+    "tt3_changes_between" -> ((s, dir) =>
+      Fixtures.usersTwoVersions(s, dir).changesBetween(1L, 2L)
+        .select(col("_change_type"), col("user_id"), col("ts"), col("value"))),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1090,6 +1097,23 @@ object SparkEntry {
         |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id <= (SELECT mid FROM mx)) WHERE rn = 1""".stripMargin,
+
+    "tt3_changes_between" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts,
+        |         lag(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE))
+        |           OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+        |  FROM events),
+        |mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+        |SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type,
+        |       user_id, ts, value
+        |FROM o WHERE event_id > (SELECT mid FROM mx)
+        |UNION ALL
+        |SELECT '-U' AS _change_type, user_id, pts AS ts, pv AS value
+        |FROM o WHERE rn > 1 AND event_id > (SELECT mid FROM mx)""".stripMargin,
 
     "mm2_media_pipeline" ->
       """SELECT doc_id AS media_id,

@@ -1538,6 +1538,45 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       col(Meta.Offset).as(Meta.LogOffset),
       col(Meta.Timestamp).as(Meta.CommitTimestamp))).toIndexedSeq: _*)
 
+  /** Incremental changelog between two committed versions — the delta
+    * `table_changes(from, to)` / CDF analog: every change committed AFTER
+    * version `fromV`, up to and including version `toV`, in [[changelog]]
+    * shape. `fromV = 0` means "since before the first commit". A consumer
+    * loop alternates `latestVersion` + `changesBetween(lastSeen, now)` to
+    * process exactly-once without a streaming checkpoint (the offset-range
+    * form of the same contract is [[scanRange]] / LogPoller). Reads only
+    * the offset slice — with the per-commit offset manifest this prunes to
+    * the files of the requested commits, not the whole log. Fails loudly
+    * when `fromV`'s offsets have been vacuumed away.
+    */
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val hist = readVersionHistory()
+    require(hist.nonEmpty, s"table at $path has no recorded version history")
+    def offsetsAt(v: Long): Map[Int, Long] =
+      if (v == 0L) Map.empty
+      else hist.find(_.version == v).map(_.offsets)
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $v not recorded for $path (recorded: " +
+            s"${hist.head.version}..${hist.last.version})"))
+    val from = offsetsAt(fromV)
+    val until = offsetsAt(toV)
+    // vacuum truncates the log: a from-bound below the retained floor
+    // would silently miss deleted records — refuse instead
+    retainedFloorOffsets.foreach { floor =>
+      val gaps = floor.filter { case (b, f) => from.getOrElse(b, 0L) < f }
+      require(gaps.isEmpty,
+        s"changes after version $fromV start below the vacuumed log floor " +
+          s"for buckets ${gaps.keys.toSeq.sorted.mkString(",")}; " +
+          "re-baseline from a snapshot scan")
+    }
+    scanRange(from, until)
+      .select((desc.schema.fieldNames.map(col) ++ Seq(
+        col(Meta.ChangeTypeCol),
+        col(Meta.Offset).as(Meta.LogOffset),
+        col(Meta.Timestamp).as(Meta.CommitTimestamp))).toIndexedSeq: _*)
+  }
+
   /** `t$binlog` virtual table (PK tables only): one row per state change
     * with `before`/`after` ROW images (TableDescriptor.java:69-70).
     * Before-images come from a per-key `lag`, so the view also works for

@@ -210,6 +210,39 @@ class GraftTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.scanAtVersion(1L).collect())
   }
 
+  test("changesBetween: per-version changelog slices, CDF loop, vacuum guard") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "cdf1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+
+    // commit 2 only: -U/+U for k=1, +I for k=3
+    val c2 = t.changesBetween(1L, 2L)
+      .select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(c2 == Set(("-U", 1L, 1), ("+U", 1L, 10), ("+I", 3L, 3)))
+
+    // from 0 = full history; (0,2) equals the whole changelog
+    assert(t.changesBetween(0L, 2L).count() == t.changelog().count())
+    // empty range
+    assert(t.changesBetween(2L, 2L).count() == 0)
+    // the CDF consumer loop: union of slices == full changelog
+    assert(t.changesBetween(0L, 1L).count() + t.changesBetween(1L, 2L).count()
+      == t.changelog().count())
+    // unknown version fails loudly
+    intercept[IllegalArgumentException](t.changesBetween(1L, 9L))
+
+    // vacuum: slices starting below the retained floor refuse
+    t.compact()
+    t.upsert(df((4L, 4, "d")), orderBy = Seq(col("ord")))
+    t.vacuumLog()
+    intercept[IllegalArgumentException](t.changesBetween(0L, 2L))
+    assert(t.changesBetween(2L, 3L)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("+I", 4L)))
+  }
+
   test("pk table: upsert/delete lifecycle with changelog") {
     val cat = newCatalog()
     val t = cat.createTable("db", "pk1", TableDescriptor(schema, primaryKey = Seq("k")))
