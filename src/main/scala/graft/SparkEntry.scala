@@ -165,6 +165,15 @@ object SparkEntry {
     "j2_prefix_lookup" -> ((s, dir) =>
       Fixtures.userTypeState(s, dir).prefixLookup(Map("user_id" -> 7L))),
 
+    // ----- J9 (beyond the reference): secondary-index probe — equality
+    // on a NON-key column answered by a bucket-pruned prefix lookup on a
+    // changelog-maintained index table + a batched PK lookup, never a
+    // state scan
+    "j9_secondary_index" -> ((s, dir) =>
+      Fixtures.usersByTypeIndex(s, dir).lookup("purchase")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))),
+
     // ----- J3: lookup join (stream side enriched against PK state)
     "j3_lookup_join" -> ((s, dir) => {
       val state = Fixtures.usersLww(s, dir).scan()
@@ -1176,6 +1185,11 @@ object SparkEntry {
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND user_id IN (3, 7, 11, 42)""".stripMargin,
+
+    "j9_secondary_index" ->
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
 
     "j2_prefix_lookup" ->
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props

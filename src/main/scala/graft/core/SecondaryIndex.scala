@@ -1,0 +1,135 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Secondary index over a PK table: a derived PK table keyed
+  * (indexColumns…, primaryKey…) and BUCKETED by the index columns, so an
+  * equality probe on a non-key column becomes a bucket-pruned
+  * [[GraftTable.prefixLookup]] instead of a full state scan — the
+  * HBase/Phoenix-style global index, maintained INCREMENTALLY from the
+  * base table's changelog ([[GraftTable.changesBetween]]): `+I/+U` upsert
+  * the new (value, key) entry, `-U/-D` delete the OLD one (so a row whose
+  * indexed value changes atomically moves buckets), applied in log-offset
+  * order. The applied base version is recorded in the index dir, so
+  * [[refresh]] costs the offset slice of the missed commits, never a
+  * rebuild. The reference has no secondary indexes (lookups are PK/prefix
+  * only — SURVEY §2.3); this extends the same lookup machinery to
+  * non-key columns.
+  */
+final class SecondaryIndex private[core] (val table: GraftTable,
+    val indexColumns: Seq[String], val idx: GraftTable) {
+
+  private def metaFile = Paths.get(idx.path, "_index_meta.json")
+
+  /** Base-table version the index reflects (0 = nothing applied). */
+  def appliedVersion: Long =
+    if (!Files.exists(metaFile)) 0L
+    else {
+      val s = new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8)
+      "\"appliedVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+    }
+
+  private def writeAppliedVersion(v: Long): Unit = {
+    val tmp = Paths.get(idx.path, s"_index_meta.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"""{"appliedVersion": $v}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Catch the index up to the base table's latest committed version.
+    * Reads ONLY the changelog slice after the last applied version.
+    */
+  def refresh(): Unit = table.latestVersion.foreach { to =>
+    val from = appliedVersion
+    if (to > from) {
+      val ch = table.changesBetween(from, to)
+      val entry = (indexColumns ++ table.desc.primaryKey).map(col) ++ Seq(
+        col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
+        col(Meta.ChangeTypeCol).isin(
+          ChangeType.UpdateBefore, ChangeType.Delete).as("__delete"))
+      idx.upsertMixed(ch.select(entry: _*),
+        orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
+      writeAppliedVersion(to)
+    }
+  }
+
+  /** Point probe by indexed value(s): bucket-pruned prefix lookup on the
+    * index, then a batched PK lookup on the base table — two point reads,
+    * no state scan. The matched key set is collected (point-query scale,
+    * like every lookup path).
+    */
+  def lookup(values: Any*): DataFrame = {
+    require(values.length == indexColumns.length,
+      s"expected ${indexColumns.length} value(s) for $indexColumns")
+    refreshGuard()
+    val pk = table.desc.primaryKey
+    val keys = idx.prefixLookup(indexColumns.zip(values).toMap)
+      .select(pk.map(col): _*).collect()
+      .map(r => pk.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+      .toSeq
+    if (keys.isEmpty)
+      table.scan().limit(0)
+    else
+      table.lookupAll(keys)
+  }
+
+  private def refreshGuard(): Unit = {
+    val latest = table.latestVersion.getOrElse(0L)
+    require(appliedVersion == latest,
+      s"index at ${idx.path} reflects base version $appliedVersion but the " +
+        s"table is at $latest — call refresh() first (stale reads are a " +
+        "silent-wrong-answer class; the engine refuses instead)")
+  }
+}
+
+object SecondaryIndex {
+
+  /** Source log offset carried on every index entry: fixes the intra-batch
+    * apply order and records entry provenance.
+    */
+  val SourceOffsetCol = "_src_offset"
+
+  /** Create and build an index on `table.indexColumns` as `db.name`.
+    * The initial build replays the retained changelog when complete, and
+    * falls back to a current-state snapshot build when the log was
+    * vacuumed below version 0.
+    */
+  def create(catalog: Catalog, db: String, name: String, table: GraftTable,
+      indexColumns: Seq[String]): SecondaryIndex = {
+    require(table.desc.isPrimaryKeyTable, "secondary index requires a PK base table")
+    require(indexColumns.nonEmpty, "no index columns")
+    indexColumns.foreach(c => require(table.desc.schema.fieldNames.contains(c),
+      s"index column $c not in base schema"))
+    require(indexColumns.forall(!table.desc.primaryKey.contains(_)),
+      "index columns must not be PK columns (PK lookups need no index)")
+    val fields = (indexColumns ++ table.desc.primaryKey)
+      .map(c => table.desc.schema(c)) :+ StructField(SourceOffsetCol, LongType)
+    val desc = TableDescriptor(StructType(fields),
+      primaryKey = indexColumns ++ table.desc.primaryKey,
+      bucketKeys = indexColumns,
+      numBuckets = table.desc.numBuckets)
+    val idx = catalog.createTable(db, name, desc)
+    val si = new SecondaryIndex(table, indexColumns, idx)
+    if (table.retainedFloorOffsets.exists(_.values.exists(_ > 0L))) {
+      // vacuumed history: snapshot build, then incremental from here
+      table.latestVersion.foreach { v =>
+        val snap = table.scan().select(
+          ((indexColumns ++ table.desc.primaryKey).map(col) :+
+            lit(0L).as(SourceOffsetCol) :+ lit(false).as("__delete")): _*)
+        idx.upsertMixed(snap, orderBy = Seq(col(SourceOffsetCol)))
+        si.writeAppliedVersion(v)
+      }
+    } else si.refresh()
+    si
+  }
+
+  /** Reopen an existing index table as an index handle. */
+  def open(table: GraftTable, idx: GraftTable, indexColumns: Seq[String]): SecondaryIndex =
+    new SecondaryIndex(table, indexColumns, idx)
+}

@@ -116,6 +116,23 @@ object Fixtures {
       t
     }
 
+  private val idxCache = mutable.Map.empty[(String, String), SecondaryIndex]
+
+  /** [[usersLww]] + a secondary index on `event_type` (global non-key
+    * index): an equality probe on a non-key column becomes a bucket-pruned
+    * prefix lookup on the index plus a batched PK lookup on the base.
+    */
+  def usersByTypeIndex(spark: SparkSession, sfDir: String): SecondaryIndex =
+    synchronized {
+      idxCache.getOrElseUpdate(("users_by_type", sfDir), {
+        val base = usersLww(spark, sfDir)
+        val cat = catalog(spark)
+        val db = "fx" + math.abs(sfDir.hashCode)
+        if (cat.tableExists(db, "users_by_type")) cat.dropTable(db, "users_by_type")
+        SecondaryIndex.create(cat, db, "users_by_type", base, Seq("event_type"))
+      })
+    }
+
   /** Same, but event_type='error' rows are DELETE intents — exercises the
     * delete path of the default merge engine.
     */
