@@ -198,6 +198,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Resolve a procedure's `'db.tbl'` argument to the engine table. */
+  private[connector] def coreCatalog: CoreCatalog = core
+
   private[connector] def tableForProcedure(qualified: String): GraftTable = {
     val parts = qualified.split('.')
     require(parts.length == 2, s"expected 'db.table', got '$qualified'")

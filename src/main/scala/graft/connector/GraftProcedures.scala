@@ -31,7 +31,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "rewrite_files", "expire_partitions",
-    "maintain_partitions", "expire_log", "remove_orphan_files")
+    "maintain_partitions", "expire_log", "remove_orphan_files",
+    "create_index", "refresh_index")
 
   /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
     * reference's Duration-typed `table.log.ttl`).
@@ -85,6 +86,29 @@ object GraftProcedures {
         t.rewriteLogFiles(row.getLong(1), zorderBy = zcols)
         if (zcols.isEmpty) "log rewritten to one file per (partition, bucket)"
         else s"log rewritten, z-ordered by ${zcols.mkString(",")}"
+      })
+      case "create_index" => Some(proc(catalog, "create_index",
+        Seq(in("table", StringType), in("index_table", StringType),
+          in("columns", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val qualified = row.getUTF8String(1).toString
+        val parts = qualified.split('.')
+        require(parts.length == 2, s"index_table must be 'db.name', got '$qualified'")
+        val cols = row.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val si = graft.core.SecondaryIndex.create(
+          catalog.coreCatalog, parts(0), parts(1), t, cols)
+        s"index $qualified on (${cols.mkString(",")}) built at base version " +
+          s"${si.appliedVersion}"
+      })
+      case "refresh_index" => Some(proc(catalog, "refresh_index",
+        Seq(in("table", StringType), in("index_table", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val idx = catalog.tableForProcedure(row.getUTF8String(1).toString)
+        // the index's bucket keys ARE its index columns (SecondaryIndex.create)
+        val si = graft.core.SecondaryIndex.open(t, idx, idx.desc.bucketKeys)
+        si.refresh()
+        s"index refreshed to base version ${si.appliedVersion}"
       })
       case "remove_orphan_files" => Some(proc(catalog, "remove_orphan_files",
         Seq(in("table", StringType),

@@ -362,6 +362,29 @@ class ConnectorSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("fixed at CREATE TABLE time")))
   }
 
+  test("create_index / refresh_index procedures: SQL-visible index table") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.idxbase (k BIGINT, cat STRING, v INT) " +
+      "USING graft TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.idxbase VALUES (1, 'a', 1), (2, 'b', 2), (3, 'a', 3)")
+    val created = spark.sql(
+      "CALL gfs.system.create_index('db.idxbase', 'db.idxbase_by_cat', 'cat')").collect()
+    assert(created.head.getString(0).contains("built"))
+    // the index is an ordinary catalog table: SQL probes it directly
+    val ks = spark.sql(
+      "SELECT k FROM gfs.db.idxbase_by_cat WHERE cat = 'a' ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ks == Seq(1L, 3L))
+    spark.sql("INSERT INTO gfs.db.idxbase VALUES (1, 'b', 10), (4, 'a', 4)")
+    val refreshed = spark.sql(
+      "CALL gfs.system.refresh_index('db.idxbase', 'db.idxbase_by_cat')").collect()
+    assert(refreshed.head.getString(0).contains("refreshed"))
+    val ks2 = spark.sql(
+      "SELECT k FROM gfs.db.idxbase_by_cat WHERE cat = 'a' ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ks2 == Seq(3L, 4L), "k=1 moved from cat a to b")
+  }
+
   test("maintain_partitions reads the policy from table properties") {
     wh
     spark.sql("""
