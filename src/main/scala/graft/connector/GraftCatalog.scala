@@ -624,6 +624,8 @@ class GraftScanBuilder(table: GraftTable,
               table.scanFromOffsets(table.latestOffsets)
             case (_, _, Some(GraftScanBuilder.FromTimestamp(ms))) =>
               table.scanFromTimestamp(new java.sql.Timestamp(ms))
+            case (_, _, Some(GraftScanBuilder.FromVersion(v))) =>
+              table.scanFromOffsets(table.offsetsAtVersion(v))
             case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)
@@ -657,6 +659,7 @@ object GraftScanBuilder {
   case object Earliest extends Startup
   case object Latest extends Startup
   final case class FromTimestamp(ms: Long) extends Startup
+  final case class FromVersion(v: Long) extends Startup
 
   def startupMode(options: CaseInsensitiveStringMap): Option[Startup] =
     Option(options.get("scan.startup.mode")).map(_.toLowerCase).flatMap {
@@ -667,8 +670,12 @@ object GraftScanBuilder {
         Option(options.get("scan.startup.timestamp-millis"))
           .map(_.toLong).getOrElse(throw new IllegalArgumentException(
             "scan.startup.mode=timestamp requires scan.startup.timestamp-millis"))))
+      case "version" => Some(FromVersion(
+        Option(options.get("scan.startup.version"))
+          .map(_.toLong).getOrElse(throw new IllegalArgumentException(
+            "scan.startup.mode=version requires scan.startup.version"))))
       case other => throw new IllegalArgumentException(
-        s"unknown scan.startup.mode '$other' (initial/earliest/latest/timestamp)")
+        s"unknown scan.startup.mode '$other' (initial/earliest/latest/timestamp/version)")
     }
 
   /** Top-level equality constraints (column -> value) from a pushed

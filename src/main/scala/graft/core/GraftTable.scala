@@ -1549,18 +1549,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * the files of the requested commits, not the whole log. Fails loudly
     * when `fromV`'s offsets have been vacuumed away.
     */
-  def changesBetween(fromV: Long, toV: Long): DataFrame = {
-    require(fromV <= toV, s"fromV $fromV > toV $toV")
-    val hist = readVersionHistory()
-    require(hist.nonEmpty, s"table at $path has no recorded version history")
-    def offsetsAt(v: Long): Map[Int, Long] =
-      if (v == 0L) Map.empty
-      else hist.find(_.version == v).map(_.offsets)
+  /** Per-bucket next-offset bound of a committed version (0 = before the
+    * first commit). Fails on unrecorded versions.
+    */
+  def offsetsAtVersion(v: Long): Map[Int, Long] =
+    if (v == 0L) Map.empty
+    else {
+      val hist = readVersionHistory()
+      require(hist.nonEmpty, s"table at $path has no recorded version history")
+      hist.find(_.version == v).map(_.offsets)
         .getOrElse(throw new IllegalArgumentException(
           s"version $v not recorded for $path (recorded: " +
             s"${hist.head.version}..${hist.last.version})"))
-    val from = offsetsAt(fromV)
-    val until = offsetsAt(toV)
+    }
+
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val from = offsetsAtVersion(fromV)
+    val until = offsetsAtVersion(toV)
     // vacuum truncates the log: a from-bound below the retained floor
     // would silently miss deleted records — refuse instead
     retainedFloorOffsets.foreach { floor =>

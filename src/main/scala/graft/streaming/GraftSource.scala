@@ -56,8 +56,12 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
         params.getOrElse("scan.startup.timestamp-millis",
           throw new IllegalArgumentException(
             "scan.startup.mode=timestamp requires scan.startup.timestamp-millis")).toLong)
+      case Some("version") => GraftStream.StartupMode.FromVersion(
+        params.getOrElse("scan.startup.version",
+          throw new IllegalArgumentException(
+            "scan.startup.mode=version requires scan.startup.version")).toLong)
       case Some(other) => throw new IllegalArgumentException(
-        s"unknown scan.startup.mode '$other' (earliest/latest/timestamp)")
+        s"unknown scan.startup.mode '$other' (earliest/latest/timestamp/version)")
     }
 
   private val maxOffsetsPerTrigger: Option[Long] =
@@ -74,6 +78,7 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     case GraftStream.StartupMode.Latest => table.latestOffsets
     case GraftStream.StartupMode.Timestamp(ms) =>
       table.offsetsForTimestamp(new java.sql.Timestamp(ms))
+    case GraftStream.StartupMode.FromVersion(v) => table.offsetsAtVersion(v)
   }
 
   override def schema: StructType = table.logSchema

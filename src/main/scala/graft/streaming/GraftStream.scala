@@ -41,6 +41,10 @@ object GraftStream {
     case object Latest extends StartupMode
     /** Changes with commit timestamp >= the given epoch-millis. */
     final case class Timestamp(ms: Long) extends StartupMode
+    /** Changes committed AFTER the given table version (0 = everything) —
+      * the streaming continuation of a batch `changesBetween(…, v)` read.
+      */
+    final case class FromVersion(v: Long) extends StartupMode
   }
 
   /** Streaming changelog scan of a graft table — the [[GraftSource]]
@@ -61,6 +65,9 @@ object GraftStream {
       case StartupMode.Timestamp(ms) =>
         reader.option("scan.startup.mode", "timestamp")
           .option("scan.startup.timestamp-millis", ms.toString)
+      case StartupMode.FromVersion(v) =>
+        reader.option("scan.startup.mode", "version")
+          .option("scan.startup.version", v.toString)
     }
     reader.load()
   }

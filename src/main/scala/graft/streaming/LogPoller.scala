@@ -48,6 +48,7 @@ final class LogPoller(table: GraftTable, group: String,
     case GraftStream.StartupMode.Latest => table.latestOffsets
     case GraftStream.StartupMode.Timestamp(ms) =>
       table.offsetsForTimestamp(new java.sql.Timestamp(ms))
+    case GraftStream.StartupMode.FromVersion(v) => table.offsetsAtVersion(v)
   }))
 
   /** Per-bucket next offset this poller will read from. */

@@ -159,6 +159,10 @@ class ConnectorSpec extends SparkTestBase {
     // latest: nothing yet
     assert(spark.read.option("scan.startup.mode", "latest")
       .table("gfs.db.su").count() == 0)
+    // version: records committed after table version 1 (-U/+U of commit 2)
+    assert(spark.read.option("scan.startup.mode", "version")
+      .option("scan.startup.version", "1")
+      .table("gfs.db.su").count() == 2)
     intercept[Exception](spark.read.option("scan.startup.mode", "bogus")
       .table("gfs.db.su").count())
   }

@@ -74,6 +74,23 @@ class GraftSourceSpec extends SparkTestBase {
     assert(b2.toSet == Set(4L -> 4, 5L -> 5))
   }
 
+  test("version startup: stream continues a batch changesBetween read") {
+    val t = newTable("srcv")
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord"))) // version 1
+    t.append(rows(3L -> 3), orderBy = Seq(col("ord")))          // version 2
+    t.append(rows(4L -> 4), orderBy = Seq(col("ord")))          // version 3
+    val (got, _) = drain(t, Files.createTempDirectory("graft-src-ckpt").toString,
+      Map("scan.startup.mode" -> "version", "scan.startup.version" -> "1"))
+    assert(got.toSet == Set(3L -> 3, 4L -> 4), s"expected commits after v1: $got")
+    // unknown version fails loudly at source construction
+    val bad = intercept[Exception] {
+      drain(t, Files.createTempDirectory("graft-src-ckpt").toString,
+        Map("scan.startup.mode" -> "version", "scan.startup.version" -> "9"))
+    }
+    assert(Option(bad.getMessage).exists(_.contains("not recorded")) ||
+      Option(bad.getCause).exists(_.getMessage.contains("not recorded")))
+  }
+
   test("offset tracking is immune to small-file compaction (file streams are not)") {
     val t = newTable("src2")
     t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
