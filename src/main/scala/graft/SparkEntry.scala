@@ -458,6 +458,14 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.75), defaultRate = 0.25)
         .select(col("doc_id"), col("lang"))),
 
+    // ----- TA18: weight-proportional sample without replacement (A-ES:
+    // rank by u^(1/w), u deterministic from md5(id)) — length-weighted
+    // corpus draw, exactly k rows, engine/partitioning-reproducible
+    "ta18_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        k = 120).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))),
+
     // ----- TA5: PII detection — per-doc email/phone counts plus the
     // length after length-preserving email redaction (the scrub stage a
     // training pipeline runs first; patterns shared verbatim with the
@@ -1463,6 +1471,15 @@ object SparkEntry {
         |    DESC, b.vec_id) AS rank
         |FROM v a JOIN v b ON a.vec_id <> b.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+
+    "ta18_weighted_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    pow((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |         + 0.5) / 281474976710656.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS wkey
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY wkey DESC, doc_id LIMIT 120""".stripMargin,
 
     "ta4_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -107,6 +107,32 @@ object Sampling {
         (col("n_sampled").cast("double") / lit(actualRate)).as("est_distinct"))
   }
 
+  /** Weight-proportional sample WITHOUT replacement, size exactly k —
+    * Efraimidis–Spirakis A-ES: each row draws a deterministic uniform
+    * u ∈ (0,1) from md5(id) and ranks by u^(1/w); the global top-k by
+    * that key is a weighted sample without replacement (e.g. w =
+    * document length for token-proportional corpus draws, or a quality
+    * score for quality-tilted ones). Rows with w <= 0 are excluded.
+    *
+    * Scale: the key is per-row scan arithmetic; top-k is
+    * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+    * never a global sort). Deterministic in the ids — the same sample on
+    * any engine, partitioning, or retry; u and pow() are IEEE-exact
+    * replays (48 hash bits through conv(), exactly representable in a
+    * double).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Temperature-based domain mixing (alpha = 0.5): per-domain keep rate
     * sqrt(c_min / c_domain), so the smallest domain is kept whole and
     * large domains are flattened toward it — the standard multilingual /

@@ -35,6 +35,27 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(bySrc("big") > 50 && bySrc("big") < 150, s"got ${bySrc("big")}")
   }
 
+  test("weightedSample: exact k, weight bias, partition-invariant, w<=0 excluded") {
+    import spark.implicits._
+    // half the ids weigh 100, half weigh 1: the heavy half should dominate
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) 100L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    assert(got.length == 200 && got.distinct.length == 200)
+    val heavy = got.count(_ <= 500)
+    assert(heavy > 170, s"heavy-weight rows under-sampled: $heavy/200")
+    // identical sample under a different partitioning
+    val re = Sampling.weightedSample(df.repartition(13), "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    assert(re.sorted.sameElements(got.sorted))
+    // zero/negative weights never sampled
+    val withZero = (1L to 10L).map(i => (i, if (i <= 5) 0L else 1L)).toDF("id", "w")
+    val nz = Sampling.weightedSample(withZero, "id", "w", k = 10)
+      .collect().map(_.getLong(0))
+    assert(nz.length == 5 && nz.forall(_ > 5))
+  }
+
   test("pii detection counts and redacts emails and phone-like runs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length}
