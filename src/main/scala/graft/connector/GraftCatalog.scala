@@ -582,13 +582,29 @@ class GraftScanBuilder(table: GraftTable,
       StructType(table.desc.schema.fields.take(1)) else requiredSchema
   }
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val countSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("count(*)",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
     override def readSchema(): StructType =
       if (countStarPushed) countSchema else required
+
+    /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the
+      * manifest row count when free — a small dimension table becomes
+      * broadcast-eligible instead of defaulting to never-broadcast.
+      */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val (bytes, rows) = table.plannerStats()
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(bytes, 1L))
+        override def numRows(): java.util.OptionalLong =
+          rows.map(java.util.OptionalLong.of)
+            .getOrElse(java.util.OptionalLong.empty())
+      }
+    }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {

@@ -1699,6 +1699,40 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */
   def stats(): DataFrame = scan().agg(count(lit(1)).as("n_rows"))
 
+  /** Planner statistics (size in bytes, exact row count when free):
+    * on-disk bytes of the visible log + snapshot, and — for unpartitioned
+    * log tables — the record count from the offset manifest. Drives
+    * Spark's CBO through the DSv2 scan ([[graft.connector.GraftCatalog]]
+    * reports these), so a small dimension table joins as a broadcast
+    * instead of defaulting to `defaultSizeInBytes` = never-broadcast.
+    * Driver-side file listing only — the same work the scan's file index
+    * does anyway.
+    */
+  def plannerStats(): (Long, Option[Long]) = {
+    def dirBytes(dir: String): Long = {
+      val d = Paths.get(dir)
+      if (!Files.exists(d)) 0L
+      else {
+        val walk = Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .map(p => try Files.size(p) catch { case _: Exception => 0L })
+            .sum
+        } finally walk.close()
+      }
+    }
+    val (files, _) = visibleLogFiles()
+    val bytes = files.map(f =>
+      try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum +
+      dirBytes(snapshotDir)
+    val rows =
+      if (!desc.isPrimaryKeyTable && desc.partitionKeys.isEmpty) Some(fastCount)
+      else None
+    (bytes, rows)
+  }
+
   /** A6 count(*) from offset metadata — log tables only: the record count
     * is the sum of per-bucket next offsets, no scan (the reference's
     * `countTable`, PushdownUtils.java:348-440 summing latestOffset −

@@ -78,6 +78,9 @@ object BucketPruning {
     if (!spark.experimental.extraOptimizations.contains(BucketPruneRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BucketPruneRule
+    if (!spark.experimental.extraOptimizations.contains(V1StatsRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ V1StatsRule
   }
 }
 
@@ -127,6 +130,7 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BucketPruneRule)
+    e.injectOptimizerRule(_ => V1StatsRule)
     graft.functions.NativeFunctions.registrations.foreach(e.injectFunction)
   }
 }

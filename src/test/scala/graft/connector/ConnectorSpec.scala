@@ -366,6 +366,23 @@ class ConnectorSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("fixed at CREATE TABLE time")))
   }
 
+  test("scan reports statistics: small catalog tables broadcast in joins") {
+    wh
+    graft.plans.BucketPruning.install(spark) // V1StatsRule rides along
+    spark.sql("CREATE TABLE gfs.db.statdim (k BIGINT, name STRING) USING graft " +
+      "TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')")
+    spark.sql("CREATE TABLE gfs.db.statfact (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')")
+    spark.sql("INSERT INTO gfs.db.statdim VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gfs.db.statfact VALUES (1, 10), (2, 20), (1, 30)")
+    val joined = spark.sql(
+      "SELECT f.k, f.v, d.name FROM gfs.db.statfact f JOIN gfs.db.statdim d ON f.k = d.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny dim should broadcast (stats-driven), got:\n$plan")
+    assert(joined.count() == 3)
+  }
+
   test("create_index / refresh_index procedures: SQL-visible index table") {
     wh
     spark.sql("CREATE TABLE gfs.db.idxbase (k BIGINT, cat STRING, v INT) " +
