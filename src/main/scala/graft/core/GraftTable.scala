@@ -508,7 +508,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * default. Properties: `table.file.bloom-filter.enabled`,
     * `table.file.bloom-filter.columns` (comma-separated override).
     */
-  private lazy val bloomWriteOptions: Map[String, String] = {
+  private lazy val fileWriteOptions: Map[String, String] = {
     val enabled = desc.properties
       .get("table.file.bloom-filter.enabled")
       .map(_.equalsIgnoreCase("true"))
@@ -516,9 +516,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val cols = desc.properties.get("table.file.bloom-filter.columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(desc.effectiveBucketKeys)
-    if (!enabled || cols.isEmpty) Map.empty
+    // per-table parquet codec (table.file.compression: zstd/snappy/gzip/
+    // lz4/uncompressed — the reference's table.log.format compression
+    // analog); session default otherwise
+    val codec = desc.properties.get("table.file.compression")
+      .map(c => Map("compression" -> c.toLowerCase)).getOrElse(Map.empty)
+    codec ++ (if (!enabled || cols.isEmpty) Map.empty
     else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
-      cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
+      cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))
   }
 
   /** CHAR(n)/VARCHAR(n) write-time length check ([[TableDescriptor
@@ -1176,7 +1181,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               .drop("__ord")
               .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             val staging = newStagingDir()
-            out.write.mode("overwrite").options(bloomWriteOptions)
+            out.write.mode("overwrite").options(fileWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
             publish(counts, Some(staging))
           } else publish(counts, None)
@@ -1190,7 +1195,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             val out = numbered.drop("__ord")
               .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             val staging = newStagingDir()
-            out.write.mode("overwrite").options(bloomWriteOptions)
+            out.write.mode("overwrite").options(fileWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
             publish(counts, Some(staging))
           } else publish(counts, None)
@@ -1205,7 +1210,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
             .observe(obs, countExprs.head, countExprs.tail: _*)
           val staging = newStagingDir()
-          out.write.mode("overwrite").options(bloomWriteOptions)
+          out.write.mode("overwrite").options(fileWriteOptions)
             .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
           val row = obs.get
           val counts = (0 until desc.numBuckets)
@@ -1242,7 +1247,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // silently resurfacing dropped partitions from a partition-blind
     // snapshot.
     currentState().withColumn(Meta.Bucket, bucketCol)
-      .write.mode("overwrite").options(bloomWriteOptions)
+      .write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(snapshotDir)
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
@@ -1270,7 +1275,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val manifestAtStart = readManifest()
     val retained = logDFFor(manifestAtStart)
       .filter(col(Meta.Offset) >= bucketMapExpr(snapOffsets, 0L))
-    retained.write.mode("overwrite").options(bloomWriteOptions)
+    retained.write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     // record the time-travel floor BEFORE the visibility flip: a crash
     // after the flip but before the marker would otherwise leave a
@@ -1351,7 +1356,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       readMarkerMillis(vacuumMarkerFile, "boundMillis").getOrElse(Long.MinValue))
     val tmpDir = s"$path/log.expire"
     all.filter(col(Meta.Timestamp) >= lit(cutoff))
-      .write.mode("overwrite").options(bloomWriteOptions)
+      .write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     CatalogJson.atomicWrite(vacuumMarkerFile,
       JsonMethods.compact(JsonMethods.render(JObject(List(
@@ -1436,7 +1441,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       if (zorderBy.isEmpty) parted
       else parted.sortWithinPartitions(
         dirKeys :+ graft.ops.Zorder.zvalueFor(retained, zorderBy, zorderBits): _*)
-    laid.write.mode("overwrite").options(bloomWriteOptions)
+    laid.write.mode("overwrite").options(fileWriteOptions)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     swapRewrittenLog(tmpDir, manifestAtStart, "rewriteLogFiles")

@@ -73,6 +73,24 @@ class BloomFilterSpec extends SparkTestBase {
     assert(t.lookup(Map("k" -> 17L)).count() == 1)
   }
 
+  test("table.file.compression picks the parquet codec per table") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "codec1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 1,
+        properties = Map("table.file.compression" -> "zstd")))
+    t.append(rows(50))
+    val f = logParquetFiles(t.path).head
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val codecs = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala).map(_.getCodec.name()).toSet
+      assert(codecs == Set("ZSTD"), s"expected zstd, got $codecs")
+    } finally reader.close()
+    assert(t.scan().count() == 50)
+  }
+
   test("log tables default to no blooms; properties opt in and out") {
     val cat = newCatalog()
     val plain = cat.createTable("db", "bloom2",
