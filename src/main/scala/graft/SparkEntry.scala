@@ -680,6 +680,11 @@ object SparkEntry {
     // path (reference: SupportsDeletePushDown / RowLevelUpdate)
     "rl1_row_level_ops" -> ((s, dir) => Fixtures.usersRowLevel(s, dir).scan()),
 
+    // ----- RL2 (beyond the reference): MERGE INTO — per-source-row
+    // update/delete/insert decided in ONE join against current state,
+    // applied as one mixed merge batch
+    "rl2_merge_into" -> ((s, dir) => Fixtures.usersMerged(s, dir).scan()),
+
     // ----- T3 + ChangelogImage.WAL: -U before-images suppressed
     "t3_changelog_wal" -> ((s, dir) =>
       Fixtures.usersLwwWal(s, dir).changelog()
@@ -1677,6 +1682,17 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "rl2_merge_into" ->
+      """SELECT ts, user_id, event_type,
+        |  CAST(CASE WHEN user_id % 3 = 0
+        |       THEN CAST(value AS DECIMAL(18,6)) + user_id
+        |       ELSE CAST(value AS DECIMAL(18,6)) END AS DOUBLE) AS value,
+        |  props
+        |FROM (SELECT ts, user_id, event_type, value, props,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND NOT (user_id % 3 = 0 AND event_type = 'error')""".stripMargin,
 
     "t3_changelog_wal" ->
       """WITH o AS (

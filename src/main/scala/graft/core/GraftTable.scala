@@ -1676,6 +1676,85 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     upsert(updated, targetColumns = Some(touched))
   }
 
+  /** MERGE INTO (Delta/Iceberg-style row-level merge, reduced to the
+    * engine's mixed upsert): each source row either DELETEs its matched
+    * target row, UPDATEs it, or INSERTs — decided by conditions evaluated
+    * over a frame holding the source columns as-is plus the matched
+    * target row as a `_target` struct (null when unmatched), so an update
+    * like "add the delta to the current value" is
+    * `Map("v" -> col("_target.v") + col("delta"))`.
+    *
+    * - `whenMatchedDelete`: matched rows where it holds are deleted
+    *   (checked first, like SQL MERGE clause order).
+    * - `whenMatchedUpdate` + `updateSet`: remaining matched rows where the
+    *   condition holds update the SET columns (others keep target values).
+    * - `insertUnmatched`: unmatched source rows insert (source must carry
+    *   every data column).
+    *
+    * Source keys must be unique — the SQL MERGE cardinality rule (a
+    * target row matched by two source rows is nondeterministic); enforced
+    * in-plan, failing the job rather than merging garbage.
+    *
+    * Shape at scale: ONE join of the source against current state (state
+    * materialization is the usual single hash-agg; broadcast when the
+    * source is small — it's the probe side), then one mixed-batch merge
+    * write, which itself only reads the buckets the decision rows touch.
+    */
+  def mergeInto(source: DataFrame,
+      whenMatchedUpdate: Column = lit(true),
+      updateSet: Map[String, Column] = Map.empty,
+      whenMatchedDelete: Option[Column] = None,
+      insertUnmatched: Boolean = true): Unit = {
+    require(desc.isPrimaryKeyTable, "mergeInto requires a PK table")
+    val pk = desc.primaryKey
+    require(pk.forall(source.columns.contains),
+      s"source must carry the primary key $pk")
+    require(updateSet.keys.forall(c => !pk.contains(c)),
+      "cannot update primary-key columns")
+    val dataCols = desc.schema.fieldNames.toSeq
+    // duplicate-key guard rides the same plan (no extra pass): a per-key
+    // window count, folded into the __action expression below so column
+    // pruning can't drop it — SQL MERGE's cardinality check
+    val wk = Window.partitionBy(pk.map(col): _*)
+    val guarded = source.withColumn("__src_n", count(lit(1)).over(wk))
+    val srcHas = source.columns.toSet
+    if (insertUnmatched) require(dataCols.forall(srcHas),
+      s"insertUnmatched needs every data column in the source; missing " +
+        s"${dataCols.filterNot(srcHas).mkString(",")}")
+    def srcCol(c: String): Column =
+      if (srcHas(c)) col(c) else lit(null).cast(desc.schema(c).dataType)
+    val target = currentState()
+      .select((struct(dataCols.map(col): _*).as("_target") +:
+        pk.map(c => col(c).as(s"__tk_$c"))).toIndexedSeq: _*)
+    val joined = guarded.join(target,
+      pk.map(c => col(c) <=> col(s"__tk_$c")).reduce(_ && _), "left")
+    val matched = col("_target").isNotNull
+    val del = whenMatchedDelete.getOrElse(lit(false))
+    // decision: 1 = delete, 2 = update, 3 = insert, 0 = no-op
+    val action = when(col("__src_n") > 1, raise_error(concat(
+        lit("MERGE source has duplicate keys: "),
+        concat_ws(",", pk.map(c => col(c).cast("string")): _*))).cast("int"))
+      .when(matched && del, 1)
+      .when(matched && whenMatchedUpdate, 2)
+      .when(!matched && lit(insertUnmatched), 3)
+      .otherwise(0)
+    val outCols = dataCols.map { c =>
+      val updated =
+        if (updateSet.contains(c)) updateSet(c)
+        else if (pk.contains(c)) col(c)
+        else if (updateSet.nonEmpty) col(s"_target.$c") // untouched keeps target
+        else srcCol(c) // full-row overwrite: the source carries it
+      when(col("__action") === 2, updated)
+        .when(col("__action") === 3, srcCol(c))
+        .otherwise(srcCol(c)) // delete rows only need the PK
+        .as(c)
+    }
+    val decisions = joined.withColumn("__action", action)
+      .filter(col("__action") =!= 0)
+      .select(outCols :+ (col("__action") === 1).as("__delete"): _*)
+    upsertMixed(decisions)
+  }
+
   /** SQL surface: expose the table and its virtual tables as temp views —
     * `name`, `name__changelog`, and for PK tables `name__binlog`. The
     * reference names these `t$changelog`/`t$binlog`

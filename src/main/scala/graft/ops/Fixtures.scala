@@ -116,6 +116,24 @@ object Fixtures {
       t
     }
 
+  /** MERGE INTO fixture: LWW state merged with a deterministic source —
+    * every user_id divisible by 3 gets `value += user_id` unless its
+    * current event_type is 'error', in which case the row is deleted.
+    */
+  def usersMerged(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_merged", sfDir) {
+      usersLww(spark, sfDir)
+      val t = freshClone(spark, sfDir, "users_lww", "users_merged")
+      val src = t.scan().filter(col("user_id") % 3 === 0)
+        .select(col("user_id"),
+          col("user_id").cast(DecimalType(18, 6)).as("bump"))
+      t.mergeInto(src,
+        updateSet = Map("value" -> (col("_target.value") + col("bump"))),
+        whenMatchedDelete = Some(col("_target.event_type") === "error"),
+        insertUnmatched = false)
+      t
+    }
+
   private val idxCache = mutable.Map.empty[(String, String), SecondaryIndex]
 
   /** [[usersLww]] + a secondary index on `event_type` (global non-key

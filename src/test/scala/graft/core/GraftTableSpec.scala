@@ -210,6 +210,44 @@ class GraftTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.scanAtVersion(1L).collect())
   }
 
+  test("mergeInto: update, conditional delete, insert, SET mode, dup-key guard") {
+    import spark.implicits._
+    val cat = newCatalog()
+    val t = cat.createTable("db", "merge1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+
+    // full-row overwrite for matched, delete when target s=="b", insert new
+    val src = Seq((1L, 10, "a2"), (2L, 99, "x"), (4L, 4, "d")).toDF("k", "v", "s")
+    t.mergeInto(src, whenMatchedDelete = Some(col("_target.s") === "b"))
+    assertSameRows(t.scan().collect().toSeq,
+      Seq(Row(1L, 10, "a2"), Row(3L, 3, "c"), Row(4L, 4, "d")))
+
+    // SET mode: partial source, target columns referenced via _target
+    val src2 = Seq((1L, 5)).toDF("k", "delta")
+    t.mergeInto(src2,
+      updateSet = Map("v" -> (col("_target.v") + col("delta"))),
+      insertUnmatched = false)
+    assertSameRows(t.scan().filter(col("k") === 1L).collect().toSeq,
+      Seq(Row(1L, 15, "a2")))
+
+    // conditional update: rows failing the condition are no-ops
+    val src3 = Seq((3L, -1), (4L, 7)).toDF("k", "delta")
+    t.mergeInto(src3, whenMatchedUpdate = col("delta") > 0,
+      updateSet = Map("v" -> (col("_target.v") + col("delta"))),
+      insertUnmatched = false)
+    assertSameRows(t.scan().select("k", "v").collect().toSeq,
+      Seq(Row(1L, 15), Row(3L, 3), Row(4L, 11)))
+
+    // duplicate source keys fail the job (SQL MERGE cardinality rule)
+    val dup = Seq((1L, 1, "x"), (1L, 2, "y")).toDF("k", "v", "s")
+    val e = intercept[Exception](t.mergeInto(dup))
+    assert(e.getMessage.contains("duplicate keys")
+      || Option(e.getCause).exists(_.getMessage.contains("duplicate keys")))
+    // insertUnmatched with a partial source is rejected up front
+    intercept[IllegalArgumentException](t.mergeInto(Seq((9L, 1)).toDF("k", "delta")))
+  }
+
   test("changesBetween: per-version changelog slices, CDF loop, vacuum guard") {
     val cat = newCatalog()
     val t = cat.createTable("db", "cdf1",
