@@ -388,7 +388,36 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     asOf: Option[java.sql.Timestamp] = None,
     atVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsPartitionManagement {
+    with SupportsPartitionManagement
+    with org.apache.spark.sql.graftshim.V1FallbackTable {
+
+  /** Streaming through the catalog table — `spark.readStream.table(
+    * "cat.db.t")` and `df.writeStream.toTable("cat.db.t")`, the API the
+    * reference documents (website/docs/engine-spark/structured-streaming
+    * .md). Spark's analyzer and DataStreamWriter route streaming over a
+    * `V2TableWithV1Fallback` table
+    * to its V1 provider (the same bridge Delta uses), which lands
+    * on the existing `format("graft")` source/sink — per-bucket manifest
+    * offsets, startup modes, exactly-once batch-id commits — instead of
+    * a hand-rolled DSv2 MicroBatchStream. `stream.data-columns` keeps the
+    * streamed schema identical to the table's declared columns (the
+    * fallback contract, and the reference's streaming-read shape); batch
+    * reads are unaffected (the fallback is only consulted on streaming
+    * paths).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        ident.name, ident.namespace().lastOption),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(java.nio.file.Paths.get(table.path).toUri),
+        properties = Map("path" -> table.path, "stream.data-columns" -> "true")),
+      schema = table.desc.schema,
+      provider = Some("graft"),
+      partitionColumnNames = table.desc.partitionKeys)
+  }
 
   // ----- partition management (SHOW PARTITIONS / ALTER TABLE ADD|DROP
   // PARTITION — the reference's partition admin surface, Admin
@@ -508,14 +537,17 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     GraftOptions.toProperties(table.desc)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, asOf, atVersion,
       GraftScanBuilder.startupMode(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // StreamingUpdateAsAppend: Update-mode plans write as appends — the
+    // merge engine folds them, like the V1 sink's Append/Update contract
+    new WriteBuilder with org.apache.spark.sql.graftshim.StreamingUpdateAsAppend {
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -525,6 +557,12 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
               else table.append(data)
             }
           }
+        // df.writeStream.toTable: a real DSv2 streaming write (staged
+        // parquet + tagged commit), so no .format() call is needed —
+        // the reference's documented usage works verbatim
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(table, info.queryId(), info.schema(),
+            org.apache.spark.sql.SparkSession.active)
       }
     }
 }
@@ -642,6 +680,12 @@ class GraftScanBuilder(table: GraftTable,
               table.scanFromTimestamp(new java.sql.Timestamp(ms))
             case (_, _, Some(GraftScanBuilder.FromVersion(v))) =>
               table.scanFromOffsets(table.offsetsAtVersion(v))
+            // read-optimized mode (reference option spark.sql.fluss.read
+            // .optimized): snapshot tier only, log merge skipped — faster,
+            // possibly stale; session-scoped like the reference's SET
+            case _ if context.sparkSession.conf
+                .get("spark.sql.graft.read.optimized", "false").toBoolean =>
+              table.scanReadOptimized()
             case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)

@@ -32,7 +32,17 @@ object GraftProcedures {
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
-    "create_index", "refresh_index")
+    "create_index", "refresh_index", "get_configs")
+
+  /** Session-scoped engine configuration keys and their defaults — the
+    * registry behind `CALL <cat>.system.get_configs()` (the reference's
+    * `sys.get_cluster_configs`, website/docs/engine-spark/procedures
+    * .md:62-99; source DEFAULT vs DYNAMIC maps to DEFAULT vs SESSION
+    * here, since a library engine's dynamic scope IS the Spark session).
+    */
+  val configDefaults: Map[String, String] = Map(
+    "spark.sql.graft.read.optimized" -> "false",
+    "spark.sql.graft.scan.startup.mode" -> "earliest")
 
   /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
     * reference's Duration-typed `table.log.ttl`).
@@ -161,6 +171,44 @@ object GraftProcedures {
           java.time.Instant.now())
         s"pre-created ${created.mkString("[", ",", "]")}, " +
           s"expired ${expired.mkString("[", ",", "]")}"
+      })
+      case "get_configs" => Some(new UnboundProcedure with BoundProcedure {
+        private val schema = StructType(Seq(
+          StructField("config_key", StringType, nullable = false),
+          StructField("config_value", StringType, nullable = false),
+          StructField("config_source", StringType, nullable = false)))
+        override def name(): String = "get_configs"
+        override def description(): String =
+          "engine configuration values (key, value, DEFAULT|SESSION)"
+        override def bind(inputType: StructType): BoundProcedure = this
+        override def parameters(): Array[ProcedureParameter] =
+          Array(in("config_keys", StringType, Some("''")))
+        override def isDeterministic: Boolean = false // reflects session state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val wanted = input.getUTF8String(0).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSet
+          // registry defaults overlaid with session overrides, plus any
+          // ad-hoc spark.sql.graft.* keys SET in this session
+          val sessionGraft = spark.conf.getAll.filter {
+            case (k, _) => k.startsWith("spark.sql.graft.") }
+          val resultRows = (configDefaults.keySet ++ sessionGraft.keySet).toSeq.sorted
+            .filter(k => wanted.isEmpty || wanted.contains(k))
+            .map { k =>
+              val session = sessionGraft.get(k)
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(k),
+                UTF8String.fromString(
+                  session.orElse(configDefaults.get(k)).getOrElse("")),
+                UTF8String.fromString(
+                  if (session.isDefined) "SESSION" else "DEFAULT")))
+            }
+          val scan: Scan = new LocalScan {
+            override def readSchema(): StructType = schema
+            override def rows(): Array[InternalRow] = resultRows.toArray
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
       })
       case _ => None
     }

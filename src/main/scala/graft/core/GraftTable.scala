@@ -35,6 +35,9 @@ import graft.merge.{Materialize, RowMergers}
 final class GraftTable(val path: String, val desc: TableDescriptor,
     spark: SparkSession) {
 
+  /** The session this handle plans against (read-only accessor). */
+  def sparkSession: SparkSession = spark
+
   private val logDir = s"$path/log"
   private val snapshotDir = s"$path/snapshot"
   private val offsetsFile = s"$path/_offsets.json"
@@ -1511,6 +1514,28 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def scan(): DataFrame =
     if (desc.isPrimaryKeyTable) currentState()
     else logDF.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
+    * connector option, website/docs/engine-spark/options.md:17): PK tables
+    * serve the latest KV snapshot ONLY — the log merge is skipped, so the
+    * read is a plain pruned parquet scan with no shuffle, at the cost of
+    * staleness up to the last [[compact]]. A never-compacted table has no
+    * snapshot tier yet and reads empty (stale by definition — same
+    * contract as the reference reading an empty lake/KV snapshot). Log
+    * tables have no merge to skip and read normally.
+    */
+  def scanReadOptimized(): DataFrame =
+    if (!desc.isPrimaryKeyTable) scan()
+    else readSnapshotMeta() match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(desc.schema.fields))
+      case Some(_) =>
+        spark.read.schema(StructType(desc.schema.fields :+
+            StructField(Meta.Bucket, IntegerType)))
+          .option("basePath", snapshotDir).parquet(snapshotDir)
+          .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
 
   /** Best-effort bucket-pruned scan (P5 through any entry point, e.g.
     * the DSv2 connector): when equality predicates pin every bucket key,

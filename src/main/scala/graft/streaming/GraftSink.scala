@@ -62,9 +62,18 @@ object GraftSink {
     val path = get("path").getOrElse(throw new IllegalArgumentException(
       "the graft sink needs a table directory: .format(\"graft\").option(\"path\", dir)"))
     val table = GraftSourceProvider.openTable(sqlContext.sparkSession, path)
-    val sinkId = get("sink.id").getOrElse(throw new IllegalArgumentException(
-      "the graft sink needs a stable writer id: .option(\"sink.id\", ...) " +
-        "(replayed micro-batches dedup per sink id)"))
+    // Writer identity for replay dedup: explicit `sink.id`, else derived
+    // from the query's checkpoint location — the natural per-query
+    // identity (one checkpoint = one batchId sequence), which makes
+    // `writeStream.toTable(...)` work with just `checkpointLocation` the
+    // way the reference documents it (engine-spark/structured-streaming
+    // .md:24-56). Two queries sharing a checkpoint dir is already
+    // undefined behavior in Spark, so the derived id cannot collide.
+    val sinkId = get("sink.id")
+      .orElse(get("checkpointLocation").map("ckpt:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs a stable writer id: .option(\"sink.id\", ...) " +
+          "or a checkpointLocation (replayed micro-batches dedup per sink id)"))
     require(outputMode != OutputMode.Complete(),
       "graft sink supports Append/Update output modes (the merge engine " +
         "folds updates; Complete-mode full rewrites belong to batch writes)")

@@ -48,8 +48,17 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
 
+  /** Mode resolution: reader option first, else the session conf
+    * `spark.sql.graft.scan.startup.mode` (the reference's SET-able
+    * `spark.sql.fluss.scan.startup.mode`, engine-spark/options.md:15 —
+    * and the only channel `readStream.table(...)` has, since Spark's
+    * V1-fallback resolution drops reader options), else earliest.
+    */
   private val startup: GraftStream.StartupMode =
-    params.get("scan.startup.mode").map(_.toLowerCase) match {
+    params.get("scan.startup.mode")
+      .orElse(table.sparkSession.conf
+        .getOption("spark.sql.graft.scan.startup.mode"))
+      .map(_.toLowerCase) match {
       case None | Some("earliest") => GraftStream.StartupMode.Earliest
       case Some("latest") => GraftStream.StartupMode.Latest
       case Some("timestamp") => GraftStream.StartupMode.Timestamp(
@@ -67,6 +76,18 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   private val maxOffsetsPerTrigger: Option[Long] =
     params.get("maxoffsetspertrigger").map(_.toLong)
 
+  /** `stream.data-columns=true`: emit only the table's data columns, no
+    * `__change_type`/`__offset`/... system columns. Set by the catalog's
+    * streaming fallback ([[graft.connector.GraftDsTable.v1Table]]) so
+    * `spark.readStream.table("cat.db.t")` streams with exactly the
+    * table's declared schema — the V1↔V2 fallback requires the V1
+    * source's schema to match the catalog table's columns, and it is
+    * also what the reference's Spark streaming read returns
+    * (website/docs/engine-spark/structured-streaming.md:61-88).
+    */
+  private val dataColumnsOnly: Boolean =
+    params.get("stream.data-columns").exists(_.toBoolean)
+
   /** Where an uncheckpointed stream starts, resolved ONCE at source
     * construction (latest/timestamp are start-time decisions, like the
     * reference's startup modes).
@@ -81,7 +102,8 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     case GraftStream.StartupMode.FromVersion(v) => table.offsetsAtVersion(v)
   }
 
-  override def schema: StructType = table.logSchema
+  override def schema: StructType =
+    if (dataColumnsOnly) table.desc.schema else table.logSchema
 
   /** Advance `from` toward `avail`, spending at most `budget` records
     * (offsets are dense per bucket, so offset delta = record count).
@@ -148,7 +170,12 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
           "(log vacuumed); records in between are gone — restart the " +
           "stream from a fresh checkpoint or the table snapshot")
     }
-    StreamShims.asStreaming(table.scanRange(from, until))
+    val batch = table.scanRange(from, until)
+    StreamShims.asStreaming(
+      if (dataColumnsOnly)
+        batch.select(table.desc.schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+      else batch)
   }
 
   override def stop(): Unit = ()
@@ -205,8 +232,12 @@ final class GraftSourceProvider extends StreamSourceProvider
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft", open(sqlContext, parameters).logSchema)
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val t = open(sqlContext, parameters)
+    val dataOnly = parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("stream.data-columns") && v.toBoolean }
+    ("graft", if (dataOnly) t.desc.schema else t.logSchema)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -219,10 +250,15 @@ object GraftSourceProvider {
     * `meta.json` inside the table dir, so no warehouse context is needed).
     */
   def openTable(spark: SparkSession, path: String): GraftTable = {
-    val metaFile = Paths.get(path, "meta.json")
+    // the catalog's streaming fallback hands the table LOCATION as a URI
+    // ("file:/wh/db/t", possibly trailing-slashed) — normalize to the
+    // plain filesystem path the engine uses everywhere else
+    val p0 = if (path.startsWith("file:")) new java.net.URI(path).getPath else path
+    val p = if (p0.length > 1 && p0.endsWith("/")) p0.dropRight(1) else p0
+    val metaFile = Paths.get(p, "meta.json")
     require(Files.exists(metaFile), s"no graft table at $path (missing meta.json)")
     val desc = CatalogJson.read(
       new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8))
-    new GraftTable(path, desc, spark)
+    new GraftTable(p, desc, spark)
   }
 }

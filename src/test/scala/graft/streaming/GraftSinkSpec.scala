@@ -99,11 +99,9 @@ class GraftSinkSpec extends SparkTestBase {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
     val df = mem.toDF().select(col("value").as("k"), lit(1).as("v"))
+    // no explicit sink.id AND no checkpointLocation to derive one from
     val noId = intercept[Exception] {
-      df.writeStream.format("graft").option("path", dst.path)
-        .option("checkpointLocation",
-          Files.createTempDirectory("ck").toString)
-        .start()
+      df.writeStream.format("graft").option("path", dst.path).start()
     }
     assert(noId.getMessage.contains("sink.id"))
     val noPath = intercept[Exception] {
