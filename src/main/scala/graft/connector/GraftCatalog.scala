@@ -236,6 +236,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!core.tableExists(ident.namespace()(0), ident.namespace()(1)))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       val t = core.getTable(ident.namespace()(0), ident.namespace()(1))
+      // virtual tables surface row data, not just metadata: READ-gated
+      core.authorize("READ", ident.namespace().toSeq)
       val qualified = s"${ident.namespace().mkString(".")}.${ident.name}"
       ident.name match {
         case "changelog" => return new GraftMetaTable(qualified, () => t.changelog())
@@ -257,7 +259,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (!core.tableExists(db(ident), ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftDsTable(core.getTable(db(ident), ident.name), ident)
+    new GraftDsTable(core.getTable(db(ident), ident.name), ident,
+      authz = op => core.authorize(op, Seq(db(ident), ident.name)))
   }
 
   /** `TIMESTAMP AS OF` time travel: Spark hands micros since epoch; the
@@ -268,7 +271,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!core.tableExists(db(ident), ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new GraftDsTable(core.getTable(db(ident), ident.name), ident,
-      asOf = Some(new java.sql.Timestamp(timestampMicros / 1000L)))
+      asOf = Some(new java.sql.Timestamp(timestampMicros / 1000L)),
+      authz = op => core.authorize(op, Seq(db(ident), ident.name)))
   }
 
   /** `VERSION AS OF` version travel: versions are the engine's recorded
@@ -283,13 +287,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"VERSION AS OF expects a numeric commit version, got '$version'")
     }
     new GraftDsTable(core.getTable(db(ident), ident.name), ident,
-      atVersion = Some(v))
+      atVersion = Some(v),
+      authz = op => core.authorize(op, Seq(db(ident), ident.name)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val desc = GraftOptions.toDescriptor(schema, partitions, properties)
-    new GraftDsTable(core.createTable(db(ident), ident.name, desc), ident)
+    new GraftDsTable(core.createTable(db(ident), ident.name, desc), ident,
+      authz = op => core.authorize(op, Seq(db(ident), ident.name)))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -386,7 +392,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   */
 class GraftDsTable(val table: GraftTable, ident: Identifier,
     asOf: Option[java.sql.Timestamp] = None,
-    atVersion: Option[Long] = None)
+    atVersion: Option[Long] = None,
+    authz: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement
     with org.apache.spark.sql.graftshim.V1FallbackTable {
@@ -540,11 +547,14 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    authz("READ")
     new GraftScanBuilder(table, asOf, atVersion,
       GraftScanBuilder.startupMode(options))
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    authz("WRITE")
     // StreamingUpdateAsAppend: Update-mode plans write as appends — the
     // merge engine folds them, like the V1 sink's Append/Update contract
     new WriteBuilder with org.apache.spark.sql.graftshim.StreamingUpdateAsAppend {
@@ -565,6 +575,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
             org.apache.spark.sql.SparkSession.active)
       }
     }
+  }
 }
 
 /** Filter + column pushdown into the engine scan. Translated filters are
@@ -683,8 +694,10 @@ class GraftScanBuilder(table: GraftTable,
             // read-optimized mode (reference option spark.sql.fluss.read
             // .optimized): snapshot tier only, log merge skipped — faster,
             // possibly stale; session-scoped like the reference's SET
-            case _ if context.sparkSession.conf
-                .get("spark.sql.graft.read.optimized", "false").toBoolean =>
+            case _ if graft.core.DynamicConfigs.effective(
+                context.sparkSession,
+                java.nio.file.Paths.get(table.path).getParent.getParent.toString,
+                "spark.sql.graft.read.optimized", "false").toBoolean =>
               table.scanReadOptimized()
             case _ => table.scanPruned(eqs)
           }

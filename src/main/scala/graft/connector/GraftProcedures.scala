@@ -32,7 +32,31 @@ object GraftProcedures {
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
-    "create_index", "refresh_index", "get_configs")
+    "create_index", "refresh_index", "get_configs",
+    "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
+    "list_kv_snapshot_leases", "add_acl", "drop_acl", "list_acl",
+    "set_cluster_configs", "append_cluster_configs",
+    "subtract_cluster_configs", "reset_cluster_configs")
+
+  /** `'k1=v1;k2=v2'` → pairs (the reference passes variadic
+    * 'key','value' pairs; Spark procedure parameters are fixed-arity, so
+    * the pairs ride in one string).
+    */
+  private def parsePairs(s: String): Map[String, String] =
+    s.split(";").map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"bad config pair '$kv' (expected key=value)")
+      kv.substring(0, i).trim -> kv.substring(i + 1).trim
+    }.toMap
+
+  /** 'CLUSTER' / 'db' / 'db.table' → resource path for the authorizer
+    * ('ANY' spans everything, so its authorization scope is the cluster).
+    */
+  private def resourceParts(resource: String): Seq[String] =
+    resource.toLowerCase match {
+      case "cluster" | "any" => Nil
+      case _ => resource.split('.').toSeq
+    }
 
   /** Session-scoped engine configuration keys and their defaults — the
     * registry behind `CALL <cat>.system.get_configs()` (the reference's
@@ -40,9 +64,8 @@ object GraftProcedures {
     * .md:62-99; source DEFAULT vs DYNAMIC maps to DEFAULT vs SESSION
     * here, since a library engine's dynamic scope IS the Spark session).
     */
-  val configDefaults: Map[String, String] = Map(
-    "spark.sql.graft.read.optimized" -> "false",
-    "spark.sql.graft.scan.startup.mode" -> "earliest")
+  val configDefaults: Map[String, String] =
+    graft.core.DynamicConfigs.registry.map { case (k, (d, _)) => k -> d }
 
   /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
     * reference's Duration-typed `table.log.ttl`).
@@ -172,6 +195,126 @@ object GraftProcedures {
         s"pre-created ${created.mkString("[", ",", "]")}, " +
           s"expired ${expired.mkString("[", ",", "]")}"
       })
+      // KV snapshot leases (engine-flink/procedures.md "kv snapshot
+      // lease"): a batch job pins the history it is reading; drop cleans
+      // up lease remnants after an abnormal termination. Per-table here —
+      // a library engine's lease scope is the table, not a cluster.
+      case "acquire_kv_snapshot_lease" => Some(proc(catalog,
+        "acquire_kv_snapshot_lease",
+        Seq(in("table", StringType), in("lease_id", StringType),
+          in("duration", StringType, Some("'1d'"))),
+        out("result", StringType)) { (t, row) =>
+        val floors = t.acquireKvSnapshotLease(
+          row.getUTF8String(1).toString,
+          parseTtlMillis(row.getUTF8String(2).toString))
+        s"leased log floor ${floors.toList.sortBy(_._1)
+          .map { case (b, o) => s"$b:$o" }.mkString("[", ",", "]")}"
+      })
+      case "drop_kv_snapshot_lease" => Some(proc(catalog,
+        "drop_kv_snapshot_lease",
+        Seq(in("table", StringType), in("lease_id", StringType)),
+        out("result", StringType)) { (t, row) =>
+        t.dropKvSnapshotLease(row.getUTF8String(1).toString)
+        "success" // the reference returns 'success' unconditionally too
+      })
+      case "list_kv_snapshot_leases" => Some(proc(catalog,
+        "list_kv_snapshot_leases",
+        Seq(in("table", StringType)),
+        out("leases", StringType)) { (t, _) =>
+        t.kvSnapshotLeases().toList.sortBy(_._1).map {
+          case (id, (floors, exp)) =>
+            s"$id expires=$exp floor=${floors.toList.sortBy(_._1)
+              .map { case (b, o) => s"$b:$o" }.mkString("[", ",", "]")}"
+        }.mkString("; ")
+      })
+      // Dynamic cluster configs (engine-flink/procedures.md "Cluster
+      // Configuration Procedures"): validated, persisted at the warehouse
+      // root, visible to every session — the ZK-persisted dynamic scope.
+      // Changing cluster state is a cluster-level ALTER.
+      case "set_cluster_configs" => Some(localProc(catalog,
+        "set_cluster_configs",
+        Seq(in("config_pairs", StringType)),
+        out("result", StringType)) { row =>
+        catalog.coreCatalog.authorize("ALTER", Nil)
+        val pairs = parsePairs(row.getUTF8String(0).toString)
+        graft.core.DynamicConfigs.set(catalog.coreCatalog.warehouse, pairs)
+        Seq(utf8Row(s"set ${pairs.keys.toSeq.sorted.mkString(",")}"))
+      })
+      case "append_cluster_configs" => Some(localProc(catalog,
+        "append_cluster_configs",
+        Seq(in("config_pairs", StringType)),
+        out("result", StringType)) { row =>
+        catalog.coreCatalog.authorize("ALTER", Nil)
+        val pairs = parsePairs(row.getUTF8String(0).toString)
+        graft.core.DynamicConfigs.append(catalog.coreCatalog.warehouse, pairs)
+        Seq(utf8Row(s"appended to ${pairs.keys.toSeq.sorted.mkString(",")}"))
+      })
+      case "subtract_cluster_configs" => Some(localProc(catalog,
+        "subtract_cluster_configs",
+        Seq(in("config_pairs", StringType)),
+        out("result", StringType)) { row =>
+        catalog.coreCatalog.authorize("ALTER", Nil)
+        val pairs = parsePairs(row.getUTF8String(0).toString)
+        graft.core.DynamicConfigs.subtract(catalog.coreCatalog.warehouse, pairs)
+        Seq(utf8Row(s"subtracted from ${pairs.keys.toSeq.sorted.mkString(",")}"))
+      })
+      case "reset_cluster_configs" => Some(localProc(catalog,
+        "reset_cluster_configs",
+        Seq(in("config_keys", StringType)),
+        out("result", StringType)) { row =>
+        catalog.coreCatalog.authorize("ALTER", Nil)
+        val keys = row.getUTF8String(0).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val n = graft.core.DynamicConfigs.reset(
+          catalog.coreCatalog.warehouse, keys)
+        Seq(utf8Row(s"reset $n"))
+      })
+      // ACL procedures (engine-flink/procedures.md "Access Control
+      // Procedures"; model in security/authorization.md). Mutations
+      // require ALL on the target resource, listing requires DESCRIBE —
+      // the reference's CREATE_ACLS/DROP_ACLS/LIST_ACLS gates.
+      case "add_acl" => Some(localProc(catalog, "add_acl",
+        Seq(in("resource", StringType), in("permission", StringType),
+          in("principal", StringType), in("operation", StringType),
+          in("host", StringType, Some("'*'"))),
+        out("result", StringType)) { row =>
+        def s(i: Int) = row.getUTF8String(i).toString
+        val resource = if (s(0).equalsIgnoreCase("cluster")) "cluster" else s(0)
+        catalog.coreCatalog.authorize("ALL", resourceParts(resource))
+        catalog.coreCatalog.acls.add(graft.core.AclEntry(
+          resource, s(1).toUpperCase, s(2), s(3).toUpperCase, s(4)))
+        Seq(utf8Row("success"))
+      })
+      case "drop_acl" => Some(localProc(catalog, "drop_acl",
+        Seq(in("resource", StringType), in("permission", StringType),
+          in("principal", StringType), in("operation", StringType),
+          in("host", StringType, Some("'ANY'"))),
+        out("result", StringType)) { row =>
+        def s(i: Int) = row.getUTF8String(i).toString
+        val resource =
+          if (s(0).equalsIgnoreCase("cluster")) "cluster"
+          else if (s(0).equalsIgnoreCase("any")) "ANY" else s(0)
+        catalog.coreCatalog.authorize("ALL", resourceParts(resource))
+        val n = catalog.coreCatalog.acls.drop(graft.core.AclEntry(
+          resource, s(1).toUpperCase, s(2), s(3).toUpperCase, s(4)))
+        Seq(utf8Row(s"dropped $n"))
+      })
+      case "list_acl" => Some(localProc(catalog, "list_acl",
+        Seq(in("resource", StringType, Some("'ANY'")),
+          in("permission", StringType, Some("'ANY'")),
+          in("principal", StringType, Some("'ANY'")),
+          in("operation", StringType, Some("'ANY'")),
+          in("host", StringType, Some("'ANY'"))),
+        out("acl", StringType)) { row =>
+        def s(i: Int) = row.getUTF8String(i).toString
+        val resource =
+          if (s(0).equalsIgnoreCase("cluster")) "cluster"
+          else if (s(0).equalsIgnoreCase("any")) "ANY" else s(0)
+        catalog.coreCatalog.authorize("DESCRIBE", resourceParts(resource))
+        catalog.coreCatalog.acls.list(graft.core.AclEntry(
+          resource, s(1).toUpperCase, s(2), s(3).toUpperCase, s(4)))
+          .sortBy(_.render).map(e => utf8Row(e.render))
+      })
       case "get_configs" => Some(new UnboundProcedure with BoundProcedure {
         private val schema = StructType(Seq(
           StructField("config_key", StringType, nullable = false),
@@ -188,20 +331,26 @@ object GraftProcedures {
           val spark = org.apache.spark.sql.SparkSession.active
           val wanted = input.getUTF8String(0).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSet
-          // registry defaults overlaid with session overrides, plus any
-          // ad-hoc spark.sql.graft.* keys SET in this session
+          // SESSION > DYNAMIC (warehouse-persisted, set_cluster_configs)
+          // > DEFAULT — the reference's DYNAMIC vs DEFAULT source column
           val sessionGraft = spark.conf.getAll.filter {
             case (k, _) => k.startsWith("spark.sql.graft.") }
-          val resultRows = (configDefaults.keySet ++ sessionGraft.keySet).toSeq.sorted
+          val dynamic = graft.core.DynamicConfigs.read(
+            catalog.coreCatalog.warehouse)
+          val resultRows = (configDefaults.keySet ++ sessionGraft.keySet ++
+              dynamic.keySet).toSeq.sorted
             .filter(k => wanted.isEmpty || wanted.contains(k))
             .map { k =>
               val session = sessionGraft.get(k)
+              val value = session.orElse(dynamic.get(k))
+                .orElse(configDefaults.get(k)).getOrElse("")
+              val source =
+                if (session.isDefined) "SESSION"
+                else if (dynamic.contains(k)) "DYNAMIC" else "DEFAULT"
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(k),
-                UTF8String.fromString(
-                  session.orElse(configDefaults.get(k)).getOrElse("")),
-                UTF8String.fromString(
-                  if (session.isDefined) "SESSION" else "DEFAULT")))
+                UTF8String.fromString(value),
+                UTF8String.fromString(source)))
             }
           val scan: Scan = new LocalScan {
             override def readSchema(): StructType = schema
@@ -211,6 +360,32 @@ object GraftProcedures {
         }
       })
       case _ => None
+    }
+
+  private def utf8Row(s: String): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+
+  /** Driver-local procedure (no table arg): body maps the input row to
+    * result rows — the shape of the ACL procedures, whose state is the
+    * warehouse-level store, not a table.
+    */
+  private def localProc(catalog: GraftCatalog, procName: String,
+      params: Seq[ProcedureParameter], outSchema: StructType)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val resultRows = body(input)
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType = outSchema
+          override def rows(): Array[InternalRow] = resultRows.toArray
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
     }
 
   private def in(name: String, dt: DataType,

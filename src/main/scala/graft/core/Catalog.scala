@@ -19,7 +19,39 @@ import org.json4s.jackson.JsonMethods
   */
 final class Catalog(val warehouse: String, spark: SparkSession) {
 
+  /** The warehouse's ACL store (`sys.add_acl`/`drop_acl`/`list_acl`). */
+  val acls: Acls = new Acls(warehouse)
+
+  /** Default-closed ACL gate over every catalog operation, off unless
+    * `spark.sql.graft.authorizer.enabled=true` (the reference's
+    * `authorizer.enabled`, evaluated per-RPC on the server — a library
+    * engine's "RPC surface" is this catalog and the SQL connector on top
+    * of it). The acting principal comes from the session
+    * (`spark.sql.graft.principal`, the post-authentication FlussPrincipal
+    * analog); `spark.sql.graft.super.users` (semicolon-separated, like
+    * `super.users`) bypasses all checks.
+    */
+  private[graft] def authorize(op: String, resource: Seq[String]): Unit = {
+    // SESSION > DYNAMIC (warehouse _configs.json) > DEFAULT — so an admin
+    // can flip the authorizer / super-user list for every session on the
+    // warehouse via sys.set_cluster_configs, like the reference
+    def conf(key: String, default: String) =
+      DynamicConfigs.effective(spark, warehouse, key, default)
+    if (!conf("spark.sql.graft.authorizer.enabled", "false").toBoolean)
+      return
+    val principal = conf("spark.sql.graft.principal", "User:anonymous")
+    val supers = conf("spark.sql.graft.super.users", "")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSet
+    if (supers.contains(principal)) return
+    val host = conf("spark.sql.graft.client.host", "*")
+    if (!acls.authorize(principal, host, op, resource))
+      throw new SecurityException(
+        s"principal $principal is not authorized for $op on " +
+          (if (resource.isEmpty) "cluster" else resource.mkString(".")))
+  }
+
   def createTable(db: String, name: String, desc: TableDescriptor): GraftTable = {
+    authorize("CREATE", Seq(db))
     val dir = Paths.get(warehouse, db, name)
     require(!Files.exists(dir.resolve("meta.json")), s"table $db.$name exists")
     Files.createDirectories(dir)
@@ -30,6 +62,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   }
 
   def getTable(db: String, name: String): GraftTable = {
+    authorize("DESCRIBE", Seq(db, name))
     val dir = Paths.get(warehouse, db, name)
     val metaFile = dir.resolve("meta.json")
     require(Files.exists(metaFile), s"no such table $db.$name")
@@ -46,6 +79,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     */
   def addColumn(db: String, name: String,
       field: org.apache.spark.sql.types.StructField): GraftTable = {
+    authorize("ALTER", Seq(db, name))
     val t = getTable(db, name)
     require(!t.desc.schema.fieldNames.contains(field.name),
       s"column ${field.name} already exists")
@@ -64,6 +98,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     */
   def updateProperties(db: String, name: String,
       set: Map[String, String], unset: Seq[String]): GraftTable = {
+    authorize("ALTER", Seq(db, name))
     val t = getTable(db, name)
     val desc2 = t.desc.copy(properties = t.desc.properties ++ set -- unset)
     CatalogJson.atomicWrite(
@@ -78,6 +113,8 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     * independent — mutations never touch the source.
     */
   def cloneTable(db: String, src: String, dst: String): GraftTable = {
+    authorize("READ", Seq(db, src))
+    authorize("CREATE", Seq(db))
     val s = Paths.get(warehouse, db, src)
     require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
     val d = Paths.get(warehouse, db, dst)
@@ -95,6 +132,8 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     * metadata operation on an object store) — never a data copy.
     */
   def renameTable(db: String, src: String, dst: String): GraftTable = {
+    authorize("ALTER", Seq(db, src))
+    authorize("CREATE", Seq(db))
     val s = Paths.get(warehouse, db, src)
     require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
     val d = Paths.get(warehouse, db, dst)
@@ -107,6 +146,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     Files.exists(Paths.get(warehouse, db, name, "meta.json"))
 
   def dropTable(db: String, name: String): Unit = {
+    authorize("DROP", Seq(db, name))
     val dir = Paths.get(warehouse, db, name)
     if (Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
@@ -115,6 +155,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   }
 
   def listTables(db: String): Seq[String] = {
+    authorize("DESCRIBE", Seq(db))
     val dir = Paths.get(warehouse, db)
     if (!Files.exists(dir)) Nil
     else {

@@ -45,6 +45,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val autoIncFile = s"$path/_autoinc.json"
   private val vacuumMarkerFile = s"$path/_vacuumed.json"
   private val retentionMarkerFile = s"$path/_retention.json"
+  private val leasesFile = s"$path/_leases.json"
   @volatile private var snapshotLayoutChecked = false
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
@@ -1235,6 +1236,87 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .asInstanceOf[JObject].obj
       .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
 
+  // ---------------------------------------------------------------------
+  // KV snapshot leases — a batch reader planning a snapshot∪log read pins
+  // the history it is about to consume so retention can't delete it out
+  // from under a running job. The reference leases KV snapshots for the
+  // same reason (`scan.kv.snapshot.lease.duration`, engine-flink/options
+  // .md:107; remnant cleanup via `sys.drop_kv_snapshot_lease`,
+  // engine-flink/procedures.md). Here the leased resource is the log
+  // floor: [[vacuumLog]]/[[expireLog]] never cut a bucket above the
+  // lowest floor pinned by an unexpired lease.
+  // ---------------------------------------------------------------------
+
+  /** (floorOffsets, expiresAtMillis) per lease id, unexpired only. */
+  def kvSnapshotLeases(nowMillis: Long = System.currentTimeMillis())
+      : Map[String, (Map[Int, Long], Long)] = readLeases().filter {
+    case (_, (_, exp)) => exp > nowMillis
+  }
+
+  private def readLeases(): Map[String, (Map[Int, Long], Long)] =
+    if (!Files.exists(Paths.get(leasesFile))) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(leasesFile)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.map {
+      case (id, entry) =>
+        val fields = entry.asInstanceOf[JObject].obj.toMap[String, JValue]
+        val floors = fields("floorOffsets").asInstanceOf[JObject].obj
+          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+        val exp = fields("expiresAtMillis").asInstanceOf[JInt].num.toLong
+        id -> (floors, exp)
+    }.toMap
+
+  private def writeLeases(leases: Map[String, (Map[Int, Long], Long)]): Unit =
+    CatalogJson.atomicWrite(leasesFile,
+      JsonMethods.compact(JsonMethods.render(JObject(
+        leases.toList.sortBy(_._1).map { case (id, (floors, exp)) =>
+          id -> (JObject(List(
+            "expiresAtMillis" -> (JInt(exp): JValue),
+            "floorOffsets" -> (JObject(floors.toList.sortBy(_._1)
+              .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue)
+          )): JValue)
+        }))))
+
+  /** Pin everything currently readable (the retained floor, or the full
+    * log) for `durationMs`; returns the pinned per-bucket floor. Expired
+    * leases are pruned on the same write. Re-acquiring an id refreshes
+    * its expiry but keeps the ORIGINAL floor — a lease never loses
+    * history it already pinned.
+    */
+  def acquireKvSnapshotLease(leaseId: String, durationMs: Long,
+      nowMillis: Long = System.currentTimeMillis()): Map[Int, Long] = {
+    require(leaseId.nonEmpty, "leaseId must be non-empty")
+    require(durationMs > 0, s"lease duration $durationMs must be positive")
+    val floors = retainedFloorOffsets.getOrElse(
+      readOffsets().map { case (b, _) => b -> 0L })
+    val live = kvSnapshotLeases(nowMillis)
+    val pinned = live.get(leaseId).map(_._1).getOrElse(floors)
+    writeLeases(live + (leaseId -> (pinned, nowMillis + durationMs)))
+    pinned
+  }
+
+  /** Release a lease (the reference's `sys.drop_kv_snapshot_lease` —
+    * remnant cleanup after an abnormal job termination). Returns whether
+    * the id existed (expired-but-listed counts: the caller's intent is
+    * "this lease is gone now", and the write prunes it either way).
+    */
+  def dropKvSnapshotLease(leaseId: String): Boolean = {
+    val all = readLeases()
+    writeLeases(all - leaseId)
+    all.contains(leaseId)
+  }
+
+  /** Per-bucket lowest floor pinned by an unexpired lease; empty when no
+    * leases are held (retention proceeds unrestricted).
+    */
+  private def leaseFloors(nowMillis: Long): Map[Int, Long] =
+    kvSnapshotLeases(nowMillis).values.map(_._1)
+      .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { b =>
+          b -> math.min(acc.getOrElse(b, Long.MaxValue),
+            m.getOrElse(b, Long.MaxValue))
+        }.toMap
+      }
+
   /** Compact current state into a parquet snapshot; subsequent reads union
     * the snapshot with the log tail past the recorded offsets (the
     * reference's KV snapshot / lake tiering, LakeTableTieringManager.java:110).
@@ -1267,8 +1349,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * snapshot).
     */
   def vacuumLog(): Unit = {
-    val snapOffsets = readSnapshotMeta().getOrElse(
+    val covered = readSnapshotMeta().getOrElse(
       throw new IllegalStateException("vacuumLog requires a snapshot: call compact() first"))
+    // an unexpired lease caps the cut: never vacuum above a floor a
+    // running batch read has pinned (see the lease section above)
+    val pinned = leaseFloors(System.currentTimeMillis())
+    val snapOffsets = covered.map { case (b, o) =>
+      b -> math.min(o, pinned.getOrElse(b, Long.MaxValue)) }
     val tmpDir = s"$path/log.vacuum"
     // Pin ONE manifest version for the rewrite; the lock body below
     // conflict-checks against it (same optimistic protocol as publish) —
@@ -1336,10 +1423,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val cutoff = new java.sql.Timestamp(nowMillis - ttlMillis)
     val manifestAtStart = readManifest()
     val all = logDFFor(manifestAtStart)
+    // keep = young enough OR pinned by an unexpired kv-snapshot lease.
+    // Offsets and timestamps are both commit-ordered per bucket, so the
+    // disjunction is still a per-bucket PREFIX cut (floors stay exact).
+    val pinned = leaseFloors(nowMillis)
+    val keep = col(Meta.Timestamp) >= lit(cutoff) ||
+      col(Meta.Offset) >= bucketMapExpr(pinned, Long.MaxValue)
     val stats = all.groupBy(col(Meta.Bucket)).agg(
-      sum(when(col(Meta.Timestamp) < lit(cutoff), 1L).otherwise(0L)).as("dropped"),
-      min(when(col(Meta.Timestamp) >= lit(cutoff), col(Meta.Offset))).as("minKept"),
-      min(when(col(Meta.Timestamp) >= lit(cutoff), col(Meta.Timestamp))).as("minTs"))
+      sum(when(!keep, 1L).otherwise(0L)).as("dropped"),
+      min(when(keep, col(Meta.Offset))).as("minKept"),
+      min(when(keep, col(Meta.Timestamp))).as("minTs"))
       .collect()
     val dropped = stats.map(_.getLong(1)).sum
     if (dropped == 0L) return 0L
@@ -1358,7 +1451,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val mergedBound = math.max(newBound,
       readMarkerMillis(vacuumMarkerFile, "boundMillis").getOrElse(Long.MinValue))
     val tmpDir = s"$path/log.expire"
-    all.filter(col(Meta.Timestamp) >= lit(cutoff))
+    all.filter(keep)
       .write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     CatalogJson.atomicWrite(vacuumMarkerFile,

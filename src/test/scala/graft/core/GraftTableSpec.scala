@@ -138,6 +138,56 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b"), Row(3L, 3, "c"), Row(4L, 4, "d")))
   }
 
+  test("kv snapshot lease pins the log floor against vacuum; drop releases it") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "lease1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2")), orderBy = Seq(col("ord")))
+    val fullChangelog = t.changelog().count() // +I,+I then -U,+U
+    // a batch reader pins everything currently readable...
+    val floors = t.acquireKvSnapshotLease("job-42", 3600_000L)
+    assert(floors.values.forall(_ == 0L))
+    t.compact()
+    t.vacuumLog()
+    // ...so the vacuum retains the FULL changelog despite the snapshot
+    assert(t.changelog().count() == fullChangelog,
+      "leased history must survive vacuumLog")
+    assert(t.kvSnapshotLeases().keySet == Set("job-42"))
+    // drop_kv_snapshot_lease remnant cleanup, then vacuum really cuts
+    assert(t.dropKvSnapshotLease("job-42"))
+    assert(!t.dropKvSnapshotLease("job-42")) // second drop: not found
+    t.vacuumLog()
+    assert(t.changelog().count() < fullChangelog,
+      "after release the vacuum proceeds")
+    assertSameRows(t.scan().select("k", "v", "s").collect().toSeq,
+      Seq(Row(1L, 10, "a2"), Row(2L, 2, "b")))
+  }
+
+  test("expired leases do not block retention; re-acquire keeps the floor") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "lease2",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(df((1L, 1, "old"), (2L, 2, "old2")), orderBy = Seq(col("ord")))
+    val now = System.currentTimeMillis()
+    t.acquireKvSnapshotLease("gone", 1L, nowMillis = now - 10_000)
+    // refresh of a live lease keeps the ORIGINAL floor
+    val f1 = t.acquireKvSnapshotLease("held", 3600_000L, nowMillis = now)
+    assert(t.acquireKvSnapshotLease("held", 3600_000L, nowMillis = now) == f1)
+    assert(t.kvSnapshotLeases(now).keySet == Set("held"))
+    // age-based expiry on a log table: the held lease pins the old rows
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(df((3L, 3, "new")), orderBy = Seq(col("ord")))
+    assert(t.expireLog(ttlMillis = System.currentTimeMillis() - mid) == 0L,
+      "held lease must pin every pre-cutoff row")
+    t.dropKvSnapshotLease("held")
+    assert(t.expireLog(ttlMillis = System.currentTimeMillis() - mid) == 2L)
+    assertSameRows(t.logDF.select("k", "v", "s").collect().toSeq,
+      Seq(Row(3L, 3, "new")))
+  }
+
   test("rewriteLogFiles compacts to one file per bucket, byte-preserving history") {
     val cat = newCatalog()
     val t = cat.createTable("db", "rw1",
