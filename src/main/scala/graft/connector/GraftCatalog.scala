@@ -549,6 +549,15 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     authz("READ")
+    // scan.kv.snapshot.lease.{id,duration}: a batch read acquires its
+    // lease at plan time, pinning the history it is about to consume
+    // against vacuum/expiry (engine-flink/options.md:106-107; remnants
+    // are released via sys.drop_kv_snapshot_lease)
+    Option(options.get("scan.kv.snapshot.lease.id")).foreach { id =>
+      val dur = Option(options.get("scan.kv.snapshot.lease.duration"))
+        .map(GraftProcedures.leaseDurationMillis).getOrElse(86400000L) // 1d
+      table.acquireKvSnapshotLease(id, dur)
+    }
     new GraftScanBuilder(table, asOf, atVersion,
       GraftScanBuilder.startupMode(options))
   }

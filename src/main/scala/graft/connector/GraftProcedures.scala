@@ -362,6 +362,9 @@ object GraftProcedures {
       case _ => None
     }
 
+  /** Public alias for reader options that carry durations. */
+  def leaseDurationMillis(s: String): Long = parseTtlMillis(s)
+
   private def utf8Row(s: String): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
 

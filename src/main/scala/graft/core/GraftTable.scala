@@ -404,6 +404,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def filesMeta(statsFor: Seq[String] = Nil): DataFrame = {
     import scala.jdk.CollectionConverters._
+    // no explicit columns → the table's own `table.statistics.columns`
+    // property (the reference's per-table stats-column option), so the
+    // `files` metadata table carries min/max for the declared columns
+    val statCols =
+      if (statsFor.nonEmpty) statsFor
+      else desc.properties.get("table.statistics.columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     val (files, _) = visibleLogFiles()
     val schema = StructType(Seq(
       StructField("file", StringType, nullable = false),
@@ -426,7 +434,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       first(col(Meta.Bucket)).as("bucket"), count(lit(1)).as("n_rows"),
       min(col(Meta.Offset)).as("min_offset"),
       max(col(Meta.Offset)).as("max_offset")) ++
-      statsFor.flatMap(c => Seq(
+      statCols.flatMap(c => Seq(
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val counts = logDF
       .groupBy(regexp_replace(input_file_name(), "^file:/*", "/").as("__path"))

@@ -167,6 +167,34 @@ class ConnectorSpec extends SparkTestBase {
       .table("gfs.db.su").count())
   }
 
+  test("scan.kv.snapshot.lease options pin history for the reading job") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.leased (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.leased VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO gfs.db.leased VALUES (1, 9)")
+    // planning a read with a lease id acquires the lease (reference
+    // options scan.kv.snapshot.lease.{id,duration})
+    val leased = spark.read
+      .option("scan.kv.snapshot.lease.id", "batch-7")
+      .option("scan.kv.snapshot.lease.duration", "1h")
+      .option("scan.startup.mode", "earliest")
+      .table("gfs.db.leased")
+    assert(leased.count() == 4) // +I,+I,-U,+U
+    val t = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.gfs.warehouse"), spark)
+      .getTable("db", "leased")
+    assert(t.kvSnapshotLeases().contains("batch-7"))
+    // maintenance cannot cut the leased history
+    t.compact(); t.vacuumLog()
+    assert(leased.count() == 4, "leased log must survive vacuum")
+    spark.sql("CALL gfs.system.drop_kv_snapshot_lease(table => 'db.leased', " +
+      "lease_id => 'batch-7')")
+    t.vacuumLog()
+    assert(spark.read.option("scan.startup.mode", "earliest")
+      .table("gfs.db.leased").count() < 4)
+  }
+
   test("metadata tables: SELECT from .changelog/.binlog/.history/.partitions") {
     wh
     spark.sql("CREATE TABLE gfs.db.meta (k BIGINT, v INT, dt STRING) USING graft " +

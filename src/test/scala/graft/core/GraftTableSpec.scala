@@ -164,6 +164,22 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b")))
   }
 
+  test("table.statistics.columns property drives default filesMeta stats") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "stats1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2,
+        properties = Map("table.statistics.columns" -> "v,s")))
+    t.append(df((1L, 1, "a"), (2L, 9, "z")), orderBy = Seq(col("ord")))
+    val cols = t.filesMeta().columns.toSet
+    assert(Set("min_v", "max_v", "min_s", "max_s").subsetOf(cols),
+      s"property-declared stats columns missing: $cols")
+    // explicit arg still wins over the property
+    assert(!t.filesMeta(statsFor = Seq("v")).columns.contains("min_s"))
+    import org.apache.spark.sql.functions.{min => mn, max => mx}
+    val agg = t.filesMeta().agg(mn("min_v"), mx("max_v")).head
+    assert(agg.getInt(0) == 1 && agg.getInt(1) == 9)
+  }
+
   test("expired leases do not block retention; re-acquire keeps the floor") {
     val cat = newCatalog()
     val t = cat.createTable("db", "lease2",
