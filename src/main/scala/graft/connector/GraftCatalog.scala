@@ -355,7 +355,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
-    Collections.emptyMap()
+    // DatabaseInfo: descriptor properties (incl. `comment`) + timestamps
+    val (props, created, modified) = core.getDatabaseInfo(namespace.head)
+    val m = new java.util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    if (created > 0) m.put("createdTimeMillis", created.toString)
+    if (modified > 0) m.put("modifiedTimeMillis", modified.toString)
+    m
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -365,25 +371,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1, "graft namespaces are one level (<db>)")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(warehouse, namespace.head))
+    core.createDatabase(namespace.head, metadata.asScala.toMap,
+      ignoreIfExists = true)
   }
 
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE")
-
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = java.nio.file.Paths.get(warehouse, namespace.head)
-    val exists = java.nio.file.Files.isDirectory(dir)
-    if (exists) {
-      require(cascade || core.listTables(namespace.head).isEmpty,
-        s"namespace ${namespace.head} is not empty")
-      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      changes: NamespaceChange*): Unit = {
+    require(namespaceExists(namespace),
+      s"no such namespace ${namespace.mkString(".")}")
+    val (props, _, _) = core.getDatabaseInfo(namespace.head)
+    val updated = changes.foldLeft(props) {
+      case (acc, set: NamespaceChange.SetProperty) =>
+        acc + (set.property() -> set.value())
+      case (acc, rm: NamespaceChange.RemoveProperty) => acc - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"namespace change $other")
     }
-    exists
+    core.alterDatabase(namespace.head, updated)
   }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    core.dropDatabase(namespace.head, ignoreIfNotExists = true,
+      cascade = cascade)
 }
 
 /** DSv2 table over a GraftTable: batch read = `scan()` (PK tables

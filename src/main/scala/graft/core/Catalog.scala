@@ -50,6 +50,115 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
           (if (resource.isEmpty) "cluster" else resource.mkString(".")))
   }
 
+  // ---- databases (the reference Admin's createDatabase/listDatabases/
+  // getDatabaseInfo/deleteDatabase, with DatabaseDescriptor comment +
+  // custom properties and DatabaseInfo created/modified times;
+  // fluss-client admin surface, apis/java) ----
+
+  private def dbMetaFile(db: String) = Paths.get(warehouse, db, "_db.json")
+
+  /** Create a database with descriptor properties (use the key `comment`
+    * for the description, like the reference's DatabaseDescriptor).
+    */
+  def createDatabase(db: String, properties: Map[String, String] = Map.empty,
+      ignoreIfExists: Boolean = false): Unit = {
+    authorize("CREATE", Nil)
+    require(db.nonEmpty && !db.contains('/') && !db.contains('.'),
+      s"bad database name '$db'")
+    if (Files.exists(dbMetaFile(db)) ||
+        Files.isDirectory(Paths.get(warehouse, db))) {
+      require(ignoreIfExists, s"database $db exists")
+      return
+    }
+    Files.createDirectories(Paths.get(warehouse, db))
+    writeDbMeta(db, properties, System.currentTimeMillis(),
+      System.currentTimeMillis())
+  }
+
+  private def writeDbMeta(db: String, props: Map[String, String],
+      created: Long, modified: Long): Unit =
+    CatalogJson.atomicWrite(dbMetaFile(db).toString,
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "properties" -> (JObject(props.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }): JValue),
+        "createdTimeMillis" -> (JInt(created): JValue),
+        "modifiedTimeMillis" -> (JInt(modified): JValue))))))
+
+  /** (properties, createdTimeMillis, modifiedTimeMillis) — DatabaseInfo.
+    * Databases made by bare directory creation (legacy) read as empty
+    * properties with zero timestamps.
+    */
+  def getDatabaseInfo(db: String): (Map[String, String], Long, Long) = {
+    authorize("DESCRIBE", Seq(db))
+    require(databaseExistsUnchecked(db), s"no such database $db")
+    if (!Files.exists(dbMetaFile(db))) (Map.empty, 0L, 0L)
+    else {
+      val f = JsonMethods.parse(new String(Files.readAllBytes(dbMetaFile(db)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
+      val props = f("properties").asInstanceOf[JObject].obj
+        .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+      (props,
+        f("createdTimeMillis").asInstanceOf[JInt].num.toLong,
+        f("modifiedTimeMillis").asInstanceOf[JInt].num.toLong)
+    }
+  }
+
+  /** Replace the database's custom properties (ALTER DATABASE SET). */
+  def alterDatabase(db: String, properties: Map[String, String]): Unit = {
+    authorize("ALTER", Seq(db))
+    require(databaseExistsUnchecked(db), s"no such database $db")
+    val created =
+      if (Files.exists(dbMetaFile(db))) getDatabaseInfoUnchecked(db)._2 else 0L
+    writeDbMeta(db, properties, created, System.currentTimeMillis())
+  }
+
+  private def getDatabaseInfoUnchecked(db: String): (Map[String, String], Long, Long) =
+    if (!Files.exists(dbMetaFile(db))) (Map.empty, 0L, 0L)
+    else {
+      val f = JsonMethods.parse(new String(Files.readAllBytes(dbMetaFile(db)),
+        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
+      (f("properties").asInstanceOf[JObject].obj
+        .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap,
+        f("createdTimeMillis").asInstanceOf[JInt].num.toLong,
+        f("modifiedTimeMillis").asInstanceOf[JInt].num.toLong)
+    }
+
+  private def databaseExistsUnchecked(db: String): Boolean =
+    Files.isDirectory(Paths.get(warehouse, db))
+
+  def databaseExists(db: String): Boolean = {
+    authorize("DESCRIBE", Seq(db))
+    databaseExistsUnchecked(db)
+  }
+
+  def listDatabases(): Seq[String] = {
+    authorize("DESCRIBE", Nil)
+    val wh = Paths.get(warehouse)
+    if (!Files.exists(wh)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(wh).iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+  }
+
+  /** Delete a database; `cascade=false` refuses while tables remain (the
+    * reference's deleteDatabase(ignoreIfNotExists, cascade)).
+    */
+  def dropDatabase(db: String, ignoreIfNotExists: Boolean = false,
+      cascade: Boolean = false): Boolean = {
+    authorize("DROP", Seq(db))
+    val dir = Paths.get(warehouse, db)
+    if (!Files.isDirectory(dir)) {
+      require(ignoreIfNotExists, s"no such database $db")
+      return false
+    }
+    require(cascade || listTables(db).isEmpty, s"database $db is not empty")
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    true
+  }
+
   def createTable(db: String, name: String, desc: TableDescriptor): GraftTable = {
     authorize("CREATE", Seq(db))
     val dir = Paths.get(warehouse, db, name)

@@ -33,7 +33,11 @@ import graft.core.{CatalogJson, GraftTable}
   */
 final class LogPoller(table: GraftTable, group: String,
     mode: GraftStream.StartupMode = GraftStream.StartupMode.Earliest,
-    buckets: Option[Set[Int]] = None) {
+    buckets: Option[Set[Int]] = None,
+    maxPollRecords: Option[Long] = None) {
+
+  maxPollRecords.foreach(n =>
+    require(n > 0, s"max-poll-records $n must be positive"))
 
   private val offsetsFile =
     Paths.get(table.path, "_consumer_offsets", s"$group.json")
@@ -66,8 +70,17 @@ final class LogPoller(table: GraftTable, group: String,
 
   /** All records committed since the last poll: `[position, latest)` per
     * subscribed bucket, with system columns (the ScanRecord view). The
-    * in-memory position advances to `latest` immediately; call [[commit]]
-    * to make it durable for the group.
+    * in-memory position advances to the polled bound immediately; call
+    * [[commit]] to make it durable for the group.
+    *
+    * With `maxPollRecords` set (the reference's
+    * `client.scanner.log.max-poll-records` admission control), a poll
+    * returns at most that many records: the quota is dealt to lagging
+    * buckets in ascending bucket order — offsets are per-bucket
+    * contiguous, so `min(lag, quota)` IS the record count, no data read
+    * needed to plan the cut — and the position only advances to the
+    * capped bound, so the next poll resumes exactly where this one
+    * stopped.
     */
   def poll(): DataFrame = {
     // OFFSET_OUT_OF_RANGE (the reference's fetch error for a position
@@ -81,8 +94,19 @@ final class LogPoller(table: GraftTable, group: String,
           "seek() past the floor or rebuild from the table snapshot")
     }
     val latest = sub(table.latestOffsets)
-    val batch = table.scanRange(pos, latest)
-    pos = latest
+    val target = maxPollRecords match {
+      case None => latest
+      case Some(cap) =>
+        var remaining = cap
+        latest.toSeq.sortBy(_._1).map { case (b, l) =>
+          val p = pos.getOrElse(b, 0L)
+          val take = math.min(math.max(0L, l - p), remaining)
+          remaining -= take
+          b -> (p + take)
+        }.toMap
+    }
+    val batch = table.scanRange(pos, target)
+    pos = target
     batch
   }
 

@@ -167,6 +167,39 @@ class ConnectorSpec extends SparkTestBase {
       .table("gfs.db.su").count())
   }
 
+  test("database descriptors: comment/properties, info times, alter, drop") {
+    wh
+    spark.sql("CREATE NAMESPACE gfs.dbx COMMENT 'training corpora' " +
+      "WITH DBPROPERTIES ('team' = 'data-eng')")
+    val meta = spark.sql("DESCRIBE NAMESPACE EXTENDED gfs.dbx").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(meta("Comment") == "training corpora", s"got $meta")
+    assert(meta("Properties").contains("team"), s"got $meta")
+    // core admin surface (the reference Admin API shape)
+    val core = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.gfs.warehouse"), spark)
+    val (props, created, modified) = core.getDatabaseInfo("dbx")
+    assert(props("comment") == "training corpora" && props("team") == "data-eng")
+    assert(created > 0 && modified >= created)
+    assert(core.databaseExists("dbx"))
+    assert(core.listDatabases().contains("dbx"))
+    // ALTER NAMESPACE SET rewrites properties, bumps modified time
+    spark.sql("ALTER NAMESPACE gfs.dbx SET DBPROPERTIES ('team' = 'ml-infra')")
+    val (props2, created2, modified2) = core.getDatabaseInfo("dbx")
+    assert(props2("team") == "ml-infra" && created2 == created &&
+      modified2 >= modified)
+    // createDatabase: exists → error unless ignoreIfExists
+    intercept[IllegalArgumentException](core.createDatabase("dbx"))
+    core.createDatabase("dbx", ignoreIfExists = true)
+    // non-cascade drop refuses while tables remain
+    spark.sql("CREATE TABLE gfs.dbx.t1 (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('bucket.num' = '1')")
+    intercept[Exception](core.dropDatabase("dbx"))
+    assert(core.dropDatabase("dbx", cascade = true))
+    assert(!core.databaseExists("dbx"))
+    assert(!core.dropDatabase("dbx", ignoreIfNotExists = true))
+  }
+
   test("scan.kv.snapshot.lease options pin history for the reading job") {
     wh
     spark.sql("CREATE TABLE gfs.db.leased (k BIGINT, v INT) USING graft " +

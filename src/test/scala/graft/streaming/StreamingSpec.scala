@@ -67,6 +67,18 @@ class StreamingSpec extends SparkTestBase {
     val frozen = p2.poll() // empty window at current tail
     t.append(rows((5L, 5)), orderBy = Seq(col("ord")))
     assert(frozen.count() == 0)
+
+    // max-poll-records admission control: each poll returns at most the
+    // cap and resumes exactly where the previous one stopped
+    val capped = new LogPoller(t, "cap", maxPollRecords = Some(2L))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var batch = capped.poll()
+    while (batch.count() > 0) {
+      assert(batch.count() <= 2, "poll must respect max-poll-records")
+      seen ++= batch.select("k").collect().map(_.getLong(0))
+      batch = capped.poll()
+    }
+    assert(seen.sorted == Seq(1L, 2L, 3L, 4L, 5L), s"lossless chunked drain: $seen")
   }
 
   test("log poller: position below the vacuumed log start fails loudly") {
