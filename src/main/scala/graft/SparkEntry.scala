@@ -290,6 +290,20 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", pairs)
     }),
 
+    // ----- D10: canonical-corpus selection — one kept document per
+    // near-dup cluster (best n_chars, tie -> smallest id); the step that
+    // turns the d6 cluster map into the deduplicated training set
+    "d10_canonical_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
+        Dedup.ngramJaccardPairsFromDocs(
+          Fixtures.cachedDf("shingle_docs", dir) {
+            Dedup.hashedShingleDocs(docs, "doc_id", "text", n = 5)
+          }, threshold = 0.8)
+      }
+      Dedup.canonicalDocs(docs, "doc_id", pairs, "n_chars")
+    }),
+
     // ----- DC1: benchmark decontamination — corpus docs sharing any word
     // 8-gram with the (broadcast) benchmark split are flagged with their
     // distinct-hit count; corpus side is a pure map-side probe, no
@@ -804,6 +818,19 @@ object SparkEntry {
     "ta17_balanced_order" -> ((s, dir) =>
       Sampling.balancedPositions(t(s, dir, "documents"), "doc_id", "source")),
 
+    // ----- TA19: CCNet head/middle/tail perplexity buckets — exact
+    // NTILE(3) on the (rounded) unigram NLL via the two-level scan, no
+    // single-task window; the rounded score makes the ORDER itself
+    // engine-reproducible, so the bucket assignment hash-matches
+    "ta19_ppl_buckets" -> ((s, dir) => {
+      val nll = TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("unigram_nll"), 6).as("unigram_nll"))
+      Sampling.ntileExact(nll, "doc_id", "unigram_nll", 3, out = "__b")
+        .select(col("doc_id"), col("unigram_nll"),
+          when(col("__b") === 1, "head").when(col("__b") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
+
     // ----- T6/S1: streaming upsert — events streamed in micro-batches
     // through the exactly-once sink into an AGGREGATION PK table
     "t6_stream_agg" -> ((s, dir) => Fixtures.streamAggTable(s, dir).scan()),
@@ -1306,6 +1333,37 @@ object SparkEntry {
         |comp AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u)
         |SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    // d6's cluster map + keep-best: max n_chars, tie -> smallest doc_id
+    "d10_canonical_corpus" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u),
+        |cl AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.canonical, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |ranked AS (
+        |  SELECT canonical_id, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY canonical_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM cl)
+        |SELECT canonical_id, doc_id, n_chars FROM ranked WHERE rn = 1""".stripMargin,
 
     "dc1_decontaminate" ->
       """WITH tok AS (
@@ -1980,6 +2038,30 @@ object SparkEntry {
         |      / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
         |FROM tf JOIN freq USING (t), tot
         |GROUP BY doc_id, n_corpus""".stripMargin,
+
+    // ta16's NLL + SQL-standard NTILE(3) over (rounded score, doc_id)
+    "ta19_ppl_buckets" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) GROUP BY doc_id, t),
+        |freq AS (SELECT t, sum(tf) AS f FROM tf GROUP BY t),
+        |tot AS (SELECT sum(f) AS n_corpus FROM freq),
+        |nll AS (
+        |  SELECT doc_id,
+        |    round(ln(CAST(n_corpus AS DOUBLE))
+        |      - sum(CAST(tf AS DOUBLE) * ln(CAST(f AS DOUBLE)))
+        |        / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
+        |  FROM tf JOIN freq USING (t), tot
+        |  GROUP BY doc_id, n_corpus),
+        |b AS (
+        |  SELECT doc_id, unigram_nll,
+        |    NTILE(3) OVER (ORDER BY unigram_nll, doc_id) AS nb FROM nll)
+        |SELECT doc_id, unigram_nll,
+        |  CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM b""".stripMargin,
 
     // mirrors balancedPositions: per-source md5 rank -> stratum key
     // r/(cnt+1), global order by (stratum, md5, id). The double division

@@ -658,4 +658,26 @@ object Dedup {
     df.join(cc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))
   }
+
+  /** The retained corpus after near-dup clustering: ONE document per
+    * cluster — the best by (`scoreCol` max, then smallest id), the usual
+    * "keep the longest/highest-quality copy" rule that turns a cluster
+    * map into a deduplicated training set. Singleton docs keep
+    * themselves. One keyed shuffle on the cluster id; the per-cluster
+    * argmax is a map-side-combinable `max_by` over a (score, −id)
+    * struct, never a window, so a pathological million-copy cluster
+    * costs one combine tree, not one task.
+    */
+  def canonicalDocs(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val cl = clusters(df, idCol, pairs, aCol, bCol)
+    df.join(cl, Seq(idCol))
+      .groupBy(col("canonical_id"))
+      .agg(max_by(struct(col(idCol), col(scoreCol)),
+        struct(col(scoreCol), (-col(idCol)).as("__tie"))).as("__best"))
+      .select(col("canonical_id"),
+        col(s"__best.$idCol").as(idCol),
+        col(s"__best.$scoreCol").as(scoreCol))
+  }
 }

@@ -368,6 +368,50 @@ object Sampling {
       .select(col(idCol), col(scoreCol), col(tokensCol))
   }
 
+  /** Exact NTILE(k) over global (`orderCol`, `idCol`) order WITHOUT a
+    * single-task window — the bucketing step of CCNet-style corpus
+    * splits ("head/middle/tail by perplexity"). Same two-level scan as
+    * [[shufflePositions]]: range partition on the sort key, local
+    * row_number, driver-size prefix offsets joined back; the bucket then
+    * falls out of SQL-standard NTILE arithmetic on the 0-based global
+    * position p over n rows (first n%k buckets hold ⌈n/k⌉ rows):
+    * p < r·(q+1) → p div (q+1) + 1, else r + (p − r·(q+1)) div q + 1.
+    *
+    * The divisions run in doubles but stay exact: operands are integers
+    * below 2^53 and every quotient is floored — bit-identical on any
+    * engine, so the bucket assignment itself is oracle-checkable.
+    */
+  def ntileExact(df: DataFrame, idCol: String, orderCol: String, k: Int,
+      out: String = "bucket"): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col(orderCol), col(idCol))
+    // localCheckpoint before branching — see [[withGlobalStart]]
+    val local = df.select(col(idCol), col(orderCol))
+      .repartitionByRange(n, col(orderCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .localCheckpoint()
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = local.groupBy(col("__pid")).agg(max(col("__lrn")).as("__pcnt"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__pcnt")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val total = counts.agg(sum(col("__pcnt")).as("__n"))
+    val p = col("__off") + col("__lrn") - 1 // 0-based global position
+    val q = floor(col("__n") / k).cast("long")
+    val r = col("__n") - q * k
+    val bucket = when(p < r * (q + 1),
+        floor(p / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((p - r * (q + 1)) / greatest(q, lit(1L)))
+        .cast("long") + 1)
+    local.join(broadcast(offsets), Seq("__pid")).crossJoin(broadcast(total))
+      .select(col(idCol), col(orderCol), bucket.cast("int").as(out))
+  }
+
   /** Per-group cap: keep the top `k` rows of each group by (`scoreCol`
     * DESC, `idCol`) — the "at most N documents per domain" rule every
     * crawl pipeline applies so one giant domain can't dominate the mix.

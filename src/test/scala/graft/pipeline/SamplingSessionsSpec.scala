@@ -190,6 +190,46 @@ class SamplingSessionsSpec extends SparkTestBase {
     }
   }
 
+  test("ntileExact matches SQL NTILE semantics at any n % k, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n = 10, k = 3 -> bucket sizes 4,3,3; also n < k and n % k = 0 shapes
+    for (n <- Seq(10, 9, 2, 1)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 131 % 17).toDouble))
+        .toDF("id", "score")
+      val expected = df.withColumn("bucket",
+          ntile(3).over(Window.orderBy($"score", $"id")))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val got = Sampling.ntileExact(df, "id", "score", 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"n=$n")
+    }
+    // invariance to shuffle-partition count (two-level scan, no global window)
+    val big = (1L to 500L).map(i => (i, (i * 37 % 113).toDouble)).toDF("id", "score")
+    val base = Sampling.ntileExact(big, "id", "score", 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val alt = Sampling.ntileExact(big, "id", "score", 7)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(alt == base)
+    } finally saved.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+  }
+
+  test("canonicalDocs keeps the best doc per cluster, singletons intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster {1,2,3}: 2 wins (tie->min id)
+      (4L, 50L),                          // singleton
+      (5L, 10L), (6L, 20L)                // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = Dedup.canonicalDocs(docs, "doc_id", pairs, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 300L), (4L, 4L, 50L), (5L, 6L, 20L)))
+  }
+
   test("packSequences maps docs onto fixed-length sequence spans exactly") {
     import spark.implicits._
     // L=10; docs of 4, 12, 10, 5 tokens at global starts 0, 4, 16, 26:
