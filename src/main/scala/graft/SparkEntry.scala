@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Bitmaps
 import graft.ops.Fixtures
-import graft.pipeline.{Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -817,6 +817,21 @@ object SparkEntry {
     // deterministic and engine-reproducible like ta9
     "ta17_balanced_order" -> ((s, dir) =>
       Sampling.balancedPositions(t(s, dir, "documents"), "doc_id", "source")),
+
+    // ----- BPE1: tokenizer induction + segmentation — learn a BPE merge
+    // table from the corpus (greedy pair merges over the vocab-sized
+    // (word,freq) table; numMerges small distributed jobs, never a
+    // corpus-scale pass) and count real subword tokens per doc. The
+    // training loop is iterative argmax — not SQL-expressible, so this
+    // entry has no oracle (driver records the rows-only check); the
+    // trainer and encoder are cross-checked against a naive reference
+    // implementation in BpeSpec.
+    "bpe1_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 16).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeStats(docs, "doc_id", "text", merges)
+    }),
 
     // ----- TA19: CCNet head/middle/tail perplexity buckets — exact
     // NTILE(3) on the (rounded) unigram NLL via the two-level scan, no

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumn, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{BpeEncodeWord, BpeMergePair}
+
+/** BPE tokenizer induction over a corpus (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the step that LEARNS the vocabulary a training pipeline's token
+  * counts and shard budgets are denominated in.
+  *
+  * Scale shape: everything iterates over the (word, freq) table — the
+  * corpus collapsed to its distinct whitespace words (one shuffle,
+  * vocab-sized: millions of rows where the corpus has billions of
+  * documents). Each merge step is a pair-count aggregate (explode of
+  * adjacent symbol pairs, map-side combined, weighted by word freq)
+  * followed by a 1-row argmax to the driver and a per-row merge kernel —
+  * so `numMerges` small distributed jobs, never a corpus-scale pass. In
+  * production the trainer runs on a deterministic sample
+  * ([[Sampling.deterministicSample]]) exactly like single-node tokenizer
+  * trainers do; what matters at 100 TB is that nothing here is O(corpus)
+  * per merge.
+  *
+  * Determinism: pair counts are exact longs; the argmax breaks ties by
+  * (left, right) lexicographic order — the same merge table on any
+  * engine, partitioning or retry.
+  */
+object Bpe {
+
+  /** (word, freq) over lowercased whitespace tokens. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` greedy merges; returns (rank, left, right,
+    * pair_count), rank 0 first. Stops early when the best remaining
+    * pair's corpus count falls below `minPairCount`.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges >= 0, s"numMerges $numMerges must be non-negative")
+    val spark = df.sparkSession
+    // vocab table: word split to unicode-char symbols, corpus frequency
+    var words = wordFreqs(df, textCol)
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    while (!stop && merges.length < numMerges) {
+      val top = adjacentPairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minPairCount =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((l, r, row.getLong(2)))
+          // apply the merge to the vocab; checkpoint keeps the lineage
+          // flat across iterations (else plan depth grows per merge)
+          words = words.select(
+            GraftColumn.of(BpeMergePair(
+              GraftColumn.expressionOf(col("syms")), l, r)).as("syms"),
+            col("freq")).localCheckpoint()
+        case _ => stop = true
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(merges.zipWithIndex.map {
+        case ((l, r, c), i) => Row(i, l, r, c)
+      }.toArray: _*),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Weighted adjacent-pair counts over the (syms, freq) vocab table. */
+  private def adjacentPairCounts(words: DataFrame): DataFrame = {
+    val syms = col("syms")
+    val pairs = when(size(syms) < 2,
+        array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+    words.select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Segment every element of an array<string> token column with a
+    * learned merge list (rank order = list order); returns
+    * array<array<string>> of per-token subwords.
+    */
+  def encodeTokens(tokens: Column, merges: Seq[(String, String)]): Column =
+    transform(tokens, w =>
+      GraftColumn.of(BpeEncodeWord(GraftColumn.expressionOf(w), merges)))
+
+  /** Per-document subword statistics under a learned merge table:
+    * (idCol, n_tokens, n_subwords, compression) — the "how many training
+    * tokens is this corpus" question answered with the REAL tokenizer
+    * instead of the whitespace proxy. `merges` is the collected result
+    * of [[train]] (numMerges rows — driver-sized by construction).
+    */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val subs = encodeTokens(toks, merges)
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(subs, lit(0L), (acc, a) => acc + size(a)).as("n_subwords"))
+      .withColumn("compression",
+        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+  }
+}

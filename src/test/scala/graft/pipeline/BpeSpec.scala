@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** BPE vocabulary induction: the distributed trainer/encoder must agree
+  * with a naive single-machine reference implementation (same greedy
+  * rule, same tie-break) on hand-built and generated corpora.
+  */
+class BpeSpec extends SparkTestBase {
+
+  // ---- naive reference implementation (counts pairs over the word list
+  // exactly like Sennrich et al.'s original script) ----
+
+  private def refPairCounts(vocab: Map[List[String], Long])
+      : Map[(String, String), Long] =
+    vocab.toSeq.flatMap { case (syms, f) =>
+      syms.zip(syms.tail).map(p => p -> f)
+    }.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).sum }
+
+  private def refMergeWord(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(words: Map[String, Long], numMerges: Int,
+      minCount: Long = 2L): List[(String, String)] = {
+    var vocab = words.map { case (w, f) => w.map(_.toString).toList -> f }
+    val merges = scala.collection.mutable.ListBuffer[(String, String)]()
+    var stop = false
+    while (!stop && merges.length < numMerges) {
+      val counts = refPairCounts(vocab)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        if (c < minCount) stop = true
+        else {
+          merges += ((l, r))
+          vocab = vocab.toSeq.map { case (s, f) => refMergeWord(s, l, r) -> f }
+            .groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+        }
+      }
+    }
+    merges.toList
+  }
+
+  private def refEncode(word: String, merges: List[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toList
+    var done = syms.length < 2
+    while (!done) {
+      val present = syms.zip(syms.tail).flatMap(rank.get)
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        syms = refMergeWord(syms, l, r)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  test("train matches the reference greedy merges on the classic corpus") {
+    import spark.implicits._
+    // Sennrich's running example shape: low/lower/newest/widest
+    val docs = Seq.fill(5)("low").mkString(" ") + " " +
+      Seq.fill(2)("lower").mkString(" ") + " " +
+      Seq.fill(6)("newest").mkString(" ") + " " +
+      Seq.fill(3)("widest").mkString(" ")
+    val df = Seq((1L, docs)).toDF("doc_id", "text")
+    val got = Bpe.train(df, "text", numMerges = 6).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toList
+    val want = refTrain(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L), 6)
+    assert(got == want)
+    // the most frequent pair in this corpus is (e,s) from newest+widest (9)
+    assert(got.head == ("e", "s"))
+  }
+
+  test("train agrees with the reference on a generated corpus; encode round-trips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(60)(
+      (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val text = rnd.shuffle(words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)))
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val wordFreq = text.split("\\s+").groupBy(identity)
+      .map { case (w, a) => w -> a.length.toLong }
+    val want = refTrain(wordFreq, 15)
+    val got = Bpe.train(df, "text", numMerges = 15).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toList
+    assert(got == want)
+    // encoding: concatenating a word's subwords restores the word, and
+    // the distributed kernel matches the reference segmenter
+    val enc = df.select(Bpe.encodeTokens(
+        split(col("text"), "\\s+"), got).as("subs"))
+      .head.getSeq[scala.collection.Seq[String]](0)
+    val toks = text.split("\\s+")
+    enc.zip(toks).foreach { case (subs, w) =>
+      assert(subs.mkString == w, s"lossless: $w")
+      assert(subs.toList == refEncode(w, want), s"segmentation of $w")
+    }
+  }
+
+  test("encodeStats counts subwords under the learned table") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", numMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"))) // (a,b) count 4 beats (c,d) count 1
+    val stats = Bpe.encodeStats(df, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: 4 tokens -> ab,ab,ab,c,d = 5 subwords; doc 2: 1 -> 1
+    assert(stats == Set((1L, 4L, 5L), (2L, 1L, 1L)))
+  }
+}
