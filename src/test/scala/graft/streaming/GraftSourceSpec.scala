@@ -57,6 +57,48 @@ class GraftSourceSpec extends SparkTestBase {
     (buf.toSeq, batches)
   }
 
+  test("new hive partitions are discovered mid-stream (partition discovery)") {
+    // the reference polls for new partitions (scan.partition.discovery
+    // .interval); here discovery is free — offsets are per-bucket in the
+    // manifest, partition dirs are just file layout — but the property
+    // must hold: rows landing in a PARTITION THAT DID NOT EXIST when the
+    // stream started are still delivered on resume
+    val cat = new Catalog(Files.createTempDirectory("graft-src-wh").toString, spark)
+    val pschema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType),
+      StructField("dt", StringType)))
+    val t = cat.createTable("db", "pdisc", TableDescriptor(
+      pschema, bucketKeys = Seq("k"), numBuckets = 2,
+      partitionKeys = Seq("dt")))
+    def prows(kvd: (Long, Int, String)*) = spark.createDataFrame(
+      kvd.zipWithIndex.map { case ((k, v, d), i) => Row(k, v, d, i.toLong) }.asJava,
+      StructType(pschema.fields :+ StructField("ord", LongType)))
+    t.append(prows((1L, 1, "2024-01-01")), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ck").toString
+    val buf = ArrayBuffer.empty[(Long, Int, String)]
+    def drainP(): Unit = {
+      val q = spark.readStream.format("graft").option("path", t.path).load()
+        .select(col("k"), col("v"), col("dt"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf ++= df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getString(2))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainP()
+    assert(buf.toSet == Set((1L, 1, "2024-01-01")))
+    // a partition that did not exist at stream start
+    t.append(prows((2L, 2, "2024-01-02"), (3L, 3, "2024-01-03")),
+      orderBy = Seq(col("ord")))
+    drainP()
+    assert(buf.toSet == Set((1L, 1, "2024-01-01"), (2L, 2, "2024-01-02"),
+      (3L, 3, "2024-01-03")), s"new partitions must be discovered: $buf")
+  }
+
   test("earliest: drains the log once; resume delivers only new commits") {
     val t = newTable("src1")
     t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
