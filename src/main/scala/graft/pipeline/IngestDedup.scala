@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Catalog, GraftTable, TableDescriptor}
+
+/** Dedup-at-ingest: near-duplicate filtering of INCREMENTAL batches
+  * against everything already accepted, without ever re-running the
+  * corpus-wide pairwise job.
+  *
+  * The state is a persisted MinHash band index — an engine table of
+  * (band, bucket, id) rows, exactly the 24-byte banding rows the batch
+  * near-dup jobs shuffle ([[Dedup.minhashLshVerifiedPairs]]), kept
+  * across batches instead of recomputed. Ingest of a batch:
+  *
+  *  1. shingle + sign the batch (one pass, the d3 kernels);
+  *  2. candidates vs the PAST: the batch's band rows probe the index —
+  *     the batch side is micro-batch-sized, so Catalyst broadcasts it
+  *     and the index side is a narrow 3-column parquet scan with no
+  *     shuffle (at extreme index sizes the same rows serve `lookupAll`
+  *     point reads instead, the index being bucketed on (band, bucket));
+  *  3. candidates WITHIN the batch: the ordinary LSH pipeline on the
+  *     batch alone (in-batch copies must not both be accepted);
+  *  4. exact-Jaccard verification of both candidate sets (the
+  *     [[Dedup.verifyJaccard]] contract — banding only ever bounds the
+  *     candidate set, the answer is exact);
+  *  5. novel rows are appended to the corpus table and their band rows
+  *     to the index, so the NEXT batch sees them — both appends ride the
+  *     engine's atomic commit protocol.
+  *
+  * This is the streaming complement of the batch dedup family: d1–d6
+  * answer "dedup this corpus once", this answers "keep it deduplicated
+  * as it grows".
+  */
+final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
+    idCol: String, textCol: String,
+    numHashes: Int = 60, bands: Int = 20, shingleN: Int = 5,
+    seed: Long = 42L) {
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  private val rowsPerBand = numHashes / bands
+
+  /** (band, bucket, id) rows for a document set — identical banding to
+    * [[Dedup.minhashLshVerifiedPairs]] (same slice hash, same seed), so
+    * index probes see exactly the collisions the batch job would.
+    */
+  def bandRows(docs: DataFrame): DataFrame = {
+    val sh = Dedup.hashedShingleDocs(
+      docs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+    Dedup.minhashSignaturesFromDocs(sh, numHashes, seed)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)), b))))
+      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
+        col("id").as(idCol))
+  }
+
+  /** Ingest one batch: returns the NOVEL rows (batch schema) after
+    * appending them to the corpus and indexing their band rows. A batch
+    * row is dropped when it near-dup-matches an accepted document
+    * (exact Jaccard ≥ threshold) or a LOWER-id row of the same batch.
+    */
+  def ingest(batch: DataFrame, threshold: Double): DataFrame = {
+    val shingled = Dedup.hashedShingleDocs(
+        batch.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+      .localCheckpoint()
+    // --- vs the accepted corpus ---
+    val probes = bandRows(batch)
+    val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
+      .join(index.scan().withColumnRenamed(idCol, "b_id"),
+        Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val pastDocs = corpus.scan().join(
+        broadcast(candPast.select(col("b_id").as(idCol)).distinct()), Seq(idCol))
+    val pastShingled = Dedup.hashedShingleDocs(
+      pastDocs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+    val dupVsPast = Dedup.verifyJaccard(candPast,
+        shingled.unionByName(pastShingled), threshold)
+      .select(col("a_id").as("__dup"))
+    // --- within the batch (keep the lowest id of each dup group) ---
+    val dupInBatch = Dedup.minhashLshVerifiedPairs(shingled, threshold,
+        numHashes, bands, seed)
+      .select(col("b_id").as("__dup")) // b_id > a_id by construction
+    val novel = batch.join(
+      dupVsPast.unionByName(dupInBatch).distinct()
+        .withColumnRenamed("__dup", idCol),
+      Seq(idCol), "left_anti")
+      .localCheckpoint() // pin: the appends below must see ONE snapshot
+    corpus.append(novel)
+    index.append(bandRows(novel))
+    novel
+  }
+}
+
+object MinHashIngestIndex {
+
+  /** Create the index table beside an existing corpus table and backfill
+    * it from the corpus's current rows.
+    */
+  def create(cat: Catalog, db: String, name: String, corpus: GraftTable,
+      idCol: String, textCol: String, numHashes: Int = 60, bands: Int = 20,
+      shingleN: Int = 5, seed: Long = 42L): MinHashIngestIndex = {
+    val idType = corpus.desc.schema(idCol).dataType
+    val index = cat.createTable(db, name, TableDescriptor(
+      StructType(Seq(
+        StructField("band", IntegerType, nullable = false),
+        StructField("bucket", LongType, nullable = false),
+        StructField(idCol, idType, nullable = false))),
+      bucketKeys = Seq("band", "bucket"),
+      numBuckets = corpus.desc.numBuckets))
+    val mi = new MinHashIngestIndex(corpus, index, idCol, textCol,
+      numHashes, bands, shingleN, seed)
+    val existing = corpus.scan().select(col(idCol), col(textCol))
+    if (!existing.isEmpty) index.append(mi.bandRows(existing))
+    mi
+  }
+
+  /** Open an existing index (parameters must match the create call). */
+  def open(corpus: GraftTable, index: GraftTable, idCol: String,
+      textCol: String, numHashes: Int = 60, bands: Int = 20,
+      shingleN: Int = 5, seed: Long = 42L): MinHashIngestIndex =
+    new MinHashIngestIndex(corpus, index, idCol, textCol, numHashes, bands,
+      shingleN, seed)
+}

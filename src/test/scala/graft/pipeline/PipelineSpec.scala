@@ -138,6 +138,49 @@ class PipelineSpec extends SparkTestBase {
     assert(rK == 10, s"k-means should fully recover the small cluster, got $rK/10")
   }
 
+  test("ingest dedup: batches filtered against the persisted band index") {
+    import spark.implicits._
+    import graft.core.{Catalog, TableDescriptor}
+    import org.apache.spark.sql.types._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-ingest").toString, spark)
+    val corpus = cat.createTable("db", "corpus", TableDescriptor(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      bucketKeys = Seq("doc_id"), numBuckets = 2))
+    def doc(seed: Int): String =
+      new scala.util.Random(seed).shuffle(
+        (1 to 40).map(i => s"w${(i * seed) % 23}")).mkString(" ")
+    // pre-existing corpus rows; create() backfills their band rows
+    corpus.append(Seq((1L, doc(3)), (2L, doc(5))).toDF("doc_id", "text"))
+    val idx = MinHashIngestIndex.create(cat, "db", "corpus_idx", corpus,
+      "doc_id", "text")
+    assert(idx.index.scan().count() == 2 * 20, "backfill: 20 bands per doc")
+
+    // batch 1: an exact dup of doc 1, a near-dup of doc 2 (tail change),
+    // an in-batch dup pair, and one genuinely novel doc
+    val nearDup2 = doc(5).split(" ").dropRight(2).mkString(" ") + " zz yy"
+    val batch1 = Seq(
+      (10L, doc(3)),     // dup of accepted 1 -> dropped
+      (11L, nearDup2),   // near-dup of accepted 2 -> dropped
+      (12L, doc(9)),     // novel, has an in-batch copy below
+      (13L, doc(9)),     // in-batch dup of 12 -> dropped (higher id)
+      (14L, doc(11))     // novel
+    ).toDF("doc_id", "text")
+    val novel1 = idx.ingest(batch1, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel1 == Set(12L, 14L), s"got $novel1")
+    assert(corpus.scan().count() == 4) // 1, 2, 12, 14
+
+    // batch 2: dup of a doc accepted in batch 1 (12) must now be caught
+    val batch2 = Seq((20L, doc(9)), (21L, doc(17))).toDF("doc_id", "text")
+    val novel2 = idx.ingest(batch2, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel2 == Set(21L), s"batch-1 acceptances must be indexed: $novel2")
+    assert(corpus.scan().count() == 5)
+    assert(idx.index.scan().count() == 5 * 20)
+  }
+
   test("winnowing: detects a copied paragraph inside otherwise different docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
