@@ -244,6 +244,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "binlog" => return new GraftMetaTable(qualified, () => t.binlog())
         case "history" => return new GraftMetaTable(qualified, () => t.history())
         case "files" => return new GraftMetaTable(qualified, () => t.filesMeta())
+        // the reference Admin's listOffsets (earliest/latest per bucket):
+        // earliest = retained floor after vacuum/TTL, next = the offset
+        // the next append receives (= row count high watermark)
+        case "offsets" => return new GraftMetaTable(qualified, () => {
+          val latest = t.latestOffsets
+          val floor = t.retainedFloorOffsets.getOrElse(Map.empty[Int, Long])
+          val rows = latest.toSeq.sortBy(_._1).map { case (b, next) =>
+            Row(b, floor.getOrElse(b, 0L), next)
+          }
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("earliest_offset",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("next_offset",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        })
         case "partitions" => return new GraftMetaTable(qualified, () => {
           import org.apache.spark.sql.functions.col
           val rows = t.partitionValues().map(vs =>

@@ -262,6 +262,13 @@ class ConnectorSpec extends SparkTestBase {
     assert(fl.forall(r => r.getString(0).endsWith(".parquet")
       && r.getString(1) != null && r.getLong(2) > 0
       && r.getLong(6) >= r.getLong(5)))
+
+    // offsets metadata (the reference Admin's listOffsets): next offsets
+    // sum to the changelog row count; earliest is 0 pre-vacuum
+    val off = spark.sql("SELECT bucket, earliest_offset, next_offset " +
+      "FROM gfs.db.meta.offsets").collect()
+    assert(off.map(_.getLong(2)).sum == 4)
+    assert(off.forall(r => r.getLong(1) == 0L))
   }
 
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
