@@ -818,6 +818,13 @@ object SparkEntry {
     "ta17_balanced_order" -> ((s, dir) =>
       Sampling.balancedPositions(t(s, dir, "documents"), "doc_id", "source")),
 
+    // ----- TA20: per-doc token entropy — lexical-diversity quality
+    // signal; per-doc statistic only (no corpus vocabulary join), exact
+    // modulo the 6-dp rounding both engines apply
+    "ta20_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("token_entropy", round(col("token_entropy"), 6))),
+
     // ----- BPE1: tokenizer induction + segmentation — learn a BPE merge
     // table from the corpus (greedy pair merges over the vocab-sized
     // (word,freq) table; numMerges small distributed jobs, never a
@@ -2053,6 +2060,19 @@ object SparkEntry {
         |      / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
         |FROM tf JOIN freq USING (t), tot
         |GROUP BY doc_id, n_corpus""".stripMargin,
+
+    // H = ln(n) - sum(tf*ln tf)/n over per-doc token counts
+    "ta20_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(tf) AS DOUBLE))
+        |    - sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
+        |      / CAST(sum(tf) AS DOUBLE), 6) AS token_entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
 
     // ta16's NLL + SQL-standard NTILE(3) over (rounded score, doc_id)
     "ta19_ppl_buckets" ->

@@ -208,6 +208,32 @@ object TextAnalysis {
     * is reproducible across partitionings; `ln` is transcendental, so
     * cross-engine oracles round (6 dp leaves ~1e7 ulp of headroom).
     */
+  /** Per-document Shannon entropy of the token distribution (nats):
+    * H = ln(n) − (1/n)·Σ_t tf_t·ln(tf_t) — the lexical-diversity /
+    * repetitiveness signal quality pipelines threshold on (H ≈ 0 means
+    * the doc is one token repeated; H = ln(n) means all tokens
+    * distinct). Unlike [[unigramNll]] the statistic is per-doc only: one
+    * explode → (doc, token) count with map-side combine, then a per-doc
+    * fold — no corpus-wide vocabulary join. The double sum folds in
+    * ascending-token order (the [[quality]]-score discipline), so the
+    * value is reproducible across partitionings and engines.
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    widen(df)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (log(sum(col("__tf")).cast("double")) -
+          aggregate(
+            sort_array(collect_list(struct(col("__t"),
+              (col("__tf").cast("double") * log(col("__tf").cast("double")))
+                .as("__term")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("__term"))
+          / sum(col("__tf")).cast("double")).as("token_entropy"))
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = widen(df)
