@@ -138,6 +138,52 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b"), Row(3L, 3, "c"), Row(4L, 4, "d")))
   }
 
+  test("concurrent appenders: every commit lands exactly once, offsets contiguous") {
+    // the commit lock is non-blocking (loser gets ConcurrentModification
+    // and retries) — under 4 racing writers every commit must land
+    // exactly once, offsets must stay per-bucket contiguous, and no
+    // residue may be visible (the WriterStateManager-style guarantee)
+    val cat = newCatalog()
+    val t = cat.createTable("db", "race1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def appendWithRetry(base: Long): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { t.append(df((base, base.toInt, s"w$base")),
+          orderBy = Seq(col("ord"))); done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            attempts += 1
+            require(attempts < 200, "livelock")
+            Thread.sleep(5 + scala.util.Random.nextInt(20))
+        }
+      }
+    }
+    val futs = (1L to 12L).map(i => Future(appendWithRetry(i)))
+    try Await.result(Future.sequence(futs), 120.seconds)
+    finally pool.shutdown()
+    assert(t.scan().count() == 12)
+    assert(t.fastCount == 12) // offset manifest agrees with the data
+    val log = t.logDF.collect()
+    log.groupBy(_.getAs[Int](Meta.Bucket)).foreach { case (_, rows) =>
+      val offs = rows.map(_.getAs[Long](Meta.Offset)).sorted
+      assert(offs.sameElements(offs.indices.map(_.toLong)),
+        s"offsets must be contiguous per bucket: ${offs.mkString(",")}")
+    }
+    // 12 commits recorded, strictly increasing versions
+    val hist = t.history().select("version").collect().map(_.getLong(0))
+    assert(hist.length == 12 && hist.sorted.sameElements(hist))
+    // distinct payloads all present exactly once
+    assert(t.scan().select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(1L to 12L))
+  }
+
   test("kv snapshot lease pins the log floor against vacuum; drop releases it") {
     val cat = newCatalog()
     val t = cat.createTable("db", "lease1",
