@@ -42,11 +42,24 @@ object Bpe {
     * pair's corpus count falls below `minPairCount`.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      driverVocabLimit: Long = 200000L): DataFrame = {
     require(numMerges >= 0, s"numMerges $numMerges must be non-negative")
     val spark = df.sparkSession
+    val freqs = wordFreqs(df, textCol)
+    // The iterative loop's data is the DISTINCT-WORD table, which is
+    // tiny relative to any corpus (every single-node tokenizer trainer
+    // exploits this). When it fits the driver, run the loop locally —
+    // one aggregate job total instead of 2·numMerges; the distributed
+    // loop below is the exact same algorithm (same tie-breaks — the
+    // equivalence is pinned by BpeSpec) and takes over past the limit.
+    val vocabSize = freqs.count()
+    if (vocabSize <= driverVocabLimit)
+      return localTrain(spark,
+        freqs.collect().map(r => r.getString(0) -> r.getLong(1)),
+        numMerges, minPairCount)
     // vocab table: word split to unicode-char symbols, corpus frequency
-    var words = wordFreqs(df, textCol)
+    var words = freqs
       .select(split(col("word"), "").as("syms"), col("freq"))
       .localCheckpoint()
     val merges = ArrayBuffer[(String, String, Long)]()
@@ -67,6 +80,52 @@ object Bpe {
         case _ => stop = true
       }
     }
+    mergesDf(spark, merges)
+  }
+
+  /** The same greedy loop on a collected vocabulary (small-vocab fast
+    * path of [[train]]) — identical counts and tie-breaks.
+    */
+  private def localTrain(spark: org.apache.spark.sql.SparkSession,
+      wordFreq: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): DataFrame = {
+    var vocab: Map[List[String], Long] = wordFreq.toSeq
+      .map { case (w, f) => w.map(_.toString).toList -> f }
+      .groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+    val merges = ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    while (!stop && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minPairCount) stop = true
+        else {
+          merges += ((l, r, c))
+          vocab = vocab.toSeq.map { case (syms, f) =>
+            val out = ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toList -> f
+          }.groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+        }
+      }
+    }
+    mergesDf(spark, merges)
+  }
+
+  private def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: ArrayBuffer[(String, String, Long)]): DataFrame =
     spark.createDataFrame(
       java.util.Arrays.asList(merges.zipWithIndex.map {
         case ((l, r, c), i) => Row(i, l, r, c)
@@ -76,7 +135,6 @@ object Bpe {
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
-  }
 
   /** Weighted adjacent-pair counts over the (syms, freq) vocab table. */
   private def adjacentPairCounts(words: DataFrame): DataFrame = {

@@ -111,6 +111,22 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("driver-local fast path and distributed loop learn identical merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(40)(
+      (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    def collectMerges(d: org.apache.spark.sql.DataFrame) =
+      d.collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    val local = collectMerges(Bpe.train(df, "text", numMerges = 10))
+    val dist = collectMerges(Bpe.train(df, "text", numMerges = 10,
+      driverVocabLimit = 0L)) // force the distributed loop
+    assert(local == dist)
+  }
+
   test("encodeStats counts subwords under the learned table") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
