@@ -883,6 +883,20 @@ object SparkEntry {
       Multimodal.extractFeatures(resized, dim = 8)
         .select(col("media_id"), col("meta.n_bytes").as("n_resized"),
           size(col("features")).cast("long").as("n_features"))
+    }),
+
+    // ----- MM3: REAL image codec — genuine PNGs (seeded per doc)
+    // decoded/resized/featurized through javax.imageio; rows-only check
+    // (no SQL engine decodes PNG), pixel math pinned by PipelineSpec
+    "mm3_image_codec" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id")).limit(256)
+      val media = Multimodal.packSyntheticImages(docs, "doc_id")
+      val small = Multimodal.resizeImages(media, 8, 8)
+      Multimodal.imageFeatures(small, gridW = 2, gridH = 2)
+        .select(col("media_id"), col("decoded"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("lum_sum"))
     })
   )
 

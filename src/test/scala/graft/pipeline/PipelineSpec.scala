@@ -220,6 +220,40 @@ class PipelineSpec extends SparkTestBase {
     assert(cl(30L) == 30L && cl(4L) == 1L && cl(12L) == 10L && cl(21L) == 20L)
   }
 
+  test("multimodal: REAL jdk codec — decode, grid features, resize round-trip") {
+    import spark.implicits._
+    // genuine PNGs through the genuine codec (javax.imageio is in the JDK)
+    val blobs = Seq((1L, Multimodal.syntheticPng(32, 16, seed = 1)),
+      (2L, Multimodal.syntheticPng(8, 8, seed = 2)),
+      (3L, "not an image".getBytes("UTF-8"))) // falls back to the stub
+    val df = blobs.toDF("media_id", "media")
+    val feats = Multimodal.imageFeatures(df, gridW = 2, gridH = 2)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[scala.collection.Seq[Float]]("features"),
+          r.getAs[Boolean]("decoded"))).toMap
+    assert(feats(1L)._2 && feats(2L)._2, "real PNGs must take the codec path")
+    assert(!feats(3L)._2, "non-image bytes must fall back to the stub")
+    // gradient image: right half is brighter (red ramps with x), so the
+    // right cells' luminance must exceed the left cells'
+    val f1 = feats(1L)._1
+    assert(f1.length == 4 && f1(1) > f1(0) && f1(3) > f1(2), s"got $f1")
+    // resize: decoded dimensions equal the target; meta tracks them
+    val rs = Multimodal.resizeImages(df.limit(2), 4, 4).collect()
+    rs.foreach { r =>
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("media")).get
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == 4 && meta.getAs[Int]("height") == 4)
+      assert(meta.getAs[String]("kind") == "image/png")
+    }
+    // determinism: the nearest-neighbor loop gives identical bytes-out
+    val a = Multimodal.resizeImages(df.limit(1), 4, 4)
+      .head.getAs[Array[Byte]]("media")
+    val b = Multimodal.resizeImages(df.limit(1), 4, 4)
+      .head.getAs[Array[Byte]]("media")
+    assert(java.util.Arrays.equals(a, b))
+  }
+
   test("multimodal: feature extraction batch shape + determinism") {
     val media = Multimodal.packAsMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8)
