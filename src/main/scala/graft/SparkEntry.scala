@@ -897,6 +897,26 @@ object SparkEntry {
           col("meta.width").as("width"), col("meta.height").as("height"),
           round(aggregate(col("features"), lit(0.0d),
             (acc, x) => acc + x.cast("double")), 4).as("lum_sum"))
+    }),
+
+    // ----- MM4: REAL audio codec — seeded sine WAVs decoded through
+    // javax.sound.sampled; windowed RMS energy. Rows-only check (no SQL
+    // engine decodes WAV); PCM math pinned by PipelineSpec
+    "mm4_audio_codec" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id")).limit(128)
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id,
+            Multimodal.syntheticWav(millis = 100, seed = id.toInt))
+        }
+      }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("media_id", LongType), StructField("media", BinaryType)))))
+      Multimodal.audioFeatures(media, windows = 4)
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          round(col("duration_ms"), 2).as("duration_ms"),
+          round(aggregate(col("energy"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("energy_sum"))
     })
   )
 

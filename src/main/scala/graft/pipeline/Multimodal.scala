@@ -253,6 +253,102 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio codec path — javax.sound.sampled also ships with the JDK
+  // (WAV/AIFF/AU readers), so WAV blobs get genuine PCM decoding too.
+  // ---------------------------------------------------------------------
+
+  /** Decode an audio blob to 16-bit PCM samples + sample rate. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Array[Short], Float)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+      Some((samples, fmt.getSampleRate))
+    } catch { case _: Exception => None }
+
+  /** Per-window RMS energy over REAL decoded PCM (duration, sample rate,
+    * and `windows` energy values in [0,1]) — the standard cheap audio
+    * descriptor (silence/clipping detection, energy profiles). WAV/AIFF
+    * decode through the JDK; other kinds fall back to [[decodeStub]]
+    * with `decoded = false`. Batch-loop shape as everywhere else.
+    */
+  def audioFeatures(df: DataFrame, windows: Int = 8): DataFrame = {
+    require(windows > 0, "windows must be positive")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.filterNot(_.name == "media") ++
+      Seq(StructField("sample_rate", FloatType),
+        StructField("duration_ms", DoubleType),
+        StructField("energy", ArrayType(FloatType)),
+        StructField("decoded", BooleanType)))
+    val mediaIdx = inSchema.fieldIndex("media")
+    val keepIdx = inSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "media" => i
+    }
+    df.mapPartitions { it =>
+      it.map { r =>
+        val blob = r.getAs[Array[Byte]](mediaIdx)
+        val (rate, durMs, energy, real) = decodeAudio(blob) match {
+          case Some((pcm, sr)) =>
+            val e = new Array[Float](windows)
+            val per = math.max(1, pcm.length / windows)
+            var w = 0
+            while (w < windows) {
+              val from = w * per
+              val until = if (w == windows - 1) pcm.length
+                else math.min(pcm.length, from + per)
+              var s = 0.0; var i = from
+              while (i < until) {
+                val v = pcm(i) / 32768.0; s += v * v; i += 1
+              }
+              e(w) = if (until > from)
+                math.sqrt(s / (until - from)).toFloat else 0f
+              w += 1
+            }
+            (sr, pcm.length * 1000.0 / sr, e, true)
+          case None =>
+            (0f, 0.0, decodeStub(
+              if (blob == null) Array.emptyByteArray else blob, windows), false)
+        }
+        new GenericRowWithSchema(
+          (keepIdx.map(r.get) ++ Seq(rate, durMs, energy, real))
+            .toArray[Any], outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Encode a deterministic sine-tone WAV (test/fixture helper — real
+    * samples through the real codec). Frequency derives from the seed.
+    */
+  def syntheticWav(millis: Int, seed: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val n = sampleRate * millis / 1000
+    val freq = 200.0 + (math.abs(seed) % 20) * 40.0
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort((math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** One REAL PNG per row (seeded by the id — deterministic bytes), for
     * pipelines/tests that need genuine image blobs without external
     * media files. Same batch-loop shape as the other operators.

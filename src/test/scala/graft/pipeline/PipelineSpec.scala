@@ -254,6 +254,24 @@ class PipelineSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("multimodal: REAL jdk audio codec — WAV decode, windowed RMS energy") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(millis = 250, seed = 3)),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("media_id", "media")
+    val rows = Multimodal.audioFeatures(df, windows = 4).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getAs[Boolean]("decoded"))
+    assert(ok.getAs[Float]("sample_rate") == 8000f)
+    assert(math.abs(ok.getAs[Double]("duration_ms") - 250.0) < 1.0)
+    // a constant-amplitude sine has RMS amp/sqrt(2) ≈ 12000/32768/1.414
+    val e = ok.getAs[scala.collection.Seq[Float]]("energy")
+    assert(e.length == 4 && e.forall(v => math.abs(v - 0.2589) < 0.01),
+      s"got $e")
+    assert(!rows(2L).getAs[Boolean]("decoded"))
+  }
+
   test("multimodal: feature extraction batch shape + determinism") {
     val media = Multimodal.packAsMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 8)
