@@ -493,13 +493,17 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
       }.toIndexedSeq)
 
   override def createPartition(id: org.apache.spark.sql.catalyst.InternalRow,
-      properties: util.Map[String, String]): Unit =
+      properties: util.Map[String, String]): Unit = {
+    authz("ALTER")
     if (!table.createPartition(partValues(id)))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
         ident.toString, id, partitionSchema())
+  }
 
-  override def dropPartition(id: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+  override def dropPartition(id: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    authz("ALTER")
     table.dropPartition(partValues(id))
+  }
 
   override def partitionExists(id: org.apache.spark.sql.catalyst.InternalRow): Boolean =
     table.partitionExists(partValues(id))
@@ -543,6 +547,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
       filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    authz("WRITE") // row-level delete is a write, not a scan
     require(canDeleteWhere(filters), "untranslatable DELETE predicate")
     val cond = filters.flatMap(GraftScanBuilder.toColumn)
       .reduceOption(_ && _)

@@ -41,23 +41,48 @@ final case class AclEntry(resource: String, permission: String,
   *  - no matching `ALLOW` ⇒ denied (default-closed, like the reference
   *    once `authorizer.enabled` is on).
   */
+object Acls {
+  /** aclsFile -> (mtime, entries); shared across Acls instances (the SQL
+    * catalog constructs a fresh core Catalog per operation).
+    */
+  private[core] val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, List[AclEntry])]()
+}
+
 final class Acls(warehouse: String) {
 
   private val aclsFile = s"$warehouse/_acls.json"
+
+  /** Mutations serialize on a lock file (concurrent add/drop must never
+    * lose the other writer's binding — a vanished DENY is a security
+    * hole, not an inconvenience).
+    */
+  private def withLock[T](body: => T): T =
+    CatalogJson.withFileLock(aclsFile)(body)
 
   /** Grantable operations (ANY is filter-only, never grantable). */
   val Operations: Set[String] =
     Set("ALL", "READ", "WRITE", "CREATE", "DROP", "ALTER", "DESCRIBE")
 
-  private def readAll(): List[AclEntry] =
-    if (!Files.exists(Paths.get(aclsFile))) Nil
-    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(aclsFile)),
+  private def readAll(): List[AclEntry] = {
+    val p = Paths.get(aclsFile)
+    if (!Files.exists(p)) return Nil
+    // mtime-keyed cache: the gate runs on every catalog operation, so a
+    // re-parse per decision would put JSON parsing on the metadata hot
+    // path; the file only changes through add/drop
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val hit = Acls.cache.get(aclsFile)
+    if (hit != null && hit._1 == mtime) return hit._2
+    val parsed = JsonMethods.parse(new String(Files.readAllBytes(p),
         StandardCharsets.UTF_8)).asInstanceOf[JArray].arr.map { v =>
       val f = v.asInstanceOf[JObject].obj.toMap[String, JValue]
       def s(k: String) = f(k).asInstanceOf[JString].s
       AclEntry(s("resource"), s("permission"), s("principal"),
         s("operation"), s("host"))
     }
+    Acls.cache.put(aclsFile, (mtime, parsed))
+    parsed
+  }
 
   private def writeAll(entries: List[AclEntry]): Unit =
     CatalogJson.atomicWrite(aclsFile,
@@ -79,8 +104,10 @@ final class Acls(warehouse: String) {
     require(e.principal.contains(":"),
       s"principal must be 'Type:Name' (e.g. User:alice), got '${e.principal}'")
     require(e.resource.nonEmpty, "resource must be non-empty")
-    val all = readAll()
-    if (!all.contains(e)) writeAll(all :+ e)
+    withLock {
+      val all = readAll()
+      if (!all.contains(e)) writeAll(all :+ e)
+    }
   }
 
   private def matches(filter: AclEntry, e: AclEntry): Boolean = {
@@ -93,7 +120,7 @@ final class Acls(warehouse: String) {
   /** Remove every binding the filter matches (ANY = wildcard); returns
     * how many were removed — the procedures' batch-deletion semantics.
     */
-  def drop(filter: AclEntry): Int = {
+  def drop(filter: AclEntry): Int = withLock {
     val all = readAll()
     val kept = all.filterNot(matches(filter, _))
     if (kept.size != all.size) writeAll(kept)

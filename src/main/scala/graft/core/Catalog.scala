@@ -348,6 +348,36 @@ object CatalogJson {
       }.getOrElse(Map.empty))
   }
 
+  /** Short critical section over a shared metadata file (ACLs, dynamic
+    * configs): lock-file mutex with bounded retry, so concurrent
+    * read-modify-write cycles serialize instead of silently losing the
+    * loser's entries. Stale locks (a crashed holder) break after 60 s.
+    */
+  def withFileLock[T](path: String, timeoutMs: Long = 10000L)(body: => T): T = {
+    val lock = Paths.get(path + ".lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            if (System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis > 60000L)
+              Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"timed out acquiring $lock")
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+        case _: java.nio.file.NoSuchFileException =>
+          // parent vanished mid-race (e.g. dropDatabase); let the body
+          // surface the real error
+          held = true
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** Atomic small-file write (manifesty things: offsets, txn log). */
   def atomicWrite(path: String, content: String): Unit = {
     val target = Paths.get(path)

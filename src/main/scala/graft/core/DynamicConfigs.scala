@@ -37,12 +37,31 @@ object DynamicConfigs {
 
   private def file(warehouse: String) = s"$warehouse/_configs.json"
 
-  def read(warehouse: String): Map[String, String] =
-    if (!Files.exists(Paths.get(file(warehouse)))) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(
-        Paths.get(file(warehouse))), StandardCharsets.UTF_8))
+  // mtime-keyed cache: the precedence check runs on scan planning and
+  // every ACL-gated catalog call; re-parsing the file each time would
+  // put JSON parsing on the metadata hot path
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
+
+  def read(warehouse: String): Map[String, String] = {
+    val p = Paths.get(file(warehouse))
+    if (!Files.exists(p)) return Map.empty
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val hit = cache.get(warehouse)
+    if (hit != null && hit._1 == mtime) return hit._2
+    val parsed = JsonMethods.parse(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8))
       .asInstanceOf[JObject].obj
       .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+    cache.put(warehouse, (mtime, parsed))
+    parsed
+  }
+
+  /** Mutations serialize on a lock file — concurrent set/append must not
+    * lose each other's keys (same discipline as [[Acls]]).
+    */
+  private def withLock[T](warehouse: String)(body: => T): T =
+    CatalogJson.withFileLock(file(warehouse))(body)
 
   private def write(warehouse: String, m: Map[String, String]): Unit =
     CatalogJson.atomicWrite(file(warehouse),
@@ -56,14 +75,14 @@ object DynamicConfigs {
 
   def set(warehouse: String, pairs: Map[String, String]): Unit = {
     pairs.keys.foreach(requireKnown)
-    write(warehouse, read(warehouse) ++ pairs)
+    withLock(warehouse) { write(warehouse, read(warehouse) ++ pairs) }
   }
 
   /** Append to a collection config (semicolon-separated). Appending an
     * element that is already present is rejected, like the reference's
     * duplicate-map-key rule.
     */
-  def append(warehouse: String, pairs: Map[String, String]): Unit = {
+  def append(warehouse: String, pairs: Map[String, String]): Unit = withLock(warehouse) {
     val cur = read(warehouse)
     val updated = pairs.foldLeft(cur) { case (acc, (k, v)) =>
       requireKnown(k)
@@ -80,7 +99,7 @@ object DynamicConfigs {
   /** Remove from a collection config; absent elements are a no-op, like
     * the reference's SUBTRACT.
     */
-  def subtract(warehouse: String, pairs: Map[String, String]): Unit = {
+  def subtract(warehouse: String, pairs: Map[String, String]): Unit = withLock(warehouse) {
     val cur = read(warehouse)
     val updated = pairs.foldLeft(cur) { case (acc, (k, v)) =>
       requireKnown(k)
@@ -94,7 +113,7 @@ object DynamicConfigs {
   }
 
   /** Drop keys from the dynamic scope (back to session/default). */
-  def reset(warehouse: String, keys: Seq[String]): Int = {
+  def reset(warehouse: String, keys: Seq[String]): Int = withLock(warehouse) {
     keys.foreach(requireKnown)
     val cur = read(warehouse)
     val kept = cur -- keys

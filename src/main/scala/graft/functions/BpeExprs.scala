@@ -75,8 +75,11 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
 
   override protected def nullSafeEval(input: Any): Any = {
     val word = input.asInstanceOf[UTF8String].toString
-    var syms: ArrayBuffer[String] =
-      ArrayBuffer.from(word.map(_.toString))
+    // split by CODE POINTS, not UTF-16 units — `split(word, "")` in the
+    // distributed trainer never breaks a surrogate pair, and neither may
+    // the encoder (a lone surrogate would corrupt to '?' on re-encode)
+    var syms: ArrayBuffer[String] = ArrayBuffer.from(
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
     var done = syms.length < 2
     while (!done) {
       // lowest-rank adjacent pair present in the current segmentation

@@ -89,8 +89,13 @@ object Bpe {
   private def localTrain(spark: org.apache.spark.sql.SparkSession,
       wordFreq: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): DataFrame = {
+    // code-point split — matches the distributed `split(word, "")`,
+    // which never breaks a surrogate pair
     var vocab: Map[List[String], Long] = wordFreq.toSeq
-      .map { case (w, f) => w.map(_.toString).toList -> f }
+      .map { case (w, f) =>
+        w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toList -> f
+      }
       .groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
     val merges = ArrayBuffer[(String, String, Long)]()
     var stop = false
@@ -166,12 +171,16 @@ object Bpe {
     */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // empty/whitespace-only text splits to [""] — filter it out so such
+    // docs count 0 tokens (consistent with [[wordFreqs]]) instead of 1
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => t =!= "")
     val subs = encodeTokens(toks, merges)
     df.select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
         aggregate(subs, lit(0L), (acc, a) => acc + size(a)).as("n_subwords"))
       .withColumn("compression",
-        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_subwords").cast("double") / col("n_tokens").cast("double")))
   }
 }

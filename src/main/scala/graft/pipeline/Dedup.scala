@@ -672,10 +672,14 @@ object Dedup {
       scoreCol: String, aCol: String = "a_id",
       bCol: String = "b_id"): DataFrame = {
     val cl = clusters(df, idCol, pairs, aCol, bCol)
+    // min_by over (-score, id): max score with ties to the SMALLEST id,
+    // without ever negating the id — ids may be strings (URLs, hashes),
+    // which the rest of the dedup family supports; only the numeric
+    // score is negated
     df.join(cl, Seq(idCol))
       .groupBy(col("canonical_id"))
-      .agg(max_by(struct(col(idCol), col(scoreCol)),
-        struct(col(scoreCol), (-col(idCol)).as("__tie"))).as("__best"))
+      .agg(min_by(struct(col(idCol), col(scoreCol)),
+        struct((-col(scoreCol)).as("__ns"), col(idCol).as("__id"))).as("__best"))
       .select(col("canonical_id"),
         col(s"__best.$idCol").as(idCol),
         col(s"__best.$scoreCol").as(scoreCol))

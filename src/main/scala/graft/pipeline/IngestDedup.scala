@@ -68,7 +68,10 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
         batch.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
       .localCheckpoint()
     // --- vs the accepted corpus ---
-    val probes = bandRows(batch)
+    // materialized once: probed against the index AND reused below as
+    // the novel rows' index entries (the hashes are deterministic, so a
+    // recompute would produce the identical rows at double the cost)
+    val probes = bandRows(batch).localCheckpoint()
     val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
       .join(index.scan().withColumnRenamed(idCol, "b_id"),
         Seq("band", "bucket"))
@@ -90,7 +93,8 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       Seq(idCol), "left_anti")
       .localCheckpoint() // pin: the appends below must see ONE snapshot
     corpus.append(novel)
-    index.append(bandRows(novel))
+    index.append(probes.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col("band"), col("bucket"), col(idCol)))
     novel
   }
 }

@@ -137,12 +137,16 @@ object Multimodal {
     require(gridW > 0 && gridH > 0, "grid dims must be positive")
     val dim = gridW * gridH
     val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields.filterNot(_.name == "media") ++
-      Seq(StructField("features", ArrayType(FloatType)),
-        StructField("decoded", BooleanType)))
+    // replace, not duplicate, the output columns a prior codec stage
+    // (e.g. [[resizeImages]]) may already carry
+    val dropped = Set("media", "features", "decoded")
+    val outSchema = StructType(
+      inSchema.fields.filterNot(f => dropped.contains(f.name)) ++
+        Seq(StructField("features", ArrayType(FloatType)),
+          StructField("decoded", BooleanType)))
     val mediaIdx = inSchema.fieldIndex("media")
     val keepIdx = inSchema.fields.zipWithIndex.collect {
-      case (f, i) if f.name != "media" => i
+      case (f, i) if !dropped.contains(f.name) => i
     }
     df.mapPartitions { it =>
       it.map { r =>
@@ -194,10 +198,12 @@ object Multimodal {
     require(w > 0 && h > 0, "target dims must be positive")
     val inSchema = df.schema
     val mediaIdx = inSchema.fieldIndex("media")
+    val midSchema = StructType(inSchema.fields :+
+      StructField("__decoded", BooleanType, nullable = false))
     val resized = df.mapPartitions { it =>
       it.map { r =>
         val blob = r.getAs[Array[Byte]](mediaIdx)
-        val out = decodeImage(blob) match {
+        val (out, ok) = decodeImage(blob) match {
           case Some(img) =>
             val dst = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -214,20 +220,30 @@ object Multimodal {
             }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(dst, "png", bos)
-            bos.toByteArray
-          case None => blob
+            (bos.toByteArray, true)
+          case None => (blob, false) // pass through untouched
         }
         val vals = (0 until inSchema.length).map {
           case `mediaIdx` => out
           case i => r.get(i)
-        }
-        new GenericRowWithSchema(vals.toArray[Any], inSchema): Row
+        } :+ Boolean.box(ok)
+        new GenericRowWithSchema(vals.toArray[Any], midSchema): Row
       }
-    }(Encoders.row(inSchema))
-    resized.withColumn("meta", struct(
+    }(Encoders.row(midSchema))
+    // meta is stamped ONLY for rows the codec actually resized;
+    // pass-through rows keep their original metadata (or null if the
+    // input carried none) — downstream kind-dispatch must stay truthful
+    val newMeta = struct(
       lit("image/png").as("kind"),
       octet_length(col("media")).cast("long").as("n_bytes"),
-      lit(w).as("width"), lit(h).as("height")))
+      lit(w).as("width"), lit(h).as("height"))
+    val oldMeta =
+      if (inSchema.fieldNames.contains("meta")) col("meta")
+      else lit(null).cast(metaType)
+    resized
+      .withColumn("meta", when(col("__decoded"), newMeta).otherwise(oldMeta))
+      .withColumn("decoded", col("__decoded"))
+      .drop("__decoded")
   }
 
   /** Encode a deterministic synthetic RGB image as PNG bytes (test/fixture
@@ -258,7 +274,10 @@ object Multimodal {
   // (WAV/AIFF/AU readers), so WAV blobs get genuine PCM decoding too.
   // ---------------------------------------------------------------------
 
-  /** Decode an audio blob to 16-bit PCM samples + sample rate. */
+  /** Decode an audio blob to MONO 16-bit PCM frames + sample rate —
+    * multi-channel input is averaged per frame, so durations and window
+    * boundaries are in frames (time), never inflated by channel count.
+    */
   def decodeAudio(bytes: Array[Byte]): Option[(Array[Short], Float)] =
     if (bytes == null || bytes.isEmpty) None
     else try {
@@ -266,14 +285,22 @@ object Multimodal {
         new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16, "expect 16-bit PCM")
+      val channels = fmt.getChannels
       val raw = in.readAllBytes()
       val bb = java.nio.ByteBuffer.wrap(raw).order(
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
-      val samples = new Array[Short](raw.length / 2)
+      val frames = raw.length / (2 * channels)
+      val mono = new Array[Short](frames)
       var i = 0
-      while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
-      Some((samples, fmt.getSampleRate))
+      while (i < frames) {
+        var s = 0L
+        var c = 0
+        while (c < channels) { s += bb.getShort(); c += 1 }
+        mono(i) = (s / channels).toShort
+        i += 1
+      }
+      Some((mono, fmt.getSampleRate))
     } catch { case _: Exception => None }
 
   /** Per-window RMS energy over REAL decoded PCM (duration, sample rate,

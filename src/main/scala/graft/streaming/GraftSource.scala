@@ -48,16 +48,23 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
 
-  /** Mode resolution: reader option first, else the session conf
+  /** Mode resolution: reader option first, else the conf
     * `spark.sql.graft.scan.startup.mode` (the reference's SET-able
     * `spark.sql.fluss.scan.startup.mode`, engine-spark/options.md:15 —
     * and the only channel `readStream.table(...)` has, since Spark's
-    * V1-fallback resolution drops reader options), else earliest.
+    * V1-fallback resolution drops reader options) with SESSION > DYNAMIC
+    * precedence (so `sys.set_cluster_configs` steers streams too), else
+    * earliest. The table path is `<warehouse>/<db>/<table>`, so the
+    * dynamic store sits two levels up.
     */
   private val startup: GraftStream.StartupMode =
     params.get("scan.startup.mode")
-      .orElse(table.sparkSession.conf
-        .getOption("spark.sql.graft.scan.startup.mode"))
+      .orElse {
+        val wh = Option(java.nio.file.Paths.get(table.path).getParent)
+          .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
+        Some(graft.core.DynamicConfigs.effective(table.sparkSession, wh,
+          "spark.sql.graft.scan.startup.mode", "earliest"))
+      }
       .map(_.toLowerCase) match {
       case None | Some("earliest") => GraftStream.StartupMode.Earliest
       case Some("latest") => GraftStream.StartupMode.Latest

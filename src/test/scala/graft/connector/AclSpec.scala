@@ -50,6 +50,8 @@ class AclSpec extends SparkTestBase {
     asPrincipal("User:alice") {
       deniedBy(spark.sql("SELECT * FROM acl.db.t").collect())
       deniedBy(spark.sql("INSERT INTO acl.db.t VALUES (3, 3)"))
+      // row-level delete is gated as a WRITE, not reachable via READ
+      deniedBy(spark.sql("DELETE FROM acl.db.t WHERE k > 0"))
       deniedBy(spark.sql("DROP TABLE acl.db.t"))
       deniedBy(spark.sql(
         "CREATE TABLE acl.db.t2 (k BIGINT) USING graft TBLPROPERTIES ('bucket.num'='1')"))
@@ -66,8 +68,9 @@ class AclSpec extends SparkTestBase {
     asPrincipal("User:alice") {
       // READ granted: select works (READ implies the DESCRIBE in loadTable)
       assert(spark.sql("SELECT * FROM acl.db.t").collect().length == 2)
-      // but WRITE was not granted
+      // but WRITE was not granted — neither inserts nor row-level deletes
       deniedBy(spark.sql("INSERT INTO acl.db.t VALUES (3, 3)"))
+      deniedBy(spark.sql("DELETE FROM acl.db.t WHERE k = 1"))
     }
   }
 

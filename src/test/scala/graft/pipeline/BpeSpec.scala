@@ -127,6 +127,29 @@ class BpeSpec extends SparkTestBase {
     assert(local == dist)
   }
 
+  test("non-BMP text: surrogate pairs stay whole in both paths; empty docs count 0") {
+    import spark.implicits._
+    val word = "a\uD83D\uDE42b" // a + emoji (surrogate pair) + b
+    val df = Seq((1L, s"$word $word"), (2L, "  ")).toDF("doc_id", "text")
+    // both trainer paths see 3 symbols per word, not 4 UTF-16 units
+    val local = Bpe.train(df, "text", numMerges = 2).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toList
+    val dist = Bpe.train(df, "text", numMerges = 2, driverVocabLimit = 0L)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toList
+    assert(local == dist)
+    assert(local.head == ("a", "\uD83D\uDE42"), s"got $local")
+    // the encoder reassembles the word losslessly (no '?' corruption)
+    val subs = df.filter($"doc_id" === 1L)
+      .select(Bpe.encodeTokens(split($"text", "\\s+"), local).as("s"))
+      .head.getSeq[scala.collection.Seq[String]](0)
+    subs.foreach(ws => assert(ws.mkString == word, s"lossless: $ws"))
+    // whitespace-only doc: 0 tokens, 0 subwords, null compression
+    val stats = Bpe.encodeStats(df, "doc_id", "text", local)
+      .filter($"doc_id" === 2L).head
+    assert(stats.getLong(1) == 0L && stats.getLong(2) == 0L && stats.isNullAt(3))
+  }
+
   test("encodeStats counts subwords under the learned table") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab cd"), (2L, "ab")).toDF("doc_id", "text")

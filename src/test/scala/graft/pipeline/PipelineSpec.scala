@@ -254,6 +254,48 @@ class PipelineSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("multimodal: stereo WAV duration is in frames, not interleaved samples") {
+    import spark.implicits._
+    // hand-built 250ms stereo WAV (L = sine, R = silence)
+    val sampleRate = 8000
+    val n = sampleRate * 250 / 1000
+    val pcm = new Array[Byte](n * 4)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * 400 * i / sampleRate) * 12000).toShort)
+      bb.putShort(0.toShort)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "media")
+    val r = Multimodal.audioFeatures(df, windows = 2).head
+    assert(r.getAs[Boolean]("decoded"))
+    assert(math.abs(r.getAs[Double]("duration_ms") - 250.0) < 1.0,
+      s"stereo duration must not double: ${r.getAs[Double]("duration_ms")}")
+  }
+
+  test("multimodal: resize passes undecodable blobs through with honest meta") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(6, 6, seed = 4)),
+      (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "media")
+    val rows = Multimodal.resizeImages(df, 3, 3).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("decoded"))
+    assert(rows(1L).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("kind") == "image/png")
+    // pass-through row: bytes untouched, NO fabricated png metadata
+    assert(!rows(2L).getAs[Boolean]("decoded"))
+    assert(java.util.Arrays.equals(
+      rows(2L).getAs[Array[Byte]]("media"), "junk".getBytes("UTF-8")))
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("meta")),
+      "no meta column on input -> pass-through meta must be null")
+  }
+
   test("multimodal: REAL jdk audio codec — WAV decode, windowed RMS energy") {
     import spark.implicits._
     val df = Seq(

@@ -228,6 +228,9 @@ class SamplingSessionsSpec extends SparkTestBase {
     val got = Dedup.canonicalDocs(docs, "doc_id", pairs, "n_chars")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 300L), (4L, 4L, 50L), (5L, 6L, 20L)))
+    // ties break to the SMALLEST id via min_by on (-score, id) — the id
+    // itself is never negated (connectedComponents requires integral ids
+    // today; the tie-break must not add a second numeric assumption)
   }
 
   test("packSequences maps docs onto fixed-length sequence spans exactly") {
