@@ -259,6 +259,29 @@ object Sampling {
         (col("__gstart") / budget).cast("long").as("shard"))
   }
 
+  /** Materialize token-budget shards to disk: every row of `df` (ALL its
+    * columns) lands in `outDir/shard=<k>/` with its shard assigned by
+    * [[packTokenShards]] over (`idCol`, `tokensCol`) — the terminal step
+    * that turns a selected corpus into the fixed-budget training shards
+    * a loader consumes. One hive-partitioned parquet write: shard
+    * directories are written in parallel, nothing data-scale touches the
+    * driver. Returns the shard manifest (shard, n_docs, n_tokens) read
+    * back from the written files — what a training job's data plane
+    * checks before launch.
+    */
+  def writeTokenShards(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, outDir: String): DataFrame = {
+    val assigned = packTokenShards(df.select(col(idCol), col(tokensCol)),
+      idCol, tokensCol, budget).select(col(idCol), col("shard"))
+    df.join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** (idCol, tokensCol, __gstart): each row's global running-sum-before of
     * `tokensCol` in `idCol` order — the shared first stage of
     * [[packTokenShards]] and [[packSequences]]. Two-level scan: range-

@@ -151,6 +151,27 @@ class SamplingSessionsSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("writeTokenShards materializes one dir per shard with a true manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (1L to 6L).map(i => (i, 40L, s"payload$i"))
+      .toDF("doc_id", "n_tokens", "text")
+    val manifest = Sampling.writeTokenShards(df, "doc_id", "n_tokens", 100L, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // cum-before = 0,40,80,120,160,200 -> shards 0(3 docs),1(2),2(1)
+    assert(manifest == Seq((0, 3L, 120L), (1, 2L, 80L), (2, 1L, 40L)), manifest)
+    // hive layout: one directory per shard; payload columns intact
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("shard=")).toSeq.sorted
+    assert(dirs == Seq("shard=0", "shard=1", "shard=2"))
+    val shard0 = spark.read.parquet(dir).filter($"shard" === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(shard0 == Set((1L, "payload1"), (2L, "payload2"), (3L, "payload3")))
+  }
+
   test("packTokenShards is deterministic under AQE coalescing variations") {
     import spark.implicits._
     // Skewed token counts so shard boundaries land mid-partition; 500 docs
