@@ -818,6 +818,15 @@ object SparkEntry {
     "ta17_balanced_order" -> ((s, dir) =>
       Sampling.balancedPositions(t(s, dir, "documents"), "doc_id", "source")),
 
+    // ----- MIX3: cluster-balanced sampling — k-means over embeddings,
+    // deterministic per-cluster cap (semantic-diversity rebalancing).
+    // Rows-only: k-means centroids are not SQL-expressible; balance and
+    // determinism are pinned by PipelineSpec
+    "mix3_cluster_balance" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 8, perCluster = 40)),
+
     // ----- TA20: per-doc token entropy — lexical-diversity quality
     // signal; per-doc statistic only (no corpus vocabulary join), exact
     // modulo the 6-dp rounding both engines apply

@@ -1959,6 +1959,75 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       next - floors.getOrElse(b, 0L) }.sum
   }
 
+  /** Stats-only min/max (the A6 family beyond count(*)): answered from
+    * parquet FOOTER statistics — a file-count-sized metadata job (one
+    * footer read per visible file, distributed over executors), never a
+    * data scan. Exact for append-only log tables, where every visible
+    * row is live; PK tables must scan (a file-level min could belong to
+    * an overwritten or deleted row). Supported for int/long/float/
+    * double/string columns; throws when any file's footer lacks stats
+    * for the column (caller falls back to an ordinary aggregate).
+    *
+    * @return (min, max), None when no visible file carries the column
+    */
+  def fastMinMax(column: String): Option[(Any, Any)] = {
+    require(!desc.isPrimaryKeyTable,
+      "stats-based min/max requires an append-only log table (PK state " +
+        "would need the merge; use scan().agg(...))")
+    require(desc.schema.fieldNames.contains(column),
+      s"no such data column $column")
+    val (files, _) = visibleLogFiles()
+    if (files.isEmpty) return None
+    val perFile = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { f =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val footer = reader.getFooter
+          footer.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == column)
+              .map { c =>
+                val st = c.getStatistics
+                require(st != null && st.hasNonNullValue,
+                  s"footer of $f lacks stats for $column; use scan().agg(...)")
+                val (mn, mx): (Any, Any) =
+                  c.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT32 | INT64 | FLOAT | DOUBLE =>
+                      (st.genericGetMin, st.genericGetMax)
+                    case BINARY => (st.minAsString, st.maxAsString)
+                    case other => throw new IllegalArgumentException(
+                      s"fastMinMax unsupported for parquet type $other")
+                  }
+                (mn, mx)
+              }
+          }
+        } finally reader.close()
+      }.collect()
+    if (perFile.isEmpty) None
+    else {
+      @annotation.nowarn
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Int, y: Int) => x < y
+        case (x: Long, y: Long) => x < y
+        case (x: Float, y: Float) => x < y
+        case (x: Double, y: Double) => x < y
+        case (x: String, y: String) => x < y
+        case (x: Comparable[_], y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
+      Some((perFile.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
+        perFile.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
+    }
+  }
+
   /** Typed read surface (TypedLogScanner, fluss-client/.../scanner/log/
     * TypedLogScanner.java): current state / log as a Dataset[T].
     */

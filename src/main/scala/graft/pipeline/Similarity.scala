@@ -205,6 +205,24 @@ object Similarity {
     * index-build property, fine for an index, which is why the sim3
     * ORACLE keeps the first-n baseline.)
     */
+  /** Cluster-balanced corpus sampling: k-means the embeddings, then keep
+    * at most `perCluster` rows of each cluster (deterministic md5 order)
+    * — the semantic-diversity rebalancing move ("don't let one topic
+    * dominate the mix"), embedding-space analog of the per-domain
+    * [[Sampling.capPerGroup]] rule, which also supplies the salted
+    * skew-proof top-k underneath. Output: (idCol, cluster, rank).
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCluster: Int): DataFrame = {
+    val (assigned, _) = ivfAssignKMeans(df, idCol, vecCol, nlist)
+    val scored = assigned.withColumn("__mr",
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long"))
+    graft.pipeline.Sampling.capPerGroup(scored, idCol, "__list", "__mr",
+        perCluster)
+      .select(col(idCol), col("__list").as("cluster"), col("rank"))
+  }
+
   def ivfAssignKMeans(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 5, seed: Long = 42L,
       sampleSize: Int = 2048): (DataFrame, Array[(Int, Seq[Double])]) = {

@@ -210,6 +210,27 @@ class GraftTableSpec extends SparkTestBase {
       Seq(Row(1L, 10, "a2"), Row(2L, 2, "b")))
   }
 
+  test("fastMinMax answers from parquet footers; exact under TTL expiry") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "fmm1",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    assert(t.fastMinMax("v").isEmpty) // empty table
+    t.append(df((1L, 5, "bb"), (2L, 42, "aa")), orderBy = Seq(col("ord")))
+    t.append(df((3L, -7, "zz")), orderBy = Seq(col("ord")))
+    assert(t.fastMinMax("v").contains((-7, 42)))
+    assert(t.fastMinMax("s").contains(("aa", "zz")))
+    assert(t.fastMinMax("k").contains((1L, 3L)))
+    intercept[IllegalArgumentException](t.fastMinMax("nope"))
+    // stays exact after a TTL cut: expired files are invisible to it
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(df((4L, 9, "mm")), orderBy = Seq(col("ord")))
+    t.expireLog(ttlMillis = System.currentTimeMillis() - mid)
+    assert(t.fastMinMax("v").contains((9, 9)),
+      "expired rows must not contribute footer stats")
+  }
+
   test("table.statistics.columns property drives default filesMeta stats") {
     val cat = newCatalog()
     val t = cat.createTable("db", "stats1",

@@ -138,6 +138,22 @@ class PipelineSpec extends SparkTestBase {
     assert(rK == 10, s"k-means should fully recover the small cluster, got $rK/10")
   }
 
+  test("clusterBalancedSample: per-cluster cap holds, deterministic") {
+    val got = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist = 4, perCluster = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    val perCluster = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCluster.values.forall(_ <= 10), s"cap violated: $perCluster")
+    assert(got.map(_._1).distinct.length == got.length, "no duplicate rows")
+    assert(got.forall(_._3 <= 10), "ranks bounded by the cap")
+    // deterministic under a different input partitioning
+    val again = Similarity.clusterBalancedSample(emb.repartition(7),
+      "vec_id", "embedding", nlist = 4, perCluster = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
   test("ingest dedup: batches filtered against the persisted band index") {
     import spark.implicits._
     import graft.core.{Catalog, TableDescriptor}
