@@ -634,29 +634,59 @@ class GraftScanBuilder(table: GraftTable,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.desc.schema
-  private var countStarPushed = false
+  private var pushedAgg: Option[Aggregation] = None
 
-  /** A6 count(*) pushdown: a bare `SELECT count(*)` on an append-only
-    * unpartitioned log table is answered from the offset manifest — zero
-    * files scanned (the reference's `countTable`, PushdownUtils.java:
-    * 348-440, summing per-bucket latest offsets; same caveats: PK tables
-    * and retention-expired tables must scan).
+  /** A6 metadata-aggregate pushdown: on an append-only unpartitioned log
+    * table, `count(*)` is answered from the offset manifest (the
+    * reference's `countTable`, PushdownUtils.java:348-440) and
+    * `min(c)`/`max(c)` from parquet FOOTER statistics
+    * ([[GraftTable.fastMinMax]]) — zero data files scanned. Any
+    * combination of the three in one SELECT pushes as a whole; PK
+    * tables, time travel and filtered scans fall back to the real scan.
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    canPushCount(aggregation)
+    canPushAgg(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    countStarPushed = canPushCount(aggregation)
-    countStarPushed
+    val ok = canPushAgg(aggregation)
+    pushedAgg = if (ok) Some(aggregation) else None
+    ok
   }
 
-  private def canPushCount(aggregation: Aggregation): Boolean =
+  private val statsTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.LongType,
+    org.apache.spark.sql.types.FloatType,
+    org.apache.spark.sql.types.DoubleType,
+    org.apache.spark.sql.types.StringType)
+
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+
+  private def statsColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    fieldOf(e).filter(c => table.desc.schema.fieldNames.contains(c) &&
+      statsTypes.contains(table.desc.schema(c).dataType))
+
+  private def canPushAgg(aggregation: Aggregation): Boolean =
     !table.desc.isPrimaryKeyTable &&
       table.desc.partitionKeys.isEmpty && // expirePartitions skews offsets
       asOf.isEmpty && atVersion.isEmpty && startup.isEmpty && pushed.isEmpty &&
       aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+          statsColumn(m.column).isDefined
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+          statsColumn(m.column).isDefined
+        case _ => false
+      }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -673,12 +703,23 @@ class GraftScanBuilder(table: GraftTable,
 
   override def build(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-    private val countSchema = StructType(Seq(
-      org.apache.spark.sql.types.StructField("count(*)",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+    private def aggSchema(agg: Aggregation): StructType = StructType(
+      agg.aggregateExpressions.toIndexedSeq.map {
+        case _: CountStar => org.apache.spark.sql.types.StructField(
+          "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+          val c = fieldOf(m.column).get
+          org.apache.spark.sql.types.StructField(
+            s"min($c)", table.desc.schema(c).dataType, nullable = true)
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+          val c = fieldOf(m.column).get
+          org.apache.spark.sql.types.StructField(
+            s"max($c)", table.desc.schema(c).dataType, nullable = true)
+        case other => throw new IllegalStateException(s"unpushable $other")
+      })
 
     override def readSchema(): StructType =
-      if (countStarPushed) countSchema else required
+      pushedAgg.map(aggSchema).getOrElse(required)
 
     /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the
       * manifest row count when free — a small dimension table becomes
@@ -697,13 +738,43 @@ class GraftScanBuilder(table: GraftTable,
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
-      if (countStarPushed) {
-        val n = table.fastCount // manifest read, no scan
+      pushedAgg.foreach { agg =>
+        val outSchema = aggSchema(agg)
+        // one fastMinMax per distinct column; a footer without stats for
+        // a column throws -> fall back to an engine aggregate (still the
+        // exact answer, just not metadata-only)
+        val values: Seq[Any] =
+          try {
+            val mm = scala.collection.mutable.HashMap[String, Option[(Any, Any)]]()
+            def rangeOf(c: String) = mm.getOrElseUpdate(c, table.fastMinMax(c))
+            agg.aggregateExpressions.toIndexedSeq.map {
+              case _: CountStar => table.fastCount // manifest read, no scan
+              case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+                rangeOf(fieldOf(m.column).get).map(_._1).orNull
+              case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+                rangeOf(fieldOf(m.column).get).map(_._2).orNull
+              case other => throw new IllegalStateException(s"unpushable $other")
+            }
+          } catch {
+            case _: IllegalArgumentException =>
+              import org.apache.spark.sql.functions.{count => fcount, lit, col => fcol, min => fmin, max => fmax}
+              val aggCols = agg.aggregateExpressions.toIndexedSeq.map {
+                case _: CountStar => fcount(lit(1))
+                case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+                  fmin(fcol(fieldOf(m.column).get))
+                case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+                  fmax(fcol(fieldOf(m.column).get))
+                case other => throw new IllegalStateException(s"unpushable $other")
+              }
+              table.scan().agg(aggCols.head, aggCols.tail: _*).head()
+                .toSeq
+          }
         return new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
-          override def schema: StructType = countSchema
+          override def schema: StructType = outSchema
           override def buildScan(): RDD[Row] =
-            context.sparkSession.sparkContext.parallelize(Seq(Row(n)), 1)
+            context.sparkSession.sparkContext
+              .parallelize(Seq(Row(values: _*)), 1)
         }.asInstanceOf[T]
       }
       val filters = pushed

@@ -84,7 +84,7 @@ final class Acls(warehouse: String) {
     parsed
   }
 
-  private def writeAll(entries: List[AclEntry]): Unit =
+  private def writeAll(entries: List[AclEntry]): Unit = {
     CatalogJson.atomicWrite(aclsFile,
       JsonMethods.compact(JsonMethods.render(JArray(entries.map { e =>
         JObject(List(
@@ -94,6 +94,11 @@ final class Acls(warehouse: String) {
           "operation" -> (JString(e.operation): JValue),
           "host" -> (JString(e.host): JValue)))
       }))))
+    // write-through: mtime has millisecond resolution, so two writes in
+    // one tick would otherwise let readAll serve the FIRST write's cache
+    Acls.cache.put(aclsFile,
+      (Files.getLastModifiedTime(Paths.get(aclsFile)).toMillis, entries))
+  }
 
   def add(e: AclEntry): Unit = {
     require(Operations.contains(e.operation),

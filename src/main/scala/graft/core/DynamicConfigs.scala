@@ -63,10 +63,14 @@ object DynamicConfigs {
   private def withLock[T](warehouse: String)(body: => T): T =
     CatalogJson.withFileLock(file(warehouse))(body)
 
-  private def write(warehouse: String, m: Map[String, String]): Unit =
+  private def write(warehouse: String, m: Map[String, String]): Unit = {
     CatalogJson.atomicWrite(file(warehouse),
       JsonMethods.compact(JsonMethods.render(JObject(
         m.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))))
+    // write-through (ms-resolution mtime: see Acls.writeAll)
+    cache.put(warehouse,
+      (Files.getLastModifiedTime(Paths.get(file(warehouse))).toMillis, m))
+  }
 
   private def requireKnown(key: String): Unit =
     require(registry.contains(key),

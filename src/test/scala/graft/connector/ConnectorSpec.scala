@@ -86,6 +86,25 @@ class ConnectorSpec extends SparkTestBase {
     assert(!plan.contains("FileScan"), plan)
   }
 
+  test("min/max pushed to footer stats: no FileScan in the plan, exact values") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.mmx (k BIGINT, v INT, s STRING) USING graft " +
+      "TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')")
+    spark.sql("INSERT INTO gfs.db.mmx VALUES (1, 5, 'bb'), (2, 42, 'aa')")
+    spark.sql("INSERT INTO gfs.db.mmx VALUES (3, -7, 'zz')")
+    val q = spark.sql("SELECT min(v), max(v), max(s), count(*) FROM gfs.db.mmx")
+    val row = q.collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getString(2), row.getLong(3)) ==
+      (-7, 42, "zz", 3L))
+    assert(!q.queryExecution.executedPlan.toString.contains("FileScan"),
+      "pushed min/max must not scan data files")
+    // filtered aggregates are NOT pushed (stats can't see predicates)
+    val filtered = spark.sql("SELECT min(v) FROM gfs.db.mmx WHERE k > 1")
+    assert(filtered.collect()(0).getInt(0) == -7)
+    assert(filtered.queryExecution.executedPlan.toString.contains("Scan"),
+      "filtered aggregate must read data")
+  }
+
   test("TIMESTAMP AS OF reads the state as of an earlier commit") {
     wh
     spark.sql("CREATE TABLE gfs.db.tt (k BIGINT, v INT) USING graft " +
