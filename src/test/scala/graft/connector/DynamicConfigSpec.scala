@@ -98,6 +98,22 @@ class DynamicConfigSpec extends SparkTestBase {
       config_keys => 'spark.sql.graft.super.users')""")
   }
 
+  test("stale metadata lock (crashed writer) is broken, mutation proceeds") {
+    val dir = wh
+    clearSession()
+    val lock = java.nio.file.Paths.get(dir, "_configs.json.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120_000)) // older than the 60s break
+    spark.sql("""CALL cfg.system.set_cluster_configs(
+      config_pairs => 'spark.sql.graft.read.optimized=true')""")
+    assert(configRow("spark.sql.graft.read.optimized")._1 == "true")
+    assert(!java.nio.file.Files.exists(lock), "lock released after the write")
+    spark.sql("""CALL cfg.system.reset_cluster_configs(
+      config_keys => 'spark.sql.graft.read.optimized')""")
+  }
+
   test("dynamic super.users + authorizer.enabled reach the ACL gate") {
     val dir = wh
     clearSession()
