@@ -609,6 +609,27 @@ object SparkEntry {
           col("rank")), Seq("doc_id"))
     }),
 
+    // ----- PIPE3: corpus -> MATERIALIZED training shards, end to end:
+    // rule filter -> per-source quality cap -> hive-partitioned shard
+    // write (one dir per shard) -> the manifest a training job checks.
+    // Rows-only: the query's real output is the directory tree it wrote
+    // (layout + shard exactness pinned by SamplingSessionsSpec)
+    "pipe3_write_shards" -> ((s, dir) => {
+      val docs = TextAnalysis.widen(t(s, dir, "documents"))
+      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 20).filter(col("keep")).select("doc_id")
+      val scored = docs.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val capped = Sampling.capPerGroup(scored, "doc_id", "source",
+        "quality", k = 20).select("doc_id", "n_tokens")
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_pipe3_shards").getPath
+      Sampling.writeTokenShards(capped, "doc_id", "n_tokens",
+        budget = 10000L, out)
+    }),
+
     // ----- T8: streaming exact dedup — dropDuplicatesWithinWatermark
     // over the event stream (idempotent ingest; state bounded by the
     // watermark, key set equals batch DISTINCT)

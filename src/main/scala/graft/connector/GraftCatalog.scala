@@ -671,16 +671,20 @@ class GraftScanBuilder(table: GraftTable,
   private def statsColumn(
       e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     fieldOf(e).filter(c => table.desc.schema.fieldNames.contains(c) &&
+      // partition keys live in directory names, not parquet footers
+      !table.desc.partitionKeys.contains(c) &&
       statsTypes.contains(table.desc.schema(c).dataType))
 
   private def canPushAgg(aggregation: Aggregation): Boolean =
     !table.desc.isPrimaryKeyTable &&
-      table.desc.partitionKeys.isEmpty && // expirePartitions skews offsets
       asOf.isEmpty && atVersion.isEmpty && startup.isEmpty && pushed.isEmpty &&
       aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall {
-        case _: CountStar => true
+        // count(*) comes from the offset manifest, which expirePartitions
+        // skews on partitioned tables — those must scan. Footer min/max
+        // reads the VISIBLE files directly, so partitioning is fine.
+        case _: CountStar => table.desc.partitionKeys.isEmpty
         case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
           statsColumn(m.column).isDefined
         case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>

@@ -103,6 +103,19 @@ class ConnectorSpec extends SparkTestBase {
     assert(filtered.collect()(0).getInt(0) == -7)
     assert(filtered.queryExecution.executedPlan.toString.contains("Scan"),
       "filtered aggregate must read data")
+    // partitioned table: footer min/max still pushes (count(*) must not —
+    // expirePartitions skews the offset manifest there)
+    spark.sql("CREATE TABLE gfs.db.mmp (k BIGINT, v INT, dt STRING) USING graft " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('bucket.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.mmp VALUES (1, 4, '2024-01-01'), (2, 11, '2024-01-02')")
+    val pq2 = spark.sql("SELECT min(v), max(v) FROM gfs.db.mmp")
+    assert(pq2.collect()(0).getInt(0) == 4 && pq2.collect()(0).getInt(1) == 11)
+    assert(!pq2.queryExecution.executedPlan.toString.contains("FileScan"))
+    // min over the PARTITION column itself must scan (no footer stats)
+    val pcol = spark.sql("SELECT min(dt) FROM gfs.db.mmp")
+    assert(pcol.collect()(0).getString(0) == "2024-01-01")
+    val pcnt = spark.sql("SELECT count(*) FROM gfs.db.mmp")
+    assert(pcnt.collect()(0).getLong(0) == 2L)
   }
 
   test("TIMESTAMP AS OF reads the state as of an earlier commit") {
