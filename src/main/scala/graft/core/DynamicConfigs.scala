@@ -30,6 +30,8 @@ object DynamicConfigs {
   val registry: Map[String, (String, Boolean)] = Map(
     "spark.sql.graft.read.optimized" -> ("false", false),
     "spark.sql.graft.scan.startup.mode" -> ("earliest", false),
+    // streaming admission control for catalog-table reads (empty = none)
+    "spark.sql.graft.maxOffsetsPerTrigger" -> ("", false),
     "spark.sql.graft.authorizer.enabled" -> ("false", false),
     "spark.sql.graft.principal" -> ("User:anonymous", false),
     "spark.sql.graft.super.users" -> ("", true),

@@ -80,8 +80,18 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
         s"unknown scan.startup.mode '$other' (earliest/latest/timestamp/version)")
     }
 
+  // reader option first, then the session/dynamic conf — the only
+  // channel `readStream.table(...)` has (V1-fallback resolution drops
+  // reader options), mirroring the startup-mode resolution above
   private val maxOffsetsPerTrigger: Option[Long] =
-    params.get("maxoffsetspertrigger").map(_.toLong)
+    params.get("maxoffsetspertrigger")
+      .orElse {
+        val wh = Option(java.nio.file.Paths.get(table.path).getParent)
+          .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
+        Option(graft.core.DynamicConfigs.effective(table.sparkSession, wh,
+          "spark.sql.graft.maxOffsetsPerTrigger", "")).filter(_.nonEmpty)
+      }
+      .map(_.toLong)
 
   /** `stream.data-columns=true`: emit only the table's data columns, no
     * `__change_type`/`__offset`/... system columns. Set by the catalog's

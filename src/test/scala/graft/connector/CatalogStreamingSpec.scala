@@ -70,6 +70,30 @@ class CatalogStreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("conf maxOffsetsPerTrigger paces catalog-table streams") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.paced (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gstr.db.paced VALUES (1,1),(2,2),(3,3),(4,4),(5,5)")
+    spark.conf.set("spark.sql.graft.maxOffsetsPerTrigger", "2")
+    try {
+      var batches = 0
+      val q = spark.readStream.table("gstr.db.paced")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (df.count() > 0) batches += 1; ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cstr-pck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // 5 rows at <=2 per trigger: at least 3 non-empty batches, lossless
+      assert(batches >= 3, s"admission control must chunk batches: $batches")
+    } finally spark.conf.unset("spark.sql.graft.maxOffsetsPerTrigger")
+  }
+
   test("read-optimized mode serves the snapshot tier only") {
     wh
     spark.sql("""
