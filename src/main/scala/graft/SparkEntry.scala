@@ -624,8 +624,10 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       val capped = Sampling.capPerGroup(scored, "doc_id", "source",
         "quality", k = 20).select("doc_id", "n_tokens")
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_pipe3_shards").getPath
+      // path derived from the input dir: concurrent harness runs on one
+      // machine must not overwrite each other's shard tree mid-read
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_pipe3_shards_" + Integer.toHexString(dir.hashCode)).getPath
       Sampling.writeTokenShards(capped, "doc_id", "n_tokens",
         budget = 10000L, out)
     }),

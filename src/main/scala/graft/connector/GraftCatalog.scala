@@ -675,22 +675,37 @@ class GraftScanBuilder(table: GraftTable,
       !table.desc.partitionKeys.contains(c) &&
       statsTypes.contains(table.desc.schema(c).dataType))
 
+  /** The supported pushdown shapes, resolved ONCE from the connector
+    * expressions — eligibility, output schema, metadata evaluation and
+    * the scan fallback all consume this, so they can't drift.
+    */
+  private sealed trait PushedAggExpr
+  private case object Cnt extends PushedAggExpr
+  private case class Mn(col: String) extends PushedAggExpr
+  private case class Mx(col: String) extends PushedAggExpr
+
+  private def pushedExprs(aggregation: Aggregation)
+      : Option[Seq[PushedAggExpr]] = {
+    val resolved = aggregation.aggregateExpressions.toIndexedSeq.map {
+      // count(*) comes from the offset manifest, which expirePartitions
+      // skews on partitioned tables — those must scan. Footer min/max
+      // reads the VISIBLE files directly, so partitioning is fine.
+      case _: CountStar if table.desc.partitionKeys.isEmpty => Some(Cnt)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        statsColumn(m.column).map(Mn.apply)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        statsColumn(m.column).map(Mx.apply)
+      case _ => None
+    }
+    if (resolved.nonEmpty && resolved.forall(_.isDefined))
+      Some(resolved.flatten) else None
+  }
+
   private def canPushAgg(aggregation: Aggregation): Boolean =
     !table.desc.isPrimaryKeyTable &&
       asOf.isEmpty && atVersion.isEmpty && startup.isEmpty && pushed.isEmpty &&
       aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall {
-        // count(*) comes from the offset manifest, which expirePartitions
-        // skews on partitioned tables — those must scan. Footer min/max
-        // reads the VISIBLE files directly, so partitioning is fine.
-        case _: CountStar => table.desc.partitionKeys.isEmpty
-        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-          statsColumn(m.column).isDefined
-        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-          statsColumn(m.column).isDefined
-        case _ => false
-      }
+      pushedExprs(aggregation).isDefined
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -707,23 +722,18 @@ class GraftScanBuilder(table: GraftTable,
 
   override def build(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-    private def aggSchema(agg: Aggregation): StructType = StructType(
-      agg.aggregateExpressions.toIndexedSeq.map {
-        case _: CountStar => org.apache.spark.sql.types.StructField(
+    private def aggSchema(exprs: Seq[PushedAggExpr]): StructType = StructType(
+      exprs.map {
+        case Cnt => org.apache.spark.sql.types.StructField(
           "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
-        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-          val c = fieldOf(m.column).get
-          org.apache.spark.sql.types.StructField(
-            s"min($c)", table.desc.schema(c).dataType, nullable = true)
-        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-          val c = fieldOf(m.column).get
-          org.apache.spark.sql.types.StructField(
-            s"max($c)", table.desc.schema(c).dataType, nullable = true)
-        case other => throw new IllegalStateException(s"unpushable $other")
+        case Mn(c) => org.apache.spark.sql.types.StructField(
+          s"min($c)", table.desc.schema(c).dataType, nullable = true)
+        case Mx(c) => org.apache.spark.sql.types.StructField(
+          s"max($c)", table.desc.schema(c).dataType, nullable = true)
       })
 
     override def readSchema(): StructType =
-      pushedAgg.map(aggSchema).getOrElse(required)
+      pushedAgg.flatMap(pushedExprs).map(aggSchema).getOrElse(required)
 
     /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the
       * manifest row count when free — a small dimension table becomes
@@ -742,43 +752,40 @@ class GraftScanBuilder(table: GraftTable,
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
-      pushedAgg.foreach { agg =>
-        val outSchema = aggSchema(agg)
-        // one fastMinMax per distinct column; a footer without stats for
-        // a column throws -> fall back to an engine aggregate (still the
-        // exact answer, just not metadata-only)
-        val values: Seq[Any] =
-          try {
-            val mm = scala.collection.mutable.HashMap[String, Option[(Any, Any)]]()
-            def rangeOf(c: String) = mm.getOrElseUpdate(c, table.fastMinMax(c))
-            agg.aggregateExpressions.toIndexedSeq.map {
-              case _: CountStar => table.fastCount // manifest read, no scan
-              case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-                rangeOf(fieldOf(m.column).get).map(_._1).orNull
-              case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-                rangeOf(fieldOf(m.column).get).map(_._2).orNull
-              case other => throw new IllegalStateException(s"unpushable $other")
-            }
-          } catch {
-            case _: IllegalArgumentException =>
-              import org.apache.spark.sql.functions.{count => fcount, lit, col => fcol, min => fmin, max => fmax}
-              val aggCols = agg.aggregateExpressions.toIndexedSeq.map {
-                case _: CountStar => fcount(lit(1))
-                case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-                  fmin(fcol(fieldOf(m.column).get))
-                case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-                  fmax(fcol(fieldOf(m.column).get))
-                case other => throw new IllegalStateException(s"unpushable $other")
-              }
-              table.scan().agg(aggCols.head, aggCols.tail: _*).head()
-                .toSeq
-          }
+      pushedAgg.flatMap(pushedExprs).foreach { exprs =>
+        val outSchema = aggSchema(exprs)
         return new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
           override def schema: StructType = outSchema
-          override def buildScan(): RDD[Row] =
+          // evaluation happens HERE, at execution — planning (EXPLAIN,
+          // executedPlan inspection) must stay job-free
+          override def buildScan(): RDD[Row] = {
+            // one fastMinMax per distinct column; a footer without stats
+            // throws (driver-side) -> fall back to an engine aggregate
+            // (still the exact answer, just not metadata-only)
+            val values: Seq[Any] =
+              try {
+                val mm = scala.collection.mutable.HashMap[String, Option[(Any, Any)]]()
+                def rangeOf(c: String) = mm.getOrElseUpdate(c, table.fastMinMax(c))
+                exprs.map {
+                  case Cnt => table.fastCount // manifest read, no scan
+                  case Mn(c) => rangeOf(c).map(_._1).orNull
+                  case Mx(c) => rangeOf(c).map(_._2).orNull
+                }
+              } catch {
+                case _: IllegalArgumentException =>
+                  import org.apache.spark.sql.functions.{count => fcount, lit, col => fcol, min => fmin, max => fmax}
+                  val aggCols = exprs.map {
+                    case Cnt => fcount(lit(1))
+                    case Mn(c) => fmin(fcol(c))
+                    case Mx(c) => fmax(fcol(c))
+                  }
+                  table.scan().agg(aggCols.head, aggCols.tail: _*).head()
+                    .toSeq
+              }
             context.sparkSession.sparkContext
               .parallelize(Seq(Row(values: _*)), 1)
+          }
         }.asInstanceOf[T]
       }
       val filters = pushed

@@ -1978,7 +1978,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       s"no such data column $column")
     val (files, _) = visibleLogFiles()
     if (files.isEmpty) return None
-    val perFile = spark.sparkContext
+    // tasks NEVER throw for a stats-less chunk — an executor exception
+    // would reach the driver wrapped in SparkException and callers could
+    // not distinguish "no stats, fall back" from a real failure. Each
+    // chunk reports Right(range), Left(()) for "stats absent", or
+    // nothing for all-null chunks (exactly representable: null rows
+    // never contribute to SQL min/max).
+    val perChunk: Array[Either[Unit, (Any, Any)]] = spark.sparkContext
       .parallelize(files, math.min(files.size, 64))
       .flatMap { f =>
         import org.apache.parquet.hadoop.ParquetFileReader
@@ -1990,28 +1996,32 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         val reader = ParquetFileReader.open(in)
         try {
           import scala.jdk.CollectionConverters._
-          val footer = reader.getFooter
-          footer.getBlocks.asScala.flatMap { block =>
+          reader.getFooter.getBlocks.asScala.flatMap { block =>
             block.getColumns.asScala
               .filter(_.getPath.toDotString == column)
-              .map { c =>
+              .flatMap { c =>
                 val st = c.getStatistics
-                require(st != null && st.hasNonNullValue,
-                  s"footer of $f lacks stats for $column; use scan().agg(...)")
-                val (mn, mx): (Any, Any) =
-                  c.getPrimitiveType.getPrimitiveTypeName match {
-                    case INT32 | INT64 | FLOAT | DOUBLE =>
-                      (st.genericGetMin, st.genericGetMax)
-                    case BINARY => (st.minAsString, st.maxAsString)
-                    case other => throw new IllegalArgumentException(
-                      s"fastMinMax unsupported for parquet type $other")
-                  }
-                (mn, mx)
+                if (st != null && !st.hasNonNullValue &&
+                    st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+                  None // all-null chunk: contributes nothing, stays exact
+                else if (st == null || !st.hasNonNullValue)
+                  Some(Left(())) // stats genuinely absent/dropped
+                else c.getPrimitiveType.getPrimitiveTypeName match {
+                  case INT32 | INT64 | FLOAT | DOUBLE =>
+                    Some(Right((st.genericGetMin, st.genericGetMax): (Any, Any)))
+                  case BINARY =>
+                    Some(Right((st.minAsString, st.maxAsString): (Any, Any)))
+                  case _ => Some(Left(())) // unsupported physical type
+                }
               }
           }
         } finally reader.close()
       }.collect()
-    if (perFile.isEmpty) None
+    if (perChunk.exists(_.isLeft))
+      throw new IllegalArgumentException(
+        s"a parquet footer lacks stats for $column; use scan().agg(...)")
+    val ranges = perChunk.collect { case Right(r) => r }
+    if (ranges.isEmpty) None
     else {
       @annotation.nowarn
       def lt(a: Any, b: Any): Boolean = (a, b) match {
@@ -2019,12 +2029,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         case (x: Long, y: Long) => x < y
         case (x: Float, y: Float) => x < y
         case (x: Double, y: Double) => x < y
-        case (x: String, y: String) => x < y
+        case (x: String, y: String) =>
+          // parquet UTF8 stats order = UNSIGNED lexicographic byte order
+          // (Spark's string ordering too); Java's String < compares
+          // UTF-16 code units, which diverges beyond the BMP
+          val xb = x.getBytes(StandardCharsets.UTF_8)
+          val yb = y.getBytes(StandardCharsets.UTF_8)
+          java.util.Arrays.compareUnsigned(xb, yb) < 0
         case (x: Comparable[_], y) =>
           x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
       }
-      Some((perFile.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
-        perFile.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
+      Some((ranges.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
+        ranges.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
     }
   }
 

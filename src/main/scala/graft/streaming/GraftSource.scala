@@ -48,6 +48,12 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
 
+  // the table path is <warehouse>/<db>/<table>: the dynamic-config store
+  // (sys.set_cluster_configs) sits two levels up
+  private val warehouse: String =
+    Option(java.nio.file.Paths.get(table.path).getParent)
+      .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
+
   /** Mode resolution: reader option first, else the conf
     * `spark.sql.graft.scan.startup.mode` (the reference's SET-able
     * `spark.sql.fluss.scan.startup.mode`, engine-spark/options.md:15 —
@@ -59,12 +65,8 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     */
   private val startup: GraftStream.StartupMode =
     params.get("scan.startup.mode")
-      .orElse {
-        val wh = Option(java.nio.file.Paths.get(table.path).getParent)
-          .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
-        Some(graft.core.DynamicConfigs.effective(table.sparkSession, wh,
-          "spark.sql.graft.scan.startup.mode", "earliest"))
-      }
+      .orElse(Some(graft.core.DynamicConfigs.effective(table.sparkSession,
+        warehouse, "spark.sql.graft.scan.startup.mode", "earliest")))
       .map(_.toLowerCase) match {
       case None | Some("earliest") => GraftStream.StartupMode.Earliest
       case Some("latest") => GraftStream.StartupMode.Latest
@@ -85,12 +87,9 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   // reader options), mirroring the startup-mode resolution above
   private val maxOffsetsPerTrigger: Option[Long] =
     params.get("maxoffsetspertrigger")
-      .orElse {
-        val wh = Option(java.nio.file.Paths.get(table.path).getParent)
-          .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
-        Option(graft.core.DynamicConfigs.effective(table.sparkSession, wh,
-          "spark.sql.graft.maxOffsetsPerTrigger", "")).filter(_.nonEmpty)
-      }
+      .orElse(Option(graft.core.DynamicConfigs.effective(table.sparkSession,
+        warehouse, "spark.sql.graft.maxOffsetsPerTrigger", ""))
+        .filter(_.nonEmpty))
       .map(_.toLong)
 
   /** `stream.data-columns=true`: emit only the table's data columns, no
