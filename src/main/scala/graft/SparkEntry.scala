@@ -460,6 +460,16 @@ object SparkEntry {
       TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // ----- H9: global quality deciles — exact NTILE(10) via the
+    // two-level scan (the generic form behind ta19's CCNet buckets);
+    // the fixed-order quality arithmetic is bit-identical cross-engine,
+    // so the decile ASSIGNMENT hash-matches
+    "h9_quality_deciles" -> ((s, dir) => {
+      val q = TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Sampling.ntileExact(q, "doc_id", "quality", 10, out = "decile")
+    }),
+
     // ----- FP1: document fingerprint (collision-free on corpus == oracle)
     "fp1_fingerprint" -> ((s, dir) =>
       TextAnalysis.widen(t(s, dir, "documents"))
@@ -1574,6 +1584,23 @@ object SparkEntry {
         |  0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
         |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
         |FROM documents""".stripMargin,
+
+    // ta3's quality + SQL-standard NTILE(10) over (quality, doc_id)
+    "h9_quality_deciles" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    0.25 * least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) +
+        |    0.25 * least(CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+        |        ['the','a','and','of','to','in','is','it','that'])) AS DOUBLE)
+        |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) +
+        |    0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) +
+        |    0.25 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality,
+        |  NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+        |FROM q""".stripMargin,
 
     "fp1_fingerprint" ->
       """SELECT count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct
