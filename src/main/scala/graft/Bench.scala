@@ -150,6 +150,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line grows with the query count and outgrew the
+    // driver's bounded tail-capture in round 6 (BENCH_r06 parsed:null).
+    // Emit a short, fixed-size summary LAST so the final JSON line on
+    // stdout always parses regardless of how many queries exist.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1719,8 +1719,8 @@ object SparkEntry {
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |     - n_tokens) // 10000 AS shard
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |     - n_tokens) // 10000 AS BIGINT) AS shard
         |FROM t""".stripMargin,
 
     "ta8_token_rarity" ->
@@ -1828,8 +1828,8 @@ object SparkEntry {
         |    CAST(len(string_split_regex(trim(e.text), '\\s+')) AS BIGINT) AS n_tokens
         |  FROM en e JOIN keep k ON e.doc_id = k.doc_id)
         |SELECT doc_id, n_tokens,
-        |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |     - n_tokens) // 8000 AS shard
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |     - n_tokens) // 8000 AS BIGINT) AS shard
         |FROM tok""".stripMargin,
 
     "t7_sessionize" ->
@@ -2092,8 +2092,8 @@ object SparkEntry {
          |        ORDER BY quality DESC, doc_id) AS rank
          |    FROM kept) WHERE rank <= 20)
          |SELECT doc_id, source, quality, n_tokens, rank,
-         |  (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         |     - n_tokens) // 10000 AS shard
+         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |     - n_tokens) // 10000 AS BIGINT) AS shard
          |FROM capped""".stripMargin,
 
     // mirrors dsirScore(buckets=4096, target = doc_id % 10 = 0): unigram

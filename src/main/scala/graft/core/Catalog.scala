@@ -32,15 +32,22 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     * `super.users`) bypasses all checks.
     */
   private[graft] def authorize(op: String, resource: Seq[String]): Unit = {
-    // SESSION > DYNAMIC (warehouse _configs.json) > DEFAULT — so an admin
-    // can flip the authorizer / super-user list for every session on the
-    // warehouse via sys.set_cluster_configs, like the reference
+    // Security-critical keys (enable flag, super-user list) resolve
+    // DYNAMIC > DEFAULT only — in the reference these are server-side
+    // configs a client can never SET; honoring a session override would
+    // let any session disable ACLs an admin persisted cluster-wide.
+    // Principal/host stay session-asserted (post-authentication identity;
+    // a library engine has no authentication layer, so the authorizer is
+    // advisory against a principal-spoofing session but sound against
+    // accidental access).
     def conf(key: String, default: String) =
       DynamicConfigs.effective(spark, warehouse, key, default)
-    if (!conf("spark.sql.graft.authorizer.enabled", "false").toBoolean)
+    if (!DynamicConfigs.effectiveServerSide(warehouse,
+        "spark.sql.graft.authorizer.enabled", "false").toBoolean)
       return
     val principal = conf("spark.sql.graft.principal", "User:anonymous")
-    val supers = conf("spark.sql.graft.super.users", "")
+    val supers = DynamicConfigs.effectiveServerSide(warehouse,
+        "spark.sql.graft.super.users", "")
       .split(";").map(_.trim).filter(_.nonEmpty).toSet
     if (supers.contains(principal)) return
     val host = conf("spark.sql.graft.client.host", "*")
@@ -131,15 +138,24 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     databaseExistsUnchecked(db)
   }
 
+  // Files.list/Files.walk return Streams holding a directory fd open
+  // until closed — materialize under Using so every caller releases it
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+  }
+
+  private def walkDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(dir))(_.iterator().asScala.toSeq)
+  }
+
   def listDatabases(): Seq[String] = {
     authorize("DESCRIBE", Nil)
     val wh = Paths.get(warehouse)
     if (!Files.exists(wh)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(wh).iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
-    }
+    else listDir(wh).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
   }
 
   /** Delete a database; `cascade=false` refuses while tables remain (the
@@ -154,8 +170,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
       return false
     }
     require(cascade || listTables(db).isEmpty, s"database $db is not empty")
-    import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    walkDir(dir).reverse.foreach(Files.delete)
     true
   }
 
@@ -228,8 +243,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
     val d = Paths.get(warehouse, db, dst)
     require(!Files.exists(d.resolve("meta.json")), s"table $db.$dst exists")
-    import scala.jdk.CollectionConverters._
-    Files.walk(s).iterator().asScala.foreach { p =>
+    walkDir(s).foreach { p =>
       val target = d.resolve(s.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(target)
       else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
@@ -257,22 +271,15 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def dropTable(db: String, name: String): Unit = {
     authorize("DROP", Seq(db, name))
     val dir = Paths.get(warehouse, db, name)
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    if (Files.exists(dir)) walkDir(dir).reverse.foreach(Files.delete)
   }
 
   def listTables(db: String): Seq[String] = {
     authorize("DESCRIBE", Seq(db))
     val dir = Paths.get(warehouse, db)
     if (!Files.exists(dir)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
-        .filter(p => Files.exists(p.resolve("meta.json")))
-        .map(_.getFileName.toString).toSeq.sorted
-    }
+    else listDir(dir).filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).sorted
   }
 }
 

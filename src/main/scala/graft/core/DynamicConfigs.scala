@@ -136,4 +136,16 @@ object DynamicConfigs {
       .orElse(read(warehouse).get(key))
       .orElse(registry.get(key).map(_._1))
       .getOrElse(default)
+
+  /** DYNAMIC > DEFAULT only — for security-critical keys
+    * (`authorizer.enabled`, `super.users`) that in the reference are
+    * server-side configs a client can never override. A session-scope
+    * override here would let any session silently disable ACLs an admin
+    * persisted cluster-wide via `sys.set_cluster_configs`.
+    */
+  def effectiveServerSide(warehouse: String, key: String,
+      default: String): String =
+    read(warehouse).get(key)
+      .orElse(registry.get(key).map(_._1))
+      .getOrElse(default)
 }

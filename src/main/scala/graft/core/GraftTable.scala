@@ -1296,10 +1296,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(durationMs > 0, s"lease duration $durationMs must be positive")
     val floors = retainedFloorOffsets.getOrElse(
       readOffsets().map { case (b, _) => b -> 0L })
-    val live = kvSnapshotLeases(nowMillis)
-    val pinned = live.get(leaseId).map(_._1).getOrElse(floors)
-    writeLeases(live + (leaseId -> (pinned, nowMillis + durationMs)))
-    pinned
+    // read-modify-write under the file lock (same discipline as Acls /
+    // DynamicConfigs): two concurrent jobs acquiring leases must not lose
+    // each other's pin — that is the exact guarantee a lease exists for
+    CatalogJson.withFileLock(leasesFile) {
+      val live = kvSnapshotLeases(nowMillis)
+      val pinned = live.get(leaseId).map(_._1).getOrElse(floors)
+      writeLeases(live + (leaseId -> (pinned, nowMillis + durationMs)))
+      pinned
+    }
   }
 
   /** Release a lease (the reference's `sys.drop_kv_snapshot_lease` —
@@ -1307,11 +1312,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * the id existed (expired-but-listed counts: the caller's intent is
     * "this lease is gone now", and the write prunes it either way).
     */
-  def dropKvSnapshotLease(leaseId: String): Boolean = {
-    val all = readLeases()
-    writeLeases(all - leaseId)
-    all.contains(leaseId)
-  }
+  def dropKvSnapshotLease(leaseId: String): Boolean =
+    CatalogJson.withFileLock(leasesFile) {
+      val all = readLeases()
+      writeLeases(all - leaseId)
+      all.contains(leaseId)
+    }
 
   /** Per-bucket lowest floor pinned by an unexpired lease; empty when no
     * leases are held (retention proceeds unrestricted).
@@ -1964,9 +1970,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * footer read per visible file, distributed over executors), never a
     * data scan. Exact for append-only log tables, where every visible
     * row is live; PK tables must scan (a file-level min could belong to
-    * an overwritten or deleted row). Supported for int/long/float/
-    * double/string columns; throws when any file's footer lacks stats
-    * for the column (caller falls back to an ordinary aggregate).
+    * an overwritten or deleted row). Supported for int/long/string
+    * columns (float/double excluded — parquet footer stats handle NaN
+    * writer-dependently while Spark ranks NaN above all values, so a
+    * metadata answer could be silently wrong); throws when any file's
+    * footer lacks stats for the column (caller falls back to an
+    * ordinary aggregate).
     *
     * @return (min, max), None when no visible file carries the column
     */
@@ -2007,10 +2016,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
                 else if (st == null || !st.hasNonNullValue)
                   Some(Left(())) // stats genuinely absent/dropped
                 else c.getPrimitiveType.getPrimitiveTypeName match {
-                  case INT32 | INT64 | FLOAT | DOUBLE =>
+                  case INT32 | INT64 =>
                     Some(Right((st.genericGetMin, st.genericGetMax): (Any, Any)))
                   case BINARY =>
                     Some(Right((st.minAsString, st.maxAsString): (Any, Any)))
+                  // FLOAT/DOUBLE excluded: parquet stats omit or mis-order
+                  // NaN (writer-dependent), while Spark's scan semantics
+                  // rank NaN above every value — a footer answer could be
+                  // finitely, silently wrong. Fall back to the real scan.
                   case _ => Some(Left(())) // unsupported physical type
                 }
               }

@@ -64,14 +64,23 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     * (exact Jaccard ≥ threshold) or a LOWER-id row of the same batch.
     */
   def ingest(batch: DataFrame, threshold: Double): DataFrame = {
+    // drop batch ids already accepted: a re-ingested id is a duplicate by
+    // definition, and letting it through would put two rows of the same
+    // id into the verifyJaccard docs union, skewing shingle-set sizes.
+    // The corpus side stays a narrow id scan broadcast-probed by the
+    // micro-batch — no corpus shuffle.
+    val resent = corpus.scan().select(col(idCol))
+      .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+    val fresh = batch.join(broadcast(resent), Seq(idCol), "left_anti")
+      .localCheckpoint()
     val shingled = Dedup.hashedShingleDocs(
-        batch.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+        fresh.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
       .localCheckpoint()
     // --- vs the accepted corpus ---
     // materialized once: probed against the index AND reused below as
     // the novel rows' index entries (the hashes are deterministic, so a
     // recompute would produce the identical rows at double the cost)
-    val probes = bandRows(batch).localCheckpoint()
+    val probes = bandRows(fresh).localCheckpoint()
     val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
       .join(index.scan().withColumnRenamed(idCol, "b_id"),
         Seq("band", "bucket"))
@@ -87,14 +96,19 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     val dupInBatch = Dedup.minhashLshVerifiedPairs(shingled, threshold,
         numHashes, bands, seed)
       .select(col("b_id").as("__dup")) // b_id > a_id by construction
-    val novel = batch.join(
+    val novel = fresh.join(
       dupVsPast.unionByName(dupInBatch).distinct()
         .withColumnRenamed("__dup", idCol),
       Seq(idCol), "left_anti")
       .localCheckpoint() // pin: the appends below must see ONE snapshot
-    corpus.append(novel)
+    // index FIRST: the two appends are separate atomic commits, and a
+    // crash between them must err on the harmless side. An orphan index
+    // row (banded but not in the corpus) only creates candidates that
+    // fail exact-Jaccard verification; the reverse order would admit
+    // every later duplicate of an un-indexed accepted document forever.
     index.append(probes.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col("band"), col("bucket"), col(idCol)))
+    corpus.append(novel)
     novel
   }
 }

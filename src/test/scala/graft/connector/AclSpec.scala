@@ -25,15 +25,17 @@ class AclSpec extends SparkTestBase {
   }
 
   private def asPrincipal[T](principal: String)(body: => T): T = {
-    spark.conf.set("spark.sql.graft.authorizer.enabled", "true")
+    // enable flag + super.users resolve server-side only (DYNAMIC >
+    // DEFAULT, session scope ignored) — persist them the way an admin
+    // would; only the asserted identity is session state
+    graft.core.DynamicConfigs.set(wh, Map(
+      "spark.sql.graft.authorizer.enabled" -> "true",
+      "spark.sql.graft.super.users" -> "User:admin"))
     spark.conf.set("spark.sql.graft.principal", principal)
-    spark.conf.set("spark.sql.graft.super.users", "User:admin")
     try body finally {
-      // UNSET (not set-false): leaked session values would shadow the
-      // DYNAMIC scope for every later suite sharing this session
-      spark.conf.unset("spark.sql.graft.authorizer.enabled")
       spark.conf.unset("spark.sql.graft.principal")
-      spark.conf.unset("spark.sql.graft.super.users")
+      graft.core.DynamicConfigs.reset(wh, Seq(
+        "spark.sql.graft.authorizer.enabled", "spark.sql.graft.super.users"))
     }
   }
 
@@ -125,6 +127,21 @@ class AclSpec extends SparkTestBase {
     asPrincipal("User:mallory") {
       deniedBy(spark.sql("""CALL acl.system.add_acl(resource => 'db.t',
         permission => 'ALLOW', principal => 'User:mallory', operation => 'ALL')"""))
+    }
+  }
+
+  test("session overrides cannot disable the authorizer or self-grant super") {
+    wh
+    asPrincipal("User:zed") { // no grants anywhere
+      // flipping the enable flag off in the session must not bypass the
+      // cluster-wide gate (in the reference these are server-side configs)
+      spark.conf.set("spark.sql.graft.authorizer.enabled", "false")
+      try deniedBy(spark.sql("SELECT * FROM acl.db.t").collect())
+      finally spark.conf.unset("spark.sql.graft.authorizer.enabled")
+      // nor can a session append itself to super.users
+      spark.conf.set("spark.sql.graft.super.users", "User:admin;User:zed")
+      try deniedBy(spark.sql("SELECT * FROM acl.db.t").collect())
+      finally spark.conf.unset("spark.sql.graft.super.users")
     }
   }
 

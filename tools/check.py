@@ -53,6 +53,16 @@ for name, sql in sorted(oracle.items()):
         got = sorted(tuple(canon(v) for v in row) for row in
                      con.sql(f"SELECT {','.join(got_cols)} FROM got_rel").fetchall())
         exp_rel = con.sql(sql)
+        # Mirror guard on the oracle side: the driver reads oracle results
+        # through pandas, where HUGEINT/UHUGEINT/DECIMAL become float64 and
+        # hash as "0.0" against Spark's "0" (the exact ta7/pipe1/pipe2
+        # round-5/6 failure). Fail such oracles here so they can't regress —
+        # the fix is a CAST(... AS BIGINT/DOUBLE) in the oracle SQL.
+        lossy = [c for c, t in zip(exp_rel.columns, exp_rel.types)
+                 if any(k in str(t) for k in ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if lossy:
+            fails.append(name); print(f"FAIL {name}: pandas-lossy oracle cols {lossy} (CAST them in the oracle SQL)")
+            continue
         exp_cols = sorted(exp_rel.columns)
         exp = sorted(tuple(canon(v) for v in row) for row in
                      con.sql(f"SELECT {','.join(exp_cols)} FROM exp_rel").fetchall())
