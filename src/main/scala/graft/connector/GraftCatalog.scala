@@ -358,13 +358,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- namespaces (one level = database directory) ----
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val wh = java.nio.file.Paths.get(warehouse)
-    if (!java.nio.file.Files.exists(wh)) Array.empty
-    else java.nio.file.Files.list(wh).iterator.asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    graft.core.WarehouseIO.listDir(warehouse)
+      .filter(_.isDir).map(e => Array(e.name)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -383,7 +379,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.length == 1 &&
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse, namespace.head))
+      graft.core.WarehouseIO.isDirectory(s"$warehouse/${namespace.head}")
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
@@ -445,7 +441,7 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
         ident.name, ident.namespace().lastOption),
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(java.nio.file.Paths.get(table.path).toUri),
+        locationUri = Some(new org.apache.hadoop.fs.Path(table.path).toUri),
         properties = Map("path" -> table.path, "stream.data-columns" -> "true")),
       schema = table.desc.schema,
       provider = Some("graft"),
@@ -818,7 +814,9 @@ class GraftScanBuilder(table: GraftTable,
             // possibly stale; session-scoped like the reference's SET
             case _ if graft.core.DynamicConfigs.effective(
                 context.sparkSession,
-                java.nio.file.Paths.get(table.path).getParent.getParent.toString,
+                // table.path is <warehouse>/<db>/<table>
+                table.path.substring(0,
+                  table.path.lastIndexOf('/', table.path.lastIndexOf('/') - 1)),
                 "spark.sql.graft.read.optimized", "false").toBoolean =>
               table.scanReadOptimized()
             case _ => table.scanPruned(eqs)

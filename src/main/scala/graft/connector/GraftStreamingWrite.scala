@@ -62,16 +62,9 @@ final class GraftStreamingWrite(table: GraftTable, queryId: String,
 
   // a failed epoch's staging is deleted here and the batch replays from
   // the source (the streaming recovery path), so leftovers never leak
-  private def deleteEpoch(epochId: Long): Unit = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(s"$stagingRoot/epoch=$epochId")
-    if (java.nio.file.Files.exists(dir)) {
-      val walk = java.nio.file.Files.walk(dir)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverseIterator.foreach(p =>
-        try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-    }
-  }
+  private def deleteEpoch(epochId: Long): Unit =
+    try graft.core.WarehouseIO.deleteRecursively(s"$stagingRoot/epoch=$epochId")
+    catch { case _: Exception => () }
 
   override def toString: String = s"GraftStreamingWrite[${table.path}]"
 }

@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
-import java.nio.charset.StandardCharsets
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -65,16 +63,15 @@ final class Acls(warehouse: String) {
     Set("ALL", "READ", "WRITE", "CREATE", "DROP", "ALTER", "DESCRIBE")
 
   private def readAll(): List[AclEntry] = {
-    val p = Paths.get(aclsFile)
-    if (!Files.exists(p)) return Nil
+    if (!WarehouseIO.exists(aclsFile)) return Nil
     // mtime-keyed cache: the gate runs on every catalog operation, so a
     // re-parse per decision would put JSON parsing on the metadata hot
     // path; the file only changes through add/drop
-    val mtime = Files.getLastModifiedTime(p).toMillis
+    val mtime = WarehouseIO.mtimeMillis(aclsFile)
     val hit = Acls.cache.get(aclsFile)
     if (hit != null && hit._1 == mtime) return hit._2
-    val parsed = JsonMethods.parse(new String(Files.readAllBytes(p),
-        StandardCharsets.UTF_8)).asInstanceOf[JArray].arr.map { v =>
+    val parsed = JsonMethods.parse(WarehouseIO.readString(aclsFile))
+      .asInstanceOf[JArray].arr.map { v =>
       val f = v.asInstanceOf[JObject].obj.toMap[String, JValue]
       def s(k: String) = f(k).asInstanceOf[JString].s
       AclEntry(s("resource"), s("permission"), s("principal"),
@@ -97,7 +94,7 @@ final class Acls(warehouse: String) {
     // write-through: mtime has millisecond resolution, so two writes in
     // one tick would otherwise let readAll serve the FIRST write's cache
     Acls.cache.put(aclsFile,
-      (Files.getLastModifiedTime(Paths.get(aclsFile)).toMillis, entries))
+      (WarehouseIO.mtimeMillis(aclsFile), entries))
   }
 
   def add(e: AclEntry): Unit = {

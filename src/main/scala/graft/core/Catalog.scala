@@ -62,7 +62,7 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   // custom properties and DatabaseInfo created/modified times;
   // fluss-client admin surface, apis/java) ----
 
-  private def dbMetaFile(db: String) = Paths.get(warehouse, db, "_db.json")
+  private def dbMetaFile(db: String) = s"$warehouse/$db/_db.json"
 
   /** Create a database with descriptor properties (use the key `comment`
     * for the description, like the reference's DatabaseDescriptor).
@@ -72,19 +72,19 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     authorize("CREATE", Nil)
     require(db.nonEmpty && !db.contains('/') && !db.contains('.'),
       s"bad database name '$db'")
-    if (Files.exists(dbMetaFile(db)) ||
-        Files.isDirectory(Paths.get(warehouse, db))) {
+    if (WarehouseIO.exists(dbMetaFile(db)) ||
+        WarehouseIO.isDirectory(s"$warehouse/$db")) {
       require(ignoreIfExists, s"database $db exists")
       return
     }
-    Files.createDirectories(Paths.get(warehouse, db))
+    WarehouseIO.mkdirs(s"$warehouse/$db")
     writeDbMeta(db, properties, System.currentTimeMillis(),
       System.currentTimeMillis())
   }
 
   private def writeDbMeta(db: String, props: Map[String, String],
       created: Long, modified: Long): Unit =
-    CatalogJson.atomicWrite(dbMetaFile(db).toString,
+    CatalogJson.atomicWrite(dbMetaFile(db),
       JsonMethods.compact(JsonMethods.render(JObject(List(
         "properties" -> (JObject(props.toList.sortBy(_._1)
           .map { case (k, v) => k -> (JString(v): JValue) }): JValue),
@@ -98,64 +98,40 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def getDatabaseInfo(db: String): (Map[String, String], Long, Long) = {
     authorize("DESCRIBE", Seq(db))
     require(databaseExistsUnchecked(db), s"no such database $db")
-    if (!Files.exists(dbMetaFile(db))) (Map.empty, 0L, 0L)
-    else {
-      val f = JsonMethods.parse(new String(Files.readAllBytes(dbMetaFile(db)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
-      val props = f("properties").asInstanceOf[JObject].obj
-        .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
-      (props,
-        f("createdTimeMillis").asInstanceOf[JInt].num.toLong,
-        f("modifiedTimeMillis").asInstanceOf[JInt].num.toLong)
-    }
+    getDatabaseInfoUnchecked(db)
   }
 
   /** Replace the database's custom properties (ALTER DATABASE SET). */
   def alterDatabase(db: String, properties: Map[String, String]): Unit = {
     authorize("ALTER", Seq(db))
     require(databaseExistsUnchecked(db), s"no such database $db")
-    val created =
-      if (Files.exists(dbMetaFile(db))) getDatabaseInfoUnchecked(db)._2 else 0L
+    val created = getDatabaseInfoUnchecked(db)._2
     writeDbMeta(db, properties, created, System.currentTimeMillis())
   }
 
   private def getDatabaseInfoUnchecked(db: String): (Map[String, String], Long, Long) =
-    if (!Files.exists(dbMetaFile(db))) (Map.empty, 0L, 0L)
-    else {
-      val f = JsonMethods.parse(new String(Files.readAllBytes(dbMetaFile(db)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
-      (f("properties").asInstanceOf[JObject].obj
-        .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap,
-        f("createdTimeMillis").asInstanceOf[JInt].num.toLong,
-        f("modifiedTimeMillis").asInstanceOf[JInt].num.toLong)
+    WarehouseIO.readStringIfExists(dbMetaFile(db)) match {
+      case None => (Map.empty, 0L, 0L)
+      case Some(s) =>
+        val f = JsonMethods.parse(s)
+          .asInstanceOf[JObject].obj.toMap[String, JValue]
+        (f("properties").asInstanceOf[JObject].obj
+          .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap,
+          f("createdTimeMillis").asInstanceOf[JInt].num.toLong,
+          f("modifiedTimeMillis").asInstanceOf[JInt].num.toLong)
     }
 
   private def databaseExistsUnchecked(db: String): Boolean =
-    Files.isDirectory(Paths.get(warehouse, db))
+    WarehouseIO.isDirectory(s"$warehouse/$db")
 
   def databaseExists(db: String): Boolean = {
     authorize("DESCRIBE", Seq(db))
     databaseExistsUnchecked(db)
   }
 
-  // Files.list/Files.walk return Streams holding a directory fd open
-  // until closed — materialize under Using so every caller releases it
-  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
-  }
-
-  private def walkDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(dir))(_.iterator().asScala.toSeq)
-  }
-
   def listDatabases(): Seq[String] = {
     authorize("DESCRIBE", Nil)
-    val wh = Paths.get(warehouse)
-    if (!Files.exists(wh)) Nil
-    else listDir(wh).filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).sorted
+    WarehouseIO.listDir(warehouse).filter(_.isDir).map(_.name).sorted
   }
 
   /** Delete a database; `cascade=false` refuses while tables remain (the
@@ -164,35 +140,31 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def dropDatabase(db: String, ignoreIfNotExists: Boolean = false,
       cascade: Boolean = false): Boolean = {
     authorize("DROP", Seq(db))
-    val dir = Paths.get(warehouse, db)
-    if (!Files.isDirectory(dir)) {
+    val dir = s"$warehouse/$db"
+    if (!WarehouseIO.isDirectory(dir)) {
       require(ignoreIfNotExists, s"no such database $db")
       return false
     }
     require(cascade || listTables(db).isEmpty, s"database $db is not empty")
-    walkDir(dir).reverse.foreach(Files.delete)
+    WarehouseIO.deleteRecursively(dir)
     true
   }
 
   def createTable(db: String, name: String, desc: TableDescriptor): GraftTable = {
     authorize("CREATE", Seq(db))
-    val dir = Paths.get(warehouse, db, name)
-    require(!Files.exists(dir.resolve("meta.json")), s"table $db.$name exists")
-    Files.createDirectories(dir)
-    Files.createDirectories(dir.resolve("log"))
-    Files.write(dir.resolve("meta.json"),
-      CatalogJson.write(desc).getBytes(StandardCharsets.UTF_8))
-    new GraftTable(dir.toString, desc, spark)
+    val dir = s"$warehouse/$db/$name"
+    require(!WarehouseIO.exists(s"$dir/meta.json"), s"table $db.$name exists")
+    WarehouseIO.mkdirs(s"$dir/log")
+    WarehouseIO.atomicWriteString(s"$dir/meta.json", CatalogJson.write(desc))
+    new GraftTable(dir, desc, spark)
   }
 
   def getTable(db: String, name: String): GraftTable = {
     authorize("DESCRIBE", Seq(db, name))
-    val dir = Paths.get(warehouse, db, name)
-    val metaFile = dir.resolve("meta.json")
-    require(Files.exists(metaFile), s"no such table $db.$name")
-    val desc = CatalogJson.read(
-      new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8))
-    new GraftTable(dir.toString, desc, spark)
+    val dir = s"$warehouse/$db/$name"
+    val meta = WarehouseIO.readStringIfExists(s"$dir/meta.json")
+    require(meta.isDefined, s"no such table $db.$name")
+    new GraftTable(dir, CatalogJson.read(meta.get), spark)
   }
 
   /** Schema evolution — ADD COLUMN LAST only, like the reference
@@ -209,10 +181,9 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
       s"column ${field.name} already exists")
     require(field.nullable, "added column must be nullable (ADD COLUMN LAST)")
     val desc2 = t.desc.copy(schema = StructType(t.desc.schema.fields :+ field))
-    CatalogJson.atomicWrite(
-      Paths.get(warehouse, db, name, "meta.json").toString,
+    CatalogJson.atomicWrite(s"$warehouse/$db/$name/meta.json",
       CatalogJson.write(desc2))
-    new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
+    new GraftTable(s"$warehouse/$db/$name", desc2, spark)
   }
 
   /** Dynamic table options — the reference's `ALTER TABLE ... SET (...)`
@@ -225,10 +196,9 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     authorize("ALTER", Seq(db, name))
     val t = getTable(db, name)
     val desc2 = t.desc.copy(properties = t.desc.properties ++ set -- unset)
-    CatalogJson.atomicWrite(
-      Paths.get(warehouse, db, name, "meta.json").toString,
+    CatalogJson.atomicWrite(s"$warehouse/$db/$name/meta.json",
       CatalogJson.write(desc2))
-    new GraftTable(Paths.get(warehouse, db, name).toString, desc2, spark)
+    new GraftTable(s"$warehouse/$db/$name", desc2, spark)
   }
 
   /** Clone a table: descriptor + log + snapshot + manifests copied to a
@@ -239,14 +209,13 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def cloneTable(db: String, src: String, dst: String): GraftTable = {
     authorize("READ", Seq(db, src))
     authorize("CREATE", Seq(db))
-    val s = Paths.get(warehouse, db, src)
-    require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
-    val d = Paths.get(warehouse, db, dst)
-    require(!Files.exists(d.resolve("meta.json")), s"table $db.$dst exists")
-    walkDir(s).foreach { p =>
-      val target = d.resolve(s.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(target)
-      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    val s = s"$warehouse/$db/$src"
+    require(WarehouseIO.exists(s"$s/meta.json"), s"no such table $db.$src")
+    val d = s"$warehouse/$db/$dst"
+    require(!WarehouseIO.exists(s"$d/meta.json"), s"table $db.$dst exists")
+    WarehouseIO.mkdirs(d)
+    WarehouseIO.walkFiles(s).foreach { e =>
+      WarehouseIO.copyFile(e.path, s"$d/${WarehouseIO.relativize(s, e.path)}")
     }
     getTable(db, dst)
   }
@@ -257,29 +226,27 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
   def renameTable(db: String, src: String, dst: String): GraftTable = {
     authorize("ALTER", Seq(db, src))
     authorize("CREATE", Seq(db))
-    val s = Paths.get(warehouse, db, src)
-    require(Files.exists(s.resolve("meta.json")), s"no such table $db.$src")
-    val d = Paths.get(warehouse, db, dst)
-    require(!Files.exists(d), s"table $db.$dst exists")
-    Files.move(s, d)
+    val s = s"$warehouse/$db/$src"
+    require(WarehouseIO.exists(s"$s/meta.json"), s"no such table $db.$src")
+    val d = s"$warehouse/$db/$dst"
+    require(!WarehouseIO.exists(d), s"table $db.$dst exists")
+    WarehouseIO.moveFile(s, d) // one dir rename; metadata-only on HDFS
     getTable(db, dst)
   }
 
   def tableExists(db: String, name: String): Boolean =
-    Files.exists(Paths.get(warehouse, db, name, "meta.json"))
+    WarehouseIO.exists(s"$warehouse/$db/$name/meta.json")
 
   def dropTable(db: String, name: String): Unit = {
     authorize("DROP", Seq(db, name))
-    val dir = Paths.get(warehouse, db, name)
-    if (Files.exists(dir)) walkDir(dir).reverse.foreach(Files.delete)
+    WarehouseIO.deleteRecursively(s"$warehouse/$db/$name")
   }
 
   def listTables(db: String): Seq[String] = {
     authorize("DESCRIBE", Seq(db))
-    val dir = Paths.get(warehouse, db)
-    if (!Files.exists(dir)) Nil
-    else listDir(dir).filter(p => Files.exists(p.resolve("meta.json")))
-      .map(_.getFileName.toString).sorted
+    WarehouseIO.listDir(s"$warehouse/$db")
+      .filter(e => e.isDir && WarehouseIO.exists(s"${e.path}/meta.json"))
+      .map(_.name).sorted
   }
 }
 
@@ -361,36 +328,33 @@ object CatalogJson {
     * loser's entries. Stale locks (a crashed holder) break after 60 s.
     */
   def withFileLock[T](path: String, timeoutMs: Long = 10000L)(body: => T): T = {
-    val lock = Paths.get(path + ".lock")
+    val lock = path + ".lock"
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+      try {
+        if (WarehouseIO.createExclusive(lock)) held = true
+        else {
           try {
             if (System.currentTimeMillis() -
-                Files.getLastModifiedTime(lock).toMillis > 60000L)
-              Files.deleteIfExists(lock)
+                WarehouseIO.mtimeMillis(lock) > 60000L)
+              WarehouseIO.deleteIfExists(lock)
           } catch { case _: java.io.IOException => () }
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(s"timed out acquiring $lock")
           Thread.sleep(5L + scala.util.Random.nextInt(20))
-        case _: java.nio.file.NoSuchFileException =>
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
           // parent vanished mid-race (e.g. dropDatabase); let the body
           // surface the real error
           held = true
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally WarehouseIO.deleteIfExists(lock)
   }
 
   /** Atomic small-file write (manifesty things: offsets, txn log). */
-  def atomicWrite(path: String, content: String): Unit = {
-    val target = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def atomicWrite(path: String, content: String): Unit =
+    WarehouseIO.atomicWriteString(path, content)
 }

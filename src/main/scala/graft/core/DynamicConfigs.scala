@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
 import org.json4s._
@@ -46,13 +44,12 @@ object DynamicConfigs {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, String])]()
 
   def read(warehouse: String): Map[String, String] = {
-    val p = Paths.get(file(warehouse))
-    if (!Files.exists(p)) return Map.empty
-    val mtime = Files.getLastModifiedTime(p).toMillis
+    val f = file(warehouse)
+    if (!WarehouseIO.exists(f)) return Map.empty
+    val mtime = WarehouseIO.mtimeMillis(f)
     val hit = cache.get(warehouse)
     if (hit != null && hit._1 == mtime) return hit._2
-    val parsed = JsonMethods.parse(new String(Files.readAllBytes(p),
-        StandardCharsets.UTF_8))
+    val parsed = JsonMethods.parse(WarehouseIO.readString(f))
       .asInstanceOf[JObject].obj
       .map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
     cache.put(warehouse, (mtime, parsed))
@@ -71,7 +68,7 @@ object DynamicConfigs {
         m.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }))))
     // write-through (ms-resolution mtime: see Acls.writeAll)
     cache.put(warehouse,
-      (Files.getLastModifiedTime(Paths.get(file(warehouse))).toMillis, m))
+      (WarehouseIO.mtimeMillis(file(warehouse)), m))
   }
 
   private def requireKnown(key: String): Unit =

@@ -1,6 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable.ArrayBuffer
@@ -80,20 +79,21 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       Some(fileName.substring(CidPrefix.length, CidLen))
     else None
 
+  private def stripFileScheme(s: String): String =
+    s.replaceFirst("^file:/*", "/")
+
   /** Existing log parquet files visible under the manifest's committed-id
     * set, plus whether any unmanifested residue was excluded. Driver-side
     * listing — the same work Spark's file index does for a directory scan,
     * reused here to drop unmanifested residue.
     */
   private def visibleLogFiles(ids: Option[Set[String]]): (Seq[String], Boolean) = {
-    val d = Paths.get(logDir)
-    if (!Files.exists(d)) return (Nil, false)
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(d)
-    val all = try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(_.toString).toVector
-      finally walk.close()
+    // local paths come back scheme-stripped so they join/compare exactly
+    // like input_file_name()'s normalized form; other schemes (hdfs, s3a)
+    // stay fully qualified on both sides
+    val all = WarehouseIO.walkFiles(logDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => stripFileScheme(e.path)).toVector
     ids match {
       case None => (all, false) // legacy manifest: the directory is the truth
       case Some(idSet) =>
@@ -181,10 +181,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def parseManifest(): (Map[Int, Long], Map[String, Long],
       Option[Set[String]], List[VersionEntry]) =
-    if (!Files.exists(Paths.get(offsetsFile))) (Map.empty, Map.empty, None, Nil)
-    else {
-      val obj = JsonMethods.parse(new String(Files.readAllBytes(Paths.get(offsetsFile)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
+    WarehouseIO.readStringIfExists(offsetsFile) match {
+      case None => (Map.empty, Map.empty, None, Nil)
+      case Some(manifestJson) =>
+      val obj = JsonMethods.parse(manifestJson).asInstanceOf[JObject].obj.toMap
       obj.get("offsets") match {
         case Some(o: JObject) =>
           val offs = o.obj.map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
@@ -259,10 +259,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * back to snapshot meta (the old, possibly-inflated behavior).
     */
   def retainedFloorOffsets: Option[Map[Int, Long]] =
-    if (!Files.exists(Paths.get(vacuumMarkerFile))) None
-    else {
-      val obj = JsonMethods.parse(new String(Files.readAllBytes(
-          Paths.get(vacuumMarkerFile)), StandardCharsets.UTF_8))
+    WarehouseIO.readStringIfExists(vacuumMarkerFile).flatMap { markerJson =>
+      val obj = JsonMethods.parse(markerJson)
         .asInstanceOf[JObject].obj.toMap[String, JValue]
       obj.get("floorOffsets") match {
         case Some(o: JObject) => Some(o.obj
@@ -272,9 +270,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
 
   private def readAutoInc(): Long =
-    if (!Files.exists(Paths.get(autoIncFile))) 1L
-    else new String(Files.readAllBytes(Paths.get(autoIncFile)),
-      StandardCharsets.UTF_8).trim.toLong
+    WarehouseIO.readStringIfExists(autoIncFile).map(_.trim.toLong).getOrElse(1L)
 
   private def writeAutoInc(next: Long): Unit =
     CatalogJson.atomicWrite(autoIncFile, next.toString)
@@ -423,11 +419,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         StructType(schema.fields.dropRight(1) ++ Seq(
           StructField("bucket", IntegerType), StructField("n_rows", LongType),
           StructField("min_offset", LongType), StructField("max_offset", LongType))))
-    val base = Paths.get(logDir)
     val listed = files.map { f =>
-      val p = Paths.get(f)
-      Row(base.relativize(p).toString,
-        cidOf(p.getFileName.toString).orNull, Files.size(p), f)
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      Row(WarehouseIO.relativize(logDir, f), cidOf(name).orNull,
+        WarehouseIO.size(f), f)
     }
     val sizes = spark.createDataFrame(listed.asJava, schema)
     val aggExprs = Seq(
@@ -470,7 +465,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           s"${new java.sql.Timestamp(floor)}; that state is unreconstructible")
     }
     val bound = entry.offsets
-    val truncated = Files.exists(Paths.get(vacuumMarkerFile))
+    val truncated = WarehouseIO.exists(vacuumMarkerFile)
     val upTo = if (!truncated) {
       // same belt as scanAsOf: a log truncated by pre-marker code must
       // not silently replay as if it were full history
@@ -1002,50 +997,39 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * through the tablet leader; this is the shared-filesystem analog.)
     */
   private def withCommitLock[T](staging: Option[String])(body: => T): T = {
-    val lock = Paths.get(s"$path/_commit.lock")
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val ageMs = System.currentTimeMillis() -
-          Files.getLastModifiedTime(lock).toMillis
-        if (ageMs > 10 * 60 * 1000) Files.deleteIfExists(lock) // stale holder
-        staging.foreach(deleteTree)
-        throw new java.util.ConcurrentModificationException(
-          s"another commit holds the lock on $path" +
-            (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
+    val lock = s"$path/_commit.lock"
+    if (!WarehouseIO.createExclusive(lock)) {
+      val ageMs = System.currentTimeMillis() - WarehouseIO.mtimeMillis(lock)
+      if (ageMs > 10 * 60 * 1000) WarehouseIO.deleteIfExists(lock) // stale holder
+      staging.foreach(deleteTree)
+      throw new java.util.ConcurrentModificationException(
+        s"another commit holds the lock on $path" +
+          (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally WarehouseIO.deleteIfExists(lock)
   }
 
   private def newStagingDir(): String =
     s"$path/log.staging-${java.util.UUID.randomUUID()}"
 
-  private def deleteTree(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(dir)
-    if (Files.exists(d))
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  private def deleteTree(dir: String): Unit =
+    WarehouseIO.deleteRecursively(dir)
 
   /** Move staged parquet files into the log dir under `commitId`'s name
     * prefix. The files stay INVISIBLE until the manifest publishes the id,
     * so a crash anywhere in here leaves only inert residue.
     */
   private def moveStagedFiles(staging: String, commitId: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val src = Paths.get(staging)
-    val dst = Paths.get(logDir)
-    val walk = Files.walk(src)
-    val files = try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet")).toVector
-      finally walk.close()
-    files.foreach { p =>
-      val rel = src.relativize(p)
-      val target = dst.resolve(rel).getParent
-        .resolve(s"$CidPrefix$commitId--${p.getFileName}")
-      Files.createDirectories(target.getParent)
-      Files.move(p, target)
+    val files = WarehouseIO.walkFiles(staging)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+    files.foreach { e =>
+      val rel = WarehouseIO.relativize(staging, e.path)
+      val relDir = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i + 1)
+      }
+      WarehouseIO.moveFile(e.path,
+        s"$logDir/$relDir$CidPrefix$commitId--${e.name}")
     }
     deleteTree(staging)
   }
@@ -1055,18 +1039,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * under the commit lock, so no in-flight commit's files qualify;
     * un-prefixed (legacy) files are never touched.
     */
-  private def cleanUnmanifestedResidue(ids: Set[String]): Unit = {
-    import scala.jdk.CollectionConverters._
-    val d = Paths.get(logDir)
-    if (!Files.exists(d)) return
-    val walk = Files.walk(d)
-    val residue = try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          cidOf(p.getFileName.toString).exists(!ids.contains(_)))
-        .toVector
-      finally walk.close()
-    residue.foreach(Files.deleteIfExists(_))
-  }
+  private def cleanUnmanifestedResidue(ids: Set[String]): Unit =
+    WarehouseIO.walkFiles(logDir)
+      .filter(e => !e.isDir && cidOf(e.name).exists(!ids.contains(_)))
+      .foreach(e => WarehouseIO.deleteIfExists(e.path))
 
   /** Delete crash residue: staged-then-never-published log files, and
     * abandoned staging dirs older than `stagingOlderThanMs`, whose commit
@@ -1083,19 +1059,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def removeOrphanFiles(stagingOlderThanMs: Long = 24L * 3600 * 1000): Unit =
     withCommitLock(None) {
       readManifest()._3.foreach(cleanUnmanifestedResidue)
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(path)
-      if (Files.exists(root)) {
-        val now = System.currentTimeMillis()
-        val stray = Files.list(root)
-        val dirs = try stray.iterator().asScala
-            .filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith("log.staging-") &&
-              now - Files.getLastModifiedTime(p).toMillis >= stagingOlderThanMs)
-            .toVector
-          finally stray.close()
-        dirs.foreach(d => deleteTree(d.toString))
-      }
+      val now = System.currentTimeMillis()
+      WarehouseIO.listDir(path)
+        .filter(e => e.isDir && e.name.startsWith("log.staging-") &&
+          now - e.mtimeMillis >= stagingOlderThanMs)
+        .foreach(e => deleteTree(e.path))
     }
 
   /** Assign per-bucket contiguous offsets and append to the log dir.
@@ -1238,11 +1206,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // ---------------------------------------------------------------------
 
   private def readSnapshotMeta(): Option[Map[Int, Long]] =
-    if (!Files.exists(Paths.get(snapshotMetaFile))) None
-    else Some(JsonMethods.parse(new String(Files.readAllBytes(
-        Paths.get(snapshotMetaFile)), StandardCharsets.UTF_8))
-      .asInstanceOf[JObject].obj
-      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+    WarehouseIO.readStringIfExists(snapshotMetaFile).map(snapJson =>
+      JsonMethods.parse(snapJson).asInstanceOf[JObject].obj
+        .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
 
   // ---------------------------------------------------------------------
   // KV snapshot leases — a batch reader planning a snapshot∪log read pins
@@ -1262,16 +1228,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   }
 
   private def readLeases(): Map[String, (Map[Int, Long], Long)] =
-    if (!Files.exists(Paths.get(leasesFile))) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(leasesFile)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.map {
+    WarehouseIO.readStringIfExists(leasesFile).fold(
+      Map.empty[String, (Map[Int, Long], Long)])(leaseJson =>
+      JsonMethods.parse(leaseJson).asInstanceOf[JObject].obj.map {
       case (id, entry) =>
         val fields = entry.asInstanceOf[JObject].obj.toMap[String, JValue]
         val floors = fields("floorOffsets").asInstanceOf[JObject].obj
           .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
         val exp = fields("expiresAtMillis").asInstanceOf[JInt].num.toLong
         id -> (floors, exp)
-    }.toMap
+    }.toMap)
 
   private def writeLeases(leases: Map[String, (Map[Int, Long], Long)]): Unit =
     CatalogJson.atomicWrite(leasesFile,
@@ -1501,14 +1467,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     writeManifest(bases, commits, Set(newId), hist)
     cleanUnmanifestedResidue(Set(newId))
     // legacy un-prefixed files are not "residue"; remove them explicitly
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(Paths.get(logDir))
-    val legacy = try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.toString.endsWith(".parquet") &&
-          cidOf(p.getFileName.toString).isEmpty).toVector
-      finally walk.close()
-    legacy.foreach(Files.deleteIfExists(_))
+    WarehouseIO.walkFiles(logDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet") &&
+        cidOf(e.name).isEmpty)
+      .foreach(e => WarehouseIO.deleteIfExists(e.path))
   }
 
   /** Small-file compaction (iceberg `rewrite_data_files` analog; the
@@ -1583,12 +1545,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         // pruning — fail loudly instead (checked once per handle, with
         // the directory stream closed)
         if (!snapshotLayoutChecked) {
-          val st = Files.list(Paths.get(snapshotDir))
-          val flat = try {
-            import scala.jdk.CollectionConverters._
-            st.iterator().asScala.exists(
-              f => f.getFileName.toString.endsWith(".parquet"))
-          } finally st.close()
+          val flat = WarehouseIO.listDir(snapshotDir)
+            .exists(e => e.name.endsWith(".parquet"))
           require(!flat, s"snapshot at $snapshotDir uses the legacy " +
             "unpartitioned layout; re-run compact() to rewrite it")
           snapshotLayoutChecked = true
@@ -1925,23 +1883,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * does anyway.
     */
   def plannerStats(): (Long, Option[Long]) = {
-    def dirBytes(dir: String): Long = {
-      val d = Paths.get(dir)
-      if (!Files.exists(d)) 0L
-      else {
-        val walk = Files.walk(d)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-            .map(p => try Files.size(p) catch { case _: Exception => 0L })
-            .sum
-        } finally walk.close()
-      }
-    }
+    def dirBytes(dir: String): Long =
+      WarehouseIO.walkFiles(dir)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.len).sum
     val (files, _) = visibleLogFiles()
     val bytes = files.map(f =>
-      try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum +
+      try WarehouseIO.size(f) catch { case _: Exception => 0L }).sum +
       dirBytes(snapshotDir)
     val rows =
       if (!desc.isPrimaryKeyTable && desc.partitionKeys.isEmpty) Some(fastCount)
@@ -2078,18 +2025,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def expirePartitionValues(partitionCol: String, cutoff: String): Seq[String] = {
     require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
     requirePartitionedSnapshotLayout()
-    import scala.jdk.CollectionConverters._
     val prefix = s"$partitionCol="
-    def victimsUnder(root: String): Seq[java.nio.file.Path] = {
-      val d = Paths.get(root)
-      if (!Files.exists(d)) return Nil
-      val listing = Files.list(d)
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(prefix))
-        .filter(p => p.getFileName.toString.stripPrefix(prefix) < cutoff)
-        .toSeq
-      finally listing.close()
-    }
+    def victimsUnder(root: String): Seq[WarehouseIO.Entry] =
+      WarehouseIO.listDir(root)
+        .filter(e => e.name.startsWith(prefix) &&
+          e.name.stripPrefix(prefix) < cutoff)
     // expiry hits BOTH tiers: a partition-blind delete from the log alone
     // would resurface expired rows from the snapshot
     val victims = victimsUnder(logDir) ++ victimsUnder(snapshotDir)
@@ -2097,20 +2037,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // history, so only data-bearing deletes poison the travel floor.
     // Stamp BEFORE deleting (the vacuum marker-before-flip discipline): a
     // crash mid-delete must leave the guard in place, not the window open.
-    val hadData = victims.exists(p => containsDataFiles(p))
+    val hadData = victims.exists(e => containsDataFiles(e.path))
     if (hadData) stampRetentionDelete()
-    victims.foreach(p => deleteTree(p.toString))
-    victims.map(_.getFileName.toString.stripPrefix(prefix)).distinct.sorted
+    victims.foreach(e => deleteTree(e.path))
+    victims.map(_.name.stripPrefix(prefix)).distinct.sorted
   }
 
-  private def containsDataFiles(dir: java.nio.file.Path): Boolean = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(dir)) return false
-    val walk = Files.walk(dir)
-    try walk.iterator().asScala.exists(p =>
-      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-    finally walk.close()
-  }
+  private def containsDataFiles(dir: String): Boolean =
+    WarehouseIO.walkFiles(dir)
+      .exists(e => !e.isDir && e.name.endsWith(".parquet"))
 
   /** Partition retention/drop physically deletes history that offsets and
     * the version list still count, so time/version travel to any point
@@ -2129,10 +2064,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
   /** One epoch-millis field out of a small JSON marker file. */
   private def readMarkerMillis(file: String, key: String): Option[Long] =
-    if (!Files.exists(Paths.get(file))) None
-    else JsonMethods.parse(new String(Files.readAllBytes(Paths.get(file)),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap[String, JValue]
-      .get(key).collect { case JInt(n) => n.toLong }
+    WarehouseIO.readStringIfExists(file).flatMap(markerJson =>
+      JsonMethods.parse(markerJson).asInstanceOf[JObject].obj
+        .toMap[String, JValue].get(key).collect { case JInt(n) => n.toLong })
 
   /** One auto-partition maintenance tick (the coordinator's periodic
     * AutoPartitionManager.java:86 task; policy knobs from ConfigOptions
@@ -2161,9 +2095,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       if (desc.partitionKeys.size > 1) Nil
       else (0 until policy.numPreCreate).map(policy.partitionValue(now, _))
         .distinct.sorted.filter { v =>
-          val dir = Paths.get(logDir, s"$keyCol=$v")
-          val fresh = !Files.exists(dir)
-          if (fresh) Files.createDirectories(dir)
+          val dir = s"$logDir/$keyCol=$v"
+          val fresh = !WarehouseIO.exists(dir)
+          if (fresh) WarehouseIO.mkdirs(dir)
           fresh
         }
     val expired = policy.retentionCutoff(now) match {
@@ -2179,16 +2113,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def listPartitions(partitionCol: String): Seq[String] = {
     require(desc.partitionKeys.contains(partitionCol), s"$partitionCol is not a partition key")
-    import scala.jdk.CollectionConverters._
     val prefix = s"$partitionCol="
-    def under(root: String): Seq[String] = {
-      val d = Paths.get(root)
-      if (!Files.exists(d)) return Nil
-      val listing = Files.list(d)
-      try listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
-      finally listing.close()
-    }
+    def under(root: String): Seq[String] =
+      WarehouseIO.listDir(root).map(_.name)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
     (under(logDir) ++ under(snapshotDir)).distinct.sorted
   }
 
@@ -2197,13 +2125,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // .../admin/Admin.java; values are hive dir levels in partition-key
   // order, `k1=v1/k2=v2/...`) -------------------------------------------
 
-  private def partitionDirUnder(root: String,
-      values: Seq[String]): java.nio.file.Path = {
+  private def partitionDirUnder(root: String, values: Seq[String]): String = {
     require(desc.partitionKeys.nonEmpty, "table is not partitioned")
     require(values.length == desc.partitionKeys.length,
       s"expected values for ${desc.partitionKeys}, got ${values.length}")
-    desc.partitionKeys.zip(values).foldLeft(Paths.get(root)) {
-      case (p, (k, v)) => p.resolve(s"$k=$v")
+    desc.partitionKeys.zip(values).foldLeft(root) {
+      case (p, (k, v)) => s"$p/$k=$v"
     }
   }
 
@@ -2213,13 +2140,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * resurface the partition's rows from the snapshot on the next scan.
     */
   private def requirePartitionedSnapshotLayout(): Unit = {
-    val d = Paths.get(snapshotDir)
-    if (!Files.exists(d) || desc.partitionKeys.isEmpty) return
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(d)
-    val tops = try listing.iterator().asScala
-        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toVector
-      finally listing.close()
+    if (desc.partitionKeys.isEmpty) return
+    val tops = WarehouseIO.listDir(snapshotDir).filter(_.isDir).map(_.name)
     require(!tops.exists(_.startsWith(s"${Meta.Bucket}=")),
       s"snapshot at $snapshotDir predates the partition-aware layout; " +
         "re-run compact() before dropping partitions")
@@ -2230,8 +2152,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def createPartition(values: Seq[String]): Boolean = {
     val dir = partitionDirUnder(logDir, values)
-    val fresh = !Files.exists(dir)
-    if (fresh) Files.createDirectories(dir)
+    val fresh = !WarehouseIO.exists(dir)
+    if (fresh) WarehouseIO.mkdirs(dir)
     fresh
   }
 
@@ -2241,16 +2163,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def dropPartition(values: Seq[String]): Boolean = {
     requirePartitionedSnapshotLayout()
     val dirs = Seq(partitionDirUnder(logDir, values),
-      partitionDirUnder(snapshotDir, values)).filter(Files.exists(_))
+      partitionDirUnder(snapshotDir, values)).filter(WarehouseIO.exists)
     // stamp before deleting — see expirePartitionValues
     if (dirs.exists(d => containsDataFiles(d))) stampRetentionDelete()
-    dirs.foreach(d => deleteTree(d.toString))
+    dirs.foreach(deleteTree)
     dirs.nonEmpty
   }
 
   def partitionExists(values: Seq[String]): Boolean =
-    Files.exists(partitionDirUnder(logDir, values)) ||
-      Files.exists(partitionDirUnder(snapshotDir, values))
+    WarehouseIO.exists(partitionDirUnder(logDir, values)) ||
+      WarehouseIO.exists(partitionDirUnder(snapshotDir, values))
 
   /** All current partition value tuples in partition-key order — union of
     * the log and snapshot tiers (after [[vacuumLog]] a partition with no
@@ -2258,25 +2180,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def partitionValues(): Seq[Seq[String]] = {
     require(desc.partitionKeys.nonEmpty, "table is not partitioned")
-    import scala.jdk.CollectionConverters._
-    def level(dir: java.nio.file.Path, keys: Seq[String]): Seq[Seq[String]] =
+    def level(dir: String, keys: Seq[String]): Seq[Seq[String]] =
       keys match {
         case Seq() => Seq(Nil)
         case k +: rest =>
-          if (!Files.exists(dir)) Nil
-          else {
-            val prefix = s"$k="
-            val listing = Files.list(dir)
-            val subs = try listing.iterator().asScala
-                .filter(p => Files.isDirectory(p) &&
-                  p.getFileName.toString.startsWith(prefix)).toSeq
-              finally listing.close()
-            subs.flatMap(p => level(p, rest)
-              .map(p.getFileName.toString.stripPrefix(prefix) +: _))
-          }
+          val prefix = s"$k="
+          WarehouseIO.listDir(dir)
+            .filter(e => e.isDir && e.name.startsWith(prefix))
+            .flatMap(e => level(e.path, rest)
+              .map(e.name.stripPrefix(prefix) +: _))
       }
-    (level(Paths.get(logDir), desc.partitionKeys) ++
-      level(Paths.get(snapshotDir), desc.partitionKeys))
+    (level(logDir, desc.partitionKeys) ++
+      level(snapshotDir, desc.partitionKeys))
       .distinct.sortBy(_.mkString("/"))
   }
 

@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -24,23 +22,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 final class SecondaryIndex private[core] (val table: GraftTable,
     val indexColumns: Seq[String], val idx: GraftTable) {
 
-  private def metaFile = Paths.get(idx.path, "_index_meta.json")
+  private def metaFile = s"${idx.path}/_index_meta.json"
 
   /** Base-table version the index reflects (0 = nothing applied). */
   def appliedVersion: Long =
-    if (!Files.exists(metaFile)) 0L
-    else {
-      val s = new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8)
-      "\"appliedVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong).getOrElse(0L)
+    WarehouseIO.readStringIfExists(metaFile) match {
+      case None => 0L
+      case Some(s) =>
+        "\"appliedVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(0L)
     }
 
-  private def writeAppliedVersion(v: Long): Unit = {
-    val tmp = Paths.get(idx.path, s"_index_meta.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, s"""{"appliedVersion": $v}""".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaFile, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeAppliedVersion(v: Long): Unit =
+    WarehouseIO.atomicWriteString(metaFile, s"""{"appliedVersion": $v}""")
 
   /** Catch the index up to the base table's latest committed version.
     * Reads ONLY the changelog slice after the last applied version.

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
@@ -50,9 +48,11 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 
   // the table path is <warehouse>/<db>/<table>: the dynamic-config store
   // (sys.set_cluster_configs) sits two levels up
-  private val warehouse: String =
-    Option(java.nio.file.Paths.get(table.path).getParent)
-      .flatMap(p => Option(p.getParent)).map(_.toString).getOrElse("")
+  private val warehouse: String = {
+    val p = table.path.stripSuffix("/")
+    val i = p.lastIndexOf('/', p.lastIndexOf('/') - 1)
+    if (i > 0) p.substring(0, i) else ""
+  }
 
   /** Mode resolution: reader option first, else the conf
     * `spark.sql.graft.scan.startup.mode` (the reference's SET-able
@@ -271,10 +271,8 @@ object GraftSourceProvider {
     // plain filesystem path the engine uses everywhere else
     val p0 = if (path.startsWith("file:")) new java.net.URI(path).getPath else path
     val p = if (p0.length > 1 && p0.endsWith("/")) p0.dropRight(1) else p0
-    val metaFile = Paths.get(p, "meta.json")
-    require(Files.exists(metaFile), s"no graft table at $path (missing meta.json)")
-    val desc = CatalogJson.read(
-      new String(Files.readAllBytes(metaFile), StandardCharsets.UTF_8))
-    new GraftTable(p, desc, spark)
+    val meta = graft.core.WarehouseIO.readStringIfExists(s"$p/meta.json")
+    require(meta.isDefined, s"no graft table at $path (missing meta.json)")
+    new GraftTable(p, CatalogJson.read(meta.get), spark)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -97,17 +97,12 @@ object GraftStream {
   // ----- exactly-once sink ------------------------------------------------
 
   private def commitDir(table: GraftTable, sinkId: String) =
-    Paths.get(table.path, "_stream_commits", sinkId)
+    s"${table.path}/_stream_commits/$sinkId"
 
   /** Batch ids already folded into the table by sink `sinkId`. */
-  def committedBatches(table: GraftTable, sinkId: String): Set[Long] = {
-    val d = commitDir(table, sinkId)
-    if (!Files.exists(d)) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(d).iterator().asScala.map(_.getFileName.toString.toLong).toSet
-    }
-  }
+  def committedBatches(table: GraftTable, sinkId: String): Set[Long] =
+    graft.core.WarehouseIO.listDir(commitDir(table, sinkId))
+      .map(_.name.toLong).toSet
 
   /** Streaming upsert sink: every micro-batch folds into the PK table via
     * the merge engine; replayed batches (restart without checkpoint sync)
@@ -131,9 +126,10 @@ object GraftStream {
             commitTag = Some(sinkId -> batchId))
         }
         val d = commitDir(table, sinkId)
-        Files.createDirectories(d)
-        if (!Files.exists(d.resolve(batchId.toString)))
-          Files.createFile(d.resolve(batchId.toString))
+        graft.core.WarehouseIO.mkdirs(d)
+        val marker = s"$d/$batchId"
+        if (!graft.core.WarehouseIO.exists(marker))
+          graft.core.WarehouseIO.createExclusive(marker)
         ()
       }
       .trigger(trigger)

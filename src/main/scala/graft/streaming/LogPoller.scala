@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.DataFrame
 import org.json4s._
@@ -40,7 +38,7 @@ final class LogPoller(table: GraftTable, group: String,
     require(n > 0, s"max-poll-records $n must be positive"))
 
   private val offsetsFile =
-    Paths.get(table.path, "_consumer_offsets", s"$group.json")
+    s"${table.path}/_consumer_offsets/$group.json"
 
   private def sub(m: Map[Int, Long]): Map[Int, Long] =
     buckets.map(bs => m.filter { case (b, _) => bs.contains(b) }).getOrElse(m)
@@ -60,10 +58,9 @@ final class LogPoller(table: GraftTable, group: String,
 
   /** The group's durably committed position, if it ever committed. */
   def committed: Option[Map[Int, Long]] =
-    if (!Files.exists(offsetsFile)) None
-    else Some(JsonMethods.parse(new String(Files.readAllBytes(offsetsFile),
-        StandardCharsets.UTF_8)).asInstanceOf[JObject].obj
-      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+    graft.core.WarehouseIO.readStringIfExists(offsetsFile).map(posJson =>
+      JsonMethods.parse(posJson).asInstanceOf[JObject].obj
+        .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
 
   /** Explicit reposition (LogScanner.subscribe with an offset). */
   def seek(offsets: Map[Int, Long]): Unit = { pos = sub(offsets) }
@@ -114,8 +111,8 @@ final class LogPoller(table: GraftTable, group: String,
     * same discipline as the table manifest).
     */
   def commit(): Unit = {
-    Files.createDirectories(offsetsFile.getParent)
-    CatalogJson.atomicWrite(offsetsFile.toString,
+    graft.core.WarehouseIO.mkdirs(s"${table.path}/_consumer_offsets")
+    CatalogJson.atomicWrite(offsetsFile,
       JsonMethods.compact(JsonMethods.render(JObject(
         pos.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
   }
