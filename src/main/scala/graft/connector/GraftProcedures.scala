@@ -30,7 +30,7 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq(
-    "compact", "vacuum_log", "rewrite_files", "expire_partitions",
+    "compact", "vacuum_log", "export_snapshot", "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
     "create_index", "refresh_index", "get_configs",
     "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
@@ -99,6 +99,13 @@ object GraftProcedures {
         Seq(in("table", StringType)),
         out("result", StringType)) { (t, _) =>
         t.vacuumLog(); "log vacuumed to the snapshot cutoff"
+      })
+      case "export_snapshot" => Some(proc(catalog, "export_snapshot",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val dir = row.getUTF8String(1).toString
+        t.exportSnapshot(dir)
+        s"exported current state to $dir (open parquet + _export_manifest.json)"
       })
       case "rewrite_files" => Some(proc(catalog, "rewrite_files",
         Seq(in("table", StringType),

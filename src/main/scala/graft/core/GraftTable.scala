@@ -999,7 +999,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def withCommitLock[T](staging: Option[String])(body: => T): T = {
     val lock = s"$path/_commit.lock"
     if (!WarehouseIO.createExclusive(lock)) {
-      val ageMs = System.currentTimeMillis() - WarehouseIO.mtimeMillis(lock)
+      // the holder may release between our failed create and this stat —
+      // that's still a conflict (retry), just not a stale one
+      val ageMs = System.currentTimeMillis() -
+        (try WarehouseIO.mtimeMillis(lock)
+         catch { case _: java.io.IOException => System.currentTimeMillis() })
       if (ageMs > 10 * 60 * 1000) WarehouseIO.deleteIfExists(lock) // stale holder
       staging.foreach(deleteTree)
       throw new java.util.ConcurrentModificationException(
@@ -1317,6 +1321,48 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
         upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+  }
+
+  /** Lake-format interop export (the reference tiers tables into open
+    * lake formats — fluss-lake/, LakeTableTieringManager.java:110): write
+    * the CURRENT state, data columns only, as plain hive-partitioned
+    * parquet that any engine reads with a bare parquet scan — no graft
+    * library required downstream (the "trainer reads the shards directly"
+    * story). Alongside the data, `_export_manifest.json` records the
+    * schema, partition keys, pinned source version/offsets, and the full
+    * file listing with sizes — enough for an external catalog (or an
+    * Iceberg/Delta import job) to register the snapshot without listing.
+    * Underscore-prefixed, so parquet readers skip it automatically.
+    *
+    * One distributed write, partitioned like the table; per-partition
+    * parallelism is the table's own layout, nothing lands on the driver
+    * but the file listing.
+    */
+  def exportSnapshot(dir: String): Unit = {
+    // pin version info BEFORE the write: the manifest must describe
+    // exactly the state exported, not state committed mid-export
+    val pinnedOffsets = readOffsets()
+    val version = readVersionHistory().lastOption.map(_.version)
+    val writer = scan().write.mode("overwrite").options(fileWriteOptions)
+    (if (desc.partitionKeys.nonEmpty) writer.partitionBy(desc.partitionKeys: _*)
+     else writer).parquet(dir)
+    val files = WarehouseIO.walkFiles(dir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .sortBy(_.path)
+    CatalogJson.atomicWrite(s"$dir/_export_manifest.json",
+      JsonMethods.pretty(JsonMethods.render(JObject(List(
+        "format" -> (JString("parquet"): JValue),
+        "source" -> (JString(path): JValue),
+        "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
+        "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
+        "offsets" -> (JObject(pinnedOffsets.toList.sortBy(_._1)
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue),
+        "schema" -> JsonMethods.parse(desc.schema.json),
+        "partitionKeys" -> (org.json4s.JArray(
+          desc.partitionKeys.toList.map(JString(_))): JValue),
+        "files" -> (org.json4s.JArray(files.toList.map(e => JObject(List(
+          "path" -> (JString(WarehouseIO.relativize(dir, e.path)): JValue),
+          "bytes" -> (JInt(e.len): JValue))))): JValue))))))
   }
 
   /** Log vacuum (S13/S14 log TTL for PK tables): once a snapshot covers a
@@ -1726,9 +1772,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .map(k => graft.plans.BucketPruning.bucketForValues(
         bKeys.map(k), bTypes, desc.numBuckets))
       .distinct
+    // FLAT membership predicate, not an OR-chain reduce: n keys as nested
+    // Or recurse n deep through every expression visitor (a 400-key batch
+    // overflowed the stack), while one In(...) stays a single node that
+    // the optimizer lowers to a hashed InSet above the conversion
+    // threshold — O(1) per row at any batch size.
+    val pk = desc.primaryKey
+    val pred =
+      if (pk.length == 1)
+        col(pk.head).isin(keys.map(_(pk.head)): _*)
+      else {
+        val tuple = struct(pk.map(col): _*)
+        val lits = keys.map(k => struct(pk.map(c =>
+          lit(k(c)).cast(desc.schema(c).dataType).as(c)): _*))
+        tuple.isin(lits: _*)
+      }
     Materialize.currentState(
         stateInput(Some(col(Meta.Bucket).isin(buckets: _*))), collapseDesc)
-      .filter(keys.map(keyPredicate).reduce(_ || _))
+      .filter(pred)
   }
 
   /** Prefix-key lookup (PrefixKeyLookuper.java:49): prefix must be the

@@ -55,22 +55,33 @@ final class SecondaryIndex private[core] (val table: GraftTable,
 
   /** Point probe by indexed value(s): bucket-pruned prefix lookup on the
     * index, then a batched PK lookup on the base table — two point reads,
-    * no state scan. The matched key set is collected (point-query scale,
-    * like every lookup path).
+    * no state scan. The matched key set is collected only up to
+    * `maxCollectedKeys` (point-query scale, like every lookup path); a
+    * HOT indexed value (e.g. an index on a low-cardinality `status`
+    * column) falls back to a semi-join of the base state against the
+    * index probe — same result, nothing data-scale on the driver and no
+    * million-literal filter in the plan.
     */
-  def lookup(values: Any*): DataFrame = {
+  def lookup(values: Any*): DataFrame =
+    lookupWithThreshold(SecondaryIndex.DefaultMaxCollectedKeys, values: _*)
+
+  /** [[lookup]] with an explicit driver-collect cutover (spec hook). */
+  def lookupWithThreshold(maxCollectedKeys: Int, values: Any*): DataFrame = {
     require(values.length == indexColumns.length,
       s"expected ${indexColumns.length} value(s) for $indexColumns")
     refreshGuard()
     val pk = table.desc.primaryKey
-    val keys = idx.prefixLookup(indexColumns.zip(values).toMap)
-      .select(pk.map(col): _*).collect()
-      .map(r => pk.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
-      .toSeq
-    if (keys.isEmpty)
-      table.scan().limit(0)
-    else
+    val probe = idx.prefixLookup(indexColumns.zip(values).toMap)
+      .select(pk.map(col): _*)
+    // peek one past the threshold: ≤ threshold -> batched point lookups
+    // (bucket-pruned, no shuffle); beyond it -> keyed semi-join
+    val head = probe.limit(maxCollectedKeys + 1).collect()
+    if (head.isEmpty) table.scan().limit(0)
+    else if (head.length <= maxCollectedKeys) {
+      val keys = head.map(r =>
+        pk.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap).toSeq
       table.lookupAll(keys)
+    } else table.scan().join(probe, pk, "left_semi")
   }
 
   private def refreshGuard(): Unit = {
@@ -88,6 +99,11 @@ object SecondaryIndex {
     * apply order and records entry provenance.
     */
   val SourceOffsetCol = "_src_offset"
+
+  /** Matched-key count above which [[SecondaryIndex.lookup]] switches from
+    * driver-collected point lookups to a distributed semi-join.
+    */
+  val DefaultMaxCollectedKeys = 10000
 
   /** Create and build an index on `table.indexColumns` as `db.name`.
     * The initial build replays the retained changelog when complete, and

@@ -40,11 +40,27 @@ object Bpe {
   /** Learn `numMerges` greedy merges; returns (rank, left, right,
     * pair_count), rank 0 first. Stops early when the best remaining
     * pair's corpus count falls below `minPairCount`.
+    *
+    * The distributed loop applies up to `batchMerges` merges per round
+    * (one pair-count aggregate + one vocab rewrite per ROUND instead of
+    * per merge — at a 32k-merge vocabulary this is the difference between
+    * ~2k and ~64k driver-coordinated jobs). Batching is greedy-EXACT, not
+    * approximate: a round selects the longest prefix of the
+    * (count desc, l, r)-sorted pair list whose pairs are pairwise
+    * symbol-disjoint (so applying earlier ones cannot change later ones'
+    * counts) and whose every count strictly exceeds the best count any
+    * applied merge could CREATE (bounded by the max collected count
+    * sharing a symbol with a selected pair, floored by the collect
+    * cutoff when the list was truncated) — so sequential greedy,
+    * tie-breaks included, would pick exactly this sequence. Equivalence
+    * with the reference loop is pinned by BpeSpec.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L,
-      driverVocabLimit: Long = 200000L): DataFrame = {
+      driverVocabLimit: Long = 200000L,
+      batchMerges: Int = 32): DataFrame = {
     require(numMerges >= 0, s"numMerges $numMerges must be non-negative")
+    require(batchMerges >= 1, s"batchMerges $batchMerges must be positive")
     val spark = df.sparkSession
     val freqs = wordFreqs(df, textCol)
     // The iterative loop's data is the DISTINCT-WORD table, which is
@@ -65,22 +81,71 @@ object Bpe {
     val merges = ArrayBuffer[(String, String, Long)]()
     var stop = false
     while (!stop && merges.length < numMerges) {
+      val want = math.min(batchMerges, numMerges - merges.length)
+      val m = want * 4 + 8
       val top = adjacentPairCounts(words)
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
-      top.headOption match {
-        case Some(row) if row.getLong(2) >= minPairCount =>
-          val (l, r) = (row.getString(0), row.getString(1))
-          merges += ((l, r, row.getLong(2)))
-          // apply the merge to the vocab; checkpoint keeps the lineage
-          // flat across iterations (else plan depth grows per merge)
-          words = words.select(
-            GraftColumn.of(BpeMergePair(
-              GraftColumn.expressionOf(col("syms")), l, r)).as("syms"),
-            col("freq")).localCheckpoint()
-        case _ => stop = true
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(m).collect()
+      // truncated list: pairs below the cutoff can count at most the
+      // last collected value; complete list: no floor at all
+      val floor = if (top.length < m) Long.MinValue else top.last.getLong(2)
+      val batch = selectDisjointPrefix(top, want, floor, minPairCount)
+      if (batch.isEmpty) stop = true
+      else {
+        merges ++= batch
+        // ONE pass applies the whole batch in rank order (sequential
+        // semantics by construction); checkpoint keeps the lineage flat
+        // across rounds (else plan depth grows per round)
+        val applied = batch.foldLeft(GraftColumn.expressionOf(col("syms"))) {
+          case (e, (l, r, _)) => BpeMergePair(e, l, r)
+        }
+        words = words.select(GraftColumn.of(applied).as("syms"), col("freq"))
+          .localCheckpoint()
       }
     }
     mergesDf(spark, merges)
+  }
+
+  /** The longest greedy-safe batch: a PREFIX of the sorted pair list
+    * (stopping at the first conflict, never skipping — prefix-ness is
+    * what makes the equivalence proof go through), pairwise
+    * symbol-disjoint, every count strictly above the created-pair bound.
+    */
+  private def selectDisjointPrefix(top: Array[Row], want: Int, floor: Long,
+      minPairCount: Long): Seq[(String, String, Long)] = {
+    val selected = ArrayBuffer[(String, String, Long)]()
+    val used = scala.collection.mutable.Set[String]()
+    // max count a merge applied so far could hand a NEWLY created pair:
+    // a new pair (x, l+r) / (l+r, y) occurs only where the pre-merge pair
+    // (x, l) / (r, y) occurred, so its count is bounded by the best
+    // collected count sharing a symbol with the applied pair (or the
+    // collect floor for pairs below the cutoff)
+    var createdBound = Long.MinValue
+    var i = 0
+    var halt = false
+    while (!halt && i < top.length && selected.length < want) {
+      val l = top(i).getString(0); val r = top(i).getString(1)
+      val c = top(i).getLong(2)
+      if (c < minPairCount) halt = true
+      else if (selected.nonEmpty &&
+          (used(l) || used(r) || c <= createdBound)) halt = true
+      else {
+        var share = floor
+        var j = 0
+        while (j < top.length) {
+          if (j != i) {
+            val jl = top(j).getString(0); val jr = top(j).getString(1)
+            if (jl == l || jl == r || jr == l || jr == r)
+              share = math.max(share, top(j).getLong(2))
+          }
+          j += 1
+        }
+        selected += ((l, r, c))
+        used += l; used += r
+        createdBound = math.max(createdBound, share)
+      }
+      i += 1
+    }
+    selected.toSeq
   }
 
   /** The same greedy loop on a collected vocabulary (small-vocab fast

@@ -669,4 +669,53 @@ class GraftTableSpec extends SparkTestBase {
       t.maintainPartitions(policy.copy(key = None), now)
     }
   }
+
+  test("exportSnapshot: bare parquet read matches scan(); manifest complete") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "exp1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    t.upsert(df((1L, 10, "a2")), orderBy = Seq(col("ord")))
+    t.delete(df((2L, null, null)), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-export").toString
+    t.exportSnapshot(out)
+    // NO graft involved in the read-back: any parquet engine sees this
+    val back = spark.read.parquet(out)
+    assertSameRows(back.collect().toSeq, t.scan().collect().toSeq)
+    assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    // the manifest names every data file with its size, and pins the
+    // exported version/offsets
+    val mf = org.json4s.jackson.JsonMethods.parse(new String(
+        Files.readAllBytes(java.nio.file.Paths.get(s"$out/_export_manifest.json"))))
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    val listed = mf("files").asInstanceOf[org.json4s.JArray].arr.map(f =>
+      f.asInstanceOf[org.json4s.JObject].obj.toMap
+        .apply("path").asInstanceOf[org.json4s.JString].s)
+    val onDisk = Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    assert(listed.nonEmpty && listed.size == onDisk.size)
+    assert(mf("version").asInstanceOf[org.json4s.JInt].num.toLong ==
+      t.latestVersion.get)
+    assert(mf("partitionKeys").asInstanceOf[org.json4s.JArray].arr.isEmpty)
+  }
+
+  test("exportSnapshot: hive-partitioned layout for a partitioned table") {
+    val cat = newCatalog()
+    val pSchema = StructType(schema.fields :+ StructField("dt", StringType))
+    val t = cat.createTable("db", "exp2", TableDescriptor(pSchema,
+      bucketKeys = Seq("k"), numBuckets = 2, partitionKeys = Seq("dt")))
+    t.append(spark.createDataFrame(Seq(
+        Row(1L, Int.box(1), "a", "2024-01-01", 0L),
+        Row(2L, Int.box(2), "b", "2024-01-02", 1L)).asJava,
+      StructType(pSchema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-export-p").toString
+    t.exportSnapshot(out)
+    // partition dirs are plain hive layout
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$out/dt=2024-01-01")))
+    val back = spark.read.parquet(out)
+      .withColumn("dt", col("dt").cast(StringType)) // reader-side inference
+    assertSameRows(back.select("k", "v", "s", "dt").collect().toSeq,
+      t.scan().select("k", "v", "s", "dt").collect().toSeq)
+  }
 }

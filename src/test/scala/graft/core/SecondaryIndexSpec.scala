@@ -57,6 +57,41 @@ class SecondaryIndexSpec extends SparkTestBase {
     assert(si.lookup("a").count() == 1)
   }
 
+  test("hot indexed value falls back to a semi-join, never a driver collect") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "hot1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4))
+    // 400 rows in cat 'hot', 100 spread elsewhere
+    val rows = (1L to 500L).map(k =>
+      Row(k, if (k <= 400) "hot" else s"c${k % 5}", k.toInt, k))
+    t.upsert(spark.createDataFrame(rows.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val si = SecondaryIndex.create(cat, "db", "hot1_by_cat", t, Seq("cat"))
+
+    // under the cutover: batched point lookups (plan carries no join)
+    val cold = si.lookupWithThreshold(50, "c1")
+    assert(!cold.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      s"cold probe should be a point lookup:\n${cold.queryExecution.optimizedPlan}")
+
+    // over the cutover: the plan IS a semi-join of base state vs probe —
+    // the matched-key set never lands on the driver
+    val hot = si.lookupWithThreshold(50, "hot")
+    assert(hot.queryExecution.analyzed.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, s"hot probe should be a semi-join:\n${hot.queryExecution.analyzed}")
+    assert(hot.count() == 400)
+    assert(hot.select(sum("v")).collect().head.getLong(0) ==
+      (1 to 400).map(_.toLong).sum)
+    // both paths agree with each other
+    assertSameRows(si.lookupWithThreshold(1000000, "hot")
+        .select("k").collect().toSeq,
+      hot.select("k").collect().toSeq)
+  }
+
   test("index entries live in the probe value's bucket (pruned reads)") {
     val cat = newCatalog()
     val t = cat.createTable("db", "base2",

@@ -127,6 +127,36 @@ class BpeSpec extends SparkTestBase {
     assert(local == dist)
   }
 
+  test("distributed loop batches merges: jobs stay far below 2 per merge") {
+    import spark.implicits._
+    // 12 disjoint two-letter words with strictly decreasing counts: one
+    // round can safely batch every merge (no shared symbols, no ties)
+    val words = (0 until 12).map(i =>
+      ("" + ('a' + 2 * i).toChar + ('b' + 2 * i).toChar, 100L - i))
+    val text = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val want = refTrain(words.toMap.map { case (w, f) => (w, f) }, 12)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val res = Bpe.train(df, "text", numMerges = 12, driverVocabLimit = 0L)
+        .collect()
+      Thread.sleep(1500) // listener bus drains async
+      res
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toList == want)
+    // unbatched this loop costs >= 2 jobs x 12 merges (+ setup); the
+    // batch does 1 count + 2 rounds x ~2 jobs + the final collect
+    assert(jobs.get() < 16, s"expected a batched loop, saw ${jobs.get()} jobs")
+  }
+
   test("non-BMP text: surrogate pairs stay whole in both paths; empty docs count 0") {
     import spark.implicits._
     val word = "a\uD83D\uDE42b" // a + emoji (surrogate pair) + b
