@@ -1,0 +1,67 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.CopyOnWriteArrayList
+import java.util.concurrent.atomic.LongAdder
+
+/** Engine metrics (the reference ships a metrics registry with per-table
+  * counters, fluss-metrics/; the first thing an operator asks for in
+  * production): named monotonic counters keyed (table path, metric),
+  * incremented by the engine's DRIVER-side operations — commits,
+  * compactions, vacuums, rewrites, lookups — and readable in-process.
+  * A listener hook observes every increment, so any external metrics
+  * system (StatsD, Prometheus push, a Spark custom source) can subscribe
+  * without the engine depending on it.
+  *
+  * Counters are process-local, like the reference's per-tabletserver
+  * registries: on a cluster each driver counts the work it coordinated.
+  * All methods are thread-safe and allocation-light (LongAdder per
+  * counter; listeners on a copy-on-write list).
+  */
+object GraftMetrics {
+
+  /** Observes each increment (called inline — keep implementations fast;
+    * batch/flush on your own thread).
+    */
+  trait Listener {
+    def onIncrement(tablePath: String, metric: String, delta: Long): Unit
+  }
+
+  // stable metric names (the public contract, not free-form strings)
+  val Commits = "commits"
+  val CommittedRows = "committedRows"
+  val CommitConflicts = "commitConflicts"
+  val Compactions = "compactions"
+  val Vacuums = "vacuums"
+  val Rewrites = "rewrites"
+  val Lookups = "lookups"
+  val Exports = "exports"
+
+  private val counters = new ConcurrentHashMap[(String, String), LongAdder]()
+  private val listeners = new CopyOnWriteArrayList[Listener]()
+
+  def addListener(l: Listener): Unit = listeners.add(l)
+  def removeListener(l: Listener): Unit = listeners.remove(l)
+
+  private[graft] def inc(tablePath: String, metric: String,
+      delta: Long = 1L): Unit = {
+    counters.computeIfAbsent((tablePath, metric), _ => new LongAdder).add(delta)
+    listeners.forEach(_.onIncrement(tablePath, metric, delta))
+  }
+
+  /** Current value of one counter (0 if never incremented). */
+  def counter(tablePath: String, metric: String): Long = {
+    val a = counters.get((tablePath, metric))
+    if (a == null) 0L else a.sum()
+  }
+
+  /** All counters of one table. */
+  def snapshot(tablePath: String): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach { (k, v) => if (k._1 == tablePath) b += k._2 -> v.sum() }
+    b.result()
+  }
+
+  /** Test hook: drop every counter (listeners stay registered). */
+  def resetAll(): Unit = counters.clear()
+}

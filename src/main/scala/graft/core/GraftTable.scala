@@ -1114,6 +1114,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           // through a single tablet leader; we detect instead of lock).
           if (currentBases != bases) {
             staging.foreach(deleteTree)
+            GraftMetrics.inc(path, GraftMetrics.CommitConflicts)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit detected on $path: offsets advanced from " +
                 s"$bases to $currentBases during this commit")
@@ -1132,6 +1133,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             currentIds.getOrElse(Set.empty) + commitId,
             hist :+ VersionEntry(hist.lastOption.map(_.version + 1).getOrElse(1L),
               commitTs.getTime, advanced))
+          GraftMetrics.inc(path, GraftMetrics.Commits)
+          GraftMetrics.inc(path, GraftMetrics.CommittedRows, counts.values.sum)
         } else {
           staging.foreach(deleteTree)
           if (commitTag.isDefined)
@@ -1321,6 +1324,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     CatalogJson.atomicWrite(snapshotMetaFile,
       JsonMethods.compact(JsonMethods.render(JObject(
         upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+    GraftMetrics.inc(path, GraftMetrics.Compactions)
   }
 
   /** Lake-format interop export (the reference tiers tables into open
@@ -1363,6 +1367,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         "files" -> (org.json4s.JArray(files.toList.map(e => JObject(List(
           "path" -> (JString(WarehouseIO.relativize(dir, e.path)): JValue),
           "bytes" -> (JInt(e.len): JValue))))): JValue))))))
+    GraftMetrics.inc(path, GraftMetrics.Exports)
   }
 
   /** Log vacuum (S13/S14 log TTL for PK tables): once a snapshot covers a
@@ -1421,6 +1426,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // them — tables written entirely by the id-gated path are safe in
     // every ordering.
     swapRewrittenLog(tmpDir, manifestAtStart, "vacuumLog")
+    GraftMetrics.inc(path, GraftMetrics.Vacuums)
   }
 
   /** Age-based log retention for LOG tables — the reference's
@@ -1563,6 +1569,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     swapRewrittenLog(tmpDir, manifestAtStart, "rewriteLogFiles")
+    GraftMetrics.inc(path, GraftMetrics.Rewrites)
   }
 
   /** The log stores POST-merge row images (the write path already applied
@@ -1753,6 +1760,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def lookup(key: Map[String, Any]): DataFrame = {
     require(desc.isPrimaryKeyTable, "lookup requires a PK table")
     require(key.keySet == desc.primaryKey.toSet, s"full PK required: ${desc.primaryKey}")
+    GraftMetrics.inc(path, GraftMetrics.Lookups)
     prunedState(key).filter(keyPredicate(key))
   }
 
