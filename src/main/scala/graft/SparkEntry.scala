@@ -174,6 +174,24 @@ object SparkEntry {
         .select(col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))),
 
+    // ----- J9 hot-value path: a tiny threshold forces the distributed
+    // semi-join fallback (base state ⋉ index probe) instead of the
+    // driver-collected point lookups — the plan a low-cardinality index
+    // value takes at scale
+    "j10_hot_index_join" -> ((s, dir) =>
+      Fixtures.usersByTypeIndex(s, dir).lookupWithThreshold(1, "view")
+        .select(col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))),
+
+    // ----- lake-format export: current state -> plain hive parquet +
+    // manifest, read back by a BARE parquet scan (no graft reader)
+    "s16_export_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-exp-q").toString
+      Fixtures.usersLww(s, dir).exportSnapshot(out)
+      s.read.parquet(out).select(col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }),
+
     // ----- J3: lookup join (stream side enriched against PK state)
     "j3_lookup_join" -> ((s, dir) => {
       val state = Fixtures.usersLww(s, dir).scan()
@@ -1328,6 +1346,16 @@ object SparkEntry {
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
+
+    "j10_hot_index_join" ->
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 AND event_type = 'view'""".stripMargin,
+
+    "s16_export_roundtrip" ->
+      """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
 
     "j2_prefix_lookup" ->
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
