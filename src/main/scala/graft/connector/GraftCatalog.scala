@@ -814,9 +814,7 @@ class GraftScanBuilder(table: GraftTable,
             // possibly stale; session-scoped like the reference's SET
             case _ if graft.core.DynamicConfigs.effective(
                 context.sparkSession,
-                // table.path is <warehouse>/<db>/<table>
-                table.path.substring(0,
-                  table.path.lastIndexOf('/', table.path.lastIndexOf('/') - 1)),
+                graft.core.WarehouseIO.warehouseOf(table.path),
                 "spark.sql.graft.read.optimized", "false").toBoolean =>
               table.scanReadOptimized()
             case _ => table.scanPruned(eqs)

@@ -103,6 +103,12 @@ object GraftProcedures {
       case "export_snapshot" => Some(proc(catalog, "export_snapshot",
         Seq(in("table", StringType), in("dir", StringType)),
         out("result", StringType)) { (t, row) =>
+        // data egress: gate on READ, not the DESCRIBE that table
+        // resolution already checked — a DESCRIBE-only principal must
+        // not dump table contents to a directory of their choosing
+        val Array(tdb, tname) =
+          row.getUTF8String(0).toString.split('.')
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         val dir = row.getUTF8String(1).toString
         t.exportSnapshot(dir)
         s"exported current state to $dir (open parquet + _export_manifest.json)"

@@ -213,10 +213,16 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     require(WarehouseIO.exists(s"$s/meta.json"), s"no such table $db.$src")
     val d = s"$warehouse/$db/$dst"
     require(!WarehouseIO.exists(s"$d/meta.json"), s"table $db.$dst exists")
-    WarehouseIO.mkdirs(d)
-    WarehouseIO.walkFiles(s).foreach { e =>
-      WarehouseIO.copyFile(e.path, s"$d/${WarehouseIO.relativize(s, e.path)}")
+    // recursive listing copy, not a files-only walk: empty directories
+    // (pre-created partitions, an empty log/) are part of the table
+    def copyTree(from: String, to: String): Unit = {
+      WarehouseIO.mkdirs(to)
+      WarehouseIO.listDir(from).foreach { e =>
+        if (e.isDir) copyTree(e.path, s"$to/${e.name}")
+        else WarehouseIO.copyFile(e.path, s"$to/${e.name}")
+      }
     }
+    copyTree(s, d)
     getTable(db, dst)
   }
 

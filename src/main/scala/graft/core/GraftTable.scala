@@ -79,6 +79,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       Some(fileName.substring(CidPrefix.length, CidLen))
     else None
 
+  /** Join-key normalization ONLY (never a path to read): Spark's
+    * input_file_name() renders local files as "file:///x" while Hadoop
+    * listings render "file:/x" — collapse both to "/x"; other schemes
+    * print identically on both sides and pass through.
+    */
   private def stripFileScheme(s: String): String =
     s.replaceFirst("^file:/*", "/")
 
@@ -88,12 +93,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * reused here to drop unmanifested residue.
     */
   private def visibleLogFiles(ids: Option[Set[String]]): (Seq[String], Boolean) = {
-    // local paths come back scheme-stripped so they join/compare exactly
-    // like input_file_name()'s normalized form; other schemes (hdfs, s3a)
-    // stay fully qualified on both sides
+    // paths stay FULLY QUALIFIED (Hadoop listing form): stripping file:
+    // would re-resolve them against fs.defaultFS, which on a cluster
+    // whose default is hdfs:// points a file:-scheme warehouse at the
+    // wrong filesystem. Callers that join against input_file_name()
+    // normalize BOTH sides with stripFileScheme at the join only.
     val all = WarehouseIO.walkFiles(logDir)
       .filter(e => !e.isDir && e.name.endsWith(".parquet"))
-      .map(e => stripFileScheme(e.path)).toVector
+      .map(_.path).toVector
     ids match {
       case None => (all, false) // legacy manifest: the directory is the truth
       case Some(idSet) =>
@@ -422,7 +429,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val listed = files.map { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       Row(WarehouseIO.relativize(logDir, f), cidOf(name).orNull,
-        WarehouseIO.size(f), f)
+        WarehouseIO.size(f), stripFileScheme(f))
     }
     val sizes = spark.createDataFrame(listed.asJava, schema)
     val aggExprs = Seq(
@@ -1343,13 +1350,34 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * but the file listing.
     */
   def exportSnapshot(dir: String): Unit = {
-    // pin version info BEFORE the write: the manifest must describe
-    // exactly the state exported, not state committed mid-export
-    val pinnedOffsets = readOffsets()
-    val version = readVersionHistory().lastOption.map(_.version)
-    val writer = scan().write.mode("overwrite").options(fileWriteOptions)
-    (if (desc.partitionKeys.nonEmpty) writer.partitionBy(desc.partitionKeys: _*)
-     else writer).parquet(dir)
+    // The manifest must describe EXACTLY the state exported. scan()
+    // pins its own manifest read when the plan is built, which happens
+    // between our pre- and post- reads — so if pre == post, no commit
+    // landed and pre is the state the write materialized. A commit
+    // racing in between invalidates the export; retry, then fail loudly
+    // (the commit protocol's posture) rather than publish a manifest
+    // that misdescribes the data.
+    var pinnedOffsets: Map[Int, Long] = Map.empty
+    var version: Option[Long] = None
+    var attempt = 0
+    var exported = false
+    while (!exported) {
+      val pre = parseManifest()
+      val writer = scan().write.mode("overwrite").options(fileWriteOptions)
+      (if (desc.partitionKeys.nonEmpty) writer.partitionBy(desc.partitionKeys: _*)
+       else writer).parquet(dir)
+      val post = parseManifest()
+      if (post._1 == pre._1) {
+        pinnedOffsets = pre._1
+        version = pre._4.lastOption.map(_.version)
+        exported = true
+      } else {
+        attempt += 1
+        if (attempt >= 3) throw new java.util.ConcurrentModificationException(
+          s"exportSnapshot($dir) raced concurrent commits 3 times on $path; " +
+            "pause writers or retry later")
+      }
+    }
     val files = WarehouseIO.walkFiles(dir)
       .filter(e => !e.isDir && e.name.endsWith(".parquet"))
       .sortBy(_.path)

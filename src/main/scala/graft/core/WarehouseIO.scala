@@ -40,16 +40,23 @@ object WarehouseIO {
 
   // The session's Hadoop conf picks up fs.* settings (credentials,
   // endpoints); building one per call would put XML parsing on the
-  // metadata hot path, so cache the first.
+  // metadata hot path, so cache the first SESSION-derived conf. A bare
+  // Configuration (no session on this thread — getActiveSession is
+  // thread-scoped) is used transiently but never cached, so a
+  // background-thread first touch cannot pin a credential-less conf
+  // for the life of the JVM.
   @volatile private var cachedConf: Configuration = _
   private def conf: Configuration = {
-    var c = cachedConf
-    if (c == null) {
-      c = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
-      cachedConf = c
+    val c = cachedConf
+    if (c != null) c
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val fresh = s.sessionState.newHadoopConf()
+        cachedConf = fresh
+        fresh
+      case None => new Configuration()
     }
-    c
   }
 
   private def p(s: String): Path = new Path(s)
@@ -152,9 +159,14 @@ object WarehouseIO {
     }
   }
 
-  /** Write a small file then atomically move it into place. */
+  /** Write a small file then atomically move it into place. The temp
+    * name is UNIQUE per call: concurrent un-locked writers (e.g. two
+    * SecondaryIndex.refresh calls) must not publish each other's bytes
+    * or rename a vanished temp. Crash residue (stray .tmp-*) is inert —
+    * no reader ever enumerates it.
+    */
   def atomicWriteString(path: String, content: String): Unit = {
-    val tmp = path + ".tmp"
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
     val f = fs(tmp)
     val out = f.create(p(tmp), true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -174,6 +186,13 @@ object WarehouseIO {
           throw new java.io.FileNotFoundException(path)
       }
     case None =>
+      // FileSystem.create auto-creates missing parents — but a vanished
+      // parent means the table/db was dropped mid-race, and silently
+      // resurrecting the directory would let the lock body run against
+      // a half-deleted tree. Match the local-path contract instead.
+      val parent = p(path).getParent
+      if (parent != null && !fs(path).exists(parent))
+        throw new java.io.FileNotFoundException(path)
       try { fs(path).create(p(path), false).close(); true }
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                    _: java.nio.file.FileAlreadyExistsException => false }
@@ -212,6 +231,17 @@ object WarehouseIO {
     if (parent != null) df.mkdirs(parent)
     org.apache.hadoop.fs.FileUtil.copy(sf, p(src), df, p(dst),
       false /* deleteSource */, true /* overwrite */, conf)
+  }
+
+  /** The warehouse root of a table directory (`<warehouse>/<db>/<table>`):
+    * two path segments up. Shared by every caller that needs the
+    * warehouse-scoped stores (dynamic configs, ACLs) from a table handle;
+    * returns "" when the path has fewer than two separators.
+    */
+  def warehouseOf(tablePath: String): String = {
+    val p0 = tablePath.stripSuffix("/")
+    val i = p0.lastIndexOf('/', p0.lastIndexOf('/') - 1)
+    if (i > 0) p0.substring(0, i) else ""
   }
 
   /** `child`'s path relative to `base` (both qualified first). */

@@ -67,8 +67,10 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // drop batch ids already accepted: a re-ingested id is a duplicate by
     // definition, and letting it through would put two rows of the same
     // id into the verifyJaccard docs union, skewing shingle-set sizes.
-    // The corpus side stays a narrow id scan broadcast-probed by the
-    // micro-batch — no corpus shuffle.
+    // The corpus is append-only (this class only ever append()s novel
+    // rows), so scan() here is a column-pruned log read of just the id
+    // column — no merge, no shuffle — broadcast-probed by the
+    // micro-batch.
     val resent = corpus.scan().select(col(idCol))
       .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
     val fresh = batch.join(broadcast(resent), Seq(idCol), "left_anti")

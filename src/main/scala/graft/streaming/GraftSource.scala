@@ -48,11 +48,7 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 
   // the table path is <warehouse>/<db>/<table>: the dynamic-config store
   // (sys.set_cluster_configs) sits two levels up
-  private val warehouse: String = {
-    val p = table.path.stripSuffix("/")
-    val i = p.lastIndexOf('/', p.lastIndexOf('/') - 1)
-    if (i > 0) p.substring(0, i) else ""
-  }
+  private val warehouse: String = graft.core.WarehouseIO.warehouseOf(table.path)
 
   /** Mode resolution: reader option first, else the conf
     * `spark.sql.graft.scan.startup.mode` (the reference's SET-able
