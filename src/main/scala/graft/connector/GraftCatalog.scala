@@ -271,6 +271,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               org.apache.spark.sql.types.StringType, nullable = false))))
             .select(col("partition"))
         })
+        // this process's engine counters for the table ([[GraftMetrics]]
+        // — the reference's per-table metrics registry through SQL)
+        case "metrics" => return new GraftMetaTable(qualified, () => {
+          val rows = graft.core.GraftMetrics.snapshot(t.path).toSeq.sorted
+            .map { case (m, v) => Row(m, v) }
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("metric",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        })
         case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }
     }

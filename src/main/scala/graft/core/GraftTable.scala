@@ -1071,10 +1071,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     withCommitLock(None) {
       readManifest()._3.foreach(cleanUnmanifestedResidue)
       val now = System.currentTimeMillis()
-      WarehouseIO.listDir(path)
+      val entries = WarehouseIO.listDir(path)
+      entries
         .filter(e => e.isDir && e.name.startsWith("log.staging-") &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => deleteTree(e.path))
+      // atomic-write temps a crashed writer never renamed (unique
+      // .tmp-<uuid> names): inert, but free the bytes past the threshold
+      entries
+        .filter(e => !e.isDir && e.name.contains(".tmp-") &&
+          now - e.mtimeMillis >= stagingOlderThanMs)
+        .foreach(e => WarehouseIO.deleteIfExists(e.path))
     }
 
   /** Assign per-bucket contiguous offsets and append to the log dir.

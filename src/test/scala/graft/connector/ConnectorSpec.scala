@@ -301,6 +301,12 @@ class ConnectorSpec extends SparkTestBase {
       "FROM gfs.db.meta.offsets").collect()
     assert(off.map(_.getLong(2)).sum == 4)
     assert(off.forall(r => r.getLong(1) == 0L))
+
+    // metrics metadata: this process's engine counters for the table
+    val met = spark.sql("SELECT metric, value FROM gfs.db.meta.metrics")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(met(graft.core.GraftMetrics.Commits) >= 2)
+    assert(met(graft.core.GraftMetrics.CommittedRows) >= 4)
   }
 
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
