@@ -56,16 +56,36 @@ object WarehouseIO {
   // background-thread first touch cannot pin a credential-less conf
   // for the life of the JVM.
   @volatile private var cachedConf: Configuration = _
+  // extra fs.* bindings applied over every conf this object hands out —
+  // lets embedders (and the remote-branch spec) register filesystem
+  // implementations without rebuilding the session
+  private val confOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register an extra Hadoop conf binding (e.g. `fs.<scheme>.impl`)
+    * for all metadata IO, current and future confs alike.
+    */
+  def setConf(key: String, value: String): Unit = {
+    confOverrides.put(key, value)
+    val c = cachedConf
+    if (c != null) c.set(key, value)
+  }
+
+  private def applyOverrides(c: Configuration): Configuration = {
+    confOverrides.forEach((k, v) => c.set(k, v))
+    c
+  }
+
   private def conf: Configuration = {
     val c = cachedConf
     if (c != null) c
     else org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
       case Some(s) =>
-        val fresh = s.sessionState.newHadoopConf()
+        val fresh = applyOverrides(s.sessionState.newHadoopConf())
         cachedConf = fresh
         fresh
-      case None => new Configuration()
+      case None => applyOverrides(new Configuration())
     }
   }
 
