@@ -104,6 +104,12 @@ object SparkEntry {
     "tt2_version_travel" -> ((s, dir) =>
       Fixtures.usersTwoVersions(s, dir).scanAtVersion(1L)),
 
+    // ----- in-place restore (Delta RESTORE / Iceberg rollback analog):
+    // rollbackTo(1) physically truncates the log back to version 1's
+    // offsets — the restored STATE must equal version-1 travel
+    "tt4_rollback" -> ((s, dir) =>
+      Fixtures.usersRolledBack(s, dir).scan()),
+
     // ----- T3 incremental read (delta `table_changes` / CDF analog):
     // the changelog of commits after version 1 up to version 2 — offset-
     // slice read, no full-log scan
@@ -1258,6 +1264,13 @@ object SparkEntry {
         |FROM lineitem WHERE l_partkey <= 50 AND l_suppkey <= 5""".stripMargin,
 
     "tt2_version_travel" ->
+      """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+        |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id <= (SELECT mid FROM mx)) WHERE rn = 1""".stripMargin,
+
+    // restored state == version-1 travel state (same oracle shape)
+    "tt4_rollback" ->
       """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
         |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

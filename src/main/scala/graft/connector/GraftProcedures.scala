@@ -30,7 +30,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq(
-    "compact", "vacuum_log", "export_snapshot", "rewrite_files", "expire_partitions",
+    "compact", "vacuum_log", "export_snapshot", "rollback_to_version",
+    "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
     "create_index", "refresh_index", "get_configs",
     "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
@@ -99,6 +100,13 @@ object GraftProcedures {
         Seq(in("table", StringType)),
         out("result", StringType)) { (t, _) =>
         t.vacuumLog(); "log vacuumed to the snapshot cutoff"
+      })
+      case "rollback_to_version" => Some(proc(catalog, "rollback_to_version",
+        Seq(in("table", StringType), in("version", LongType)),
+        out("result", StringType)) { (t, row) =>
+        val v = row.getLong(1)
+        t.rollbackTo(v)
+        s"table restored to version $v (later commits undone)"
       })
       case "export_snapshot" => Some(proc(catalog, "export_snapshot",
         Seq(in("table", StringType), in("dir", StringType)),

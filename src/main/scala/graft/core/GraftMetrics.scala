@@ -36,6 +36,7 @@ object GraftMetrics {
   val Rewrites = "rewrites"
   val Lookups = "lookups"
   val Exports = "exports"
+  val Rollbacks = "rollbacks"
 
   private val counters = new ConcurrentHashMap[(String, String), LongAdder]()
   private val listeners = new CopyOnWriteArrayList[Listener]()
@@ -64,4 +65,29 @@ object GraftMetrics {
 
   /** Test hook: drop every counter (listeners stay registered). */
   def resetAll(): Unit = counters.clear()
+
+  /** Every counter in Prometheus text-exposition format (the reference
+    * ships pluggable metric reporters, maintenance/observability/
+    * metric-reporters.md; this is the dependency-free equivalent — serve
+    * or scrape it from the embedding application). Counter metric names
+    * follow the convention `graft_<metric>_total`, labeled by table.
+    */
+  def prometheusText(): String = {
+    val byMetric = scala.collection.mutable.TreeMap[String,
+      scala.collection.mutable.TreeMap[String, Long]]()
+    counters.forEach { (k, v) =>
+      byMetric.getOrElseUpdate(k._2, scala.collection.mutable.TreeMap())
+        .update(k._1, v.sum())
+    }
+    val sb = new StringBuilder
+    byMetric.foreach { case (metric, tables) =>
+      val name = s"graft_${metric.replaceAll("([A-Z])", "_$1").toLowerCase}_total"
+      sb.append(s"# TYPE $name counter\n")
+      tables.foreach { case (table, value) =>
+        val label = table.replace("\\", "\\\\").replace("\"", "\\\"")
+        sb.append(s"""$name{table="$label"} $value""").append('\n')
+      }
+    }
+    sb.toString
+  }
 }

@@ -1560,6 +1560,78 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .foreach(e => WarehouseIO.deleteIfExists(e.path))
   }
 
+  /** In-place restore to recorded commit `v` — the Delta `RESTORE` /
+    * Iceberg `rollback_to_snapshot` analog (the reference has no
+    * restore; its offsets-pinned version history makes one natural).
+    * The retained log is REWRITTEN to rows below v's per-bucket offset
+    * bound and the manifest flips to v's offsets with the history
+    * truncated, all through the vacuum publish protocol — so later
+    * commits reuse the rolled-back offset range with no ambiguity, and
+    * scans, changelog and version reads behave as if the undone commits
+    * never happened. A physical truncation (not a metadata edit) is
+    * deliberate: after a [[rewriteLogFiles]], one file can hold rows on
+    * both sides of the bound, so no id/offset gate alone could both
+    * hide the undone rows and free their offsets for reuse.
+    *
+    * Snapshot tier: a snapshot whose cutoff is within v stays (a prefix
+    * materialization remains valid); one AHEAD of v is dropped when the
+    * log retains full history, and refused after a vacuum — the
+    * pre-floor history lives only in that snapshot, so v is
+    * unreconstructible. Streaming sink batch tags newer than v stay
+    * recorded and will SKIP on replay; restart those pipelines from
+    * fresh checkpoints after a rollback (the standard restore caveat).
+    */
+  def rollbackTo(v: Long): Unit = {
+    val manifestAtStart = readManifest()
+    val hist = readVersionHistory()
+    require(hist.nonEmpty, s"table at $path has no recorded version history")
+    val entry = hist.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v not recorded for $path (recorded: " +
+          s"${hist.head.version}..${hist.last.version})"))
+    retentionFloorMillis().foreach { floor =>
+      require(entry.tsMillis >= floor,
+        s"version $v precedes a partition retention delete; unreconstructible")
+    }
+    val bound = entry.offsets
+    retainedFloorOffsets.foreach { floors =>
+      require(!floors.exists { case (b, f) => f > bound.getOrElse(b, 0L) },
+        s"log vacuumed above version $v; that history is gone")
+    }
+    readSnapshotMeta().foreach { cut =>
+      if (cut.exists { case (b, o) => o > bound.getOrElse(b, 0L) }) {
+        require(retainedFloorOffsets.forall(_.values.forall(_ == 0L)),
+          s"snapshot is ahead of version $v and the log was vacuumed — " +
+            "pre-floor history lives only in the snapshot; unreconstructible")
+        // full history is in the log: drop the now-too-new snapshot tier
+        deleteTree(snapshotDir)
+        WarehouseIO.deleteIfExists(snapshotMetaFile)
+      }
+    }
+    val tmpDir = s"$path/log.rollback"
+    val retained = logDFFor(manifestAtStart)
+      .filter(col(Meta.Offset) < bucketMapExpr(bound, 0L))
+    retained.write.mode("overwrite").options(fileWriteOptions)
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+    withCommitLock(Some(tmpDir)) {
+      val (bases, commits, ids, _) = parseManifest()
+      if (bases != manifestAtStart._1 || ids != manifestAtStart._3) {
+        deleteTree(tmpDir)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected on $path during rollbackTo($v); retry")
+      }
+      val newId = java.util.UUID.randomUUID().toString
+      moveStagedFiles(tmpDir, newId)
+      writeManifest(bound, commits, Set(newId), hist.filter(_.version <= v))
+      cleanUnmanifestedResidue(Set(newId))
+      WarehouseIO.walkFiles(logDir)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet") &&
+          cidOf(e.name).isEmpty)
+        .foreach(e => WarehouseIO.deleteIfExists(e.path))
+    }
+    GraftMetrics.inc(path, GraftMetrics.Rollbacks)
+  }
+
   /** Small-file compaction (iceberg `rewrite_data_files` analog; the
     * reference rolls log segments to a size target, LogSegment/LogManager):
     * every commit writes at least one file per touched (partition, bucket)

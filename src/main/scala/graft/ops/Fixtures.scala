@@ -633,6 +633,18 @@ object Fixtures {
       t
     }
 
+  /** Rollback fixture: the two-commit LWW table RESTORED in place to
+    * version 1 ([[graft.core.GraftTable.rollbackTo]]) — the physical log
+    * truncation must land on exactly the version-1 travel state.
+    */
+  def usersRolledBack(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_rollback", sfDir) {
+      usersTwoVersions(spark, sfDir) // ensure the source fixture is built
+      val t = freshClone(spark, sfDir, "users_2v", "users_rollback")
+      t.rollbackTo(1L)
+      t
+    }
+
   /** Row-level ops fixture (§4 DELETE/UPDATE pushdown): LWW state, then
     * `DELETE WHERE event_type='error'` and
     * `UPDATE SET value=value*2 WHERE event_type='purchase'`.

@@ -351,6 +351,14 @@ class ConnectorSpec extends SparkTestBase {
     val st = spark.sql("SELECT k, v FROM gfs.db.mpk ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(st == Seq((1L, 9), (2L, 2)))
+
+    // in-place restore through SQL: v1 is reconstructible even after the
+    // vacuum (the snapshot cutoff IS v1 — the snapshot tier serves it),
+    // so the k=1 -> 9 upsert is undone
+    assert(spark.sql("CALL gfs.system.rollback_to_version('db.mpk', 1)")
+      .head.getString(0).contains("restored to version 1"))
+    assert(spark.sql("SELECT k, v FROM gfs.db.mpk ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 1), (2L, 2)))
   }
 
   test("VERSION AS OF reads the state at a recorded commit version") {

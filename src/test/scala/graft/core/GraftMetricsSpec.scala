@@ -73,5 +73,10 @@ class GraftMetricsSpec extends SparkTestBase {
     assert(GraftMetrics.counter(t.path, GraftMetrics.Rewrites) == 1)
     assert(GraftMetrics.counter(t.path, "nope") == 0)
     assert(GraftMetrics.counter("/no/such/table", GraftMetrics.Commits) == 0)
+    // Prometheus exposition: typed counter families, table labels
+    val prom = GraftMetrics.prometheusText()
+    assert(prom.contains("# TYPE graft_commits_total counter"))
+    assert(prom.contains(s"""graft_commits_total{table="${t.path}"} 1"""))
+    assert(prom.contains(s"""graft_committed_rows_total{table="${t.path}"} 2"""))
   }
 }

@@ -670,6 +670,63 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("rollbackTo restores a recorded version in place; offsets reusable") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "rb1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))  // v1
+    t.upsert(df((1L, 10, "a2")), orderBy = Seq(col("ord")))              // v2
+    t.upsert(df((3L, 3, "c")), orderBy = Seq(col("ord")))                // v3
+    t.delete(df((2L, null, null)), orderBy = Seq(col("ord")))            // v4
+    assert(t.scan().count() == 2)
+    val v2State = t.scanAtVersion(2).collect().toSeq
+
+    t.rollbackTo(2)
+    // state, history and changelog behave as if v3/v4 never happened
+    assertSameRows(t.scan().collect().toSeq, v2State)
+    assert(t.latestVersion.contains(2L))
+    assert(t.changelog().count() == 4) // v1: 2 inserts, v2: -U/+U
+    intercept[IllegalArgumentException](t.scanAtVersion(3))
+
+    // the rolled-back offset range is reusable: new commits continue
+    // cleanly and per-bucket offsets stay contiguous
+    t.upsert(df((9L, 9, "z")), orderBy = Seq(col("ord")))
+    assert(t.scan().count() == 3)
+    t.logDF.collect().groupBy(_.getAs[Int](Meta.Bucket)).foreach {
+      case (_, rows) =>
+        val offs = rows.map(_.getAs[Long](Meta.Offset)).sorted
+        assert(offs.sameElements(offs.indices.map(_.toLong)),
+          s"offsets contiguous after rollback: ${offs.mkString(",")}")
+    }
+    assert(t.latestVersion.contains(3L)) // history continues from v2
+    assert(GraftMetrics.counter(t.path, GraftMetrics.Rollbacks) == 1)
+  }
+
+  test("rollbackTo guards: ahead snapshot dropped; vacuumed history refused") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "rb2",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a")), orderBy = Seq(col("ord")))  // v1
+    t.upsert(df((2L, 2, "b")), orderBy = Seq(col("ord")))  // v2
+    t.compact() // snapshot cutoff at v2 — AHEAD of v1
+    // log still holds full history: the too-new snapshot is dropped
+    t.rollbackTo(1)
+    assert(t.scan().collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    val t2 = cat.createTable("db", "rb3",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t2.upsert(df((1L, 1, "a")), orderBy = Seq(col("ord"))) // v1
+    t2.upsert(df((2L, 2, "b")), orderBy = Seq(col("ord"))) // v2
+    t2.compact()
+    t2.vacuumLog() // history before v2 now lives only in the snapshot
+    t2.upsert(df((3L, 3, "c")), orderBy = Seq(col("ord"))) // v3
+    // rolling back INTO vacuumed history must refuse, not corrupt
+    intercept[IllegalArgumentException](t2.rollbackTo(1))
+    // but a version at/after the floor still works
+    t2.rollbackTo(2)
+    assert(t2.scan().count() == 2)
+  }
+
   test("exportSnapshot: bare parquet read matches scan(); manifest complete") {
     val cat = newCatalog()
     val t = cat.createTable("db", "exp1",
