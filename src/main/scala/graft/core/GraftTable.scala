@@ -45,6 +45,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val vacuumMarkerFile = s"$path/_vacuumed.json"
   private val retentionMarkerFile = s"$path/_retention.json"
   private val leasesFile = s"$path/_leases.json"
+  private val rollbackEpochFile = s"$path/_rollbacks.json"
   @volatile private var snapshotLayoutChecked = false
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
@@ -1073,12 +1074,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       val now = System.currentTimeMillis()
       val entries = WarehouseIO.listDir(path)
       entries
-        .filter(e => e.isDir && e.name.startsWith("log.staging-") &&
+        .filter(e => e.isDir && (e.name.startsWith("log.staging-") ||
+            // fixed-name op staging left by a crashed vacuum/rewrite/
+            // rollback/compact — overwritten on the next run, but free
+            // the bytes for tables that stopped maintaining
+            e.name == "log.vacuum" || e.name == "log.rewrite" ||
+            e.name == "log.rollback" || e.name == "snapshot.compact" ||
+            e.name == "snapshot.old") &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => deleteTree(e.path))
       // atomic-write temps a crashed writer never renamed (unique
-      // .tmp-<uuid> names): inert, but free the bytes past the threshold
-      entries
+      // .tmp-<uuid> names) — anywhere under the table, e.g. consumer
+      // group offsets in _consumer_offsets/: inert, but free the bytes
+      WarehouseIO.walkFiles(path)
         .filter(e => !e.isDir && e.name.contains(".tmp-") &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => WarehouseIO.deleteIfExists(e.path))
@@ -1331,13 +1339,36 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // per-bucket files too, KvSnapshotBatchScanner) — and partition
     // drop/expiry stays an O(1) dir delete on BOTH tiers instead of
     // silently resurfacing dropped partitions from a partition-blind
-    // snapshot.
+    // snapshot. Staged OUTSIDE the snapshot dir: the swap + meta write
+    // run under the commit lock so a concurrent rollbackTo cannot be
+    // silently overwritten with pre-restore state (offsets moving
+    // BACKWARD aborts; commits racing forward are replay-safe — the
+    // union read replays any tail >= the recorded cutoff idempotently).
+    val tmpDir = s"$path/snapshot.compact"
     currentState().withColumn(Meta.Bucket, bucketCol)
       .write.mode("overwrite").options(fileWriteOptions)
-      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(snapshotDir)
-    CatalogJson.atomicWrite(snapshotMetaFile,
-      JsonMethods.compact(JsonMethods.render(JObject(
-        upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+      .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+    withCommitLock(Some(tmpDir)) {
+      val now = readOffsets()
+      if (upTo.exists { case (b, o) => now.getOrElse(b, 0L) < o }) {
+        deleteTree(tmpDir)
+        throw new java.util.ConcurrentModificationException(
+          s"offsets moved backward on $path during compact() " +
+            "(rollback/restore landed); retry compact()")
+      }
+      // old dir aside -> new dir in -> meta last (atomic rename). A
+      // reader between the moves sees meta + missing dir: loud
+      // transient, never silent; between dir and meta it replays the
+      // old cutoff's tail over the new snapshot — idempotent.
+      val old = s"$path/snapshot.old"
+      deleteTree(old)
+      if (WarehouseIO.exists(snapshotDir)) WarehouseIO.moveFile(snapshotDir, old)
+      WarehouseIO.moveFile(tmpDir, snapshotDir)
+      CatalogJson.atomicWrite(snapshotMetaFile,
+        JsonMethods.compact(JsonMethods.render(JObject(
+          upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
+      deleteTree(old)
+    }
     GraftMetrics.inc(path, GraftMetrics.Compactions)
   }
 
@@ -1541,7 +1572,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def swapRewrittenLog(tmpDir: String,
       manifestAtStart: (Map[Int, Long], Map[String, Long], Option[Set[String]]),
-      op: String): Unit = withCommitLock(Some(tmpDir)) {
+      op: String,
+      newOffsets: Option[Map[Int, Long]] = None,
+      newHistory: Option[List[VersionEntry]] = None,
+      inLock: () => Unit = () => ()): Unit = withCommitLock(Some(tmpDir)) {
     val (bases, commits, ids, hist) = parseManifest()
     if (bases != manifestAtStart._1 || ids != manifestAtStart._3) {
       deleteTree(tmpDir)
@@ -1549,9 +1583,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         s"concurrent commit detected on $path during $op: manifest " +
           s"advanced since the rewrite was planned; retry $op()")
     }
+    // op-specific conflict checks / tier maintenance (rollback's
+    // snapshot handling) — a failure here must not strand the staging
+    try inLock() catch { case t: Throwable => deleteTree(tmpDir); throw t }
     val newId = java.util.UUID.randomUUID().toString
     moveStagedFiles(tmpDir, newId)
-    writeManifest(bases, commits, Set(newId), hist)
+    writeManifest(newOffsets.getOrElse(bases), commits, Set(newId),
+      newHistory.getOrElse(hist))
     cleanUnmanifestedResidue(Set(newId))
     // legacy un-prefixed files are not "residue"; remove them explicitly
     WarehouseIO.walkFiles(logDir)
@@ -1582,8 +1620,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * fresh checkpoints after a rollback (the standard restore caveat).
     */
   def rollbackTo(v: Long): Unit = {
-    val manifestAtStart = readManifest()
-    val hist = readVersionHistory()
+    val (offsetsNow, commitsNow, idsNow, hist) = parseManifest()
+    val manifestAtStart = (offsetsNow, commitsNow, idsNow)
     require(hist.nonEmpty, s"table at $path has no recorded version history")
     val entry = hist.find(_.version == v).getOrElse(
       throw new IllegalArgumentException(
@@ -1598,39 +1636,70 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       require(!floors.exists { case (b, f) => f > bound.getOrElse(b, 0L) },
         s"log vacuumed above version $v; that history is gone")
     }
-    readSnapshotMeta().foreach { cut =>
+    // ahead-snapshot handling: VALIDATE here for fast failure (before
+    // the expensive log rewrite), but act only UNDER the commit lock —
+    // a compact() completing between this read and the publish must not
+    // resurrect the undone commits (a compact still writing aborts
+    // itself on its own backward-offset check)
+    def snapshotGuard(act: Boolean): Unit = readSnapshotMeta().foreach { cut =>
       if (cut.exists { case (b, o) => o > bound.getOrElse(b, 0L) }) {
         require(retainedFloorOffsets.forall(_.values.forall(_ == 0L)),
           s"snapshot is ahead of version $v and the log was vacuumed — " +
             "pre-floor history lives only in the snapshot; unreconstructible")
-        // full history is in the log: drop the now-too-new snapshot tier
-        deleteTree(snapshotDir)
-        WarehouseIO.deleteIfExists(snapshotMetaFile)
+        if (act) {
+          // full history is in the log: drop the now-too-new snapshot
+          // tier. Meta FIRST — a crash between the two leaves an inert
+          // orphan dir, never a meta pointing at a missing one.
+          WarehouseIO.deleteIfExists(snapshotMetaFile)
+          deleteTree(snapshotDir)
+        }
       }
     }
+    snapshotGuard(act = false)
     val tmpDir = s"$path/log.rollback"
     val retained = logDFFor(manifestAtStart)
       .filter(col(Meta.Offset) < bucketMapExpr(bound, 0L))
     retained.write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
-    withCommitLock(Some(tmpDir)) {
-      val (bases, commits, ids, _) = parseManifest()
-      if (bases != manifestAtStart._1 || ids != manifestAtStart._3) {
-        deleteTree(tmpDir)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent commit detected on $path during rollbackTo($v); retry")
-      }
-      val newId = java.util.UUID.randomUUID().toString
-      moveStagedFiles(tmpDir, newId)
-      writeManifest(bound, commits, Set(newId), hist.filter(_.version <= v))
-      cleanUnmanifestedResidue(Set(newId))
-      WarehouseIO.walkFiles(logDir)
-        .filter(e => !e.isDir && e.name.endsWith(".parquet") &&
-          cidOf(e.name).isEmpty)
-        .foreach(e => WarehouseIO.deleteIfExists(e.path))
-    }
+    swapRewrittenLog(tmpDir, manifestAtStart, s"rollbackTo($v)",
+      newOffsets = Some(bound),
+      newHistory = Some(hist.filter(_.version <= v)),
+      inLock = () => {
+        snapshotGuard(act = true)
+        // epoch bump BEFORE the manifest flip: a crash in between makes
+        // derived state (secondary indexes) rebuild unnecessarily — the
+        // fail-safe direction; the reverse order could leave an index
+        // silently serving undone rows after version numbers are reused
+        bumpRollbackEpoch()
+      })
     GraftMetrics.inc(path, GraftMetrics.Rollbacks)
   }
+
+  /** Drop ALL rows and log/snapshot state back to an empty table (the
+    * descriptor and auto-increment counter survive). Used by
+    * secondary-index rebuilds after a base-table restore: a keyed
+    * upsert alone cannot remove entries whose index values vanished
+    * with the undone commits.
+    */
+  private[core] def truncate(): Unit = withCommitLock(None) {
+    deleteTree(logDir)
+    WarehouseIO.mkdirs(logDir)
+    deleteTree(snapshotDir)
+    Seq(offsetsFile, snapshotMetaFile, vacuumMarkerFile,
+      retentionMarkerFile).foreach(WarehouseIO.deleteIfExists)
+  }
+
+  /** Monotonic count of in-place restores — derived state (secondary
+    * indexes) keys its validity on this: version numbers are REUSED
+    * after a rollback, so "applied version == latest version" alone
+    * cannot prove an index reflects the current timeline.
+    */
+  def rollbackEpoch: Long =
+    readMarkerMillis(rollbackEpochFile, "epoch").getOrElse(0L)
+
+  private def bumpRollbackEpoch(): Unit =
+    CatalogJson.atomicWrite(rollbackEpochFile,
+      s"""{"epoch": ${rollbackEpoch + 1}}""")
 
   /** Small-file compaction (iceberg `rewrite_data_files` analog; the
     * reference rolls log segments to a size target, LogSegment/LogManager):

@@ -25,32 +25,65 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   private def metaFile = s"${idx.path}/_index_meta.json"
 
   /** Base-table version the index reflects (0 = nothing applied). */
-  def appliedVersion: Long =
+  def appliedVersion: Long = readMetaField("appliedVersion")
+
+  /** Base-table [[GraftTable.rollbackEpoch]] the index was built
+    * against: version numbers are REUSED after an in-place restore, so
+    * the version alone cannot prove the index reflects the current
+    * timeline.
+    */
+  def appliedEpoch: Long = readMetaField("epoch")
+
+  private def readMetaField(key: String): Long =
     WarehouseIO.readStringIfExists(metaFile) match {
       case None => 0L
       case Some(s) =>
-        "\"appliedVersion\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
           .map(_.group(1).toLong).getOrElse(0L)
     }
 
-  private def writeAppliedVersion(v: Long): Unit =
-    WarehouseIO.atomicWriteString(metaFile, s"""{"appliedVersion": $v}""")
+  private def writeApplied(v: Long, epoch: Long): Unit =
+    WarehouseIO.atomicWriteString(metaFile,
+      s"""{"appliedVersion": $v, "epoch": $epoch}""")
 
   /** Catch the index up to the base table's latest committed version.
-    * Reads ONLY the changelog slice after the last applied version.
+    * Reads ONLY the changelog slice after the last applied version —
+    * except after a base-table RESTORE ([[GraftTable.rollbackTo]]),
+    * detected by the rollback epoch, which forces a full rebuild: the
+    * undone commits' index entries cannot be retracted incrementally.
     */
-  def refresh(): Unit = table.latestVersion.foreach { to =>
-    val from = appliedVersion
-    if (to > from) {
-      val ch = table.changesBetween(from, to)
-      val entry = (indexColumns ++ table.desc.primaryKey).map(col) ++ Seq(
-        col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
-        col(Meta.ChangeTypeCol).isin(
-          ChangeType.UpdateBefore, ChangeType.Delete).as("__delete"))
-      idx.upsertMixed(ch.select(entry: _*),
-        orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
-      writeAppliedVersion(to)
+  def refresh(): Unit = {
+    val epoch = table.rollbackEpoch
+    if (appliedEpoch != epoch) rebuildFromState(epoch)
+    else table.latestVersion.foreach { to =>
+      val from = appliedVersion
+      if (to > from) {
+        val ch = table.changesBetween(from, to)
+        val entry = (indexColumns ++ table.desc.primaryKey).map(col) ++ Seq(
+          col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
+          col(Meta.ChangeTypeCol).isin(
+            ChangeType.UpdateBefore, ChangeType.Delete).as("__delete"))
+        idx.upsertMixed(ch.select(entry: _*),
+          orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
+        writeApplied(to, epoch)
+      }
     }
+  }
+
+  /** Truncate + rebuild from the base's CURRENT state (also the
+    * post-vacuum initial-build path).
+    */
+  private def rebuildFromState(epoch: Long): Unit = {
+    idx.truncate()
+    val v = table.latestVersion.getOrElse(0L)
+    if (v > 0L) {
+      val snap = table.scan().select(
+        ((indexColumns ++ table.desc.primaryKey).map(col) :+
+          lit(0L).as(SecondaryIndex.SourceOffsetCol) :+
+          lit(false).as("__delete")): _*)
+      idx.upsertMixed(snap, orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
+    }
+    writeApplied(v, epoch)
   }
 
   /** Point probe by indexed value(s): bucket-pruned prefix lookup on the
@@ -85,6 +118,10 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   }
 
   private def refreshGuard(): Unit = {
+    require(appliedEpoch == table.rollbackEpoch,
+      s"index at ${idx.path} predates a base-table restore — call " +
+        "refresh() to rebuild (version numbers are reused after a " +
+        "rollback, so the stale entries could silently serve undone rows)")
     val latest = table.latestVersion.getOrElse(0L)
     require(appliedVersion == latest,
       s"index at ${idx.path} reflects base version $appliedVersion but the " +
@@ -133,7 +170,7 @@ object SecondaryIndex {
           ((indexColumns ++ table.desc.primaryKey).map(col) :+
             lit(0L).as(SourceOffsetCol) :+ lit(false).as("__delete")): _*)
         idx.upsertMixed(snap, orderBy = Seq(col(SourceOffsetCol)))
-        si.writeAppliedVersion(v)
+        si.writeApplied(v, table.rollbackEpoch)
       }
     } else si.refresh()
     si

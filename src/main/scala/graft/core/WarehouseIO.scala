@@ -96,12 +96,30 @@ object WarehouseIO {
     case other => other
   }
 
-  /** The local-filesystem form of `path` (no scheme or `file:`), which
-    * selects the java.nio fast path.
+  // is a scheme-LESS path local? Only when fs.defaultFS is — on a
+  // cluster whose default filesystem is hdfs://, a plain path means the
+  // remote FS (Spark resolves its data IO the same way, and splitting
+  // metadata/data across filesystems would be silent corruption)
+  @volatile private var defaultIsLocalCache: java.lang.Boolean = _
+  private def defaultIsLocal: Boolean = {
+    var b = defaultIsLocalCache
+    if (b == null) {
+      val u = FileSystem.getDefaultUri(conf)
+      b = java.lang.Boolean.valueOf(
+        u.getScheme == null || u.getScheme == "file")
+      defaultIsLocalCache = b
+    }
+    b.booleanValue()
+  }
+
+  /** The local-filesystem form of `path`, which selects the java.nio
+    * fast path: an explicit `file:` scheme always; a scheme-less path
+    * only when `fs.defaultFS` is local.
     */
   private def localPathOf(s: String): Option[java.nio.file.Path] = {
     val uri = p(s).toUri
-    if (uri.getScheme == null || uri.getScheme == "file")
+    if (uri.getScheme == "file" ||
+        (uri.getScheme == null && defaultIsLocal))
       Some(NioPaths.get(uri.getPath))
     else None
   }
@@ -237,6 +255,9 @@ object WarehouseIO {
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
     localPathOf(tmp) match {
       case Some(l) =>
+        // match the Hadoop create() contract: parents are created
+        val parent = l.getParent
+        if (parent != null) NioFiles.createDirectories(parent)
         NioFiles.write(l, content.getBytes(StandardCharsets.UTF_8)); ()
       case None =>
         val out = fs(tmp).create(p(tmp), true)

@@ -57,6 +57,31 @@ class SecondaryIndexSpec extends SparkTestBase {
     assert(si.lookup("a").count() == 1)
   }
 
+  test("base-table restore invalidates the index; refresh() rebuilds it") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "rbx1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(df((1L, "a", 1), (2L, "b", 2)), orderBy = Seq(col("ord"))) // v1
+    val si = SecondaryIndex.create(cat, "db", "rbx1_by_cat", t, Seq("cat"))
+    t.upsert(df((3L, "c", 3), (1L, "c", 10)), orderBy = Seq(col("ord"))) // v2
+    si.refresh()
+    assert(si.lookup("c").count() == 2)
+
+    t.rollbackTo(1)
+    // the stale index must REFUSE, not loop or silently serve undone rows
+    val e = intercept[IllegalArgumentException](si.lookup("c"))
+    assert(e.getMessage.contains("restore"))
+    si.refresh() // epoch mismatch -> full truncate + rebuild
+    assert(si.lookup("c").count() == 0)
+    assert(si.lookup("a").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // version-number REUSE after the rollback stays correct: new commits
+    // advance to v2 again with different data, incremental refresh works
+    t.upsert(df((5L, "c", 5)), orderBy = Seq(col("ord"))) // new v2
+    si.refresh()
+    assert(si.lookup("c").collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("hot indexed value falls back to a semi-join, never a driver collect") {
     val cat = newCatalog()
     val t = cat.createTable("db", "hot1",
