@@ -1077,10 +1077,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .filter(e => e.isDir && (e.name.startsWith("log.staging-") ||
             // fixed-name op staging left by a crashed vacuum/rewrite/
             // rollback/compact — overwritten on the next run, but free
-            // the bytes for tables that stopped maintaining
+            // the bytes for tables that stopped maintaining. NOT
+            // snapshot.old: after a compact crashed mid-swap it may be
+            // the only copy of a post-vacuum load-bearing snapshot —
+            // repair material, never garbage.
             e.name == "log.vacuum" || e.name == "log.rewrite" ||
-            e.name == "log.rollback" || e.name == "snapshot.compact" ||
-            e.name == "snapshot.old") &&
+            e.name == "log.rollback" || e.name == "snapshot.compact") &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => deleteTree(e.path))
       // atomic-write temps a crashed writer never renamed (unique
