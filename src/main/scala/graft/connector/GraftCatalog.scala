@@ -271,6 +271,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               org.apache.spark.sql.types.StringType, nullable = false))))
             .select(col("partition"))
         })
+        // DESCRIBE DETAIL analog: one row of table-level facts an
+        // operator reaches for first (Delta's `detail` surface)
+        case "detail" => return new GraftMetaTable(qualified, () => {
+          val (bytes, rowsOpt) = t.plannerStats()
+          val files = t.filesMeta().count()
+          spark.createDataFrame(Seq(Row(
+            "graft", t.path, t.desc.isPrimaryKeyTable,
+            t.desc.primaryKey.mkString(","),
+            t.desc.effectiveBucketKeys.mkString(","), t.desc.numBuckets,
+            t.desc.partitionKeys.mkString(","), files, bytes,
+            rowsOpt.map(Long.box).orNull,
+            t.latestVersion.map(Long.box).orNull,
+            t.rollbackEpoch)).asJava,
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("format",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("location",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("is_primary_key",
+                org.apache.spark.sql.types.BooleanType, nullable = false),
+              org.apache.spark.sql.types.StructField("primary_key",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("bucket_keys",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("num_buckets",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("partition_keys",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("num_log_files",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("size_bytes",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("num_rows",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("version",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("rollback_epoch",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        })
+        // durable poll-consumer groups (the Kafka listConsumerGroups
+        // analog for the LogPoller surface)
+        case "consumer_groups" => return new GraftMetaTable(qualified, () => {
+          val rows = graft.streaming.LogPoller.listGroups(t).map { g =>
+            val pos = graft.streaming.LogPoller.committedOffsets(t, g)
+            Row(g, pos.map(_.values.sum).map(Long.box).orNull)
+          }
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("group",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("committed_records",
+              org.apache.spark.sql.types.LongType, nullable = true))))
+        })
         // this process's engine counters for the table ([[GraftMetrics]]
         // — the reference's per-table metrics registry through SQL)
         case "metrics" => return new GraftMetaTable(qualified, () => {

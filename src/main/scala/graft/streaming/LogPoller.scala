@@ -117,3 +117,27 @@ final class LogPoller(table: GraftTable, group: String,
         pos.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
   }
 }
+
+object LogPoller {
+
+  /** Consumer groups with a durably committed position on `table` (the
+    * Kafka-admin listConsumerGroups analog for the poll surface) — one
+    * directory listing, names only.
+    */
+  def listGroups(table: graft.core.GraftTable): Seq[String] =
+    graft.core.WarehouseIO.listDir(s"${table.path}/_consumer_offsets")
+      .filter(e => !e.isDir && e.name.endsWith(".json"))
+      .map(_.name.stripSuffix(".json")).sorted
+
+  /** The committed per-bucket position of one group, if it ever
+    * committed (offset-admin surface; a poller resumes from this).
+    */
+  def committedOffsets(table: graft.core.GraftTable,
+      group: String): Option[Map[Int, Long]] =
+    graft.core.WarehouseIO.readStringIfExists(
+        s"${table.path}/_consumer_offsets/$group.json")
+      .map(posJson => org.json4s.jackson.JsonMethods.parse(posJson)
+        .asInstanceOf[org.json4s.JObject].obj
+        .map { case (k, v) =>
+          k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
+}

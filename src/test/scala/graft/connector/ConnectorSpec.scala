@@ -307,6 +307,31 @@ class ConnectorSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(met(graft.core.GraftMetrics.Commits) >= 2)
     assert(met(graft.core.GraftMetrics.CommittedRows) >= 4)
+
+    // detail metadata (DESCRIBE DETAIL analog): one row of table facts
+    val det = spark.sql("SELECT * FROM gfs.db.meta.detail").collect()
+    assert(det.length == 1)
+    val d = det.head
+    assert(d.getAs[String]("format") == "graft")
+    assert(d.getAs[Boolean]("is_primary_key"))
+    assert(d.getAs[String]("primary_key").split(",").contains("k"))
+    assert(d.getAs[Long]("num_log_files") > 0)
+    assert(d.getAs[Long]("size_bytes") > 0)
+    assert(d.getAs[Long]("version") == 2L)
+
+    // consumer groups: empty until a poller commits, then listed
+    assert(spark.sql("SELECT * FROM gfs.db.meta.consumer_groups")
+      .collect().isEmpty)
+    val core = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.gfs.warehouse"), spark)
+    val poller = new graft.streaming.LogPoller(
+      core.getTable("db", "meta"), "grp1")
+    poller.poll(); poller.commit()
+    val cg = spark.sql(
+      "SELECT group, committed_records FROM gfs.db.meta.consumer_groups")
+      .collect()
+    assert(cg.map(_.getString(0)).toSeq == Seq("grp1"))
+    assert(cg.head.getLong(1) == 4L) // the full changelog consumed
   }
 
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {

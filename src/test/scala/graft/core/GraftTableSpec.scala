@@ -727,6 +727,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(t2.scan().count() == 2)
   }
 
+  test("compact crash mid-swap: loud failure, snapshot.old is repair material") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "cw1",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(df((1L, 1, "a"), (2L, 2, "b")), orderBy = Seq(col("ord")))
+    t.compact()
+    t.upsert(df((3L, 3, "c")), orderBy = Seq(col("ord")))
+    assert(t.scan().count() == 3)
+    // simulate the swap crash window: old moved aside, new never arrived
+    WarehouseIO.moveFile(s"${t.path}/snapshot", s"${t.path}/snapshot.old")
+    intercept[Exception](t.scan().collect()) // loud, never silent
+    // orphan GC must NOT reclaim the only copy of the snapshot
+    t.removeOrphanFiles(stagingOlderThanMs = 0L)
+    assert(WarehouseIO.exists(s"${t.path}/snapshot.old"))
+    // operator repair: move it back — table serves full state again
+    WarehouseIO.moveFile(s"${t.path}/snapshot.old", s"${t.path}/snapshot")
+    assert(t.scan().count() == 3)
+    // ... or simply re-run compact(), which re-stages and swaps cleanly
+    t.compact()
+    assert(t.scan().count() == 3)
+  }
+
   test("exportSnapshot: bare parquet read matches scan(); manifest complete") {
     val cat = newCatalog()
     val t = cat.createTable("db", "exp1",
