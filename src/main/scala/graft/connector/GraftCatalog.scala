@@ -275,7 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // operator reaches for first (Delta's `detail` surface)
         case "detail" => return new GraftMetaTable(qualified, () => {
           val (bytes, rowsOpt) = t.plannerStats()
-          val files = t.filesMeta().count()
+          val files = t.logFileCount // driver listing, no Spark job
           spark.createDataFrame(Seq(Row(
             "graft", t.path, t.desc.isPrimaryKeyTable,
             t.desc.primaryKey.mkString(","),
@@ -311,7 +311,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.types.LongType, nullable = false))))
         })
         // durable poll-consumer groups (the Kafka listConsumerGroups
-        // analog for the LogPoller surface)
+        // analog for the LogPoller surface). committed_position is the
+        // sum of per-bucket NEXT offsets — an absolute position, not a
+        // consumed-record count (a Latest-mode group that consumed
+        // nothing commits the tail position); lag = next_offset sums
+        // from the `offsets` meta table minus this.
         case "consumer_groups" => return new GraftMetaTable(qualified, () => {
           val rows = graft.streaming.LogPoller.listGroups(t).map { g =>
             val pos = graft.streaming.LogPoller.committedOffsets(t, g)
@@ -320,7 +324,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           spark.createDataFrame(rows.asJava, StructType(Seq(
             org.apache.spark.sql.types.StructField("group",
               org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("committed_records",
+            org.apache.spark.sql.types.StructField("committed_position",
               org.apache.spark.sql.types.LongType, nullable = true))))
         })
         // this process's engine counters for the table ([[GraftMetrics]]

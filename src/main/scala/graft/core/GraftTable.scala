@@ -1075,14 +1075,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       val entries = WarehouseIO.listDir(path)
       entries
         .filter(e => e.isDir && (e.name.startsWith("log.staging-") ||
-            // fixed-name op staging left by a crashed vacuum/rewrite/
-            // rollback/compact — overwritten on the next run, but free
-            // the bytes for tables that stopped maintaining. NOT
+            // op staging left by a crashed vacuum/rewrite/rollback/
+            // compact (unique names — concurrent ops never collide);
+            // an IN-FLIGHT op whose staging we reclaim aborts at its
+            // staging-exists check instead of publishing empty. NOT
             // snapshot.old: after a compact crashed mid-swap it may be
             // the only copy of a post-vacuum load-bearing snapshot —
             // repair material, never garbage.
-            e.name == "log.vacuum" || e.name == "log.rewrite" ||
-            e.name == "log.rollback" || e.name == "snapshot.compact") &&
+            e.name.startsWith("log.vacuum") ||
+            e.name.startsWith("log.rewrite") ||
+            e.name.startsWith("log.rollback") ||
+            e.name.startsWith("snapshot.compact")) &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => deleteTree(e.path))
       // atomic-write temps a crashed writer never renamed (unique
@@ -1346,17 +1349,21 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // silently overwritten with pre-restore state (offsets moving
     // BACKWARD aborts; commits racing forward are replay-safe — the
     // union read replays any tail >= the recorded cutoff idempotently).
-    val tmpDir = s"$path/snapshot.compact"
+    val epochAtStart = rollbackEpoch
+    val tmpDir = s"$path/snapshot.compact-${java.util.UUID.randomUUID()}"
     currentState().withColumn(Meta.Bucket, bucketCol)
       .write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     withCommitLock(Some(tmpDir)) {
       val now = readOffsets()
-      if (upTo.exists { case (b, o) => now.getOrElse(b, 0L) < o }) {
+      // offsets alone cannot catch a rollback followed by new commits
+      // (offsets are REUSABLE after the physical truncation — the ABA
+      // shape); the rollback epoch does
+      if (rollbackEpoch != epochAtStart ||
+          upTo.exists { case (b, o) => now.getOrElse(b, 0L) < o }) {
         deleteTree(tmpDir)
         throw new java.util.ConcurrentModificationException(
-          s"offsets moved backward on $path during compact() " +
-            "(rollback/restore landed); retry compact()")
+          s"rollback/restore landed on $path during compact(); retry")
       }
       // old dir aside -> new dir in -> meta last (atomic rename). A
       // reader between the moves sees meta + missing dir: loud
@@ -1455,7 +1462,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val pinned = leaseFloors(System.currentTimeMillis())
     val snapOffsets = covered.map { case (b, o) =>
       b -> math.min(o, pinned.getOrElse(b, Long.MaxValue)) }
-    val tmpDir = s"$path/log.vacuum"
+    val tmpDir = s"$path/log.vacuum-${java.util.UUID.randomUUID()}"
     // Pin ONE manifest version for the rewrite; the lock body below
     // conflict-checks against it (same optimistic protocol as publish) —
     // otherwise a commit landing between this read and the lock would
@@ -1588,6 +1595,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // op-specific conflict checks / tier maintenance (rollback's
     // snapshot handling) — a failure here must not strand the staging
     try inLock() catch { case t: Throwable => deleteTree(tmpDir); throw t }
+    // the staging must still EXIST (an aggressive removeOrphanFiles may
+    // have reclaimed it while we waited): publishing with a vanished
+    // staging would flip the id set to a commit with zero files and the
+    // residue sweep would then destroy the whole log. Abort instead —
+    // both paths run under the commit lock, so this check is race-free.
+    if (!WarehouseIO.exists(tmpDir))
+      throw new IllegalStateException(
+        s"staging $tmpDir vanished before the $op swap (reclaimed by " +
+          s"removeOrphanFiles?); retry $op()")
     val newId = java.util.UUID.randomUUID().toString
     moveStagedFiles(tmpDir, newId)
     writeManifest(newOffsets.getOrElse(bases), commits, Set(newId),
@@ -1658,7 +1674,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       }
     }
     snapshotGuard(act = false)
-    val tmpDir = s"$path/log.rollback"
+    val tmpDir = s"$path/log.rollback-${java.util.UUID.randomUUID()}"
     val retained = logDFFor(manifestAtStart)
       .filter(col(Meta.Offset) < bucketMapExpr(bound, 0L))
     retained.write.mode("overwrite").options(fileWriteOptions)
@@ -1725,7 +1741,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def rewriteLogFiles(maxRecordsPerFile: Long = 0L,
       zorderBy: Seq[String] = Nil, zorderBits: Int = 16): Unit = {
-    val tmpDir = s"$path/log.rewrite"
+    val tmpDir = s"$path/log.rewrite-${java.util.UUID.randomUUID()}"
     val manifestAtStart = readManifest()
     val retained = logDFFor(manifestAtStart)
     // one shuffle keyed by the dir layout: each (partition, bucket) lands
@@ -2116,6 +2132,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // commit-history metadata view (the lakehouse `$history` analog)
     history().createOrReplaceTempView(s"${name}__history")
   }
+
+  /** Visible log file count (driver-side listing — the same work the
+    * scan's file index does; no Spark job). Feeds the `detail`
+    * metadata table.
+    */
+  def logFileCount: Long = visibleLogFiles()._1.size.toLong
 
   /** A8 table stats (TabletService.getTableStats / TableStats.java:32). */
   def stats(): DataFrame = scan().agg(count(lit(1)).as("n_rows"))

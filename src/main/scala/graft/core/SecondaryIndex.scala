@@ -25,21 +25,26 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   private def metaFile = s"${idx.path}/_index_meta.json"
 
   /** Base-table version the index reflects (0 = nothing applied). */
-  def appliedVersion: Long = readMetaField("appliedVersion")
+  def appliedVersion: Long = readApplied()._1
 
   /** Base-table [[GraftTable.rollbackEpoch]] the index was built
     * against: version numbers are REUSED after an in-place restore, so
     * the version alone cannot prove the index reflects the current
     * timeline.
     */
-  def appliedEpoch: Long = readMetaField("epoch")
+  def appliedEpoch: Long = readApplied()._2
 
-  private def readMetaField(key: String): Long =
+  /** (appliedVersion, epoch) in ONE meta-file read — the guard sits on
+    * the latency-sensitive point-lookup path.
+    */
+  private def readApplied(): (Long, Long) =
     WarehouseIO.readStringIfExists(metaFile) match {
-      case None => 0L
+      case None => (0L, 0L)
       case Some(s) =>
-        ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
-          .map(_.group(1).toLong).getOrElse(0L)
+        def field(key: String): Long =
+          ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).getOrElse(0L)
+        (field("appliedVersion"), field("epoch"))
     }
 
   private def writeApplied(v: Long, epoch: Long): Unit =
@@ -54,9 +59,9 @@ final class SecondaryIndex private[core] (val table: GraftTable,
     */
   def refresh(): Unit = {
     val epoch = table.rollbackEpoch
-    if (appliedEpoch != epoch) rebuildFromState(epoch)
+    val (from, appliedEp) = readApplied()
+    if (appliedEp != epoch) rebuildFromState(epoch)
     else table.latestVersion.foreach { to =>
-      val from = appliedVersion
       if (to > from) {
         val ch = table.changesBetween(from, to)
         val entry = (indexColumns ++ table.desc.primaryKey).map(col) ++ Seq(
@@ -118,13 +123,14 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   }
 
   private def refreshGuard(): Unit = {
-    require(appliedEpoch == table.rollbackEpoch,
+    val (version, epoch) = readApplied()
+    require(epoch == table.rollbackEpoch,
       s"index at ${idx.path} predates a base-table restore — call " +
         "refresh() to rebuild (version numbers are reused after a " +
         "rollback, so the stale entries could silently serve undone rows)")
     val latest = table.latestVersion.getOrElse(0L)
-    require(appliedVersion == latest,
-      s"index at ${idx.path} reflects base version $appliedVersion but the " +
+    require(version == latest,
+      s"index at ${idx.path} reflects base version $version but the " +
         s"table is at $latest — call refresh() first (stale reads are a " +
         "silent-wrong-answer class; the engine refuses instead)")
   }
@@ -163,16 +169,12 @@ object SecondaryIndex {
       numBuckets = table.desc.numBuckets)
     val idx = catalog.createTable(db, name, desc)
     val si = new SecondaryIndex(table, indexColumns, idx)
-    if (table.retainedFloorOffsets.exists(_.values.exists(_ > 0L))) {
+    if (table.retainedFloorOffsets.exists(_.values.exists(_ > 0L)))
       // vacuumed history: snapshot build, then incremental from here
-      table.latestVersion.foreach { v =>
-        val snap = table.scan().select(
-          ((indexColumns ++ table.desc.primaryKey).map(col) :+
-            lit(0L).as(SourceOffsetCol) :+ lit(false).as("__delete")): _*)
-        idx.upsertMixed(snap, orderBy = Seq(col(SourceOffsetCol)))
-        si.writeApplied(v, table.rollbackEpoch)
-      }
-    } else si.refresh()
+      // (the same rebuild the post-rollback path uses — one projection
+      // to keep in sync, not two)
+      si.rebuildFromState(table.rollbackEpoch)
+    else si.refresh()
     si
   }
 

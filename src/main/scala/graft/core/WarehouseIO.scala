@@ -102,14 +102,19 @@ object WarehouseIO {
   // metadata/data across filesystems would be silent corruption)
   @volatile private var defaultIsLocalCache: java.lang.Boolean = _
   private def defaultIsLocal: Boolean = {
-    var b = defaultIsLocalCache
-    if (b == null) {
-      val u = FileSystem.getDefaultUri(conf)
-      b = java.lang.Boolean.valueOf(
-        u.getScheme == null || u.getScheme == "file")
-      defaultIsLocalCache = b
+    val b = defaultIsLocalCache
+    if (b != null) b.booleanValue()
+    else {
+      val c = conf
+      val u = FileSystem.getDefaultUri(c)
+      val v = u.getScheme == null || u.getScheme == "file"
+      // cache only a SESSION-derived verdict: a bare pre-session
+      // Configuration says file:/// regardless of what the real session
+      // will configure, and pinning that would re-open the metadata/
+      // data filesystem split this check exists to prevent
+      if (cachedConf ne null) defaultIsLocalCache = java.lang.Boolean.valueOf(v)
+      v
     }
-    b.booleanValue()
   }
 
   /** The local-filesystem form of `path`, which selects the java.nio

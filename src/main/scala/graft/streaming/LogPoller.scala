@@ -58,9 +58,7 @@ final class LogPoller(table: GraftTable, group: String,
 
   /** The group's durably committed position, if it ever committed. */
   def committed: Option[Map[Int, Long]] =
-    graft.core.WarehouseIO.readStringIfExists(offsetsFile).map(posJson =>
-      JsonMethods.parse(posJson).asInstanceOf[JObject].obj
-        .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+    LogPoller.committedOffsets(table, group)
 
   /** Explicit reposition (LogScanner.subscribe with an offset). */
   def seek(offsets: Map[Int, Long]): Unit = { pos = sub(offsets) }

@@ -328,7 +328,7 @@ class ConnectorSpec extends SparkTestBase {
       core.getTable("db", "meta"), "grp1")
     poller.poll(); poller.commit()
     val cg = spark.sql(
-      "SELECT group, committed_records FROM gfs.db.meta.consumer_groups")
+      "SELECT group, committed_position FROM gfs.db.meta.consumer_groups")
       .collect()
     assert(cg.map(_.getString(0)).toSeq == Seq("grp1"))
     assert(cg.head.getLong(1) == 4L) // the full changelog consumed
