@@ -149,11 +149,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The per-query line grows with the query count and outgrew the
-    // driver's bounded tail-capture in round 6 (BENCH_r06 parsed:null).
-    // Emit a short, fixed-size summary LAST so the final JSON line on
-    // stdout always parses regardless of how many queries exist.
+    // Two lines: the growing per-query map under its own metric key, then
+    // a short fixed-size "total" line LAST so the driver's bounded
+    // tail-capture always parses (round-6 fix). Distinct metric names so
+    // a consumer summing metric=="total" lines counts the total once.
+    println(f"""{"metric":"queries","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,7 +42,14 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     // accidental access).
     def conf(key: String, default: String) =
       DynamicConfigs.effective(spark, warehouse, key, default)
-    if (!DynamicConfigs.effectiveServerSide(warehouse,
+    // Fail-safe in BOTH directions: enforcement is on if EITHER the
+    // warehouse dynamic config OR this session says so. A session can
+    // opt IN to enforcement (the documented pre-dynamic mechanism —
+    // ignoring it would silently drop enforcement on upgrade) but can
+    // never veto a cluster-wide enable.
+    val sessionEnable = spark.conf
+      .getOption("spark.sql.graft.authorizer.enabled").exists(_.toBoolean)
+    if (!sessionEnable && !DynamicConfigs.effectiveServerSide(warehouse,
         "spark.sql.graft.authorizer.enabled", "false").toBoolean)
       return
     val principal = conf("spark.sql.graft.principal", "User:anonymous")

@@ -84,7 +84,10 @@ object GraftMetrics {
       val name = s"graft_${metric.replaceAll("([A-Z])", "_$1").toLowerCase}_total"
       sb.append(s"# TYPE $name counter\n")
       tables.foreach { case (table, value) =>
+        // all three escapes the exposition format requires for label
+        // values: backslash, double-quote, line feed
         val label = table.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n")
         sb.append(s"""$name{table="$label"} $value""").append('\n')
       }
     }

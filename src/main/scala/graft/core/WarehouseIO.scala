@@ -378,12 +378,16 @@ object WarehouseIO {
   /** The warehouse root of a table directory (`<warehouse>/<db>/<table>`):
     * two path segments up. Shared by every caller that needs the
     * warehouse-scoped stores (dynamic configs, ACLs) from a table handle;
-    * returns "" when the path has fewer than two separators.
+    * returns "" when the path has fewer than two separators. A table
+    * directly under the filesystem root ("/db/t") resolves to "/" — not
+    * "" — so its warehouse-scoped configs/ACLs keep resolving.
     */
   def warehouseOf(tablePath: String): String = {
     val p0 = tablePath.stripSuffix("/")
     val i = p0.lastIndexOf('/', p0.lastIndexOf('/') - 1)
-    if (i > 0) p0.substring(0, i) else ""
+    if (i > 0) p0.substring(0, i)
+    else if (i == 0) "/"
+    else ""
   }
 
   /** `child`'s path relative to `base` — both in the same rendering

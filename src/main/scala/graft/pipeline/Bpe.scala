@@ -49,9 +49,11 @@ object Bpe {
     * (count desc, l, r)-sorted pair list whose pairs are pairwise
     * symbol-disjoint (so applying earlier ones cannot change later ones'
     * counts) and whose every count strictly exceeds the best count any
-    * applied merge could CREATE (bounded by the max collected count
-    * sharing a symbol with a selected pair, floored by the collect
-    * cutoff when the list was truncated) — so sequential greedy,
+    * applied merge could CREATE or GROW (new pairs are bounded by the max
+    * collected count sharing a symbol with a selected pair; pairs whose
+    * symbol string ALIASES a created l+r concatenation can additionally
+    * grow by that amount — both folded into the bound, floored by the
+    * collect cutoff when the list was truncated) — so sequential greedy,
     * tie-breaks included, would pick exactly this sequence. Equivalence
     * with the reference loop is pinned by BpeSpec.
     */
@@ -126,22 +128,44 @@ object Bpe {
       val l = top(i).getString(0); val r = top(i).getString(1)
       val c = top(i).getLong(2)
       if (c < minPairCount) halt = true
+      // `used(l + r)`: the candidate's created string collides with a
+      // symbol or created string of an earlier selection — two same-string
+      // creators in one batch would compound their alias growth past any
+      // single pair's bound, so stop the prefix there
       else if (selected.nonEmpty &&
-          (used(l) || used(r) || c <= createdBound)) halt = true
+          (used(l) || used(r) || used(l + r) || c <= createdBound)) halt = true
       else {
+        // `share` bounds occurrences of BRAND-NEW pairs the merge creates
+        // ((x,l+r) occurs only where (x,l) did). `alias` covers the
+        // symbol-string ALIASING hole: if l+r equals an EXISTING vocab
+        // symbol (reachable by another merge route, e.g. "abc" via
+        // ('a','bc') earlier and ('ab','c') now), new occurrences merge
+        // under that string and counts of collected pairs involving it
+        // can INCREASE mid-batch — bounded by (stale collected count,
+        // or the collect floor when truncated) + share.
+        val createdSym = l + r
         var share = floor
+        var alias = floor
         var j = 0
         while (j < top.length) {
           if (j != i) {
             val jl = top(j).getString(0); val jr = top(j).getString(1)
             if (jl == l || jl == r || jr == l || jr == r)
               share = math.max(share, top(j).getLong(2))
+            if (jl == createdSym || jr == createdSym)
+              alias = math.max(alias, top(j).getLong(2))
           }
           j += 1
         }
+        // share == MinValue ⇒ nothing ever borders (l, r) ⇒ the merge
+        // creates no new adjacent pairs ⇒ aliasing can't move any count
+        val bound =
+          if (share == Long.MinValue) Long.MinValue
+          else if (alias == Long.MinValue) share
+          else share + alias
         selected += ((l, r, c))
-        used += l; used += r
-        createdBound = math.max(createdBound, share)
+        used += l; used += r; used += createdSym
+        createdBound = math.max(createdBound, bound)
       }
       i += 1
     }

@@ -145,6 +145,19 @@ class AclSpec extends SparkTestBase {
     }
   }
 
+  test("a session can ENABLE enforcement (never disable): fail-safe both ways") {
+    wh
+    // no dynamic enable persisted — the pre-dynamic documented mechanism
+    // was session conf alone, and it must keep enforcing after upgrade
+    spark.conf.set("spark.sql.graft.authorizer.enabled", "true")
+    spark.conf.set("spark.sql.graft.principal", "User:nobody")
+    try deniedBy(spark.sql("SELECT * FROM acl.db.t").collect())
+    finally {
+      spark.conf.unset("spark.sql.graft.authorizer.enabled")
+      spark.conf.unset("spark.sql.graft.principal")
+    }
+  }
+
   test("scala-API catalog surface is gated too") {
     val dir = wh
     val core = new graft.core.Catalog(dir, spark)

@@ -78,5 +78,14 @@ class GraftMetricsSpec extends SparkTestBase {
     assert(prom.contains("# TYPE graft_commits_total counter"))
     assert(prom.contains(s"""graft_commits_total{table="${t.path}"} 1"""))
     assert(prom.contains(s"""graft_committed_rows_total{table="${t.path}"} 2"""))
+    // exposition-format label escaping: backslash, quote AND newline — a
+    // path with \n must not tear the scrape into an invalid raw line
+    GraftMetrics.inc("/odd\\pa\"th\nwith-newline", GraftMetrics.Lookups)
+    val prom2 = GraftMetrics.prometheusText()
+    assert(prom2.contains("""graft_lookups_total{table="/odd\\pa\"th\nwith-newline"} 1"""))
+    // warehouseOf: a table directly under the FS root resolves to "/"
+    assert(WarehouseIO.warehouseOf("/db/t") == "/")
+    assert(WarehouseIO.warehouseOf("/wh/db/t") == "/wh")
+    assert(WarehouseIO.warehouseOf("db/t") == "")
   }
 }

@@ -180,6 +180,30 @@ class BpeSpec extends SparkTestBase {
     assert(stats.getLong(1) == 0L && stats.getLong(2) == 0L && stats.isNullAt(3))
   }
 
+  test("aliased merge routes (two routes to one token string) stay exact in batches") {
+    import spark.implicits._
+    // Runs of a single letter are the densest alias generator: "aaaa" is
+    // reachable via ("aa","aa"), ("aaa","a") AND ("a","aaa"), so applied
+    // merges constantly create symbols whose string equals an existing
+    // vocab symbol — the exact hole where a batched round could diverge
+    // from the sequential reference if created-symbol collisions weren't
+    // folded into the safety bound. Mixed letters add cross-pairs whose
+    // counts can grow through the alias.
+    val rnd = new scala.util.Random(23)
+    val words = Seq.fill(80)(
+      "a" * (1 + rnd.nextInt(7)) + (if (rnd.nextBoolean()) "b" else "") +
+        "a" * rnd.nextInt(5))
+    val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val wordFreq = text.split("\\s+").groupBy(identity)
+      .map { case (w, a) => w -> a.length.toLong }
+    val want = refTrain(wordFreq, 12)
+    val got = Bpe.train(df, "text", numMerges = 12, driverVocabLimit = 0L)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toList
+    assert(got == want)
+  }
+
   test("encodeStats counts subwords under the learned table") {
     import spark.implicits._
     val df = Seq((1L, "ab ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
