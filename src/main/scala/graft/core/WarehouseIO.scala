@@ -35,9 +35,14 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, 
   *    is not check-and-act, so the commit protocol's single-writer
   *    guarantee needs an external coordination point (a lock table /
   *    DynamoDB conditional put, as every S3-native table format
-  *    requires). Readers are still safe: a torn manifest never parses,
-  *    and unmanifested data files are invisible by construction.
-  *    Concurrent WRITERS on raw S3 must be externally serialized.
+  *    requires). The commit-critical primitives below ([[createExclusive]],
+  *    [[overwriteRename]]) ENFORCE this: on a known non-atomic scheme
+  *    they route through the scheme's registered [[CommitCoordinator]],
+  *    and with none registered they REFUSE loudly instead of corrupting
+  *    silently — unless the deployment asserts external serialization
+  *    with the Hadoop conf `graft.commit.allow-non-atomic=true`. Readers
+  *    are always safe regardless: a torn manifest never parses, and
+  *    unmanifested data files are invisible by construction.
   */
 object WarehouseIO {
 
@@ -139,6 +144,57 @@ object WarehouseIO {
     if (rel.isEmpty) base else base.stripSuffix("/") + "/" + rel
   }
 
+  /** The path's effective scheme — a scheme-less path resolves to
+    * whatever `fs.defaultFS` is.
+    */
+  private[core] def schemeOf(path: String): String = {
+    val s = p(path).toUri.getScheme
+    if (s != null) s
+    else {
+      val d = FileSystem.getDefaultUri(conf).getScheme
+      if (d == null) "file" else d
+    }
+  }
+
+  /** Commit-primitive routing for a remote path: the scheme's registered
+    * coordinator if any; None (= use the FS primitive directly) for
+    * atomic schemes or when the deployment opted into external
+    * serialization; a loud refusal otherwise.
+    */
+  private def coordinatorFor(path: String, primitive: String)
+      : Option[CommitCoordinator] = {
+    val scheme = schemeOf(path)
+    CommitCoordinators.forScheme(scheme) match {
+      case some @ Some(_) => some
+      case None =>
+        if (!CommitCoordinators.isAtomic(scheme) &&
+            !conf.getBoolean("graft.commit.allow-non-atomic", false))
+          throw new IllegalStateException(
+            s"$primitive on '$scheme:' is not atomic: concurrent writers " +
+              s"would silently corrupt $path. Register a CommitCoordinator " +
+              "for the scheme (e.g. FileLeaseCommitCoordinator over a " +
+              "shared atomic mount, or a lock-service implementation), or " +
+              "set graft.commit.allow-non-atomic=true if all committers " +
+              "are already serialized externally.")
+        None
+    }
+  }
+
+  /** Raw single-request PUT (create-overwrite + write + close) with no
+    * coordinator routing — the publish primitive [[CommitCoordinator]]
+    * implementations build on (atomic per-object on real object stores).
+    */
+  private[core] def rawPutBytes(path: String, bytes: Array[Byte]): Unit =
+    localPathOf(path) match {
+      case Some(l) =>
+        val parent = l.getParent
+        if (parent != null) NioFiles.createDirectories(parent)
+        NioFiles.write(l, bytes); ()
+      case None =>
+        val out = fs(path).create(p(path), true)
+        try out.write(bytes) finally out.close()
+    }
+
   def exists(path: String): Boolean = localPathOf(path) match {
     case Some(l) => NioFiles.exists(l)
     case None => fs(path).exists(p(path))
@@ -234,19 +290,23 @@ object WarehouseIO {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
-      case None =>
-        try {
-          val fc = FileContext.getFileContext(p(dst).toUri, conf)
-          fc.rename(p(qualify(src)), p(qualify(dst)), Options.Rename.OVERWRITE)
-        } catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // no AbstractFileSystem binding (some object stores): not
-            // atomic, acceptable per the documented S3 contract
-            val f = fs(dst)
-            f.delete(p(dst), false)
-            if (!f.rename(p(src), p(dst)))
-              throw new java.io.IOException(s"rename failed: $src -> $dst")
-        }
+      case None => coordinatorFor(dst, "overwrite-rename") match {
+        case Some(c) => c.overwriteRename(src, dst)
+        case None =>
+          try {
+            val fc = FileContext.getFileContext(p(dst).toUri, conf)
+            fc.rename(p(qualify(src)), p(qualify(dst)), Options.Rename.OVERWRITE)
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              // no AbstractFileSystem binding: not atomic — reachable
+              // only for schemes that passed the atomicity gate or
+              // opted in via graft.commit.allow-non-atomic
+              val f = fs(dst)
+              f.delete(p(dst), false)
+              if (!f.rename(p(src), p(dst)))
+                throw new java.io.IOException(s"rename failed: $src -> $dst")
+          }
+      }
     }
   }
 
@@ -257,6 +317,9 @@ object WarehouseIO {
     * no reader ever enumerates it; removeOrphanFiles reclaims it.
     */
   def atomicWriteString(path: String, content: String): Unit = {
+    // resolve the publish route FIRST: a non-atomic-scheme refusal must
+    // fire before any temp bytes land
+    if (localPathOf(path).isEmpty) coordinatorFor(path, "overwrite-rename")
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
     localPathOf(tmp) match {
       case Some(l) =>
@@ -286,17 +349,20 @@ object WarehouseIO {
         case _: java.nio.file.NoSuchFileException => // parent vanished
           throw new java.io.FileNotFoundException(path)
       }
-    case None =>
-      // FileSystem.create auto-creates missing parents — but a vanished
-      // parent means the table/db was dropped mid-race, and silently
-      // resurrecting the directory would let the lock body run against
-      // a half-deleted tree. Match the local-path contract instead.
-      val parent = p(path).getParent
-      if (parent != null && !fs(path).exists(parent))
-        throw new java.io.FileNotFoundException(path)
-      try { fs(path).create(p(path), false).close(); true }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                   _: java.nio.file.FileAlreadyExistsException => false }
+    case None => coordinatorFor(path, "exclusive-create") match {
+      case Some(c) => c.createExclusive(path)
+      case None =>
+        // FileSystem.create auto-creates missing parents — but a vanished
+        // parent means the table/db was dropped mid-race, and silently
+        // resurrecting the directory would let the lock body run against
+        // a half-deleted tree. Match the local-path contract instead.
+        val parent = p(path).getParent
+        if (parent != null && !fs(path).exists(parent))
+          throw new java.io.FileNotFoundException(path)
+        try { fs(path).create(p(path), false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: java.nio.file.FileAlreadyExistsException => false }
+    }
   }
 
   /** Immediate children (files and dirs); empty for a missing dir. */
