@@ -314,17 +314,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // analog for the LogPoller surface). committed_position is the
         // sum of per-bucket NEXT offsets — an absolute position, not a
         // consumed-record count (a Latest-mode group that consumed
-        // nothing commits the tail position); lag = next_offset sums
-        // from the `offsets` meta table minus this.
+        // nothing commits the tail position); lag is records committed
+        // to the log that the group has not yet polled (per-bucket
+        // latest-next minus committed-next, floored at 0, summed).
         case "consumer_groups" => return new GraftMetaTable(qualified, () => {
+          val latest = t.latestOffsets
           val rows = graft.streaming.LogPoller.listGroups(t).map { g =>
             val pos = graft.streaming.LogPoller.committedOffsets(t, g)
-            Row(g, pos.map(_.values.sum).map(Long.box).orNull)
+            val lag = pos.map(p => latest.map { case (b, hi) =>
+              math.max(0L, hi - p.getOrElse(b, 0L))
+            }.sum)
+            Row(g, pos.map(_.values.sum).map(Long.box).orNull,
+              lag.map(Long.box).orNull)
           }
           spark.createDataFrame(rows.asJava, StructType(Seq(
             org.apache.spark.sql.types.StructField("group",
               org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField("committed_position",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("lag",
               org.apache.spark.sql.types.LongType, nullable = true))))
         })
         // this process's engine counters for the table ([[GraftMetrics]]

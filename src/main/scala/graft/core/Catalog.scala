@@ -52,7 +52,11 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     if (!sessionEnable && !DynamicConfigs.effectiveServerSide(warehouse,
         "spark.sql.graft.authorizer.enabled", "false").toBoolean)
       return
-    val principal = conf("spark.sql.graft.principal", "User:anonymous")
+    // a bound IdentityProvider (warehouse-persisted class or embedder
+    // install — [[Identity]]) supplies the AUTHENTICATED principal and
+    // the session assertion is ignored entirely
+    val principal = Identity.resolve(spark, warehouse)
+      .getOrElse(conf("spark.sql.graft.principal", "User:anonymous"))
     val supers = DynamicConfigs.effectiveServerSide(warehouse,
         "spark.sql.graft.super.users", "")
       .split(";").map(_.trim).filter(_.nonEmpty).toSet

@@ -31,6 +31,7 @@ object DynamicConfigs {
     // streaming admission control for catalog-table reads (empty = none)
     "spark.sql.graft.maxOffsetsPerTrigger" -> ("", false),
     "spark.sql.graft.authorizer.enabled" -> ("false", false),
+    "spark.sql.graft.identity.provider" -> ("", false),
     "spark.sql.graft.principal" -> ("User:anonymous", false),
     "spark.sql.graft.super.users" -> ("", true),
     "spark.sql.graft.client.host" -> ("*", false))

@@ -38,7 +38,16 @@ object GraftMetrics {
   val Exports = "exports"
   val Rollbacks = "rollbacks"
 
+  // gauge metric names (point-in-time values, not monotonic)
+  /** Records committed to the table's log but not yet processed by the
+    * streaming source (set each micro-batch from the source's planning —
+    * the reference's Spark stream surfaces the same signal through
+    * ReportsSourceMetrics, FlussMicroBatchStream.scala:52).
+    */
+  val StreamLag = "streamLag"
+
   private val counters = new ConcurrentHashMap[(String, String), LongAdder]()
+  private val gauges = new ConcurrentHashMap[(String, String), java.lang.Long]()
   private val listeners = new CopyOnWriteArrayList[Listener]()
 
   def addListener(l: Listener): Unit = listeners.add(l)
@@ -49,6 +58,20 @@ object GraftMetrics {
     counters.computeIfAbsent((tablePath, metric), _ => new LongAdder).add(delta)
     listeners.forEach(_.onIncrement(tablePath, metric, delta))
   }
+
+  /** Set a point-in-time gauge (listeners observe it as a delta-less
+    * increment of 0 would be meaningless, so gauges notify with the new
+    * value).
+    */
+  private[graft] def setGauge(tablePath: String, metric: String,
+      value: Long): Unit = {
+    gauges.put((tablePath, metric), java.lang.Long.valueOf(value))
+    listeners.forEach(_.onIncrement(tablePath, metric, value))
+  }
+
+  /** Current gauge value (None if never set). */
+  def gauge(tablePath: String, metric: String): Option[Long] =
+    Option(gauges.get((tablePath, metric))).map(_.longValue())
 
   /** Current value of one counter (0 if never incremented). */
   def counter(tablePath: String, metric: String): Long = {
@@ -63,8 +86,8 @@ object GraftMetrics {
     b.result()
   }
 
-  /** Test hook: drop every counter (listeners stay registered). */
-  def resetAll(): Unit = counters.clear()
+  /** Test hook: drop every counter and gauge (listeners stay registered). */
+  def resetAll(): Unit = { counters.clear(); gauges.clear() }
 
   /** Every counter in Prometheus text-exposition format (the reference
     * ships pluggable metric reporters, maintenance/observability/
@@ -79,16 +102,30 @@ object GraftMetrics {
       byMetric.getOrElseUpdate(k._2, scala.collection.mutable.TreeMap())
         .update(k._1, v.sum())
     }
+    val gaugesByMetric = scala.collection.mutable.TreeMap[String,
+      scala.collection.mutable.TreeMap[String, Long]]()
+    gauges.forEach { (k, v) =>
+      gaugesByMetric.getOrElseUpdate(k._2, scala.collection.mutable.TreeMap())
+        .update(k._1, v.longValue())
+    }
+    // all three escapes the exposition format requires for label
+    // values: backslash, double-quote, line feed
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    def snake(m: String) = m.replaceAll("([A-Z])", "_$1").toLowerCase
     val sb = new StringBuilder
     byMetric.foreach { case (metric, tables) =>
-      val name = s"graft_${metric.replaceAll("([A-Z])", "_$1").toLowerCase}_total"
+      val name = s"graft_${snake(metric)}_total"
       sb.append(s"# TYPE $name counter\n")
       tables.foreach { case (table, value) =>
-        // all three escapes the exposition format requires for label
-        // values: backslash, double-quote, line feed
-        val label = table.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n")
-        sb.append(s"""$name{table="$label"} $value""").append('\n')
+        sb.append(s"""$name{table="${esc(table)}"} $value""").append('\n')
+      }
+    }
+    gaugesByMetric.foreach { case (metric, tables) =>
+      val name = s"graft_${snake(metric)}"
+      sb.append(s"# TYPE $name gauge\n")
+      tables.foreach { case (table, value) =>
+        sb.append(s"""$name{table="${esc(table)}"} $value""").append('\n')
       }
     }
     sb.toString

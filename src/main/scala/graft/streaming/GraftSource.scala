@@ -182,6 +182,16 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
           "(log vacuumed); records in between are gone — restart the " +
           "stream from a fresh checkpoint or the table snapshot")
     }
+    // lag observability: records committed beyond this batch's end — an
+    // operator watching a backlogged stream reads it from the metrics
+    // registry / `metrics` meta table / Prometheus text instead of
+    // diffing the `offsets` meta table by hand
+    val latest = table.latestOffsets
+    graft.core.GraftMetrics.setGauge(table.path,
+      graft.core.GraftMetrics.StreamLag,
+      latest.map { case (b, hi) =>
+        math.max(0L, hi - until.getOrElse(b, 0L))
+      }.sum)
     val batch = table.scanRange(from, until)
     StreamShims.asStreaming(
       if (dataColumnsOnly)

@@ -10,6 +10,15 @@ import graft.SparkTestBase
   * Procedures"), with the reference's hierarchy (cluster → db → table),
   * implication (ALL ⊃ everything; READ/WRITE/… ⊃ DESCRIBE) and DENY veto.
   */
+/** Stand-in for a real authentication binding (Kerberos, gateway token):
+  * instantiated reflectively from the warehouse-persisted
+  * `spark.sql.graft.identity.provider` config.
+  */
+class FixedIdentityProvider extends graft.core.IdentityProvider {
+  override def principal(spark: org.apache.spark.sql.SparkSession): String =
+    "User:gateway-bob"
+}
+
 class AclSpec extends SparkTestBase {
 
   private lazy val wh = {
@@ -155,6 +164,34 @@ class AclSpec extends SparkTestBase {
     finally {
       spark.conf.unset("spark.sql.graft.authorizer.enabled")
       spark.conf.unset("spark.sql.graft.principal")
+    }
+  }
+
+  test("a bound identity provider pins the principal; session assertions are ignored") {
+    wh
+    graft.core.DynamicConfigs.set(wh, Map(
+      "spark.sql.graft.authorizer.enabled" -> "true",
+      "spark.sql.graft.super.users" -> "User:admin",
+      "spark.sql.graft.identity.provider" ->
+        classOf[FixedIdentityProvider].getName))
+    // the session claims to be the super user — with a provider bound,
+    // that assertion is dead weight: the AUTHENTICATED principal
+    // (User:gateway-bob, no grants) is what the authorizer sees
+    spark.conf.set("spark.sql.graft.principal", "User:admin")
+    try {
+      deniedBy(spark.sql("SELECT * FROM acl.db.t").collect())
+      // grant the authenticated principal directly; the read opens while
+      // the session still claims someone else
+      new graft.core.Acls(wh).add(graft.core.AclEntry(
+        "db.t", "ALLOW", "User:gateway-bob", "READ", "*"))
+      assert(spark.sql("SELECT * FROM acl.db.t").collect().length >= 2)
+      new graft.core.Acls(wh).drop(graft.core.AclEntry(
+        "db.t", "ANY", "User:gateway-bob", "ANY", "ANY"))
+    } finally {
+      spark.conf.unset("spark.sql.graft.principal")
+      graft.core.DynamicConfigs.reset(wh, Seq(
+        "spark.sql.graft.authorizer.enabled", "spark.sql.graft.super.users",
+        "spark.sql.graft.identity.provider"))
     }
   }
 

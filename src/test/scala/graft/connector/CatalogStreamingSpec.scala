@@ -78,11 +78,17 @@ class CatalogStreamingSpec extends SparkTestBase {
     spark.sql("INSERT INTO gstr.db.paced VALUES (1,1),(2,2),(3,3),(4,4),(5,5)")
     spark.conf.set("spark.sql.graft.maxOffsetsPerTrigger", "2")
     try {
+      val tablePath =
+        spark.conf.get("spark.sql.catalog.gstr.warehouse") + "/db/paced"
       var batches = 0
+      val lags = scala.collection.mutable.ArrayBuffer[Long]()
       val q = spark.readStream.table("gstr.db.paced")
         .writeStream
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (df.count() > 0) batches += 1; ()
+          if (df.count() > 0) batches += 1
+          graft.core.GraftMetrics.gauge(tablePath,
+            graft.core.GraftMetrics.StreamLag).foreach(lags += _)
+          ()
         }
         .option("checkpointLocation",
           Files.createTempDirectory("graft-cstr-pck").toString)
@@ -91,6 +97,13 @@ class CatalogStreamingSpec extends SparkTestBase {
       q.awaitTermination()
       // 5 rows at <=2 per trigger: at least 3 non-empty batches, lossless
       assert(batches >= 3, s"admission control must chunk batches: $batches")
+      // lag observability: the throttled stream is visibly backlogged
+      // mid-drain and caught up at the end
+      assert(lags.nonEmpty && lags.max > 0L,
+        s"expected a positive stream-lag gauge mid-drain, saw $lags")
+      assert(graft.core.GraftMetrics.gauge(tablePath,
+        graft.core.GraftMetrics.StreamLag).contains(0L),
+        s"expected lag 0 after a full drain, saw $lags")
     } finally spark.conf.unset("spark.sql.graft.maxOffsetsPerTrigger")
   }
 

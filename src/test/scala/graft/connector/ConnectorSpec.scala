@@ -328,10 +328,19 @@ class ConnectorSpec extends SparkTestBase {
       core.getTable("db", "meta"), "grp1")
     poller.poll(); poller.commit()
     val cg = spark.sql(
-      "SELECT group, committed_position FROM gfs.db.meta.consumer_groups")
+      "SELECT group, committed_position, lag FROM gfs.db.meta.consumer_groups")
       .collect()
     assert(cg.map(_.getString(0)).toSeq == Seq("grp1"))
     assert(cg.head.getLong(1) == 4L) // the full changelog consumed
+    assert(cg.head.getLong(2) == 0L) // fully caught up
+    // new appends show up as lag until the group polls again
+    spark.sql("INSERT INTO gfs.db.meta VALUES (9, 9, '2024-01-03')")
+    val lag2 = spark.sql("SELECT lag FROM gfs.db.meta.consumer_groups")
+      .collect().head.getLong(0)
+    assert(lag2 > 0L, s"expected positive lag after a new append, got $lag2")
+    poller.poll(); poller.commit()
+    assert(spark.sql("SELECT lag FROM gfs.db.meta.consumer_groups")
+      .collect().head.getLong(0) == 0L)
   }
 
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
