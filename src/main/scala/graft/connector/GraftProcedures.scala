@@ -30,7 +30,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] = Seq(
-    "compact", "vacuum_log", "export_snapshot", "rollback_to_version",
+    "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
+    "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
     "create_index", "refresh_index", "get_configs",
@@ -120,6 +121,19 @@ object GraftProcedures {
         val dir = row.getUTF8String(1).toString
         t.exportSnapshot(dir)
         s"exported current state to $dir (open parquet + _export_manifest.json)"
+      })
+      case "export_snapshot_iceberg" => Some(proc(catalog,
+        "export_snapshot_iceberg",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        // same egress gate as export_snapshot
+        val Array(tdb, tname) =
+          row.getUTF8String(0).toString.split('.')
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        val dir = row.getUTF8String(1).toString
+        t.exportSnapshot(dir, icebergMetadata = true)
+        s"exported current state to $dir as an Iceberg v2 table " +
+          "(parquet + metadata/v1.metadata.json + Avro manifests)"
       })
       case "rewrite_files" => Some(proc(catalog, "rewrite_files",
         Seq(in("table", StringType),

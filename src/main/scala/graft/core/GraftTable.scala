@@ -1396,7 +1396,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * parallelism is the table's own layout, nothing lands on the driver
     * but the file listing.
     */
-  def exportSnapshot(dir: String): Unit = {
+  def exportSnapshot(dir: String, icebergMetadata: Boolean = false): Unit = {
     // The manifest must describe EXACTLY the state exported. scan()
     // pins its own manifest read when the plan is built, which happens
     // between our pre- and post- reads — so if pre == post, no commit
@@ -1442,6 +1442,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         "files" -> (org.json4s.JArray(files.toList.map(e => JObject(List(
           "path" -> (JString(WarehouseIO.relativize(dir, e.path)): JValue),
           "bytes" -> (JInt(e.len): JValue))))): JValue))))))
+    // Optional Iceberg-spec metadata (metadata/v1.metadata.json + Avro
+    // manifests + version-hint) so the export is a TABLE to any
+    // Iceberg-reading engine. Opt-in because the extra metadata/ dir
+    // makes the export no longer readable as a bare parquet directory
+    // (Spark's parquet source trips over the non-parquet files).
+    if (icebergMetadata)
+      IcebergExport.write(spark, dir, desc.schema, desc.partitionKeys,
+        files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
+        path)
     GraftMetrics.inc(path, GraftMetrics.Exports)
   }
 
