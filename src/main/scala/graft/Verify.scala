@@ -36,6 +36,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the PK collapse is a TypedImperativeAggregate (LatestRow) whose
+      // buffer is ONE row - the default 128-entry ObjectHashAggregate
+      // fallback would sort anyway; at ~128B/key 1M buffered keys is
+      // ~128MB/partition, well within executor memory at this scale
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types.DataType
+
+/** `max_by`/`min_by` with a HASHABLE physical plan: Spark's own
+  * `MaxBy`/`MinBy` are declarative aggregates whose buffer carries the
+  * payload value, and a non-fixed-width buffer (struct, string) forces
+  * `SortAggregate` — every PK materialization paid a per-partition sort
+  * of the full scan input just to keep one row per key
+  * ([[graft.merge.Materialize]], the engine's hottest aggregation). As a
+  * [[TypedImperativeAggregate]] the same collapse plans as
+  * `ObjectHashAggregate`: hash map per partition, map-side partial
+  * combine intact, spill handled by the operator's sort-based fallback —
+  * no up-front sort at any cardinality.
+  *
+  * Semantics match `max_by`/`min_by` where it matters to the engine:
+  * rows with a NULL `order` value never contribute (that's how the merge
+  * engines skip retraction rows), and order values are unique per group
+  * by construction (they embed the log offset), so tie behavior is
+  * never exercised.
+  *
+  * The buffer is one UnsafeRow of `(order, payload)` — both preserved
+  * through serialize (shuffle of partial buffers / spill) verbatim.
+  */
+case class LatestRow(payload: Expression, order: Expression,
+    greatest: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LatestRow.Buffer]
+    with BinaryLike[Expression] {
+
+  override def left: Expression = payload
+  override def right: Expression = order
+  override def nullable: Boolean = true
+  override def dataType: DataType = payload.dataType
+  override def prettyName: String = if (greatest) "latest_row" else "earliest_row"
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LatestRow =
+    copy(payload = newLeft, order = newRight)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LatestRow =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): LatestRow =
+    copy(inputAggBufferOffset = newOffset)
+
+  @transient private lazy val ordering =
+    TypeUtils.getInterpretedOrdering(order.dataType)
+
+  @transient private lazy val project =
+    UnsafeProjection.create(Array(order.dataType, payload.dataType))
+
+  /** True when `candidate` beats the buffered order value. */
+  private def beats(candidate: Any, current: Any): Boolean = {
+    val c = ordering.compare(candidate, current)
+    if (greatest) c > 0 else c < 0
+  }
+
+  override def createAggregationBuffer(): LatestRow.Buffer =
+    new LatestRow.Buffer(null)
+
+  override def update(buffer: LatestRow.Buffer,
+      input: InternalRow): LatestRow.Buffer = {
+    val o = order.eval(input)
+    if (o != null &&
+        (buffer.row == null || beats(o, buffer.row.get(0, order.dataType)))) {
+      buffer.row = project(InternalRow(o, payload.eval(input))).copy()
+    }
+    buffer
+  }
+
+  override def merge(buffer: LatestRow.Buffer,
+      other: LatestRow.Buffer): LatestRow.Buffer = {
+    if (other.row != null &&
+        (buffer.row == null || beats(other.row.get(0, order.dataType),
+          buffer.row.get(0, order.dataType)))) {
+      buffer.row = other.row
+    }
+    buffer
+  }
+
+  override def eval(buffer: LatestRow.Buffer): Any =
+    if (buffer.row == null) null else buffer.row.get(1, payload.dataType)
+
+  override def serialize(buffer: LatestRow.Buffer): Array[Byte] =
+    if (buffer.row == null) Array.emptyByteArray else buffer.row.getBytes
+
+  override def deserialize(bytes: Array[Byte]): LatestRow.Buffer =
+    if (bytes.isEmpty) new LatestRow.Buffer(null)
+    else {
+      val r = new UnsafeRow(2)
+      r.pointTo(bytes, bytes.length)
+      new LatestRow.Buffer(r)
+    }
+}
+
+object LatestRow {
+  /** Mutable holder so update/merge can replace the row in place. */
+  final class Buffer(var row: UnsafeRow)
+
+  import org.apache.spark.sql.{Column, GraftColumn}
+
+  private def wrap(payload: Column, order: Column, greatest: Boolean): Column =
+    GraftColumn.of(LatestRow(
+      GraftColumn.expressionOf(payload), GraftColumn.expressionOf(order),
+      greatest).toAggregateExpression())
+
+  /** Hash-plannable `max_by(payload, order)` (null orders skipped). */
+  def latestBy(payload: Column, order: Column): Column =
+    wrap(payload, order, greatest = true)
+
+  /** Hash-plannable `min_by(payload, order)` (null orders skipped). */
+  def earliestBy(payload: Column, order: Column): Column =
+    wrap(payload, order, greatest = false)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.functions.LatestRow.{earliestBy, latestBy}
 
 /** Batch materialization: collapse a changelog (rows with PK, `__offset`,
   * `_change_type`) into the table's current state — the engine's analog of
@@ -14,9 +15,12 @@ import graft.core._
   * Everything here is a single aggregation per primary key — shuffle-once
   * with map-side partial aggregation — chosen over `row_number()` windows
   * deliberately: the partial combine shrinks each key to one row before
-  * the exchange, where a window would ship every version. (Physically
-  * Spark picks SortAggregate because the `max_by` buffer holds a struct;
-  * the sort is per hash-partition and spillable, never global.)
+  * the exchange, where a window would ship every version. The collapse
+  * itself is [[graft.functions.LatestRow]] (a hash-plannable
+  * `max_by`/`min_by`): built-in `max_by` carries a struct buffer, which
+  * forces SortAggregate — a per-partition sort of the full scan input on
+  * every state read; as a TypedImperativeAggregate the same plan is
+  * ObjectHashAggregate at every phase.
   */
 object Materialize {
 
@@ -61,7 +65,7 @@ object Materialize {
 
   /** DEFAULT engine (DefaultRowMerger.java:38): last write wins; a trailing
     * DELETE removes the row. `-U` before-images never contribute state.
-    * One `max_by(struct(...), __offset)` aggregation.
+    * One latest-row-by-offset aggregation.
     */
   private def defaultEngine(log: DataFrame, desc: TableDescriptor): DataFrame = {
     val src = withDeleteBehavior(log, desc)
@@ -70,7 +74,7 @@ object Materialize {
       (col(Meta.ChangeTypeCol).as("__ct") +: nonPkCols(desc).map(col)): _*)
     selectOut(desc, "__last")(
       src.groupBy(pkCols(desc): _*)
-        .agg(max_by(payload, col(Meta.Offset)).as("__last"))
+        .agg(latestBy(payload, col(Meta.Offset)).as("__last"))
         .filter(col("__last.__ct") =!= ChangeType.Delete))
   }
 
@@ -83,7 +87,7 @@ object Materialize {
       (nonPkCols(desc).map(col) :+ col(Meta.Offset).as("__off")): _*)
     selectOut(desc, "__first")(
       src.groupBy(pkCols(desc): _*)
-        .agg(min_by(payload, col(Meta.Offset)).as("__first")))
+        .agg(earliestBy(payload, col(Meta.Offset)).as("__first")))
   }
 
   /** VERSIONED engine (VersionedRowMerger.java:43): keep the row with max
@@ -105,7 +109,7 @@ object Materialize {
       col(Meta.Offset).as("__o"))
     selectOut(desc, "__best")(
       src.groupBy(pkCols(desc): _*)
-        .agg(max_by(payload, orderKey).as("__best")))
+        .agg(latestBy(payload, orderKey).as("__best")))
   }
 
   /** AGGREGATION engine (AggregateRowMerger.java:57): per-column aggregate
@@ -163,14 +167,15 @@ object Materialize {
       case AggFunction.Max => max(v)
       case AggFunction.Min => min(v)
       case AggFunction.LastValue =>
-        // last row's value even when null: wrap in struct so max_by sees it
-        max_by(struct(v.as("v")), when(!isRetract, off))("v")
+        // last row's value even when null: wrap in struct so the pick
+        // function sees it
+        latestBy(struct(v.as("v")), when(!isRetract, off))("v")
       case AggFunction.LastValueIgnoreNulls =>
-        max_by(col(c), when(v.isNotNull, off))
+        latestBy(col(c), when(v.isNotNull, off))
       case AggFunction.FirstValue =>
-        min_by(struct(v.as("v")), when(!isRetract, off))("v")
+        earliestBy(struct(v.as("v")), when(!isRetract, off))("v")
       case AggFunction.FirstValueIgnoreNulls =>
-        min_by(col(c), when(v.isNotNull, off))
+        earliestBy(col(c), when(v.isNotNull, off))
       case AggFunction.BoolAnd => bool_and(v)
       case AggFunction.BoolOr => bool_or(v)
       case AggFunction.Rb32 | AggFunction.Rb64 =>

@@ -374,7 +374,8 @@ object Similarity {
     * Approximate by construction; the exact baseline is [[cosineTopK]].
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
+      broadcastThreshold: Int = 512): DataFrame = {
     val codebook = pqCodebook(df, idCol, vecCol, m, ksub)
     val dsub = codebook(0)(0).length
     val lut: Array[Seq[Double]] = Array.tabulate(m) { j =>
@@ -383,11 +384,57 @@ object Similarity {
         c.map(x => x * x).sum - 2.0 * qs.zip(c).map { case (a, b) => a * b }.sum
       }.toSeq
     }
-    val adc = (0 until m).map { j =>
-      element_at(typedlit(lut(j)), col("__code")(j) + 1)
-    }.reduce(_ + _)
-    pqEncode(df, idCol, vecCol, codebook)
-      .select(col(idCol), adc.as("__adc"))
+    // Two physically different plans, identical results. Small codebooks
+    // (the default 8x16) inline codebook + LUT as codegen'd literals —
+    // fastest, but plan size grows as m*ksub literal arrays. Production
+    // PQ shapes (m=64, ksub=256 -> 16k arrays) would bloat every plan
+    // copy shipped per task, so past the threshold the codebook rides a
+    // broadcast variable into one fused encode+ADC kernel instead, and
+    // plan size stays constant in m*ksub.
+    val scored =
+      if (m * ksub <= broadcastThreshold) {
+        val adc = (0 until m).map { j =>
+          element_at(typedlit(lut(j)), col("__code")(j) + 1)
+        }.reduce(_ + _)
+        pqEncode(df, idCol, vecCol, codebook)
+          .select(col(idCol), adc.as("__adc"))
+      } else {
+        val spark = df.sparkSession
+        val bcCode = spark.sparkContext.broadcast(codebook)
+        val bcLut = spark.sparkContext.broadcast(lut.map(_.toArray))
+        // same math as pqEncode + the LUT sum: per subspace, the
+        // L2-argmin centroid via the reduced distance (ties to the
+        // smaller index), then the query's precomputed subspace distance
+        val adcOf = udf { (v: Seq[Double]) =>
+          val code = bcCode.value
+          val l = bcLut.value
+          var acc = 0.0
+          var j = 0
+          while (j < code.length) {
+            val cands = code(j)
+            var best = 0
+            var bestD = Double.MaxValue
+            var i = 0
+            while (i < cands.length) {
+              val c = cands(i)
+              var cc = 0.0; var dot = 0.0
+              var x = 0
+              while (x < c.length) {
+                cc += c(x) * c(x); dot += v(j * c.length + x) * c(x); x += 1
+              }
+              val d = cc - 2.0 * dot
+              if (d < bestD) { bestD = d; best = i }
+              i += 1
+            }
+            acc += l(j)(best)
+            j += 1
+          }
+          acc
+        }
+        df.select(col(idCol),
+          adcOf(col(vecCol).cast("array<double>")).as("__adc"))
+      }
+    scored
       .orderBy(col("__adc").asc, col(idCol))
       .limit(k)
       .select(col(idCol))

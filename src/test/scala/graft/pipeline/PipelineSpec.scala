@@ -79,6 +79,13 @@ class PipelineSpec extends SparkTestBase {
     val pq = Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(exact.count(pq.contains) >= 2, s"pq recall ${exact.count(pq.contains)}/10")
+    // the broadcast scale path (codebook/LUT as a broadcast variable, one
+    // fused kernel, plan size constant in m*ksub) ranks identically to
+    // the literal-inlined plan — forced here via a zero threshold
+    val pqBc = Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10,
+        broadcastThreshold = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(pqBc == pq, s"broadcast ADC path diverged: $pqBc vs $pq")
   }
 
   test("knnGraphAnn: edge recall vs the exact kNN graph") {
