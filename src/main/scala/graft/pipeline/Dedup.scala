@@ -664,7 +664,8 @@ object Dedup {
     * "keep the longest/highest-quality copy" rule that turns a cluster
     * map into a deduplicated training set. Singleton docs keep
     * themselves. One keyed shuffle on the cluster id; the per-cluster
-    * argmax is a map-side-combinable `max_by` over a (score, −id)
+    * argmax is a map-side-combinable pick ([[graft.functions.LatestRow]]
+    * — hash-plannable, no per-partition sort) over a (score, −id)
     * struct, never a window, so a pathological million-copy cluster
     * costs one combine tree, not one task.
     */
@@ -678,7 +679,8 @@ object Dedup {
     // score is negated
     df.join(cl, Seq(idCol))
       .groupBy(col("canonical_id"))
-      .agg(min_by(struct(col(idCol), col(scoreCol)),
+      .agg(graft.functions.LatestRow.earliestBy(
+        struct(col(idCol), col(scoreCol)),
         struct((-col(scoreCol)).as("__ns"), col(idCol).as("__id"))).as("__best"))
       .select(col("canonical_id"),
         col(s"__best.$idCol").as(idCol),
