@@ -47,8 +47,11 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     // opt IN to enforcement (the documented pre-dynamic mechanism —
     // ignoring it would silently drop enforcement on upgrade) but can
     // never veto a cluster-wide enable.
+    // lenient parse: a malformed session value ("1", "yes") must not
+    // make every catalog call throw — it simply doesn't opt in
     val sessionEnable = spark.conf
-      .getOption("spark.sql.graft.authorizer.enabled").exists(_.toBoolean)
+      .getOption("spark.sql.graft.authorizer.enabled")
+      .exists(_.trim.equalsIgnoreCase("true"))
     if (!sessionEnable && !DynamicConfigs.effectiveServerSide(warehouse,
         "spark.sql.graft.authorizer.enabled", "false").toBoolean)
       return

@@ -25,6 +25,11 @@ object GraftMetrics {
     */
   trait Listener {
     def onIncrement(tablePath: String, metric: String, delta: Long): Unit
+    /** Observes each gauge SET (absolute value, not a delta — forwarding
+      * it through a delta-accumulating path would double-count). Default
+      * no-op so counter-only subscribers stay source-compatible.
+      */
+    def onGauge(tablePath: String, metric: String, value: Long): Unit = ()
   }
 
   // stable metric names (the public contract, not free-form strings)
@@ -59,14 +64,13 @@ object GraftMetrics {
     listeners.forEach(_.onIncrement(tablePath, metric, delta))
   }
 
-  /** Set a point-in-time gauge (listeners observe it as a delta-less
-    * increment of 0 would be meaningless, so gauges notify with the new
-    * value).
+  /** Set a point-in-time gauge; listeners observe via [[Listener.onGauge]]
+    * (never `onIncrement` — a gauge value is not a delta).
     */
   private[graft] def setGauge(tablePath: String, metric: String,
       value: Long): Unit = {
     gauges.put((tablePath, metric), java.lang.Long.valueOf(value))
-    listeners.forEach(_.onIncrement(tablePath, metric, value))
+    listeners.forEach(_.onGauge(tablePath, metric, value))
   }
 
   /** Current gauge value (None if never set). */

@@ -36,8 +36,9 @@ object IcebergExport {
       partitionKeys: Seq[String], files: Seq[(String, Long)],
       sourcePath: String): Unit = {
     val now = System.currentTimeMillis()
-    val snapshotId = math.abs(java.util.UUID.randomUUID()
-      .getLeastSignificantBits) | 1L
+    // & MaxValue, not math.abs: abs(Long.MinValue) is negative
+    val snapshotId = (java.util.UUID.randomUUID()
+      .getLeastSignificantBits & Long.MaxValue) | 1L
     val commitUuid = java.util.UUID.randomUUID().toString
     val qualifiedDir = WarehouseIO.qualify(dir)
 
@@ -105,6 +106,16 @@ object IcebergExport {
     val lastPartitionId = 999 + partitionKeys.size
 
     // ---- avro schemas (field-id props are what make them Iceberg) ----
+    // Partition names are interpolated into hand-built Avro schema JSON:
+    // refuse anything outside Avro's identifier grammar up front with a
+    // clear message instead of a SchemaParseException mid-write. (Iceberg
+    // itself sanitizes such names, AvroSchemaUtil; data columns are safe
+    // — their names only pass through json4s, which escapes.)
+    partitionKeys.find(!_.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"partition column '$bad' is not a valid Avro identifier " +
+          "([A-Za-z_][A-Za-z0-9_]*) — rename it to export Iceberg metadata")
+    }
     def partAvroField(k: String, i: Int): String = {
       val t = schema(schema.fieldIndex(k)).dataType match {
         case StringType => "\"string\""
@@ -155,12 +166,29 @@ object IcebergExport {
 
     // ---- per-file facts: hive partition values + footer row counts ----
     val hconf = spark.sessionState.newHadoopConf()
-    def recordCount(abs: String): Long = {
+    def footerCount(abs: String): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(abs), hconf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }
+    // footer reads are metadata-sized but one round-trip each — run them
+    // on a bounded pool so a many-file export on a remote warehouse isn't
+    // a serial driver crawl
+    val counts: Map[String, Long] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, files.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Long)]] =
+          files.map { case (rel, _) =>
+            (() => rel -> footerCount(s"$qualifiedDir/$rel")):
+              java.util.concurrent.Callable[(String, Long)]
+          }
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+    def recordCount(rel: String): Long = counts(rel)
     def partValue(k: String, raw: String): AnyRef =
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else schema(schema.fieldIndex(k)).dataType match {
@@ -188,7 +216,7 @@ object IcebergExport {
     var totalRows = 0L
     val entries = files.map { case (rel, bytes) =>
       val abs = s"$qualifiedDir/$rel"
-      val rows = recordCount(abs)
+      val rows = recordCount(rel)
       totalRows += rows
       val part = new GenericData.Record(partSchema)
       partitionOf(rel).foreach { case (k, v) => part.put(k, v) }

@@ -41,9 +41,15 @@ object Identity {
     val cls = DynamicConfigs.effectiveServerSide(warehouse, ProviderKey, "")
     val provider =
       if (cls.nonEmpty)
-        Some(byClass.computeIfAbsent(cls, c =>
-          Class.forName(c).getDeclaredConstructor().newInstance()
-            .asInstanceOf[IdentityProvider]))
+        Some(byClass.computeIfAbsent(cls, c => {
+          // context classloader first: provider jars shipped via --jars
+          // live in Spark's session classloader, not necessarily the one
+          // that loaded this class
+          val loader = Option(Thread.currentThread().getContextClassLoader)
+            .getOrElse(getClass.getClassLoader)
+          Class.forName(c, true, loader).getDeclaredConstructor()
+            .newInstance().asInstanceOf[IdentityProvider]
+        }))
       else installed
     provider.map(_.principal(spark))
   }

@@ -39,6 +39,12 @@ case class LatestRow(payload: Expression, order: Expression,
   override def dataType: DataType = payload.dataType
   override def prettyName: String = if (greatest) "latest_row" else "earliest_row"
 
+  // analysis-time error for unorderable order types (map, ...), matching
+  // the built-in max_by instead of a mid-job runtime failure
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(order.dataType, prettyName)
+
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): LatestRow =
     copy(payload = newLeft, order = newRight)
@@ -103,7 +109,20 @@ object LatestRow {
   /** Mutable holder so update/merge can replace the row in place. */
   final class Buffer(var row: UnsafeRow)
 
-  import org.apache.spark.sql.{Column, GraftColumn}
+  import org.apache.spark.sql.{Column, GraftColumn, SparkSession}
+
+  /** The hash plan only materializes if ObjectHashAggregate's sort-based
+    * fallback threshold (default: 128 in-memory groups) is raised — a
+    * LatestRow buffer is ONE row, so 1M groups is ~row-size*1M per
+    * partition, ordinary hash-agg memory. Called by the engine's
+    * materialization entry points so EMBEDDER sessions get the hash plan
+    * too, not only the repo's own harnesses; an explicit non-default
+    * session setting is always respected.
+    */
+  def ensureHashFallbackThreshold(spark: SparkSession): Unit = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.get(key, "128") == "128") spark.conf.set(key, "1000000")
+  }
 
   private def wrap(payload: Column, order: Column, greatest: Boolean): Column =
     GraftColumn.of(LatestRow(

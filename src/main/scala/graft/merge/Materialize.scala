@@ -29,6 +29,8 @@ object Materialize {
     */
   def currentState(log: DataFrame, desc: TableDescriptor): DataFrame = {
     require(desc.isPrimaryKeyTable, "materialization needs a primary key")
+    // embedder sessions get the hash plan too, not just the repo harnesses
+    graft.functions.LatestRow.ensureHashFallbackThreshold(log.sparkSession)
     desc.mergeEngine match {
       case MergeEngine.Default => defaultEngine(log, desc)
       case MergeEngine.FirstRow => firstRow(log, desc)

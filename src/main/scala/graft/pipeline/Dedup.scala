@@ -673,6 +673,7 @@ object Dedup {
       scoreCol: String, aCol: String = "a_id",
       bCol: String = "b_id"): DataFrame = {
     val cl = clusters(df, idCol, pairs, aCol, bCol)
+    graft.functions.LatestRow.ensureHashFallbackThreshold(df.sparkSession)
     // min_by over (-score, id): max score with ties to the SMALLEST id,
     // without ever negating the id — ids may be strings (URLs, hashes),
     // which the rest of the dedup family supports; only the numeric

@@ -147,11 +147,18 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(table.latestOffsets)
 
+  // Availability snapshot from this trigger's planning call, reused by
+  // getBatch's lag gauge — one manifest read per trigger, not two. Only
+  // an optimization cache: getBatch re-reads when absent (first batch
+  // after checkpoint recovery replays with no planning call).
+  @volatile private var lastAvail: Option[Map[Int, Long]] = None
+
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val from = Option(start).map(GraftSourceOffset.from).getOrElse(startOffsets)
     // offsets only grow, so the AvailableNow cap is simply the availability
     // snapshot taken at trigger start
     val avail = availableNowCap.getOrElse(table.latestOffsets)
+    lastAvail = Some(avail)
     limit match {
       case r: ReadMaxRows => GraftSourceOffset(capped(from, avail, r.maxRows()))
       case _ => GraftSourceOffset(avail)
@@ -164,6 +171,7 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   // legacy no-admission-control planning path
   override def getOffset: Option[V1Offset] = {
     val avail = table.latestOffsets
+    lastAvail = Some(avail)
     if (avail.isEmpty) None else Some(GraftSourceOffset(avail))
   }
 
@@ -185,8 +193,12 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     // lag observability: records committed beyond this batch's end — an
     // operator watching a backlogged stream reads it from the metrics
     // registry / `metrics` meta table / Prometheus text instead of
-    // diffing the `offsets` meta table by hand
-    val latest = table.latestOffsets
+    // diffing the `offsets` meta table by hand. Availability comes from
+    // this trigger's own planning call (no second manifest read); only a
+    // checkpoint-recovery REPLAY re-reads, where the gauge momentarily
+    // reports lag relative to the replayed batch's old end — which is
+    // accurate: those records genuinely remain unprocessed.
+    val latest = lastAvail.getOrElse(table.latestOffsets)
     graft.core.GraftMetrics.setGauge(table.path,
       graft.core.GraftMetrics.StreamLag,
       latest.map { case (b, hi) =>
