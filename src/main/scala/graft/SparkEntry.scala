@@ -457,6 +457,21 @@ object SparkEntry {
     // m=8 4-bit codes (32× smaller than float[64]); the query builds an
     // ADC lookup table on the driver and the scan ranks rows with m array
     // lookups, never touching raw vectors (recall vs exact in test)
+    // ----- SIM7: ANN through the PERSISTED IVF index — the same
+    // coarse-quantize/probe/re-rank as sim3, but served from a durable
+    // index table partitioned by list id: the probe is a PARTITION-PRUNED
+    // scan of nprobe/nlist of the data, incrementally maintained from the
+    // base table's changelog (core.VectorIndex; oracle = sim3's, since
+    // the stored first-n-by-id quantizer materializes the identical
+    // assignment)
+    "sim7_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Fixtures.vecsIvf(s, dir).topK(q, k = 10, nprobe = 4)
+        .select(col("vec_id"))
+    }),
+
     "sim6_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -1201,6 +1216,8 @@ object SparkEntry {
     "sim6_pq_ann" -> sim6OracleSql,
     "sim5_knn_ann" -> sim5OracleSql,
     "sim3_ivf" -> sim3OracleSql,
+    // the persisted index materializes the exact sim3 assignment
+    "sim7_ivf_index" -> sim3OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -34,7 +34,8 @@ object GraftProcedures {
     "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "expire_log", "remove_orphan_files",
-    "create_index", "refresh_index", "get_configs",
+    "create_index", "refresh_index",
+    "create_vector_index", "refresh_vector_index", "get_configs",
     "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
     "list_kv_snapshot_leases", "add_acl", "drop_acl", "list_acl",
     "set_cluster_configs", "append_cluster_configs",
@@ -168,6 +169,30 @@ object GraftProcedures {
           catalog.coreCatalog, parts(0), parts(1), t, cols)
         s"index $qualified on (${cols.mkString(",")}) built at base version " +
           s"${si.appliedVersion}"
+      })
+      case "create_vector_index" => Some(proc(catalog, "create_vector_index",
+        Seq(in("table", StringType), in("index_table", StringType),
+          in("vector_column", StringType), in("nlist", IntegerType)),
+        out("result", StringType)) { (t, row) =>
+        val qualified = row.getUTF8String(1).toString
+        val parts = qualified.split('.')
+        require(parts.length == 2, s"index_table must be 'db.name', got '$qualified'")
+        val vecCol = row.getUTF8String(2).toString
+        val nlist = row.getInt(3)
+        val vi = graft.core.VectorIndex.create(catalog.coreCatalog,
+          parts(0), parts(1), t, t.desc.primaryKey.head, vecCol, nlist)
+        s"vector index $qualified on $vecCol built " +
+          s"(${nlist} lists) at base version ${vi.appliedVersion}"
+      })
+      case "refresh_vector_index" => Some(proc(catalog, "refresh_vector_index",
+        Seq(in("table", StringType), in("index_table", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val idx = catalog.tableForProcedure(row.getUTF8String(1).toString)
+        // index schema: (ivf_list, <pk>, <vecCol>, _src_offset)
+        val vi = graft.core.VectorIndex.open(t, t.desc.primaryKey.head,
+          idx.desc.schema.fieldNames(2), idx)
+        vi.refresh()
+        s"vector index refreshed to base version ${vi.appliedVersion}"
       })
       case "refresh_index" => Some(proc(catalog, "refresh_index",
         Seq(in("table", StringType), in("index_table", StringType)),

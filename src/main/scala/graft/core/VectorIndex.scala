@@ -1,0 +1,201 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.pipeline.Similarity
+
+/** Persisted IVF vector index over a PK table's embedding column: a
+  * derived PK table PARTITIONED by the coarse-quantizer list id, so an
+  * ANN probe reads only `nprobe`/`nlist` of the data through ordinary
+  * partition pruning — the storage-level design [[Similarity.ivfAssign]]
+  * documents ("at scale the assignment column becomes the partition key
+  * of the stored table") made a first-class, durable artifact. The
+  * complement of [[SecondaryIndex]] for vector search: centroids persist
+  * in the index metadata (an index retrains by REBUILD, never silently
+  * on refresh — moving centroids would strand existing assignments), and
+  * assignments maintain INCREMENTALLY from the base table's changelog in
+  * log-offset order, with the rollback-epoch full-rebuild guard.
+  *
+  * At 100 TB: the index table is the only thing a query touches — a
+  * probe is a partition-pruned scan of nprobe lists plus an exact
+  * re-rank inside them; the base table's raw vectors are read only at
+  * (re)build. The reference has no vector search (SURVEY §2.3); this
+  * extends the engine's index machinery to the embedding workloads the
+  * pipeline family (sim1–sim6) already serves query-side.
+  */
+final class VectorIndex private[core] (val table: GraftTable,
+    val idCol: String, val vecCol: String, val idx: GraftTable) {
+
+  private def metaFile = s"${idx.path}/_vector_index_meta.json"
+
+  private def readMeta(): (Array[(Int, Seq[Double])], Long, Long) = {
+    val s = WarehouseIO.readString(metaFile)
+    val f = JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
+    val cents = f("centroids").asInstanceOf[JArray].arr.zipWithIndex.map {
+      case (JArray(xs), i) =>
+        (i, xs.map {
+          case JDouble(d) => d
+          case JInt(n) => n.toDouble // whole-valued coordinate round-trip
+          case other => throw new IllegalStateException(
+            s"bad centroid coordinate in $metaFile: $other")
+        }: Seq[Double])
+      case (other, i) => throw new IllegalStateException(
+        s"bad centroid $i in $metaFile: $other")
+    }.toArray
+    def long(k: String) = f(k).asInstanceOf[JInt].num.toLong
+    (cents, long("appliedVersion"), long("epoch"))
+  }
+
+  private def writeMeta(cents: Array[(Int, Seq[Double])], v: Long,
+      epoch: Long): Unit =
+    WarehouseIO.atomicWriteString(metaFile, JsonMethods.compact(
+      JsonMethods.render(JObject(List(
+        "centroids" -> JArray(cents.sortBy(_._1).toList.map { case (_, c) =>
+          JArray(c.toList.map(JDouble(_)))
+        }),
+        "appliedVersion" -> JInt(v),
+        "epoch" -> JInt(epoch))))))
+
+  /** The persisted coarse centroids (list id → vector). */
+  def centroids: Array[(Int, Seq[Double])] = readMeta()._1
+
+  /** Base-table version the index reflects. */
+  def appliedVersion: Long = readMeta()._2
+
+  /** Nearest-list assignment with the STORED centroids — the expression
+    * every refresh and rebuild uses, so assignments never drift from the
+    * quantizer (same argmax as [[Similarity.ivfAssign]]: max cosine,
+    * ties to the larger index).
+    */
+  private def listOf(vec: org.apache.spark.sql.Column,
+      cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val v = vec.cast("array<double>")
+    greatest(cents.sortBy(_._1).map { case (i, c) =>
+      struct((Similarity.dot(v, typedlit(c)) /
+        (Similarity.l2norm(v) * lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
+        lit(i).as("i"))
+    }.toIndexedSeq: _*)("i")
+  }
+
+  /** Catch the index up to the base table's latest version: the
+    * changelog slice since the last applied version, each entry assigned
+    * with the stored centroids. `+I/+U` upsert into their list; `-U/-D`
+    * delete the OLD (list, id) entry — a vector whose embedding moves
+    * lists is deleted from the old partition and inserted into the new
+    * one atomically (both changes ride one changelog pair). A base-table
+    * restore (rollback epoch change) forces a full rebuild with the SAME
+    * centroids.
+    */
+  def refresh(): Unit = {
+    val epoch = table.rollbackEpoch
+    val (cents, from, appliedEp) = readMeta()
+    if (appliedEp != epoch) rebuildFromState(cents, epoch)
+    else table.latestVersion.foreach { to =>
+      if (to > from) {
+        val ch = table.changesBetween(from, to)
+        idx.upsertMixed(ch.select(
+            listOf(col(vecCol), cents).as(VectorIndex.ListCol),
+            col(idCol), col(vecCol),
+            col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
+            col(Meta.ChangeTypeCol).isin(
+              ChangeType.UpdateBefore, ChangeType.Delete).as("__delete")),
+          orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
+        writeMeta(cents, to, epoch)
+      }
+    }
+  }
+
+  private def rebuildFromState(cents: Array[(Int, Seq[Double])],
+      epoch: Long): Unit = {
+    idx.truncate()
+    val v = table.latestVersion.getOrElse(0L)
+    if (v > 0L) {
+      idx.upsertMixed(table.scan().select(
+          listOf(col(vecCol), cents).as(VectorIndex.ListCol),
+          col(idCol), col(vecCol),
+          lit(0L).as(SecondaryIndex.SourceOffsetCol),
+          lit(false).as("__delete")),
+        orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
+    }
+    writeMeta(cents, v, epoch)
+  }
+
+  /** ANN top-k through the index: rank the stored centroids by query
+    * cosine, probe the nearest `nprobe` lists (a PARTITION-PRUNED scan of
+    * the index table — nprobe/nlist of the data), exact cosine re-rank
+    * inside them. Stale indexes refuse (same posture as
+    * [[SecondaryIndex]]: stale ANN results are silent wrong answers).
+    */
+  def topK(query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val (cents, version, epoch) = readMeta()
+    require(epoch == table.rollbackEpoch,
+      s"vector index at ${idx.path} predates a base-table restore — " +
+        "call refresh() to rebuild")
+    val latest = table.latestVersion.getOrElse(0L)
+    require(version == latest,
+      s"vector index at ${idx.path} reflects base version $version but " +
+        s"the table is at $latest — call refresh() first")
+    Similarity.ivfTopK(idx.scan().withColumnRenamed(
+        VectorIndex.ListCol, "__list"),
+      cents, idCol, vecCol, query, k, nprobe)
+  }
+}
+
+object VectorIndex {
+
+  /** The coarse-list partition column of the index table. No leading
+    * underscore: `_`-prefixed partition DIRECTORIES are hidden from
+    * Spark's file listing, which would silently empty every probe.
+    */
+  val ListCol = "ivf_list"
+
+  /** Create and build an IVF index on `table.vecCol` as `db.name` with
+    * `nlist` coarse lists. Centroids come from the base table's CURRENT
+    * state via the deterministic first-`nlist`-by-id rule
+    * ([[Similarity.ivfAssign]] — oracle-replayable); pass
+    * `kmeans = true` for spherical k-means centroids
+    * ([[Similarity.ivfAssignKMeans]] — balanced lists on skewed data,
+    * centroid coordinates deterministic up to float summation order).
+    */
+  def create(catalog: Catalog, db: String, name: String, table: GraftTable,
+      idCol: String, vecCol: String, nlist: Int,
+      kmeans: Boolean = false): VectorIndex = {
+    require(table.desc.isPrimaryKeyTable, "vector index requires a PK base table")
+    require(table.desc.primaryKey == Seq(idCol),
+      s"vector index expects the single-column PK $idCol")
+    require(table.desc.schema.fieldNames.contains(vecCol),
+      s"vector column $vecCol not in base schema")
+    val fields = Seq(StructField(ListCol, IntegerType, nullable = false),
+      table.desc.schema(idCol), table.desc.schema(vecCol),
+      StructField(SecondaryIndex.SourceOffsetCol,
+        org.apache.spark.sql.types.LongType))
+    val desc = TableDescriptor(StructType(fields.toArray),
+      primaryKey = Seq(ListCol, idCol),
+      partitionKeys = Seq(ListCol),
+      numBuckets = table.desc.numBuckets)
+    val idx = catalog.createTable(db, name, desc)
+    val state = table.scan()
+    val cents =
+      if (kmeans)
+        Similarity.ivfAssignKMeans(state, idCol, vecCol, nlist)._2
+      else
+        state.orderBy(col(idCol)).limit(nlist)
+          .select(col(vecCol).cast("array<double>")).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(cents.length >= nlist,
+      s"vector index needs >= $nlist rows, got ${cents.length}")
+    val vi = new VectorIndex(table, idCol, vecCol, idx)
+    vi.writeMeta(cents, 0L, table.rollbackEpoch)
+    vi.rebuildFromState(cents, table.rollbackEpoch)
+    vi
+  }
+
+  /** Reopen an existing vector index as a handle. */
+  def open(table: GraftTable, idCol: String, vecCol: String,
+      idx: GraftTable): VectorIndex =
+    new VectorIndex(table, idCol, vecCol, idx)
+}

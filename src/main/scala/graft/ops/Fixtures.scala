@@ -116,6 +116,27 @@ object Fixtures {
       t
     }
 
+  /** PK table of the embeddings (vec_id != 0 — vec 0 is the query
+    * vector) + a persisted IVF vector index over it (nlist=16,
+    * first-n-by-id centroids, the oracle-replayable quantizer). Feeds
+    * `sim7_ivf_index`: the probe's answer equals sim3's query-side IVF
+    * by construction, but through a partition-pruned index scan.
+    */
+  def vecsIvf(spark: SparkSession, sfDir: String): VectorIndex = {
+    val base = cached("vecs_base", sfDir) {
+      val df = read(spark, sfDir, "embeddings").filter(col("vec_id") =!= 0)
+      val t = fresh(spark, sfDir, "vecs_base",
+        TableDescriptor(df.schema, primaryKey = Seq("vec_id"), numBuckets = 4))
+      t.upsert(df, orderBy = Seq(df("vec_id")))
+      t
+    }
+    val idx = cached("vecs_ivf", sfDir) {
+      VectorIndex.create(catalog(spark), "fx" + math.abs(sfDir.hashCode),
+        "vecs_ivf", base, "vec_id", "embedding", nlist = 16).idx
+    }
+    VectorIndex.open(base, "vec_id", "embedding", idx)
+  }
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.
@@ -789,7 +810,7 @@ object Fixtures {
     userAllFns(spark, sfDir); userTypeState(spark, sfDir)
     sqlCatalog(spark, sfDir); aggViewTable(spark, sfDir)
     lineitemPolledTable(spark, sfDir); usersTwoVersions(spark, sfDir)
-    lineitemRewritten(spark, sfDir)
+    lineitemRewritten(spark, sfDir); vecsIvf(spark, sfDir)
     ()
   }
 

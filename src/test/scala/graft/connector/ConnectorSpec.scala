@@ -343,6 +343,32 @@ class ConnectorSpec extends SparkTestBase {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("CALL system procedures: create/refresh_vector_index probe the IVF index") {
+    wh
+    spark.sql("CREATE TABLE gfs.db.vx (vid BIGINT, emb ARRAY<DOUBLE>) " +
+      "USING graft TBLPROPERTIES ('primary.key' = 'vid', 'bucket.num' = '2')")
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 40).map(i =>
+      s"($i, array(${Seq.fill(4)(rnd.nextGaussian()).mkString(",")}))")
+    spark.sql(s"INSERT INTO gfs.db.vx VALUES ${rows.mkString(",")}")
+    val msg = spark.sql(
+      "CALL gfs.system.create_vector_index('db.vx', 'db.vx_ivf', 'emb', 4)")
+      .head.getString(0)
+    assert(msg.contains("4 lists"))
+    val core = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.gfs.warehouse"), spark)
+    val vi = graft.core.VectorIndex.open(core.getTable("db", "vx"),
+      "vid", "emb", core.getTable("db", "vx_ivf"))
+    assert(vi.topK(Seq(0.1, -0.2, 0.3, 0.4), k = 5, nprobe = 2).count() == 5)
+    // stale after a write; procedure refresh catches up
+    spark.sql("INSERT INTO gfs.db.vx VALUES (99, array(1.0, 0.0, 0.0, 0.0))")
+    intercept[IllegalArgumentException](vi.topK(Seq(1.0, 0.0, 0.0, 0.0), 3, 2))
+    spark.sql("CALL gfs.system.refresh_vector_index('db.vx', 'db.vx_ivf')")
+    val top = vi.topK(Seq(1.0, 0.0, 0.0, 0.0), 3, 4)
+      .collect().map(_.getLong(0))
+    assert(top.head == 99L) // the freshly indexed exact-match vector wins
+  }
+
   test("CALL system procedures: compact, rewrite_files, expire_partitions") {
     wh
     spark.sql("CREATE TABLE gfs.db.mt (k BIGINT, v INT, dt STRING) USING graft " +
