@@ -179,6 +179,8 @@ object GraftProcedures {
         require(parts.length == 2, s"index_table must be 'db.name', got '$qualified'")
         val vecCol = row.getUTF8String(2).toString
         val nlist = row.getInt(3)
+        require(t.desc.primaryKey.size == 1,
+          "vector index requires a single-column-PK base table")
         val vi = graft.core.VectorIndex.create(catalog.coreCatalog,
           parts(0), parts(1), t, t.desc.primaryKey.head, vecCol, nlist)
         s"vector index $qualified on $vecCol built " +
@@ -188,6 +190,8 @@ object GraftProcedures {
         Seq(in("table", StringType), in("index_table", StringType)),
         out("result", StringType)) { (t, row) =>
         val idx = catalog.tableForProcedure(row.getUTF8String(1).toString)
+        require(t.desc.primaryKey.size == 1,
+          "vector index requires a single-column-PK base table")
         // index schema: (ivf_list, <pk>, <vecCol>, _src_offset)
         val vi = graft.core.VectorIndex.open(t, t.desc.primaryKey.head,
           idx.desc.schema.fieldNames(2), idx)

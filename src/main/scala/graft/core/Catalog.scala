@@ -47,11 +47,17 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     // opt IN to enforcement (the documented pre-dynamic mechanism —
     // ignoring it would silently drop enforcement on upgrade) but can
     // never veto a cluster-wide enable.
-    // lenient parse: a malformed session value ("1", "yes") must not
-    // make every catalog call throw — it simply doesn't opt in
+    // strict parse with the key named in the error: silently ignoring a
+    // malformed value ("1", "yes") would fail OPEN on a session that
+    // meant to enable enforcement
     val sessionEnable = spark.conf
       .getOption("spark.sql.graft.authorizer.enabled")
-      .exists(_.trim.equalsIgnoreCase("true"))
+      .exists(v => v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"invalid boolean '$other' for spark.sql.graft.authorizer.enabled")
+      })
     if (!sessionEnable && !DynamicConfigs.effectiveServerSide(warehouse,
         "spark.sql.graft.authorizer.enabled", "false").toBoolean)
       return

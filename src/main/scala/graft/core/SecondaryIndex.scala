@@ -60,7 +60,15 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   def refresh(): Unit = {
     val epoch = table.rollbackEpoch
     val (from, appliedEp) = readApplied()
-    if (appliedEp != epoch) rebuildFromState(epoch)
+    // a vacuum past the applied version truncated the changelog slice we
+    // would need — re-baseline from current state instead of refusing
+    // forever (the create-time snapshot-build path, made recoverable)
+    def vacuumedPast(fromV: Long): Boolean =
+      try table.retainedFloorOffsets.exists { floor =>
+        val fromOff = table.offsetsAtVersion(fromV)
+        floor.exists { case (b, f) => fromOff.getOrElse(b, 0L) < f }
+      } catch { case _: IllegalArgumentException => true }
+    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(epoch)
     else table.latestVersion.foreach { to =>
       if (to > from) {
         val ch = table.changesBetween(from, to)
@@ -161,6 +169,12 @@ object SecondaryIndex {
       s"index column $c not in base schema"))
     require(indexColumns.forall(!table.desc.primaryKey.contains(_)),
       "index columns must not be PK columns (PK lookups need no index)")
+    // incremental maintenance deletes a changed value's OLD entry via the
+    // changelog's -U before-row; WAL images suppress -U, which would
+    // strand stale (value, key) entries — refuse
+    require(table.desc.changelogImage == ChangelogImage.Full,
+      "secondary index requires changelog image FULL (WAL images drop " +
+        "the -U before-rows incremental maintenance deletes old entries with)")
     val fields = (indexColumns ++ table.desc.primaryKey)
       .map(c => table.desc.schema(c)) :+ StructField(SourceOffsetCol, LongType)
     val desc = TableDescriptor(StructType(fields),

@@ -66,20 +66,13 @@ final class VectorIndex private[core] (val table: GraftTable,
   /** Base-table version the index reflects. */
   def appliedVersion: Long = readMeta()._2
 
-  /** Nearest-list assignment with the STORED centroids — the expression
-    * every refresh and rebuild uses, so assignments never drift from the
-    * quantizer (same argmax as [[Similarity.ivfAssign]]: max cosine,
-    * ties to the larger index).
+  /** Nearest-list assignment with the STORED centroids — delegates to
+    * the one shared definition ([[Similarity.ivfListOf]]) so the index's
+    * assignment can never drift from the ephemeral query path's.
     */
   private def listOf(vec: org.apache.spark.sql.Column,
-      cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
-    val v = vec.cast("array<double>")
-    greatest(cents.sortBy(_._1).map { case (i, c) =>
-      struct((Similarity.dot(v, typedlit(c)) /
-        (Similarity.l2norm(v) * lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
-        lit(i).as("i"))
-    }.toIndexedSeq: _*)("i")
-  }
+      cents: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    Similarity.ivfListOf(vec, cents)
 
   /** Catch the index up to the base table's latest version: the
     * changelog slice since the last applied version, each entry assigned
@@ -93,7 +86,18 @@ final class VectorIndex private[core] (val table: GraftTable,
   def refresh(): Unit = {
     val epoch = table.rollbackEpoch
     val (cents, from, appliedEp) = readMeta()
-    if (appliedEp != epoch) rebuildFromState(cents, epoch)
+    // a vacuum past the applied version truncated the changelog slice we
+    // would need: re-baseline from the current state (same centroids)
+    // instead of refusing forever
+    def vacuumedPast(fromV: Long): Boolean =
+      try table.retainedFloorOffsets.exists { floor =>
+        val fromOff = table.offsetsAtVersion(fromV)
+        floor.exists { case (b, f) => fromOff.getOrElse(b, 0L) < f }
+      } catch {
+        // the applied version itself fell out of recorded history
+        case _: IllegalArgumentException => true
+      }
+    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(cents, epoch)
     else table.latestVersion.foreach { to =>
       if (to > from) {
         val ch = table.changesBetween(from, to)
@@ -169,6 +173,21 @@ object VectorIndex {
       s"vector index expects the single-column PK $idCol")
     require(table.desc.schema.fieldNames.contains(vecCol),
       s"vector column $vecCol not in base schema")
+    // incremental maintenance deletes old (list, id) entries via the
+    // changelog's -U/-D rows; a WAL-image table suppresses -U, so a
+    // vector moving lists would leave its stale entry behind — refuse
+    require(table.desc.changelogImage == ChangelogImage.Full,
+      "vector index requires changelog image FULL (WAL images drop the " +
+        "-U before-rows incremental maintenance deletes old entries with)")
+    // validate everything BEFORE registering the index table: a failure
+    // here must not leave an orphaned empty table blocking the retry
+    val state = table.scan()
+    val cents =
+      if (kmeans)
+        Similarity.ivfAssignKMeans(state, idCol, vecCol, nlist)._2
+      else Similarity.firstNCentroids(state, idCol, vecCol, nlist)
+    require(cents.length >= nlist,
+      s"vector index needs >= $nlist rows, got ${cents.length}")
     val fields = Seq(StructField(ListCol, IntegerType, nullable = false),
       table.desc.schema(idCol), table.desc.schema(vecCol),
       StructField(SecondaryIndex.SourceOffsetCol,
@@ -178,16 +197,6 @@ object VectorIndex {
       partitionKeys = Seq(ListCol),
       numBuckets = table.desc.numBuckets)
     val idx = catalog.createTable(db, name, desc)
-    val state = table.scan()
-    val cents =
-      if (kmeans)
-        Similarity.ivfAssignKMeans(state, idCol, vecCol, nlist)._2
-      else
-        state.orderBy(col(idCol)).limit(nlist)
-          .select(col(vecCol).cast("array<double>")).collect()
-          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
-    require(cents.length >= nlist,
-      s"vector index needs >= $nlist rows, got ${cents.length}")
     val vi = new VectorIndex(table, idCol, vecCol, idx)
     vi.writeMeta(cents, 0L, table.rollbackEpoch)
     vi.rebuildFromState(cents, table.rollbackEpoch)

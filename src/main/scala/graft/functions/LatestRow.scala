@@ -116,12 +116,24 @@ object LatestRow {
     * LatestRow buffer is ONE row, so 1M groups is ~row-size*1M per
     * partition, ordinary hash-agg memory. Called by the engine's
     * materialization entry points so EMBEDDER sessions get the hash plan
-    * too, not only the repo's own harnesses; an explicit non-default
-    * session setting is always respected.
+    * too, not only the repo's own harnesses.
+    *
+    * The raise is session-wide (Spark has no per-query conf), which also
+    * affects OTHER typed-imperative aggregates in the session — e.g. a
+    * collect_list over millions of heavy groups loses its early
+    * sort-fallback spill protection. Deployments that need the Spark
+    * default back opt out with
+    * `spark.sql.graft.objectHashFallbackThreshold=""` (or pick their own
+    * value via the same key); an explicit non-default setting of the
+    * Spark key itself is always respected.
     */
   def ensureHashFallbackThreshold(spark: SparkSession): Unit = {
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.get(key, "128") == "128") spark.conf.set(key, "1000000")
+    val want = spark.conf
+      .get("spark.sql.graft.objectHashFallbackThreshold", "1000000").trim
+    if (want.nonEmpty) {
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      if (spark.conf.get(key, "128") == "128") spark.conf.set(key, want)
+    }
   }
 
   private def wrap(payload: Column, order: Column, greatest: Boolean): Column =

@@ -180,16 +180,34 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
       spark: org.apache.spark.sql.SparkSession): (DataFrame, Array[(Int, Seq[Double])]) = {
-    val centroids = df.orderBy(col(idCol)).limit(nlist)
+    val centroids = firstNCentroids(df, idCol, vecCol, nlist)
+    (df.withColumn("__list", ivfListOf(col(vecCol), centroids)), centroids)
+  }
+
+  /** The deterministic first-`nlist`-by-id coarse centroids — the
+    * oracle-replayable quantizer [[ivfAssign]] and the persisted
+    * [[graft.core.VectorIndex]] share.
+    */
+  def firstNCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[(Int, Seq[Double])] =
+    df.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol).cast("array<double>")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
-    val v = col(vecCol).cast("array<double>")
-    // nearest centroid by max cosine (argmax over a literal array of centroids)
-    val best = centroids.map { case (i, c) =>
-      struct((dot(v, typedlit(c)) / (l2norm(v) * lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
+
+  /** Nearest-list assignment against FIXED centroids: argmax centroid
+    * cosine, ties to the larger index (the single definition every
+    * caller — ephemeral assign, persisted index build/refresh — shares,
+    * so tie-breaking can never drift between them).
+    */
+  def ivfListOf(vec: Column,
+      centroids: Array[(Int, Seq[Double])]): Column = {
+    val v = vec.cast("array<double>")
+    val best = centroids.sortBy(_._1).map { case (i, c) =>
+      struct((dot(v, typedlit(c)) /
+        (l2norm(v) * lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
         lit(i).as("i"))
     }
-    (df.withColumn("__list", greatest(best: _*)("i")), centroids)
+    greatest(best.toIndexedSeq: _*)("i")
   }
 
   /** IVF coarse centroids via deterministic spherical k-means — the

@@ -194,11 +194,16 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     // operator watching a backlogged stream reads it from the metrics
     // registry / `metrics` meta table / Prometheus text instead of
     // diffing the `offsets` meta table by hand. Availability comes from
-    // this trigger's own planning call (no second manifest read); only a
-    // checkpoint-recovery REPLAY re-reads, where the gauge momentarily
-    // reports lag relative to the replayed batch's old end — which is
-    // accurate: those records genuinely remain unprocessed.
-    val latest = lastAvail.getOrElse(table.latestOffsets)
+    // this trigger's own planning call (no second manifest read), EXCEPT
+    // under Trigger.AvailableNow, whose planning snapshot is pinned at
+    // trigger start — records committed while the run drains must still
+    // count as lag, so that path reads the true tail. A checkpoint-
+    // recovery REPLAY also re-reads (no planning call yet), where the
+    // gauge momentarily reports lag relative to the replayed batch's old
+    // end — accurate: those records genuinely remain unprocessed.
+    val latest =
+      if (availableNowCap.isDefined) table.latestOffsets
+      else lastAvail.getOrElse(table.latestOffsets)
     graft.core.GraftMetrics.setGauge(table.path,
       graft.core.GraftMetrics.StreamLag,
       latest.map { case (b, hi) =>

@@ -54,8 +54,12 @@ class VectorIndexSpec extends SparkTestBase {
     val lists = WarehouseIO.listDir(s"${vi.idx.path}/log")
       .filter(_.isDir).map(_.name).filter(_.startsWith("ivf_list="))
     assert(lists.size > 1, s"expected multiple list partitions, got $lists")
+    // the probe's list filter reaches the scan as a PARTITION filter —
+    // asserting on the PartitionFilters clause, not the schema echo
     val plan = vi.topK(q, 10, 3).queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_list"), plan)
+    assert("PartitionFilters: \\[.*ivf_list#\\d+ IN ".r
+        .findFirstIn(plan).isDefined,
+      s"expected a pushed partition filter on ivf_list, plan:\n$plan")
   }
 
   test("incremental refresh: new vectors, updates that move lists, deletes") {
@@ -112,6 +116,39 @@ class VectorIndexSpec extends SparkTestBase {
     assert(!idxRows.contains(2L))
     // unchanged since stored cents came from pre-mutation state on 4 lists
     assert(cents0.length == 4 && assigned.columns.contains("__list"))
+  }
+
+  test("WAL-image base tables are refused (suppressed -U strands stale entries)") {
+    val cat = new Catalog(Files.createTempDirectory("graft-vi-wal").toString, spark)
+    val schema = StructType(Seq(
+      StructField("vid", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType), nullable = false)))
+    val t = cat.createTable("db", "walv", TableDescriptor(schema,
+      primaryKey = Seq("vid"), numBuckets = 2,
+      changelogImage = ChangelogImage.Wal))
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.create(cat, "db", "walv_ivf", t, "vid", "emb", nlist = 2))
+    assert(e.getMessage.contains("FULL"))
+    // ...and the failed create leaves no orphaned index table behind
+    assert(!cat.tableExists("db", "walv_ivf"))
+  }
+
+  test("vacuum past the applied version re-baselines instead of refusing forever") {
+    val (cat, t) = mkTable(50)
+    val vi = VectorIndex.create(cat, "db", "vecs_ivf4", t, "vid", "emb",
+      nlist = 4)
+    val schema = StructType(Seq(
+      StructField("vid", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType), nullable = false),
+      StructField("ord", LongType)))
+    t.upsert(spark.createDataFrame(
+      Seq(Row(400L, vec(400), 0L), Row(401L, vec(401), 1L)).asJava, schema),
+      orderBy = Seq(col("ord")))
+    t.compact(); t.vacuumLog() // truncate the changelog the refresh needed
+    vi.refresh() // must re-baseline from state, not throw
+    val ids = vi.idx.scan().select("vid").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(400L) && ids.contains(401L) && ids.size == 52)
+    assert(vi.topK(vec(400), 3, 4).head.getLong(0) == 400L)
   }
 
   test("rollback forces a rebuild with the SAME stored centroids") {
