@@ -52,6 +52,16 @@ object GraftProcedures {
       kv.substring(0, i).trim -> kv.substring(i + 1).trim
     }.toMap
 
+  /** 'db.table' → (db, table), with a usable error on any other shape
+    * (a bare destructure would throw MatchError on a 1- or 3-part name).
+    */
+  private def splitTableName(qualified: String): (String, String) = {
+    val parts = qualified.split('.')
+    require(parts.length == 2,
+      s"expected a two-part table name 'db.table', got '$qualified'")
+    (parts(0), parts(1))
+  }
+
   /** 'CLUSTER' / 'db' / 'db.table' → resource path for the authorizer
     * ('ANY' spans everything, so its authorization scope is the cluster).
     */
@@ -116,8 +126,7 @@ object GraftProcedures {
         // data egress: gate on READ, not the DESCRIBE that table
         // resolution already checked — a DESCRIBE-only principal must
         // not dump table contents to a directory of their choosing
-        val Array(tdb, tname) =
-          row.getUTF8String(0).toString.split('.')
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         val dir = row.getUTF8String(1).toString
         t.exportSnapshot(dir)
@@ -128,8 +137,7 @@ object GraftProcedures {
         Seq(in("table", StringType), in("dir", StringType)),
         out("result", StringType)) { (t, row) =>
         // same egress gate as export_snapshot
-        val Array(tdb, tname) =
-          row.getUTF8String(0).toString.split('.')
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         val dir = row.getUTF8String(1).toString
         t.exportSnapshot(dir, icebergMetadata = true)

@@ -352,8 +352,17 @@ object CatalogJson {
     * configs): lock-file mutex with bounded retry, so concurrent
     * read-modify-write cycles serialize instead of silently losing the
     * loser's entries. Stale locks (a crashed holder) break after 60 s.
+    *
+    * A vanished lock PARENT (FileNotFoundException from the exclusive
+    * create) normally falls through to running the body unlocked — the
+    * right call for catalog metadata, where the parent disappearing means
+    * a concurrent dropDatabase and the body will surface the real error.
+    * Callers whose mutual exclusion is the WHOLE point (commit
+    * coordination) pass `missingParentFatal = true` to turn that fallback
+    * into a loud failure instead of a silent unlocked run.
     */
-  def withFileLock[T](path: String, timeoutMs: Long = 10000L)(body: => T): T = {
+  def withFileLock[T](path: String, timeoutMs: Long = 10000L,
+      missingParentFatal: Boolean = false)(body: => T): T = {
     val lock = path + ".lock"
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
@@ -371,7 +380,10 @@ object CatalogJson {
           Thread.sleep(5L + scala.util.Random.nextInt(20))
         }
       } catch {
-        case _: java.io.FileNotFoundException =>
+        case e: java.io.FileNotFoundException =>
+          if (missingParentFatal) throw new IllegalStateException(
+            s"lock parent for $lock vanished — refusing to run the " +
+              "critical section unlocked", e)
           // parent vanished mid-race (e.g. dropDatabase); let the body
           // surface the real error
           held = true

@@ -107,8 +107,15 @@ final class FileLeaseCommitCoordinator(leaseRoot: String)
     s"$leaseRoot/lease-${md.map("%02x".format(_)).mkString}"
   }
 
-  private def withLease[T](path: String)(body: => T): T =
-    CatalogJson.withFileLock(leaseFor(path))(body)
+  private def withLease[T](path: String)(body: => T): T = {
+    // leaseRoot is empty between commits (leases delete after use) and a
+    // tmp-cleaner may remove it; recreate per acquisition, and make a
+    // still-missing parent FATAL — inheriting withFileLock's run-unlocked
+    // fallback here would reopen the exact multi-writer race this
+    // coordinator exists to close, silently.
+    WarehouseIO.mkdirs(leaseRoot)
+    CatalogJson.withFileLock(leaseFor(path), missingParentFatal = true)(body)
+  }
 
   override def createExclusive(path: String): Boolean = withLease(path) {
     if (WarehouseIO.exists(path)) false

@@ -200,12 +200,19 @@ object IcebergExport {
         case other => throw new IllegalArgumentException(
           s"unsupported partition type $other for $k")
       }
+    // The dirs were written by Spark's partitionBy, which escapes via
+    // ExternalCatalogUtils.escapePathName (%XX for a specific char set;
+    // '+' and space pass through UNescaped) — so decode with the exact
+    // inverse. URLDecoder would additionally map '+' to space and record
+    // a value like "c++" wrong in the manifests, silently mis-pruning
+    // downstream Iceberg readers.
     def partitionOf(rel: String): Map[String, AnyRef] =
       rel.split('/').dropRight(1).flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if partitionKeys.contains(k) =>
             Some(k -> partValue(k,
-              java.net.URLDecoder.decode(v, "UTF-8")))
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(v)))
           case _ => None
         }
       }.toMap

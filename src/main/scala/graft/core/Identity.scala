@@ -33,6 +33,14 @@ object Identity {
   def install(p: IdentityProvider): Unit = installed = Some(p)
   def uninstall(): Unit = installed = None
 
+  /** Drop cached provider instances. Call after swapping a provider jar
+    * (new session classloader) if the class NAME stayed the same — the
+    * cache also keys on the loader, so this is only needed when the same
+    * loader should re-instantiate (e.g. a provider with refreshed
+    * construction-time state).
+    */
+  def clearCache(): Unit = byClass.clear()
+
   /** The authenticated principal, when a provider is bound: the
     * warehouse-persisted provider class wins, then the
     * embedder-installed one; None means session-asserted identity.
@@ -40,17 +48,21 @@ object Identity {
   def resolve(spark: SparkSession, warehouse: String): Option[String] = {
     val cls = DynamicConfigs.effectiveServerSide(warehouse, ProviderKey, "")
     val provider =
-      if (cls.nonEmpty)
-        Some(byClass.computeIfAbsent(cls, c => {
-          // context classloader first: provider jars shipped via --jars
-          // live in Spark's session classloader, not necessarily the one
-          // that loaded this class
-          val loader = Option(Thread.currentThread().getContextClassLoader)
-            .getOrElse(getClass.getClassLoader)
-          Class.forName(c, true, loader).getDeclaredConstructor()
-            .newInstance().asInstanceOf[IdentityProvider]
-        }))
-      else installed
+      if (cls.nonEmpty) {
+        // context classloader first: provider jars shipped via --jars
+        // live in Spark's session classloader, not necessarily the one
+        // that loaded this class. The cache keys on (class, loader) so a
+        // provider-jar update that swaps the session classloader gets a
+        // fresh instance instead of the stale one cached under the old
+        // jar ([[clearCache]] covers same-loader re-instantiation).
+        val loader = Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader)
+        val key = cls + "@" + Integer.toHexString(
+          System.identityHashCode(loader))
+        Some(byClass.computeIfAbsent(key, _ =>
+          Class.forName(cls, true, loader).getDeclaredConstructor()
+            .newInstance().asInstanceOf[IdentityProvider]))
+      } else installed
     provider.map(_.principal(spark))
   }
 }

@@ -132,7 +132,20 @@ object LatestRow {
       .get("spark.sql.graft.objectHashFallbackThreshold", "1000000").trim
     if (want.nonEmpty) {
       val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-      if (spark.conf.get(key, "128") == "128") spark.conf.set(key, want)
+      // Override only when the Spark key is unset, or when its current
+      // value is one THIS engine wrote earlier (tracked via a companion
+      // tag) — never when the deployment set it explicitly, even to
+      // Spark's own default (e.g. 128 on purpose to keep early spill
+      // protection for collect_list). Value-sniffing the default would
+      // silently trample that choice and break if Spark's default moved.
+      val tagKey = "spark.sql.graft.internal.hashFallbackSetByEngine"
+      val explicitlySet = spark.conf.getAll.contains(key)
+      val setByEngine = spark.conf.getOption(tagKey)
+        .exists(tag => spark.conf.getOption(key).contains(tag))
+      if (!explicitlySet || setByEngine) {
+        spark.conf.set(key, want)
+        spark.conf.set(tagKey, want)
+      }
     }
   }
 

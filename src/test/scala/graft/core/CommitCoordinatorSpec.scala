@@ -129,6 +129,42 @@ class CommitCoordinatorSpec extends SparkTestBase {
     } finally CommitCoordinators.unregister("racyfs")
   }
 
+  test("a vanished lease root is recreated, never a silent unlocked run") {
+    setupRacyfs()
+    val leases = Files.createTempDirectory("graft-leases-gone").toString
+    CommitCoordinators.register("racyfs", new FileLeaseCommitCoordinator(leases))
+    try {
+      val dir = "racyfs://test" + Files.createTempDirectory("graft-racy-gone")
+      // first commit cycle leaves the lease dir EMPTY (locks delete after
+      // use) — exactly the state a tmp cleaner would reap
+      assert(raceExclusive(s"$dir/lock-a", 4) == 1)
+      WarehouseIO.deleteRecursively(leases)
+      assert(!WarehouseIO.exists(leases))
+      // next acquisition must still serialize (root recreated per lease),
+      // not inherit withFileLock's run-unlocked missing-parent fallback
+      (0 until 5).foreach { i =>
+        val winners = raceExclusive(s"$dir/lock-b$i", 4)
+        assert(winners == 1, s"after lease-root removal: $winners winners")
+      }
+    } finally CommitCoordinators.unregister("racyfs")
+  }
+
+  test("withFileLock missingParentFatal refuses instead of running unlocked") {
+    val root = Files.createTempDirectory("graft-lock-fatal").toString
+    val under = s"$root/gone/meta.json"
+    // default posture: vanished parent falls through to the body (the
+    // catalog-metadata contract — the body surfaces the real error)
+    var ran = false
+    CatalogJson.withFileLock(under) { ran = true }
+    assert(ran)
+    // commit-coordination posture: loud refusal, body never runs
+    val e = intercept[IllegalStateException](
+      CatalogJson.withFileLock(under, missingParentFatal = true) {
+        fail("body must not run unlocked")
+      })
+    assert(e.getMessage.contains("unlocked"))
+  }
+
   test("the lease root itself must live on an atomic filesystem") {
     setupRacyfs()
     val e = intercept[IllegalArgumentException](

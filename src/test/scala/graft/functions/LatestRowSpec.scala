@@ -76,6 +76,40 @@ class LatestRowSpec extends SparkTestBase {
     }
   }
 
+  test("ensureHashFallbackThreshold: explicit user setting always respected") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val tagKey = "spark.sql.graft.internal.hashFallbackSetByEngine"
+    val before = spark.conf.getAll.get(key)
+    try {
+      // a deployment that explicitly pins Spark's own default (128) to
+      // keep early spill protection must NOT be silently overridden
+      spark.conf.unset(tagKey)
+      spark.conf.set(key, "128")
+      LatestRow.ensureHashFallbackThreshold(spark)
+      assert(spark.conf.get(key) == "128")
+      // ...nor any other explicit choice
+      spark.conf.set(key, "4096")
+      LatestRow.ensureHashFallbackThreshold(spark)
+      assert(spark.conf.get(key) == "4096")
+      // unset -> the engine applies its raise and tags it as its own
+      spark.conf.unset(key)
+      LatestRow.ensureHashFallbackThreshold(spark)
+      assert(spark.conf.get(key) == "1000000")
+      assert(spark.conf.get(tagKey) == "1000000")
+      // an engine-set value may be re-tuned by the engine on later calls
+      spark.conf.set("spark.sql.graft.objectHashFallbackThreshold", "500000")
+      LatestRow.ensureHashFallbackThreshold(spark)
+      assert(spark.conf.get(key) == "500000")
+    } finally {
+      spark.conf.unset("spark.sql.graft.objectHashFallbackThreshold")
+      spark.conf.unset(tagKey)
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("unorderable order type fails at analysis time") {
     val d = Seq(("a", Map(1 -> 2), "x")).toDF("k", "m", "v")
     val e = intercept[Exception](
