@@ -117,6 +117,18 @@ object SparkEntry {
       Fixtures.usersTwoVersions(s, dir).changesBetween(1L, 2L)
         .select(col("_change_type"), col("user_id"), col("ts"), col("value"))),
 
+    // ----- incremental Iceberg lake tiering (LakeTableTieringManager
+    // analog): full export, a batch touching 2 of 5 partitions, then an
+    // incremental tier; read back THROUGH the Iceberg metadata — the
+    // oracle hash proves the delta-moved lake equals a from-scratch
+    // computation of the same state
+    "tier1_incremental_export" -> ((s, dir) => {
+      val lake = Fixtures.tieredLakeDir(s, dir)
+      graft.core.IcebergExport.readLive(s, lake)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1269,6 +1281,22 @@ object SparkEntry {
     "tt1_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin,
+
+    // batch 2 (click/view rows with event_id%4=0) lands AFTER batch 1, so
+    // it wins per (event_type,user_id) regardless of event_id; within a
+    // batch the upsert order column is event_id
+    "tier1_incremental_export" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view'))
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
 
     "s1_log_poller" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",

@@ -31,9 +31,10 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
-    "rollback_to_version",
+    "tier_snapshot_iceberg", "rollback_to_version",
     "rewrite_files", "expire_partitions",
-    "maintain_partitions", "expire_log", "remove_orphan_files",
+    "maintain_partitions", "maintain_indexes", "expire_log",
+    "remove_orphan_files",
     "create_index", "refresh_index",
     "create_vector_index", "refresh_vector_index", "get_configs",
     "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
@@ -143,6 +144,29 @@ object GraftProcedures {
         t.exportSnapshot(dir, icebergMetadata = true)
         s"exported current state to $dir as an Iceberg v2 table " +
           "(parquet + metadata/v1.metadata.json + Avro manifests)"
+      })
+      case "tier_snapshot_iceberg" => Some(proc(catalog,
+        "tier_snapshot_iceberg",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        // same egress gate as export_snapshot; repeated calls move only
+        // the delta since the last one (incremental lake tiering)
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        t.tierSnapshot(row.getUTF8String(1).toString)
+      })
+      case "maintain_indexes" => Some(proc(catalog, "maintain_indexes",
+        Seq(in("table", StringType)),
+        out("result", StringType)) { (t, _) =>
+        // the index-freshness half of a maintenance tick: refresh every
+        // index registered against this base table (discovered from the
+        // index tables' properties, no per-index arguments)
+        val refreshed = graft.core.IndexMaintenance.refreshAll(
+          catalog.coreCatalog, t)
+        if (refreshed.isEmpty) "no registered indexes"
+        else refreshed.map { case (qn, kind, v) =>
+          s"$qn ($kind) refreshed to base version $v"
+        }.mkString("; ")
       })
       case "rewrite_files" => Some(proc(catalog, "rewrite_files",
         Seq(in("table", StringType),

@@ -1447,12 +1447,199 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // Iceberg-reading engine. Opt-in because the extra metadata/ dir
     // makes the export no longer readable as a bare parquet directory
     // (Spark's parquet source trips over the non-parquet files).
-    if (icebergMetadata)
+    if (icebergMetadata) {
       IcebergExport.write(spark, dir, desc.schema, desc.partitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path)
+      ()
+    }
     GraftMetrics.inc(path, GraftMetrics.Exports)
   }
+
+  /** Incremental lake tiering — the library analog of the reference's
+    * continuous tiering service (fluss-server/.../coordinator/
+    * LakeTableTieringManager.java:110, per-format commit plumbing in
+    * fluss-lake/fluss-lake-iceberg/.../tiering/): bring a directory
+    * previously exported with Iceberg metadata up to the table's current
+    * state by moving ONLY the delta since the last export, published as
+    * a NEW Iceberg snapshot. A freshness-scheduled loop calls this per
+    * table; at 100 TB a full re-export per refresh is untenable — this
+    * is O(changed data):
+    *
+    *  - log (append-only) tables: exactly the records in the pinned →
+    *    current offset window are appended as new files; the Iceberg
+    *    snapshot is a FastAppend (previous manifests carried forward
+    *    untouched).
+    *  - PK tables: the offset window identifies the CHANGED partitions;
+    *    only those partitions' state is re-materialized and swapped
+    *    (ADDED + DELETED entries; untouched partitions' files are
+    *    byte-identical and stay EXISTING). An unpartitioned PK table
+    *    degrades to a full-state rewrite — still snapshot-versioned.
+    *
+    * Replaced files stay on disk so earlier Iceberg snapshots remain
+    * readable (expire/vacuum of the lake history is the lake catalog's
+    * job, as in Iceberg itself); a tiered directory is an ICEBERG
+    * surface — readers must resolve files through the metadata, never
+    * by listing (`IcebergExport.readLive` is the built-in reader).
+    *
+    * First call on a fresh directory performs the initial full export.
+    * Fails loudly when the log no longer retains the pinned offsets
+    * (vacuumed past the last export) — the delta is unreconstructible
+    * and the caller must re-export to a fresh directory.
+    */
+  def tierSnapshot(dir: String): String = {
+    val emPath = s"$dir/_export_manifest.json"
+    if (!WarehouseIO.exists(emPath)) {
+      exportSnapshot(dir, icebergMetadata = true)
+      val n = WarehouseIO.walkFiles(dir)
+        .count(e => !e.isDir && e.name.endsWith(".parquet"))
+      return s"initial full export: $n data files, Iceberg metadata v1"
+    }
+    require(IcebergExport.currentVersion(dir).isDefined,
+      s"$dir has an export manifest but no Iceberg metadata; incremental " +
+        "tiering requires an Iceberg-enabled export (export_snapshot_iceberg)")
+    val em = JsonMethods.parse(WarehouseIO.readString(emPath))
+      .asInstanceOf[JObject].obj.toMap
+    val pinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+    // the delta window must still be readable from the log
+    retainedFloorOffsets.foreach { floor =>
+      val lost = floor.filter { case (b, f) => f > pinned.getOrElse(b, 0L) }
+      require(lost.isEmpty,
+        s"log at $path was vacuumed past the last export's offsets " +
+          s"(buckets ${lost.keys.toSeq.sorted.mkString(",")}); the tier " +
+          "delta is unreconstructible — re-export to a fresh directory")
+    }
+    var attempt = 0
+    while (true) {
+      val pre = parseManifest()
+      val current = pre._1
+      if (current == pinned)
+        return "already current: offsets unchanged since last export"
+      val version = pre._4.lastOption.map(_.version)
+      // bounded window read: immutable under concurrent commits
+      val tail = scanRange(pinned, current)
+      val commitUuid = java.util.UUID.randomUUID().toString.take(8)
+      val staging = s"$dir/.tier-staging-$commitUuid"
+      def publishStaged(): Seq[(String, Long)] = {
+        val staged = WarehouseIO.walkFiles(staging)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        val moved = staged.map { e =>
+          val rel = WarehouseIO.relativize(staging, e.path)
+          val dirPart = rel.split('/').dropRight(1)
+          val destRel = (dirPart :+ s"tier-$commitUuid-${e.name}")
+            .mkString("/")
+          WarehouseIO.moveFile(e.path, s"$dir/$destRel")
+          destRel -> e.len
+        }
+        deleteTree(staging)
+        moved.sortBy(_._1)
+      }
+      def updateManifest(files: Seq[(String, Long)]): Unit =
+        CatalogJson.atomicWrite(emPath,
+          JsonMethods.pretty(JsonMethods.render(JObject(List(
+            "format" -> (JString("parquet"): JValue),
+            "source" -> (JString(path): JValue),
+            "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
+            "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
+            "offsets" -> (JObject(current.toList.sortBy(_._1)
+              .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue),
+            "schema" -> JsonMethods.parse(desc.schema.json),
+            "partitionKeys" -> (org.json4s.JArray(
+              desc.partitionKeys.toList.map(JString(_))): JValue),
+            "files" -> (org.json4s.JArray(files.toList.map { case (rel, len) =>
+              JObject(List(
+                "path" -> (JString(rel): JValue),
+                "bytes" -> (JInt(len): JValue))) }): JValue))))))
+      val dataCols = desc.schema.fieldNames.toSeq
+      if (!desc.isPrimaryKeyTable) {
+        // append-only: the window IS the delta; no race window at all
+        tail.select(dataCols.map(col): _*)
+          .write.mode("overwrite").options(fileWriteOptions)
+          .partitionBy(desc.partitionKeys: _*).parquet(staging)
+        val priorLive = IcebergExport.liveFiles(dir)
+        val priorSizes = exportFileSizes(em)
+        val added = publishStaged()
+        IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
+          added, Set.empty, path)
+        updateManifest((priorLive.map(r => r -> priorSizes(r)) ++ added)
+          .sortBy(_._1))
+        GraftMetrics.inc(path, GraftMetrics.Exports)
+        return s"tiered append snapshot: ${added.size} files added, " +
+          s"${priorLive.size} carried"
+      }
+      // PK table: changed partitions from the delta window
+      val changedTuples: Seq[Row] =
+        if (desc.partitionKeys.isEmpty) Seq(Row.empty)
+        else {
+          val ts = tail.select(desc.partitionKeys.map(col): _*)
+            .distinct().limit(100001).collect().toSeq
+          require(ts.length <= 100000,
+            s"more than 100k partitions changed since the last export of " +
+              s"$path; run a full re-export instead")
+          ts
+        }
+      val changedDirs: Set[String] =
+        if (desc.partitionKeys.isEmpty) Set("")
+        else changedTuples.map { r =>
+          desc.partitionKeys.zipWithIndex.map { case (k, i) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(k,
+                if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
+          }.mkString("/")
+        }.toSet
+      val state =
+        if (desc.partitionKeys.isEmpty) scan()
+        else {
+          // one flat struct-isin, never a per-tuple OR chain
+          val key = struct(desc.partitionKeys.map(col): _*)
+          scan().filter(key.isin(changedTuples.map(r => struct(
+            desc.partitionKeys.indices.map(i => lit(r.get(i))): _*)): _*))
+        }
+      val writer = state.write.mode("overwrite").options(fileWriteOptions)
+      (if (desc.partitionKeys.nonEmpty)
+         writer.partitionBy(desc.partitionKeys: _*)
+       else writer).parquet(staging)
+      // the state read races concurrent commits (it materializes at
+      // execution time): if offsets moved while we wrote, the staged
+      // data may exceed the window we'll record — retry, same posture
+      // as exportSnapshot
+      val post = parseManifest()
+      if (post._1 != current) {
+        deleteTree(staging)
+        attempt += 1
+        if (attempt >= 3) throw new java.util.ConcurrentModificationException(
+          s"tierSnapshot($dir) raced concurrent commits 3 times on $path; " +
+            "pause writers or retry later")
+      } else {
+        val priorLive = IcebergExport.liveFiles(dir)
+        val priorSizes = exportFileSizes(em)
+        val removed = priorLive.filter { rel =>
+          val parent = rel.split('/').dropRight(1).mkString("/")
+          changedDirs.contains(parent)
+        }.toSet
+        val added = publishStaged()
+        IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
+          added, removed, path)
+        updateManifest(
+          (priorLive.filterNot(removed).map(r => r -> priorSizes(r)) ++
+            added).sortBy(_._1))
+        GraftMetrics.inc(path, GraftMetrics.Exports)
+        return s"tiered overwrite snapshot: ${changedDirs.size} " +
+          s"partition(s) refreshed, ${added.size} files added, " +
+          s"${removed.size} replaced, " +
+          s"${priorLive.size - removed.size} untouched"
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def exportFileSizes(em: Map[String, JValue]): Map[String, Long] =
+    em("files").asInstanceOf[org.json4s.JArray].arr.map { f =>
+      val m = f.asInstanceOf[JObject].obj.toMap
+      m("path").asInstanceOf[JString].s ->
+        m("bytes").asInstanceOf[JInt].num.toLong
+    }.toMap
 
   /** Log vacuum (S13/S14 log TTL for PK tables): once a snapshot covers a
     * prefix of every bucket's log, the covered segments can be dropped —

@@ -180,7 +180,13 @@ object SecondaryIndex {
     val desc = TableDescriptor(StructType(fields),
       primaryKey = indexColumns ++ table.desc.primaryKey,
       bucketKeys = indexColumns,
-      numBuckets = table.desc.numBuckets)
+      numBuckets = table.desc.numBuckets,
+      // registration: a maintenance tick discovers this index from the
+      // base table alone (IndexMaintenance.indexesOf) and keeps it fresh
+      properties = Map(
+        "index.kind" -> "secondary",
+        "index.base.path" -> table.path,
+        "index.columns" -> indexColumns.mkString(",")))
     val idx = catalog.createTable(db, name, desc)
     val si = new SecondaryIndex(table, indexColumns, idx)
     if (table.retainedFloorOffsets.exists(_.values.exists(_ > 0L)))

@@ -32,33 +32,46 @@ final class VectorIndex private[core] (val table: GraftTable,
 
   private def metaFile = s"${idx.path}/_vector_index_meta.json"
 
-  private def readMeta(): (Array[(Int, Seq[Double])], Long, Long) = {
+  private def jnum(v: JValue, where: => String): Double = v match {
+    case JDouble(d) => d
+    case JInt(n) => n.toDouble // whole-valued coordinate round-trip
+    case other => throw new IllegalStateException(s"bad $where: $other")
+  }
+
+  private def readMeta()
+      : (Array[(Int, Seq[Double])], Long, Long, Option[Array[Array[Array[Double]]]]) = {
     val s = WarehouseIO.readString(metaFile)
     val f = JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
     val cents = f("centroids").asInstanceOf[JArray].arr.zipWithIndex.map {
       case (JArray(xs), i) =>
-        (i, xs.map {
-          case JDouble(d) => d
-          case JInt(n) => n.toDouble // whole-valued coordinate round-trip
-          case other => throw new IllegalStateException(
-            s"bad centroid coordinate in $metaFile: $other")
-        }: Seq[Double])
+        (i, xs.map(jnum(_, s"centroid coordinate in $metaFile")): Seq[Double])
       case (other, i) => throw new IllegalStateException(
         s"bad centroid $i in $metaFile: $other")
     }.toArray
     def long(k: String) = f(k).asInstanceOf[JInt].num.toLong
-    (cents, long("appliedVersion"), long("epoch"))
+    val pq = f.get("pqCodebook").map { cb =>
+      cb.asInstanceOf[JArray].arr.map { sub =>
+        sub.asInstanceOf[JArray].arr.map { c =>
+          c.asInstanceOf[JArray].arr
+            .map(jnum(_, s"pq centroid coordinate in $metaFile")).toArray
+        }.toArray
+      }.toArray
+    }
+    (cents, long("appliedVersion"), long("epoch"), pq)
   }
 
   private def writeMeta(cents: Array[(Int, Seq[Double])], v: Long,
-      epoch: Long): Unit =
+      epoch: Long, pq: Option[Array[Array[Array[Double]]]]): Unit =
     WarehouseIO.atomicWriteString(metaFile, JsonMethods.compact(
       JsonMethods.render(JObject(List(
-        "centroids" -> JArray(cents.sortBy(_._1).toList.map { case (_, c) =>
+        "centroids" -> (JArray(cents.sortBy(_._1).toList.map { case (_, c) =>
           JArray(c.toList.map(JDouble(_)))
-        }),
-        "appliedVersion" -> JInt(v),
-        "epoch" -> JInt(epoch))))))
+        }): JValue),
+        "appliedVersion" -> (JInt(v): JValue),
+        "epoch" -> (JInt(epoch): JValue)) ++
+        pq.map(cb => "pqCodebook" -> (JArray(cb.toList.map(sub =>
+          JArray(sub.toList.map(c =>
+            JArray(c.toList.map(JDouble(_))))))): JValue))))))
 
   /** The persisted coarse centroids (list id → vector). */
   def centroids: Array[(Int, Seq[Double])] = readMeta()._1
@@ -195,7 +208,14 @@ object VectorIndex {
     val desc = TableDescriptor(StructType(fields.toArray),
       primaryKey = Seq(ListCol, idCol),
       partitionKeys = Seq(ListCol),
-      numBuckets = table.desc.numBuckets)
+      numBuckets = table.desc.numBuckets,
+      // registration: a maintenance tick discovers this index from the
+      // base table alone (IndexMaintenance.indexesOf) and keeps it fresh
+      properties = Map(
+        "index.kind" -> "vector",
+        "index.base.path" -> table.path,
+        "index.id.column" -> idCol,
+        "index.vector.column" -> vecCol))
     val idx = catalog.createTable(db, name, desc)
     val vi = new VectorIndex(table, idCol, vecCol, idx)
     vi.writeMeta(cents, 0L, table.rollbackEpoch)

@@ -137,6 +137,36 @@ object Fixtures {
     VectorIndex.open(base, "vec_id", "embedding", idx)
   }
 
+  /** Incrementally-tiered Iceberg lake export: a PK table partitioned by
+    * event_type is exported in full, then advanced with a second batch
+    * touching ONLY the 'click'/'view' partitions and tiered again — the
+    * second tier moves just those partitions and publishes them as a new
+    * Iceberg snapshot. Returns the lake directory; `tier1_incremental_
+    * export` reads the current state back THROUGH the Iceberg metadata
+    * (IcebergExport.readLive), so the oracle hash-verifies that an
+    * incremental tier lands byte-equivalent state to a from-scratch
+    * computation.
+    */
+  def tieredLakeDir(spark: SparkSession, sfDir: String): String = {
+    val t = cached("users_tiered", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val schema = StructType(eventsSchema(spark, sfDir).fields)
+      val tbl = fresh(spark, sfDir, "users_tiered",
+        TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
+          partitionKeys = Seq("event_type"), numBuckets = 4))
+      val dir = tbl.path + "_lake"
+      tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir) // initial full export (Iceberg v1)
+      tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+          col("event_type").isin("click", "view")),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir) // incremental: 2 of 5 partitions move
+      tbl
+    }
+    t.path + "_lake"
+  }
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.

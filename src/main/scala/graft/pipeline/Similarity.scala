@@ -318,6 +318,21 @@ object Similarity {
     } finally unit.unpersist()
   }
 
+  /** The `nprobe` list ids nearest to the query by centroid cosine (ties
+    * to the smaller index — the stable sortBy). Driver-side: nlist
+    * centroids only. Shared by [[ivfTopK]] and the persisted
+    * [[graft.core.VectorIndex]] probe so list selection can never drift.
+    */
+  def probeListsFor(centroids: Array[(Int, Seq[Double])],
+      query: Seq[Double], nprobe: Int): Array[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    centroids.map { case (i, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cos = c.zip(query).map { case (a, b) => a * b }.sum / (cn * qn)
+      (i, cos)
+    }.sortBy(-_._2).take(nprobe).map(_._1)
+  }
+
   /** IVF probe: score only vectors in the `nprobe` lists nearest to the
     * query, then exact top-k within them.
     */
@@ -325,11 +340,7 @@ object Similarity {
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
       nprobe: Int): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val probeLists = centroids.map { case (i, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      val cos = c.zip(query).map { case (a, b) => a * b }.sum / (cn * qn)
-      (i, cos)
-    }.sortBy(-_._2).take(nprobe).map(_._1)
+    val probeLists = probeListsFor(centroids, query, nprobe)
     val v = col(vecCol).cast("array<double>")
     assigned.filter(col("__list").isin(probeLists.toIndexedSeq: _*))
       .select(col(idCol), (dot(v, typedlit(query)) / (l2norm(v) * lit(qn))).as("cos"))
@@ -391,17 +402,28 @@ object Similarity {
     * are constant across all vectors, so the ranking is unchanged).
     * Approximate by construction; the exact baseline is [[cosineTopK]].
     */
-  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
-      broadcastThreshold: Int = 512): DataFrame = {
-    val codebook = pqCodebook(df, idCol, vecCol, m, ksub)
+  /** The query's m×ksub ADC lookup table — per subspace, the reduced
+    * distance `||c||² − 2·q_sub·c` to every codebook centroid (the
+    * query's own subnorms are rank-constant). Driver-side; shared by
+    * [[pqTopK]] and the persisted [[graft.core.VectorIndex]] ADC probe.
+    */
+  def adcLut(codebook: Array[Array[Array[Double]]],
+      query: Seq[Double]): Array[Seq[Double]] = {
+    val m = codebook.length
     val dsub = codebook(0)(0).length
-    val lut: Array[Seq[Double]] = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       val qs = query.slice(j * dsub, (j + 1) * dsub)
       codebook(j).map { c =>
         c.map(x => x * x).sum - 2.0 * qs.zip(c).map { case (a, b) => a * b }.sum
       }.toSeq
     }
+  }
+
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16,
+      broadcastThreshold: Int = 512): DataFrame = {
+    val codebook = pqCodebook(df, idCol, vecCol, m, ksub)
+    val lut: Array[Seq[Double]] = adcLut(codebook, query)
     // Two physically different plans, identical results. Small codebooks
     // (the default 8x16) inline codebook + LUT as codegen'd literals —
     // fastest, but plan size grows as m*ksub literal arrays. Production

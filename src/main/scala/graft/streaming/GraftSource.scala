@@ -2,7 +2,7 @@ package graft.streaming
 
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.graftshim.StreamShims
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -42,7 +42,7 @@ import graft.core.{CatalogJson, GraftTable}
   * same range. Nothing data-scale ever sits in the source or checkpoint.
   */
 final class GraftSource(table: GraftTable, parameters: Map[String, String])
-    extends Source with SupportsTriggerAvailableNow {
+    extends Source with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
 
@@ -217,6 +217,45 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
       else batch)
   }
 
+  /** Native progress metrics ([[ReportsSourceMetrics]]) — the standard
+    * surface operators watch: `StreamingQueryProgress.sources[].metrics`.
+    * Spark's progress reporter consults the mixin on any
+    * `SparkDataStream` — a V1 `Source` included — so the lag the engine
+    * already publishes to its own registry also lands in every progress
+    * event / `StreamingQueryListener` natively (the reference reserves
+    * the same surface via `ReportsSourceMetrics` on
+    * fluss-spark/.../read/FlussMicroBatchStream.scala:51,158; its
+    * `metrics()` body is still a TODO). Names follow the Kafka source's
+    * `*OffsetsBehindLatest` convention, adapted to records (offsets are
+    * dense per bucket, so offset delta = record count):
+    *
+    *  - `numRecordsBehindLatest`: total backlog across buckets
+    *  - `maxRecordsBehindLatest` / `minRecordsBehindLatest`: worst /
+    *    best per-bucket backlog — max≫min signals a hot bucket.
+    *
+    * `latestConsumedOffset` is the last COMMITTED batch end (what the
+    * checkpoint durably covers); an unstarted stream measures from the
+    * startup offsets. One manifest read per progress event, driver-side.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[ConnectorOffset])
+      : java.util.Map[String, String] = {
+    val consumed: Map[Int, Long] =
+      if (latestConsumedOffset.isPresent)
+        GraftSourceOffset.from(latestConsumedOffset.get)
+      else startOffsets
+    val latest = table.latestOffsets
+    val lags = latest.toSeq.map { case (b, hi) =>
+      math.max(0L, hi - consumed.getOrElse(b, 0L))
+    }
+    val m = new java.util.HashMap[String, String]
+    m.put("numRecordsBehindLatest", lags.sum.toString)
+    m.put("maxRecordsBehindLatest",
+      (if (lags.isEmpty) 0L else lags.max).toString)
+    m.put("minRecordsBehindLatest",
+      (if (lags.isEmpty) 0L else lags.min).toString)
+    m
+  }
+
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftSource[${table.path}]"
@@ -249,7 +288,19 @@ object GraftSourceOffset {
 /** `format("graft")` registration: a V1 `StreamSourceProvider` — the same
   * architecture Delta Lake streams through. The scan stays in the
   * DataFrame API (distributed, pushdown-friendly); V2's MicroBatchStream
-  * would force hand-rolled per-file readers for no semantic gain.
+  * would force hand-rolled per-file parquet readers for no semantic gain.
+  *
+  * The V1/V2 split is narrower than the class names suggest: Spark 4's
+  * `Source` IS a `SparkDataStream`, so every V2 streaming capability this
+  * source needs rides the unified interfaces directly —
+  * `SupportsAdmissionControl.latestOffset(start, limit)` for
+  * `maxOffsetsPerTrigger`, `SupportsTriggerAvailableNow` for pinned
+  * drain-and-stop, `ReportsSourceMetrics` for native progress-event lag.
+  * The only V1-isms left are `getBatch` returning a DataFrame (the point:
+  * the micro-batch is an ordinary offset-gated codegen'd parquet scan,
+  * which a `PartitionReaderFactory` would have to reimplement by hand)
+  * and the `V2TableWithV1Fallback` routing shim for
+  * `readStream.table(...)` — the same bridge DeltaTableV2 rides.
   */
 final class GraftSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {

@@ -163,6 +163,83 @@ class CatalogStreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.graft.scan.startup.mode")
   }
 
+  test("progress events carry native source lag metrics under throttle") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.smet (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql(
+      "INSERT INTO gstr.db.smet VALUES (1,1),(2,2),(3,3),(4,4),(5,5),(6,6)")
+    spark.conf.set("spark.sql.graft.maxOffsetsPerTrigger", "2")
+    try {
+      val q = spark.readStream.table("gstr.db.smet")
+        .writeStream.format("memory").queryName("smet_mem")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cstr-mck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // ReportsSourceMetrics surface: every StreamingQueryProgress carries
+      // the source's lag in sources[].metrics — the standard operator
+      // signal (no engine-specific registry needed on this path)
+      val perEvent = q.recentProgress.toSeq.map(p =>
+        p.sources(0).metrics.get("numRecordsBehindLatest"))
+      assert(perEvent.nonEmpty && perEvent.forall(_ != null),
+        s"every progress event must carry the metric, saw $perEvent")
+      val lags = perEvent.map(_.toLong)
+      // 6 rows at <=2/trigger: visibly backlogged mid-drain, 0 at the end
+      assert(lags.max > 0L, s"expected positive mid-drain lag, saw $lags")
+      assert(lags.last == 0L, s"expected lag 0 after the drain, saw $lags")
+      val last = q.recentProgress.last.sources(0).metrics
+      assert(last.get("maxRecordsBehindLatest") == "0" &&
+        last.get("minRecordsBehindLatest") == "0")
+    } finally spark.conf.unset("spark.sql.graft.maxOffsetsPerTrigger")
+  }
+
+  test("a stopped stream resumes from its checkpoint without replay") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.sres (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gstr.db.sres VALUES (1, 1), (2, 2)")
+    val ckpt = Files.createTempDirectory("graft-cstr-res").toString
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink);
+    // the buffer is fresh per run, so its contents are exactly what
+    // that run delivered
+    def run(): Seq[(Long, Int)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]
+      val q = spark.readStream.table("gstr.db.sres")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add((r.getLong(0), r.getInt(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sortBy(_._1)
+    }
+    assert(run() == Seq((1L, 1), (2L, 2)))
+    // the durable offset log is the plain per-bucket JSON map — the
+    // contract an engine upgrade must keep honoring for old checkpoints
+    val offsetsDir = new java.io.File(s"$ckpt/offsets")
+    val lastBatch = offsetsDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    val offsetLine = scala.io.Source
+      .fromFile(s"$ckpt/offsets/$lastBatch").getLines().toSeq.last
+    assert(graft.streaming.GraftSourceOffset.parse(offsetLine)
+      .values.sum == 2, s"unexpected offset-log format: $offsetLine")
+    spark.sql("INSERT INTO gstr.db.sres VALUES (3, 3)")
+    // restart on the SAME checkpoint: only the new row, no replay of the
+    // committed prefix
+    val resumed = run()
+    assert(resumed == Seq((3L, 3)),
+      s"resume must deliver exactly the post-checkpoint rows, got $resumed")
+  }
+
   test("get_configs reports defaults and session overrides") {
     wh
     try {

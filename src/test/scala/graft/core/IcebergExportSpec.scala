@@ -128,6 +128,210 @@ class IcebergExportSpec extends SparkTestBase {
     }
   }
 
+  test("column bounds: lower/upper/null counts from the parquet footers") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-iceberg-wh3").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType),
+      StructField("s", StringType)))
+    val t = cat.createTable("db", "bounds",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 1))
+    t.upsert(spark.createDataFrame(Seq(
+      Row(5L, Int.box(7), "mango", 0L), Row(9L, Int.box(-3), "apple", 1L),
+      Row(2L, null, "zebra", 2L)).asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-iceberg-bounds").toString
+    t.exportSnapshot(out, icebergMetadata = true)
+    val md = JsonMethods.parse(
+      WarehouseIO.readString(s"$out/metadata/v1.metadata.json"))
+      .asInstanceOf[JObject].obj.toMap
+    val listPath = stripScheme(md("snapshots").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("manifest-list")
+      .asInstanceOf[JString].s)
+    val manifestPath = stripScheme(readAvro(listPath)._1.head
+      .get("manifest_path").toString)
+    val (entries, _) = readAvro(manifestPath)
+    assert(entries.size == 1)
+    val df = entries.head.get("data_file").asInstanceOf[GenericRecord]
+    def m(field: String): Map[Int, Any] =
+      df.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala
+        .map(r => r.get("key").asInstanceOf[Int] -> r.get("value")).toMap
+    def le(b: Any): java.nio.ByteBuffer =
+      b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // field ids are position+1 (pre-order allocation: k=1, v=2, s=3)
+    assert(m("value_counts") == Map(1 -> 3L, 2 -> 3L, 3 -> 3L))
+    assert(m("null_value_counts") == Map(1 -> 0L, 2 -> 1L, 3 -> 0L))
+    val lo = m("lower_bounds"); val hi = m("upper_bounds")
+    assert(le(lo(1)).getLong == 2L && le(hi(1)).getLong == 9L)
+    assert(le(lo(2)).getInt == -3 && le(hi(2)).getInt == 7)
+    def utf8(b: Any): String = {
+      val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+      new String(arr, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    assert(utf8(lo(3)) == "apple" && utf8(hi(3)) == "zebra")
+    assert(m("column_sizes").keySet == Set(1, 2, 3))
+  }
+
+  test("a '+' in a string partition value survives into the manifests") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-iceberg-wh4").toString, spark)
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val t = cat.createTable("db", "plus", TableDescriptor(schema,
+      primaryKey = Seq("lang", "k"), partitionKeys = Seq("lang"),
+      numBuckets = 1))
+    t.upsert(spark.createDataFrame(Seq(
+      Row("c++", 1L, Int.box(1), 0L), Row("go go", 2L, Int.box(2), 1L)).asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-iceberg-plus").toString
+    t.exportSnapshot(out, icebergMetadata = true)
+    val md = JsonMethods.parse(
+      WarehouseIO.readString(s"$out/metadata/v1.metadata.json"))
+      .asInstanceOf[JObject].obj.toMap
+    val listPath = stripScheme(md("snapshots").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("manifest-list")
+      .asInstanceOf[JString].s)
+    val manifestPath = stripScheme(readAvro(listPath)._1.head
+      .get("manifest_path").toString)
+    val langs = readAvro(manifestPath)._1.map(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord].get("lang").toString)
+      .toSet
+    // URLDecoder would have turned 'c++' into 'c  ' — exact inverse of
+    // Spark's escapePathName is required
+    assert(langs == Set("c++", "go go"))
+  }
+
+  test("incremental tiering on a log table: FastAppend, manifests carried forward") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-tier-wh1").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    val t = cat.createTable("db", "applog",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) =>
+        Row(k, Int.box(v), i.toLong) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.append(rows(1L -> 1, 2L -> 2, 3L -> 3), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-tier-out1").toString
+    assert(t.tierSnapshot(out).startsWith("initial full export"))
+    val firstFiles = IcebergExport.liveFiles(out)
+    // second batch -> only the delta moves
+    t.append(rows(4L -> 4, 5L -> 5), orderBy = Seq(col("ord")))
+    val msg = t.tierSnapshot(out)
+    assert(msg.contains("tiered append snapshot"), msg)
+    assert(WarehouseIO.readString(s"$out/metadata/version-hint.text") == "2")
+    val md = JsonMethods.parse(
+      WarehouseIO.readString(s"$out/metadata/v2.metadata.json"))
+      .asInstanceOf[JObject].obj.toMap
+    val snaps = md("snapshots").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+    assert(snaps.size == 2)
+    assert(md("last-sequence-number") == JInt(2))
+    val curId = md("current-snapshot-id").asInstanceOf[JInt].num.toLong
+    val cur = snaps.find(_("snapshot-id") == JInt(curId)).get
+    assert(cur("sequence-number") == JInt(2))
+    assert(cur("parent-snapshot-id") ==
+      snaps.filterNot(_ == cur).head("snapshot-id"))
+    // manifest list: the v1 manifest carried forward + one new manifest
+    val listPath = stripScheme(cur("manifest-list").asInstanceOf[JString].s)
+    val (mfs, _) = readAvro(listPath)
+    assert(mfs.size == 2)
+    assert(mfs.map(_.get("added_files_count").asInstanceOf[Int]).sum ==
+      IcebergExport.liveFiles(out).size)
+    // the initial files were NOT rewritten
+    assert(firstFiles.toSet.subsetOf(IcebergExport.liveFiles(out).toSet))
+    // live read equals the table
+    val got = IcebergExport.readLive(spark, out)
+      .select("k", "v").orderBy("k").collect().map(r =>
+        r.getLong(0) -> r.getInt(1)).toSeq
+    assert(got == Seq(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5))
+    // a third call with nothing new is a no-op
+    assert(t.tierSnapshot(out).startsWith("already current"))
+    assert(WarehouseIO.readString(s"$out/metadata/version-hint.text") == "2")
+  }
+
+  test("incremental tiering on a partitioned PK table: only changed partitions move") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-tier-wh2").toString, spark)
+    val schema = StructType(Seq(
+      StructField("dt", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val t = cat.createTable("db", "pkpart", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+    def rows(r: (String, Long, Int)*)(ordBase: Long) = spark.createDataFrame(
+      r.zipWithIndex.map { case ((dt, k, v), i) =>
+        Row(dt, k, Int.box(v), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.upsert(rows(("a", 1L, 1), ("a", 2L, 2), ("b", 1L, 10),
+      ("c", 1L, 100))(0L), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-tier-out2").toString
+    assert(t.tierSnapshot(out).startsWith("initial full export"))
+    val before = IcebergExport.liveFiles(out)
+    val untouchedBefore = before.filterNot(_.startsWith("dt=a/"))
+    // touch ONLY partition a
+    t.upsert(rows(("a", 2L, 22), ("a", 3L, 3))(100L), orderBy = Seq(col("ord")))
+    val msg = t.tierSnapshot(out)
+    assert(msg.contains("tiered overwrite snapshot"), msg)
+    assert(msg.contains("1 partition(s) refreshed"), msg)
+    val after = IcebergExport.liveFiles(out)
+    // untouched partitions keep their exact files; a's were replaced
+    assert(after.filterNot(_.startsWith("dt=a/")) == untouchedBefore)
+    assert(after.filter(_.startsWith("dt=a/"))
+      .forall(!before.contains(_)))
+    // live read equals the table's current state
+    val got = IcebergExport.readLive(spark, out)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 1), ("a", 2L, 22), ("a", 3L, 3),
+      ("b", 1L, 10), ("c", 1L, 100)))
+    assert(got == t.scan().select("dt", "k", "v").orderBy("dt", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq)
+    // the v1 snapshot stays readable: replaced files remain on disk and
+    // v1's manifest list still resolves them (lake history is expired by
+    // the lake catalog, not the tier)
+    val md1 = JsonMethods.parse(
+      WarehouseIO.readString(s"$out/metadata/v1.metadata.json"))
+      .asInstanceOf[JObject].obj.toMap
+    val list1 = stripScheme(md1("snapshots").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("manifest-list")
+      .asInstanceOf[JString].s)
+    val v1Files = readAvro(list1)._1.flatMap { mf =>
+      readAvro(stripScheme(mf.get("manifest_path").toString))._1
+    }.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString)
+    v1Files.foreach(p => assert(WarehouseIO.exists(stripScheme(p)), p))
+    // v2 manifest: DELETED tombstones for a's old files, EXISTING for rest
+    val md2 = JsonMethods.parse(
+      WarehouseIO.readString(s"$out/metadata/v2.metadata.json"))
+      .asInstanceOf[JObject].obj.toMap
+    val curId = md2("current-snapshot-id").asInstanceOf[JInt].num.toLong
+    val list2 = stripScheme(md2("snapshots").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .find(_("snapshot-id") == JInt(curId)).get
+      .apply("manifest-list").asInstanceOf[JString].s)
+    val (mfs2, _) = readAvro(list2)
+    assert(mfs2.size == 1) // merged manifest
+    val entries2 = readAvro(stripScheme(mfs2.head
+      .get("manifest_path").toString))._1
+    val byStatus = entries2.groupBy(_.get("status").asInstanceOf[Int])
+    assert(byStatus(2).map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString).forall(_.contains("dt=a/")))
+    assert(byStatus(0).nonEmpty && byStatus(1).nonEmpty)
+    // EXISTING entries kept their stats without a footer re-crawl
+    byStatus(0).foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(df.get("record_count").asInstanceOf[Long] > 0L)
+      assert(df.get("value_counts") != null)
+    }
+  }
+
   test("the default export stays a bare parquet directory (no metadata/)") {
     val cat = new Catalog(
       Files.createTempDirectory("graft-iceberg-wh2").toString, spark)
