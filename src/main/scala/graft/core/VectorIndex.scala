@@ -98,7 +98,7 @@ final class VectorIndex private[core] (val table: GraftTable,
     */
   def refresh(): Unit = {
     val epoch = table.rollbackEpoch
-    val (cents, from, appliedEp) = readMeta()
+    val (cents, from, appliedEp, pqCb) = readMeta()
     // a vacuum past the applied version truncated the changelog slice we
     // would need: re-baseline from the current state (same centroids)
     // instead of refusing forever
@@ -110,7 +110,7 @@ final class VectorIndex private[core] (val table: GraftTable,
         // the applied version itself fell out of recorded history
         case _: IllegalArgumentException => true
       }
-    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(cents, epoch)
+    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(cents, epoch, pqCb)
     else table.latestVersion.foreach { to =>
       if (to > from) {
         val ch = table.changesBetween(from, to)
@@ -121,13 +121,13 @@ final class VectorIndex private[core] (val table: GraftTable,
             col(Meta.ChangeTypeCol).isin(
               ChangeType.UpdateBefore, ChangeType.Delete).as("__delete")),
           orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
-        writeMeta(cents, to, epoch)
+        writeMeta(cents, to, epoch, pqCb)
       }
     }
   }
 
   private def rebuildFromState(cents: Array[(Int, Seq[Double])],
-      epoch: Long): Unit = {
+      epoch: Long, pq: Option[Array[Array[Array[Double]]]]): Unit = {
     idx.truncate()
     val v = table.latestVersion.getOrElse(0L)
     if (v > 0L) {
@@ -138,7 +138,7 @@ final class VectorIndex private[core] (val table: GraftTable,
           lit(false).as("__delete")),
         orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
     }
-    writeMeta(cents, v, epoch)
+    writeMeta(cents, v, epoch, pq)
   }
 
   /** ANN top-k through the index: rank the stored centroids by query
@@ -148,7 +148,7 @@ final class VectorIndex private[core] (val table: GraftTable,
     * [[SecondaryIndex]]: stale ANN results are silent wrong answers).
     */
   def topK(query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val (cents, version, epoch) = readMeta()
+    val (cents, version, epoch, _) = readMeta()
     require(epoch == table.rollbackEpoch,
       s"vector index at ${idx.path} predates a base-table restore — " +
         "call refresh() to rebuild")
@@ -218,8 +218,8 @@ object VectorIndex {
         "index.vector.column" -> vecCol))
     val idx = catalog.createTable(db, name, desc)
     val vi = new VectorIndex(table, idCol, vecCol, idx)
-    vi.writeMeta(cents, 0L, table.rollbackEpoch)
-    vi.rebuildFromState(cents, table.rollbackEpoch)
+    vi.writeMeta(cents, 0L, table.rollbackEpoch, None)
+    vi.rebuildFromState(cents, table.rollbackEpoch, None)
     vi
   }
 
