@@ -22,6 +22,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // "WindowExec: No Partition Defined" warnings in this log are
+    // expected and BOUNDED: every unpartitioned window in the engine is
+    // the prefix-sum step of the two-level scan (Sampling.ntileExact /
+    // packTokenShards / budgetFill / capPerGroup, Quantiles.
+    // exactQuantiles), which runs over the PER-PARTITION AGGREGATE table
+    // — one row per shuffle partition (= SPARK_GRAFT_CPUS), never over
+    // corpus-scale input. Audited round 10: AsOfJoin, groupedQuantiles
+    // and every data-scale window partition by key; grep
+    // 'Window.orderBy' in src/main to re-verify.
     // Warm-up failures must never abort or skew the timed passes: log and
     // move on (the affected query just pays its own compile cost).
     def warm(name: String)(body: => Unit): Unit =

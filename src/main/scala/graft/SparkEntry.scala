@@ -492,6 +492,18 @@ object SparkEntry {
         "embedding", q, k = 10)
     }),
 
+    // ----- SIM8: ANN through the persisted IVF-PQ index — sim7's
+    // partition-pruned probe, but the scan ranks the STORED m=8 PQ codes
+    // by ADC (raw vectors untouched), then exactly re-ranks only the
+    // top-30 candidates. At 100 TB the hot scan is m bytes/vector of
+    // nprobe/nlist partitions — the index that fits the page cache
+    "sim8_ivfpq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+      Fixtures.vecsIvfPq(s, dir).topKAdc(q, k = 10, nprobe = 4, cand = 30)
+    }),
+
     // ----- TA1: token counting (whitespace + BPE-ish segmenter)
     "ta1_text_stats" -> ((s, dir) => {
       val d = TextAnalysis.widen(t(s, dir, "documents"))
@@ -1141,6 +1153,63 @@ object SparkEntry {
       |  FROM codes, q GROUP BY codes.vec_id)
       |SELECT vec_id FROM adc ORDER BY d ASC, vec_id LIMIT 10""".stripMargin
 
+  private lazy val sim8OracleSql: String =
+    // mirrors the persisted IVF-PQ probe (nlist=16, nprobe=4, m=8,
+    // ksub=16, cand=30, k=10): coarse centroids AND the PQ codebook both
+    // come from the first 16 vectors by id (cen serves both roles);
+    // assignment/probe-list ties follow sim3's conventions, encode/ADC
+    // follow sim6's (list(… ORDER BY j) pins the double summation order
+    // to Spark's left-to-right reduce); candidates = top-30 by ADC within
+    // the probed lists; answer = exact cosine re-rank of the candidates
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT e FROM v WHERE vec_id = 0),
+      |nz AS (SELECT vec_id, e FROM v WHERE vec_id <> 0),
+      |cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, e
+      |        FROM (SELECT vec_id, e FROM nz ORDER BY vec_id LIMIT 16)),
+      |asg AS (
+      |  SELECT vec_id, i FROM (
+      |    SELECT nz.vec_id, cen.i, row_number() OVER (PARTITION BY nz.vec_id ORDER BY
+      |      list_dot_product(nz.e, cen.e)
+      |        / (sqrt(list_dot_product(nz.e, nz.e)) * sqrt(list_dot_product(cen.e, cen.e)))
+      |      DESC, cen.i DESC) AS rn
+      |    FROM nz CROSS JOIN cen) WHERE rn = 1),
+      |pl AS (
+      |  SELECT i FROM (
+      |    SELECT cen.i, row_number() OVER (ORDER BY
+      |      list_dot_product(cen.e, q.e)
+      |        / (sqrt(list_dot_product(cen.e, cen.e)) * sqrt(list_dot_product(q.e, q.e)))
+      |      DESC, cen.i ASC) AS rn
+      |    FROM cen, q) WHERE rn <= 4),
+      |pv AS (SELECT nz.vec_id, nz.e
+      |       FROM nz JOIN asg USING (vec_id) JOIN pl ON asg.i = pl.i),
+      |sub AS (SELECT j FROM generate_series(0, 7) t(j)),
+      |cbs AS (SELECT cen.i, sub.j, cen.e[sub.j*8+1 : sub.j*8+8] AS c,
+      |               list_dot_product(cen.e[sub.j*8+1 : sub.j*8+8],
+      |                                cen.e[sub.j*8+1 : sub.j*8+8]) AS cc
+      |        FROM cen CROSS JOIN sub),
+      |enc AS (
+      |  SELECT pv.vec_id, cbs.j, cbs.i, cbs.c, cbs.cc,
+      |    row_number() OVER (PARTITION BY pv.vec_id, cbs.j ORDER BY
+      |      cbs.cc - 2 * list_dot_product(pv.e[cbs.j*8+1 : cbs.j*8+8], cbs.c) ASC,
+      |      cbs.i ASC) AS rn
+      |  FROM pv CROSS JOIN cbs),
+      |codes AS (SELECT vec_id, j, c, cc FROM enc WHERE rn = 1),
+      |adc AS (
+      |  SELECT codes.vec_id,
+      |    list_sum(list(codes.cc - 2 * list_dot_product(q.e[codes.j*8+1 : codes.j*8+8],
+      |                                                  codes.c)
+      |                  ORDER BY codes.j)) AS d
+      |  FROM codes, q GROUP BY codes.vec_id),
+      |cand AS (SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM adc) WHERE rn <= 30)
+      |SELECT pv.vec_id
+      |FROM pv JOIN cand USING (vec_id), q
+      |ORDER BY list_dot_product(pv.e, q.e)
+      |  / (sqrt(list_dot_product(pv.e, pv.e)) * sqrt(list_dot_product(q.e, q.e))) DESC,
+      |  pv.vec_id
+      |LIMIT 10""".stripMargin
+
   private lazy val d4OracleSql: String = {
     // mirrors simhashPairs(maxHamming=3, nBits=60, md560=true). The
     // oracle verifies ALL pairs; the Spark side only compares same-chunk
@@ -1230,6 +1299,7 @@ object SparkEntry {
     "sim3_ivf" -> sim3OracleSql,
     // the persisted index materializes the exact sim3 assignment
     "sim7_ivf_index" -> sim3OracleSql,
+    "sim8_ivfpq_index" -> sim8OracleSql,
     "d4_simhash" -> d4OracleSql,
     "s2_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

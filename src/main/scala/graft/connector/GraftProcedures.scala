@@ -31,7 +31,7 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
-    "tier_snapshot_iceberg", "rollback_to_version",
+    "tier_snapshot_iceberg", "expire_lake_snapshots", "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "maintain_indexes", "expire_log",
     "remove_orphan_files",
@@ -155,6 +155,22 @@ object GraftProcedures {
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         t.tierSnapshot(row.getUTF8String(1).toString)
       })
+      case "expire_lake_snapshots" => Some(localProc(catalog,
+        "expire_lake_snapshots",
+        Seq(in("dir", StringType), in("keep_last", IntegerType, Some("1"))),
+        out("result", StringType)) { row =>
+        // destructive, dir-scoped (the dir is a lake surface, not a
+        // catalog table): warehouse-admin authorization, the
+        // set_cluster_configs posture
+        catalog.coreCatalog.authorize("ALTER", Nil)
+        val dir = row.getUTF8String(0).toString
+        val deleted = graft.core.IcebergExport.expireSnapshots(
+          dir, row.getInt(1))
+        val retained = graft.core.IcebergExport.snapshotIds(dir)
+        Seq(utf8Row(
+          s"expired ${deleted.size} file(s); retained snapshot(s) " +
+            retained.mkString(", ")))
+      })
       case "maintain_indexes" => Some(proc(catalog, "maintain_indexes",
         Seq(in("table", StringType)),
         out("result", StringType)) { (t, _) =>
@@ -204,19 +220,28 @@ object GraftProcedures {
       })
       case "create_vector_index" => Some(proc(catalog, "create_vector_index",
         Seq(in("table", StringType), in("index_table", StringType),
-          in("vector_column", StringType), in("nlist", IntegerType)),
+          in("vector_column", StringType), in("nlist", IntegerType),
+          // pq_m > 0 additionally stores product-quantization codes
+          // (pq_m subspaces × pq_ksub centroids) for ADC probes
+          in("pq_m", IntegerType, Some("0")),
+          in("pq_ksub", IntegerType, Some("16"))),
         out("result", StringType)) { (t, row) =>
         val qualified = row.getUTF8String(1).toString
         val parts = qualified.split('.')
         require(parts.length == 2, s"index_table must be 'db.name', got '$qualified'")
         val vecCol = row.getUTF8String(2).toString
         val nlist = row.getInt(3)
+        val pq = if (row.getInt(4) > 0) Some((row.getInt(4), row.getInt(5)))
+          else None
         require(t.desc.primaryKey.size == 1,
           "vector index requires a single-column-PK base table")
         val vi = graft.core.VectorIndex.create(catalog.coreCatalog,
-          parts(0), parts(1), t, t.desc.primaryKey.head, vecCol, nlist)
+          parts(0), parts(1), t, t.desc.primaryKey.head, vecCol, nlist,
+          pq = pq)
         s"vector index $qualified on $vecCol built " +
-          s"(${nlist} lists) at base version ${vi.appliedVersion}"
+          s"(${nlist} lists${pq.map { case (m, ks) =>
+            s", PQ $m x $ks" }.getOrElse("")}) at base version ${
+            vi.appliedVersion}"
       })
       case "refresh_vector_index" => Some(proc(catalog, "refresh_vector_index",
         Seq(in("table", StringType), in("index_table", StringType)),

@@ -1428,20 +1428,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val files = WarehouseIO.walkFiles(dir)
       .filter(e => !e.isDir && e.name.endsWith(".parquet"))
       .sortBy(_.path)
-    CatalogJson.atomicWrite(s"$dir/_export_manifest.json",
-      JsonMethods.pretty(JsonMethods.render(JObject(List(
-        "format" -> (JString("parquet"): JValue),
-        "source" -> (JString(path): JValue),
-        "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
-        "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
-        "offsets" -> (JObject(pinnedOffsets.toList.sortBy(_._1)
-          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue),
-        "schema" -> JsonMethods.parse(desc.schema.json),
-        "partitionKeys" -> (org.json4s.JArray(
-          desc.partitionKeys.toList.map(JString(_))): JValue),
-        "files" -> (org.json4s.JArray(files.toList.map(e => JObject(List(
-          "path" -> (JString(WarehouseIO.relativize(dir, e.path)): JValue),
-          "bytes" -> (JInt(e.len): JValue))))): JValue))))))
+    writeExportManifest(dir, pinnedOffsets, version,
+      files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len))
     // Optional Iceberg-spec metadata (metadata/v1.metadata.json + Avro
     // manifests + version-hint) so the export is a TABLE to any
     // Iceberg-reading engine. Opt-in because the extra metadata/ dir
@@ -1450,11 +1438,45 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     if (icebergMetadata) {
       IcebergExport.write(spark, dir, desc.schema, desc.partitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
-        path)
+        path, summaryExtra = tierSummary(pinnedOffsets, version))
       ()
     }
     GraftMetrics.inc(path, GraftMetrics.Exports)
   }
+
+  /** `_export_manifest.json` — one writer for the initial export, each
+    * tier, and the crash roll-forward, so the shape can't drift.
+    */
+  private def writeExportManifest(dir: String, offsets: Map[Int, Long],
+      version: Option[Long], files: Seq[(String, Long)]): Unit =
+    CatalogJson.atomicWrite(s"$dir/_export_manifest.json",
+      JsonMethods.pretty(JsonMethods.render(JObject(List(
+        "format" -> (JString("parquet"): JValue),
+        "source" -> (JString(path): JValue),
+        "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
+        "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
+        "offsets" -> (JObject(offsets.toList.sortBy(_._1)
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue),
+        "schema" -> JsonMethods.parse(desc.schema.json),
+        "partitionKeys" -> (org.json4s.JArray(
+          desc.partitionKeys.toList.map(JString(_))): JValue),
+        "files" -> (org.json4s.JArray(files.toList.sortBy(_._1)
+          .map { case (rel, len) => JObject(List(
+            "path" -> (JString(rel): JValue),
+            "bytes" -> (JInt(len): JValue))) }): JValue))))))
+
+  /** The offset window a tier's Iceberg snapshot covers, recorded in the
+    * snapshot summary: Iceberg metadata is the commit point of a tier,
+    * so a crash BEFORE the export-manifest update is detected by the
+    * next tier (summary ahead of manifest) and rolled forward instead of
+    * re-tiering the same window into duplicate rows.
+    */
+  private def tierSummary(offsets: Map[Int, Long],
+      version: Option[Long]): Map[String, String] =
+    Map(GraftTable.TierOffsetsKey -> JsonMethods.compact(JsonMethods.render(
+      JObject(offsets.toList.sortBy(_._1)
+        .map { case (k, v) => k.toString -> (JInt(v): JValue) })))) ++
+      version.map(v => GraftTable.TierVersionKey -> v.toString)
 
   /** Incremental lake tiering — the library analog of the reference's
     * continuous tiering service (fluss-server/.../coordinator/
@@ -1500,8 +1522,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         "tiering requires an Iceberg-enabled export (export_snapshot_iceberg)")
     val em = JsonMethods.parse(WarehouseIO.readString(emPath))
       .asInstanceOf[JObject].obj.toMap
-    val pinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj
+    val manifestPinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj
       .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+    // crash roll-forward: the Iceberg snapshot summary records the
+    // window each tier committed. Summary ahead of the export manifest
+    // means the previous tier crashed between the Iceberg commit and
+    // the manifest update — the lake already holds that window, so
+    // re-tiering it would append duplicate rows. Rebuild the manifest
+    // from the lake metadata (sizes from disk) and resume from the
+    // committed offsets instead.
+    val summary = IcebergExport.currentSnapshotSummary(dir)
+    val pinned: Map[Int, Long] =
+      summary.get(GraftTable.TierOffsetsKey).map { s =>
+        JsonMethods.parse(s).asInstanceOf[JObject].obj
+          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+          .toMap
+      } match {
+        case Some(committed) if committed != manifestPinned =>
+          writeExportManifest(dir,
+            committed, summary.get(GraftTable.TierVersionKey).map(_.toLong),
+            IcebergExport.liveFiles(dir)
+              .map(r => r -> WarehouseIO.size(s"$dir/$r")))
+          committed
+        case _ => manifestPinned
+      }
     // the delta window must still be readable from the log
     retainedFloorOffsets.foreach { floor =>
       val lost = floor.filter { case (b, f) => f > pinned.getOrElse(b, 0L) }
@@ -1536,21 +1580,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         moved.sortBy(_._1)
       }
       def updateManifest(files: Seq[(String, Long)]): Unit =
-        CatalogJson.atomicWrite(emPath,
-          JsonMethods.pretty(JsonMethods.render(JObject(List(
-            "format" -> (JString("parquet"): JValue),
-            "source" -> (JString(path): JValue),
-            "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
-            "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
-            "offsets" -> (JObject(current.toList.sortBy(_._1)
-              .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue),
-            "schema" -> JsonMethods.parse(desc.schema.json),
-            "partitionKeys" -> (org.json4s.JArray(
-              desc.partitionKeys.toList.map(JString(_))): JValue),
-            "files" -> (org.json4s.JArray(files.toList.map { case (rel, len) =>
-              JObject(List(
-                "path" -> (JString(rel): JValue),
-                "bytes" -> (JInt(len): JValue))) }): JValue))))))
+        writeExportManifest(dir, current, version, files)
+      // sizes come from the manifest when it has the file; a file the
+      // manifest missed (roll-forward edge, legacy export) falls back to
+      // its on-disk size — identical value, one stat
+      val manifestSizes = exportFileSizes(em)
+      def sizeOf(rel: String): Long =
+        manifestSizes.getOrElse(rel, WarehouseIO.size(s"$dir/$rel"))
       val dataCols = desc.schema.fieldNames.toSeq
       if (!desc.isPrimaryKeyTable) {
         // append-only: the window IS the delta; no race window at all
@@ -1558,11 +1594,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .write.mode("overwrite").options(fileWriteOptions)
           .partitionBy(desc.partitionKeys: _*).parquet(staging)
         val priorLive = IcebergExport.liveFiles(dir)
-        val priorSizes = exportFileSizes(em)
         val added = publishStaged()
         IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-          added, Set.empty, path)
-        updateManifest((priorLive.map(r => r -> priorSizes(r)) ++ added)
+          added, Set.empty, path,
+          summaryExtra = tierSummary(current, version))
+        updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ added)
           .sortBy(_._1))
         GraftMetrics.inc(path, GraftMetrics.Exports)
         return s"tiered append snapshot: ${added.size} files added, " +
@@ -1613,16 +1649,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             "pause writers or retry later")
       } else {
         val priorLive = IcebergExport.liveFiles(dir)
-        val priorSizes = exportFileSizes(em)
         val removed = priorLive.filter { rel =>
           val parent = rel.split('/').dropRight(1).mkString("/")
           changedDirs.contains(parent)
         }.toSet
         val added = publishStaged()
         IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-          added, removed, path)
+          added, removed, path,
+          summaryExtra = tierSummary(current, version))
         updateManifest(
-          (priorLive.filterNot(removed).map(r => r -> priorSizes(r)) ++
+          (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
             added).sortBy(_._1))
         GraftMetrics.inc(path, GraftMetrics.Exports)
         return s"tiered overwrite snapshot: ${changedDirs.size} " +
@@ -2679,6 +2715,20 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       } else None
     Materialize.currentState(stateInput(pred), collapseDesc)
   }
+}
+
+object GraftTable {
+
+  /** Iceberg snapshot-summary key holding the offset window a tier
+    * covers (compact JSON bucket→offset map) — the tier commit's
+    * idempotency marker: the next `tierSnapshot` compares it to the
+    * export manifest's pinned offsets and rolls a half-finished tier
+    * forward instead of re-appending the same window.
+    */
+  val TierOffsetsKey = "graft-pinned-offsets"
+
+  /** Iceberg snapshot-summary key holding the pinned source version. */
+  val TierVersionKey = "graft-source-version"
 }
 
 /** One commit in a table's version history: the manifest's per-bucket

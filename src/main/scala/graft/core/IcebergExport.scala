@@ -66,10 +66,12 @@ object IcebergExport {
     */
   def write(spark: SparkSession, dir: String, schema: StructType,
       partitionKeys: Seq[String], files: Seq[(String, Long)],
-      sourcePath: String): SnapshotResult = {
+      sourcePath: String,
+      summaryExtra: Map[String, String] = Map.empty): SnapshotResult = {
     require(currentVersion(dir).isEmpty,
       s"$dir already has Iceberg metadata; use commit() to append a snapshot")
-    commit(spark, dir, schema, partitionKeys, files, Set.empty, sourcePath)
+    commit(spark, dir, schema, partitionKeys, files, Set.empty, sourcePath,
+      summaryExtra)
   }
 
   /** Append one snapshot to `dir`'s Iceberg table: `addedFiles`
@@ -79,7 +81,9 @@ object IcebergExport {
     */
   def commit(spark: SparkSession, dir: String, schema: StructType,
       partitionKeys: Seq[String], addedFiles: Seq[(String, Long)],
-      removedRels: Set[String], sourcePath: String): SnapshotResult = {
+      removedRels: Set[String], sourcePath: String,
+      summaryExtra: Map[String, String] = Map.empty): SnapshotResult =
+      withLakeLock(dir) {
     val now = System.currentTimeMillis()
     // & MaxValue, not math.abs: abs(Long.MinValue) is negative
     val snapshotId = (java.util.UUID.randomUUID()
@@ -87,6 +91,11 @@ object IcebergExport {
     val commitUuid = java.util.UUID.randomUUID().toString
     val qualifiedDir = WarehouseIO.qualify(dir)
     val prev = currentVersion(dir).map(v => v -> parseMetadata(dir, v))
+    // a removal against a dir with no prior snapshot cannot be a silent
+    // append: the caller believes files are being replaced
+    require(removedRels.isEmpty || prev.isDefined,
+      s"cannot remove files from $dir: no prior Iceberg snapshot exists " +
+        s"to remove them from (asked to remove ${removedRels.size} file(s))")
     val seq = prev.map(_._2.lastSequenceNumber + 1L).getOrElse(1L)
     val metadataVersion = prev.map(_._1 + 1).getOrElse(1)
     prev.foreach { case (_, p) =>
@@ -360,7 +369,9 @@ object IcebergExport {
         "operation" -> JString(operation),
         "added-data-files" -> JString(addedFiles.size.toString),
         "deleted-data-files" -> JString(removedRels.size.toString),
-        "added-records" -> JString(addedRows.toString))),
+        "added-records" -> JString(addedRows.toString)) ++
+        summaryExtra.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }),
       "manifest-list" -> JString(s"$qualifiedDir/$listRel"),
       "schema-id" -> JInt(0)))
     val snapshots = prev.map(_._2.snapshotsJson).getOrElse(Nil) :+ newSnapshot
@@ -405,6 +416,29 @@ object IcebergExport {
     SnapshotResult(snapshotId, seq, metadataVersion)
   }
 
+  /** Serialize the lake dir's metadata read-modify-write cycles
+    * ([[commit]] vs [[expireSnapshots]] — both read version-hint and
+    * write v+1): without this, an expire racing a slow tier commit can
+    * resurrect expired snapshots whose files are already deleted, or
+    * silently drop the tier's snapshot. Same posture as the table-level
+    * `_commit.lock`: exclusive-create, loud ConcurrentModificationException
+    * on contention, stale holders (> 10 min) broken for the NEXT attempt.
+    */
+  private def withLakeLock[T](dir: String)(body: => T): T = {
+    WarehouseIO.mkdirs(s"$dir/metadata")
+    val lock = s"$dir/metadata/_lake.lock"
+    if (!WarehouseIO.createExclusive(lock)) {
+      val ageMs = System.currentTimeMillis() -
+        (try WarehouseIO.mtimeMillis(lock)
+         catch { case _: java.io.IOException => System.currentTimeMillis() })
+      if (ageMs > 10 * 60 * 1000) WarehouseIO.deleteIfExists(lock)
+      throw new java.util.ConcurrentModificationException(
+        s"another lake-metadata operation holds the lock on $dir" +
+          (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
+    }
+    try body finally WarehouseIO.deleteIfExists(lock)
+  }
+
   /** Dir-relative live data files of `dir`'s CURRENT Iceberg snapshot,
     * resolved from metadata the way an Iceberg reader would (version
     * hint → metadata → manifest list → manifests, DELETED entries
@@ -427,6 +461,160 @@ object IcebergExport {
     val files = liveFiles(dir).map(r => s"${WarehouseIO.qualify(dir)}/$r")
     spark.read.option("basePath", WarehouseIO.qualify(dir))
       .parquet(files: _*)
+  }
+
+  /** The CURRENT snapshot's summary map (operation, counters, and any
+    * `summaryExtra` the committer recorded — [[GraftTable.tierSnapshot]]
+    * pins its offset window here so a crash between the Iceberg commit
+    * and the export-manifest update is detectable and rolled forward).
+    * Empty when the dir has no Iceberg metadata.
+    */
+  def currentSnapshotSummary(dir: String): Map[String, String] =
+    currentVersion(dir).map { v =>
+      val p = parseMetadata(dir, v)
+      p.snapshotsJson.map(_.asInstanceOf[JObject].obj.toMap)
+        .find(_("snapshot-id").asInstanceOf[JInt].num.toLong ==
+          p.currentSnapshotId)
+        .flatMap(_.get("summary")).collect { case o: JObject =>
+          o.obj.collect { case (k, JString(s)) => k -> s }.toMap
+        }.getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+
+  /** Snapshot ids still present in the table metadata, oldest first. */
+  def snapshotIds(dir: String): Seq[Long] =
+    currentVersion(dir).map { v =>
+      parseMetadata(dir, v).snapshotsJson
+        .map(_.asInstanceOf[JObject].obj.toMap
+          .apply("snapshot-id").asInstanceOf[JInt].num.toLong)
+    }.getOrElse(Nil)
+
+  /** Dir-relative live files of a SPECIFIC retained snapshot — Iceberg
+    * time travel through the metadata chain. Fails with a clear error
+    * when the snapshot was expired (or never existed).
+    */
+  def liveFilesAt(dir: String, snapshotId: Long): Seq[String] = {
+    val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Iceberg metadata (metadata/version-hint.text missing)"))
+    val p = parseMetadata(dir, v)
+    val snap = p.snapshotsJson.map(_.asInstanceOf[JObject].obj.toMap)
+      .find(_("snapshot-id").asInstanceOf[JInt].num.toLong == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $dir has been expired or never existed; " +
+          s"retained snapshots: ${snapshotIds(dir).mkString(", ")}"))
+    liveEntriesOf(snap("manifest-list").asInstanceOf[JString].s)
+      .map(relOf(_, WarehouseIO.qualify(dir))).sorted
+  }
+
+  /** Read a specific retained snapshot's data — the time-travel
+    * counterpart of [[readLive]].
+    */
+  def readSnapshot(spark: SparkSession, dir: String,
+      snapshotId: Long): DataFrame = {
+    val files = liveFilesAt(dir, snapshotId)
+      .map(r => s"${WarehouseIO.qualify(dir)}/$r")
+    spark.read.option("basePath", WarehouseIO.qualify(dir))
+      .parquet(files: _*)
+  }
+
+  /** Expire all but the last `keepLast` snapshots from `dir`'s Iceberg
+    * table and DELETE every data file, manifest, and manifest list
+    * unreachable from the retained ones — the engine is the lake catalog
+    * for its own exports, so without this a freshness-scheduled tiering
+    * loop grows the lake monotonically (Iceberg's `expireSnapshots`
+    * posture: history is bounded by policy, the current snapshot is
+    * never expirable). Metadata advances one version with only the
+    * retained snapshots; reading an expired snapshot id afterwards
+    * fails loudly ([[liveFilesAt]]).
+    *
+    * Returns the dir-relative paths actually deleted. Metadata advances
+    * FIRST, then an idempotent orphan sweep deletes whatever the current
+    * metadata no longer reaches — so a crash anywhere leaves either the
+    * old metadata (nothing lost) or the new one plus orphans a RE-RUN
+    * (any keepLast) fully cleans. Serialized against [[commit]] by the
+    * lake lock; O(metadata + one directory walk), data files never read.
+    */
+  def expireSnapshots(dir: String, keepLast: Int): Seq[String] =
+      withLakeLock(dir) {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the current snapshot cannot be expired), " +
+        s"got $keepLast")
+    val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Iceberg metadata (metadata/version-hint.text missing)"))
+    val md = JsonMethods.parse(WarehouseIO.readString(
+      s"$dir/metadata/v$v.metadata.json")).asInstanceOf[JObject].obj.toMap
+    def snapId(s: JValue): Long = s.asInstanceOf[JObject].obj.toMap
+      .apply("snapshot-id").asInstanceOf[JInt].num.toLong
+    val snaps = md("snapshots").asInstanceOf[JArray].arr
+    val qualifiedDir = WarehouseIO.qualify(dir)
+    def rel(abs: String): String = {
+      require(abs.startsWith(qualifiedDir + "/"),
+        s"metadata path $abs is outside the export dir $qualifiedDir")
+      abs.substring(qualifiedDir.length + 1)
+    }
+    // ---- 1. advance metadata to only the retained snapshots ----
+    val retained =
+      if (snaps.length <= keepLast) snaps
+      else {
+        // snapshots are append-ordered; the current one is last by contract
+        require(snapId(snaps.last) ==
+            md("current-snapshot-id").asInstanceOf[JInt].num.toLong,
+          s"current snapshot is not the newest in $dir metadata — refusing " +
+            "to expire (metadata is inconsistent)")
+        val kept = snaps.takeRight(keepLast)
+        val keptIds = kept.map(snapId).toSet
+        val newLog = md.get("snapshot-log").collect { case a: JArray => a.arr }
+          .getOrElse(Nil).filter(e => keptIds.contains(
+            e.asInstanceOf[JObject].obj.toMap
+              .apply("snapshot-id").asInstanceOf[JInt].num.toLong))
+        val newMd = JObject(md.toList.map {
+          case ("snapshots", _) => "snapshots" -> (JArray(kept): JValue)
+          case ("snapshot-log", _) =>
+            "snapshot-log" -> (JArray(newLog): JValue)
+          case ("last-updated-ms", _) =>
+            "last-updated-ms" -> (JInt(System.currentTimeMillis()): JValue)
+          case other => other
+        })
+        CatalogJson.atomicWrite(s"$dir/metadata/v${v + 1}.metadata.json",
+          JsonMethods.pretty(JsonMethods.render(newMd)))
+        CatalogJson.atomicWrite(s"$dir/metadata/version-hint.text",
+          (v + 1).toString)
+        kept
+      }
+    // ---- 2. idempotent orphan sweep against the (new) current metadata:
+    // every manifest list, manifest, and data file the retained snapshots
+    // reach stays; every other metadata/*.avro and *.parquet data file
+    // goes (incl. residue of a crashed earlier expire or a tier that died
+    // between publish and commit). Shared manifests are read once
+    // (memoized) — linear in distinct files, not snapshots × manifests.
+    // Dot-prefixed dirs (in-flight tier staging) and non-Avro metadata
+    // (metadata.json versions, version-hint, the lock) are never
+    // candidates.
+    val manifestCache = collection.mutable.Map[String, Seq[GenericRecord]]()
+    def manifests(path: String): Seq[GenericRecord] =
+      manifestCache.getOrElseUpdate(path, readAvroRecords(stripToIo(path))._1)
+    val keep = collection.mutable.Set[String]()
+    retained.foreach { s =>
+      val listPath = s.asInstanceOf[JObject].obj.toMap
+        .apply("manifest-list").asInstanceOf[JString].s
+      keep += rel(listPath)
+      manifests(listPath).foreach { mf =>
+        val mPath = mf.get("manifest_path").toString
+        keep += rel(mPath)
+        manifests(mPath)
+          .filter(_.get("status").asInstanceOf[Int] != EntryDeleted)
+          .foreach(e => keep += relOf(e, qualifiedDir))
+      }
+    }
+    val toDelete = WarehouseIO.walkFiles(dir)
+      .filter(!_.isDir)
+      .map(e => WarehouseIO.relativize(dir, e.path))
+      .filterNot(r => r.split('/').exists(_.startsWith(".")))
+      .filter(r => r.endsWith(".parquet") ||
+        (r.startsWith("metadata/") && r.endsWith(".avro")))
+      .filterNot(keep.contains)
+      .sorted
+    toDelete.foreach(r => WarehouseIO.deleteIfExists(s"$dir/$r"))
+    toDelete
   }
 
   // ---------------------------------------------------------------------
@@ -483,12 +671,17 @@ object IcebergExport {
   /** All live (non-DELETED) entries of the previous current snapshot,
     * as the raw Avro records they were written as.
     */
-  private def priorLiveEntries(p: PrevMetadata): Seq[GenericRecord] = {
-    val (manifests, _) = readAvroRecords(stripToIo(p.manifestListPath))
-    manifests.flatMap { mf =>
+  private def priorLiveEntries(p: PrevMetadata): Seq[GenericRecord] =
+    liveEntriesOf(p.manifestListPath)
+
+  /** Walk one snapshot's manifest list → manifests → entries, keeping
+    * the live (non-DELETED) ones — the single chain-walk definition
+    * [[priorLiveEntries]], [[liveFilesAt]] and [[liveFiles]] share.
+    */
+  private def liveEntriesOf(manifestListPath: String): Seq[GenericRecord] =
+    readAvroRecords(stripToIo(manifestListPath))._1.flatMap { mf =>
       readAvroRecords(stripToIo(mf.get("manifest_path").toString))._1
     }.filter(_.get("status").asInstanceOf[Int] != EntryDeleted)
-  }
 
   private def relOf(entry: GenericRecord, qualifiedDir: String): String = {
     val p = entry.get("data_file").asInstanceOf[GenericRecord]

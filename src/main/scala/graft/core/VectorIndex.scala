@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -79,6 +79,11 @@ final class VectorIndex private[core] (val table: GraftTable,
   /** Base-table version the index reflects. */
   def appliedVersion: Long = readMeta()._2
 
+  /** The persisted PQ codebook (subspace → centroid → coordinates) when
+    * the index stores ADC codes; None on a plain IVF index.
+    */
+  def pqCodebook: Option[Array[Array[Array[Double]]]] = readMeta()._4
+
   /** Nearest-list assignment with the STORED centroids — delegates to
     * the one shared definition ([[Similarity.ivfListOf]]) so the index's
     * assignment can never drift from the ephemeral query path's.
@@ -114,16 +119,35 @@ final class VectorIndex private[core] (val table: GraftTable,
     else table.latestVersion.foreach { to =>
       if (to > from) {
         val ch = table.changesBetween(from, to)
-        idx.upsertMixed(ch.select(
-            listOf(col(vecCol), cents).as(VectorIndex.ListCol),
-            col(idCol), col(vecCol),
-            col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
-            col(Meta.ChangeTypeCol).isin(
-              ChangeType.UpdateBefore, ChangeType.Delete).as("__delete")),
+        idx.upsertMixed(indexRows(ch, cents, pqCb,
+            offset = col(Meta.LogOffset),
+            delete = col(Meta.ChangeTypeCol).isin(
+              ChangeType.UpdateBefore, ChangeType.Delete)),
           orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
         writeMeta(cents, to, epoch, pqCb)
       }
     }
+  }
+
+  /** The index-row projection every write path shares: coarse-list
+    * assignment with the stored centroids, plus — when the index carries
+    * a PQ codebook — the vector's `m` quantization codes
+    * ([[Similarity.pqEncode]] with the PERSISTED codebook, so
+    * incrementally-maintained codes can never drift from build-time
+    * ones). `-U/-D` rows encode too (their OLD vector — changelog image
+    * FULL guarantees it), which keys the delete to the right list.
+    */
+  private def indexRows(src: DataFrame, cents: Array[(Int, Seq[Double])],
+      pq: Option[Array[Array[Array[Double]]]], offset: org.apache.spark.sql.Column,
+      delete: org.apache.spark.sql.Column): DataFrame = {
+    val enc = pq.map(cb => Similarity.pqEncode(src, idCol, vecCol, cb))
+      .getOrElse(src)
+    enc.select(Seq(
+      listOf(col(vecCol), cents).as(VectorIndex.ListCol),
+      col(idCol), col(vecCol)) ++
+      pq.map(_ => col("__code").as(VectorIndex.CodeCol)).toSeq ++ Seq(
+      offset.as(SecondaryIndex.SourceOffsetCol),
+      delete.as("__delete")): _*)
   }
 
   private def rebuildFromState(cents: Array[(Int, Seq[Double])],
@@ -131,11 +155,8 @@ final class VectorIndex private[core] (val table: GraftTable,
     idx.truncate()
     val v = table.latestVersion.getOrElse(0L)
     if (v > 0L) {
-      idx.upsertMixed(table.scan().select(
-          listOf(col(vecCol), cents).as(VectorIndex.ListCol),
-          col(idCol), col(vecCol),
-          lit(0L).as(SecondaryIndex.SourceOffsetCol),
-          lit(false).as("__delete")),
+      idx.upsertMixed(indexRows(table.scan(), cents, pq,
+          offset = lit(0L), delete = lit(false)),
         orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
     }
     writeMeta(cents, v, epoch, pq)
@@ -149,6 +170,13 @@ final class VectorIndex private[core] (val table: GraftTable,
     */
   def topK(query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val (cents, version, epoch, _) = readMeta()
+    requireFresh(version, epoch)
+    Similarity.ivfTopK(idx.scan().withColumnRenamed(
+        VectorIndex.ListCol, "__list"),
+      cents, idCol, vecCol, query, k, nprobe)
+  }
+
+  private def requireFresh(version: Long, epoch: Long): Unit = {
     require(epoch == table.rollbackEpoch,
       s"vector index at ${idx.path} predates a base-table restore — " +
         "call refresh() to rebuild")
@@ -156,9 +184,66 @@ final class VectorIndex private[core] (val table: GraftTable,
     require(version == latest,
       s"vector index at ${idx.path} reflects base version $version but " +
         s"the table is at $latest — call refresh() first")
-    Similarity.ivfTopK(idx.scan().withColumnRenamed(
-        VectorIndex.ListCol, "__list"),
-      cents, idCol, vecCol, query, k, nprobe)
+  }
+
+  /** ANN top-k through the PQ codes (asymmetric distance computation):
+    * the query builds the m×ksub LUT once on the driver
+    * ([[Similarity.adcLut]] against the PERSISTED codebook), a
+    * partition-pruned scan of the `nprobe` nearest lists ranks rows by
+    * m array lookups over the STORED code column — the raw vector
+    * column is never read in this pass — and the top-`cand` candidate
+    * ids are exactly re-ranked by a second pruned scan that reads
+    * vectors for ONLY those ids. At 100 TB the first pass touches
+    * nprobe/nlist of an m-bytes-per-vector column (the index that fits
+    * the page cache); the exact pass reads `cand` rows. Past
+    * m·ksub=`broadcastThreshold` the LUT rides a broadcast variable
+    * instead of codegen literals (the [[Similarity.pqTopK]] convention),
+    * keeping plan size constant in codebook size.
+    */
+  def topKAdc(query: Seq[Double], k: Int, nprobe: Int, cand: Int = 50,
+      broadcastThreshold: Int = 512): DataFrame = {
+    val (cents, version, epoch, pqCb) = readMeta()
+    requireFresh(version, epoch)
+    val cb = pqCb.getOrElse(throw new IllegalStateException(
+      s"vector index at ${idx.path} has no PQ codebook — create it with " +
+        "pq = Some((m, ksub)) to enable ADC probes"))
+    require(cand >= k, s"cand=$cand must be >= k=$k")
+    val probeLists = Similarity.probeListsFor(cents, query, nprobe)
+      .toIndexedSeq
+    val lut = Similarity.adcLut(cb, query)
+    val m = cb.length
+    val codes = idx.scan()
+      .filter(col(VectorIndex.ListCol).isin(probeLists: _*))
+    val scored =
+      if (m * cb(0).length <= broadcastThreshold) {
+        val adc = (0 until m).map { j =>
+          element_at(typedlit(lut(j)), col(VectorIndex.CodeCol)(j) + 1)
+        }.reduce(_ + _)
+        codes.select(col(idCol), adc.as("__adc"))
+      } else {
+        val bcLut = idx.sparkSession.sparkContext.broadcast(lut.map(_.toArray))
+        val adcOf = udf { (code: Seq[Int]) =>
+          val l = bcLut.value
+          var acc = 0.0; var j = 0
+          while (j < code.length) { acc += l(j)(code(j)); j += 1 }
+          acc
+        }
+        codes.select(col(idCol), adcOf(col(VectorIndex.CodeCol)).as("__adc"))
+      }
+    // bounded by construction: `cand` ids (default 50) reach the driver
+    val ids = scored.orderBy(col("__adc").asc, col(idCol)).limit(cand)
+      .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val v = col(vecCol).cast("array<double>")
+    idx.scan()
+      .filter(col(VectorIndex.ListCol).isin(probeLists: _*) &&
+        col(idCol).isin(ids: _*))
+      .select(col(idCol),
+        (Similarity.dot(v, typedlit(query)) /
+          (Similarity.l2norm(v) * lit(qn))).as("__cos"))
+      .orderBy(col("__cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
   }
 }
 
@@ -170,6 +255,12 @@ object VectorIndex {
     */
   val ListCol = "ivf_list"
 
+  /** The stored PQ-code column (`array<int>`, m entries): what an ADC
+    * probe scans instead of the raw vectors. Present only on indexes
+    * created with `pq = Some((m, ksub))`.
+    */
+  val CodeCol = "__pq_code"
+
   /** Create and build an IVF index on `table.vecCol` as `db.name` with
     * `nlist` coarse lists. Centroids come from the base table's CURRENT
     * state via the deterministic first-`nlist`-by-id rule
@@ -180,12 +271,16 @@ object VectorIndex {
     */
   def create(catalog: Catalog, db: String, name: String, table: GraftTable,
       idCol: String, vecCol: String, nlist: Int,
-      kmeans: Boolean = false): VectorIndex = {
+      kmeans: Boolean = false, pq: Option[(Int, Int)] = None): VectorIndex = {
     require(table.desc.isPrimaryKeyTable, "vector index requires a PK base table")
     require(table.desc.primaryKey == Seq(idCol),
       s"vector index expects the single-column PK $idCol")
     require(table.desc.schema.fieldNames.contains(vecCol),
       s"vector column $vecCol not in base schema")
+    pq.foreach { case (m, ksub) =>
+      require(m >= 1 && ksub >= 1,
+        s"pq requires m >= 1 subspaces and ksub >= 1 centroids, got ($m, $ksub)")
+    }
     // incremental maintenance deletes old (list, id) entries via the
     // changelog's -U/-D rows; a WAL-image table suppresses -U, so a
     // vector moving lists would leave its stale entry behind — refuse
@@ -201,8 +296,16 @@ object VectorIndex {
       else Similarity.firstNCentroids(state, idCol, vecCol, nlist)
     require(cents.length >= nlist,
       s"vector index needs >= $nlist rows, got ${cents.length}")
+    // the PQ codebook — like the coarse centroids — comes from the
+    // current state via the deterministic first-ksub-by-id rule
+    // (Similarity.pqCodebook) and then PERSISTS: refresh encodes new
+    // vectors with the stored codebook, never a recomputed one
+    val codebook = pq.map { case (m, ksub) =>
+      Similarity.pqCodebook(state, idCol, vecCol, m, ksub)
+    }
     val fields = Seq(StructField(ListCol, IntegerType, nullable = false),
-      table.desc.schema(idCol), table.desc.schema(vecCol),
+      table.desc.schema(idCol), table.desc.schema(vecCol)) ++
+      codebook.map(_ => StructField(CodeCol, ArrayType(IntegerType))).toSeq ++ Seq(
       StructField(SecondaryIndex.SourceOffsetCol,
         org.apache.spark.sql.types.LongType))
     val desc = TableDescriptor(StructType(fields.toArray),
@@ -218,8 +321,8 @@ object VectorIndex {
         "index.vector.column" -> vecCol))
     val idx = catalog.createTable(db, name, desc)
     val vi = new VectorIndex(table, idCol, vecCol, idx)
-    vi.writeMeta(cents, 0L, table.rollbackEpoch, None)
-    vi.rebuildFromState(cents, table.rollbackEpoch, None)
+    vi.writeMeta(cents, 0L, table.rollbackEpoch, codebook)
+    vi.rebuildFromState(cents, table.rollbackEpoch, codebook)
     vi
   }
 

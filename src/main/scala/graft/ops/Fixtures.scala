@@ -122,17 +122,36 @@ object Fixtures {
     * `sim7_ivf_index`: the probe's answer equals sim3's query-side IVF
     * by construction, but through a partition-pruned index scan.
     */
-  def vecsIvf(spark: SparkSession, sfDir: String): VectorIndex = {
-    val base = cached("vecs_base", sfDir) {
+  private def vecsBase(spark: SparkSession, sfDir: String): GraftTable =
+    cached("vecs_base", sfDir) {
       val df = read(spark, sfDir, "embeddings").filter(col("vec_id") =!= 0)
       val t = fresh(spark, sfDir, "vecs_base",
         TableDescriptor(df.schema, primaryKey = Seq("vec_id"), numBuckets = 4))
       t.upsert(df, orderBy = Seq(df("vec_id")))
       t
     }
+
+  def vecsIvf(spark: SparkSession, sfDir: String): VectorIndex = {
+    val base = vecsBase(spark, sfDir)
     val idx = cached("vecs_ivf", sfDir) {
       VectorIndex.create(catalog(spark), "fx" + math.abs(sfDir.hashCode),
         "vecs_ivf", base, "vec_id", "embedding", nlist = 16).idx
+    }
+    VectorIndex.open(base, "vec_id", "embedding", idx)
+  }
+
+  /** The IVF-PQ variant over the same base: the index table additionally
+    * stores m=8 ksub=16 PQ codes per vector (and the codebook persists in
+    * the index metadata), so `sim8_ivfpq_index` probes by ADC over the
+    * codes column — the raw vectors are read only for the final
+    * `cand`-row exact re-rank.
+    */
+  def vecsIvfPq(spark: SparkSession, sfDir: String): VectorIndex = {
+    val base = vecsBase(spark, sfDir)
+    val idx = cached("vecs_ivfpq", sfDir) {
+      VectorIndex.create(catalog(spark), "fx" + math.abs(sfDir.hashCode),
+        "vecs_ivfpq", base, "vec_id", "embedding", nlist = 16,
+        pq = Some((8, 16))).idx
     }
     VectorIndex.open(base, "vec_id", "embedding", idx)
   }
@@ -841,6 +860,7 @@ object Fixtures {
     sqlCatalog(spark, sfDir); aggViewTable(spark, sfDir)
     lineitemPolledTable(spark, sfDir); usersTwoVersions(spark, sfDir)
     lineitemRewritten(spark, sfDir); vecsIvf(spark, sfDir)
+    vecsIvfPq(spark, sfDir)
     ()
   }
 

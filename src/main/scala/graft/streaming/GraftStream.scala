@@ -176,9 +176,7 @@ object GraftStream {
       snapshot match {
         case Some((at, df)) if now - at < ttlMs => df
         case stale =>
-          val fresh = table.currentState()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          fresh.count() // materialize now: batches pay a cache read only
+          val fresh = materializeState(table)
           stale.foreach(_._2.unpersist(blocking = false))
           snapshot = Some((now, fresh))
           nMaterializations += 1
@@ -205,6 +203,77 @@ object GraftStream {
   def cachedLookup(table: GraftTable, ttl: java.time.Duration,
       clock: () => Long = () => System.currentTimeMillis()): CachedLookup =
     new CachedLookup(table, ttl.toMillis, clock)
+
+  /** FULL lookup cache — the reference's `lookup.cache = FULL` with an
+    * interval reload strategy (website/docs/engine-flink/lookups.md:140):
+    * the ENTIRE dimension table materializes EAGERLY at construction and
+    * reloads at fixed interval boundaries measured from start — not
+    * expire-after-write from the last access, so after an idle stretch
+    * the first batch still joins a snapshot at most one interval old.
+    * Between reloads every micro-batch joins the same persisted
+    * snapshot with zero per-batch state reads.
+    *
+    * For dimension tables that fit executor memory (the FULL-cache
+    * contract in the reference too); a corpus-scale right side belongs
+    * in [[lookupJoin]] / [[deltaJoin]] instead.
+    */
+  final class FullCachedLookup private[GraftStream] (table: GraftTable,
+      intervalMs: Long, clock: () => Long) {
+    private val startedAt = clock()
+    private var nReloads = 0
+    private var loadedEpoch = 0L
+    private var snapshot: Option[DataFrame] = Some(materializeState(table))
+
+    /** The cached snapshot, reloaded when an interval boundary passed
+      * (a closed cache lazily re-opens, the [[CachedLookup]] contract).
+      */
+    def current(): DataFrame = synchronized {
+      val epoch = (clock() - startedAt) / intervalMs
+      snapshot match {
+        case Some(df) if epoch <= loadedEpoch => df
+        case prev =>
+          val fresh = materializeState(table)
+          prev.foreach(_.unpersist(blocking = false))
+          if (prev.isDefined) nReloads += 1
+          snapshot = Some(fresh)
+          loadedEpoch = epoch
+          fresh
+      }
+    }
+
+    def join(batch: DataFrame, joinKeys: Seq[String],
+        joinType: String = "left"): DataFrame =
+      batch.join(broadcast(current()), joinKeys, joinType)
+
+    /** Reloads since the eager initial load (observability + tests). */
+    def reloads: Int = synchronized(nReloads)
+
+    def close(): Unit = synchronized {
+      snapshot.foreach(_.unpersist(blocking = false))
+      snapshot = None
+    }
+  }
+
+  /** One definition of "materialize the dimension state for a lookup
+    * cache": persisted MEMORY_AND_DISK and counted EAGERLY, so batches
+    * pay a cache read only — shared by the PARTIAL ([[CachedLookup]])
+    * and FULL ([[FullCachedLookup]]) caches.
+    */
+  private def materializeState(table: GraftTable): DataFrame = {
+    val df = table.currentState()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
+  /** Build a [[FullCachedLookup]] reloading every `reloadInterval`
+    * (lookup.full-cache.reload-strategy = interval).
+    */
+  def fullCachedLookup(table: GraftTable, reloadInterval: java.time.Duration,
+      clock: () => Long = () => System.currentTimeMillis()): FullCachedLookup = {
+    require(reloadInterval.toMillis > 0, "reload interval must be positive")
+    new FullCachedLookup(table, reloadInterval.toMillis, clock)
+  }
 
   /** Continuous changelog materializer: the streaming counterpart of the
     * batch write path (SURVEY §7.1 item 4) — keyed state holds each PK's

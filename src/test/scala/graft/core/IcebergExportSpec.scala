@@ -332,6 +332,112 @@ class IcebergExportSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot expiration: unreachable files deleted, current read intact, " +
+      "expired reads fail loudly, tiering continues") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-expire-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("dt", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val t = cat.createTable("db", "pkexp", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+    def rows(r: (String, Long, Int)*)(ordBase: Long) = spark.createDataFrame(
+      r.zipWithIndex.map { case ((dt, k, v), i) =>
+        Row(dt, k, Int.box(v), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.upsert(rows(("a", 1L, 1), ("b", 1L, 10))(0L), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-expire-out").toString
+    t.tierSnapshot(out)
+    t.upsert(rows(("a", 1L, 2))(10L), orderBy = Seq(col("ord")))
+    t.tierSnapshot(out)
+    t.upsert(rows(("a", 1L, 3))(20L), orderBy = Seq(col("ord")))
+    t.tierSnapshot(out)
+    val idsBefore = IcebergExport.snapshotIds(out)
+    assert(idsBefore.size == 3)
+    val live = IcebergExport.liveFiles(out)
+    // files only the first two snapshots reference (replaced dt=a files)
+    val allOnDisk = WarehouseIO.walkFiles(out)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => WarehouseIO.relativize(out, e.path))
+    val replaced = allOnDisk.filterNot(live.contains(_))
+    assert(replaced.nonEmpty, "expected replaced files before expiry")
+    // keepLast must be >= 1 (the current snapshot is never expirable)
+    val e0 = intercept[IllegalArgumentException](
+      IcebergExport.expireSnapshots(out, 0))
+    assert(e0.getMessage.contains("keepLast"))
+    val deleted = IcebergExport.expireSnapshots(out, keepLast = 1)
+    assert(replaced.forall(deleted.contains(_)), s"$replaced vs $deleted")
+    replaced.foreach(r => assert(!WarehouseIO.exists(s"$out/$r"), r))
+    live.foreach(r => assert(WarehouseIO.exists(s"$out/$r"), r))
+    // metadata advanced one version, only the current snapshot remains
+    assert(WarehouseIO.readString(s"$out/metadata/version-hint.text") == "4")
+    assert(IcebergExport.snapshotIds(out) == Seq(idsBefore.last))
+    // current read still equals the table
+    val got = IcebergExport.readLive(spark, out)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 3), ("b", 1L, 10)))
+    // an expired snapshot id fails with a clear error; the current works
+    val e1 = intercept[IllegalArgumentException](
+      IcebergExport.liveFilesAt(out, idsBefore.head))
+    assert(e1.getMessage.contains("expired"))
+    assert(IcebergExport.readSnapshot(spark, out, idsBefore.last)
+      .count() == 2)
+    // a no-op expire returns nothing and leaves metadata untouched
+    assert(IcebergExport.expireSnapshots(out, 1).isEmpty)
+    assert(WarehouseIO.readString(s"$out/metadata/version-hint.text") == "4")
+    // tiering keeps working on the expired table
+    t.upsert(rows(("b", 2L, 20))(30L), orderBy = Seq(col("ord")))
+    assert(t.tierSnapshot(out).contains("tiered overwrite snapshot"))
+    assert(IcebergExport.readLive(spark, out).count() == 3)
+    assert(IcebergExport.snapshotIds(out).size == 2)
+  }
+
+  test("tier crash between Iceberg commit and manifest update rolls forward " +
+      "(no duplicate window)") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-rollfwd-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    val t = cat.createTable("db", "rflog",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) =>
+        Row(k, Int.box(v), i.toLong) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-rollfwd-out").toString
+    t.tierSnapshot(out)
+    val manifestAfterFirst = WarehouseIO.readString(s"$out/_export_manifest.json")
+    t.append(rows(3L -> 3, 4L -> 4), orderBy = Seq(col("ord")))
+    t.tierSnapshot(out)
+    // simulate the crash: Iceberg snapshot 2 committed, but the export
+    // manifest never advanced past the first tier
+    WarehouseIO.atomicWriteString(s"$out/_export_manifest.json",
+      manifestAfterFirst)
+    // an idle tier detects the stale manifest, rolls it forward from the
+    // lake metadata, and does NOT re-append the 3..4 window
+    assert(t.tierSnapshot(out).startsWith("already current"))
+    assert(IcebergExport.readLive(spark, out)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // and a subsequent real tier proceeds from the committed offsets
+    t.append(rows(5L -> 5), orderBy = Seq(col("ord")))
+    assert(t.tierSnapshot(out).contains("tiered append snapshot"))
+    assert(IcebergExport.readLive(spark, out)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a removal against a dir with no prior snapshot fails loudly") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val fresh = Files.createTempDirectory("graft-iceberg-fresh").toString
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.commit(spark, fresh, schema, Nil, Nil,
+        removedRels = Set("data-0.parquet"), sourcePath = "src"))
+    assert(e.getMessage.contains("no prior Iceberg snapshot"))
+  }
+
   test("the default export stays a bare parquet directory (no metadata/)") {
     val cat = new Catalog(
       Files.createTempDirectory("graft-iceberg-wh2").toString, spark)

@@ -118,6 +118,51 @@ class VectorIndexSpec extends SparkTestBase {
     assert(cents0.length == 4 && assigned.columns.contains("__list"))
   }
 
+  test("IVF-PQ: stored codes match pqEncode with the persisted codebook; " +
+      "ADC probe with full candidate width == exact probe; refresh maintains codes") {
+    val (cat, t) = mkTable(60)
+    val vi = VectorIndex.create(cat, "db", "vecs_pq", t, "vid", "emb",
+      nlist = 4, pq = Some((4, 8)))
+    val cb = vi.pqCodebook.get
+    assert(cb.length == 4 && cb(0).length == 8 && cb(0)(0).length == dim / 4)
+    def codesInIndex(): Map[Long, Seq[Int]] =
+      vi.idx.scan().select(col("vid"), col(VectorIndex.CodeCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def wantCodes(): Map[Long, Seq[Int]] =
+      Similarity.pqEncode(t.scan(), "vid", "emb", cb)
+        .select(col("vid"), col("__code")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesInIndex() == wantCodes())
+    // cand >= every probed row => the exact re-rank sees everything the
+    // plain probe sees: ADC answer must equal the exact probe's
+    val q = vec(555)
+    val got = vi.topKAdc(q, k = 6, nprobe = 2, cand = 60)
+      .collect().map(_.getLong(0)).toSeq
+    val want = vi.topK(q, k = 6, nprobe = 2)
+      .select(col("vid")).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // a narrow candidate width still returns k rows, all from the index
+    assert(vi.topKAdc(q, k = 3, nprobe = 2, cand = 5).count() == 3)
+    // incremental refresh: new vector + an update; codes stay in lockstep
+    // with the PERSISTED codebook (never recomputed from the new state)
+    val schema = StructType(Seq(
+      StructField("vid", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType), nullable = false),
+      StructField("ord", LongType)))
+    t.upsert(spark.createDataFrame(
+      Seq(Row(500L, vec(500), 0L), Row(1L, vec(77), 1L)).asJava, schema),
+      orderBy = Seq(col("ord")))
+    vi.refresh()
+    assert(vi.pqCodebook.get.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codesInIndex() == wantCodes())
+    // a plain IVF index refuses ADC probes loudly
+    val plain = VectorIndex.create(cat, "db", "vecs_noPq", t, "vid", "emb",
+      nlist = 4)
+    val e = intercept[IllegalStateException](plain.topKAdc(q, 3, 2))
+    assert(e.getMessage.contains("PQ codebook"))
+  }
+
   test("WAL-image base tables are refused (suppressed -U strands stale entries)") {
     val cat = new Catalog(Files.createTempDirectory("graft-vi-wal").toString, spark)
     val schema = StructType(Seq(

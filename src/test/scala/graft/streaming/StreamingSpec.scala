@@ -266,6 +266,44 @@ class StreamingSpec extends SparkTestBase {
     cache.close()
   }
 
+  test("FULL cached lookup: eager load, interval reload sees new commits, " +
+      "matches the uncached join") {
+    val cat = newCatalog()
+    val dim = cat.createTable("db", "s5dimf", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")), primaryKey = Seq("k")))
+    def df(rows: (Long, Int, Long)*) = spark.createDataFrame(
+      rows.map { case (k, v, o) => Row(k, v, o) }.asJava, schema)
+    dim.upsert(df((1L, 100, 0L), (2L, 200, 1L)), orderBy = Seq(col("ord")))
+    var fakeNow = 0L
+    val cache = GraftStream.fullCachedLookup(dim,
+      java.time.Duration.ofMinutes(5), () => fakeNow)
+    def probe(k: Long): Any = cache.join(spark.createDataFrame(
+        Seq(Row(k, 0L)).asJava,
+        StructType(Seq(StructField("k", LongType), StructField("ord", LongType)))),
+      Seq("k")).select("v").collect().head.get(0)
+    // eager initial snapshot serves immediately, matching the uncached join
+    assert(probe(1L) == 100 && probe(9L) == null)
+    assert(cache.reloads == 0)
+    // a commit inside the interval is invisible …
+    dim.upsert(df((9L, 900, 2L)), orderBy = Seq(col("ord")))
+    assert(probe(9L) == null && cache.reloads == 0)
+    // … and visible after the boundary (one reload, not one per access)
+    fakeNow += java.time.Duration.ofMinutes(6).toMillis
+    assert(probe(9L) == 900 && probe(2L) == 200)
+    assert(cache.reloads == 1)
+    // idle across MANY intervals → still exactly one further reload
+    dim.upsert(df((2L, 222, 3L)), orderBy = Seq(col("ord")))
+    fakeNow += java.time.Duration.ofMinutes(60).toMillis
+    assert(probe(2L) == 222)
+    assert(cache.reloads == 2)
+    // reload result equals the uncached lookup on current state
+    val want = dim.currentState().select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(1L, 2L, 9L).map(k => k -> probe(k)).toMap ==
+      want.map { case (k, v) => k -> (v: Any) })
+    cache.close()
+  }
+
   test("changelogStream: state-store materializer emits the same changelog as the batch path") {
     val src = tmp()
     writeSrc(src, Seq((1L, 1, 0L), (2L, 2, 1L)), "a")
