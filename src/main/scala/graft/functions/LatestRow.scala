@@ -58,14 +58,27 @@ case class LatestRow(payload: Expression, order: Expression,
   @transient private lazy val ordering =
     TypeUtils.getInterpretedOrdering(order.dataType)
 
+  // the engine's one hot order type: every PK collapse orders by the
+  // __offset long, so the per-row compare skips the interpreted
+  // ordering + generic get-boxing for a primitive getLong
+  @transient private lazy val longOrder =
+    order.dataType == org.apache.spark.sql.types.LongType
+
   @transient private lazy val project =
     UnsafeProjection.create(Array(order.dataType, payload.dataType))
 
-  /** True when `candidate` beats the buffered order value. */
-  private def beats(candidate: Any, current: Any): Boolean = {
-    val c = ordering.compare(candidate, current)
-    if (greatest) c > 0 else c < 0
-  }
+  /** True when `candidate` (non-null, boxed) beats the buffered row's
+    * order value.
+    */
+  private def beats(candidate: Any, current: UnsafeRow): Boolean =
+    if (longOrder) {
+      val c = candidate.asInstanceOf[java.lang.Long].longValue
+      val cur = current.getLong(0)
+      if (greatest) c > cur else c < cur
+    } else {
+      val c = ordering.compare(candidate, current.get(0, order.dataType))
+      if (greatest) c > 0 else c < 0
+    }
 
   override def createAggregationBuffer(): LatestRow.Buffer =
     new LatestRow.Buffer(null)
@@ -73,8 +86,7 @@ case class LatestRow(payload: Expression, order: Expression,
   override def update(buffer: LatestRow.Buffer,
       input: InternalRow): LatestRow.Buffer = {
     val o = order.eval(input)
-    if (o != null &&
-        (buffer.row == null || beats(o, buffer.row.get(0, order.dataType)))) {
+    if (o != null && (buffer.row == null || beats(o, buffer.row))) {
       buffer.row = project(InternalRow(o, payload.eval(input))).copy()
     }
     buffer
@@ -83,8 +95,8 @@ case class LatestRow(payload: Expression, order: Expression,
   override def merge(buffer: LatestRow.Buffer,
       other: LatestRow.Buffer): LatestRow.Buffer = {
     if (other.row != null &&
-        (buffer.row == null || beats(other.row.get(0, order.dataType),
-          buffer.row.get(0, order.dataType)))) {
+        (buffer.row == null ||
+          beats(other.row.get(0, order.dataType), buffer.row))) {
       buffer.row = other.row
     }
     buffer

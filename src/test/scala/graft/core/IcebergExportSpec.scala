@@ -332,6 +332,36 @@ class IcebergExportSpec extends SparkTestBase {
     }
   }
 
+  test("lake lock: a held lock makes commit/expire fail loudly instead of racing") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-lock-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    val t = cat.createTable("db", "locklog",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, Int.box(1), 0L)).asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-lock-out").toString
+    t.tierSnapshot(out)
+    // simulate a concurrent lake-metadata operation holding the lock
+    assert(WarehouseIO.createExclusive(s"$out/metadata/_lake.lock"))
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        IcebergExport.expireSnapshots(out, 1))
+      t.append(spark.createDataFrame(
+        Seq(Row(2L, Int.box(2), 1L)).asJava,
+        StructType(schema.fields :+ StructField("ord", LongType))),
+        orderBy = Seq(col("ord")))
+      intercept[java.util.ConcurrentModificationException](t.tierSnapshot(out))
+    } finally WarehouseIO.deleteIfExists(s"$out/metadata/_lake.lock")
+    // released → both proceed
+    assert(t.tierSnapshot(out).contains("tiered append snapshot"))
+    assert(IcebergExport.expireSnapshots(out, 1).nonEmpty)
+    assert(IcebergExport.readLive(spark, out).count() == 2)
+  }
+
   test("snapshot expiration: unreachable files deleted, current read intact, " +
       "expired reads fail loudly, tiering continues") {
     val cat = new Catalog(
