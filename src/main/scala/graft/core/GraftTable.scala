@@ -1478,6 +1478,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .map { case (k, v) => k.toString -> (JInt(v): JValue) })))) ++
       version.map(v => GraftTable.TierVersionKey -> v.toString)
 
+  /** Under the lake lock, re-validate that the lake's committed tier
+    * offsets still equal the `base` this tier's delta window was computed
+    * from. Two concurrent tiers both read base X and compute X -> Y; the
+    * lock serializes their commits but cannot merge them — the loser must
+    * abort, or the window's rows land twice. An absent summary key means
+    * no tier has committed since entry (a racing tier would have written
+    * one), so the base is intact.
+    */
+  private[core] def requireTierBase(dir: String, base: Map[Int, Long]): Unit =
+    IcebergExport.currentSnapshotSummary(dir)
+      .get(GraftTable.TierOffsetsKey).foreach { s =>
+        val committed = JsonMethods.parse(s).asInstanceOf[JObject].obj
+          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+          .toMap
+        if (committed != base) throw new java.util.ConcurrentModificationException(
+          s"another tierSnapshot committed to $dir concurrently (lake is at " +
+            s"offsets $committed, this tier started from $base); retry")
+      }
+
   /** Incremental lake tiering — the library analog of the reference's
     * continuous tiering service (fluss-server/.../coordinator/
     * LakeTableTieringManager.java:110, per-format commit plumbing in
@@ -1589,20 +1608,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         manifestSizes.getOrElse(rel, WarehouseIO.size(s"$dir/$rel"))
       val dataCols = desc.schema.fieldNames.toSeq
       if (!desc.isPrimaryKeyTable) {
-        // append-only: the window IS the delta; no race window at all
+        // append-only: the window IS the delta; no log-side race at all.
+        // The staging write happens OUTSIDE the lake lock (it can be a
+        // long Spark job); publish -> commit -> manifest update hold the
+        // lock so a concurrent expire's orphan sweep can never see
+        // published-but-uncommitted files, and a concurrent tier of the
+        // same window aborts instead of appending the delta twice.
         tail.select(dataCols.map(col): _*)
           .write.mode("overwrite").options(fileWriteOptions)
           .partitionBy(desc.partitionKeys: _*).parquet(staging)
-        val priorLive = IcebergExport.liveFiles(dir)
-        val added = publishStaged()
-        IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-          added, Set.empty, path,
-          summaryExtra = tierSummary(current, version))
-        updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ added)
-          .sortBy(_._1))
+        val (added, carried) =
+          try IcebergExport.withLakeLock(dir) {
+            requireTierBase(dir, pinned)
+            val priorLive = IcebergExport.liveFiles(dir)
+            val a = publishStaged()
+            IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
+              a, Set.empty, path,
+              summaryExtra = tierSummary(current, version))
+            updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ a)
+              .sortBy(_._1))
+            (a, priorLive.size)
+          } catch { case e: Throwable => deleteTree(staging); throw e }
         GraftMetrics.inc(path, GraftMetrics.Exports)
         return s"tiered append snapshot: ${added.size} files added, " +
-          s"${priorLive.size} carried"
+          s"$carried carried"
       }
       // PK table: changed partitions from the delta window
       val changedTuples: Seq[Row] =
@@ -1648,23 +1677,29 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           s"tierSnapshot($dir) raced concurrent commits 3 times on $path; " +
             "pause writers or retry later")
       } else {
-        val priorLive = IcebergExport.liveFiles(dir)
-        val removed = priorLive.filter { rel =>
-          val parent = rel.split('/').dropRight(1).mkString("/")
-          changedDirs.contains(parent)
-        }.toSet
-        val added = publishStaged()
-        IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-          added, removed, path,
-          summaryExtra = tierSummary(current, version))
-        updateManifest(
-          (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
-            added).sortBy(_._1))
+        // publish -> commit -> manifest under one lake lock (see the
+        // append branch above for why)
+        val (addedN, removedN, untouchedN) =
+          try IcebergExport.withLakeLock(dir) {
+            requireTierBase(dir, pinned)
+            val priorLive = IcebergExport.liveFiles(dir)
+            val removed = priorLive.filter { rel =>
+              val parent = rel.split('/').dropRight(1).mkString("/")
+              changedDirs.contains(parent)
+            }.toSet
+            val added = publishStaged()
+            IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
+              added, removed, path,
+              summaryExtra = tierSummary(current, version))
+            updateManifest(
+              (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
+                added).sortBy(_._1))
+            (added.size, removed.size, priorLive.size - removed.size)
+          } catch { case e: Throwable => deleteTree(staging); throw e }
         GraftMetrics.inc(path, GraftMetrics.Exports)
         return s"tiered overwrite snapshot: ${changedDirs.size} " +
-          s"partition(s) refreshed, ${added.size} files added, " +
-          s"${removed.size} replaced, " +
-          s"${priorLive.size - removed.size} untouched"
+          s"partition(s) refreshed, $addedN files added, " +
+          s"$removedN replaced, $untouchedN untouched"
       }
     }
     throw new IllegalStateException("unreachable")

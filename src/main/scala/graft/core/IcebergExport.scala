@@ -3,6 +3,7 @@ package graft.core
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.TimeUnit
 
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -423,8 +424,17 @@ object IcebergExport {
     * silently drop the tier's snapshot. Same posture as the table-level
     * `_commit.lock`: exclusive-create, loud ConcurrentModificationException
     * on contention, stale holders (> 10 min) broken for the NEXT attempt.
+    *
+    * Re-entrant per thread so [[GraftTable.tierSnapshot]] can span one
+    * lock over publish -> commit -> manifest update (otherwise an expire
+    * sweeping in that window would delete the tier's published-but-not-
+    * yet-committed files). Live holders heartbeat the lock's mtime every
+    * minute, so the 10-minute breaker only fires on dead holders — a
+    * long expire sweep is never broken mid-delete.
     */
-  private def withLakeLock[T](dir: String)(body: => T): T = {
+  private[core] def withLakeLock[T](dir: String)(body: => T): T = {
+    val key = WarehouseIO.qualify(dir)
+    if (heldLocks.get.contains(key)) return body // re-entrant per thread
     WarehouseIO.mkdirs(s"$dir/metadata")
     val lock = s"$dir/metadata/_lake.lock"
     if (!WarehouseIO.createExclusive(lock)) {
@@ -436,7 +446,29 @@ object IcebergExport {
         s"another lake-metadata operation holds the lock on $dir" +
           (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
     }
-    try body finally WarehouseIO.deleteIfExists(lock)
+    // live holders heartbeat the lock mtime so the 10-minute breaker only
+    // ever fires on a genuinely dead holder — an expire sweep or a
+    // many-file tier publish can legitimately hold the lock longer
+    val hb = heartbeats.scheduleWithFixedDelay(
+      () => WarehouseIO.touch(lock), 60, 60, TimeUnit.SECONDS)
+    heldLocks.set(heldLocks.get + key)
+    try body finally {
+      heldLocks.set(heldLocks.get - key)
+      hb.cancel(false)
+      WarehouseIO.deleteIfExists(lock)
+    }
+  }
+
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private lazy val heartbeats = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val th = new Thread(r, "graft-lake-lock-heartbeat"); th.setDaemon(true); th
+    })
+    t.setRemoveOnCancelPolicy(true)
+    t
   }
 
   /** Dir-relative live data files of `dir`'s CURRENT Iceberg snapshot,

@@ -217,6 +217,15 @@ object WarehouseIO {
     case None => fs(path).getFileStatus(p(path)).getModificationTime
   }
 
+  /** Bump a file's mtime to now (lock heartbeats). No-op if absent. */
+  def touch(path: String): Unit = try {
+    localPathOf(path) match {
+      case Some(l) => NioFiles.setLastModifiedTime(l,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      case None => fs(path).setTimes(p(path), System.currentTimeMillis(), -1)
+    }
+  } catch { case _: java.io.IOException => () }
+
   def readBytes(path: String): Array[Byte] = localPathOf(path) match {
     case Some(l) => NioFiles.readAllBytes(l)
     case None =>

@@ -92,11 +92,21 @@ case class LatestRow(payload: Expression, order: Expression,
     buffer
   }
 
+  /** Row-vs-row variant for merge: buffered order values are non-null by
+    * construction (update only stores rows whose order evaluated
+    * non-null), so the long fast path reads both sides unboxed.
+    */
+  private def beatsRow(candidate: UnsafeRow, current: UnsafeRow): Boolean =
+    if (longOrder) {
+      val c = candidate.getLong(0)
+      val cur = current.getLong(0)
+      if (greatest) c > cur else c < cur
+    } else beats(candidate.get(0, order.dataType), current)
+
   override def merge(buffer: LatestRow.Buffer,
       other: LatestRow.Buffer): LatestRow.Buffer = {
     if (other.row != null &&
-        (buffer.row == null ||
-          beats(other.row.get(0, order.dataType), buffer.row))) {
+        (buffer.row == null || beatsRow(other.row, buffer.row))) {
       buffer.row = other.row
     }
     buffer

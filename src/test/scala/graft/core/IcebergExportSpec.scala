@@ -362,6 +362,45 @@ class IcebergExportSpec extends SparkTestBase {
     assert(IcebergExport.readLive(spark, out).count() == 2)
   }
 
+  test("lake lock: re-entrant per thread; concurrent-tier base mismatch aborts") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-reent-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    val t = cat.createTable("db", "reentlog",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, Int.box(1), 0L)).asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-reent-out").toString
+    // nested acquisition on the same thread runs the body (tierSnapshot
+    // wraps publish -> commit in one lock; commit re-acquires inside)
+    assert(IcebergExport.withLakeLock(out + "-probe") {
+      IcebergExport.withLakeLock(out + "-probe") { 42 }
+    } == 42)
+    assert(!WarehouseIO.exists(s"$out-probe/metadata/_lake.lock"))
+    t.tierSnapshot(out)
+    // the committed summary offsets ARE the valid base; any other base
+    // means a concurrent tier advanced the lake first -> loud abort
+    val committed = IcebergExport.currentSnapshotSummary(out)(
+      GraftTable.TierOffsetsKey)
+    t.requireTierBase(out, org.json4s.jackson.JsonMethods.parse(committed)
+      .asInstanceOf[org.json4s.JObject].obj
+      .map { case (k, v) =>
+        k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
+    intercept[java.util.ConcurrentModificationException](
+      t.requireTierBase(out, Map(0 -> 0L, 1 -> 0L)))
+    // heartbeat plumbing: touch moves the lock's mtime forward
+    val probe = s"$out/touch-probe"
+    assert(WarehouseIO.createExclusive(probe))
+    val before = WarehouseIO.mtimeMillis(probe)
+    Thread.sleep(5)
+    WarehouseIO.touch(probe)
+    assert(WarehouseIO.mtimeMillis(probe) >= before)
+    WarehouseIO.deleteIfExists(probe)
+  }
+
   test("snapshot expiration: unreachable files deleted, current read intact, " +
       "expired reads fail loudly, tiering continues") {
     val cat = new Catalog(
