@@ -352,6 +352,20 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // ----- DC2: FUZZY decontamination — corpus docs whose shingle
+    // Jaccard vs any benchmark doc >= 0.8 (catches paraphrased
+    // contamination dc1's exact-gram probe misses). MinHash banding only
+    // ACROSS the corpus×benchmark split + exact verify, so the answer
+    // equals the exact cross-split Jaccard the oracle computes (same
+    // ~1e-6 miss budget as d3)
+    "dc2_fuzzy_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5, threshold = 0.8)
+    }),
+
     // ----- D7: cross-doc duplicated-n-gram stats (corpus-level
     // boilerplate/template signal — the across-documents companion to
     // ta6's within-doc repetition score)
@@ -907,6 +921,21 @@ object SparkEntry {
     "ta16_unigram_nll" -> ((s, dir) =>
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("unigram_nll", round(col("unigram_nll"), 6))),
+
+    // ----- TA21: interpolated bigram-LM NLL/token — the CCNet-style
+    // perplexity signal one order up from ta16 (corpus-MLE bigram +
+    // unigram backoff, λ = 0.7); counts exact, score rounded to 6 dp in
+    // both engines
+    "ta21_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text",
+        lambda = 0.7)
+        .withColumn("bigram_nll", round(col("bigram_nll"), 6))),
+
+    // ----- TA22: PII redaction — the transform downstream of ta5's
+    // counters: emails/phones masked with <EMAIL>/<PHONE>, counts kept
+    // for audit; patterns shared verbatim with the oracle
+    "ta22_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(t(s, dir, "documents"), "doc_id", "text")),
 
     // ----- TA17: domain-balanced training order — every source spread
     // uniformly through the global order (no all-one-domain batches),
@@ -1634,6 +1663,27 @@ object SparkEntry {
         |FROM c JOIN b USING (g)
         |GROUP BY doc_id""".stripMargin,
 
+    // exact cross-split Jaccard: banding only bounds the candidate set,
+    // the exact verification makes dc2's output identical (d3 argument)
+    "dc2_fuzzy_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents),
+        |c AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        |b AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+        |j AS (
+        |  SELECT c.doc_id,
+        |    CAST(len(list_intersect(c.gs, b.gs)) AS DOUBLE)
+        |      / (len(c.gs) + len(b.gs) - len(list_intersect(c.gs, b.gs))) AS jac
+        |  FROM c CROSS JOIN b
+        |  WHERE CAST(len(list_intersect(c.gs, b.gs)) AS DOUBLE)
+        |      / (len(c.gs) + len(b.gs) - len(list_intersect(c.gs, b.gs))) >= 0.8)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |  max(jac) AS max_jaccard
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     "d7_dup_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -1827,6 +1877,17 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS n_emails,
         |  len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS n_phones,
         |  length(regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g')) AS redacted_len
+        |FROM documents""".stripMargin,
+
+    // the redaction transform itself: emails masked first (a digit-heavy
+    // local part must not be half-eaten by the phone pass)
+    "ta22_redact_pii" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |      '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text
         |FROM documents""".stripMargin,
 
     "ta6_repetition" ->
@@ -2309,6 +2370,33 @@ object SparkEntry {
         |      / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
         |FROM tf JOIN freq USING (t), tot
         |GROUP BY doc_id, n_corpus""".stripMargin,
+
+    // mirrors bigramNll: p̂(v|u) = 0.7·fb/fp + (1−0.7)·fu/T, counts exact,
+    // score rounded to 6 dp ((1.0 - 0.7) spelled as the same double
+    // expression both engines evaluate)
+    "ta21_bigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'u': ts[i], 'v': ts[i+1]})) AS b
+        |  FROM tok),
+        |docbi AS (
+        |  SELECT doc_id, b.u AS u, b.v AS v, count(*) AS tf
+        |  FROM bg GROUP BY ALL),
+        |fb AS (SELECT u, v, sum(tf) AS fb FROM docbi GROUP BY u, v),
+        |fp AS (SELECT u, sum(fb) AS fp FROM fb GROUP BY u),
+        |fu AS (SELECT t AS v, count(*) AS fu FROM (
+        |  SELECT unnest(ts) AS t FROM tok) GROUP BY t),
+        |tot AS (SELECT sum(fu) AS tcnt FROM fu)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-sum(CAST(tf AS DOUBLE) * ln(
+        |      0.7 * (CAST(fb AS DOUBLE) / CAST(fp AS DOUBLE))
+        |      + (1.0 - 0.7) * (CAST(fu AS DOUBLE) / CAST(tcnt AS DOUBLE))))
+        |    / CAST(sum(tf) AS DOUBLE), 6) AS bigram_nll
+        |FROM docbi JOIN fb USING (u, v) JOIN fp USING (u) JOIN fu USING (v), tot
+        |GROUP BY doc_id""".stripMargin,
 
     // H = ln(n) - sum(tf*ln tf)/n over per-doc token counts
     "ta20_token_entropy" ->

@@ -318,23 +318,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
+  /** One row per (doc, band): bucket key = hash of the band's signature
+    * slice. Only (band, bucket, id) flows through the banding join —
+    * 24-byte rows, NOT the ~1 KB signature arrays; the signatures rejoin
+    * only for the surviving candidate pairs. At scale the banding shuffle
+    * is the widest stage, so row width there is what the plan lives or
+    * dies on.
+    */
+  private def bandBuckets(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
   /** LSH banding over pre-built minhash signatures → candidate (a_id, b_id)
     * pairs (a_id < b_id), deduplicated.
     */
   private def minhashLshCandidates(sigs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // one row per (doc, band): bucket key = hash of the band's slice.
-    // Only (band, bucket, id) flows through the self-join and the pair
-    // distinct — 24-byte rows, NOT the ~1 KB signature arrays; the
-    // signatures rejoin only for the surviving candidate pairs. At scale
-    // the banding shuffle is the widest stage, so row width there is
-    // what the plan lives or dies on.
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandBuckets(sigs, numHashes, bands)
     banded.select(col("band"), col("bucket"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")),
         Seq("band", "bucket"))
@@ -379,6 +385,61 @@ object Dedup {
       .filter(col("est") >= threshold - estMargin)
       .select(col("a_id"), col("b_id"))
     verifyJaccard(screened, docs, threshold)
+  }
+
+  /** Fuzzy benchmark decontamination — the near-dup companion of
+    * [[decontaminate]]: corpus documents whose character-n-gram-shingle
+    * Jaccard against ANY benchmark document reaches `threshold`, catching
+    * paraphrased / lightly-reformatted contamination that an exact
+    * word-n-gram probe misses (the same resemblance model the dedup
+    * family uses, pointed across the corpus × benchmark split).
+    *
+    * Scale shape: minhash signatures on BOTH sides, banding joined only
+    * ACROSS the split (never corpus × corpus — at 100 TB that wasted
+    * self-join dwarfs the real work), signature prescreen, exact-Jaccard
+    * verification of the survivors. The benchmark side (eval suites) is
+    * tiny, so its band table and signatures broadcast; the corpus side
+    * never self-shuffles. Same miss budget as
+    * [[minhashLshVerifiedPairs]] (~1e-6 per true pair at t = 0.8), so the
+    * output equals the exact cross-split answer with near-certainty.
+    *
+    * Output: (idCol, n_contaminated, max_jaccard) for flagged corpus docs.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, threshold: Double = 0.8,
+      numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
+      estMargin: Double = 0.25): DataFrame = {
+    val cd = hashedShingleDocs(corpus, idCol, textCol, n).localCheckpoint()
+    val bd = hashedShingleDocs(benchmark, idCol, textCol, n).localCheckpoint()
+    val cs = minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint()
+    val bs = minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint()
+    val cand = bandBuckets(cs, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("c_id"))
+      .join(bandBuckets(bs, numHashes, bands)
+        .select(col("band"), col("bucket"), col("id").as("b_id")),
+        Seq("band", "bucket"))
+      .select(col("c_id"), col("b_id")).distinct()
+    val screened = cand
+      .join(cs.select(col("id").as("c_id"), col("sig").as("c_sig")), Seq("c_id"))
+      .join(bs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .withColumn("est",
+        size(filter(zip_with(col("c_sig"), col("b_sig"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est") >= threshold - estMargin)
+      .select(col("c_id"), col("b_id"))
+    screened
+      .join(cd.select(col("id").as("c_id"), col("gs").as("c_gs"),
+        col("sz").as("sc")), Seq("c_id"))
+      .join(bd.select(col("id").as("b_id"), col("gs").as("b_gs"),
+        col("sz").as("sb")), Seq("b_id"))
+      .withColumn("inter", graft.functions.VectorExprs
+        .sortedIntersectCount(col("c_gs"), col("b_gs")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sc") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("c_id").as(idCol))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("jaccard")).as("max_jaccard"))
   }
 
   /** Token hash with an exact cross-engine twin: the top 60 bits of

@@ -255,6 +255,73 @@ object TextAnalysis {
           / sum(col("__tf")).cast("double")).as("unigram_nll"))
   }
 
+  /** Interpolated bigram-LM negative log-likelihood per token — the
+    * CCNet-style perplexity quality signal one order up from
+    * [[unigramNll]]: p̂(v|u) = λ·count(u v)/count(u ·) + (1−λ)·count(v)/T
+    * with corpus-MLE counts, per-doc score = −Σ tf·ln p̂ / n_bigrams over
+    * the doc's bigram occurrences. Every observed bigram has count ≥ 1
+    * (it occurs in the doc scoring it), so p̂ > 0 without smoothing.
+    *
+    * Shape at scale: one bigram explode feeds the per-doc table AND all
+    * three corpus stat tables; scoring is equi-joins on bigram/context/
+    * token keys (each ≤ vocabulary-sized; Catalyst broadcasts the small
+    * sides) and one per-doc aggregate. Nothing corpus².
+    *
+    * Determinism: counts are exact; the per-doc double fold runs in
+    * ascending (u, v) order (sort_array + aggregate), and callers round
+    * the score (ln is the one transcendental an oracle can't replay
+    * bit-for-bit).
+    */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val zipped = zip_with(slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    val bi = widen(df).select(col(idCol),
+        explode(when(size(toks) < 2,
+          array().cast("array<struct<u:string,v:string>>"))
+          .otherwise(zipped)).as("__bg"))
+      .select(col(idCol), col("__bg.u").as("__u"), col("__bg.v").as("__v"))
+    val docBi = bi.groupBy(col(idCol), col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val fb = docBi.groupBy(col("__u"), col("__v"))
+      .agg(sum(col("__tf")).as("__fb"))
+    val fp = fb.groupBy(col("__u")).agg(sum(col("__fb")).as("__fp"))
+    val fu = widen(df).select(explode(toks).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__fu"))
+    val tot = fu.agg(sum(col("__fu")).as("__t"))
+    val term = docBi.join(fb, Seq("__u", "__v")).join(fp, Seq("__u"))
+      .join(fu, Seq("__v")).crossJoin(broadcast(tot))
+      .withColumn("__term", col("__tf").cast("double") * log(
+        lit(lambda) * (col("__fb").cast("double") / col("__fp").cast("double")) +
+        lit(1.0 - lambda) * (col("__fu").cast("double") / col("__t").cast("double"))))
+    term.groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        (-aggregate(
+          sort_array(collect_list(struct(col("__u"), col("__v"), col("__term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__term"))
+          / sum(col("__tf")).cast("double")).as("bigram_nll"))
+  }
+
+  /** PII redaction — the transform stage downstream of the PII counters:
+    * emails and phone-ish digit runs replaced with `<EMAIL>` / `<PHONE>`
+    * markers, counts kept for auditing. Pure codegen'd regexp Columns at
+    * scan speed; the patterns are the shared Java/RE2-identical ones
+    * ([[emailPattern]], [[phonePattern]]), so the oracle replays the
+    * redaction exactly. Emails are masked FIRST so a digit-heavy local
+    * part can't be half-eaten by the phone pass.
+    */
+  def redactPii(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    widen(df).select(col(idCol),
+      piiEmails(col(textCol)).cast("long").as("n_emails"),
+      piiPhones(col(textCol)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("clean_text"))
+
   /** DSIR-style importance score (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): hashed
     * n-gram features (unigrams + bigrams → `buckets` via the md5-60

@@ -369,6 +369,49 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("fuzzyDecontaminate flags a lightly-edited benchmark doc; clean docs pass") {
+    import spark.implicits._
+    val base = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua " +
+      "ut enim ad minim veniam quis nostrud exercitation ullamco laboris"
+    val corpus = Seq(
+      (1L, base + " tiny edit"),
+      (2L, "completely different text about unrelated topics entirely " +
+        "with nothing shared against any benchmark document at all"))
+      .toDF("id", "text")
+    val bench = Seq((100L, base)).toDF("id", "text")
+    val got = Dedup.fuzzyDecontaminate(corpus, bench, "id", "text",
+      n = 5, threshold = 0.8).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+    assert(got.head.getLong(1) == 1L && got.head.getDouble(2) >= 0.8)
+  }
+
+  test("bigramNll: common-bigram docs score below rare-bigram docs; deterministic") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the cat sat the cat sat the cat sat"),
+      (3L, "zyx wvu tsr qpo nml kji")).toDF("id", "text")
+    val got = TextAnalysis.bigramNll(in, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._2 < got(3L)._2)   // repeated bigrams = likely; singletons = surprising
+    assert(got(1L) == got(2L))        // identical docs, identical score
+    assert(got(3L)._1 == 5L)          // 6 tokens -> 5 bigrams
+  }
+
+  test("redactPii: email masked before phone pass, counts audit the original") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "mail john.doe99@example.com or call 415-555-0192 00 now"),
+      (2L, "no pii here")).toDF("id", "text")
+    val got = TextAnalysis.redactPii(in, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L)._1 == 1L && got(1L)._2 == 1L)
+    assert(got(1L)._3 == "mail <EMAIL> or call <PHONE> now")
+    assert(got(2L) == ((0L, 0L, "no pii here")))
+  }
+
   test("dupNGramStats counts cross-doc duplicated grams, not within-doc repeats") {
     import spark.implicits._
     val in = Seq(
