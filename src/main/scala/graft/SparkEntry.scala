@@ -1880,15 +1880,20 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the redaction transform itself: emails masked first (a digit-heavy
-    // local part must not be half-eaten by the phone pass)
+    // local part must not be half-eaten by the phone pass); n_phones
+    // counts on the email-masked text so each count equals its marker
+    // count in clean_text
     "ta22_redact_pii" ->
-      s"""SELECT doc_id,
+      s"""WITH m AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '${TextAnalysis.emailPattern}',
+        |      '<EMAIL>', 'g') AS masked
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(text,
-        |      '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
-        |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text
-        |FROM documents""".stripMargin,
+        |  CAST(len(regexp_extract_all(masked, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(masked, '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text
+        |FROM m""".stripMargin,
 
     "ta6_repetition" ->
       """WITH t AS (

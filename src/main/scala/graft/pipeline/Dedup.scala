@@ -243,9 +243,19 @@ object Dedup {
     * probability). Output: (a_id, b_id, jaccard) with jaccard >= threshold.
     */
   def verifyJaccard(cand: DataFrame, docs: DataFrame,
-      threshold: Double): DataFrame = {
-    val da = docs.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
-    val db = docs.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
+      threshold: Double): DataFrame =
+    verifyJaccardAcross(cand, docs, docs, threshold)
+
+  /** Two-table variant: the a-side ids resolve in `docsA`, the b-side in
+    * `docsB` (identical when verifying within one corpus; distinct for
+    * cross-split checks like [[fuzzyDecontaminate]]). One implementation
+    * so the jaccard expression can never drift between paths — it must
+    * stay in lockstep with the DuckDB oracles.
+    */
+  private def verifyJaccardAcross(cand: DataFrame, docsA: DataFrame,
+      docsB: DataFrame, threshold: Double): DataFrame = {
+    val da = docsA.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
+    val db = docsB.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
     cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
       .withColumn("inter", graft.functions.VectorExprs
         .sortedIntersectCount(col("a_gs"), col("b_gs")))
@@ -254,6 +264,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** Fraction of agreeing minhash positions — the unbiased signature
+    * Jaccard estimator every LSH path prescreens with.
+    */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") /
+      lit(numHashes.toDouble)
 
   /** MinHash signatures: `numHashes` permutations approximated by
     * `(a_i * h + b_i) mod p` over xxhash64 shingle hashes (the standard
@@ -312,8 +329,7 @@ object Dedup {
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          m => m)).cast("double") / lit(numHashes.toDouble))
+        sigAgreement(col("a_sig"), col("b_sig"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
@@ -379,9 +395,7 @@ object Dedup {
     val screened = cand
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .withColumn("est",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          m => m)).cast("double") / lit(numHashes.toDouble))
+      .withColumn("est", sigAgreement(col("a_sig"), col("b_sig"), numHashes))
       .filter(col("est") >= threshold - estMargin)
       .select(col("a_id"), col("b_id"))
     verifyJaccard(screened, docs, threshold)
@@ -413,31 +427,25 @@ object Dedup {
     val bd = hashedShingleDocs(benchmark, idCol, textCol, n).localCheckpoint()
     val cs = minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint()
     val bs = minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint()
+    // explicit broadcast on every benchmark-side join (the decontaminate
+    // posture): checkpointed plans report conservative size stats, so
+    // without the hint a pre-AQE planner would shuffle the corpus band
+    // table against a benchmark that fits in one broadcast
     val cand = bandBuckets(cs, numHashes, bands)
-      .select(col("band"), col("bucket"), col("id").as("c_id"))
-      .join(bandBuckets(bs, numHashes, bands)
-        .select(col("band"), col("bucket"), col("id").as("b_id")),
+      .select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(broadcast(bandBuckets(bs, numHashes, bands)
+        .select(col("band"), col("bucket"), col("id").as("b_id"))),
         Seq("band", "bucket"))
-      .select(col("c_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id")).distinct()
     val screened = cand
-      .join(cs.select(col("id").as("c_id"), col("sig").as("c_sig")), Seq("c_id"))
-      .join(bs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .withColumn("est",
-        size(filter(zip_with(col("c_sig"), col("b_sig"), (x, y) => x === y),
-          m => m)).cast("double") / lit(numHashes.toDouble))
+      .join(cs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(broadcast(bs.select(col("id").as("b_id"), col("sig").as("b_sig"))),
+        Seq("b_id"))
+      .withColumn("est", sigAgreement(col("a_sig"), col("b_sig"), numHashes))
       .filter(col("est") >= threshold - estMargin)
-      .select(col("c_id"), col("b_id"))
-    screened
-      .join(cd.select(col("id").as("c_id"), col("gs").as("c_gs"),
-        col("sz").as("sc")), Seq("c_id"))
-      .join(bd.select(col("id").as("b_id"), col("gs").as("b_gs"),
-        col("sz").as("sb")), Seq("b_id"))
-      .withColumn("inter", graft.functions.VectorExprs
-        .sortedIntersectCount(col("c_gs"), col("b_gs")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sc") + col("sb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("c_id").as(idCol))
+      .select(col("a_id"), col("b_id"))
+    verifyJaccardAcross(screened, cd, broadcast(bd), threshold)
+      .groupBy(col("a_id").as(idCol))
       .agg(count(lit(1)).as("n_contaminated"),
         max(col("jaccard")).as("max_jaccard"))
   }

@@ -262,10 +262,15 @@ object TextAnalysis {
     * the doc's bigram occurrences. Every observed bigram has count ≥ 1
     * (it occurs in the doc scoring it), so p̂ > 0 without smoothing.
     *
-    * Shape at scale: one bigram explode feeds the per-doc table AND all
-    * three corpus stat tables; scoring is equi-joins on bigram/context/
-    * token keys (each ≤ vocabulary-sized; Catalyst broadcasts the small
-    * sides) and one per-doc aggregate. Nothing corpus².
+    * Shape at scale: the full tokenize + explode (the widest scalar
+    * stage) runs ONCE — the bigram table feeds the per-doc table and the
+    * bigram/context stats, and the unigram counts are reconstructed from
+    * it exactly: every token is the second element of exactly one bigram
+    * except each doc's FIRST token, which a cheap limit-2 prefix split
+    * supplies per document (one row per doc, no second corpus explode).
+    * Scoring is equi-joins on bigram/context/token keys (each ≤
+    * vocabulary-sized; Catalyst broadcasts the small sides) and one
+    * per-doc aggregate. Nothing corpus².
     *
     * Determinism: counts are exact; the per-doc double fold runs in
     * ascending (u, v) order (sort_array + aggregate), and callers round
@@ -289,8 +294,15 @@ object TextAnalysis {
     val fb = docBi.groupBy(col("__u"), col("__v"))
       .agg(sum(col("__tf")).as("__fb"))
     val fp = fb.groupBy(col("__u")).agg(sum(col("__fb")).as("__fp"))
-    val fu = widen(df).select(explode(toks).as("__v"))
-      .groupBy(col("__v")).agg(count(lit(1)).as("__fu"))
+    // unigram counts WITHOUT a second corpus tokenize: count(v) =
+    // (bigram occurrences ending in v) + (docs whose first token is v);
+    // the limit-2 split stops at the first separator
+    val firsts = widen(df).select(
+        split(trim(lower(col(textCol))), "\\s+", 2).getItem(0).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val fu = docBi.groupBy(col("__v")).agg(sum(col("__tf")).as("__c"))
+      .unionByName(firsts)
+      .groupBy(col("__v")).agg(sum(col("__c")).as("__fu"))
     val tot = fu.agg(sum(col("__fu")).as("__t"))
     val term = docBi.join(fb, Seq("__u", "__v")).join(fp, Seq("__u"))
       .join(fu, Seq("__v")).crossJoin(broadcast(tot))
@@ -312,14 +324,18 @@ object TextAnalysis {
     * scan speed; the patterns are the shared Java/RE2-identical ones
     * ([[emailPattern]], [[phonePattern]]), so the oracle replays the
     * redaction exactly. Emails are masked FIRST so a digit-heavy local
-    * part can't be half-eaten by the phone pass.
+    * part can't be half-eaten by the phone pass — and n_phones counts on
+    * the email-masked text for the same reason, so each count equals the
+    * number of markers of its kind actually present in `clean_text` (a
+    * phone-shaped span swallowed by an email match is an email, not a
+    * phantom unredacted phone).
     */
   def redactPii(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     widen(df).select(col(idCol),
       piiEmails(col(textCol)).cast("long").as("n_emails"),
-      piiPhones(col(textCol)).cast("long").as("n_phones"),
-      regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+      piiPhones(redactEmails(col(textCol))).cast("long").as("n_phones"),
+      regexp_replace(redactEmails(col(textCol)),
         phonePattern, "<PHONE>").as("clean_text"))
 
   /** DSIR-style importance score (Xie et al., "Data Selection for

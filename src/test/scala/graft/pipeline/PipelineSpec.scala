@@ -399,17 +399,21 @@ class PipelineSpec extends SparkTestBase {
     assert(got(3L)._1 == 5L)          // 6 tokens -> 5 bigrams
   }
 
-  test("redactPii: email masked before phone pass, counts audit the original") {
+  test("redactPii: email masked before phone pass; counts equal emitted markers") {
     import spark.implicits._
     val in = Seq(
       (1L, "mail john.doe99@example.com or call 415-555-0192 00 now"),
-      (2L, "no pii here")).toDF("id", "text")
+      (2L, "no pii here"),
+      // phone-shaped span inside an email local part: it is an email,
+      // not a phantom unredacted phone — n_phones must be 0
+      (3L, "reach 123-456-7890a@b.com today")).toDF("id", "text")
     val got = TextAnalysis.redactPii(in, "id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
     assert(got(1L)._1 == 1L && got(1L)._2 == 1L)
     assert(got(1L)._3 == "mail <EMAIL> or call <PHONE> now")
     assert(got(2L) == ((0L, 0L, "no pii here")))
+    assert(got(3L) == ((1L, 0L, "reach <EMAIL> today")))
   }
 
   test("dupNGramStats counts cross-doc duplicated grams, not within-doc repeats") {
