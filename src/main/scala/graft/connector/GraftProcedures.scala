@@ -33,7 +33,7 @@ object GraftProcedures {
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
     "tier_snapshot_iceberg", "expire_lake_snapshots", "rollback_to_version",
     "rewrite_files", "expire_partitions",
-    "maintain_partitions", "maintain_indexes", "expire_log",
+    "maintain_partitions", "maintain_indexes", "maintain_lake", "expire_log",
     "remove_orphan_files",
     "create_index", "refresh_index",
     "create_vector_index", "refresh_vector_index", "get_configs",
@@ -82,25 +82,11 @@ object GraftProcedures {
     graft.core.DynamicConfigs.registry.map { case (k, (d, _)) => k -> d }
 
   /** '7d' / '12h' / '30m' / '45s' / plain milliseconds → millis (the
-    * reference's Duration-typed `table.log.ttl`).
+    * reference's Duration-typed `table.log.ttl`). One implementation for
+    * procedures and property policies: [[graft.core.Durations]].
     */
-  private[connector] def parseTtlMillis(s: String): Long = {
-    val t = s.trim.toLowerCase
-    require(t.nonEmpty, "empty ttl")
-    val (num, unit) = t.last match {
-      case 'd' => (t.dropRight(1), 86400000L)
-      case 'h' => (t.dropRight(1), 3600000L)
-      case 'm' => (t.dropRight(1), 60000L)
-      case 's' => (t.dropRight(1), 1000L)
-      case _ => (t, 1L)
-    }
-    val n = try num.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"bad ttl '$s' (expected <n>[d|h|m|s] or milliseconds)")
-    }
-    require(n >= 0, s"ttl '$s' must be non-negative")
-    n * unit
-  }
+  private[connector] def parseTtlMillis(s: String): Long =
+    graft.core.Durations.parseMillis(s)
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name match {
@@ -183,6 +169,16 @@ object GraftProcedures {
         else refreshed.map { case (qn, kind, v) =>
           s"$qn ($kind) refreshed to base version $v"
         }.mkString("; ")
+      })
+      case "maintain_lake" => Some(proc(catalog, "maintain_lake",
+        Seq(in("table", StringType)),
+        out("result", StringType)) { (t, _) =>
+        // the lake-tiering half of a maintenance tick: policy from the
+        // table's table.datalake.* properties (reference option names)
+        graft.core.LakeMaintenance.maintainLake(t, System.currentTimeMillis())
+          .getOrElse("datalake tiering disabled: set " +
+            "'table.datalake.enabled'='true' and 'table.datalake.dir' " +
+            "on the table")
       })
       case "rewrite_files" => Some(proc(catalog, "rewrite_files",
         Seq(in("table", StringType),

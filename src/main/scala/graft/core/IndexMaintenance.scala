@@ -14,7 +14,8 @@ package graft.core
   *   t.compact()                                  // KV snapshot
   *   t.maintainPartitions(policy, now)            // pre-create / expire
   *   IndexMaintenance.refreshAll(catalog, t)      // secondary + vector
-  *   t.tierSnapshot(lakeDir)                      // incremental lake
+  *   LakeMaintenance.maintainLake(t, now)         // freshness-gated tier
+  *                                                // + history expiry
   * }}}
   *
   * Discovery is catalog-metadata-sized (one `meta.json` read per table);
