@@ -359,11 +359,15 @@ object SparkEntry {
     // equals the exact cross-split Jaccard the oracle computes (same
     // ~1e-6 miss budget as d3)
     "dc2_fuzzy_decontam" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.fuzzyDecontaminate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", n = 5, threshold = 0.8)
+      // the same shared shingle stage d2/d3/d6/d10 read — the corpus is
+      // shingled once across the whole dedup/decontamination family
+      val sh = Fixtures.cachedDf("shingle_docs", dir) {
+        Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      }
+      Dedup.fuzzyDecontaminateFromDocs(
+        sh.filter(col("id") % 20 =!= 0),
+        sh.filter(col("id") % 20 === 0),
+        "doc_id", threshold = 0.8)
     }),
 
     // ----- D7: cross-doc duplicated-n-gram stats (corpus-level

@@ -422,9 +422,20 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5, threshold: Double = 0.8,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
+      estMargin: Double = 0.25): DataFrame =
+    fuzzyDecontaminateFromDocs(
+      hashedShingleDocs(corpus, idCol, textCol, n).localCheckpoint(),
+      hashedShingleDocs(benchmark, idCol, textCol, n).localCheckpoint(),
+      idCol, threshold, numHashes, bands, seed, estMargin)
+
+  /** Same, over pre-built (ideally shared/persisted) [[hashedShingleDocs]]
+    * tables — a pipeline that also runs the dedup family shingles the
+    * corpus ONCE and feeds both.
+    */
+  def fuzzyDecontaminateFromDocs(cd: DataFrame, bd: DataFrame,
+      idCol: String, threshold: Double,
+      numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
       estMargin: Double = 0.25): DataFrame = {
-    val cd = hashedShingleDocs(corpus, idCol, textCol, n).localCheckpoint()
-    val bd = hashedShingleDocs(benchmark, idCol, textCol, n).localCheckpoint()
     val cs = minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint()
     val bs = minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint()
     // explicit broadcast on every benchmark-side join (the decontaminate
