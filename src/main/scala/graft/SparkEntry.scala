@@ -129,6 +129,17 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- the same tiering pipeline through the DELTA format path
+    // (TABLE_DATALAKE_FORMAT analog): _delta_log JSON commits, read back
+    // by log replay — the oracle hash proves both lake formats publish
+    // the identical state
+    "tier2_delta_export" -> ((s, dir) => {
+      val lake = Fixtures.tieredDeltaLakeDir(s, dir)
+      graft.core.DeltaExport.readLive(s, lake)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1389,6 +1400,20 @@ object SparkEntry {
     // it wins per (event_type,user_id) regardless of event_id; within a
     // batch the upsert order column is event_id
     "tier1_incremental_export" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view'))
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // identical state through the Delta-format tier path
+    "tier2_delta_export" ->
       """WITH u AS (
         |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
         |  UNION ALL

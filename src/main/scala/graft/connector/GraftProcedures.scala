@@ -31,7 +31,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
-    "tier_snapshot_iceberg", "expire_lake_snapshots", "rollback_to_version",
+    "tier_snapshot_iceberg", "export_snapshot_delta", "tier_snapshot_delta",
+    "expire_lake_snapshots", "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "maintain_indexes", "maintain_lake", "expire_log",
     "remove_orphan_files",
@@ -140,6 +141,26 @@ object GraftProcedures {
         val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         t.tierSnapshot(row.getUTF8String(1).toString)
+      })
+      case "export_snapshot_delta" => Some(proc(catalog,
+        "export_snapshot_delta",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        // same egress gate as export_snapshot
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        val dir = row.getUTF8String(1).toString
+        t.exportSnapshot(dir, deltaMetadata = true)
+        s"exported current state to $dir as a Delta table " +
+          "(parquet + _delta_log JSON commits)"
+      })
+      case "tier_snapshot_delta" => Some(proc(catalog,
+        "tier_snapshot_delta",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        t.tierSnapshot(row.getUTF8String(1).toString, format = "delta")
       })
       case "expire_lake_snapshots" => Some(localProc(catalog,
         "expire_lake_snapshots",

@@ -1396,7 +1396,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * parallelism is the table's own layout, nothing lands on the driver
     * but the file listing.
     */
-  def exportSnapshot(dir: String, icebergMetadata: Boolean = false): Unit = {
+  def exportSnapshot(dir: String, icebergMetadata: Boolean = false,
+      deltaMetadata: Boolean = false): Unit = {
+    require(!(icebergMetadata && deltaMetadata),
+      "pick ONE lake metadata format per export directory")
     // The manifest must describe EXACTLY the state exported. scan()
     // pins its own manifest read when the plan is built, which happens
     // between our pre- and post- reads — so if pre == post, no commit
@@ -1439,6 +1442,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       IcebergExport.write(spark, dir, desc.schema, desc.partitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, summaryExtra = tierSummary(pinnedOffsets, version))
+      ()
+    }
+    // Delta-protocol alternative: _delta_log JSON commits instead of
+    // Iceberg Avro manifests — the export is then a Delta TABLE to any
+    // Delta-reading engine (PROTOCOL.md; see DeltaExport)
+    if (deltaMetadata) {
+      DeltaExport.write(dir, desc.schema, desc.partitionKeys,
+        files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
+        path, tags = tierSummary(pinnedOffsets, version))
       ()
     }
     GraftMetrics.inc(path, GraftMetrics.Exports)
@@ -1486,8 +1498,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * no tier has committed since entry (a racing tier would have written
     * one), so the base is intact.
     */
-  private[core] def requireTierBase(dir: String, base: Map[Int, Long]): Unit =
-    IcebergExport.currentSnapshotSummary(dir)
+  private[core] def requireTierBase(fmt: LakeFormatOps, dir: String,
+      base: Map[Int, Long]): Unit =
+    fmt.committedTierTags(dir)
       .get(GraftTable.TierOffsetsKey).foreach { s =>
         val committed = JsonMethods.parse(s).asInstanceOf[JObject].obj
           .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
@@ -1517,40 +1530,49 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     *    byte-identical and stay EXISTING). An unpartitioned PK table
     *    degrades to a full-state rewrite — still snapshot-versioned.
     *
-    * Replaced files stay on disk so earlier Iceberg snapshots remain
+    * Replaced files stay on disk so earlier lake snapshots remain
     * readable (expire/vacuum of the lake history is the lake catalog's
-    * job, as in Iceberg itself); a tiered directory is an ICEBERG
-    * surface — readers must resolve files through the metadata, never
-    * by listing (`IcebergExport.readLive` is the built-in reader).
+    * job, as in Iceberg itself); a tiered directory is a LAKE surface —
+    * readers must resolve files through the metadata, never by listing
+    * (`IcebergExport.readLive` / `DeltaExport.readLive` are the built-in
+    * readers).
+    *
+    * `format` picks the metadata layout — "iceberg" (default) or
+    * "delta" ([[LakeFormatOps]]; the reference ships one fluss-lake-*
+    * module per format behind the same tiering service). Everything
+    * below the commit call is format-independent.
     *
     * First call on a fresh directory performs the initial full export.
     * Fails loudly when the log no longer retains the pinned offsets
     * (vacuumed past the last export) — the delta is unreconstructible
     * and the caller must re-export to a fresh directory.
     */
-  def tierSnapshot(dir: String): String = {
+  def tierSnapshot(dir: String, format: String = "iceberg"): String = {
+    val fmt = LakeFormatOps.of(format)
     val emPath = s"$dir/_export_manifest.json"
     if (!WarehouseIO.exists(emPath)) {
-      exportSnapshot(dir, icebergMetadata = true)
+      exportSnapshot(dir, icebergMetadata = fmt.name == "iceberg",
+        deltaMetadata = fmt.name == "delta")
       val n = WarehouseIO.walkFiles(dir)
         .count(e => !e.isDir && e.name.endsWith(".parquet"))
-      return s"initial full export: $n data files, Iceberg metadata v1"
+      return s"initial full export: $n data files, ${fmt.name} metadata v1"
     }
-    require(IcebergExport.currentVersion(dir).isDefined,
-      s"$dir has an export manifest but no Iceberg metadata; incremental " +
-        "tiering requires an Iceberg-enabled export (export_snapshot_iceberg)")
+    require(fmt.hasMetadata(dir),
+      s"$dir has an export manifest but no ${fmt.name} metadata; " +
+        "incremental tiering requires a lake-enabled export " +
+        "(export_snapshot_iceberg / export_snapshot_delta)")
     val em = JsonMethods.parse(WarehouseIO.readString(emPath))
       .asInstanceOf[JObject].obj.toMap
     val manifestPinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj
       .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
-    // crash roll-forward: the Iceberg snapshot summary records the
-    // window each tier committed. Summary ahead of the export manifest
-    // means the previous tier crashed between the Iceberg commit and
-    // the manifest update — the lake already holds that window, so
-    // re-tiering it would append duplicate rows. Rebuild the manifest
-    // from the lake metadata (sizes from disk) and resume from the
-    // committed offsets instead.
-    val summary = IcebergExport.currentSnapshotSummary(dir)
+    // crash roll-forward: the lake's commit bookkeeping (Iceberg snapshot
+    // summary / Delta commitInfo tags) records the window each tier
+    // committed. Tags ahead of the export manifest mean the previous tier
+    // crashed between the lake commit and the manifest update — the lake
+    // already holds that window, so re-tiering it would append duplicate
+    // rows. Rebuild the manifest from the lake metadata (sizes from disk)
+    // and resume from the committed offsets instead.
+    val summary = fmt.committedTierTags(dir)
     val pinned: Map[Int, Long] =
       summary.get(GraftTable.TierOffsetsKey).map { s =>
         JsonMethods.parse(s).asInstanceOf[JObject].obj
@@ -1560,7 +1582,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         case Some(committed) if committed != manifestPinned =>
           writeExportManifest(dir,
             committed, summary.get(GraftTable.TierVersionKey).map(_.toLong),
-            IcebergExport.liveFiles(dir)
+            fmt.liveFiles(dir)
               .map(r => r -> WarehouseIO.size(s"$dir/$r")))
           committed
         case _ => manifestPinned
@@ -1618,13 +1640,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .write.mode("overwrite").options(fileWriteOptions)
           .partitionBy(desc.partitionKeys: _*).parquet(staging)
         val (added, carried) =
-          try IcebergExport.withLakeLock(dir) {
-            requireTierBase(dir, pinned)
-            val priorLive = IcebergExport.liveFiles(dir)
+          try fmt.withLock(dir) {
+            requireTierBase(fmt, dir, pinned)
+            val priorLive = fmt.liveFiles(dir)
             val a = publishStaged()
-            IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-              a, Set.empty, path,
-              summaryExtra = tierSummary(current, version))
+            fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
+              a, Set.empty, path, tierSummary(current, version))
             updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ a)
               .sortBy(_._1))
             (a, priorLive.size)
@@ -1680,17 +1701,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         // publish -> commit -> manifest under one lake lock (see the
         // append branch above for why)
         val (addedN, removedN, untouchedN) =
-          try IcebergExport.withLakeLock(dir) {
-            requireTierBase(dir, pinned)
-            val priorLive = IcebergExport.liveFiles(dir)
+          try fmt.withLock(dir) {
+            requireTierBase(fmt, dir, pinned)
+            val priorLive = fmt.liveFiles(dir)
             val removed = priorLive.filter { rel =>
               val parent = rel.split('/').dropRight(1).mkString("/")
               changedDirs.contains(parent)
             }.toSet
             val added = publishStaged()
-            IcebergExport.commit(spark, dir, desc.schema, desc.partitionKeys,
-              added, removed, path,
-              summaryExtra = tierSummary(current, version))
+            fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
+              added, removed, path, tierSummary(current, version))
             updateManifest(
               (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
                 added).sortBy(_._1))

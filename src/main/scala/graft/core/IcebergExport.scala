@@ -428,48 +428,11 @@ object IcebergExport {
     * Re-entrant per thread so [[GraftTable.tierSnapshot]] can span one
     * lock over publish -> commit -> manifest update (otherwise an expire
     * sweeping in that window would delete the tier's published-but-not-
-    * yet-committed files). Live holders heartbeat the lock's mtime every
-    * minute, so the 10-minute breaker only fires on dead holders — a
-    * long expire sweep is never broken mid-delete.
+    * yet-committed files). Mechanics (heartbeat, stale-breaking,
+    * re-entrancy) live in the format-shared [[LakeLock]].
     */
-  private[core] def withLakeLock[T](dir: String)(body: => T): T = {
-    val key = WarehouseIO.qualify(dir)
-    if (heldLocks.get.contains(key)) return body // re-entrant per thread
-    WarehouseIO.mkdirs(s"$dir/metadata")
-    val lock = s"$dir/metadata/_lake.lock"
-    if (!WarehouseIO.createExclusive(lock)) {
-      val ageMs = System.currentTimeMillis() -
-        (try WarehouseIO.mtimeMillis(lock)
-         catch { case _: java.io.IOException => System.currentTimeMillis() })
-      if (ageMs > 10 * 60 * 1000) WarehouseIO.deleteIfExists(lock)
-      throw new java.util.ConcurrentModificationException(
-        s"another lake-metadata operation holds the lock on $dir" +
-          (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
-    }
-    // live holders heartbeat the lock mtime so the 10-minute breaker only
-    // ever fires on a genuinely dead holder — an expire sweep or a
-    // many-file tier publish can legitimately hold the lock longer
-    val hb = heartbeats.scheduleWithFixedDelay(
-      () => WarehouseIO.touch(lock), 60, 60, TimeUnit.SECONDS)
-    heldLocks.set(heldLocks.get + key)
-    try body finally {
-      heldLocks.set(heldLocks.get - key)
-      hb.cancel(false)
-      WarehouseIO.deleteIfExists(lock)
-    }
-  }
-
-  private val heldLocks = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
-  }
-
-  private lazy val heartbeats = {
-    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
-      val th = new Thread(r, "graft-lake-lock-heartbeat"); th.setDaemon(true); th
-    })
-    t.setRemoveOnCancelPolicy(true)
-    t
-  }
+  private[core] def withLakeLock[T](dir: String)(body: => T): T =
+    LakeLock.withLock(s"$dir/metadata/_lake.lock")(body)
 
   /** Dir-relative live data files of `dir`'s CURRENT Iceberg snapshot,
     * resolved from metadata the way an Iceberg reader would (version

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The format face of the lake-tiering path — what
+  * [[GraftTable.tierSnapshot]] needs from a lake format, with one
+  * implementation per metadata layout (the reference's
+  * fluss-lake/fluss-lake-* modules behind its common tiering service).
+  * Everything else about tiering — delta-window computation, staging,
+  * publish, crash roll-forward, the export manifest — is
+  * format-independent and lives in [[GraftTable]].
+  */
+private[core] sealed trait LakeFormatOps {
+  def name: String
+  /** Lake metadata exists at `dir` (vs a bare-parquet export). */
+  def hasMetadata(dir: String): Boolean
+  /** Dir-relative live data files of the current snapshot/version. */
+  def liveFiles(dir: String): Seq[String]
+  /** Tier bookkeeping of the LATEST commit (Iceberg snapshot summary /
+    * Delta commitInfo tags): where [[GraftTable.TierOffsetsKey]] rides.
+    */
+  def committedTierTags(dir: String): Map[String, String]
+  /** Append one snapshot/version: adds + removes + tier tags. */
+  def commit(spark: SparkSession, dir: String, schema: StructType,
+      partitionKeys: Seq[String], added: Seq[(String, Long)],
+      removed: Set[String], sourcePath: String,
+      tags: Map[String, String]): Unit
+  /** The current state as a DataFrame, resolved through the metadata. */
+  def readLive(spark: SparkSession, dir: String): DataFrame
+  /** The format's lake lock for `dir` (re-entrant, heartbeated). */
+  def withLock[T](dir: String)(body: => T): T
+}
+
+private[core] object LakeFormatOps {
+
+  def of(format: String): LakeFormatOps = format.trim.toLowerCase match {
+    case "iceberg" => Iceberg
+    case "delta" => Delta
+    case other => throw new IllegalArgumentException(
+      s"unknown lake format '$other' (supported: iceberg, delta)")
+  }
+
+  object Iceberg extends LakeFormatOps {
+    def name = "iceberg"
+    def hasMetadata(dir: String): Boolean =
+      IcebergExport.currentVersion(dir).isDefined
+    def liveFiles(dir: String): Seq[String] = IcebergExport.liveFiles(dir)
+    def committedTierTags(dir: String): Map[String, String] =
+      IcebergExport.currentSnapshotSummary(dir)
+    def commit(spark: SparkSession, dir: String, schema: StructType,
+        partitionKeys: Seq[String], added: Seq[(String, Long)],
+        removed: Set[String], sourcePath: String,
+        tags: Map[String, String]): Unit = {
+      IcebergExport.commit(spark, dir, schema, partitionKeys, added,
+        removed, sourcePath, summaryExtra = tags)
+      ()
+    }
+    def readLive(spark: SparkSession, dir: String): DataFrame =
+      IcebergExport.readLive(spark, dir)
+    def withLock[T](dir: String)(body: => T): T =
+      IcebergExport.withLakeLock(dir)(body)
+  }
+
+  object Delta extends LakeFormatOps {
+    def name = "delta"
+    def hasMetadata(dir: String): Boolean =
+      DeltaExport.currentVersion(dir).isDefined
+    def liveFiles(dir: String): Seq[String] = DeltaExport.liveFiles(dir)
+    def committedTierTags(dir: String): Map[String, String] =
+      DeltaExport.lastCommitTags(dir)
+    def commit(spark: SparkSession, dir: String, schema: StructType,
+        partitionKeys: Seq[String], added: Seq[(String, Long)],
+        removed: Set[String], sourcePath: String,
+        tags: Map[String, String]): Unit = {
+      DeltaExport.commit(dir, schema, partitionKeys, added, removed,
+        sourcePath, tags)
+      ()
+    }
+    def readLive(spark: SparkSession, dir: String): DataFrame =
+      DeltaExport.readLive(spark, dir)
+    def withLock[T](dir: String)(body: => T): T =
+      DeltaExport.withDeltaLock(dir)(body)
+  }
+}

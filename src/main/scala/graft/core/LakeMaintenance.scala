@@ -13,10 +13,13 @@ import org.json4s.jackson.JsonMethods
   *
   *   - `table.datalake.enabled`: gate; the tick skips the table unless
   *     exactly "true" (reference default false)
-  *   - `table.datalake.dir`: the Iceberg export directory — required
+  *   - `table.datalake.dir`: the lake export directory — required
   *     when enabled (the reference resolves this from its lake catalog;
   *     this engine IS the lake catalog for its own exports, so the
   *     directory is explicit)
+  *   - `table.datalake.format`: 'iceberg' (default) or 'delta' —
+  *     the reference's TABLE_DATALAKE_FORMAT
+  *     (ConfigOptions.java:1854)
   *   - `table.datalake.freshness`: max lake lag, '3m' / '45s' / millis
   *     (reference default 3 minutes) — a tick younger than this is a
   *     no-op, so scheduling ticks faster than the target costs nothing
@@ -37,8 +40,8 @@ object LakeMaintenance {
 
   private val Prefix = "table.datalake."
 
-  final case class LakePolicy(dir: String, freshnessMs: Long,
-      autoExpire: Boolean, keepLast: Int)
+  final case class LakePolicy(dir: String, format: String,
+      freshnessMs: Long, autoExpire: Boolean, keepLast: Int)
 
   /** Policy from table properties; None unless enabled=true (the tick
     * then skips the table, like the reference's tiering service).
@@ -55,11 +58,17 @@ object LakeMaintenance {
         .map(_.trim.toInt).getOrElse(10)
       require(keepLast >= 1,
         s"${Prefix}snapshot.keep-last must be >= 1, got $keepLast")
-      Some(LakePolicy(dir,
+      val format = LakeFormatOps.of(
+        props.getOrElse(Prefix + "format", "iceberg")).name
+      val autoExpire = props.get(Prefix + "auto-expire-snapshot")
+        .exists(_.equalsIgnoreCase("true"))
+      require(!autoExpire || format == "iceberg",
+        s"${Prefix}auto-expire-snapshot is Iceberg-only: Delta history " +
+          "cleanup is a Delta VACUUM concern (checkpoint-based log " +
+          "retention), run it from a Delta-native engine")
+      Some(LakePolicy(dir, format,
         Durations.parseMillis(props.getOrElse(Prefix + "freshness", "3m")),
-        props.get(Prefix + "auto-expire-snapshot")
-          .exists(_.equalsIgnoreCase("true")),
-        keepLast))
+        autoExpire, keepLast))
     }
 
   /** One lake tick for `t`: None when datalake tiering is disabled;
@@ -76,7 +85,7 @@ object LakeMaintenance {
           s"lake fresh: tiered ${nowMillis - at} ms ago " +
             s"(freshness target ${p.freshnessMs} ms)"
         case _ =>
-          val tiered = t.tierSnapshot(p.dir)
+          val tiered = t.tierSnapshot(p.dir, p.format)
           if (p.autoExpire) {
             val n = IcebergExport.expireSnapshots(p.dir, p.keepLast).size
             s"$tiered; expired $n unreachable file(s), keeping last " +

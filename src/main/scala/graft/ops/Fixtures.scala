@@ -186,6 +186,30 @@ object Fixtures {
     t.path + "_lake"
   }
 
+  /** The [[tieredLakeDir]] shape through the DELTA format path: same two
+    * upserts, initial full export + incremental tier, but published as
+    * _delta_log JSON commits instead of Iceberg Avro manifests.
+    */
+  def tieredDeltaLakeDir(spark: SparkSession, sfDir: String): String = {
+    val t = cached("users_tiered_delta", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val schema = StructType(eventsSchema(spark, sfDir).fields)
+      val tbl = fresh(spark, sfDir, "users_tiered_delta",
+        TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
+          partitionKeys = Seq("event_type"), numBuckets = 4))
+      val dir = tbl.path + "_lake"
+      tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir, format = "delta") // initial full export (v0)
+      tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+          col("event_type").isin("click", "view")),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir, format = "delta") // incremental: v1
+      tbl
+    }
+    t.path + "_lake"
+  }
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.

@@ -1,0 +1,130 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkTestBase
+
+/** Delta-protocol export: no Delta runtime ships in this environment, so
+  * the spec validates the log the way a Delta reader would — parse the
+  * `_delta_log/%020d.json` commits, replay add/remove actions, and check
+  * the live set + read-back against the table state.
+  */
+class DeltaExportSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("dt", StringType), StructField("k", LongType),
+    StructField("v", IntegerType)))
+
+  private def rows(t: GraftTable, ordBase: Long,
+      r: (String, Long, Int)*): Unit =
+    t.upsert(spark.createDataFrame(
+      r.zipWithIndex.map { case ((dt, k, v), i) =>
+        Row(dt, k, Int.box(v), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+
+  test("delta tiering: v0 protocol+metaData, incremental commits tombstone " +
+      "replaced files, read-back through the log") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-delta-wh").toString, spark)
+    val t = cat.createTable("db", "pkdelta", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+    rows(t, 0L, ("a", 1L, 1), ("b", 1L, 10))
+    val out = Files.createTempDirectory("graft-delta-out").toString
+
+    // initial tier = full export with Delta metadata
+    val first = t.tierSnapshot(out, format = "delta")
+    assert(first.contains("delta metadata v1"), first)
+    assert(DeltaExport.currentVersion(out).contains(0L))
+    // version 0 carries protocol(1,2) + metaData with Spark-JSON schema
+    val v0 = WarehouseIO.readString(
+      f"$out/_delta_log/${0L}%020d.json").split('\n').map(JsonMethods.parse(_))
+    val proto = v0.collectFirst {
+      case JObject(f) if f.toMap.contains("protocol") =>
+        f.toMap.apply("protocol").asInstanceOf[JObject].obj.toMap }.get
+    assert(proto("minReaderVersion") == JInt(1) &&
+      proto("minWriterVersion") == JInt(2))
+    val md = v0.collectFirst {
+      case JObject(f) if f.toMap.contains("metaData") =>
+        f.toMap.apply("metaData").asInstanceOf[JObject].obj.toMap }.get
+    assert(md("schemaString").asInstanceOf[JString].s == t.desc.schema.json)
+    assert(md("partitionColumns") == JArray(List(JString("dt"))))
+    // every add carries the hive partition value
+    val adds0 = v0.flatMap {
+      case JObject(f) => f.toMap.get("add").map(
+        _.asInstanceOf[JObject].obj.toMap)
+      case _ => None }
+    assert(adds0.nonEmpty && adds0.forall(a =>
+      a("partitionValues").asInstanceOf[JObject].obj.toMap.keySet == Set("dt")))
+
+    // incremental tier: changed partition swapped, replaced files
+    // tombstoned in the log but still on disk (history is the lake's)
+    rows(t, 10L, ("a", 1L, 2))
+    val second = t.tierSnapshot(out, format = "delta")
+    assert(second.contains("tiered overwrite snapshot"), second)
+    assert(DeltaExport.currentVersion(out).contains(1L))
+    val live = DeltaExport.liveFiles(out)
+    val onDisk = WarehouseIO.walkFiles(out)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => WarehouseIO.relativize(out, e.path))
+    assert(onDisk.exists(!live.contains(_)),
+      "replaced dt=a files must remain on disk for older versions")
+    val got = DeltaExport.readLive(spark, out)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 2), ("b", 1L, 10)))
+
+    // tier offsets ride commitInfo.tags (crash roll-forward bookkeeping)
+    val tags = DeltaExport.lastCommitTags(out)
+    assert(tags.contains(GraftTable.TierOffsetsKey))
+    t.requireTierBase(LakeFormatOps.Delta, out, JsonMethods
+      .parse(tags(GraftTable.TierOffsetsKey)).asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap)
+    intercept[java.util.ConcurrentModificationException](
+      t.requireTierBase(LakeFormatOps.Delta, out, Map(0 -> 0L)))
+
+    // idle tier is a no-op; offsets unchanged
+    assert(t.tierSnapshot(out, format = "delta").contains("already current"))
+    assert(DeltaExport.currentVersion(out).contains(1L))
+  }
+
+  test("delta commit: put-if-absent version publish conflicts loudly; " +
+      "removes validated against the live set") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-delta2-wh").toString, spark)
+    val t = cat.createTable("db", "logdelta",
+      TableDescriptor(StructType(Seq(StructField("k", LongType))),
+        bucketKeys = Seq("k"), numBuckets = 1))
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, 0L)).asJava,
+      StructType(Seq(StructField("k", LongType),
+        StructField("ord", LongType)))), orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-delta2-out").toString
+    t.exportSnapshot(out, deltaMetadata = true)
+    // a concurrent lake-metadata holder makes the commit fail loudly
+    // (the lock is the primary serialization; the no-overwrite version
+    // publish is the backstop beneath it)
+    assert(WarehouseIO.createExclusive(s"$out/_delta_log/_graft.lock"))
+    try intercept[java.util.ConcurrentModificationException](
+      DeltaExport.commit(out, t.desc.schema, Nil,
+        Seq("x.parquet" -> 1L), Set.empty, t.path))
+    finally WarehouseIO.deleteIfExists(s"$out/_delta_log/_graft.lock")
+    // removing a file that is not live is refused
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.commit(out, t.desc.schema, Nil,
+        Nil, Set("nope.parquet"), t.path))
+    assert(e.getMessage.contains("not live"))
+    // removals against a fresh dir are refused (no silent append)
+    val fresh = Files.createTempDirectory("graft-delta2-fresh").toString
+    intercept[IllegalArgumentException](
+      DeltaExport.commit(fresh, t.desc.schema, Nil,
+        Nil, Set("nope.parquet"), t.path))
+  }
+}

@@ -385,12 +385,13 @@ class IcebergExportSpec extends SparkTestBase {
     // means a concurrent tier advanced the lake first -> loud abort
     val committed = IcebergExport.currentSnapshotSummary(out)(
       GraftTable.TierOffsetsKey)
-    t.requireTierBase(out, org.json4s.jackson.JsonMethods.parse(committed)
-      .asInstanceOf[org.json4s.JObject].obj
-      .map { case (k, v) =>
-        k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
+    t.requireTierBase(LakeFormatOps.Iceberg, out,
+      org.json4s.jackson.JsonMethods.parse(committed)
+        .asInstanceOf[org.json4s.JObject].obj
+        .map { case (k, v) =>
+          k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
     intercept[java.util.ConcurrentModificationException](
-      t.requireTierBase(out, Map(0 -> 0L, 1 -> 0L)))
+      t.requireTierBase(LakeFormatOps.Iceberg, out, Map(0 -> 0L, 1 -> 0L)))
     // heartbeat plumbing: touch moves the lock's mtime forward
     val probe = s"$out/touch-probe"
     assert(WarehouseIO.createExclusive(probe))

@@ -80,9 +80,20 @@ class LakeMaintenanceSpec extends SparkTestBase {
       "table.datalake.dir" -> "/tmp/x")).get
     assert(p.freshnessMs == 3 * 60000L) // reference default: 3 minutes
     assert(!p.autoExpire && p.keepLast == 10)
+    assert(p.format == "iceberg")
+    assert(LakeMaintenance.policyOf(Map(
+      "table.datalake.enabled" -> "true",
+      "table.datalake.dir" -> "/tmp/x",
+      "table.datalake.format" -> "delta")).get.format == "delta")
     intercept[IllegalArgumentException](LakeMaintenance.policyOf(Map(
       "table.datalake.enabled" -> "true",
       "table.datalake.dir" -> "/tmp/x",
       "table.datalake.snapshot.keep-last" -> "0")))
+    // auto-expire is Iceberg-only (Delta history cleanup = Delta VACUUM)
+    intercept[IllegalArgumentException](LakeMaintenance.policyOf(Map(
+      "table.datalake.enabled" -> "true",
+      "table.datalake.dir" -> "/tmp/x",
+      "table.datalake.format" -> "delta",
+      "table.datalake.auto-expire-snapshot" -> "true")))
   }
 }
