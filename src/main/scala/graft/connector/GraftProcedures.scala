@@ -193,9 +193,14 @@ object GraftProcedures {
       })
       case "maintain_lake" => Some(proc(catalog, "maintain_lake",
         Seq(in("table", StringType)),
-        out("result", StringType)) { (t, _) =>
+        out("result", StringType)) { (t, row) =>
         // the lake-tiering half of a maintenance tick: policy from the
-        // table's table.datalake.* properties (reference option names)
+        // table's table.datalake.* properties (reference option names).
+        // Same egress gate as export_snapshot/tier_snapshot_* — the tick
+        // moves table data out; the expiry half runs under a policy the
+        // table's admin set (property writes already required ALTER)
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         graft.core.LakeMaintenance.maintainLake(t, System.currentTimeMillis())
           .getOrElse("datalake tiering disabled: set " +
             "'table.datalake.enabled'='true' and 'table.datalake.dir' " +

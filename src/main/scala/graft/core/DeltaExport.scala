@@ -33,6 +33,16 @@ object DeltaExport {
   private def versionFile(dir: String, v: Long): String =
     f"${logDir(dir)}/$v%020d.json"
 
+  private def checkpointFile(dir: String, v: Long): String =
+    f"${logDir(dir)}/$v%020d.checkpoint.parquet"
+
+  /** Checkpoint cadence — the protocol's conventional every-10-commits
+    * (PROTOCOL.md "Checkpoints"), so replay cost stays bounded by
+    * (live set + ≤10 JSON tail commits) no matter how many tiers have
+    * run.
+    */
+  private val CheckpointInterval = 10L
+
   private[core] def withDeltaLock[T](dir: String)(body: => T): T =
     LakeLock.withLock(s"${logDir(dir)}/_graft.lock")(body)
 
@@ -75,12 +85,15 @@ object DeltaExport {
 
   /** Append one version: `addedFiles` become adds, `removedRels` become
     * removes (validated against the live set). First call on a fresh dir
-    * delegates to [[write]].
+    * delegates to [[write]]. When `checkpointWith` carries a session and
+    * the new version hits the checkpoint cadence, a protocol checkpoint
+    * is written so later replays skip the JSON history.
     */
   def commit(dir: String, schema: StructType, partitionKeys: Seq[String],
       addedFiles: Seq[(String, Long)], removedRels: Set[String],
-      sourcePath: String,
-      tags: Map[String, String] = Map.empty): Long = withDeltaLock(dir) {
+      sourcePath: String, tags: Map[String, String] = Map.empty,
+      checkpointWith: Option[SparkSession] = None): Long =
+      withDeltaLock(dir) {
     currentVersion(dir) match {
       case None =>
         require(removedRels.isEmpty,
@@ -88,7 +101,7 @@ object DeltaExport {
             s"to remove them from (asked to remove ${removedRels.size} file(s))")
         write(dir, schema, partitionKeys, addedFiles, sourcePath, tags)
       case Some(v) =>
-        val live = liveFiles(dir).toSet
+        val live = liveFiles(dir, checkpointWith).toSet
         val missing = removedRels.filterNot(live.contains)
         require(missing.isEmpty,
           s"cannot remove file(s) not live in $dir's current version: " +
@@ -104,22 +117,31 @@ object DeltaExport {
           (removes ++ addedFiles.map(addAction(_, partitionKeys, now))) :+
             commitInfo(if (removedRels.nonEmpty) "OVERWRITE" else "WRITE",
               now, tags))
+        checkpointWith.foreach { spark =>
+          if ((v + 1) % CheckpointInterval == 0)
+            writeCheckpoint(spark, dir, v + 1)
+        }
         v + 1
     }
   }
 
   /** Dir-relative live data files of the CURRENT version, resolved by
-    * log replay the way a Delta reader would (adds minus later removes)
-    * — never from directory listing.
+    * log replay the way a Delta reader would (last checkpoint + JSON
+    * tail when a session is supplied; full JSON replay otherwise) —
+    * never from directory listing.
     */
-  def liveFiles(dir: String): Seq[String] = replay(dir)._3.keys.toSeq.sorted
+  def liveFiles(dir: String): Seq[String] = liveFiles(dir, None)
+
+  def liveFiles(dir: String, spark: Option[SparkSession]): Seq[String] =
+    replay(dir, spark).live.keys.toSeq.sorted
 
   /** The current version's data as a DataFrame: live files from the log,
     * hive partition columns re-attached via basePath — the "Delta reader
     * lite" that proves the log is self-consistent.
     */
   def readLive(spark: SparkSession, dir: String): DataFrame = {
-    val files = liveFiles(dir).map(r => s"${WarehouseIO.qualify(dir)}/$r")
+    val files = liveFiles(dir, Some(spark))
+      .map(r => s"${WarehouseIO.qualify(dir)}/$r")
     spark.read.option("basePath", WarehouseIO.qualify(dir))
       .parquet(files: _*)
   }
@@ -144,19 +166,57 @@ object DeltaExport {
 
   // -------------------------------------------------------------------
 
-  /** (schemaString, partitionColumns, live rel path → size). */
-  private def replay(dir: String)
-      : (String, Seq[String], Map[String, Long]) = {
+  private final case class ReplayState(schemaString: String,
+      partitionCols: Seq[String], live: Map[String, Long],
+      metaId: String, metaName: String, metaCreated: Long)
+
+  /** Log replay: from the latest checkpoint ≤ current when a session is
+    * available (checkpoint parquet + ≤CheckpointInterval JSON tail),
+    * else every JSON version from 0.
+    */
+  private def replay(dir: String,
+      spark: Option[SparkSession]): ReplayState = {
     val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
       s"$dir has no Delta log (_delta_log/ missing or empty)"))
     var schemaString = ""
     var partitionCols = Seq.empty[String]
+    var metaId = ""
+    var metaName = ""
+    var metaCreated = 0L
     val live = collection.mutable.LinkedHashMap[String, Long]()
-    (0L to v).foreach { i =>
+    val start: Long = (spark, lastCheckpointVersion(dir)) match {
+      case (Some(s), Some(cv)) if cv <= v =>
+        val rows = s.read.parquet(checkpointFile(dir, cv)).collect()
+        rows.foreach { r =>
+          val pi = r.fieldIndex("protocol")
+          val mi = r.fieldIndex("metaData")
+          val ai = r.fieldIndex("add")
+          if (!r.isNullAt(mi)) {
+            val m = r.getStruct(mi)
+            metaId = m.getString(m.fieldIndex("id"))
+            metaName = m.getString(m.fieldIndex("name"))
+            schemaString = m.getString(m.fieldIndex("schemaString"))
+            partitionCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
+            metaCreated = m.getLong(m.fieldIndex("createdTime"))
+          } else if (!r.isNullAt(ai)) {
+            val a = r.getStruct(ai)
+            live(decodePath(a.getString(a.fieldIndex("path")))) =
+              a.getLong(a.fieldIndex("size"))
+          } else if (r.isNullAt(pi)) ()
+        }
+        cv + 1
+      case _ => 0L
+    }
+    (start to v).foreach { i =>
       actionsOf(dir, i).foreach {
         case JObject(fields) => fields.toMap.foreach {
           case ("metaData", JObject(m)) =>
             val mm = m.toMap
+            metaId = mm("id").asInstanceOf[JString].s
+            metaName = mm.get("name").collect {
+              case JString(s) => s }.getOrElse("")
+            metaCreated = mm.get("createdTime").collect {
+              case JInt(n) => n.toLong }.getOrElse(0L)
             schemaString = mm("schemaString").asInstanceOf[JString].s
             partitionCols = mm("partitionColumns").asInstanceOf[JArray]
               .arr.map(_.asInstanceOf[JString].s)
@@ -173,7 +233,90 @@ object DeltaExport {
         case _ => ()
       }
     }
-    (schemaString, partitionCols, live.toMap)
+    ReplayState(schemaString, partitionCols, live.toMap,
+      metaId, metaName, metaCreated)
+  }
+
+  private def lastCheckpointVersion(dir: String): Option[Long] =
+    WarehouseIO.readStringIfExists(s"${logDir(dir)}/_last_checkpoint")
+      .flatMap { s =>
+        JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
+          .get("version").collect { case JInt(n) => n.toLong }
+      }
+
+  /** Write a protocol checkpoint at `v`: a single parquet file with the
+    * complete replay state (protocol + metaData + one add per live
+    * file), plus `_last_checkpoint`. Unexpired remove tombstones are not
+    * carried — these exports are single-writer and never vacuumed by a
+    * concurrent engine (documented trade against the full protocol).
+    */
+  private def writeCheckpoint(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val st = replay(dir, Some(spark))
+    val now = System.currentTimeMillis()
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType, nullable = false),
+      StructField("minWriterVersion", IntegerType, nullable = false)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("name", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType, nullable = false),
+        StructField("options", MapType(StringType, StringType)))),
+        nullable = false),
+      StructField("schemaString", StringType, nullable = false),
+      StructField("partitionColumns", ArrayType(StringType),
+        nullable = false),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("partitionValues",
+        MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType, nullable = false),
+      StructField("modificationTime", LongType, nullable = false),
+      StructField("dataChange", BooleanType, nullable = false)))
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", protoType),
+      StructField("metaData", metaType),
+      StructField("add", addType)))
+    def pv(rel: String): Map[String, String] =
+      rel.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, raw) if st.partitionCols.contains(k) =>
+            val dec = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(raw)
+            Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
+          case _ => None
+        }
+      }.toMap
+    val rows: Seq[org.apache.spark.sql.Row] =
+      Seq(org.apache.spark.sql.Row(
+          org.apache.spark.sql.Row(Int.box(1), Int.box(2)), null, null),
+        org.apache.spark.sql.Row(null,
+          org.apache.spark.sql.Row(st.metaId, st.metaName,
+            org.apache.spark.sql.Row("parquet", Map.empty[String, String]),
+            st.schemaString, st.partitionCols,
+            Map.empty[String, String], Long.box(st.metaCreated)), null)) ++
+      st.live.toSeq.sortBy(_._1).map { case (rel, size) =>
+        org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(
+          encodePath(rel), pv(rel), Long.box(size), Long.box(now),
+          Boolean.box(false)))
+      }
+    import scala.jdk.CollectionConverters._
+    val tmpDir = s"${logDir(dir)}/.ckpt-tmp-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(rows.asJava, ckptSchema)
+      .repartition(1).write.parquet(tmpDir)
+    val part = WarehouseIO.walkFiles(tmpDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+    require(part.size == 1, s"expected one checkpoint part, got ${part.size}")
+    WarehouseIO.moveFile(part.head.path, checkpointFile(dir, v))
+    WarehouseIO.deleteRecursively(tmpDir)
+    CatalogJson.atomicWrite(s"${logDir(dir)}/_last_checkpoint",
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "version" -> (JInt(v): JValue),
+        "size" -> (JInt(rows.size): JValue))))))
   }
 
   private def actionsOf(dir: String, v: Long): Seq[JValue] =
@@ -224,11 +367,17 @@ object DeltaExport {
     WarehouseIO.rawPutBytes(tmp, actions
       .map(a => JsonMethods.compact(JsonMethods.render(a)))
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // local path throws FileAlreadyExistsException; the Hadoop path's
+    // failed no-overwrite rename surfaces as a generic IOException — in
+    // either case an existing target means a concurrent writer won
     try WarehouseIO.moveFile(tmp, target)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
-      WarehouseIO.deleteIfExists(tmp)
-      throw new java.util.ConcurrentModificationException(
-        s"Delta version $v already committed at $dir (concurrent writer)", e)
+    catch {
+      case e: java.io.IOException => // FileAlreadyExistsException included
+        WarehouseIO.deleteIfExists(tmp)
+        if (WarehouseIO.exists(target))
+          throw new java.util.ConcurrentModificationException(
+            s"Delta version $v already committed at $dir (concurrent writer)", e)
+        throw e
     }
   }
 

@@ -1555,7 +1555,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         deltaMetadata = fmt.name == "delta")
       val n = WarehouseIO.walkFiles(dir)
         .count(e => !e.isDir && e.name.endsWith(".parquet"))
-      return s"initial full export: $n data files, ${fmt.name} metadata v1"
+      // iceberg's first metadata file is v1; delta's first log version is 0
+      val v = if (fmt.name == "delta") "log version 0" else "metadata v1"
+      return s"initial full export: $n data files, ${fmt.name} $v"
     }
     require(fmt.hasMetadata(dir),
       s"$dir has an export manifest but no ${fmt.name} metadata; " +
@@ -1582,7 +1584,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         case Some(committed) if committed != manifestPinned =>
           writeExportManifest(dir,
             committed, summary.get(GraftTable.TierVersionKey).map(_.toLong),
-            fmt.liveFiles(dir)
+            fmt.liveFiles(spark, dir)
               .map(r => r -> WarehouseIO.size(s"$dir/$r")))
           committed
         case _ => manifestPinned
@@ -1642,7 +1644,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         val (added, carried) =
           try fmt.withLock(dir) {
             requireTierBase(fmt, dir, pinned)
-            val priorLive = fmt.liveFiles(dir)
+            val priorLive = fmt.liveFiles(spark, dir)
             val a = publishStaged()
             fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
               a, Set.empty, path, tierSummary(current, version))
@@ -1703,7 +1705,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         val (addedN, removedN, untouchedN) =
           try fmt.withLock(dir) {
             requireTierBase(fmt, dir, pinned)
-            val priorLive = fmt.liveFiles(dir)
+            val priorLive = fmt.liveFiles(spark, dir)
             val removed = priorLive.filter { rel =>
               val parent = rel.split('/').dropRight(1).mkString("/")
               changedDirs.contains(parent)

@@ -15,8 +15,10 @@ private[core] sealed trait LakeFormatOps {
   def name: String
   /** Lake metadata exists at `dir` (vs a bare-parquet export). */
   def hasMetadata(dir: String): Boolean
-  /** Dir-relative live data files of the current snapshot/version. */
-  def liveFiles(dir: String): Seq[String]
+  /** Dir-relative live data files of the current snapshot/version (the
+    * session lets Delta resolve through its parquet checkpoints).
+    */
+  def liveFiles(spark: SparkSession, dir: String): Seq[String]
   /** Tier bookkeeping of the LATEST commit (Iceberg snapshot summary /
     * Delta commitInfo tags): where [[GraftTable.TierOffsetsKey]] rides.
     */
@@ -45,7 +47,8 @@ private[core] object LakeFormatOps {
     def name = "iceberg"
     def hasMetadata(dir: String): Boolean =
       IcebergExport.currentVersion(dir).isDefined
-    def liveFiles(dir: String): Seq[String] = IcebergExport.liveFiles(dir)
+    def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+      IcebergExport.liveFiles(dir)
     def committedTierTags(dir: String): Map[String, String] =
       IcebergExport.currentSnapshotSummary(dir)
     def commit(spark: SparkSession, dir: String, schema: StructType,
@@ -66,7 +69,8 @@ private[core] object LakeFormatOps {
     def name = "delta"
     def hasMetadata(dir: String): Boolean =
       DeltaExport.currentVersion(dir).isDefined
-    def liveFiles(dir: String): Seq[String] = DeltaExport.liveFiles(dir)
+    def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+      DeltaExport.liveFiles(dir, Some(spark))
     def committedTierTags(dir: String): Map[String, String] =
       DeltaExport.lastCommitTags(dir)
     def commit(spark: SparkSession, dir: String, schema: StructType,
@@ -74,7 +78,7 @@ private[core] object LakeFormatOps {
         removed: Set[String], sourcePath: String,
         tags: Map[String, String]): Unit = {
       DeltaExport.commit(dir, schema, partitionKeys, added, removed,
-        sourcePath, tags)
+        sourcePath, tags, checkpointWith = Some(spark))
       ()
     }
     def readLive(spark: SparkSession, dir: String): DataFrame =

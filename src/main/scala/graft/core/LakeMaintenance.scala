@@ -86,7 +86,14 @@ object LakeMaintenance {
             s"(freshness target ${p.freshnessMs} ms)"
         case _ =>
           val tiered = t.tierSnapshot(p.dir, p.format)
-          if (p.autoExpire) {
+          if (tiered.startsWith("already current")) {
+            // idle table: re-arm the freshness gate (lake verified
+            // current NOW) and skip the expiry walk — otherwise every
+            // tick past the window would pay a full tier-path read plus
+            // a lake directory walk forever
+            touchExportedAt(p.dir, nowMillis)
+            s"$tiered (freshness gate re-armed)"
+          } else if (p.autoExpire) {
             val n = IcebergExport.expireSnapshots(p.dir, p.keepLast).size
             s"$tiered; expired $n unreachable file(s), keeping last " +
               s"${p.keepLast} snapshot(s)"
@@ -105,4 +112,21 @@ object LakeMaintenance {
         case _ => 0L
       }
     }
+
+  /** Rewrite ONLY `exportedAtMillis` in the export manifest — "lake
+    * verified current at `now`" after a no-op tick. Offsets, files and
+    * every roll-forward input stay byte-identical.
+    */
+  private def touchExportedAt(dir: String, now: Long): Unit = {
+    val emPath = s"$dir/_export_manifest.json"
+    WarehouseIO.readStringIfExists(emPath).foreach { s =>
+      val patched = JsonMethods.parse(s).asInstanceOf[JObject].obj.map {
+        case ("exportedAtMillis", _) =>
+          "exportedAtMillis" -> (JInt(now): JValue)
+        case other => other
+      }
+      CatalogJson.atomicWrite(emPath,
+        JsonMethods.pretty(JsonMethods.render(JObject(patched))))
+    }
+  }
 }

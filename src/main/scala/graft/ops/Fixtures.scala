@@ -166,49 +166,38 @@ object Fixtures {
     * incremental tier lands byte-equivalent state to a from-scratch
     * computation.
     */
-  def tieredLakeDir(spark: SparkSession, sfDir: String): String = {
-    val t = cached("users_tiered", sfDir) {
+  def tieredLakeDir(spark: SparkSession, sfDir: String): String =
+    tieredDir(spark, sfDir, "users_tiered", "iceberg")
+
+  /** One tiering scenario for BOTH lake formats — the tier1/tier2 oracle
+    * comparison is only meaningful if the scenarios stay identical.
+    */
+  private def tieredDir(spark: SparkSession, sfDir: String,
+      name: String, format: String): String = {
+    val t = cached(name, sfDir) {
       val ev = eventsTyped(spark, sfDir)
       val schema = StructType(eventsSchema(spark, sfDir).fields)
-      val tbl = fresh(spark, sfDir, "users_tiered",
+      val tbl = fresh(spark, sfDir, name,
         TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
           partitionKeys = Seq("event_type"), numBuckets = 4))
       val dir = tbl.path + "_lake"
       tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
         orderBy = Seq(ev("event_id")))
-      tbl.tierSnapshot(dir) // initial full export (Iceberg v1)
+      tbl.tierSnapshot(dir, format) // initial full export
       tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
           col("event_type").isin("click", "view")),
         orderBy = Seq(ev("event_id")))
-      tbl.tierSnapshot(dir) // incremental: 2 of 5 partitions move
+      tbl.tierSnapshot(dir, format) // incremental: 2 of 5 partitions move
       tbl
     }
     t.path + "_lake"
   }
 
-  /** The [[tieredLakeDir]] shape through the DELTA format path: same two
-    * upserts, initial full export + incremental tier, but published as
+  /** The [[tieredLakeDir]] scenario through the DELTA format path:
     * _delta_log JSON commits instead of Iceberg Avro manifests.
     */
-  def tieredDeltaLakeDir(spark: SparkSession, sfDir: String): String = {
-    val t = cached("users_tiered_delta", sfDir) {
-      val ev = eventsTyped(spark, sfDir)
-      val schema = StructType(eventsSchema(spark, sfDir).fields)
-      val tbl = fresh(spark, sfDir, "users_tiered_delta",
-        TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
-          partitionKeys = Seq("event_type"), numBuckets = 4))
-      val dir = tbl.path + "_lake"
-      tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
-        orderBy = Seq(ev("event_id")))
-      tbl.tierSnapshot(dir, format = "delta") // initial full export (v0)
-      tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
-          col("event_type").isin("click", "view")),
-        orderBy = Seq(ev("event_id")))
-      tbl.tierSnapshot(dir, format = "delta") // incremental: v1
-      tbl
-    }
-    t.path + "_lake"
-  }
+  def tieredDeltaLakeDir(spark: SparkSession, sfDir: String): String =
+    tieredDir(spark, sfDir, "users_tiered_delta", "delta")
 
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its

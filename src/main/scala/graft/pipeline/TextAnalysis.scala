@@ -297,8 +297,12 @@ object TextAnalysis {
     // unigram counts WITHOUT a second corpus tokenize: count(v) =
     // (bigram occurrences ending in v) + (docs whose first token is v);
     // the limit-2 split stops at the first separator
+    // null text yields a NULL first token (the exploded path emits no
+    // row for it) — drop it, or it lands as a phantom null-key count
+    // inflating T
     val firsts = widen(df).select(
         split(trim(lower(col(textCol))), "\\s+", 2).getItem(0).as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val fu = docBi.groupBy(col("__v")).agg(sum(col("__tf")).as("__c"))
       .unionByName(firsts)

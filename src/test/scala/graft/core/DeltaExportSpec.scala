@@ -41,7 +41,7 @@ class DeltaExportSpec extends SparkTestBase {
 
     // initial tier = full export with Delta metadata
     val first = t.tierSnapshot(out, format = "delta")
-    assert(first.contains("delta metadata v1"), first)
+    assert(first.contains("delta log version 0"), first)
     assert(DeltaExport.currentVersion(out).contains(0L))
     // version 0 carries protocol(1,2) + metaData with Spark-JSON schema
     val v0 = WarehouseIO.readString(
@@ -126,5 +126,34 @@ class DeltaExportSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       DeltaExport.commit(fresh, t.desc.schema, Nil,
         Nil, Set("nope.parquet"), t.path))
+  }
+
+  test("delta checkpoints: every 10th version writes a parquet checkpoint; " +
+      "checkpointed replay equals full JSON replay") {
+    val dir = Files.createTempDirectory("graft-delta-ckpt").toString
+    val sch = StructType(Seq(StructField("k", LongType)))
+    DeltaExport.write(dir, sch, Nil, Seq("f0.parquet" -> 10L), "src")
+    // 12 commits, each adding f$i and removing f${i-1}: versions 1..12,
+    // checkpoint due at version 10
+    (1 to 12).foreach { i =>
+      DeltaExport.commit(dir, sch, Nil,
+        Seq(s"f$i.parquet" -> (10L + i)), Set(s"f${i - 1}.parquet"),
+        "src", checkpointWith = Some(spark))
+    }
+    assert(DeltaExport.currentVersion(dir).contains(12L))
+    assert(WarehouseIO.exists(
+      f"$dir/_delta_log/${10L}%020d.checkpoint.parquet"))
+    val lc = WarehouseIO.readString(s"$dir/_delta_log/_last_checkpoint")
+    assert(lc.contains("\"version\":10"), lc)
+    // checkpoint parquet is protocol-shaped: protocol/metaData/add rows
+    val ck = spark.read.parquet(
+      f"$dir/_delta_log/${10L}%020d.checkpoint.parquet")
+    assert(ck.columns.toSet == Set("protocol", "metaData", "add"))
+    assert(ck.where("add is not null").count() == 1)     // one live file at v10
+    assert(ck.where("metaData is not null").count() == 1)
+    // checkpointed replay (spark) == full JSON replay (no spark)
+    assert(DeltaExport.liveFiles(dir, Some(spark)) ==
+      DeltaExport.liveFiles(dir))
+    assert(DeltaExport.liveFiles(dir) == Seq("f12.parquet"))
   }
 }
