@@ -92,7 +92,8 @@ object DeltaExport {
   def commit(dir: String, schema: StructType, partitionKeys: Seq[String],
       addedFiles: Seq[(String, Long)], removedRels: Set[String],
       sourcePath: String, tags: Map[String, String] = Map.empty,
-      checkpointWith: Option[SparkSession] = None): Long =
+      checkpointWith: Option[SparkSession] = None,
+      knownLive: Option[Set[String]] = None): Long =
       withDeltaLock(dir) {
     currentVersion(dir) match {
       case None =>
@@ -101,7 +102,10 @@ object DeltaExport {
             s"to remove them from (asked to remove ${removedRels.size} file(s))")
         write(dir, schema, partitionKeys, addedFiles, sourcePath, tags)
       case Some(v) =>
-        val live = liveFiles(dir, checkpointWith).toSet
+        // a caller that just computed the live set under THIS lock
+        // (tierSnapshot does) hands it in rather than paying a second
+        // log replay for the same state
+        val live = knownLive.getOrElse(liveFiles(dir, checkpointWith).toSet)
         val missing = removedRels.filterNot(live.contains)
         require(missing.isEmpty,
           s"cannot remove file(s) not live in $dir's current version: " +

@@ -1647,7 +1647,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             val priorLive = fmt.liveFiles(spark, dir)
             val a = publishStaged()
             fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
-              a, Set.empty, path, tierSummary(current, version))
+              a, Set.empty, path, tierSummary(current, version), priorLive)
             updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ a)
               .sortBy(_._1))
             (a, priorLive.size)
@@ -1712,7 +1712,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             }.toSet
             val added = publishStaged()
             fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
-              added, removed, path, tierSummary(current, version))
+              added, removed, path, tierSummary(current, version), priorLive)
             updateManifest(
               (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
                 added).sortBy(_._1))

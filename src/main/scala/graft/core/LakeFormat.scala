@@ -23,11 +23,16 @@ private[core] sealed trait LakeFormatOps {
     * Delta commitInfo tags): where [[GraftTable.TierOffsetsKey]] rides.
     */
   def committedTierTags(dir: String): Map[String, String]
-  /** Append one snapshot/version: adds + removes + tier tags. */
+  /** Append one snapshot/version: adds + removes + tier tags.
+    * `priorLive` is the live set the caller just resolved under this
+    * format's lock — Delta reuses it instead of replaying the log a
+    * second time for remove validation; Iceberg reads its own metadata
+    * regardless.
+    */
   def commit(spark: SparkSession, dir: String, schema: StructType,
       partitionKeys: Seq[String], added: Seq[(String, Long)],
       removed: Set[String], sourcePath: String,
-      tags: Map[String, String]): Unit
+      tags: Map[String, String], priorLive: Seq[String]): Unit
   /** The current state as a DataFrame, resolved through the metadata. */
   def readLive(spark: SparkSession, dir: String): DataFrame
   /** The format's lake lock for `dir` (re-entrant, heartbeated). */
@@ -54,7 +59,7 @@ private[core] object LakeFormatOps {
     def commit(spark: SparkSession, dir: String, schema: StructType,
         partitionKeys: Seq[String], added: Seq[(String, Long)],
         removed: Set[String], sourcePath: String,
-        tags: Map[String, String]): Unit = {
+        tags: Map[String, String], priorLive: Seq[String]): Unit = {
       IcebergExport.commit(spark, dir, schema, partitionKeys, added,
         removed, sourcePath, summaryExtra = tags)
       ()
@@ -76,9 +81,10 @@ private[core] object LakeFormatOps {
     def commit(spark: SparkSession, dir: String, schema: StructType,
         partitionKeys: Seq[String], added: Seq[(String, Long)],
         removed: Set[String], sourcePath: String,
-        tags: Map[String, String]): Unit = {
+        tags: Map[String, String], priorLive: Seq[String]): Unit = {
       DeltaExport.commit(dir, schema, partitionKeys, added, removed,
-        sourcePath, tags, checkpointWith = Some(spark))
+        sourcePath, tags, checkpointWith = Some(spark),
+        knownLive = Some(priorLive.toSet))
       ()
     }
     def readLive(spark: SparkSession, dir: String): DataFrame =

@@ -23,13 +23,11 @@ private[core] object LakeLock {
     val parent = lockPath.substring(0, lockPath.lastIndexOf('/'))
     WarehouseIO.mkdirs(parent)
     if (!WarehouseIO.createExclusive(lockPath)) {
-      val ageMs = System.currentTimeMillis() -
-        (try WarehouseIO.mtimeMillis(lockPath)
-         catch { case _: java.io.IOException => System.currentTimeMillis() })
-      if (ageMs > 10 * 60 * 1000) WarehouseIO.deleteIfExists(lockPath)
+      val ageMs = ageOf(lockPath)
+      if (ageMs > StaleMs) breakStale(lockPath)
       throw new java.util.ConcurrentModificationException(
         s"another lake-metadata operation holds the lock $lockPath" +
-          (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
+          (if (ageMs > StaleMs) " (stale lock broken; retry)" else ""))
     }
     val hb = heartbeats.scheduleWithFixedDelay(
       () => WarehouseIO.touch(lockPath), 60, 60, TimeUnit.SECONDS)
@@ -40,6 +38,34 @@ private[core] object LakeLock {
       WarehouseIO.deleteIfExists(lockPath)
     }
   }
+
+  private val StaleMs = 10 * 60 * 1000L
+
+  private def ageOf(lockPath: String): Long =
+    System.currentTimeMillis() -
+      (try WarehouseIO.mtimeMillis(lockPath)
+       catch { case _: java.io.IOException => System.currentTimeMillis() })
+
+  /** Break a stale lock without the delete-a-live-lock TOCTOU: re-read
+    * the mtime AT BREAK TIME (a contender that stalled since its first
+    * read must not steal a lock a new holder just created — live
+    * holders' heartbeats keep mtime under a minute old), then claim the
+    * break by RENAME, which only one contender can win; the loser's
+    * move throws and breaks nothing. Residual window = the milliseconds
+    * between the re-read and the rename, vs the 10-minute staleness bar
+    * and 60-second heartbeat — a live lock's mtime can't look stale in
+    * that window unless its holder's heartbeat is already 10 minutes
+    * dead.
+    */
+  private def breakStale(lockPath: String): Unit =
+    if (ageOf(lockPath) > StaleMs) {
+      val tomb = s"$lockPath.broken-${java.util.UUID.randomUUID()}"
+      try {
+        WarehouseIO.moveFile(lockPath, tomb)
+        WarehouseIO.deleteIfExists(tomb)
+        ()
+      } catch { case _: java.io.IOException => () } // another breaker won
+    }
 
   private val heldLocks = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty

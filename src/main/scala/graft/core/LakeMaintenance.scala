@@ -90,8 +90,11 @@ object LakeMaintenance {
             // idle table: re-arm the freshness gate (lake verified
             // current NOW) and skip the expiry walk — otherwise every
             // tick past the window would pay a full tier-path read plus
-            // a lake directory walk forever
-            touchExportedAt(p.dir, nowMillis)
+            // a lake directory walk forever. Under the format's lake
+            // lock: the manifest rewrite must not interleave with a
+            // concurrent tier's manifest update
+            LakeFormatOps.of(p.format).withLock(p.dir)(
+              touchExportedAt(p.dir, nowMillis))
             s"$tiered (freshness gate re-armed)"
           } else if (p.autoExpire) {
             val n = IcebergExport.expireSnapshots(p.dir, p.keepLast).size

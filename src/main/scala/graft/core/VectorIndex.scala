@@ -214,6 +214,8 @@ final class VectorIndex private[core] (val table: GraftTable,
     val m = cb.length
     val codes = idx.scan()
       .filter(col(VectorIndex.ListCol).isin(probeLists: _*))
+    var bcLut: Option[org.apache.spark.broadcast.Broadcast[
+      Array[Array[Double]]]] = None
     val scored =
       if (m * cb(0).length <= broadcastThreshold) {
         val adc = (0 until m).map { j =>
@@ -221,18 +223,23 @@ final class VectorIndex private[core] (val table: GraftTable,
         }.reduce(_ + _)
         codes.select(col(idCol), adc.as("__adc"))
       } else {
-        val bcLut = idx.sparkSession.sparkContext.broadcast(lut.map(_.toArray))
+        val bc = idx.sparkSession.sparkContext.broadcast(lut.map(_.toArray))
+        bcLut = Some(bc)
         val adcOf = udf { (code: Seq[Int]) =>
-          val l = bcLut.value
+          val l = bc.value
           var acc = 0.0; var j = 0
           while (j < code.length) { acc += l(j)(code(j)); j += 1 }
           acc
         }
         codes.select(col(idCol), adcOf(col(VectorIndex.CodeCol)).as("__adc"))
       }
-    // bounded by construction: `cand` ids (default 50) reach the driver
-    val ids = scored.orderBy(col("__adc").asc, col(idCol)).limit(cand)
-      .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    // bounded by construction: `cand` ids (default 50) reach the driver.
+    // The collect is the broadcast's ONLY consumer — destroy it after,
+    // or a long-lived session leaks one LUT per ADC query
+    val ids =
+      try scored.orderBy(col("__adc").asc, col(idCol)).limit(cand)
+        .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+      finally bcLut.foreach(_.destroy())
     val qn = math.sqrt(query.map(x => x * x).sum)
     val v = col(vecCol).cast("array<double>")
     idx.scan()

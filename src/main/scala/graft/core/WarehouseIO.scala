@@ -217,14 +217,19 @@ object WarehouseIO {
     case None => fs(path).getFileStatus(p(path)).getModificationTime
   }
 
-  /** Bump a file's mtime to now (lock heartbeats). No-op if absent. */
+  /** Bump a file's mtime to now (lock heartbeats). Swallows EVERY
+    * non-fatal failure, not just IO: a heartbeat lambda that throws
+    * (e.g. an object-store connector's UnsupportedOperationException
+    * from setTimes) would permanently cancel its scheduled task and
+    * make a live lock holder look stale.
+    */
   def touch(path: String): Unit = try {
     localPathOf(path) match {
       case Some(l) => NioFiles.setLastModifiedTime(l,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       case None => fs(path).setTimes(p(path), System.currentTimeMillis(), -1)
     }
-  } catch { case _: java.io.IOException => () }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   def readBytes(path: String): Array[Byte] = localPathOf(path) match {
     case Some(l) => NioFiles.readAllBytes(l)

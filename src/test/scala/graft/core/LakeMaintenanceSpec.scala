@@ -70,8 +70,14 @@ class LakeMaintenanceSpec extends SparkTestBase {
     assert(IcebergExport.snapshotIds(out).size == 1)
 
     // offsets unchanged past the window: tier reports already current
+    // and RE-ARMS the freshness gate, so the next in-window tick is a
+    // one-stat no-op instead of another full tier-path read
     val idle = LakeMaintenance.maintainLake(t, now + 4 * 3600000L).get
     assert(idle.contains("already current"), idle)
+    assert(idle.contains("re-armed"), idle)
+    val rearmed = LakeMaintenance.maintainLake(
+      t, System.currentTimeMillis() + 60000L).get
+    assert(rearmed.startsWith("lake fresh"), rearmed)
   }
 
   test("policyOf: defaults mirror the reference; keep-last validated") {
