@@ -399,6 +399,31 @@ class ConnectorSpec extends SparkTestBase {
     assert(expired.head.getInt(0) == 1)
     assert(spark.sql("SELECT count(*) FROM gfs.db.mt").head.getLong(0) == 2)
 
+    // Delta-format lake surface through SQL: tier twice, read back by
+    // log replay, then the property-driven maintenance tick
+    spark.sql("CREATE TABLE gfs.db.dl (k BIGINT, v INT) USING graft " +
+      "TBLPROPERTIES ('primary.key' = 'k')")
+    spark.sql("INSERT INTO gfs.db.dl VALUES (1, 1), (2, 2)")
+    val dlOut = java.nio.file.Files
+      .createTempDirectory("graft-sql-delta").toString
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_delta('db.dl', '$dlOut')")
+      .head.getString(0).contains("delta log version 0"))
+    spark.sql("INSERT INTO gfs.db.dl VALUES (1, 99)")
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_delta('db.dl', '$dlOut')")
+      .head.getString(0).contains("tiered"))
+    assert(graft.core.DeltaExport.readLive(spark, dlOut)
+      .select("k", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 99), (2L, 2)))
+    assert(spark.sql("CALL gfs.system.maintain_lake('db.dl')")
+      .head.getString(0).contains("disabled"))
+    spark.sql(s"""ALTER TABLE gfs.db.dl SET TBLPROPERTIES (
+      'table.datalake.enabled' = 'true',
+      'table.datalake.dir' = '$dlOut',
+      'table.datalake.format' = 'delta')""")
+    // tiered moments ago -> inside the default 3m freshness window
+    assert(spark.sql("CALL gfs.system.maintain_lake('db.dl')")
+      .head.getString(0).startsWith("lake fresh"))
+
     // PK table: compact then vacuum through SQL
     spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +
       "TBLPROPERTIES ('primary.key' = 'k')")
