@@ -150,6 +150,48 @@ object DeltaExport {
       .parquet(files: _*)
   }
 
+  /** Dir-relative live files AT a specific version — Delta time travel
+    * (`VERSION AS OF`) by replaying the JSON log up to `v` (checkpoints
+    * are skipped: every JSON commit is retained, so any version stays
+    * reconstructible; the Iceberg-side analog is `liveFilesAt`).
+    */
+  def liveFilesAt(dir: String, v: Long): Seq[String] = {
+    val cur = currentVersion(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no Delta log (_delta_log/ missing or empty)"))
+    require(v >= 0 && v <= cur,
+      s"version $v does not exist at $dir (log has versions 0..$cur)")
+    val live = collection.mutable.LinkedHashMap[String, Long]()
+    (0L to v).foreach { i =>
+      actionsOf(dir, i).foreach {
+        case JObject(fields) => fields.toMap.foreach {
+          case ("add", JObject(a)) =>
+            val am = a.toMap
+            live(decodePath(am("path").asInstanceOf[JString].s)) =
+              am("size").asInstanceOf[JInt].num.toLong
+          case ("remove", JObject(r)) =>
+            live.remove(decodePath(r.toMap.apply("path")
+              .asInstanceOf[JString].s))
+            ()
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    live.keys.toSeq.sorted
+  }
+
+  /** A specific version's data as a DataFrame — tombstoned files are
+    * still on disk (history cleanup is a VACUUM concern), so any
+    * retained version reads back exactly.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = liveFilesAt(dir, v)
+      .map(r => s"${WarehouseIO.qualify(dir)}/$r")
+    spark.read.option("basePath", WarehouseIO.qualify(dir))
+      .parquet(files: _*)
+  }
+
   /** `commitInfo.tags` of the LATEST version (the Iceberg snapshot-
     * summary analog — [[GraftTable.tierSnapshot]] pins its offset window
     * here). Empty when the dir has no Delta log.

@@ -93,6 +93,17 @@ class DeltaExportSpec extends SparkTestBase {
     // idle tier is a no-op; offsets unchanged
     assert(t.tierSnapshot(out, format = "delta").contains("already current"))
     assert(DeltaExport.currentVersion(out).contains(1L))
+
+    // time travel: version 0 still reads the PRE-overwrite state (its
+    // tombstoned files are on disk); out-of-range versions refuse
+    val v0got = DeltaExport.readVersion(spark, out, 0L)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(v0got == Seq(("a", 1L, 1), ("b", 1L, 10)))
+    assert(DeltaExport.liveFilesAt(out, 1L) == DeltaExport.liveFiles(out))
+    val oob = intercept[IllegalArgumentException](
+      DeltaExport.liveFilesAt(out, 2L))
+    assert(oob.getMessage.contains("does not exist"))
   }
 
   test("delta commit: put-if-absent version publish conflicts loudly; " +
