@@ -140,6 +140,16 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- Delta lake time travel: version 0 of the tiered dir is the
+    // PRE-overwrite state — its files are tombstoned in version 1 but
+    // still on disk, and capped log replay reads them back exactly
+    "tt5_delta_version_travel" -> ((s, dir) => {
+      val lake = Fixtures.tieredDeltaLakeDir(s, dir)
+      graft.core.DeltaExport.readVersion(s, lake, 0L)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1411,6 +1421,15 @@ object SparkEntry {
         |        PARTITION BY event_type, user_id
         |        ORDER BY b DESC, event_id DESC) AS rn
         |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // version 0 = batch 1 only (LWW within the batch by event_id)
+    "tt5_delta_version_travel" ->
+      """SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id % 4 <> 0) WHERE rn = 1""".stripMargin,
 
     // identical state through the Delta-format tier path
     "tier2_delta_export" ->
