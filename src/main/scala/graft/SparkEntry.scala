@@ -692,7 +692,11 @@ object SparkEntry {
         .filter(TextAnalysis.langId(col("text")) === "en")
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
         .localCheckpoint()
-      val keep = clean.groupBy(TextAnalysis.normalize(col("text")).as("__norm"))
+      // keeper key = fixed-width digest pair of the normalized text (not
+      // the body): the exchange ships 24 bytes/row instead of the document
+      val normed = TextAnalysis.normalize(col("text"))
+      val keep = clean
+        .groupBy(xxhash64(normed).as("__h64"), md5(normed).as("__h128"))
         .agg(min(col("doc_id")).as("doc_id"))
       val kept = clean.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Sampling.packTokenShards(

@@ -164,19 +164,26 @@ object GraftProcedures {
       })
       case "expire_lake_snapshots" => Some(localProc(catalog,
         "expire_lake_snapshots",
-        Seq(in("dir", StringType), in("keep_last", IntegerType, Some("1"))),
+        Seq(in("dir", StringType), in("keep_last", IntegerType, Some("1")),
+          in("format", StringType, Some("'iceberg'"))),
         out("result", StringType)) { row =>
         // destructive, dir-scoped (the dir is a lake surface, not a
         // catalog table): warehouse-admin authorization, the
         // set_cluster_configs posture
         catalog.coreCatalog.authorize("ALTER", Nil)
         val dir = row.getUTF8String(0).toString
-        val deleted = graft.core.IcebergExport.expireSnapshots(
-          dir, row.getInt(1))
-        val retained = graft.core.IcebergExport.snapshotIds(dir)
+        val fmt = graft.core.LakeFormatOps.of(row.getUTF8String(2).toString)
+        val deleted = fmt.expireHistory(
+          org.apache.spark.sql.SparkSession.active, dir, row.getInt(1))
+        val retained = fmt.name match {
+          case "iceberg" => "snapshot(s) " +
+            graft.core.IcebergExport.snapshotIds(dir).mkString(", ")
+          case _ => "version(s) " +
+            (graft.core.DeltaExport.earliestVersion(dir).get to
+              graft.core.DeltaExport.currentVersion(dir).get).mkString(", ")
+        }
         Seq(utf8Row(
-          s"expired ${deleted.size} file(s); retained snapshot(s) " +
-            retained.mkString(", ")))
+          s"expired ${deleted.size} file(s); retained $retained"))
       })
       case "maintain_indexes" => Some(proc(catalog, "maintain_indexes",
         Seq(in("table", StringType)),

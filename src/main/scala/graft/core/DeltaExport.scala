@@ -46,14 +46,40 @@ object DeltaExport {
   private[core] def withDeltaLock[T](dir: String)(body: => T): T =
     LakeLock.withLock(s"${logDir(dir)}/_graft.lock")(body)
 
-  /** Latest committed version, None when `dir` has no Delta log. */
-  def currentVersion(dir: String): Option[Long] = {
+  private def jsonVersions(dir: String): Seq[Long] = {
     val ld = logDir(dir)
-    if (!WarehouseIO.exists(ld)) return None
-    val vs = WarehouseIO.listDir(ld).filter(!_.isDir).map(_.name)
+    if (!WarehouseIO.exists(ld)) Nil
+    else WarehouseIO.listDir(ld).filter(!_.isDir).map(_.name)
       .filter(n => n.length == 25 && n.endsWith(".json"))
       .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+  }
+
+  /** Latest committed version, None when `dir` has no Delta log. */
+  def currentVersion(dir: String): Option[Long] = {
+    val vs = jsonVersions(dir)
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Earliest JSON commit still present — 0 until [[expireVersions]]
+    * truncates history, the expiry cutoff afterwards.
+    */
+  def earliestVersion(dir: String): Option[Long] = {
+    val vs = jsonVersions(dir)
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
+  /** Checkpoint versions present on disk, ascending (from filenames, not
+    * `_last_checkpoint` — replay selection must see mid-history
+    * checkpoints [[expireVersions]] leaves behind).
+    */
+  private def checkpointVersions(dir: String): Seq[Long] = {
+    val ld = logDir(dir)
+    val suffix = ".checkpoint.parquet"
+    if (!WarehouseIO.exists(ld)) Nil
+    else WarehouseIO.listDir(ld).filter(!_.isDir).map(_.name)
+      .filter(n => n.length == 20 + suffix.length && n.endsWith(suffix))
+      .flatMap(n => scala.util.Try(n.stripSuffix(suffix).toLong).toOption)
+      .sorted
   }
 
   /** Initial export: version 0 with protocol + metaData + `files`
@@ -151,45 +177,108 @@ object DeltaExport {
   }
 
   /** Dir-relative live files AT a specific version — Delta time travel
-    * (`VERSION AS OF`) by replaying the JSON log up to `v` (checkpoints
-    * are skipped: every JSON commit is retained, so any version stays
-    * reconstructible; the Iceberg-side analog is `liveFilesAt`).
+    * (`VERSION AS OF`) by replaying the log up to `v`. On an intact log
+    * this is a pure JSON replay; once [[expireVersions]] has truncated
+    * history, versions at or after the cutoff replay from the cutoff
+    * checkpoint (pass a session via the 3-arg overload) and expired
+    * versions fail loudly.
     */
-  def liveFilesAt(dir: String, v: Long): Seq[String] = {
-    val cur = currentVersion(dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"$dir has no Delta log (_delta_log/ missing or empty)"))
-    require(v >= 0 && v <= cur,
-      s"version $v does not exist at $dir (log has versions 0..$cur)")
-    val live = collection.mutable.LinkedHashMap[String, Long]()
-    (0L to v).foreach { i =>
+  def liveFilesAt(dir: String, v: Long): Seq[String] =
+    liveFilesAt(dir, v, None)
+
+  def liveFilesAt(dir: String, v: Long,
+      spark: Option[SparkSession]): Seq[String] =
+    replayTo(dir, v, spark).live.keys.toSeq.sorted
+
+  /** A specific version's data as a DataFrame — tombstoned files stay on
+    * disk until [[expireVersions]] reclaims them, so any RETAINED version
+    * reads back exactly; an expired one fails with a clear error.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = liveFilesAt(dir, v, Some(spark))
+      .map(r => s"${WarehouseIO.qualify(dir)}/$r")
+    spark.read.option("basePath", WarehouseIO.qualify(dir))
+      .parquet(files: _*)
+  }
+
+  /** Expire all but the last `keepLast` versions and DELETE every data
+    * file unreachable from the retained ones — parity with
+    * [[IcebergExport.expireSnapshots]], closing the only unbounded-growth
+    * path a freshness-scheduled Delta tiering loop had (each re-tier of a
+    * PK table tombstones its prior files; without this they live
+    * forever).
+    *
+    * Protocol shape (delta-io PROTOCOL.md "Checkpoints" + the reference
+    * VACUUM posture): a checkpoint is written AT the cutoff version
+    * carrying the full replay state (protocol + metaData + live adds), so
+    * every retained version remains reconstructible as checkpoint + JSON
+    * tail; then JSON commits and checkpoints strictly below the cutoff
+    * are deleted, and finally an idempotent orphan sweep removes data
+    * files no retained version reaches. Metadata-first ordering: a crash
+    * after the checkpoint but before the deletes just leaves extra
+    * history a re-run (any keepLast) cleans; replay never depends on
+    * anything the sweep deletes.
+    *
+    * Returns the dir-relative data files actually deleted. Serialized
+    * against [[commit]] by the Delta lock; O(metadata + one directory
+    * walk), data files never read.
+    */
+  def expireVersions(spark: SparkSession, dir: String,
+      keepLast: Int): Seq[String] = withDeltaLock(dir) {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the current version cannot be expired), " +
+        s"got $keepLast")
+    val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Delta log (_delta_log/ missing or empty)"))
+    val e = earliestVersion(dir).get
+    val cutoff = v - keepLast + 1
+    // ---- 1. make the retained range self-replayable, then truncate ----
+    if (cutoff > e) {
+      if (!WarehouseIO.exists(checkpointFile(dir, cutoff)))
+        writeCheckpoint(spark, dir, cutoff)
+      (e until cutoff).foreach(i => WarehouseIO.deleteIfExists(versionFile(dir, i)))
+      checkpointVersions(dir).filter(_ < cutoff)
+        .foreach(cv => WarehouseIO.deleteIfExists(checkpointFile(dir, cv)))
+      // _last_checkpoint must not name a checkpoint the truncation just
+      // deleted (the cutoff checkpoint is ≥ cutoff by construction)
+      if (lastCheckpointVersion(dir).exists(_ < cutoff)) {
+        val newest = checkpointVersions(dir).max
+        CatalogJson.atomicWrite(s"${logDir(dir)}/_last_checkpoint",
+          JsonMethods.compact(JsonMethods.render(JObject(List(
+            "version" -> (JInt(newest): JValue),
+            "size" -> (JInt(spark.read.parquet(checkpointFile(dir, newest))
+              .count()): JValue))))))
+      }
+    }
+    // ---- 2. idempotent orphan sweep: a data file is reachable iff it is
+    // live at the earliest retained version or added by a later retained
+    // commit (removes only shrink reachability going forward, so this
+    // union is exact). Dot-prefixed dirs (in-flight staging) and
+    // everything under _delta_log/ are never candidates.
+    val base = earliestVersion(dir).get
+    val reach = collection.mutable.Set[String]()
+    reach ++= replayTo(dir, base, Some(spark)).live.keys
+    ((base + 1) to v).foreach { i =>
       actionsOf(dir, i).foreach {
         case JObject(fields) => fields.toMap.foreach {
           case ("add", JObject(a)) =>
-            val am = a.toMap
-            live(decodePath(am("path").asInstanceOf[JString].s)) =
-              am("size").asInstanceOf[JInt].num.toLong
-          case ("remove", JObject(r)) =>
-            live.remove(decodePath(r.toMap.apply("path")
-              .asInstanceOf[JString].s))
+            reach += decodePath(a.toMap.apply("path").asInstanceOf[JString].s)
             ()
           case _ => ()
         }
         case _ => ()
       }
     }
-    live.keys.toSeq.sorted
-  }
-
-  /** A specific version's data as a DataFrame — tombstoned files are
-    * still on disk (history cleanup is a VACUUM concern), so any
-    * retained version reads back exactly.
-    */
-  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val files = liveFilesAt(dir, v)
-      .map(r => s"${WarehouseIO.qualify(dir)}/$r")
-    spark.read.option("basePath", WarehouseIO.qualify(dir))
-      .parquet(files: _*)
+    val toDelete = WarehouseIO.walkFiles(dir)
+      .filter(!_.isDir)
+      .map(en => WarehouseIO.relativize(dir, en.path))
+      .filterNot(r => r.split('/').exists(_.startsWith(".")))
+      .filterNot(r => r.startsWith("_delta_log/"))
+      .filter(_.endsWith(".parquet"))
+      .filterNot(reach.contains)
+      .sorted
+    toDelete.foreach(r => WarehouseIO.deleteIfExists(s"$dir/$r"))
+    toDelete
   }
 
   /** `commitInfo.tags` of the LATEST version (the Iceberg snapshot-
@@ -224,14 +313,47 @@ object DeltaExport {
       spark: Option[SparkSession]): ReplayState = {
     val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
       s"$dir has no Delta log (_delta_log/ missing or empty)"))
+    replayTo(dir, v, spark)
+  }
+
+  /** Replay up to (and including) version `upTo`. On an intact log
+    * (earliest JSON = 0) a checkpoint is a perf shortcut taken only when
+    * a session can read it; on a truncated log ([[expireVersions]] ran)
+    * the cutoff checkpoint is REQUIRED — replay of an expired version,
+    * or a checkpoint replay without a session, fails loudly.
+    */
+  private def replayTo(dir: String, upTo: Long,
+      spark: Option[SparkSession]): ReplayState = {
+    val v = currentVersion(dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no Delta log (_delta_log/ missing or empty)"))
+    require(upTo >= 0 && upTo <= v,
+      s"version $upTo does not exist at $dir (log has versions up to $v)")
+    val earliest = earliestVersion(dir).get
+    // a checkpoint at cv replays versions >= cv only when the JSON tail
+    // cv+1.. is intact, i.e. cv+1 >= earliest
+    val usable = checkpointVersions(dir).filter(cv =>
+      cv <= upTo && cv + 1 >= earliest)
+    val fromCkpt: Option[Long] =
+      if (earliest == 0) { if (spark.isDefined) usable.lastOption else None }
+      else {
+        if (usable.isEmpty) throw new IllegalArgumentException(
+          s"version $upTo of $dir has been expired by expireVersions " +
+            s"(earliest readable version is ${checkpointVersions(dir)
+              .filter(_ + 1 >= earliest).headOption.getOrElse(earliest)})")
+        if (spark.isEmpty) throw new IllegalStateException(
+          s"$dir's Delta log was truncated by expireVersions; replaying " +
+            s"version $upTo needs the checkpoint at version ${usable.last} " +
+            "— pass a SparkSession")
+        Some(usable.last)
+      }
     var schemaString = ""
     var partitionCols = Seq.empty[String]
     var metaId = ""
     var metaName = ""
     var metaCreated = 0L
     val live = collection.mutable.LinkedHashMap[String, Long]()
-    val start: Long = (spark, lastCheckpointVersion(dir)) match {
-      case (Some(s), Some(cv)) if cv <= v =>
+    val start: Long = (spark, fromCkpt) match {
+      case (Some(s), Some(cv)) =>
         val rows = s.read.parquet(checkpointFile(dir, cv)).collect()
         rows.foreach { r =>
           val pi = r.fieldIndex("protocol")
@@ -251,9 +373,9 @@ object DeltaExport {
           } else if (r.isNullAt(pi)) ()
         }
         cv + 1
-      case _ => 0L
+      case _ => earliest
     }
-    (start to v).foreach { i =>
+    (start to upTo).foreach { i =>
       actionsOf(dir, i).foreach {
         case JObject(fields) => fields.toMap.foreach {
           case ("metaData", JObject(m)) =>
@@ -299,7 +421,7 @@ object DeltaExport {
   private def writeCheckpoint(spark: SparkSession, dir: String,
       v: Long): Unit = {
     import org.apache.spark.sql.types._
-    val st = replay(dir, Some(spark))
+    val st = replayTo(dir, v, Some(spark))
     val now = System.currentTimeMillis()
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType, nullable = false),
@@ -359,10 +481,14 @@ object DeltaExport {
     require(part.size == 1, s"expected one checkpoint part, got ${part.size}")
     WarehouseIO.moveFile(part.head.path, checkpointFile(dir, v))
     WarehouseIO.deleteRecursively(tmpDir)
-    CatalogJson.atomicWrite(s"${logDir(dir)}/_last_checkpoint",
-      JsonMethods.compact(JsonMethods.render(JObject(List(
-        "version" -> (JInt(v): JValue),
-        "size" -> (JInt(rows.size): JValue))))))
+    // _last_checkpoint names the NEWEST checkpoint; a cutoff checkpoint
+    // written mid-history by expireVersions must not regress it past a
+    // later cadence checkpoint
+    if (lastCheckpointVersion(dir).forall(_ <= v))
+      CatalogJson.atomicWrite(s"${logDir(dir)}/_last_checkpoint",
+        JsonMethods.compact(JsonMethods.render(JObject(List(
+          "version" -> (JInt(v): JValue),
+          "size" -> (JInt(rows.size): JValue))))))
   }
 
   private def actionsOf(dir: String, v: Long): Seq[JValue] =

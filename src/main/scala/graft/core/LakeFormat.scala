@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.StructType
   * publish, crash roll-forward, the export manifest — is
   * format-independent and lives in [[GraftTable]].
   */
-private[core] sealed trait LakeFormatOps {
+private[graft] sealed trait LakeFormatOps {
   def name: String
   /** Lake metadata exists at `dir` (vs a bare-parquet export). */
   def hasMetadata(dir: String): Boolean
@@ -35,11 +35,19 @@ private[core] sealed trait LakeFormatOps {
       tags: Map[String, String], priorLive: Seq[String]): Unit
   /** The current state as a DataFrame, resolved through the metadata. */
   def readLive(spark: SparkSession, dir: String): DataFrame
+  /** Expire all but the last `keepLast` snapshots/versions and delete
+    * data files unreachable from the retained ones; returns the
+    * dir-relative files deleted (the [[LakeMaintenance]] auto-expiry
+    * hook — without it a freshness-scheduled tiering loop grows the lake
+    * monotonically).
+    */
+  def expireHistory(spark: SparkSession, dir: String,
+      keepLast: Int): Seq[String]
   /** The format's lake lock for `dir` (re-entrant, heartbeated). */
   def withLock[T](dir: String)(body: => T): T
 }
 
-private[core] object LakeFormatOps {
+private[graft] object LakeFormatOps {
 
   def of(format: String): LakeFormatOps = format.trim.toLowerCase match {
     case "iceberg" => Iceberg
@@ -66,6 +74,9 @@ private[core] object LakeFormatOps {
     }
     def readLive(spark: SparkSession, dir: String): DataFrame =
       IcebergExport.readLive(spark, dir)
+    def expireHistory(spark: SparkSession, dir: String,
+        keepLast: Int): Seq[String] =
+      IcebergExport.expireSnapshots(dir, keepLast)
     def withLock[T](dir: String)(body: => T): T =
       IcebergExport.withLakeLock(dir)(body)
   }
@@ -89,6 +100,9 @@ private[core] object LakeFormatOps {
     }
     def readLive(spark: SparkSession, dir: String): DataFrame =
       DeltaExport.readLive(spark, dir)
+    def expireHistory(spark: SparkSession, dir: String,
+        keepLast: Int): Seq[String] =
+      DeltaExport.expireVersions(spark, dir, keepLast)
     def withLock[T](dir: String)(body: => T): T =
       DeltaExport.withDeltaLock(dir)(body)
   }

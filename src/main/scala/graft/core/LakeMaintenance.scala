@@ -30,8 +30,9 @@ import org.json4s.jackson.JsonMethods
   *     auto-expiry (default 10)
   *
   * The tick composes the two primitives that already exist — incremental
-  * [[GraftTable.tierSnapshot]] (O(changed data)) and
-  * [[IcebergExport.expireSnapshots]] (O(metadata + one walk)) — so a
+  * [[GraftTable.tierSnapshot]] (O(changed data)) and the format's
+  * [[LakeFormatOps.expireHistory]] ([[IcebergExport.expireSnapshots]] /
+  * [[DeltaExport.expireVersions]], O(metadata + one walk)) — so a
   * freshness-scheduled tiering loop no longer grows the lake
   * monotonically: history beyond keep-last is reclaimed in the same tick
   * that produced it.
@@ -62,10 +63,6 @@ object LakeMaintenance {
         props.getOrElse(Prefix + "format", "iceberg")).name
       val autoExpire = props.get(Prefix + "auto-expire-snapshot")
         .exists(_.equalsIgnoreCase("true"))
-      require(!autoExpire || format == "iceberg",
-        s"${Prefix}auto-expire-snapshot is Iceberg-only: Delta history " +
-          "cleanup is a Delta VACUUM concern (checkpoint-based log " +
-          "retention), run it from a Delta-native engine")
       Some(LakePolicy(dir, format,
         Durations.parseMillis(props.getOrElse(Prefix + "freshness", "3m")),
         autoExpire, keepLast))
@@ -97,7 +94,8 @@ object LakeMaintenance {
               touchExportedAt(p.dir, nowMillis))
             s"$tiered (freshness gate re-armed)"
           } else if (p.autoExpire) {
-            val n = IcebergExport.expireSnapshots(p.dir, p.keepLast).size
+            val n = LakeFormatOps.of(p.format)
+              .expireHistory(t.sparkSession, p.dir, p.keepLast).size
             s"$tiered; expired $n unreachable file(s), keeping last " +
               s"${p.keepLast} snapshot(s)"
           } else tiered

@@ -17,12 +17,22 @@ object Dedup {
 
   /** Exact dedup over normalized text: one keeper (min id) and the
     * duplicate count per distinct normalized document.
+    *
+    * The shuffle key is a (xxhash64, md5) digest PAIR of the normalized
+    * text, not the text itself: at 100 TB grouping by the body would ship
+    * every document through the exchange, while the digest pair is 24
+    * fixed-width bytes per row (~100× less payload on prose-sized docs).
+    * Two independent digests make a false merge need a simultaneous
+    * 64-bit AND 128-bit collision on the same pair of documents —
+    * far below the corruption rates of the storage layer itself.
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = TextAnalysis.normalize(col(textCol))
     TextAnalysis.widen(df)
-      .groupBy(TextAnalysis.normalize(col(textCol)).as("__norm"))
+      .groupBy(xxhash64(norm).as("__h64"), md5(norm).as("__h128"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
+  }
 
   /** Distinct character n-grams (shingles) of `text`. */
   def shingles(text: Column, n: Int): Column =

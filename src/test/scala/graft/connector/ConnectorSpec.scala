@@ -423,6 +423,14 @@ class ConnectorSpec extends SparkTestBase {
     // tiered moments ago -> inside the default 3m freshness window
     assert(spark.sql("CALL gfs.system.maintain_lake('db.dl')")
       .head.getString(0).startsWith("lake fresh"))
+    // format-dispatched history expiry through SQL: version 0's
+    // tombstoned files are reclaimed, only version 1 remains readable
+    val dexp = spark.sql(
+      s"CALL gfs.system.expire_lake_snapshots('$dlOut', 1, 'delta')")
+      .head.getString(0)
+    assert(dexp.contains("retained version(s) 1"), dexp)
+    assert(graft.core.DeltaExport.earliestVersion(dlOut).contains(1L))
+    assert(graft.core.DeltaExport.readLive(spark, dlOut).count() == 2)
 
     // PK table: compact then vacuum through SQL
     spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +

@@ -167,4 +167,101 @@ class DeltaExportSpec extends SparkTestBase {
       DeltaExport.liveFiles(dir))
     assert(DeltaExport.liveFiles(dir) == Seq("f12.parquet"))
   }
+
+  test("expireVersions: tiers expire to keep-last, tombstoned files deleted, " +
+      "retained versions replay, expired versions refuse loudly") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-dexp-wh").toString, spark)
+    val t = cat.createTable("db", "pkexp", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 1))
+    val out = Files.createTempDirectory("graft-dexp-out").toString
+    rows(t, 0L, ("a", 1L, 1), ("b", 1L, 10))
+    t.tierSnapshot(out, format = "delta")          // v0
+    rows(t, 10L, ("a", 1L, 2))
+    t.tierSnapshot(out, format = "delta")          // v1 (dt=a swapped)
+    rows(t, 20L, ("a", 1L, 3), ("b", 1L, 30))
+    t.tierSnapshot(out, format = "delta")          // v2 (both swapped)
+    assert(DeltaExport.currentVersion(out).contains(2L))
+    def dataOnDisk(): Set[String] = WarehouseIO.walkFiles(out)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => WarehouseIO.relativize(out, e.path))
+      .filterNot(_.startsWith("_delta_log/")).toSet
+    assert(dataOnDisk().size > DeltaExport.liveFiles(out, Some(spark)).size,
+      "precondition: tombstoned files from v0/v1 on disk")
+
+    val deleted = DeltaExport.expireVersions(spark, out, keepLast = 1)
+    assert(deleted.nonEmpty)
+    // all tombstoned files reclaimed; the live set reads back exactly
+    assert(dataOnDisk() == DeltaExport.liveFiles(out, Some(spark)).toSet)
+    val got = DeltaExport.readLive(spark, out)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 3), ("b", 1L, 30)))
+    // log truncated to the cutoff; the cutoff checkpoint carries replay state
+    assert(DeltaExport.earliestVersion(out).contains(2L))
+    assert(WarehouseIO.exists(
+      f"$out/_delta_log/${2L}%020d.checkpoint.parquet"))
+    // retained version replays via checkpoint; time travel matches readLive
+    assert(DeltaExport.readVersion(spark, out, 2L)
+      .select("dt", "k", "v").orderBy("dt", "k").collect().toSeq ==
+      DeltaExport.readLive(spark, out)
+        .select("dt", "k", "v").orderBy("dt", "k").collect().toSeq)
+    // expired versions refuse with a clear error
+    val exp = intercept[IllegalArgumentException](
+      DeltaExport.liveFilesAt(out, 0L, Some(spark)))
+    assert(exp.getMessage.contains("expired"), exp.getMessage)
+    assert(exp.getMessage.contains("earliest readable version is 2"),
+      exp.getMessage)
+    // truncated-log replay without a session refuses, naming the fix
+    val ns = intercept[IllegalStateException](DeltaExport.liveFiles(out))
+    assert(ns.getMessage.contains("pass a SparkSession"), ns.getMessage)
+    // expiry is idempotent and the table still tiers afterwards
+    assert(DeltaExport.expireVersions(spark, out, keepLast = 1).isEmpty)
+    rows(t, 30L, ("b", 1L, 40))
+    assert(t.tierSnapshot(out, format = "delta")
+      .contains("tiered overwrite snapshot"))
+    assert(DeltaExport.currentVersion(out).contains(3L))
+    assert(DeltaExport.readLive(spark, out).count() == 2)
+  }
+
+  test("expireVersions: cadence checkpoints satisfy the cutoff; " +
+      "_last_checkpoint never regresses and never dangles") {
+    val dir = Files.createTempDirectory("graft-dexp2").toString
+    val sch = StructType(Seq(StructField("k", LongType)))
+    def touchData(i: Int): Unit = WarehouseIO.rawPutBytes(
+      s"$dir/f$i.parquet", Array[Byte](1))
+    touchData(0)
+    DeltaExport.write(dir, sch, Nil, Seq("f0.parquet" -> 10L), "src")
+    (1 to 12).foreach { i =>
+      touchData(i)
+      DeltaExport.commit(dir, sch, Nil,
+        Seq(s"f$i.parquet" -> (10L + i)), Set(s"f${i - 1}.parquet"),
+        "src", checkpointWith = Some(spark))
+    }
+    // keep 3 -> cutoff 10, exactly the cadence checkpoint: no new
+    // checkpoint needed, JSON 0..9 go, f0..f9 reclaimed
+    val del1 = DeltaExport.expireVersions(spark, dir, keepLast = 3)
+    assert(del1 == (0 to 9).map(i => s"f$i.parquet"))
+    assert(DeltaExport.earliestVersion(dir).contains(10L))
+    assert(DeltaExport.liveFilesAt(dir, 10L, Some(spark)) ==
+      Seq("f10.parquet"))
+    assert(DeltaExport.liveFiles(dir, Some(spark)) == Seq("f12.parquet"))
+    // keep 2 -> cutoff 11: a NEW checkpoint at 11 is written, the v10
+    // one is deleted, _last_checkpoint advances to 11
+    val del2 = DeltaExport.expireVersions(spark, dir, keepLast = 2)
+    assert(del2 == Seq("f10.parquet"))
+    assert(!WarehouseIO.exists(
+      f"$dir/_delta_log/${10L}%020d.checkpoint.parquet"))
+    assert(WarehouseIO.exists(
+      f"$dir/_delta_log/${11L}%020d.checkpoint.parquet"))
+    assert(WarehouseIO.readString(s"$dir/_delta_log/_last_checkpoint")
+      .contains("\"version\":11"))
+    assert(DeltaExport.liveFilesAt(dir, 11L, Some(spark)) ==
+      Seq("f11.parquet"))
+    assert(DeltaExport.liveFiles(dir, Some(spark)) == Seq("f12.parquet"))
+    // keeping more than history is a no-op
+    assert(DeltaExport.expireVersions(spark, dir, keepLast = 99).isEmpty)
+    intercept[IllegalArgumentException](
+      DeltaExport.expireVersions(spark, dir, keepLast = 0))
+  }
 }

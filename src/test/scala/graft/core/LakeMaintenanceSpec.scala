@@ -95,11 +95,54 @@ class LakeMaintenanceSpec extends SparkTestBase {
       "table.datalake.enabled" -> "true",
       "table.datalake.dir" -> "/tmp/x",
       "table.datalake.snapshot.keep-last" -> "0")))
-    // auto-expire is Iceberg-only (Delta history cleanup = Delta VACUUM)
-    intercept[IllegalArgumentException](LakeMaintenance.policyOf(Map(
+    // auto-expire is format-dispatched (DeltaExport.expireVersions gives
+    // Delta the same bounded-history contract Iceberg has)
+    val dp = LakeMaintenance.policyOf(Map(
       "table.datalake.enabled" -> "true",
       "table.datalake.dir" -> "/tmp/x",
       "table.datalake.format" -> "delta",
-      "table.datalake.auto-expire-snapshot" -> "true")))
+      "table.datalake.auto-expire-snapshot" -> "true")).get
+    assert(dp.format == "delta" && dp.autoExpire)
+  }
+
+  test("maintainLake on a Delta lake: auto-expire truncates the log and " +
+      "reclaims tombstoned files") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-lmd-wh").toString, spark)
+    val t0 = cat.createTable("db", "lmdelta", TableDescriptor(schema,
+      primaryKey = Seq("k"), bucketKeys = Seq("k"), numBuckets = 1))
+    def put(k: Long, v: Int, ord: Long): Unit =
+      t0.upsert(spark.createDataFrame(
+        Seq(Row(k, Int.box(v), ord)).asJava,
+        StructType(schema.fields :+ StructField("ord", LongType))),
+        orderBy = Seq(col("ord")))
+    put(1L, 1, 0L)
+    val out = Files.createTempDirectory("graft-lmd-out").toString
+    val t = cat.updateProperties("db", "lmdelta", Map(
+      "table.datalake.enabled" -> "true",
+      "table.datalake.dir" -> out,
+      "table.datalake.format" -> "delta",
+      "table.datalake.freshness" -> "1h",
+      "table.datalake.auto-expire-snapshot" -> "true",
+      "table.datalake.snapshot.keep-last" -> "1"), Nil)
+    val now = System.currentTimeMillis()
+    assert(LakeMaintenance.maintainLake(t, now).get
+      .contains("delta log version 0"))
+    // PK overwrite: the re-tier tombstones version 0's files; keep-last=1
+    // must RECLAIM them in the same tick (the unbounded-growth hole)
+    put(1L, 2, 1L)
+    val tiered = LakeMaintenance.maintainLake(t, now + 2 * 3600000L).get
+    assert(tiered.contains("keeping last 1 snapshot(s)"), tiered)
+    assert(DeltaExport.earliestVersion(out).contains(1L))
+    val live = DeltaExport.liveFiles(out, Some(spark))
+    val onDisk = WarehouseIO.walkFiles(out)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => WarehouseIO.relativize(out, e.path))
+      .filterNot(_.startsWith("_delta_log/"))
+    assert(onDisk.toSet == live.toSet,
+      s"tombstoned files must be gone: disk=$onDisk live=$live")
+    val got = DeltaExport.readLive(spark, out)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 2)))
   }
 }
