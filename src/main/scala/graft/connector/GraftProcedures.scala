@@ -190,13 +190,19 @@ object GraftProcedures {
         out("result", StringType)) { (t, _) =>
         // the index-freshness half of a maintenance tick: refresh every
         // index registered against this base table (discovered from the
-        // index tables' properties, no per-index arguments)
-        val refreshed = graft.core.IndexMaintenance.refreshAll(
-          catalog.coreCatalog, t)
-        if (refreshed.isEmpty) "no registered indexes"
-        else refreshed.map { case (qn, kind, v) =>
-          s"$qn ($kind) refreshed to base version $v"
-        }.mkString("; ")
+        // index tables' properties, no per-index arguments). When the
+        // base table carries a `table.index.*` policy the tick is
+        // freshness-gated like maintain_lake; otherwise it refreshes
+        // unconditionally (the explicit-call posture)
+        graft.core.IndexMaintenance.maintainIndexes(
+          catalog.coreCatalog, t, System.currentTimeMillis()).getOrElse {
+          val refreshed = graft.core.IndexMaintenance.refreshAll(
+            catalog.coreCatalog, t)
+          if (refreshed.isEmpty) "no registered indexes"
+          else refreshed.map { case (qn, kind, v) =>
+            s"$qn ($kind) refreshed to base version $v"
+          }.mkString("; ")
+        }
       })
       case "maintain_lake" => Some(proc(catalog, "maintain_lake",
         Seq(in("table", StringType)),

@@ -75,6 +75,46 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(probe.head.getLong(0) == 55L)
   }
 
+  test("property-driven tick: table.index.* freshness-gates the refresh; " +
+      "a stale ADC index re-arms and serves post-refresh rows") {
+    val (cat, t0) = mkBase(40)
+    val vi = VectorIndex.create(cat, "db", "base_pq", t0, "vid", "emb",
+      nlist = 4, pq = Some((4, 8)))
+    // no policy -> the tick skips the table (explicit refresh still works)
+    assert(IndexMaintenance.maintainIndexes(
+      cat, t0, System.currentTimeMillis()).isEmpty)
+    val t = cat.updateProperties("db", "base", Map(
+      "table.index.auto-refresh" -> "true",
+      "table.index.freshness" -> "1h"), Nil)
+    val now = System.currentTimeMillis()
+    // first tick: no stamp yet -> refresh runs (a no-op compare, the
+    // index is current) and the gate arms
+    val first = IndexMaintenance.maintainIndexes(cat, t, now).get
+    assert(first.contains("db.base_pq (vector) refreshed"), first)
+    // base advances -> the index is stale; a direct ADC probe refuses
+    upsert(t, 41 to 60, 1000L)
+    intercept[IllegalArgumentException](
+      VectorIndex.open(t, "vid", "emb", vi.idx)
+        .topKAdc(vec(55), k = 1, nprobe = 4))
+    // in-window tick is a one-stat no-op: the index stays stale
+    val inWin = IndexMaintenance.maintainIndexes(cat, t, now + 60000L).get
+    assert(inWin.startsWith("indexes fresh"), inWin)
+    assert(vi.appliedVersion < t.latestVersion.get)
+    // past the window: the tick refreshes, and the ADC probe serves the
+    // POST-refresh rows through the PQ codes + exact re-rank
+    val tick = IndexMaintenance.maintainIndexes(
+      cat, t, now + 2 * 3600000L).get
+    assert(tick.contains("refreshed to base version " +
+      t.latestVersion.get), tick)
+    val hit = VectorIndex.open(t, "vid", "emb", vi.idx)
+      .topKAdc(vec(55), k = 1, nprobe = 4, cand = 60).collect()
+    assert(hit.head.getLong(0) == 55L)
+    // the gate re-armed at the refresh tick's timestamp
+    val rearmed = IndexMaintenance.maintainIndexes(
+      cat, t, now + 2 * 3600000L + 60000L).get
+    assert(rearmed.startsWith("indexes fresh"), rearmed)
+  }
+
   test("tables without index registration are ignored; unknown kind is loud") {
     val (cat, t) = mkBase(10)
     // an ordinary table in the same catalog must not be treated as index
