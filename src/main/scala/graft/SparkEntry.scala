@@ -150,6 +150,27 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- the same tiering pipeline through the PAIMON format path —
+    // the reference's PRIMARY lake (fluss-lake-paimon): snapshot/ JSON +
+    // manifest/ Avro, read back base+delta through the manifests — the
+    // oracle hash proves all three lake formats publish identical state
+    "tier3_paimon_export" -> ((s, dir) => {
+      val lake = Fixtures.tieredPaimonLakeDir(s, dir)
+      graft.core.PaimonExport.readLive(s, lake)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
+    // ----- Paimon time travel: snapshot 1 of the tiered dir is the
+    // PRE-overwrite state — snapshot 2 replaced 2 of 5 partitions, but
+    // snapshot 1's manifests still resolve the original files
+    "tt6_paimon_snapshot_travel" -> ((s, dir) => {
+      val lake = Fixtures.tieredPaimonLakeDir(s, dir)
+      graft.core.PaimonExport.readSnapshot(s, lake, 1L)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1448,6 +1469,29 @@ object SparkEntry {
         |        PARTITION BY event_type, user_id
         |        ORDER BY b DESC, event_id DESC) AS rn
         |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // identical state through the Paimon-format tier path
+    "tier3_paimon_export" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view'))
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // snapshot 1 = batch 1 only (LWW within the batch by event_id)
+    "tt6_paimon_snapshot_travel" ->
+      """SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id % 4 <> 0) WHERE rn = 1""".stripMargin,
 
     "s1_log_poller" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",

@@ -32,6 +32,7 @@ object GraftProcedures {
   def names: Seq[String] = Seq(
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
     "tier_snapshot_iceberg", "export_snapshot_delta", "tier_snapshot_delta",
+    "export_snapshot_paimon", "tier_snapshot_paimon",
     "expire_lake_snapshots", "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "maintain_indexes", "maintain_lake", "expire_log",
@@ -162,6 +163,26 @@ object GraftProcedures {
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         t.tierSnapshot(row.getUTF8String(1).toString, format = "delta")
       })
+      case "export_snapshot_paimon" => Some(proc(catalog,
+        "export_snapshot_paimon",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        // same egress gate as export_snapshot
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        val dir = row.getUTF8String(1).toString
+        t.exportSnapshot(dir, paimonMetadata = true)
+        s"exported current state to $dir as a Paimon table " +
+          "(parquet + snapshot/ JSON + manifest/ Avro)"
+      })
+      case "tier_snapshot_paimon" => Some(proc(catalog,
+        "tier_snapshot_paimon",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        t.tierSnapshot(row.getUTF8String(1).toString, format = "paimon")
+      })
       case "expire_lake_snapshots" => Some(localProc(catalog,
         "expire_lake_snapshots",
         Seq(in("dir", StringType), in("keep_last", IntegerType, Some("1")),
@@ -178,9 +199,13 @@ object GraftProcedures {
         val retained = fmt.name match {
           case "iceberg" => "snapshot(s) " +
             graft.core.IcebergExport.snapshotIds(dir).mkString(", ")
-          case _ => "version(s) " +
+          case "delta" => "version(s) " +
             (graft.core.DeltaExport.earliestVersion(dir).get to
               graft.core.DeltaExport.currentVersion(dir).get).mkString(", ")
+          case _ => "snapshot(s) " +
+            (graft.core.PaimonExport.earliestSnapshotId(dir).get to
+              graft.core.PaimonExport.currentSnapshotId(dir).get)
+              .mkString(", ")
         }
         Seq(utf8Row(
           s"expired ${deleted.size} file(s); retained $retained"))

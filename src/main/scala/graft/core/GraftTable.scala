@@ -1397,8 +1397,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * but the file listing.
     */
   def exportSnapshot(dir: String, icebergMetadata: Boolean = false,
-      deltaMetadata: Boolean = false): Unit = {
-    require(!(icebergMetadata && deltaMetadata),
+      deltaMetadata: Boolean = false,
+      paimonMetadata: Boolean = false): Unit = {
+    require(Seq(icebergMetadata, deltaMetadata, paimonMetadata)
+      .count(identity) <= 1,
       "pick ONE lake metadata format per export directory")
     // The manifest must describe EXACTLY the state exported. scan()
     // pins its own manifest read when the plan is built, which happens
@@ -1449,6 +1451,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // Delta-reading engine (PROTOCOL.md; see DeltaExport)
     if (deltaMetadata) {
       DeltaExport.write(dir, desc.schema, desc.partitionKeys,
+        files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
+        path, tags = tierSummary(pinnedOffsets, version))
+      ()
+    }
+    // Paimon-spec alternative: snapshot/ JSON + manifest/ Avro + schema/
+    // — the reference's primary lake format (fluss-lake-paimon; see
+    // PaimonExport)
+    if (paimonMetadata) {
+      PaimonExport.write(dir, desc.schema, desc.partitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1537,10 +1548,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * (`IcebergExport.readLive` / `DeltaExport.readLive` are the built-in
     * readers).
     *
-    * `format` picks the metadata layout — "iceberg" (default) or
-    * "delta" ([[LakeFormatOps]]; the reference ships one fluss-lake-*
-    * module per format behind the same tiering service). Everything
-    * below the commit call is format-independent.
+    * `format` picks the metadata layout — "iceberg" (default), "delta"
+    * or "paimon" ([[LakeFormatOps]]; the reference ships one
+    * fluss-lake-* module per format behind the same tiering service).
+    * Everything below the commit call is format-independent.
     *
     * First call on a fresh directory performs the initial full export.
     * Fails loudly when the log no longer retains the pinned offsets
@@ -1552,17 +1563,24 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val emPath = s"$dir/_export_manifest.json"
     if (!WarehouseIO.exists(emPath)) {
       exportSnapshot(dir, icebergMetadata = fmt.name == "iceberg",
-        deltaMetadata = fmt.name == "delta")
+        deltaMetadata = fmt.name == "delta",
+        paimonMetadata = fmt.name == "paimon")
       val n = WarehouseIO.walkFiles(dir)
         .count(e => !e.isDir && e.name.endsWith(".parquet"))
-      // iceberg's first metadata file is v1; delta's first log version is 0
-      val v = if (fmt.name == "delta") "log version 0" else "metadata v1"
+      // iceberg's first metadata file is v1; delta's first log version
+      // is 0; paimon's first snapshot is 1
+      val v = fmt.name match {
+        case "delta" => "log version 0"
+        case "paimon" => "snapshot 1"
+        case _ => "metadata v1"
+      }
       return s"initial full export: $n data files, ${fmt.name} $v"
     }
     require(fmt.hasMetadata(dir),
       s"$dir has an export manifest but no ${fmt.name} metadata; " +
         "incremental tiering requires a lake-enabled export " +
-        "(export_snapshot_iceberg / export_snapshot_delta)")
+        "(export_snapshot_iceberg / export_snapshot_delta / " +
+        "export_snapshot_paimon)")
     val em = JsonMethods.parse(WarehouseIO.readString(emPath))
       .asInstanceOf[JObject].obj.toMap
     val manifestPinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj

@@ -52,8 +52,9 @@ private[graft] object LakeFormatOps {
   def of(format: String): LakeFormatOps = format.trim.toLowerCase match {
     case "iceberg" => Iceberg
     case "delta" => Delta
+    case "paimon" => Paimon
     case other => throw new IllegalArgumentException(
-      s"unknown lake format '$other' (supported: iceberg, delta)")
+      s"unknown lake format '$other' (supported: iceberg, delta, paimon)")
   }
 
   object Iceberg extends LakeFormatOps {
@@ -105,5 +106,33 @@ private[graft] object LakeFormatOps {
       DeltaExport.expireVersions(spark, dir, keepLast)
     def withLock[T](dir: String)(body: => T): T =
       DeltaExport.withDeltaLock(dir)(body)
+  }
+
+  object Paimon extends LakeFormatOps {
+    def name = "paimon"
+    def hasMetadata(dir: String): Boolean =
+      PaimonExport.currentSnapshotId(dir).isDefined
+    def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+      PaimonExport.liveFiles(dir)
+    def committedTierTags(dir: String): Map[String, String] =
+      PaimonExport.lastSnapshotProperties(dir)
+    def commit(spark: SparkSession, dir: String, schema: StructType,
+        partitionKeys: Seq[String], added: Seq[(String, Long)],
+        removed: Set[String], sourcePath: String,
+        tags: Map[String, String], priorLive: Seq[String]): Unit = {
+      // priorLive carries no sizes and the Paimon base manifest needs
+      // them; the re-resolution inside commit() is one avro read under
+      // the same re-entrant lock
+      PaimonExport.commit(dir, schema, partitionKeys, added, removed,
+        sourcePath, tags)
+      ()
+    }
+    def readLive(spark: SparkSession, dir: String): DataFrame =
+      PaimonExport.readLive(spark, dir)
+    def expireHistory(spark: SparkSession, dir: String,
+        keepLast: Int): Seq[String] =
+      PaimonExport.expireSnapshots(dir, keepLast)
+    def withLock[T](dir: String)(body: => T): T =
+      PaimonExport.withPaimonLock(dir)(body)
   }
 }

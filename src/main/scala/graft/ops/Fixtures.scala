@@ -199,6 +199,12 @@ object Fixtures {
   def tieredDeltaLakeDir(spark: SparkSession, sfDir: String): String =
     tieredDir(spark, sfDir, "users_tiered_delta", "delta")
 
+  /** The [[tieredLakeDir]] scenario through the PAIMON format path:
+    * snapshot/ JSON + manifest/ Avro (the reference's primary lake).
+    */
+  def tieredPaimonLakeDir(spark: SparkSession, sfDir: String): String =
+    tieredDir(spark, sfDir, "users_tiered_paimon", "paimon")
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.

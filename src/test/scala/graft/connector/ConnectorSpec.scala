@@ -432,6 +432,25 @@ class ConnectorSpec extends SparkTestBase {
     assert(graft.core.DeltaExport.earliestVersion(dlOut).contains(1L))
     assert(graft.core.DeltaExport.readLive(spark, dlOut).count() == 2)
 
+    // Paimon-format lake surface through SQL: tier twice, read back
+    // through the snapshot/manifest metadata, then expire to keep-last 1
+    val pmOut = java.nio.file.Files
+      .createTempDirectory("graft-sql-paimon").toString
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_paimon('db.dl', '$pmOut')")
+      .head.getString(0).contains("paimon snapshot 1"))
+    spark.sql("INSERT INTO gfs.db.dl VALUES (2, 22)")
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_paimon('db.dl', '$pmOut')")
+      .head.getString(0).contains("tiered"))
+    assert(graft.core.PaimonExport.readLive(spark, pmOut)
+      .select("k", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 99), (2L, 22)))
+    val pexp = spark.sql(
+      s"CALL gfs.system.expire_lake_snapshots('$pmOut', 1, 'paimon')")
+      .head.getString(0)
+    assert(pexp.contains("retained snapshot(s) 2"), pexp)
+    assert(graft.core.PaimonExport.earliestSnapshotId(pmOut).contains(2L))
+    assert(graft.core.PaimonExport.readLive(spark, pmOut).count() == 2)
+
     // PK table: compact then vacuum through SQL
     spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +
       "TBLPROPERTIES ('primary.key' = 'k')")
