@@ -492,36 +492,19 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     atVersion: Option[Long] = None,
     authz: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsPartitionManagement
-    with org.apache.spark.sql.graftshim.V1FallbackTable {
+    with SupportsPartitionManagement {
 
-  /** Streaming through the catalog table — `spark.readStream.table(
-    * "cat.db.t")` and `df.writeStream.toTable("cat.db.t")`, the API the
-    * reference documents (website/docs/engine-spark/structured-streaming
-    * .md). Spark's analyzer and DataStreamWriter route streaming over a
-    * `V2TableWithV1Fallback` table
-    * to its V1 provider (the same bridge Delta uses), which lands
-    * on the existing `format("graft")` source/sink — per-bucket manifest
-    * offsets, startup modes, exactly-once batch-id commits — instead of
-    * a hand-rolled DSv2 MicroBatchStream. `stream.data-columns` keeps the
-    * streamed schema identical to the table's declared columns (the
-    * fallback contract, and the reference's streaming-read shape); batch
-    * reads are unaffected (the fallback is only consulted on streaming
-    * paths).
-    */
-  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
-    CatalogTable(
-      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        ident.name, ident.namespace().lastOption),
-      tableType = CatalogTableType.EXTERNAL,
-      storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new org.apache.hadoop.fs.Path(table.path).toUri),
-        properties = Map("path" -> table.path, "stream.data-columns" -> "true")),
-      schema = table.desc.schema,
-      provider = Some("graft"),
-      partitionColumnNames = table.desc.partitionKeys)
-  }
+  // Streaming through the catalog table — `spark.readStream.table(
+  // "cat.db.t")` and `df.writeStream.toTable("cat.db.t")`, the API the
+  // reference documents (website/docs/engine-spark/structured-streaming
+  // .md) — is NATIVE DSv2: MICRO_BATCH_READ below routes the read to
+  // GraftMicroBatchStream (the FlussMicroBatchStream.scala:43 shape;
+  // offset semantics shared with the format("graft") V1 source), and
+  // STREAMING_WRITE routes the write to GraftStreamingWrite. The
+  // streamed schema is the table's declared columns, per the DSv2
+  // contract; reader options (scan.startup.mode, maxOffsetsPerTrigger)
+  // reach the stream directly — the earlier V2TableWithV1Fallback
+  // bridge dropped them.
 
   // ----- partition management (SHOW PARTITIONS / ALTER TABLE ADD|DROP
   // PARTITION — the reference's partition admin surface, Admin
@@ -646,7 +629,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     GraftOptions.toProperties(table.desc)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -660,8 +644,10 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
         .map(GraftProcedures.leaseDurationMillis).getOrElse(86400000L) // 1d
       table.acquireKvSnapshotLease(id, dur)
     }
+    import scala.jdk.CollectionConverters._
     new GraftScanBuilder(table, asOf, atVersion,
-      GraftScanBuilder.startupMode(options))
+      GraftScanBuilder.startupMode(options),
+      options.asCaseSensitiveMap().asScala.toMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -699,7 +685,8 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
 class GraftScanBuilder(table: GraftTable,
     asOf: Option[java.sql.Timestamp] = None,
     atVersion: Option[Long] = None,
-    startup: Option[GraftScanBuilder.Startup] = None) extends ScanBuilder
+    startup: Option[GraftScanBuilder.Startup] = None,
+    streamParams: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -805,6 +792,22 @@ class GraftScanBuilder(table: GraftTable,
 
     override def readSchema(): StructType =
       pushedAgg.flatMap(pushedExprs).map(aggSchema).getOrElse(required)
+
+    /** `spark.readStream.table(...)` — the native DSv2 streaming read
+      * (MICRO_BATCH_READ). Filter/aggregate pushdown never applies to
+      * streaming scans (and `pushFilters` returns everything as
+      * residual regardless, so Spark re-applies any filter above the
+      * scan); column pruning, if Spark ever prunes a streaming scan,
+      * is honored through `required`.
+      */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      require(asOf.isEmpty && atVersion.isEmpty,
+        "time-travel reads cannot stream: drop TIMESTAMP/VERSION AS OF")
+      require(pushedAgg.isEmpty,
+        "aggregate pushdown cannot apply to a streaming scan")
+      new graft.streaming.GraftMicroBatchStream(table, required, streamParams)
+    }
 
     /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the
       * manifest row count when free — a small dimension table becomes

@@ -116,6 +116,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def visibleLogFiles(): (Seq[String], Boolean) =
     visibleLogFiles(readManifest()._3)
 
+  /** Planning surface for the native DSv2 streaming read
+    * ([[graft.streaming.GraftMicroBatchStream]]): the committed-visible
+    * log parquet files as (qualified path, size) — the same
+    * manifest-gated listing [[logDF]] scans, without building a
+    * DataFrame. Driver-side, one directory walk.
+    */
+  private[graft] def visibleLogFileEntries(): Seq[(String, Long)] = {
+    val ids = readManifest()._3
+    WarehouseIO.walkFiles(logDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .filter(e => ids.forall(idSet => cidOf(e.name).forall(idSet.contains)))
+      .map(e => e.path -> e.len)
+  }
+
+  /** The log directory (partition layout: `<partitionKeys>/__bucket=N/`)
+    * — the base the streaming planner relativizes file paths against.
+    */
+  private[graft] def logDirPath: String = logDir
+
   /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
     * grow a numBuckets-deep expression tree on every read/commit).
     */

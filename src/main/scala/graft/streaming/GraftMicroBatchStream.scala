@@ -1,0 +1,225 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => ConnectorOffset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.graftshim.ParquetRead
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{GraftTable, Meta, WarehouseIO}
+
+/** Native DSv2 micro-batch stream over a graft table's log — what
+  * `spark.readStream.table("cat.db.t")` rides (the reference's
+  * fluss-spark/.../read/FlussMicroBatchStream.scala:43 shape: offsets
+  * are the per-bucket next-offset map, `ReportsSourceMetrics` carries
+  * lag). Replaces the earlier `V2TableWithV1Fallback` bridge: reader
+  * options now reach the stream directly (the V1 fallback resolution
+  * dropped them), and the scan is a real `PartitionReaderFactory`
+  * instead of a re-planned DataFrame.
+  *
+  * Division of labor: ALL offset semantics — startup modes, admission
+  * control ([[ReadLimit]] capping), Trigger.AvailableNow pinning, the
+  * OFFSET_OUT_OF_RANGE guard, the stream-lag gauge, progress metrics —
+  * live in [[GraftSource]] and are DELEGATED to an embedded instance
+  * (one definition, two transports), so the V1 `format("graft")` source
+  * and this stream can never drift. What this class adds is the
+  * executor plan: one [[InputPartition]] per committed-visible log
+  * parquet file whose bucket window is non-empty, each read by the
+  * session-configured parquet reader ([[ParquetRead]]) with the
+  * bucket's offset window PUSHED as parquet filters — row-group stats
+  * on `__offset` skip already-consumed files, the same skipping the V1
+  * path got from Catalyst pushdown.
+  *
+  * Scale posture: planning is one manifest read + one log-dir walk on
+  * the driver (no footers opened); each micro-batch reads only row
+  * groups overlapping its offset window, fully parallel per file.
+  * Nothing data-scale sits in the stream or the checkpoint (offsets =
+  * ≤numBuckets longs).
+  */
+final class GraftMicroBatchStream(table: GraftTable,
+    outputSchema: StructType, parameters: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
+
+  private val source = new GraftSource(table, parameters)
+
+  override def initialOffset(): ConnectorOffset = source.initialOffset()
+
+  override def latestOffset(): ConnectorOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: ConnectorOffset,
+      limit: ReadLimit): ConnectorOffset = source.latestOffset(start, limit)
+
+  override def getDefaultReadLimit: ReadLimit = source.getDefaultReadLimit
+
+  override def reportLatestOffset(): ConnectorOffset =
+    source.reportLatestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    source.prepareForTriggerAvailableNow()
+
+  override def metrics(latestConsumedOffset: java.util.Optional[ConnectorOffset])
+      : java.util.Map[String, String] = source.metrics(latestConsumedOffset)
+
+  override def deserializeOffset(json: String): ConnectorOffset =
+    GraftSourceOffset(GraftSourceOffset.parse(json))
+
+  override def commit(end: ConnectorOffset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  // ---- schema split: log dirs encode (partitionKeys, __bucket); files
+  // physically hold the rest ----
+
+  private val partitionFields: Array[StructField] =
+    (table.desc.partitionKeys.map(k =>
+      table.desc.schema(table.desc.schema.fieldIndex(k))) :+
+      StructField(Meta.Bucket, IntegerType, nullable = false)).toArray
+
+  private val partitionSchema = StructType(partitionFields)
+
+  private val fileSchema = StructType(table.logSchema.fields.filterNot(f =>
+    table.desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket))
+
+  /** What parquet is asked for: the non-dir-encoded output columns plus
+    * `__offset` (the window predicate's column, projected away after).
+    */
+  private val requiredSchema = StructType(
+    outputSchema.fields.filterNot(f =>
+      table.desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket) ++
+      (if (outputSchema.fieldNames.contains(Meta.Offset)) Nil
+       else Seq(StructField(Meta.Offset, LongType, nullable = false))))
+
+  // reader rows are requiredSchema ++ partitionSchema; map each output
+  // column to its ordinal there
+  private val combinedTypes: Array[DataType] =
+    (requiredSchema.fields ++ partitionFields).map(_.dataType)
+
+  private val outputOrdinals: Array[Int] = outputSchema.fields.map { f =>
+    if (requiredSchema.fieldNames.contains(f.name))
+      requiredSchema.fieldIndex(f.name)
+    else requiredSchema.length +
+      partitionFields.indexWhere(_.name == f.name)
+  }
+
+  private val offsetOrdinal = requiredSchema.fieldIndex(Meta.Offset)
+
+  override def planInputPartitions(start: ConnectorOffset,
+      end: ConnectorOffset): Array[InputPartition] = {
+    val from = Option(start).map(GraftSourceOffset.from)
+      .getOrElse(source.resolvedStartOffsets)
+    val until = GraftSourceOffset.from(end)
+    source.noteBatchWindow(from, until)
+    val logDir = table.logDirPath
+    val spark = table.sparkSession
+    // one reader closure per bucket: the bucket's own window rides into
+    // parquet as pushed filters (pushdown is skip-only — the row-level
+    // re-check lives in the reader)
+    val readers = collection.mutable.Map[Int, ParquetRead.FileReader]()
+    table.visibleLogFileEntries().flatMap { case (path, len) =>
+      val kvs = WarehouseIO.relativize(logDir, path)
+        .split('/').dropRight(1).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      val bucket = kvs.getOrElse(Meta.Bucket,
+        throw new IllegalStateException(
+          s"log file $path has no ${Meta.Bucket}= dir segment")).toInt
+      val lo = from.getOrElse(bucket, 0L)
+      val hi = until.getOrElse(bucket, 0L)
+      if (lo >= hi) None
+      else {
+        val reader = readers.getOrElseUpdate(bucket,
+          ParquetRead.buildReader(spark, fileSchema, partitionSchema,
+            requiredSchema, Seq(GreaterThanOrEqual(Meta.Offset, lo),
+              LessThan(Meta.Offset, hi))))
+        val pv: Array[Any] = partitionFields.map { f =>
+          if (f.name == Meta.Bucket) Int.box(bucket)
+          else hiveValue(kvs.get(f.name), f)
+        }
+        Some(GraftStreamInputPartition(path, len, pv, lo, hi,
+          offsetOrdinal, outputOrdinals, combinedTypes, reader))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStreamReaderFactory
+
+  /** Hive dir value → catalyst partition value, by declared type. */
+  private def hiveValue(raw: Option[String], f: StructField): Any = {
+    val dec = raw.map(org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName).getOrElse(
+      throw new IllegalStateException(
+        s"log dir has no ${f.name}= segment for partition column ${f.name}"))
+    if (dec == "__HIVE_DEFAULT_PARTITION__") null
+    else f.dataType match {
+      case StringType => UTF8String.fromString(dec)
+      case IntegerType => Int.box(dec.toInt)
+      case LongType => Long.box(dec.toLong)
+      case ShortType => Short.box(dec.toShort)
+      case ByteType => Byte.box(dec.toByte)
+      case BooleanType => Boolean.box(dec.toBoolean)
+      case DateType => Int.box(java.time.LocalDate.parse(dec).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type ${other.sql} on streaming " +
+          s"read of ${f.name}")
+    }
+  }
+
+  override def toString: String = s"GraftMicroBatchStream[${table.path}]"
+}
+
+/** One committed-visible log file whose bucket's offset window is
+  * non-empty. `partValues` are catalyst-typed dir values; `reader` is
+  * the serializable session-configured parquet closure (per bucket — it
+  * embeds the bucket's pushed offset window).
+  */
+private[streaming] final case class GraftStreamInputPartition(
+    path: String, fileSize: Long, partValues: Array[Any],
+    lo: Long, hi: Long, offsetOrdinal: Int, outputOrdinals: Array[Int],
+    combinedTypes: Array[DataType],
+    reader: ParquetRead.FileReader) extends InputPartition
+
+private[streaming] object GraftStreamReaderFactory
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftStreamInputPartition]
+    new PartitionReader[InternalRow] {
+      // the parquet iterator registers its own task-completion close
+      private val it = p.reader(ParquetRead.partitionedFile(
+        new GenericInternalRow(p.partValues), p.path, p.fileSize))
+      private val proj = UnsafeProjection.create(
+        p.outputOrdinals.toIndexedSeq.map(i =>
+          BoundReference(i, p.combinedTypes(i), nullable = true)))
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          // pushed filters only skip row groups; the exact window gate
+          // is row-level here
+          val off = r.getLong(p.offsetOrdinal)
+          if (off >= p.lo && off < p.hi) {
+            current = proj(r)
+            return true
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+
+      override def close(): Unit = ()
+    }
+  }
+}

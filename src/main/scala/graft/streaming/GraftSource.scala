@@ -175,12 +175,28 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     if (avail.isEmpty) None else Some(GraftSourceOffset(avail))
   }
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(o => GraftSourceOffset.from(o)).getOrElse(startOffsets)
-    val until = GraftSourceOffset.from(end)
-    // OFFSET_OUT_OF_RANGE: records in [from, floor) were vacuumed away —
-    // this replay (e.g. a restart from an old checkpoint) cannot be
-    // exactly-once, so fail instead of silently skipping the gap
+  /** Per-batch bookkeeping shared by this V1 `getBatch` and the DSv2
+    * [[GraftMicroBatchStream.planInputPartitions]]: the
+    * OFFSET_OUT_OF_RANGE guard and the stream-lag gauge.
+    *
+    * OFFSET_OUT_OF_RANGE: records in [from, floor) were vacuumed away —
+    * that replay (e.g. a restart from an old checkpoint) cannot be
+    * exactly-once, so fail instead of silently skipping the gap.
+    *
+    * Lag observability: records committed beyond this batch's end — an
+    * operator watching a backlogged stream reads it from the metrics
+    * registry / `metrics` meta table / Prometheus text instead of
+    * diffing the `offsets` meta table by hand. Availability comes from
+    * this trigger's own planning call (no second manifest read), EXCEPT
+    * under Trigger.AvailableNow, whose planning snapshot is pinned at
+    * trigger start — records committed while the run drains must still
+    * count as lag, so that path reads the true tail. A checkpoint-
+    * recovery REPLAY also re-reads (no planning call yet), where the
+    * gauge momentarily reports lag relative to the replayed batch's old
+    * end — accurate: those records genuinely remain unprocessed.
+    */
+  private[streaming] def noteBatchWindow(from: Map[Int, Long],
+      until: Map[Int, Long]): Unit = {
     table.retainedFloorOffsets.foreach { floor =>
       val lost = floor.filter { case (b, f) =>
         from.getOrElse(b, 0L) < math.min(f, until.getOrElse(b, 0L))
@@ -190,17 +206,6 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
           "(log vacuumed); records in between are gone — restart the " +
           "stream from a fresh checkpoint or the table snapshot")
     }
-    // lag observability: records committed beyond this batch's end — an
-    // operator watching a backlogged stream reads it from the metrics
-    // registry / `metrics` meta table / Prometheus text instead of
-    // diffing the `offsets` meta table by hand. Availability comes from
-    // this trigger's own planning call (no second manifest read), EXCEPT
-    // under Trigger.AvailableNow, whose planning snapshot is pinned at
-    // trigger start — records committed while the run drains must still
-    // count as lag, so that path reads the true tail. A checkpoint-
-    // recovery REPLAY also re-reads (no planning call yet), where the
-    // gauge momentarily reports lag relative to the replayed batch's old
-    // end — accurate: those records genuinely remain unprocessed.
     val latest =
       if (availableNowCap.isDefined) table.latestOffsets
       else lastAvail.getOrElse(table.latestOffsets)
@@ -209,6 +214,17 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
       latest.map { case (b, hi) =>
         math.max(0L, hi - until.getOrElse(b, 0L))
       }.sum)
+  }
+
+  /** Where an uncheckpointed stream starts ([[GraftMicroBatchStream]]
+    * reads it for its own planning).
+    */
+  private[streaming] def resolvedStartOffsets: Map[Int, Long] = startOffsets
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(o => GraftSourceOffset.from(o)).getOrElse(startOffsets)
+    val until = GraftSourceOffset.from(end)
+    noteBatchWindow(from, until)
     val batch = table.scanRange(from, until)
     StreamShims.asStreaming(
       if (dataColumnsOnly)
@@ -296,11 +312,12 @@ object GraftSourceOffset {
   * `SupportsAdmissionControl.latestOffset(start, limit)` for
   * `maxOffsetsPerTrigger`, `SupportsTriggerAvailableNow` for pinned
   * drain-and-stop, `ReportsSourceMetrics` for native progress-event lag.
-  * The only V1-isms left are `getBatch` returning a DataFrame (the point:
-  * the micro-batch is an ordinary offset-gated codegen'd parquet scan,
-  * which a `PartitionReaderFactory` would have to reimplement by hand)
-  * and the `V2TableWithV1Fallback` routing shim for
-  * `readStream.table(...)` — the same bridge DeltaTableV2 rides.
+  * The only V1-ism left is `getBatch` returning a DataFrame (the
+  * micro-batch as an ordinary offset-gated codegen'd parquet scan).
+  * `readStream.table(...)` rides the native DSv2 path instead —
+  * [[GraftMicroBatchStream]], which DELEGATES its offset semantics to
+  * an embedded instance of this class, so the two transports share one
+  * definition of startup, admission control, and lag.
   */
 final class GraftSourceProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {

@@ -240,6 +240,48 @@ class CatalogStreamingSpec extends SparkTestBase {
       s"resume must deliver exactly the post-checkpoint rows, got $resumed")
   }
 
+  test("partitioned tables stream with dir-encoded columns re-attached; " +
+      "reader options reach the DSv2 stream directly") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.spart (k BIGINT, v INT, dt STRING)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql(
+      "INSERT INTO gstr.db.spart VALUES (1, 1, 'a'), (2, 2, 'b'), (3, 3, 'a')")
+    // dt lives in the log's hive dirs, not the parquet files — the
+    // stream must re-attach it (the V1 bridge got this from Spark's
+    // file index; the native MicroBatchStream plans it per file)
+    val q = spark.readStream.table("gstr.db.spart")
+      .writeStream.format("memory").queryName("spart_mem")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cstr-sp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("spart_mem").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "a")))
+    // reader options now reach the stream (the V1 fallback dropped
+    // them): scan.startup.mode=latest as an OPTION, no session conf
+    val q2 = spark.readStream.option("scan.startup.mode", "latest")
+      .table("gstr.db.spart")
+      .writeStream.format("memory").queryName("spart_mem2")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cstr-sp2").toString)
+      .start()
+    q2.processAllAvailable()
+    assert(spark.table("spart_mem2").count() == 0) // history skipped
+    spark.sql("INSERT INTO gstr.db.spart VALUES (4, 4, 'b')")
+    q2.processAllAvailable()
+    q2.stop()
+    val fresh = spark.table("spart_mem2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(fresh.toSeq == Seq((4L, 4, "b")))
+  }
+
   test("get_configs reports defaults and session overrides") {
     wh
     try {
