@@ -717,7 +717,7 @@ object SparkEntry {
       // the body): the exchange ships 24 bytes/row instead of the document
       val normed = TextAnalysis.normalize(col("text"))
       val keep = clean
-        .groupBy(xxhash64(normed).as("__h64"), md5(normed).as("__h128"))
+        .groupBy(xxhash64(normed).as("__h64"), unhex(md5(normed)).as("__h128"))
         .agg(min(col("doc_id")).as("doc_id"))
       val kept = clean.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
       Sampling.packTokenShards(

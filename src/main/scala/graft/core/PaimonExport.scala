@@ -44,6 +44,13 @@ object PaimonExport {
 
   private val CommitUser = "graft-tiering"
 
+  /** Provenance key stamped into every snapshot's properties — the
+    * Paimon analog of Iceberg's `graft.source` table property and the
+    * Delta metaData.name stamp, so any lake dir traces back to its
+    * source table.
+    */
+  val SourceProp = "graft.source"
+
   private def snapshotDir(dir: String) = s"$dir/snapshot"
   private def manifestDir(dir: String) = s"$dir/manifest"
   private def schemaDir(dir: String) = s"$dir/schema"
@@ -78,7 +85,8 @@ object PaimonExport {
       s"$dir already has Paimon metadata; use commit() to append a snapshot")
     writeSchemaFile(dir, schema, partitionKeys)
     commitSnapshot(dir, 1L, priorLive = Map.empty,
-      added = files, removed = Set.empty, tags = tags)
+      added = files, removed = Set.empty,
+      tags = tags + (SourceProp -> sourcePath))
     WarehouseIO.atomicWriteString(s"${snapshotDir(dir)}/EARLIEST", "1")
     1L
   }
@@ -106,7 +114,8 @@ object PaimonExport {
         require(missing.isEmpty,
           s"cannot remove file(s) not live in $dir's current snapshot: " +
             missing.toSeq.sorted.take(5).mkString(", "))
-        commitSnapshot(dir, n + 1, live, added, removed, tags)
+        commitSnapshot(dir, n + 1, live, added, removed,
+          tags + (SourceProp -> sourcePath))
         n + 1
     }
   }
@@ -169,6 +178,18 @@ object PaimonExport {
       parseSnapshot(dir, id)._4
     }.getOrElse(Map.empty)
 
+  /** Dir-relative manifest lists + manifests snapshot `id` references —
+    * the metadata reachability set [[expireSnapshots]] retains.
+    */
+  private[core] def manifestFilesAt(dir: String, id: Long): Seq[String] = {
+    val (base, delta, _, _) = parseSnapshot(dir, id)
+    Seq(base, delta).flatMap { listName =>
+      s"manifest/$listName" +:
+        readAvroRecords(s"${manifestDir(dir)}/$listName")
+          .map(mf => s"manifest/${mf.get("_FILE_NAME")}")
+    }.distinct
+  }
+
   /** Expire all but the last `keepLast` snapshots and DELETE every data
     * file and manifest unreachable from the retained ones — the same
     * bounded-history contract as [[IcebergExport.expireSnapshots]] /
@@ -190,14 +211,24 @@ object PaimonExport {
     if (cutoff > earliest) {
       WarehouseIO.atomicWriteString(
         s"${snapshotDir(dir)}/EARLIEST", cutoff.toString)
-      (earliest until cutoff).foreach(i =>
-        WarehouseIO.deleteIfExists(snapshotFile(dir, i)))
+    }
+    // snapshot-file sweep from the ACTUAL listing, not (earliest until
+    // cutoff): a crash between the hint write and the deletes re-runs
+    // with earliest == cutoff, and a hint-delta loop would then skip
+    // the stale files forever
+    val snapName = "snapshot-(\\d+)".r
+    WarehouseIO.listDir(snapshotDir(dir)).filterNot(_.isDir).foreach { e =>
+      e.name match {
+        case snapName(n) if n.toLong < cutoff =>
+          WarehouseIO.deleteIfExists(e.path); ()
+        case _ => ()
+      }
     }
     // idempotent orphan sweep: every manifest list, manifest, and data
-    // file a retained snapshot reaches stays; every other
-    // manifest/*.avro-shaped file and *.parquet data file goes.
-    // Dot-prefixed dirs (in-flight tier staging) and snapshot/ + schema/
-    // metadata are never candidates. Shared manifests are read once.
+    // file a retained snapshot reaches stays; every other manifest/
+    // entry and *.parquet data file goes. Dot-prefixed dirs (in-flight
+    // tier staging) and snapshot/ + schema/ metadata are never
+    // candidates. Shared manifests are read once.
     val manifestCache = collection.mutable.Map[String, Seq[GenericRecord]]()
     val keep = collection.mutable.Set[String]()
     (cutoff to latest).foreach { id =>
@@ -230,8 +261,7 @@ object PaimonExport {
       .map(e => WarehouseIO.relativize(dir, e.path))
       .filterNot(r => r.split('/').exists(_.startsWith(".")))
       .filterNot(r => r.startsWith("snapshot/") || r.startsWith("schema/"))
-      .filter(r => r.endsWith(".parquet") ||
-        (r.startsWith("manifest/") && r.endsWith(".avro")))
+      .filter(r => r.endsWith(".parquet") || r.startsWith("manifest/"))
       .filterNot(keep.contains)
       .sorted
     toDelete.foreach(r => WarehouseIO.deleteIfExists(s"$dir/$r"))

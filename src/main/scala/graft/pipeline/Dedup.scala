@@ -29,7 +29,7 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = TextAnalysis.normalize(col(textCol))
     TextAnalysis.widen(df)
-      .groupBy(xxhash64(norm).as("__h64"), md5(norm).as("__h128"))
+      .groupBy(xxhash64(norm).as("__h64"), unhex(md5(norm)).as("__h128"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
   }

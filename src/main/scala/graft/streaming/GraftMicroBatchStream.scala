@@ -29,9 +29,10 @@ import graft.core.{GraftTable, Meta, WarehouseIO}
   * executor plan: one [[InputPartition]] per committed-visible log
   * parquet file whose bucket window is non-empty, each read by the
   * session-configured parquet reader ([[ParquetRead]]) with the
-  * bucket's offset window PUSHED as parquet filters — row-group stats
-  * on `__offset` skip already-consumed files, the same skipping the V1
-  * path got from Catalyst pushdown.
+  * batch's offset-window envelope PUSHED as parquet filters — row-group
+  * stats on `__offset` skip already-consumed files, the same skipping
+  * the V1 path got from Catalyst pushdown — and the exact per-bucket
+  * window gated row-level in the reader.
   *
   * Scale posture: planning is one manifest read + one log-dir walk on
   * the driver (no footers opened); each micro-batch reads only row
@@ -117,11 +118,7 @@ final class GraftMicroBatchStream(table: GraftTable,
     source.noteBatchWindow(from, until)
     val logDir = table.logDirPath
     val spark = table.sparkSession
-    // one reader closure per bucket: the bucket's own window rides into
-    // parquet as pushed filters (pushdown is skip-only — the row-level
-    // re-check lives in the reader)
-    val readers = collection.mutable.Map[Int, ParquetRead.FileReader]()
-    table.visibleLogFileEntries().flatMap { case (path, len) =>
+    val windows = table.visibleLogFileEntries().flatMap { case (path, len) =>
       val kvs = WarehouseIO.relativize(logDir, path)
         .split('/').dropRight(1).flatMap { seg =>
           seg.split("=", 2) match {
@@ -134,20 +131,29 @@ final class GraftMicroBatchStream(table: GraftTable,
           s"log file $path has no ${Meta.Bucket}= dir segment")).toInt
       val lo = from.getOrElse(bucket, 0L)
       val hi = until.getOrElse(bucket, 0L)
-      if (lo >= hi) None
-      else {
-        val reader = readers.getOrElseUpdate(bucket,
-          ParquetRead.buildReader(spark, fileSchema, partitionSchema,
-            requiredSchema, Seq(GreaterThanOrEqual(Meta.Offset, lo),
-              LessThan(Meta.Offset, hi))))
+      if (lo >= hi) None else Some((path, len, kvs, bucket, lo, hi))
+    }
+    if (windows.isEmpty) Array.empty
+    else {
+      // ONE reader closure per micro-batch, not per bucket:
+      // buildReader broadcasts a hadoop conf each call, and a
+      // many-bucket table on a short trigger would pile up broadcasts.
+      // The pushed bounds are the batch's global window envelope —
+      // row groups below EVERY bucket's lo still skip — and the exact
+      // per-bucket [lo, hi) gate is row-level in the reader anyway.
+      val reader = ParquetRead.buildReader(spark, fileSchema,
+        partitionSchema, requiredSchema,
+        Seq(GreaterThanOrEqual(Meta.Offset, windows.map(_._5).min),
+          LessThan(Meta.Offset, windows.map(_._6).max)))
+      windows.map { case (path, len, kvs, bucket, lo, hi) =>
         val pv: Array[Any] = partitionFields.map { f =>
           if (f.name == Meta.Bucket) Int.box(bucket)
           else hiveValue(kvs.get(f.name), f)
         }
-        Some(GraftStreamInputPartition(path, len, pv, lo, hi,
-          offsetOrdinal, outputOrdinals, combinedTypes, reader))
-      }
-    }.toArray
+        GraftStreamInputPartition(path, len, pv, lo, hi,
+          offsetOrdinal, outputOrdinals, combinedTypes, reader)
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -168,9 +174,15 @@ final class GraftMicroBatchStream(table: GraftTable,
       case ByteType => Byte.box(dec.toByte)
       case BooleanType => Boolean.box(dec.toBoolean)
       case DateType => Int.box(java.time.LocalDate.parse(dec).toEpochDay.toInt)
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type ${other.sql} on streaming " +
-          s"read of ${f.name}")
+      // the long tail (timestamp, decimal, float, ...) takes the same
+      // string→type Cast the V1 bridge's spark.read.schema(...) applied
+      // to hive dir values, session timezone semantics included
+      case other =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            UTF8String.fromString(dec), StringType), other,
+          Option(table.sparkSession.sessionState.conf.sessionLocalTimeZone))
+          .eval(InternalRow.empty)
     }
   }
 

@@ -282,6 +282,31 @@ class CatalogStreamingSpec extends SparkTestBase {
     assert(fresh.toSeq == Seq((4L, 4, "b")))
   }
 
+  test("timestamp partition keys stream: hive dir values take the same " +
+      "string cast the V1 bridge applied") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.tspart (k BIGINT, v INT, ts TIMESTAMP)
+      USING graft PARTITIONED BY (ts)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("""
+      INSERT INTO gstr.db.tspart VALUES
+        (1, 1, TIMESTAMP '2026-01-01 00:00:00'),
+        (2, 2, TIMESTAMP '2026-01-02 12:30:00')""")
+    val q = spark.readStream.table("gstr.db.tspart")
+      .writeStream.format("memory").queryName("tspart_mem")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cstr-ts").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("tspart_mem").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString)).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "2026-01-01 00:00:00.0"),
+      (2L, "2026-01-02 12:30:00.0")))
+  }
+
   test("get_configs reports defaults and session overrides") {
     wh
     try {

@@ -67,6 +67,9 @@ class PaimonExportSpec extends SparkTestBase {
     val tags = PaimonExport.lastSnapshotProperties(out)
     assert(tags.contains(GraftTable.TierOffsetsKey))
     assert(s1("logOffsets").asInstanceOf[JObject].obj.nonEmpty)
+    // provenance: the source table path is stamped like Iceberg's
+    // graft.source property / Delta's metaData.name
+    assert(tags.get(PaimonExport.SourceProp).contains(t.path), tags)
 
     // incremental tier: changed partition swapped (OVERWRITE), replaced
     // files tombstoned through the delta manifest but still on disk
@@ -152,6 +155,16 @@ class PaimonExportSpec extends SparkTestBase {
     assert(deleted.filter(_.endsWith(".parquet")).filterNot(
       _.startsWith("manifest/")) == Seq("f0.parquet", "f1.parquet",
       "f2.parquet"), deleted)
+    // manifests reachable only from expired snapshots are reclaimed too
+    // (they carry no extension — the sweep must not demand one), and
+    // every manifest left on disk is reachable from a retained snapshot
+    assert(deleted.exists(_.startsWith("manifest/")), deleted)
+    val reachable = Seq(4L, 5L).flatMap { id =>
+      PaimonExport.manifestFilesAt(dir, id)
+    }.toSet
+    val onDisk = WarehouseIO.listDir(s"$dir/manifest").filterNot(_.isDir)
+      .map(e => s"manifest/${e.name}").toSet
+    assert(onDisk == reachable, s"orphan manifests: ${onDisk -- reachable}")
     assert(PaimonExport.earliestSnapshotId(dir).contains(4L))
     assert(!WarehouseIO.exists(s"$dir/snapshot/snapshot-3"))
     assert(PaimonExport.liveFilesAt(dir, 4L) == Seq("f3.parquet"))
@@ -171,6 +184,16 @@ class PaimonExportSpec extends SparkTestBase {
     PaimonExport.commit(dir, sch, Nil,
       Seq("f5.parquet" -> 15L), Set("f4.parquet"), "src")
     assert(PaimonExport.currentSnapshotId(dir).contains(6L))
+    assert(PaimonExport.liveFiles(dir) == Seq("f5.parquet"))
+    // crash resume: a prior run advanced EARLIEST but died before the
+    // snapshot-file deletes; the re-run sweeps from the ACTUAL listing
+    // even though cutoff == earliest (no hint advance this time)
+    WarehouseIO.atomicWriteString(s"$dir/snapshot/EARLIEST", "6")
+    assert(WarehouseIO.exists(s"$dir/snapshot/snapshot-4"))
+    PaimonExport.expireSnapshots(dir, keepLast = 99)
+    assert(!WarehouseIO.exists(s"$dir/snapshot/snapshot-4"))
+    assert(!WarehouseIO.exists(s"$dir/snapshot/snapshot-5"))
+    assert(WarehouseIO.exists(s"$dir/snapshot/snapshot-6"))
     assert(PaimonExport.liveFiles(dir) == Seq("f5.parquet"))
   }
 
