@@ -171,6 +171,41 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- the same tiering pipeline through the HUDI COW format path
+    // (fluss-lake-hudi): a .hoodie/ timeline of commit/replacecommit
+    // instants, live set resolved by timeline replay — the oracle hash
+    // proves all four lake formats publish identical state
+    "tier4_hudi_export" -> ((s, dir) => {
+      val lake = Fixtures.tieredHudiLakeDir(s, dir)
+      graft.core.HudiExport.readLive(s, lake)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
+    // ----- Hudi time travel: the FIRST timeline instant is the
+    // PRE-overwrite state — the second tier's replacecommit retired 2 of
+    // 5 partitions' file groups, but replaying the timeline only up to
+    // the first instant still resolves the original files
+    "tt7_hudi_instant_travel" -> ((s, dir) => {
+      val lake = Fixtures.tieredHudiLakeDir(s, dir)
+      val first = graft.core.HudiExport.earliestInstant(lake).get
+      graft.core.HudiExport.readInstant(s, lake, first)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
+    // ----- S7's TRUE shape — the LAKE union read
+    // (LakeSnapshotAndLogSplitScanner / FlussLakeUpsertPartitionReader):
+    // cold state from the tiered Iceberg dir via the lake metadata,
+    // freshness from the log tail above the lake's pinned offsets, keyed-
+    // merged — the lake here is one whole batch BEHIND the table
+    "s17_lake_union_read" -> ((s, dir) => {
+      val t = Fixtures.tieredLakeUnionTable(s, dir)
+      t.scanLakeUnion(t.path + "_lake")
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))
+    }),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1492,6 +1527,47 @@ object SparkEntry {
         |        PARTITION BY event_type, user_id
         |        ORDER BY event_id DESC) AS rn
         |      FROM events WHERE event_id % 4 <> 0) WHERE rn = 1""".stripMargin,
+
+    // identical state through the Hudi-format tier path
+    "tier4_hudi_export" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view'))
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // first instant = batch 1 only (LWW within the batch by event_id)
+    "tt7_hudi_instant_travel" ->
+      """SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id % 4 <> 0) WHERE rn = 1""".stripMargin,
+
+    // lake state (batches 1+2) merged with the fresh log tail (batch 3)
+    // = LWW over all three batches
+    "s17_lake_union_read" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT *, 3 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type = 'purchase')
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
 
     "s1_log_poller" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",

@@ -33,6 +33,7 @@ object GraftProcedures {
     "compact", "vacuum_log", "export_snapshot", "export_snapshot_iceberg",
     "tier_snapshot_iceberg", "export_snapshot_delta", "tier_snapshot_delta",
     "export_snapshot_paimon", "tier_snapshot_paimon",
+    "export_snapshot_hudi", "tier_snapshot_hudi",
     "expire_lake_snapshots", "rollback_to_version",
     "rewrite_files", "expire_partitions",
     "maintain_partitions", "maintain_indexes", "maintain_lake", "expire_log",
@@ -183,6 +184,26 @@ object GraftProcedures {
         catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
         t.tierSnapshot(row.getUTF8String(1).toString, format = "paimon")
       })
+      case "export_snapshot_hudi" => Some(proc(catalog,
+        "export_snapshot_hudi",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        // same egress gate as export_snapshot
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        val dir = row.getUTF8String(1).toString
+        t.exportSnapshot(dir, hudiMetadata = true)
+        s"exported current state to $dir as a Hudi COW table " +
+          "(parquet + .hoodie/ timeline)"
+      })
+      case "tier_snapshot_hudi" => Some(proc(catalog,
+        "tier_snapshot_hudi",
+        Seq(in("table", StringType), in("dir", StringType)),
+        out("result", StringType)) { (t, row) =>
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        catalog.coreCatalog.authorize("READ", Seq(tdb, tname))
+        t.tierSnapshot(row.getUTF8String(1).toString, format = "hudi")
+      })
       case "expire_lake_snapshots" => Some(localProc(catalog,
         "expire_lake_snapshots",
         Seq(in("dir", StringType), in("keep_last", IntegerType, Some("1")),
@@ -202,6 +223,9 @@ object GraftProcedures {
           case "delta" => "version(s) " +
             (graft.core.DeltaExport.earliestVersion(dir).get to
               graft.core.DeltaExport.currentVersion(dir).get).mkString(", ")
+          case "hudi" => "instant(s) " +
+            graft.core.HudiExport.completedInstants(dir).map(_._1)
+              .mkString(", ")
           case _ => "snapshot(s) " +
             (graft.core.PaimonExport.earliestSnapshotId(dir).get to
               graft.core.PaimonExport.currentSnapshotId(dir).get)

@@ -1417,9 +1417,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def exportSnapshot(dir: String, icebergMetadata: Boolean = false,
       deltaMetadata: Boolean = false,
-      paimonMetadata: Boolean = false): Unit = {
-    require(Seq(icebergMetadata, deltaMetadata, paimonMetadata)
-      .count(identity) <= 1,
+      paimonMetadata: Boolean = false,
+      hudiMetadata: Boolean = false): Unit = {
+    require(Seq(icebergMetadata, deltaMetadata, paimonMetadata,
+      hudiMetadata).count(identity) <= 1,
       "pick ONE lake metadata format per export directory")
     // The manifest must describe EXACTLY the state exported. scan()
     // pins its own manifest read when the plan is built, which happens
@@ -1479,6 +1480,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // PaimonExport)
     if (paimonMetadata) {
       PaimonExport.write(dir, desc.schema, desc.partitionKeys,
+        files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
+        path, tags = tierSummary(pinnedOffsets, version))
+      ()
+    }
+    // Hudi COW alternative: a .hoodie/ timeline instead of Iceberg Avro
+    // manifests — the export is then a Hudi TABLE shape (fluss-lake/
+    // fluss-lake-hudi; see HudiExport)
+    if (hudiMetadata) {
+      HudiExport.write(dir, desc.schema, desc.partitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1583,14 +1593,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     if (!WarehouseIO.exists(emPath)) {
       exportSnapshot(dir, icebergMetadata = fmt.name == "iceberg",
         deltaMetadata = fmt.name == "delta",
-        paimonMetadata = fmt.name == "paimon")
+        paimonMetadata = fmt.name == "paimon",
+        hudiMetadata = fmt.name == "hudi")
       val n = WarehouseIO.walkFiles(dir)
         .count(e => !e.isDir && e.name.endsWith(".parquet"))
       // iceberg's first metadata file is v1; delta's first log version
-      // is 0; paimon's first snapshot is 1
+      // is 0; paimon's first snapshot is 1; hudi's is its first
+      // timeline instant
       val v = fmt.name match {
         case "delta" => "log version 0"
         case "paimon" => "snapshot 1"
+        case "hudi" => "timeline instant 1"
         case _ => "metadata v1"
       }
       return s"initial full export: $n data files, ${fmt.name} $v"
@@ -1599,7 +1612,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       s"$dir has an export manifest but no ${fmt.name} metadata; " +
         "incremental tiering requires a lake-enabled export " +
         "(export_snapshot_iceberg / export_snapshot_delta / " +
-        "export_snapshot_paimon)")
+        "export_snapshot_paimon / export_snapshot_hudi)")
     val em = JsonMethods.parse(WarehouseIO.readString(emPath))
       .asInstanceOf[JObject].obj.toMap
     val manifestPinned: Map[Int, Long] = em("offsets").asInstanceOf[JObject].obj
@@ -2174,6 +2187,64 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .option("basePath", snapshotDir).parquet(snapshotDir)
           .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
+
+  /** The reference's LAKE UNION READ (S7's true shape: lake snapshot ∪
+    * fresh log tail — fluss-client/.../batch/
+    * LakeSnapshotAndLogSplitScanner.java, Spark side
+    * fluss-spark/.../read/lake/FlussLakeUtils.scala +
+    * FlussLakeUpsertPartitionReader.scala): cold state comes from the
+    * tiered lake directory, resolved through the lake metadata (never by
+    * listing), and freshness comes from the log tail above the lake's
+    * pinned tier offsets — PK tables keyed-merge the two (log wins,
+    * DELETE removes, the FlussLakeUpsertPartitionReader sort-merge),
+    * append tables concatenate. At 100 TB the lake side is a bare pruned
+    * parquet scan with no merge work for already-tiered history; only
+    * the tail — bounded by tiering freshness, minutes of data — carries
+    * CDC rows into the collapse.
+    *
+    * Fails loudly when the log has been vacuumed past the lake's pinned
+    * offsets (the tail is unreconstructible; re-tier first).
+    */
+  def scanLakeUnion(dir: String, format: String = "iceberg"): DataFrame = {
+    val fmt = LakeFormatOps.of(format)
+    require(fmt.hasMetadata(dir),
+      s"$dir has no ${fmt.name} metadata; lake union read requires a " +
+        "lake-enabled export (tierSnapshot / export_snapshot_*)")
+    val pinned: Map[Int, Long] = fmt.committedTierTags(dir)
+      .get(GraftTable.TierOffsetsKey).map { s =>
+        JsonMethods.parse(s).asInstanceOf[JObject].obj
+          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+          .toMap
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$dir's ${fmt.name} metadata carries no graft tier offsets; " +
+          "only tierSnapshot/exportSnapshot-published lakes support " +
+          "union reads"))
+    retainedFloorOffsets.foreach { floor =>
+      val lost = floor.filter { case (b, f) => f > pinned.getOrElse(b, 0L) }
+      require(lost.isEmpty,
+        s"log at $path was vacuumed past the lake's tier offsets " +
+          s"(buckets ${lost.keys.toSeq.sorted.mkString(",")}); " +
+          "re-tier the lake before union reads")
+    }
+    // partition columns come back type-inferred from the hive paths;
+    // cast to the declared schema so the union is exact
+    val lake = fmt.readLive(spark, dir).select(
+      desc.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*)
+    if (!desc.isPrimaryKeyTable) lake.unionByName(scanFromOffsets(pinned))
+    else {
+      // lake rows replay as inserts below any tail offset — the same
+      // convention as the snapshot side of stateInput
+      val lakeAsLog = lake
+        .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+        .withColumn(Meta.Offset, lit(-1L))
+      val tail = logDF.filter(
+          col(Meta.Offset) >= bucketMapExpr(pinned, 0L))
+        .select((desc.schema.fieldNames.map(col) ++
+          Seq(col(Meta.ChangeTypeCol), col(Meta.Offset))).toIndexedSeq: _*)
+      Materialize.currentState(lakeAsLog.unionByName(tail), collapseDesc)
+    }
+  }
 
   /** Best-effort bucket-pruned scan (P5 through any entry point, e.g.
     * the DSv2 connector): when equality predicates pin every bucket key,

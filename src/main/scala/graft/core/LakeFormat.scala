@@ -53,8 +53,10 @@ private[graft] object LakeFormatOps {
     case "iceberg" => Iceberg
     case "delta" => Delta
     case "paimon" => Paimon
+    case "hudi" => Hudi
     case other => throw new IllegalArgumentException(
-      s"unknown lake format '$other' (supported: iceberg, delta, paimon)")
+      s"unknown lake format '$other' (supported: iceberg, delta, paimon, " +
+        "hudi)")
   }
 
   object Iceberg extends LakeFormatOps {
@@ -134,5 +136,33 @@ private[graft] object LakeFormatOps {
       PaimonExport.expireSnapshots(dir, keepLast)
     def withLock[T](dir: String)(body: => T): T =
       PaimonExport.withPaimonLock(dir)(body)
+  }
+
+  object Hudi extends LakeFormatOps {
+    def name = "hudi"
+    def hasMetadata(dir: String): Boolean =
+      HudiExport.currentInstant(dir).isDefined
+    def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+      HudiExport.liveFiles(dir)
+    def committedTierTags(dir: String): Map[String, String] =
+      HudiExport.lastCommitExtraMetadata(dir)
+    def commit(spark: SparkSession, dir: String, schema: StructType,
+        partitionKeys: Seq[String], added: Seq[(String, Long)],
+        removed: Set[String], sourcePath: String,
+        tags: Map[String, String], priorLive: Seq[String]): Unit = {
+      // priorLive carries paths but the replacecommit needs the replaced
+      // file groups' fileIds; the re-resolution inside commit() is one
+      // timeline replay under the same re-entrant lock
+      HudiExport.commit(dir, schema, partitionKeys, added, removed,
+        sourcePath, tags)
+      ()
+    }
+    def readLive(spark: SparkSession, dir: String): DataFrame =
+      HudiExport.readLive(spark, dir)
+    def expireHistory(spark: SparkSession, dir: String,
+        keepLast: Int): Seq[String] =
+      HudiExport.expireInstants(dir, keepLast)
+    def withLock[T](dir: String)(body: => T): T =
+      HudiExport.withHudiLock(dir)(body)
   }
 }

@@ -17,8 +17,8 @@ import org.json4s.jackson.JsonMethods
   *     when enabled (the reference resolves this from its lake catalog;
   *     this engine IS the lake catalog for its own exports, so the
   *     directory is explicit)
-  *   - `table.datalake.format`: 'iceberg' (default), 'delta' or
-  *     'paimon' — the reference's TABLE_DATALAKE_FORMAT
+  *   - `table.datalake.format`: 'iceberg' (default), 'delta',
+  *     'paimon' or 'hudi' — the reference's TABLE_DATALAKE_FORMAT
   *     (ConfigOptions.java:1854)
   *   - `table.datalake.freshness`: max lake lag, '3m' / '45s' / millis
   *     (reference default 3 minutes) — a tick younger than this is a

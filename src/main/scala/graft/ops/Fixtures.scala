@@ -205,6 +205,40 @@ object Fixtures {
   def tieredPaimonLakeDir(spark: SparkSession, sfDir: String): String =
     tieredDir(spark, sfDir, "users_tiered_paimon", "paimon")
 
+  /** The [[tieredLakeDir]] scenario through the HUDI format path:
+    * a `.hoodie/` timeline of commit/replacecommit instants.
+    */
+  def tieredHudiLakeDir(spark: SparkSession, sfDir: String): String =
+    tieredDir(spark, sfDir, "users_tiered_hudi", "hudi")
+
+  /** The [[tieredLakeDir]] scenario plus a THIRD, UN-tiered batch
+    * (purchase events): the lake is one batch behind the table, so a
+    * lake union read must merge lake state with the fresh log tail —
+    * feeds `s17_lake_union_read`, whose oracle proves the merged result
+    * equals LWW over all three batches.
+    */
+  def tieredLakeUnionTable(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_tiered_union", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val schema = StructType(eventsSchema(spark, sfDir).fields)
+      val tbl = fresh(spark, sfDir, "users_tiered_union",
+        TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
+          partitionKeys = Seq("event_type"), numBuckets = 4))
+      val dir = tbl.path + "_lake"
+      tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir)
+      tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+          col("event_type").isin("click", "view")),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(dir)
+      // the fresh tail: purchases land AFTER the last tier
+      tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+          col("event_type") === "purchase"),
+        orderBy = Seq(ev("event_id")))
+      tbl
+    }
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.

@@ -451,6 +451,26 @@ class ConnectorSpec extends SparkTestBase {
     assert(graft.core.PaimonExport.earliestSnapshotId(pmOut).contains(2L))
     assert(graft.core.PaimonExport.readLive(spark, pmOut).count() == 2)
 
+    // Hudi-format lake surface through SQL: tier twice (the second is a
+    // replacecommit), read back through the timeline, then expire to
+    // keep-last 1
+    val huOut = java.nio.file.Files
+      .createTempDirectory("graft-sql-hudi").toString
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_hudi('db.dl', '$huOut')")
+      .head.getString(0).contains("hudi timeline instant 1"))
+    spark.sql("INSERT INTO gfs.db.dl VALUES (2, 222)")
+    assert(spark.sql(s"CALL gfs.system.tier_snapshot_hudi('db.dl', '$huOut')")
+      .head.getString(0).contains("tiered"))
+    assert(graft.core.HudiExport.readLive(spark, huOut)
+      .select("k", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 99), (2L, 222)))
+    val hexp = spark.sql(
+      s"CALL gfs.system.expire_lake_snapshots('$huOut', 1, 'hudi')")
+      .head.getString(0)
+    assert(hexp.contains("retained instant(s)"), hexp)
+    assert(graft.core.HudiExport.completedInstants(huOut).size == 1)
+    assert(graft.core.HudiExport.readLive(spark, huOut).count() == 2)
+
     // PK table: compact then vacuum through SQL
     spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +
       "TBLPROPERTIES ('primary.key' = 'k')")

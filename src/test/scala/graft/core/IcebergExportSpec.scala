@@ -524,4 +524,58 @@ class IcebergExportSpec extends SparkTestBase {
     assert(!WarehouseIO.exists(s"$out/metadata"))
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("lake union read: lake state ∪ fresh log tail — log wins, a tail " +
+      "DELETE removes a lake row; append tables concatenate") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-union-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("dt", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val t = cat.createTable("db", "pkunion", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+    def rows(r: (String, Long, Int)*)(ordBase: Long) = spark.createDataFrame(
+      r.zipWithIndex.map { case ((dt, k, v), i) =>
+        Row(dt, k, Int.box(v), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.upsert(rows(("a", 1L, 1), ("a", 2L, 2), ("b", 1L, 10))(0L),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-union-out").toString
+    t.tierSnapshot(out)
+    // lake is now current: the union read equals the lake alone
+    assert(t.scanLakeUnion(out).count() == 3)
+    // un-tiered tail: update a:1, DELETE a:2, insert c:1
+    t.upsertMixed(rows(("a", 1L, 11), ("a", 2L, 0), ("c", 1L, 100))(100L)
+      .withColumn("__delete", col("k") === 2L && col("dt") === "a"),
+      orderBy = Seq(col("ord")))
+    val got = t.scanLakeUnion(out)
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 11), ("b", 1L, 10), ("c", 1L, 100)), got)
+    // and equals the table's own merged state
+    assert(got == t.scan().select("dt", "k", "v").orderBy("dt", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq)
+    // works through every lake format the tier layer publishes
+    val outD = Files.createTempDirectory("graft-union-delta").toString
+    t.tierSnapshot(outD, format = "delta")
+    assert(t.scanLakeUnion(outD, format = "delta")
+      .select("dt", "k", "v").orderBy("dt", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq == got)
+    // a dir without lake metadata refuses loudly
+    val bare = Files.createTempDirectory("graft-union-bare").toString
+    val e = intercept[IllegalArgumentException](t.scanLakeUnion(bare))
+    assert(e.getMessage.contains("no iceberg metadata"), e.getMessage)
+
+    // append table: lake files + appended tail rows concatenate
+    val lt = cat.createTable("db", "logunion",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    lt.append(rows(("a", 1L, 1), ("b", 2L, 2))(0L), orderBy = Seq(col("ord")))
+    val outL = Files.createTempDirectory("graft-union-log").toString
+    lt.tierSnapshot(outL)
+    lt.append(rows(("c", 3L, 3))(100L), orderBy = Seq(col("ord")))
+    assert(lt.scanLakeUnion(outL).select("dt", "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("a", 1L, 1), ("b", 2L, 2), ("c", 3L, 3)))
+  }
 }
