@@ -335,6 +335,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StructField("lag",
               org.apache.spark.sql.types.LongType, nullable = true))))
         })
+        // lake tier state of a table.datalake.*-enabled table — the
+        // reference Admin's getLatestLakeSnapshot surface (fluss-client
+        // Admin.java): where the lake is, what it last committed, and
+        // how far the log has moved past it (lag, the tiering-freshness
+        // signal a scheduler watches)
+        case "lake" => return new GraftMetaTable(qualified, () => {
+          val schema = StructType(Seq(
+            org.apache.spark.sql.types.StructField("enabled",
+              org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("dir",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("format",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("latest_snapshot",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("pinned_offsets",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("lag",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("live_files",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("tiered_at_millis",
+              org.apache.spark.sql.types.LongType, nullable = true)))
+          val row = graft.core.LakeMaintenance.policyOf(t.desc.properties)
+            match {
+            case None =>
+              Row(false, null, null, null, null, null, null, null)
+            case Some(p) =>
+              val fmt = graft.core.LakeFormatOps.of(p.format)
+              if (!fmt.hasMetadata(p.dir))
+                Row(true, p.dir, p.format, null, null, null, null, null)
+              else {
+                val pinnedJson = fmt.committedTierTags(p.dir)
+                  .get(graft.core.GraftTable.TierOffsetsKey)
+                val pinned: Map[Int, Long] = pinnedJson.map { s =>
+                  org.json4s.jackson.JsonMethods.parse(s)
+                    .asInstanceOf[org.json4s.JObject].obj
+                    .map { case (k, v) => k.toInt ->
+                      v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap
+                }.getOrElse(Map.empty)
+                val lag = t.latestOffsets.map { case (b, hi) =>
+                  math.max(0L, hi - pinned.getOrElse(b, 0L))
+                }.sum
+                val latestId = p.format match {
+                  case "iceberg" => graft.core.IcebergExport
+                    .currentVersion(p.dir).map(v => s"v$v")
+                  case "delta" => graft.core.DeltaExport
+                    .currentVersion(p.dir).map(_.toString)
+                  case "paimon" => graft.core.PaimonExport
+                    .currentSnapshotId(p.dir).map(_.toString)
+                  case _ => graft.core.HudiExport.currentInstant(p.dir)
+                }
+                Row(true, p.dir, p.format, latestId.orNull,
+                  pinnedJson.orNull, Long.box(lag),
+                  Long.box(fmt.liveFiles(spark, p.dir).size.toLong),
+                  graft.core.LakeMaintenance.exportedAtMillis(p.dir)
+                    .map(Long.box).orNull)
+              }
+          }
+          spark.createDataFrame(Seq(row).asJava, schema)
+        })
         // this process's engine counters for the table ([[GraftMetrics]]
         // — the reference's per-table metrics registry through SQL)
         case "metrics" => return new GraftMetaTable(qualified, () => {
@@ -895,6 +956,21 @@ class GraftScanBuilder(table: GraftTable,
                 graft.core.WarehouseIO.warehouseOf(table.path),
                 "spark.sql.graft.read.optimized", "false").toBoolean =>
               table.scanReadOptimized()
+            // lake union read (the reference unions lake snapshot +
+            // fresh log tail for lake-enabled tables, fluss-spark/.../
+            // read/lake/FlussLakeUtils.scala): cold state from the
+            // table.datalake.* lake dir, merge work only on the
+            // un-tiered tail — session-scoped opt-in
+            case _ if graft.core.DynamicConfigs.effective(
+                context.sparkSession,
+                graft.core.WarehouseIO.warehouseOf(table.path),
+                "spark.sql.graft.read.lake-union", "false").toBoolean &&
+                graft.core.LakeMaintenance.policyOf(table.desc.properties)
+                  .exists(p => graft.core.LakeFormatOps.of(p.format)
+                    .hasMetadata(p.dir)) =>
+              val p = graft.core.LakeMaintenance
+                .policyOf(table.desc.properties).get
+              table.scanLakeUnion(p.dir, p.format)
             case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)

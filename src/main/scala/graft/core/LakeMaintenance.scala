@@ -105,7 +105,7 @@ object LakeMaintenance {
   /** Last tier time from `_export_manifest.json` (one metadata read);
     * None on a fresh directory — the tick then runs the initial export.
     */
-  private def exportedAtMillis(dir: String): Option[Long] =
+  private[graft] def exportedAtMillis(dir: String): Option[Long] =
     WarehouseIO.readStringIfExists(s"$dir/_export_manifest.json").map { s =>
       JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
         .get("exportedAtMillis") match {

@@ -471,6 +471,29 @@ class ConnectorSpec extends SparkTestBase {
     assert(graft.core.HudiExport.completedInstants(huOut).size == 1)
     assert(graft.core.HudiExport.readLive(spark, huOut).count() == 2)
 
+    // lake union read through the catalog: with the session flag on, a
+    // lake-enabled table's batch read resolves cold state from its
+    // table.datalake.* lake dir and merges only the fresh (un-tiered)
+    // log tail — the delta lake still holds (1,99),(2,2) from tier time,
+    // the (2,22)/(2,222) upserts exist only in the log
+    spark.conf.set("spark.sql.graft.read.lake-union", "true")
+    try assert(spark.sql("SELECT k, v FROM gfs.db.dl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 99), (2L, 222)))
+    finally spark.conf.unset("spark.sql.graft.read.lake-union")
+
+    // the .lake metadata table reports the tier state and freshness lag
+    // (the Admin getLatestLakeSnapshot surface): the (2,22)/(2,222)
+    // upserts landed after the last tier, so the lake lags the log
+    val lakeRow = spark.sql("SELECT * FROM gfs.db.dl.lake").head
+    assert(lakeRow.getBoolean(0), lakeRow) // enabled
+    assert(lakeRow.getString(2) == "delta", lakeRow)
+    assert(lakeRow.getString(3) != null, lakeRow) // latest_snapshot
+    assert(lakeRow.getLong(5) > 0L, lakeRow) // lag
+    assert(lakeRow.getLong(6) >= 1L, lakeRow) // live_files
+    // a table with no datalake policy reports one disabled row
+    val off = spark.sql("SELECT * FROM gfs.db.mt.lake").head
+    assert(!off.getBoolean(0), off)
+
     // PK table: compact then vacuum through SQL
     spark.sql("CREATE TABLE gfs.db.mpk (k BIGINT, v INT) USING graft " +
       "TBLPROPERTIES ('primary.key' = 'k')")
