@@ -369,12 +369,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               else {
                 val pinnedJson = fmt.committedTierTags(p.dir)
                   .get(graft.core.GraftTable.TierOffsetsKey)
-                val pinned: Map[Int, Long] = pinnedJson.map { s =>
-                  org.json4s.jackson.JsonMethods.parse(s)
-                    .asInstanceOf[org.json4s.JObject].obj
-                    .map { case (k, v) => k.toInt ->
-                      v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap
-                }.getOrElse(Map.empty)
+                val pinned: Map[Int, Long] = pinnedJson
+                  .map(graft.core.GraftTable.parseTierOffsets)
+                  .getOrElse(Map.empty)
                 val lag = t.latestOffsets.map { case (b, hi) =>
                   math.max(0L, hi - pinned.getOrElse(b, 0L))
                 }.sum
@@ -964,13 +961,12 @@ class GraftScanBuilder(table: GraftTable,
             case _ if graft.core.DynamicConfigs.effective(
                 context.sparkSession,
                 graft.core.WarehouseIO.warehouseOf(table.path),
-                "spark.sql.graft.read.lake-union", "false").toBoolean &&
-                graft.core.LakeMaintenance.policyOf(table.desc.properties)
-                  .exists(p => graft.core.LakeFormatOps.of(p.format)
-                    .hasMetadata(p.dir)) =>
-              val p = graft.core.LakeMaintenance
-                .policyOf(table.desc.properties).get
-              table.scanLakeUnion(p.dir, p.format)
+                "spark.sql.graft.read.lake-union", "false").toBoolean =>
+              graft.core.LakeMaintenance.policyOf(table.desc.properties)
+                .filter(p => graft.core.LakeFormatOps.of(p.format)
+                  .hasMetadata(p.dir))
+                .map(p => table.scanLakeUnion(p.dir, p.format))
+                .getOrElse(table.scanPruned(eqs))
             case _ => table.scanPruned(eqs)
           }
           val base = filters.flatMap(GraftScanBuilder.toColumn)

@@ -1542,9 +1542,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       base: Map[Int, Long]): Unit =
     fmt.committedTierTags(dir)
       .get(GraftTable.TierOffsetsKey).foreach { s =>
-        val committed = JsonMethods.parse(s).asInstanceOf[JObject].obj
-          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
-          .toMap
+        val committed = GraftTable.parseTierOffsets(s)
         if (committed != base) throw new java.util.ConcurrentModificationException(
           s"another tierSnapshot committed to $dir concurrently (lake is at " +
             s"offsets $committed, this tier started from $base); retry")
@@ -1626,11 +1624,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // and resume from the committed offsets instead.
     val summary = fmt.committedTierTags(dir)
     val pinned: Map[Int, Long] =
-      summary.get(GraftTable.TierOffsetsKey).map { s =>
-        JsonMethods.parse(s).asInstanceOf[JObject].obj
-          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
-          .toMap
-      } match {
+      summary.get(GraftTable.TierOffsetsKey)
+        .map(GraftTable.parseTierOffsets) match {
         case Some(committed) if committed != manifestPinned =>
           writeExportManifest(dir,
             committed, summary.get(GraftTable.TierVersionKey).map(_.toLong),
@@ -2210,15 +2205,21 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(fmt.hasMetadata(dir),
       s"$dir has no ${fmt.name} metadata; lake union read requires a " +
         "lake-enabled export (tierSnapshot / export_snapshot_*)")
-    val pinned: Map[Int, Long] = fmt.committedTierTags(dir)
-      .get(GraftTable.TierOffsetsKey).map { s =>
-        JsonMethods.parse(s).asInstanceOf[JObject].obj
-          .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
-          .toMap
-      }.getOrElse(throw new IllegalArgumentException(
-        s"$dir's ${fmt.name} metadata carries no graft tier offsets; " +
-          "only tierSnapshot/exportSnapshot-published lakes support " +
-          "union reads"))
+    // offsets + live-file resolution under ONE lake lock: a tier
+    // committing between the two reads would otherwise pin offsets from
+    // before the commit against a live set from after it — the tiered
+    // window then appears in both sides (duplicate rows on append
+    // tables). readLive resolves its file list eagerly, so both reads
+    // see the same committed snapshot.
+    val (pinned: Map[Int, Long], lakeRaw) = fmt.withLock(dir) {
+      val p = fmt.committedTierTags(dir)
+        .get(GraftTable.TierOffsetsKey).map(GraftTable.parseTierOffsets)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dir's ${fmt.name} metadata carries no graft tier offsets; " +
+            "only tierSnapshot/exportSnapshot-published lakes support " +
+            "union reads"))
+      (p, fmt.readLive(spark, dir))
+    }
     retainedFloorOffsets.foreach { floor =>
       val lost = floor.filter { case (b, f) => f > pinned.getOrElse(b, 0L) }
       require(lost.isEmpty,
@@ -2228,10 +2229,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
     // partition columns come back type-inferred from the hive paths;
     // cast to the declared schema so the union is exact
-    val lake = fmt.readLive(spark, dir).select(
+    val lake = lakeRaw.select(
       desc.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
         .toIndexedSeq: _*)
-    if (!desc.isPrimaryKeyTable) lake.unionByName(scanFromOffsets(pinned))
+    if (!desc.isPrimaryKeyTable)
+      // absent buckets default to 0 (read everything): a bucket that was
+      // still empty at tier time has no pinned offset, and its later
+      // appends are exactly the tail (scanFromOffsets' MaxValue default
+      // means "do not read" — the opposite contract)
+      lake.unionByName(logDF
+        .filter(col(Meta.Offset) >= bucketMapExpr(pinned, 0L))
+        .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*))
     else {
       // lake rows replay as inserts below any tail offset — the same
       // convention as the snapshot side of stateInput
@@ -2891,6 +2899,14 @@ object GraftTable {
     * forward instead of re-appending the same window.
     */
   val TierOffsetsKey = "graft-pinned-offsets"
+
+  /** The [[TierOffsetsKey]] JSON (`{"<bucket>": <nextOffset>}`) back to a
+    * map — ONE parser for every reader of the tier bookkeeping tag.
+    */
+  private[graft] def parseTierOffsets(s: String): Map[Int, Long] =
+    JsonMethods.parse(s).asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+      .toMap
 
   /** Iceberg snapshot-summary key holding the pinned source version. */
   val TierVersionKey = "graft-source-version"

@@ -577,5 +577,19 @@ class IcebergExportSpec extends SparkTestBase {
       .orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
       Seq(("a", 1L, 1), ("b", 2L, 2), ("c", 3L, 3)))
+
+    // a lake tiered while the table was EMPTY pins no per-bucket
+    // offsets; later appends are exactly the tail — absent buckets must
+    // default to "read everything" (scanFromOffsets' MaxValue default
+    // means the opposite and would silently drop them)
+    val lt2 = cat.createTable("db", "logunion2",
+      TableDescriptor(schema, bucketKeys = Seq("k"), numBuckets = 2))
+    val outL2 = Files.createTempDirectory("graft-union-log2").toString
+    lt2.tierSnapshot(outL2)
+    lt2.append(rows(("d", 4L, 4), ("e", 5L, 5))(0L), orderBy = Seq(col("ord")))
+    assert(lt2.scanLakeUnion(outL2).select("dt", "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq(("d", 4L, 4), ("e", 5L, 5)))
   }
 }
