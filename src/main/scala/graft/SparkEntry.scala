@@ -91,6 +91,11 @@ object SparkEntry {
     // log rows read the new column as null
     "e1_add_column" -> ((s, dir) => Fixtures.usersEvolved(s, dir).scan()),
 
+    // ----- T7 undo recovery (UndoComputer.java:43): a registered
+    // producer's post-checkpoint writes (inserts, updates, deletes) are
+    // compensated away — the state must equal LWW over batch 1 alone
+    "t10_undo_recovery" -> ((s, dir) => Fixtures.usersUndone(s, dir).scan()),
+
     // ----- S3/S13 time travel: state as of the between-commits timestamp
     // (only the first commit's rows are visible)
     "tt1_time_travel" -> ((s, dir) => {
@@ -1461,6 +1466,14 @@ object SparkEntry {
         |  CASE WHEN event_id <= (SELECT mid FROM mx) THEN NULL ELSE props END AS props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
+
+    // undo recovery compensates everything past the registered point, so
+    // the state is exactly LWW over the first half of the event stream
+    "t10_undo_recovery" ->
+      """WITH mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+        |SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id <= (SELECT mid FROM mx)) WHERE rn = 1""".stripMargin,
 
     "tt1_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -261,6 +261,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StructField("next_offset",
               org.apache.spark.sql.types.LongType, nullable = false))))
         })
+        // schema history (the reference's SchemaInfo ids,
+        // Admin.getTableSchema(path, schemaId)): one row per recorded
+        // schema version, ascending
+        case "schemas" => return new GraftMetaTable(qualified, () => {
+          val rows = core.listTableSchemas(
+            ident.namespace()(0), ident.namespace()(1)).map {
+            case (id, schema, at) => Row(id, schema.toDDL,
+              if (at > 0) new java.sql.Timestamp(at) else null)
+          }
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("schema_id",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("columns",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("registered_at",
+              org.apache.spark.sql.types.TimestampType, nullable = true))))
+        })
         case "partitions" => return new GraftMetaTable(qualified, () => {
           import org.apache.spark.sql.functions.col
           val rows = t.partitionValues().map(vs =>

@@ -43,7 +43,9 @@ object GraftProcedures {
     "acquire_kv_snapshot_lease", "drop_kv_snapshot_lease",
     "list_kv_snapshot_leases", "add_acl", "drop_acl", "list_acl",
     "set_cluster_configs", "append_cluster_configs",
-    "subtract_cluster_configs", "reset_cluster_configs")
+    "subtract_cluster_configs", "reset_cluster_configs",
+    "register_producer_offsets", "get_producer_offsets",
+    "delete_producer_offsets", "recover_producer")
 
   /** `'k1=v1;k2=v2'` → pairs (the reference passes variadic
     * 'key','value' pairs; Spark procedure parameters are fixed-arity, so
@@ -519,6 +521,57 @@ object GraftProcedures {
         catalog.coreCatalog.acls.list(graft.core.AclEntry(
           resource, s(1).toUpperCase, s(2), s(3).toUpperCase, s(4)))
           .sortBy(_.render).map(e => utf8Row(e.render))
+      })
+      // Producer offset snapshots — the reference's exactly-once undo-
+      // recovery admin surface (Admin.registerProducerOffsets /
+      // getProducerOffsets / deleteProducerOffsets, Admin.java:745),
+      // plus the recovery flow itself as a procedure.
+      case "register_producer_offsets" => Some(localProc(catalog,
+        "register_producer_offsets",
+        Seq(in("producer_id", StringType), in("tables", StringType),
+          in("ttl", StringType, Some("'24h'"))),
+        out("result", StringType)) { row =>
+        def s(i: Int) = row.getUTF8String(i).toString
+        val names = s(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty, "tables must name at least one 'db.table'")
+        val snap = catalog.coreCatalog.currentOffsetsFor(names)
+        val r = catalog.coreCatalog.registerProducerOffsets(
+          s(0), snap, parseTtlMillis(s(2)))
+        Seq(utf8Row(r match {
+          case graft.core.ProducerOffsets.Created => "CREATED"
+          case graft.core.ProducerOffsets.AlreadyExists => "ALREADY_EXISTS"
+        }))
+      })
+      case "get_producer_offsets" => Some(localProc(catalog,
+        "get_producer_offsets",
+        Seq(in("producer_id", StringType)),
+        out("offsets", StringType)) { row =>
+        val id = row.getUTF8String(0).toString
+        catalog.coreCatalog.getProducerOffsets(id) match {
+          case None => Seq.empty
+          case Some(snap) => snap.tables.toSeq.sortBy(_._1).map {
+            case (qn, offs) => utf8Row(qn + " " + offs.toSeq.sorted
+              .map { case (b, o) => s"$b:$o" }.mkString("{", ",", "}"))
+          }
+        }
+      })
+      case "delete_producer_offsets" => Some(localProc(catalog,
+        "delete_producer_offsets",
+        Seq(in("producer_id", StringType)),
+        out("result", StringType)) { row =>
+        val id = row.getUTF8String(0).toString
+        Seq(utf8Row(
+          if (catalog.coreCatalog.deleteProducerOffsets(id)) "deleted"
+          else "not found"))
+      })
+      case "recover_producer" => Some(localProc(catalog,
+        "recover_producer",
+        Seq(in("producer_id", StringType)),
+        out("result", StringType)) { row =>
+        val id = row.getUTF8String(0).toString
+        catalog.coreCatalog.recoverProducer(id).toSeq.sortBy(_._1).map {
+          case (qn, n) => utf8Row(s"$qn undone=$n")
+        }
       })
       case "get_configs" => Some(new UnboundProcedure with BoundProcedure {
         private val schema = StructType(Seq(

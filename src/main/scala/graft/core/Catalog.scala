@@ -176,7 +176,68 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     require(!WarehouseIO.exists(s"$dir/meta.json"), s"table $db.$name exists")
     WarehouseIO.mkdirs(s"$dir/log")
     WarehouseIO.atomicWriteString(s"$dir/meta.json", CatalogJson.write(desc))
+    writeSchemaVersion(dir, 1, desc.schema)
     new GraftTable(dir, desc, spark)
+  }
+
+  // ---- schema history (the reference's SchemaInfo ids: ids begin at 1
+  // and increment by 1 per schema change, fluss-common/.../metadata/
+  // SchemaInfo.java:27; Admin.getTableSchema(tablePath, schemaId),
+  // Admin.java:120) ----
+
+  private def schemaFile(dir: String, id: Int) =
+    s"$dir/_schemas/schema-$id.json"
+
+  private def writeSchemaVersion(dir: String, id: Int,
+      schema: StructType): Unit = {
+    WarehouseIO.mkdirs(s"$dir/_schemas")
+    CatalogJson.atomicWrite(schemaFile(dir, id),
+      JsonMethods.compact(JsonMethods.render(JObject(List(
+        "registeredAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
+        "schema" -> JsonMethods.parse(schema.json))))))
+  }
+
+  /** All schema versions of a table, ascending by id: (id, schema,
+    * registered-at millis). Tables created before schema history was
+    * recorded read as a single version 1 = the current schema.
+    */
+  def listTableSchemas(db: String, name: String): Seq[(Int, StructType, Long)] = {
+    authorize("DESCRIBE", Seq(db, name))
+    val t = getTable(db, name)
+    val dir = s"$warehouse/$db/$name"
+    val ids = WarehouseIO.listDir(s"$dir/_schemas")
+      .flatMap(e => "schema-(\\d+)\\.json".r.findFirstMatchIn(e.name)
+        .map(_.group(1).toInt)).sorted
+    if (ids.isEmpty) Seq((1, t.desc.schema, 0L))
+    else ids.map { id =>
+      val fields = JsonMethods.parse(WarehouseIO.readString(schemaFile(dir, id)))
+        .asInstanceOf[JObject].obj.toMap
+      val at = fields("registeredAtMillis").asInstanceOf[JInt].num.toLong
+      val schema = DataType.fromJson(
+        JsonMethods.compact(JsonMethods.render(fields("schema"))))
+        .asInstanceOf[StructType]
+      (id, schema, at)
+    }
+  }
+
+  /** The schema under a specific id (Admin.getTableSchema(path, id));
+    * absent ids fail loudly with the recorded range.
+    */
+  def getTableSchema(db: String, name: String, schemaId: Int): StructType = {
+    val all = listTableSchemas(db, name)
+    all.find(_._1 == schemaId).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"schema id $schemaId not recorded for $db.$name " +
+          s"(recorded: ${all.head._1}..${all.last._1})"))
+  }
+
+  /** Current schema + its id (Admin.getTableSchema(path)). The
+    * descriptor stays the source of truth for the schema itself; history
+    * supplies the id.
+    */
+  def getTableSchema(db: String, name: String): (StructType, Int) = {
+    val all = listTableSchemas(db, name)
+    (getTable(db, name).desc.schema, all.last._1)
   }
 
   def getTable(db: String, name: String): GraftTable = {
@@ -201,9 +262,18 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
       s"column ${field.name} already exists")
     require(field.nullable, "added column must be nullable (ADD COLUMN LAST)")
     val desc2 = t.desc.copy(schema = StructType(t.desc.schema.fields :+ field))
-    CatalogJson.atomicWrite(s"$warehouse/$db/$name/meta.json",
-      CatalogJson.write(desc2))
-    new GraftTable(s"$warehouse/$db/$name", desc2, spark)
+    val dir = s"$warehouse/$db/$name"
+    // schema ids increment by 1 per change (SchemaInfo.java:27); a table
+    // from before history recording back-fills its pre-change schema as
+    // id 1 so the new version lands as id 2, never overwriting
+    val recorded = WarehouseIO.listDir(s"$dir/_schemas")
+      .flatMap(e => "schema-(\\d+)\\.json".r.findFirstMatchIn(e.name)
+        .map(_.group(1).toInt))
+    val maxId = if (recorded.nonEmpty) recorded.max
+    else { writeSchemaVersion(dir, 1, t.desc.schema); 1 }
+    CatalogJson.atomicWrite(s"$dir/meta.json", CatalogJson.write(desc2))
+    writeSchemaVersion(dir, maxId + 1, desc2.schema)
+    new GraftTable(dir, desc2, spark)
   }
 
   /** Dynamic table options — the reference's `ALTER TABLE ... SET (...)`
@@ -273,6 +343,71 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     WarehouseIO.listDir(s"$warehouse/$db")
       .filter(e => e.isDir && WarehouseIO.exists(s"${e.path}/meta.json"))
       .map(_.name).sorted
+  }
+
+  // ---- producer offset snapshots (exactly-once undo recovery) ----
+
+  private def splitQualified(qualified: String): (String, String) = {
+    val parts = qualified.split('.')
+    require(parts.length == 2,
+      s"expected a two-part table name 'db.table', got '$qualified'")
+    (parts(0), parts(1))
+  }
+
+  /** Current per-bucket next-offsets of the named `db.table`s — the
+    * snapshot a job coordinator registers at startup, before writing
+    * anything (the reference registers the offsets its writer observed,
+    * Admin.java:745).
+    */
+  def currentOffsetsFor(tableNames: Seq[String]): Map[String, Map[Int, Long]] =
+    tableNames.map { qn =>
+      val (db, name) = splitQualified(qn)
+      qn -> getTable(db, name).latestOffsets
+    }.toMap
+
+  /** Atomic check-and-register of a producer offset snapshot
+    * ([[ProducerOffsets.register]]; Admin.registerProducerOffsets).
+    * [[ProducerOffsets.AlreadyExists]] signals a crash before the first
+    * checkpoint — run [[recoverProducer]] before writing again.
+    */
+  def registerProducerOffsets(producerId: String,
+      tables: Map[String, Map[Int, Long]],
+      ttlMillis: Long = ProducerOffsets.DefaultTtlMillis)
+      : ProducerOffsets.RegisterResult = {
+    authorize("WRITE", Nil)
+    ProducerOffsets.register(warehouse, producerId, tables, ttlMillis)
+  }
+
+  /** The unexpired snapshot for `producerId` (Admin.getProducerOffsets). */
+  def getProducerOffsets(producerId: String): Option[ProducerOffsets.Snapshot] = {
+    authorize("DESCRIBE", Nil)
+    ProducerOffsets.get(warehouse, producerId)
+  }
+
+  /** Delete a producer snapshot after the first durable checkpoint
+    * (Admin.deleteProducerOffsets). Returns whether the id existed.
+    */
+  def deleteProducerOffsets(producerId: String): Boolean = {
+    authorize("WRITE", Nil)
+    ProducerOffsets.delete(warehouse, producerId)
+  }
+
+  /** Undo recovery across every table in `producerId`'s snapshot: each
+    * table compensates the changes written past its registered offsets
+    * ([[GraftTable.undoTo]] — the UndoRecoveryManager flow). Returns the
+    * per-table compensation counts. The snapshot is kept: the caller is
+    * still pre-first-checkpoint and deletes it only once a checkpoint
+    * lands.
+    */
+  def recoverProducer(producerId: String): Map[String, Long] = {
+    val snap = getProducerOffsets(producerId).getOrElse(throw
+      new IllegalArgumentException(
+        s"no unexpired producer offset snapshot for '$producerId'"))
+    snap.tables.map { case (qn, offs) =>
+      val (db, name) = splitQualified(qn)
+      authorize("WRITE", Seq(db, name))
+      qn -> getTable(db, name).undoTo(offs)
+    }
   }
 }
 

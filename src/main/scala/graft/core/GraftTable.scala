@@ -2330,6 +2330,71 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         col(Meta.Timestamp).as(Meta.CommitTimestamp))).toIndexedSeq: _*)
   }
 
+  /** Undo every change committed past `offsets` — the reference's
+    * exactly-once UNDO RECOVERY (fluss-flink/.../sink/undo/
+    * UndoComputer.java:43). For each primary key, only the FIRST change
+    * after the registered offsets governs the compensation:
+    *
+    *  - `+I` — the key did not exist at the registered point → DELETE it
+    *  - `-U` — the key was updated → restore the pre-image it carries
+    *  - `+U` — ignored (`-U` of the same pair already restored the key)
+    *  - `-D` — the key was deleted → re-insert the row it carried
+    *
+    * One distributed pass: changelog-window scan (offset-pruned via the
+    * per-commit manifest) → first-change-per-key hash aggregate (`min_by`
+    * over the log offset) → ONE mixed upsert/delete batch through the
+    * normal merge path — the compensations land as a single commit with
+    * their own changelog, exactly like the reference applying undo
+    * through a plain UpsertWriter. Returns the number of compensating
+    * row intents written (0 = nothing to undo).
+    *
+    * Restricted to the default (LWW) merge engine: FIRST_ROW ignores
+    * overwrites and VERSIONED/AGGREGATION fold rather than replace, so a
+    * compensating upsert could not restore the pre-image — refusing
+    * loudly beats silently half-undoing.
+    */
+  def undoTo(offsets: Map[Int, Long]): Long = {
+    require(desc.isPrimaryKeyTable, "undo recovery applies to PK tables")
+    require(desc.mergeEngine == MergeEngine.Default,
+      s"undo recovery requires the default (LWW) merge engine; " +
+        s"${desc.mergeEngine} folds writes and cannot restore pre-images")
+    require(desc.changelogImage == ChangelogImage.Full,
+      "undo recovery requires FULL changelog image: a WAL-image log " +
+        "never records the -U pre-image an update's undo must restore")
+    // vacuum truncates the log: a registered point below the retained
+    // floor would silently miss changes — refuse instead (same contract
+    // as changesBetween)
+    retainedFloorOffsets.foreach { floor =>
+      val gaps = floor.filter { case (b, f) => offsets.getOrElse(b, 0L) < f }
+      require(gaps.isEmpty,
+        s"undo to offsets below the vacuumed log floor for buckets " +
+          s"${gaps.keys.toSeq.sorted.mkString(",")}; " +
+          "that window is no longer replayable")
+    }
+    val cur = readOffsets()
+    if (!cur.exists { case (b, o) => o > offsets.getOrElse(b, 0L) }) return 0L
+    // +U is skipped BEFORE the first-change aggregate (UndoComputer.java:83):
+    // its paired -U carries the pre-image the undo must restore and
+    // sorts immediately before it anyway.
+    val window = scanRange(offsets, cur)
+      .filter(col(Meta.ChangeTypeCol) =!= ChangeType.UpdateAfter)
+    val dataCols = desc.schema.fieldNames.toSeq
+    val firsts = window
+      .groupBy(desc.primaryKey.map(col): _*)
+      .agg(min_by(
+        struct((dataCols.map(col) :+ col(Meta.ChangeTypeCol).as("__ct")): _*),
+        col(Meta.Offset)).as("__first"))
+      .select(col("__first.*"))
+      .withColumn("__delete", col("__ct") === ChangeType.Insert)
+      .drop("__ct")
+      .persist()
+    try {
+      val n = firsts.count()
+      if (n > 0) upsertMixed(firsts)
+      n
+    } finally { firsts.unpersist(); () }
+  }
+
   /** `t$binlog` virtual table (PK tables only): one row per state change
     * with `before`/`after` ROW images (TableDescriptor.java:69-70).
     * Before-images come from a per-key `lag`, so the view also works for

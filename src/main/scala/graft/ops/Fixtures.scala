@@ -324,6 +324,35 @@ object Fixtures {
       t
     }
 
+  /** Undo-recovery fixture (SURVEY T7; UndoComputer.java:43): batch 1
+    * (event_id <= mid) upserted, the producer registers its offset
+    * snapshot, then a "pre-first-checkpoint crash" worth of writes lands
+    * — new users inserted, existing users updated, every user_id % 7 == 0
+    * deleted — and `recoverProducer` compensates it all away. The final
+    * state must equal LWW over batch 1 alone, which is exactly what the
+    * oracle recomputes.
+    */
+  def usersUndone(spark: SparkSession, sfDir: String): GraftTable =
+    cached("users_undone", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val t = fresh(spark, sfDir, "users_undone",
+        TableDescriptor(eventsSchema(spark, sfDir), primaryKey = Seq("user_id")))
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      t.upsert(ev.filter(col("event_id") <= mid), orderBy = Seq(col("event_id")))
+      val cat = catalog(spark)
+      val db = "fx" + math.abs(sfDir.hashCode)
+      val producer = "fixture-job"
+      val r = cat.registerProducerOffsets(producer,
+        cat.currentOffsetsFor(Seq(s"$db.users_undone")))
+      require(r == graft.core.ProducerOffsets.Created, s"unexpected $r")
+      // the doomed writes: inserts of new users + updates of existing
+      // ones (batch 2), then deletes — all three undo paths exercised
+      t.upsert(ev.filter(col("event_id") > mid), orderBy = Seq(col("event_id")))
+      t.delete(ev.filter(col("user_id") % 7 === 0))
+      cat.recoverProducer(producer)
+      t
+    }
+
   /** FIRST_ROW merge engine table. */
   def usersFirst(spark: SparkSession, sfDir: String): GraftTable =
     cached("users_first", sfDir) {

@@ -341,6 +341,16 @@ class ConnectorSpec extends SparkTestBase {
     poller.poll(); poller.commit()
     assert(spark.sql("SELECT lag FROM gfs.db.meta.consumer_groups")
       .collect().head.getLong(0) == 0L)
+
+    // schema history (.schemas, the reference's SchemaInfo ids): the DDL
+    // ALTER above the connector surface registers version 2
+    spark.sql("ALTER TABLE gfs.db.meta ADD COLUMN note STRING")
+    val sch = spark.sql(
+      "SELECT schema_id, columns FROM gfs.db.meta.schemas ORDER BY schema_id")
+      .collect()
+    assert(sch.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(!sch(0).getString(1).contains("note"))
+    assert(sch(1).getString(1).contains("note"))
   }
 
   test("CALL system procedures: create/refresh_vector_index probe the IVF index") {
