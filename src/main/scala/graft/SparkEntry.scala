@@ -211,6 +211,18 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- T2's LAKE-SEEDED full startup (HybridSnapshotLogSplit.java:37
+    // + fluss-spark read/lake/FlussLakeUtils.scala): an events log tiered
+    // to Iceberg and EXPIRED up to the pinned tier offsets — history
+    // lives only in the lake — cold-started as a scan.startup.mode=full
+    // stream: batch 0 seeds from the lake, the tail streams from the log
+    // above the pinned offsets; the drained stream must equal the whole
+    // corpus exactly once across the lake/log seam
+    "t2_lake_seeded_stream" -> ((s, dir) =>
+      Fixtures.lakeSeededStreamResult(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("value").cast("double").as("value"), col("props"))),
+
     // ----- S1 poll consumer (LogScanner poll/commit + group resume):
     // two polls across a committed restart cover the log exactly once
     "s1_log_poller" -> ((s, dir) => Fixtures.lineitemPolled(s, dir)),
@@ -1581,6 +1593,13 @@ object SparkEntry {
         |        PARTITION BY event_type, user_id
         |        ORDER BY b DESC, event_id DESC) AS rn
         |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // the full-startup stream covers the WHOLE corpus exactly once:
+    // lake seed (% 4 <> 0, expired from the log) ∪ fresh tail (% 4 = 0)
+    "t2_lake_seeded_stream" ->
+      """SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM events""".stripMargin,
 
     "s1_log_poller" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",

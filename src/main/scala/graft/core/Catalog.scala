@@ -271,8 +271,12 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
         .map(_.group(1).toInt))
     val maxId = if (recorded.nonEmpty) recorded.max
     else { writeSchemaVersion(dir, 1, t.desc.schema); 1 }
-    CatalogJson.atomicWrite(s"$dir/meta.json", CatalogJson.write(desc2))
+    // history BEFORE meta.json: a crash between the two leaves an extra
+    // history file (harmless — the next ALTER's maxId scan skips past it)
+    // instead of a published schema whose id was never recorded, which a
+    // later ALTER would silently reassign to a different schema
     writeSchemaVersion(dir, maxId + 1, desc2.schema)
+    CatalogJson.atomicWrite(s"$dir/meta.json", CatalogJson.write(desc2))
     new GraftTable(dir, desc2, spark)
   }
 

@@ -2254,6 +2254,140 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
   }
 
+  // ---------------------------------------------------------------------
+  // full-startup stream seeding (T2's lake-aware form)
+  // ---------------------------------------------------------------------
+
+  /** Resolve a `scan.startup.mode=full` stream's seed: where batch 0's
+    * cold state comes from, plus the per-bucket offsets its log tail
+    * starts at. A `table.datalake.*`-enabled table seeds from the tiered
+    * LAKE at its pinned tier offsets — the reference's lake-seeded hybrid
+    * split (fluss-flink/.../source/split/HybridSnapshotLogSplit.java:37 +
+    * fluss-spark/.../read/lake/FlussLakeUtils.scala): on a table whose
+    * log is vacuumed/expired up to the lake, history lives ONLY in the
+    * lake, and this is what makes such a table cold-startable as a
+    * stream. Other PK tables seed from the KV snapshot ([[GraftStream
+    * .hybrid]]'s source); None = nothing to seed yet (full degenerates
+    * to earliest, the reference's contract for snapshotless tables).
+    */
+  private[graft] def resolveFullStartup()
+      : Option[(GraftTable.SeedSource, Map[Int, Long])] = {
+    val lake = LakeMaintenance.policyOf(desc.properties).flatMap { p =>
+      val fmt = LakeFormatOps.of(p.format)
+      if (!fmt.hasMetadata(p.dir)) None
+      else fmt.withLock(p.dir)(fmt.committedTierTags(p.dir))
+        .get(GraftTable.TierOffsetsKey).map(GraftTable.parseTierOffsets)
+        .map(off =>
+          (GraftTable.SeedSource.Lake(p.dir, p.format): GraftTable.SeedSource,
+            off))
+    }
+    lake.orElse(readSnapshotMeta().map(off =>
+      (GraftTable.SeedSource.Snapshot: GraftTable.SeedSource, off)))
+  }
+
+  /** The seed's CURRENT tail-start offsets — what [[resolveFullStartup]]
+    * would pin right now.
+    */
+  private def currentSeedOffsets(seed: GraftTable.SeedSource)
+      : Option[Map[Int, Long]] = seed match {
+    case GraftTable.SeedSource.Lake(dir, format) =>
+      LakeFormatOps.of(format).committedTierTags(dir)
+        .get(GraftTable.TierOffsetsKey).map(GraftTable.parseTierOffsets)
+    case GraftTable.SeedSource.Snapshot => readSnapshotMeta()
+  }
+
+  /** Replay guard shared by [[seedFrame]] and [[seedFileEntries]]: a
+    * seed whose pinned offsets no longer match the stream's checkpointed
+    * tail-start (the lake re-tiered / the snapshot re-compacted between
+    * a crash and the batch-0 replay) fails loudly — replaying a NEWER
+    * seed against the old tail window would double-deliver everything
+    * committed in between.
+    */
+  private[graft] def requireSeedCurrent(seed: GraftTable.SeedSource,
+      expected: Map[Int, Long]): Unit = {
+    val cur = currentSeedOffsets(seed)
+    if (!cur.contains(expected)) throw new IllegalStateException(
+      s"full-startup seed for $path moved under a replaying first batch " +
+        s"(checkpointed tail-start $expected, seed now at " +
+        s"${cur.getOrElse(Map.empty)}): the lake re-tiered or the " +
+        "snapshot re-compacted since the stream's offsets were logged — " +
+        "restart the stream from a fresh checkpoint")
+  }
+
+  /** A full-startup stream's batch-0 seed rows in log-row shape: data
+    * columns + system columns, replaying as inserts at offset -1 below
+    * any tail offset (the [[stateInput]] convention; lake rows carry
+    * bucket -1 — buckets are a log-layout notion the lake does not
+    * keep). `expected` is the checkpointed tail-start the seed must
+    * still match ([[requireSeedCurrent]]).
+    */
+  private[graft] def seedFrame(seed: GraftTable.SeedSource,
+      expected: Map[Int, Long]): DataFrame = {
+    val ordered = logSchema.fieldNames.map(col).toIndexedSeq
+    seed match {
+      case GraftTable.SeedSource.Lake(dir, format) =>
+        val fmt = LakeFormatOps.of(format)
+        // guard + live-file resolution under ONE lake lock, like
+        // scanLakeUnion: a tier committing in between would pin the
+        // guard's offsets against a newer live set
+        val lakeRaw = fmt.withLock(dir) {
+          requireSeedCurrent(seed, expected)
+          fmt.readLive(spark, dir)
+        }
+        lakeRaw.select(desc.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+          .withColumn(Meta.Offset, lit(-1L))
+          .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
+          .withColumn(Meta.Bucket, lit(-1))
+          .select(ordered: _*)
+      case GraftTable.SeedSource.Snapshot =>
+        requireSeedCurrent(seed, expected)
+        val snapSchema = StructType(desc.schema.fields :+
+          StructField(Meta.Bucket, IntegerType))
+        spark.read.schema(snapSchema).option("basePath", snapshotDir)
+          .parquet(snapshotDir)
+          .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+          .withColumn(Meta.Offset, lit(-1L))
+          .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
+          .select(ordered: _*)
+    }
+  }
+
+  /** The seed's physical parquet files for native (DSv2) planning:
+    * (absolute path, length, hive `k=v` dir segments). Lake files carry
+    * the table's partition keys in their paths; snapshot files
+    * additionally carry `__bucket`. Same replay guard as [[seedFrame]].
+    */
+  private[graft] def seedFileEntries(seed: GraftTable.SeedSource,
+      expected: Map[Int, Long]): Seq[(String, Long, Map[String, String])] = {
+    def hiveKvs(rel: String): Map[String, String] =
+      rel.split('/').dropRight(1).flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    seed match {
+      case GraftTable.SeedSource.Lake(dir, format) =>
+        val fmt = LakeFormatOps.of(format)
+        val rels = fmt.withLock(dir) {
+          requireSeedCurrent(seed, expected)
+          fmt.liveFiles(spark, dir)
+        }
+        rels.map { rel =>
+          val abs = s"$dir/$rel"
+          (abs, WarehouseIO.size(abs), hiveKvs(rel))
+        }
+      case GraftTable.SeedSource.Snapshot =>
+        requireSeedCurrent(seed, expected)
+        WarehouseIO.walkFiles(snapshotDir)
+          .filter(_.name.endsWith(".parquet"))
+          .map(e => (e.path, e.len,
+            hiveKvs(WarehouseIO.relativize(snapshotDir, e.path))))
+    }
+  }
+
   /** Best-effort bucket-pruned scan (P5 through any entry point, e.g.
     * the DSv2 connector): when equality predicates pin every bucket key,
     * read only that bucket's partition directory — 1/numBuckets of the
@@ -2975,6 +3109,16 @@ object GraftTable {
 
   /** Iceberg snapshot-summary key holding the pinned source version. */
   val TierVersionKey = "graft-source-version"
+
+  /** Where a `scan.startup.mode=full` stream's batch-0 seed comes from
+    * ([[GraftTable.resolveFullStartup]]): the tiered lake (datalake-
+    * enabled tables) or the native KV snapshot.
+    */
+  private[graft] sealed trait SeedSource
+  private[graft] object SeedSource {
+    final case class Lake(dir: String, format: String) extends SeedSource
+    case object Snapshot extends SeedSource
+  }
 }
 
 /** One commit in a table's version history: the manifest's per-bucket

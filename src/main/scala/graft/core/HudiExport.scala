@@ -154,16 +154,20 @@ object HudiExport {
 
   private def requireRetained(dir: String, instant: String): Unit = {
     requireMetadata(dir)
+    // an instant at or below the compacted base's asOf is rejected even
+    // when its file still sits in the ACTIVE timeline (the expireInstants
+    // crash window between the base publish and the archive moves):
+    // liveEntries applies no instants when upTo <= asOf, so replay would
+    // silently return the base's NEWER live set for it
+    if (instant <= baseAsOf(dir).getOrElse(""))
+      throw new IllegalArgumentException(
+        s"instant $instant of $dir has been archived by expireInstants " +
+          s"(compacted base covers through ${baseAsOf(dir).get})")
     val active = completedInstants(dir).map(_._1)
-    if (!active.contains(instant)) {
-      if (instant <= baseAsOf(dir).getOrElse(""))
-        throw new IllegalArgumentException(
-          s"instant $instant of $dir has been archived by expireInstants " +
-            s"(earliest retained instant is ${active.head})")
+    if (!active.contains(instant))
       throw new IllegalArgumentException(
         s"instant $instant does not exist at $dir " +
           s"(latest is ${active.last})")
-    }
   }
 
   /** The current state as a DataFrame, files from the timeline, hive
@@ -341,7 +345,13 @@ object HudiExport {
   private def nextInstantTs(dir: String): String = {
     val now = InstantFmt.format(JInstant.now())
     currentInstant(dir) match {
-      case Some(last) if last >= now => (last.toLong + 1).toString
+      case Some(last) if last >= now =>
+        // bump via the datetime, not numeric +1: across a ...999-ms
+        // boundary plain +1 yields a string that is not a valid
+        // yyyyMMddHHmmssSSS instant (seconds=60), which an external Hudi
+        // reader parsing instant timestamps would reject
+        InstantFmt.format(
+          JInstant.from(InstantFmt.parse(last)).plusMillis(1L))
       case _ => now
     }
   }

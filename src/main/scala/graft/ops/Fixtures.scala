@@ -239,6 +239,57 @@ object Fixtures {
       tbl
     }
 
+  /** T2's lake-aware hybrid, end-to-end: an append events table with the
+    * `table.datalake.*` policy wired, tiered to Iceberg, its pre-tier log
+    * EXPIRED — history lives only in the lake — then the `% 4 == 0` tail
+    * appended fresh. [[lakeSeededStreamResult]] cold-starts it as a
+    * full-mode stream.
+    */
+  def lakeSeededStreamTable(spark: SparkSession, sfDir: String): GraftTable =
+    cached("lake_seeded_stream", sfDir) {
+      val ev = eventsTyped(spark, sfDir)
+      val tbl0 = fresh(spark, sfDir, "lake_seeded_stream",
+        TableDescriptor(eventsSchema(spark, sfDir),
+          bucketKeys = Seq("user_id"), numBuckets = 4))
+      val lakeDir = tbl0.path + "_lake"
+      graft.core.WarehouseIO.deleteRecursively(lakeDir)
+      val tbl = catalog(spark).updateProperties(
+        "fx" + math.abs(sfDir.hashCode), "lake_seeded_stream",
+        Map("table.datalake.enabled" -> "true",
+          "table.datalake.dir" -> lakeDir,
+          "table.datalake.format" -> "iceberg"), Nil)
+      tbl.append(ev.filter(col("event_id") % 4 =!= 0),
+        orderBy = Seq(ev("event_id")))
+      tbl.tierSnapshot(lakeDir)
+      // expire the whole retained log: pre-tier history now lives ONLY
+      // in the lake, the exact state a plain-log stream cannot cold-start
+      tbl.expireLog(1L, System.currentTimeMillis() + 3600000L)
+      tbl.append(ev.filter(col("event_id") % 4 === 0),
+        orderBy = Seq(ev("event_id")))
+      tbl
+    }
+
+  /** Drain [[lakeSeededStreamTable]] with `scan.startup.mode=full`: the
+    * first batch seeds from the Iceberg lake at its pinned tier offsets
+    * and the tail streams from the log above them — the reference's
+    * lake-seeded HybridSnapshotLogSplit shape. The drained stream must
+    * equal the whole corpus exactly once.
+    */
+  def lakeSeededStreamResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lakeSeededStreamTable(spark, sfDir)
+    val outDir = Files.createTempDirectory("graft-lakeseed-out").toString
+    val q = spark.readStream.format("graft").option("path", t.path)
+      .option("scan.startup.mode", "full")
+      .option("stream.data-columns", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-lakeseed-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(eventsSchema(spark, sfDir)).parquet(outDir)
+  }
+
   /** MERGE INTO fixture: LWW state merged with a deterministic source —
     * every user_id divisible by 3 gets `value += user_id` unless its
     * current event_type is 'error', in which case the row is deleted.

@@ -68,7 +68,9 @@ final class GraftMicroBatchStream(table: GraftTable,
       : java.util.Map[String, String] = source.metrics(latestConsumedOffset)
 
   override def deserializeOffset(json: String): ConnectorOffset =
-    GraftSourceOffset(GraftSourceOffset.parse(json))
+    // fromJson, not parse: the full-startup seed marker must survive the
+    // checkpoint round-trip or a replayed first batch would drop its seed
+    GraftSourceOffset.fromJson(json)
 
   override def commit(end: ConnectorOffset): Unit = ()
 
@@ -112,10 +114,14 @@ final class GraftMicroBatchStream(table: GraftTable,
 
   override def planInputPartitions(start: ConnectorOffset,
       end: ConnectorOffset): Array[InputPartition] = {
-    val from = Option(start).map(GraftSourceOffset.from)
-      .getOrElse(source.resolvedStartOffsets)
+    val fromOff = Option(start).map(GraftSourceOffset.offsetOf).getOrElse(
+      GraftSourceOffset(source.resolvedStartOffsets,
+        seedPending = source.resolvedSeed.isDefined))
+    val from = fromOff.buckets
     val until = GraftSourceOffset.from(end)
     source.noteBatchWindow(from, until)
+    val seedParts: Seq[InputPartition] = source.seedToDeliver(fromOff)
+      .map(planSeedPartitions(_, from)).getOrElse(Nil)
     val logDir = table.logDirPath
     val spark = table.sparkSession
     val windows = table.visibleLogFileEntries().flatMap { case (path, len) =>
@@ -133,26 +139,78 @@ final class GraftMicroBatchStream(table: GraftTable,
       val hi = until.getOrElse(bucket, 0L)
       if (lo >= hi) None else Some((path, len, kvs, bucket, lo, hi))
     }
-    if (windows.isEmpty) Array.empty
-    else {
-      // ONE reader closure per micro-batch, not per bucket:
-      // buildReader broadcasts a hadoop conf each call, and a
-      // many-bucket table on a short trigger would pile up broadcasts.
-      // The pushed bounds are the batch's global window envelope —
-      // row groups below EVERY bucket's lo still skip — and the exact
-      // per-bucket [lo, hi) gate is row-level in the reader anyway.
-      val reader = ParquetRead.buildReader(spark, fileSchema,
-        partitionSchema, requiredSchema,
-        Seq(GreaterThanOrEqual(Meta.Offset, windows.map(_._5).min),
-          LessThan(Meta.Offset, windows.map(_._6).max)))
-      windows.map { case (path, len, kvs, bucket, lo, hi) =>
-        val pv: Array[Any] = partitionFields.map { f =>
-          if (f.name == Meta.Bucket) Int.box(bucket)
-          else hiveValue(kvs.get(f.name), f)
+    val logParts: Seq[InputPartition] =
+      if (windows.isEmpty) Nil
+      else {
+        // ONE reader closure per micro-batch, not per bucket:
+        // buildReader broadcasts a hadoop conf each call, and a
+        // many-bucket table on a short trigger would pile up broadcasts.
+        // The pushed bounds are the batch's global window envelope —
+        // row groups below EVERY bucket's lo still skip — and the exact
+        // per-bucket [lo, hi) gate is row-level in the reader anyway.
+        val reader = ParquetRead.buildReader(spark, fileSchema,
+          partitionSchema, requiredSchema,
+          Seq(GreaterThanOrEqual(Meta.Offset, windows.map(_._5).min),
+            LessThan(Meta.Offset, windows.map(_._6).max)))
+        windows.map { case (path, len, kvs, bucket, lo, hi) =>
+          val pv: Array[Any] = partitionFields.map { f =>
+            if (f.name == Meta.Bucket) Int.box(bucket)
+            else hiveValue(kvs.get(f.name), f)
+          }
+          GraftStreamInputPartition(path, len, pv, lo, hi,
+            offsetOrdinal, outputOrdinals, combinedTypes, reader)
         }
-        GraftStreamInputPartition(path, len, pv, lo, hi,
-          offsetOrdinal, outputOrdinals, combinedTypes, reader)
-      }.toArray
+      }
+    (seedParts ++ logParts).toArray
+  }
+
+  /** A full startup's first batch: the seed's parquet files (lake live
+    * set / KV snapshot dir) as native partitions alongside the log
+    * window. The files physically hold the table's data columns; the
+    * partition keys (and, for snapshot files, `__bucket`) come from hive
+    * dir segments, and the remaining system columns are synthesized —
+    * inserts at offset -1, below any tail offset (the stateInput
+    * convention; lake rows carry bucket -1, a log-layout notion the lake
+    * does not keep). No offset gate: a seed file is always read whole.
+    */
+  private def planSeedPartitions(seed: graft.core.GraftTable.SeedSource,
+      expected: Map[Int, Long]): Seq[InputPartition] = {
+    val files = table.seedFileEntries(seed, expected)
+    if (files.isEmpty) Nil
+    else {
+      val seedPartFields: Array[StructField] = partitionFields ++ Array(
+        StructField(Meta.Offset, LongType, nullable = false),
+        StructField(Meta.Timestamp, TimestampType, nullable = false),
+        StructField(Meta.ChangeTypeCol, StringType, nullable = false))
+      val seedFileSchema = StructType(table.desc.schema.fields.filterNot(
+        f => table.desc.partitionKeys.contains(f.name)))
+      val seedRequired = StructType(outputSchema.fields.filter(f =>
+        seedFileSchema.fieldNames.contains(f.name)))
+      val combined: Array[DataType] =
+        (seedRequired.fields ++ seedPartFields).map(_.dataType)
+      val ordinals: Array[Int] = outputSchema.fields.map { f =>
+        if (seedRequired.fieldNames.contains(f.name))
+          seedRequired.fieldIndex(f.name)
+        else seedRequired.length +
+          seedPartFields.indexWhere(_.name == f.name)
+      }
+      val reader = ParquetRead.buildReader(table.sparkSession,
+        seedFileSchema, StructType(seedPartFields), seedRequired, Nil)
+      files.map { case (path, len, kvs) =>
+        val pv: Array[Any] = seedPartFields.map { f =>
+          f.name match {
+            case Meta.Bucket =>
+              Int.box(kvs.get(Meta.Bucket).map(_.toInt).getOrElse(-1))
+            case Meta.Offset => Long.box(-1L)
+            case Meta.Timestamp => Long.box(0L)
+            case Meta.ChangeTypeCol =>
+              UTF8String.fromString(graft.core.ChangeType.Insert)
+            case _ => hiveValue(kvs.get(f.name), f)
+          }
+        }
+        GraftStreamInputPartition(path, len, pv, lo = 0L, hi = 0L,
+          offsetOrdinal = -1, ordinals, combined, reader)
+      }
     }
   }
 
@@ -219,7 +277,12 @@ private[streaming] object GraftStreamReaderFactory
         while (it.hasNext) {
           val r = it.next()
           // pushed filters only skip row groups; the exact window gate
-          // is row-level here
+          // is row-level here (ordinal -1 = ungated full-startup seed
+          // file, always read whole)
+          if (p.offsetOrdinal < 0) {
+            current = proj(r)
+            return true
+          }
           val off = r.getLong(p.offsetOrdinal)
           if (off >= p.lo && off < p.hi) {
             current = proj(r)

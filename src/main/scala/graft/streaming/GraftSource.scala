@@ -66,6 +66,7 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
       .map(_.toLowerCase) match {
       case None | Some("earliest") => GraftStream.StartupMode.Earliest
       case Some("latest") => GraftStream.StartupMode.Latest
+      case Some("full") => GraftStream.StartupMode.Full
       case Some("timestamp") => GraftStream.StartupMode.Timestamp(
         params.getOrElse("scan.startup.timestamp-millis",
           throw new IllegalArgumentException(
@@ -75,7 +76,24 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
           throw new IllegalArgumentException(
             "scan.startup.mode=version requires scan.startup.version")).toLong)
       case Some(other) => throw new IllegalArgumentException(
-        s"unknown scan.startup.mode '$other' (earliest/latest/timestamp/version)")
+        s"unknown scan.startup.mode '$other' " +
+          "(earliest/latest/full/timestamp/version)")
+    }
+
+  /** `full` startup (T2 hybrid snapshot+log, the reference's
+    * HybridSnapshotLogSplit in micro-batch form): the seed — the tiered
+    * LAKE at its pinned tier offsets for a `table.datalake.*`-enabled
+    * table, else the KV snapshot — resolved ONCE at source construction.
+    * None = nothing to seed yet; full then degenerates to earliest. The
+    * seed is delivered WHOLE in the first planned batch (admission
+    * control paces the log tail only): it is one consistent snapshot, and
+    * splitting it across rate-limited batches would publish a state no
+    * commit ever produced.
+    */
+  private val fullSeed: Option[(GraftTable.SeedSource, Map[Int, Long])] =
+    startup match {
+      case GraftStream.StartupMode.Full => table.resolveFullStartup()
+      case _ => None
     }
 
   // reader option first, then the session/dynamic conf — the only
@@ -112,6 +130,10 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     case GraftStream.StartupMode.Timestamp(ms) =>
       table.offsetsForTimestamp(new java.sql.Timestamp(ms))
     case GraftStream.StartupMode.FromVersion(v) => table.offsetsAtVersion(v)
+    // full = log tail from the seed's pinned offsets; the seed itself
+    // rides the first batch (seedPending marker on the initial offset)
+    case GraftStream.StartupMode.Full => fullSeed.map(_._2)
+      .getOrElse(table.retainedFloorOffsets.getOrElse(Map.empty))
   }
 
   override def schema: StructType =
@@ -136,7 +158,8 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   override def getDefaultReadLimit: ReadLimit =
     maxOffsetsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): ConnectorOffset = GraftSourceOffset(startOffsets)
+  override def initialOffset(): ConnectorOffset =
+    GraftSourceOffset(startOffsets, seedPending = fullSeed.isDefined)
 
   /** Trigger.AvailableNow: pin the tail ONCE at trigger start; rate-limited
     * batches then run up to exactly that tail and stop, even while writers
@@ -221,11 +244,38 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     */
   private[streaming] def resolvedStartOffsets: Map[Int, Long] = startOffsets
 
+  /** The full-startup seed, if this source has one pending
+    * ([[GraftMicroBatchStream]] reads it for its own planning).
+    */
+  private[streaming] def resolvedSeed
+      : Option[(GraftTable.SeedSource, Map[Int, Long])] = fullSeed
+
+  /** The seed a batch whose start offset carries the pending marker must
+    * deliver. A marker without a resolvable seed means the table's seed
+    * surface was removed between the checkpoint and this restart — fail
+    * loudly rather than silently dropping batch 0's cold state.
+    */
+  private[streaming] def seedToDeliver(fromOff: GraftSourceOffset)
+      : Option[GraftTable.SeedSource] =
+    if (!fromOff.seedPending) None
+    else Some(fullSeed.getOrElse(throw new IllegalStateException(
+      s"checkpoint for ${table.path} expects a full-startup seed batch " +
+        "but the table no longer resolves one (datalake properties " +
+        "removed / snapshot gone); restart from a fresh checkpoint"))._1)
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(o => GraftSourceOffset.from(o)).getOrElse(startOffsets)
+    // V1 passes start = None for the very first batch (replays included):
+    // that IS the initial offset, so a configured seed is still pending
+    val fromOff = start.map(o => GraftSourceOffset.offsetOf(o)).getOrElse(
+      GraftSourceOffset(startOffsets, seedPending = fullSeed.isDefined))
+    val from = fromOff.buckets
     val until = GraftSourceOffset.from(end)
     noteBatchWindow(from, until)
-    val batch = table.scanRange(from, until)
+    val range = table.scanRange(from, until)
+    val batch = seedToDeliver(fromOff) match {
+      case Some(seed) => table.seedFrame(seed, from).unionByName(range)
+      case None => range
+    }
     StreamShims.asStreaming(
       if (dataColumnsOnly)
         batch.select(table.desc.schema.fieldNames.toIndexedSeq.map(
@@ -278,26 +328,50 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
 }
 
 /** Per-bucket next-offset map as the stream offset (FlussSourceOffset
-  * analog), serialized as a stable-ordered JSON object.
+  * analog), serialized as a stable-ordered JSON object. `seedPending`
+  * marks a `full`-startup stream whose hybrid seed (lake / KV snapshot)
+  * has not been delivered yet: it rides ONLY the initial offset — the
+  * first planned batch consumes it, so its end offset (and every later
+  * one) serializes without the marker, and a checkpoint replay of that
+  * first batch re-reads the seed exactly once.
   */
-final case class GraftSourceOffset(buckets: Map[Int, Long]) extends V1Offset {
+final case class GraftSourceOffset(buckets: Map[Int, Long],
+    seedPending: Boolean = false) extends V1Offset {
   override val json: String = JsonMethods.compact(JsonMethods.render(
-    JObject(buckets.toList.sortBy(_._1)
-      .map { case (b, o) => b.toString -> (JInt(o): JValue) })))
+    JObject(
+      (if (seedPending) List(GraftSourceOffset.SeedKey -> (JInt(1): JValue))
+       else Nil) ++
+        buckets.toList.sortBy(_._1)
+          .map { case (b, o) => b.toString -> (JInt(o): JValue) })))
 }
 
 object GraftSourceOffset {
-  def parse(json: String): Map[Int, Long] =
-    JsonMethods.parse(json).asInstanceOf[JObject].obj
-      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }.toMap
+  /** Reserved JSON key carrying the seed-pending marker (underscore-
+    * prefixed keys can never collide with bucket ids).
+    */
+  private val SeedKey = "_seed"
+
+  def parse(json: String): Map[Int, Long] = fromJson(json).buckets
+
+  def fromJson(json: String): GraftSourceOffset = {
+    val obj = JsonMethods.parse(json).asInstanceOf[JObject].obj
+    GraftSourceOffset(
+      obj.filterNot(_._1.startsWith("_"))
+        .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+        .toMap,
+      obj.exists(_._1 == SeedKey))
+  }
 
   /** Accept our own offset or any serialized form round-tripped through
     * the checkpoint log.
     */
-  def from(o: AnyRef): Map[Int, Long] = o match {
-    case g: GraftSourceOffset => g.buckets
-    case c: ConnectorOffset => parse(c.json())
-    case other => parse(other.toString)
+  def from(o: AnyRef): Map[Int, Long] = offsetOf(o).buckets
+
+  /** Like [[from]] but keeping the seed marker. */
+  def offsetOf(o: AnyRef): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case c: ConnectorOffset => fromJson(c.json())
+    case other => fromJson(other.toString)
   }
 }
 

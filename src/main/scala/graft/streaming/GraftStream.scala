@@ -45,6 +45,16 @@ object GraftStream {
       * the streaming continuation of a batch `changesBetween(…, v)` read.
       */
     final case class FromVersion(v: Long) extends StartupMode
+    /** T2 hybrid snapshot+log: batch 0 is seeded from the table's cold
+      * state — the tiered LAKE at its pinned tier offsets when
+      * `table.datalake.*` is enabled (the reference's lake-seeded
+      * HybridSnapshotLogSplit + FlussLakeUtils shape), else the KV
+      * snapshot — and the log tail streams from the seed's offsets. The
+      * cold-start mode that works even when the log has been vacuumed /
+      * expired up to the lake. With nothing to seed it degenerates to
+      * [[Earliest]].
+      */
+    case object Full extends StartupMode
   }
 
   /** Streaming changelog scan of a graft table — the [[GraftSource]]
@@ -68,6 +78,8 @@ object GraftStream {
       case StartupMode.FromVersion(v) =>
         reader.option("scan.startup.mode", "version")
           .option("scan.startup.version", v.toString)
+      case StartupMode.Full =>
+        reader.option("scan.startup.mode", "full")
     }
     reader.load()
   }

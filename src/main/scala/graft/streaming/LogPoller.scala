@@ -51,6 +51,11 @@ final class LogPoller(table: GraftTable, group: String,
     case GraftStream.StartupMode.Timestamp(ms) =>
       table.offsetsForTimestamp(new java.sql.Timestamp(ms))
     case GraftStream.StartupMode.FromVersion(v) => table.offsetsAtVersion(v)
+    // a poller is an offset-range consumer with no batch to carry a seed
+    // in: full-mode cold starts belong to the streaming source
+    case GraftStream.StartupMode.Full => throw new IllegalArgumentException(
+      "LogPoller cannot deliver a full-startup seed; poll from Earliest " +
+        "or stream with scan.startup.mode=full instead")
   }))
 
   /** Per-bucket next offset this poller will read from. */

@@ -70,6 +70,79 @@ class CatalogStreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("full startup seeds a catalog stream from the tiered lake across expiry") {
+    val lakeDir = s"$wh/_lakes/ltier"
+    spark.sql(s"""
+      CREATE TABLE gstr.db.ltier (k BIGINT, v INT, dt STRING)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2',
+        'table.datalake.enabled' = 'true',
+        'table.datalake.dir' = '$lakeDir',
+        'table.datalake.format' = 'iceberg')""")
+    spark.sql("""INSERT INTO gstr.db.ltier VALUES
+      (1, 1, '2024-01-01'), (2, 2, '2024-01-02'), (3, 3, '2024-01-01')""")
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "ltier")
+    t.tierSnapshot(lakeDir)
+    // vacuum the log up to the lake's pinned offsets: history now lives
+    // ONLY in the lake — the cold start the reference's lake-seeded
+    // hybrid split exists for
+    assert(t.expireLog(1L, System.currentTimeMillis() + 60000L) == 3L)
+    spark.sql("""INSERT INTO gstr.db.ltier VALUES
+      (4, 4, '2024-01-02'), (5, 5, '2024-01-03')""")
+
+    val ckpt = Files.createTempDirectory("graft-cstr-full").toString
+    def drain(): Seq[(Long, Int, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      val q = spark.readStream.option("scan.startup.mode", "full")
+        .table("gstr.db.ltier")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getString(2))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    val got = drain()
+    assert(got.toSet == Set((1L, 1, "2024-01-01"), (2L, 2, "2024-01-02"),
+      (3L, 3, "2024-01-01"), (4L, 4, "2024-01-02"), (5L, 5, "2024-01-03")),
+      s"lake seed + log tail: $got")
+    assert(got.size == 5, s"exactly-once across the lake/log seam: $got")
+
+    // checkpoint resume across the seam: the seed batch is committed, so
+    // a second run delivers ONLY the new tail — no re-seed, no loss
+    spark.sql("INSERT INTO gstr.db.ltier VALUES (6, 6, '2024-01-01')")
+    val more = drain()
+    assert(more.toSet == Set((6L, 6, "2024-01-01")),
+      s"resume must deliver only the new tail: $more")
+  }
+
+  test("full startup seeds a catalog PK stream from the KV snapshot after vacuum") {
+    spark.sql("""
+      CREATE TABLE gstr.db.fullpk (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gstr.db.fullpk VALUES (1, 1), (2, 2), (3, 3)")
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "fullpk")
+    t.compact()
+    t.vacuumLog()
+    spark.sql("INSERT INTO gstr.db.fullpk VALUES (4, 4), (5, 5)")
+    val q = spark.readStream.option("scan.startup.mode", "full")
+      .table("gstr.db.fullpk")
+      .writeStream.format("memory").queryName("fullpk_mem")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cstr-fpk").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("fullpk_mem").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSet == Set(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5),
+      s"snapshot seed + log tail: ${got.toSeq}")
+    assert(got.length == 5, s"exactly-once: ${got.toSeq}")
+  }
+
   test("conf maxOffsetsPerTrigger paces catalog-table streams") {
     wh
     spark.sql("""

@@ -223,4 +223,116 @@ class GraftSourceSpec extends SparkTestBase {
     val (got, _) = drain(pk, ckpt)
     assert(got.toSet == Set(3L -> 3))
   }
+
+  // ----- scan.startup.mode=full: lake/snapshot-seeded cold start ---------
+
+  test("full startup seeds from the tiered lake when the log is expired up to it") {
+    val wh = Files.createTempDirectory("graft-src-wh").toString
+    val lakeDir = s"$wh/_lakes/lakeseed"
+    val t = new Catalog(wh, spark).createTable("db", "lakeseed",
+      TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        bucketKeys = Seq("k"), numBuckets = 2,
+        properties = Map(
+          "table.datalake.enabled" -> "true",
+          "table.datalake.dir" -> lakeDir,
+          "table.datalake.format" -> "iceberg")))
+    t.append(rows(1L -> 1, 2L -> 2, 3L -> 3), orderBy = Seq(col("ord")))
+    t.tierSnapshot(lakeDir)
+    // history now lives ONLY in the lake: expire the whole retained log
+    assert(t.expireLog(1L, System.currentTimeMillis() + 60000L) == 3L)
+    // the fresh tail, committed after the tier
+    t.append(rows(4L -> 4, 5L -> 5), orderBy = Seq(col("ord")))
+
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val (got, _) = drain(t, ckpt, Map("scan.startup.mode" -> "full"))
+    assert(got.toSet == Set(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5),
+      s"lake seed + log tail: $got")
+    assert(got.size == 5, s"exactly-once across the lake/log seam: $got")
+
+    // checkpoint resume across the seam: the seed is NOT replayed
+    t.append(rows(6L -> 6), orderBy = Seq(col("ord")))
+    val (more, _) = drain(t, ckpt, Map("scan.startup.mode" -> "full"))
+    assert(more.toSet == Set(6L -> 6),
+      s"resume must deliver only the new tail: $more")
+  }
+
+  test("full startup falls back to the KV snapshot and merges the tail") {
+    val t = new Catalog(Files.createTempDirectory("graft-src-wh").toString, spark)
+      .createTable("db", "fullsnap", TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        primaryKey = Seq("k"), numBuckets = 2))
+    t.upsert(rows(1L -> 1, 2L -> 2, 3L -> 3), orderBy = Seq(col("ord")))
+    t.compact()
+    t.vacuumLog() // history below the snapshot is gone from the log
+    t.upsert(rows(2L -> 20, 4L -> 40), orderBy = Seq(col("ord")))
+
+    val buf = ArrayBuffer.empty[(Long, Int, String, Long)]
+    val q = spark.readStream.format("graft").option("path", t.path)
+      .option("scan.startup.mode", "full").load()
+      .select(col("k"), col("v"), col(Meta.ChangeTypeCol), col(Meta.Offset))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-src-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // seed rows ride at offset -1, below every tail offset: last change
+    // per key wins — the consumer-side fold full mode is designed for
+    val state = buf.groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+      .filter(!_._2._3.startsWith("-")).map { case (k, x) => k -> x._2 }
+    assert(state == Map(1L -> 1, 2L -> 20, 3L -> 3, 4L -> 40), s"got $buf")
+    assert(buf.count(_._4 == -1L) == 3, s"3 snapshot seed rows: $buf")
+  }
+
+  test("full startup with nothing to seed degenerates to earliest") {
+    val t = newTable("fullplain")
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    val (got, _) = drain(t,
+      Files.createTempDirectory("graft-src-ckpt").toString,
+      Map("scan.startup.mode" -> "full"))
+    assert(got.toSet == Set(1L -> 1, 2L -> 2))
+  }
+
+  test("a replaying seed batch fails loudly when the lake re-tiered under it") {
+    val wh = Files.createTempDirectory("graft-src-wh").toString
+    val lakeDir = s"$wh/_lakes/retier"
+    val t = new Catalog(wh, spark).createTable("db", "retier",
+      TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        bucketKeys = Seq("k"), numBuckets = 2,
+        properties = Map(
+          "table.datalake.enabled" -> "true",
+          "table.datalake.dir" -> lakeDir,
+          "table.datalake.format" -> "iceberg")))
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    t.tierSnapshot(lakeDir)
+    val pinnedAtCheckpoint = t.latestOffsets
+    // the lake moves between the (simulated) crash and the batch-0 replay
+    t.append(rows(3L -> 3), orderBy = Seq(col("ord")))
+    t.tierSnapshot(lakeDir)
+    val e = intercept[IllegalStateException] {
+      t.seedFrame(GraftTable.SeedSource.Lake(lakeDir, "iceberg"),
+        pinnedAtCheckpoint)
+    }
+    assert(e.getMessage.contains("re-tiered"), e.getMessage)
+    // the matching pinned offsets still read fine
+    assert(t.seedFrame(GraftTable.SeedSource.Lake(lakeDir, "iceberg"),
+      t.latestOffsets).count() == 3L)
+  }
+
+  test("the seed marker round-trips through offset JSON") {
+    val seeded = GraftSourceOffset(Map(0 -> 5L, 1 -> 7L), seedPending = true)
+    assert(GraftSourceOffset.fromJson(seeded.json) == seeded)
+    val plain = GraftSourceOffset(Map(0 -> 5L, 1 -> 7L))
+    assert(GraftSourceOffset.fromJson(plain.json) == plain)
+    // batch 0's start and end differ even on an empty tail, so the seed
+    // batch is always planned
+    assert(seeded.json != plain.json)
+    assert(GraftSourceOffset.parse(seeded.json) == plain.buckets)
+  }
 }
