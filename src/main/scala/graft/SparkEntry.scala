@@ -211,6 +211,34 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- TIER5: type fidelity through ALL FOUR lake formats — an
+    // all-types PK table (DECIMAL, TIMESTAMP, TIMESTAMP_NTZ, DATE,
+    // BINARY, ARRAY, MAP, STRUCT) tiered through each format's metadata
+    // and read back through it; the oracle recomputes every value from
+    // customer, so a schema-serialization bug in any format's type
+    // mapping (Iceberg type JSON, Delta schemaString, Paimon SQL type
+    // strings, Hudi's stored schema) hash-mismatches. Complex columns
+    // are projected to comparison-stable scalars AFTER the roundtrip
+    // (deep equality per format is pinned by AllTypesLakeSpec).
+    "tier5_all_types" -> ((s, dir) => {
+      def rd(fmt: String, df: DataFrame): DataFrame = df.select(
+        lit(fmt).as("fmt"), col("k"),
+        col("dec_v").cast("double").as("dec_v"), col("ts"), col("tsn"),
+        col("dt"), lower(hex(col("bin"))).as("bin_hex"),
+        col("arr").getItem(0).as("arr0"), col("arr").getItem(1).as("arr1"),
+        element_at(col("m"), "a").as("m_a"),
+        element_at(col("m"), "b").as("m_b"),
+        col("st.n").as("st_n"), col("st.nk").as("st_nk"))
+      rd("iceberg", graft.core.IcebergExport.readLive(s,
+          Fixtures.allTypesLakeDir(s, dir, "iceberg")))
+        .unionByName(rd("delta", graft.core.DeltaExport.readLive(s,
+          Fixtures.allTypesLakeDir(s, dir, "delta"))))
+        .unionByName(rd("paimon", graft.core.PaimonExport.readLive(s,
+          Fixtures.allTypesLakeDir(s, dir, "paimon"))))
+        .unionByName(rd("hudi", graft.core.HudiExport.readLive(s,
+          Fixtures.allTypesLakeDir(s, dir, "hudi"))))
+    }),
+
     // ----- T2's LAKE-SEEDED full startup (HybridSnapshotLogSplit.java:37
     // + fluss-spark read/lake/FlussLakeUtils.scala): an events log tiered
     // to Iceberg and EXPIRED up to the pinned tier offsets — history
@@ -1047,12 +1075,17 @@ object SparkEntry {
 
     // ----- MIX3: cluster-balanced sampling — k-means over embeddings,
     // deterministic per-cluster cap (semantic-diversity rebalancing).
-    // Rows-only: k-means centroids are not SQL-expressible; balance and
-    // determinism are pinned by PipelineSpec
-    "mix3_cluster_balance" -> ((s, dir) =>
-      Similarity.clusterBalancedSample(
+    // The k-means centroids are captured post-run and embedded in a
+    // GENERATED oracle (the sim2/sim3 index-constant pattern), so the
+    // assignment + cap replay hash-exactly in DuckDB; balance and
+    // determinism are additionally pinned by PipelineSpec
+    "mix3_cluster_balance" -> ((s, dir) => {
+      val (df, cens) = Similarity.clusterBalancedSampleWithCentroids(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 8, perCluster = 40)),
+        nlist = 8, perCluster = 40)
+      mix3Centroids = Some(cens)
+      df
+    }),
 
     // ----- TA20: per-doc token entropy — lexical-diversity quality
     // signal; per-doc statistic only (no corpus vocabulary join), exact
@@ -1399,7 +1432,41 @@ object SparkEntry {
       |  AND (len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
       |    ['the','a','and','of','to','in','is','it','that'])) >= 2)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** mix3's k-means centroids, captured when the query runs. The oracle
+    * is GENERATED with them as literals (the sim2/sim3 index-constant
+    * pattern): the centroids are deterministic given the data + seed, but
+    * only the engine computes them, so the query stashes them for the
+    * post-run [[oracleSql]] dump (Verify writes oracle_sql.json AFTER
+    * running every query). Absent (query never ran in this session) the
+    * entry is omitted and the driver records the rows-only fallback.
+    */
+  @volatile private var mix3Centroids: Option[Array[(Int, Seq[Double])]] = None
+
+  private def mix3Oracle: Map[String, String] = mix3Centroids.map { cens =>
+    val vals = cens.sortBy(_._1).map { case (i, c) =>
+      s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n    ")
+    // replay: argmax centroid cosine (ties -> larger index, Spark's
+    // greatest(struct)), then the per-cluster cap in md5-rank order
+    // (ties -> smaller id, capPerGroup's global window)
+    "mix3_cluster_balance" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c AS (SELECT * FROM (VALUES
+         |    $vals) t(i, ce)),
+         |asg AS (
+         |  SELECT vec_id, i AS cluster FROM (
+         |    SELECT v.vec_id, c.i, row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.e, c.ce)
+         |        / sqrt(list_dot_product(v.e, v.e)) DESC, c.i DESC) AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1)
+         |SELECT vec_id, cluster, rank FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT DESC,
+         |      vec_id ASC) AS rank
+         |  FROM asg) WHERE rank <= 40""".stripMargin
+  }.toMap
+
+  def oracleSql: Map[String, String] = mix3Oracle ++ Map(
     "ta11_top_fraction" ->
       s"""WITH scored AS (
          |  SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
@@ -1593,6 +1660,27 @@ object SparkEntry {
         |        PARTITION BY event_type, user_id
         |        ORDER BY b DESC, event_id DESC) AS rn
         |      FROM u) WHERE rn = 1""".stripMargin,
+
+    // every value recomputed from customer, crossed with the four
+    // formats: any format whose metadata mangles a type hash-mismatches
+    "tier5_all_types" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE) AS dec_v,
+        |    make_timestamp((1700000000 + c_custkey) * 1000000) AS ts,
+        |    make_timestamp((1700000000 + c_custkey) * 1000000) AS tsn,
+        |    DATE '2020-01-01' + CAST(c_custkey % 1000 AS INT) AS dt,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS bin_hex,
+        |    CAST(c_custkey AS DOUBLE) * 1.5 AS arr0,
+        |    CAST(c_acctbal AS DOUBLE) AS arr1,
+        |    CAST(c_custkey AS BIGINT) AS m_a,
+        |    CAST(c_custkey AS BIGINT) * 2 AS m_b,
+        |    c_name AS st_n,
+        |    CAST(c_nationkey AS INT) AS st_nk
+        |  FROM customer)
+        |SELECT f.fmt, base.*
+        |FROM base CROSS JOIN (VALUES ('iceberg'), ('delta'), ('paimon'),
+        |  ('hudi')) f(fmt)""".stripMargin,
 
     // the full-startup stream covers the WHOLE corpus exactly once:
     // lake seed (% 4 <> 0, expired from the log) ∪ fresh tail (% 4 = 0)

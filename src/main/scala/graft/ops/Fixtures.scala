@@ -239,6 +239,48 @@ object Fixtures {
       tbl
     }
 
+  /** The all-types comparison frame (DECIMAL, TIMESTAMP, TIMESTAMP_NTZ,
+    * DATE, BINARY, ARRAY, MAP, STRUCT — the §1.2 surface), derived
+    * deterministically from `customer` so a SQL oracle can recompute
+    * every value.
+    */
+  def allTypesFrame(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "customer").select(
+      col("c_custkey").as("k"),
+      col("c_acctbal").cast(DecimalType(18, 6)).as("dec_v"),
+      timestamp_seconds(lit(1700000000L) + col("c_custkey")).as("ts"),
+      timestamp_seconds(lit(1700000000L) + col("c_custkey"))
+        .cast(TimestampNTZType).as("tsn"),
+      date_add(to_date(lit("2020-01-01")),
+        (col("c_custkey") % 1000).cast(IntegerType)).as("dt"),
+      unhex(md5(col("c_custkey").cast("string").cast("binary"))).as("bin"),
+      array(col("c_custkey").cast("double") * 1.5,
+        col("c_acctbal").cast("double")).as("arr"),
+      map(lit("a"), col("c_custkey").cast("long"),
+        lit("b"), col("c_custkey").cast("long") * 2L).as("m"),
+      struct(col("c_name").as("n"),
+        col("c_nationkey").cast(IntegerType).as("nk")).as("st"))
+
+  /** [[allTypesFrame]] as a PK table tiered through `format` — the lake
+    * schema-serialization gauntlet (Iceberg type JSON, Delta
+    * schemaString, Paimon SQL type strings, Hudi's stored Spark schema):
+    * the TPC-H-typed tier fixtures never push DECIMAL / NTZ / BINARY /
+    * ARRAY / MAP / ROW through a format's metadata. Returns the lake dir.
+    */
+  def allTypesLakeDir(spark: SparkSession, sfDir: String,
+      format: String): String = {
+    val key = s"all_types_$format"
+    cached(key, sfDir) {
+      val df = allTypesFrame(spark, sfDir)
+      val tbl = fresh(spark, sfDir, key,
+        TableDescriptor(df.schema, primaryKey = Seq("k"), numBuckets = 4))
+      tbl.upsert(df, orderBy = Seq(col("k")))
+      graft.core.WarehouseIO.deleteRecursively(tbl.path + "_lake")
+      tbl.tierSnapshot(tbl.path + "_lake", format)
+      tbl
+    }.path + "_lake"
+  }
+
   /** T2's lake-aware hybrid, end-to-end: an append events table with the
     * `table.datalake.*` policy wired, tiered to Iceberg, its pre-tier log
     * EXPIRED — history lives only in the lake — then the `% 4 == 0` tail

@@ -231,14 +231,26 @@ object Similarity {
     * skew-proof top-k underneath. Output: (idCol, cluster, rank).
     */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, perCluster: Int): DataFrame = {
-    val (assigned, _) = ivfAssignKMeans(df, idCol, vecCol, nlist)
+      nlist: Int, perCluster: Int): DataFrame =
+    clusterBalancedSampleWithCentroids(df, idCol, vecCol, nlist,
+      perCluster)._1
+
+  /** [[clusterBalancedSample]] plus the k-means centroids the rows were
+    * assigned with — what lets a caller replay the assignment in plain
+    * SQL with the centroids as literals (the sim2/sim3 generated-oracle
+    * pattern: the centroids are deterministic index metadata, but only
+    * the engine computes them, so the caller captures them post-run).
+    */
+  def clusterBalancedSampleWithCentroids(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, perCluster: Int)
+      : (DataFrame, Array[(Int, Seq[Double])]) = {
+    val (assigned, cens) = ivfAssignKMeans(df, idCol, vecCol, nlist)
     val scored = assigned.withColumn("__mr",
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
         16, 10).cast("long"))
-    graft.pipeline.Sampling.capPerGroup(scored, idCol, "__list", "__mr",
+    (graft.pipeline.Sampling.capPerGroup(scored, idCol, "__list", "__mr",
         perCluster)
-      .select(col(idCol), col("__list").as("cluster"), col("rank"))
+      .select(col(idCol), col("__list").as("cluster"), col("rank")), cens)
   }
 
   def ivfAssignKMeans(df: DataFrame, idCol: String, vecCol: String,
