@@ -20,6 +20,19 @@ object Bench {
       // ~128MB/partition, well within executor memory at this scale
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
+      // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
+      // accumulate status-store state even with the UI off — the
+      // SQLAppStatusListener retains 1000 executions by default, each
+      // carrying its full plan graph string, and the AppStatusListener
+      // keeps per-job/stage/task rows. Round 11 measured a ~24% uniform
+      // session drift (every query, trivial ones included) that idle
+      // re-measures did not reproduce; capping retention keeps the
+      // driver heap flat as the suite grows.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // "WindowExec: No Partition Defined" warnings in this log are
@@ -135,25 +148,38 @@ object Bench {
     // d6, the shared shingle table) is reset between passes, so every
     // pass pays the same work and the min is a real end-to-end time.
     def runPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          // a failed pass must not undercut the other pass's valid time
-          // via the min below; a query failing BOTH passes surfaces as an
-          // unmissable 9999 in the report
-          name -> Double.MaxValue
-        }
+      SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((name, fn), i) =>
+          // Periodic explicit GC BETWEEN timed sections (never inside
+          // one): a 128 GiB driver heap left to its own devices almost
+          // never collects, so the ContextCleaner — which piggybacks on
+          // driver GC to release broadcasts and shuffle files — lets
+          // executor-side state pile up across 132 queries, the uniform
+          // session-drift signature. ~10 collections per pass keeps the
+          // run clean without charging any query for the pause.
+          if (i % 12 == 0) System.gc()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // a failed pass must not undercut the other pass's valid time
+            // via the min below; a query failing BOTH passes surfaces as an
+            // unmissable 9999 in the report
+            name -> Double.MaxValue
+          }
       }
     // three passes by default: observed steal bursts hit 1-2 queries per
     // pass at multi-second magnitude, so two passes still leave ~4% of
     // queries with no clean sample; a third squeezes that to ~1%
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val passes = (1 to nPasses).map { i =>
-      if (i > 1) graft.ops.Fixtures.clearCache()
+      if (i > 1) {
+        graft.ops.Fixtures.clearCache()
+        spark.catalog.clearCache()
+        System.gc()
+      }
       runPass().toMap
     }
     val results = passes.head.keys.toSeq.sorted.map { n =>
