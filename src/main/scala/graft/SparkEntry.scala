@@ -323,6 +323,23 @@ object SparkEntry {
         .select(col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))),
 
+    // ----- J11: storage-partitioned join — orders ⋈ customer, both
+    // bucketed by custkey into the same bucket count; the scans report
+    // KeyGroupedPartitioning over the catalog's bucket() function and
+    // the join (AND the group-by on the same key) plans with ZERO
+    // exchanges. At 100 TB this is the difference between shuffling two
+    // fact tables and streaming co-located buckets (SpjSpec pins the
+    // shuffle-free plan; this query pins the ANSWER).
+    "j11_colocated_join" -> ((s, dir) => {
+      val cat = Fixtures.spjCatalog(s, dir)
+      s.sql(s"""SELECT o.o_custkey AS custkey, c.c_name AS name,
+          count(*) AS n_orders,
+          CAST(sum(o.o_totalprice) AS DOUBLE) AS total
+        FROM $cat.db.orders_by_cust o
+        JOIN $cat.db.customer_by_cust c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_name""")
+    }),
+
     // ----- lake-format export: current state -> plain hive parquet +
     // manifest, read back by a BARE parquet scan (no graft reader)
     "s16_export_roundtrip" -> ((s, dir) => {
@@ -1800,6 +1817,12 @@ object SparkEntry {
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 AND event_type = 'view'""".stripMargin,
+
+    "j11_colocated_join" ->
+      """SELECT o.o_custkey AS custkey, c.c_name AS name,
+        |  count(*) AS n_orders, CAST(sum(o.o_totalprice) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o.o_custkey, c.c_name""".stripMargin,
 
     "s16_export_roundtrip" ->
       """SELECT ts, user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props

@@ -173,7 +173,8 @@ object GraftOptions {
 
 /** Spark TableCatalog over the directory-backed graft catalog. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -219,6 +220,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: the engine's bucket assignment as a V2
+  // function, resolvable from any namespace (Spark's transform
+  // resolution looks `bucket` up when a scan reports
+  // KeyGroupedPartitioning over it — GraftKeyGroupedScan) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     core.listTables(namespace.head)
@@ -853,7 +872,39 @@ class GraftScanBuilder(table: GraftTable,
       StructType(table.desc.schema.fields.take(1)) else requiredSchema
   }
 
-  override def build(): Scan = new V1Scan
+  /** The key-grouped (storage-partitioned-join) scan, when eligible:
+    * opted in via `spark.sql.graft.read.preserve-data-grouping`
+    * (key-grouped planning caps scan parallelism at the bucket count —
+    * right for co-located joins, wrong as a default), key-bucketed
+    * table, plain current-state read (no time travel / startup replay /
+    * metadata aggregate / lake union), and the bucket keys surviving
+    * column pruning (the reported `bucket(n, keys...)` transform must
+    * resolve against the scan output). Append tables read the gated log;
+    * PK tables qualify only in read-optimized mode with a snapshot tier
+    * (the default PK read is a MERGE — grouping the inputs wouldn't make
+    * its output co-partitioned rows).
+    */
+  private def keyGroupedScan(): Option[Scan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val wh = graft.core.WarehouseIO.warehouseOf(table.path)
+    def conf(k: String): Boolean =
+      graft.core.DynamicConfigs.effective(spark, wh, k, "false").toBoolean
+    val keys = table.desc.effectiveBucketKeys
+    if (!conf("spark.sql.graft.read.preserve-data-grouping")) None
+    else if (keys.isEmpty || startup.isDefined || asOf.isDefined ||
+      atVersion.isDefined || pushedAgg.isDefined ||
+      conf("spark.sql.graft.read.lake-union")) None
+    else if (!keys.forall(required.fieldNames.contains)) None
+    else if (!table.desc.isPrimaryKeyTable)
+      Some(new GraftKeyGroupedScan(table, required, pushed,
+        snapshotTier = false))
+    else if (conf("spark.sql.graft.read.optimized") && table.hasSnapshotTier)
+      Some(new GraftKeyGroupedScan(table, required, pushed,
+        snapshotTier = true))
+    else None
+  }
+
+  override def build(): Scan = keyGroupedScan().getOrElse(new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private def aggSchema(exprs: Seq[PushedAggExpr]): StructType = StructType(
       exprs.map {
@@ -993,7 +1044,7 @@ class GraftScanBuilder(table: GraftTable,
         }
       }.asInstanceOf[T]
     }
-  }
+  })
 }
 
 object GraftScanBuilder {

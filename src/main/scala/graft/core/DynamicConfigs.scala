@@ -27,6 +27,9 @@ object DynamicConfigs {
     */
   val registry: Map[String, (String, Boolean)] = Map(
     "spark.sql.graft.read.optimized" -> ("false", false),
+    // key-grouped scan planning (storage-partitioned joins); off by
+    // default — grouping caps scan parallelism at the bucket count
+    "spark.sql.graft.read.preserve-data-grouping" -> ("false", false),
     "spark.sql.graft.scan.startup.mode" -> ("earliest", false),
     // streaming admission control for catalog-table reads (empty = none)
     "spark.sql.graft.maxOffsetsPerTrigger" -> ("", false),

@@ -135,6 +135,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private[graft] def logDirPath: String = logDir
 
+  /** The KV snapshot directory (same partition layout as the log) — the
+    * key-grouped read-optimized scan's planning base.
+    */
+  private[graft] def snapshotDirPath: String = snapshotDir
+
+  /** Whether a compacted KV snapshot tier exists (its offsets meta is
+    * published).
+    */
+  private[graft] def hasSnapshotTier: Boolean = readSnapshotMeta().isDefined
+
   /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
     * grow a numBuckets-deep expression tree on every read/commit).
     */

@@ -983,6 +983,44 @@ object Fixtures {
     }
 
   private val sqlCatCache = mutable.Map.empty[String, String]
+  private val spjCatCache = mutable.Map.empty[String, String]
+
+  /** Catalog with two CO-BUCKETED append tables (orders + customer,
+    * bucketed by custkey into the same bucket count) for the
+    * storage-partitioned join query. The grouping opt-in
+    * (`spark.sql.graft.read.preserve-data-grouping`) is persisted
+    * WAREHOUSE-scoped via DynamicConfigs, so only this catalog's scans
+    * plan key-grouped — no session conf leaks into other queries; the
+    * Spark-side `spark.sql.sources.v2.bucketing.enabled` is session-wide
+    * but inert for every scan that doesn't report a key-grouped
+    * partitioning.
+    */
+  def spjCatalog(spark: SparkSession, sfDir: String): String = synchronized {
+    spjCatCache.getOrElseUpdate(sfDir, {
+      val cat = "gj" + math.abs(sfDir.hashCode)
+      val wh = Files.createTempDirectory("graft-spj-wh").toString
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.connector.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.core.DynamicConfigs.set(wh,
+        Map("spark.sql.graft.read.preserve-data-grouping" -> "true"))
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .createOrReplaceTempView("__spj_orders")
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .createOrReplaceTempView("__spj_customer")
+      spark.sql(s"""CREATE TABLE $cat.db.orders_by_cust
+        USING graft TBLPROPERTIES ('bucket.key' = 'o_custkey',
+          'bucket.num' = '16')
+        AS SELECT o_orderkey, o_custkey, o_totalprice FROM __spj_orders""")
+      spark.sql(s"""CREATE TABLE $cat.db.customer_by_cust
+        USING graft TBLPROPERTIES ('bucket.key' = 'c_custkey',
+          'bucket.num' = '16')
+        AS SELECT c_custkey, c_name, c_mktsegment FROM __spj_customer""")
+      cat
+    })
+  }
 
   /** S11 DSv2-catalog fixture: registers a GraftCatalog on the session,
     * creates an AGGREGATION table via SQL DDL and loads it with
@@ -1035,7 +1073,7 @@ object Fixtures {
     sqlCatalog(spark, sfDir); aggViewTable(spark, sfDir)
     lineitemPolledTable(spark, sfDir); usersTwoVersions(spark, sfDir)
     lineitemRewritten(spark, sfDir); vecsIvf(spark, sfDir)
-    vecsIvfPq(spark, sfDir)
+    vecsIvfPq(spark, sfDir); spjCatalog(spark, sfDir)
     ()
   }
 

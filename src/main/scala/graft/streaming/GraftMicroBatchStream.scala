@@ -125,13 +125,8 @@ final class GraftMicroBatchStream(table: GraftTable,
     val logDir = table.logDirPath
     val spark = table.sparkSession
     val windows = table.visibleLogFileEntries().flatMap { case (path, len) =>
-      val kvs = WarehouseIO.relativize(logDir, path)
-        .split('/').dropRight(1).flatMap { seg =>
-          seg.split("=", 2) match {
-            case Array(k, v) => Some(k -> v)
-            case _ => None
-          }
-        }.toMap
+      val kvs = graft.core.HiveDirValues.kvsOf(
+        WarehouseIO.relativize(logDir, path))
       val bucket = kvs.getOrElse(Meta.Bucket,
         throw new IllegalStateException(
           s"log file $path has no ${Meta.Bucket}= dir segment")).toInt
@@ -217,32 +212,11 @@ final class GraftMicroBatchStream(table: GraftTable,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStreamReaderFactory
 
-  /** Hive dir value → catalyst partition value, by declared type. */
-  private def hiveValue(raw: Option[String], f: StructField): Any = {
-    val dec = raw.map(org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.unescapePathName).getOrElse(
-      throw new IllegalStateException(
-        s"log dir has no ${f.name}= segment for partition column ${f.name}"))
-    if (dec == "__HIVE_DEFAULT_PARTITION__") null
-    else f.dataType match {
-      case StringType => UTF8String.fromString(dec)
-      case IntegerType => Int.box(dec.toInt)
-      case LongType => Long.box(dec.toLong)
-      case ShortType => Short.box(dec.toShort)
-      case ByteType => Byte.box(dec.toByte)
-      case BooleanType => Boolean.box(dec.toBoolean)
-      case DateType => Int.box(java.time.LocalDate.parse(dec).toEpochDay.toInt)
-      // the long tail (timestamp, decimal, float, ...) takes the same
-      // string→type Cast the V1 bridge's spark.read.schema(...) applied
-      // to hive dir values, session timezone semantics included
-      case other =>
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            UTF8String.fromString(dec), StringType), other,
-          Option(table.sparkSession.sessionState.conf.sessionLocalTimeZone))
-          .eval(InternalRow.empty)
-    }
-  }
+  /** Hive dir value → catalyst partition value, by declared type
+    * (shared with the key-grouped batch planner).
+    */
+  private def hiveValue(raw: Option[String], f: StructField): Any =
+    graft.core.HiveDirValues.decode(raw, f, table.sparkSession)
 
   override def toString: String = s"GraftMicroBatchStream[${table.path}]"
 }

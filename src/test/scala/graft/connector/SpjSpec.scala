@@ -1,0 +1,169 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkTestBase
+
+/** Storage-partitioned joins: co-bucketed graft tables joined on their
+  * bucket keys plan with NO shuffle exchange on either side when the
+  * scan preserves data grouping (GraftKeyGroupedScan +
+  * GraftBucketFunction through the catalog's FunctionCatalog).
+  */
+class SpjSpec extends SparkTestBase {
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db")
+    spark.sql("""
+      CREATE TABLE spj.db.facts (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql(
+      "INSERT INTO spj.db.facts SELECT id, CAST(id * 2 AS INT) FROM range(0, 50)")
+    spark.sql("INSERT INTO spj.db.facts VALUES (7, 700), (13, 1300)")
+    spark.sql("""
+      CREATE TABLE spj.db.dims (k BIGINT, name STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql(
+      "INSERT INTO spj.db.dims SELECT id, concat('n', id) FROM range(0, 50)")
+    // co-bucketed PK table + its snapshot tier (read-optimized SPJ side)
+    spark.sql("""
+      CREATE TABLE spj.db.kv (k BIGINT, state STRING)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql(
+      "INSERT INTO spj.db.kv SELECT id, concat('s', id) FROM range(0, 50)")
+    new graft.core.Catalog(dir, spark).getTable("db", "kv").compact()
+    // a table bucketed the same keys but a DIFFERENT count: never SPJ
+    spark.sql("""
+      CREATE TABLE spj.db.dims8 (k BIGINT, name STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '8')""")
+    spark.sql(
+      "INSERT INTO spj.db.dims8 SELECT id, concat('m', id) FROM range(0, 50)")
+    dir
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // finalize any adaptive plan before inspecting it
+    // AQE hides exchanges inside leaf query stages; count through them
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        count(q.plan)
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def withSpj[T](extra: (String, String)*)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.graft.read.preserve-data-grouping" -> "true",
+      // SPJ must survive without broadcast shortcuts in the assertion
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") ++ extra
+    val prev = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k)
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val joinSql =
+    """SELECT f.k, f.v, d.name FROM spj.db.facts f
+       JOIN spj.db.dims d ON f.k = d.k"""
+
+  test("co-bucketed append-append join elides both exchanges") {
+    wh
+    val (expected, base) = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      val df = spark.sql(joinSql)
+      (df.collect().map(_.toSeq).toSet, shuffles(df))
+    }
+    assert(base >= 2, s"control run should shuffle both sides, saw $base")
+    withSpj() {
+      val df = spark.sql(joinSql)
+      assert(shuffles(df) == 0,
+        s"expected shuffle-free SPJ plan:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
+  test("read-optimized PK snapshot side joins shuffle-free too") {
+    wh
+    val sql = """SELECT f.k, f.v, s.state FROM spj.db.facts f
+                 JOIN spj.db.kv s ON f.k = s.k"""
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql(sql).collect().map(_.toSeq).toSet
+    }
+    withSpj("spark.sql.graft.read.optimized" -> "true") {
+      val df = spark.sql(sql)
+      assert(shuffles(df) == 0,
+        s"expected shuffle-free plan:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join, correctly") {
+    wh
+    withSpj() {
+      val df = spark.sql(
+        """SELECT f.k, d.name FROM spj.db.facts f
+           JOIN spj.db.dims8 d ON f.k = d.k""")
+      val rows = df.collect()
+      assert(shuffles(df) > 0, "4-bucket x 8-bucket must not co-partition")
+      assert(rows.length == 52) // 50 ids + the two duplicate-k fact rows
+    }
+  }
+
+  test("grouping conf off keeps the V1 path byte-identical") {
+    wh
+    val a = withSpj() { spark.sql(joinSql).collect().map(_.toSeq).toSet }
+    val b = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql(joinSql).collect().map(_.toSeq).toSet
+    }
+    assert(a == b)
+  }
+
+  test("aggregation on the bucket keys reuses the grouping (no exchange)") {
+    wh
+    withSpj() {
+      val df = spark.sql(
+        "SELECT k, count(*) AS n, sum(v) AS sv FROM spj.db.facts GROUP BY k")
+      assert(shuffles(df) == 0,
+        s"group-by on bucket keys should not exchange:\n" +
+          s"${df.queryExecution.executedPlan}")
+      val byK = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byK(7L) == 2 && byK(1L) == 1)
+    }
+  }
+
+  test("offset gating holds: uncommitted rows invisible through SPJ scan") {
+    wh
+    withSpj() {
+      // the scan must apply the manifest gate exactly like logDF: total
+      // row count through the key-grouped path equals the V1 count
+      val n = spark.sql("SELECT k, v FROM spj.db.facts").collect().length
+      assert(n == 52)
+    }
+  }
+
+  test("catalog bucket function is callable and matches the writer") {
+    wh
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val viaSql = spark.sql(
+      "SELECT spj.bucket(4, CAST(13 AS BIGINT))").collect()(0).getInt(0)
+    val viaExpr = spark.range(13, 14)
+      .select(pmod(hash(col("id")), lit(4))).collect()(0).getInt(0)
+    assert(viaSql == viaExpr)
+  }
+}
