@@ -16,16 +16,19 @@ import graft.core.{GraftTable, HiveDirValues, Meta, WarehouseIO}
   * `hash(bucketKeys) % numBuckets`, fluss-client/.../write/
   * HashBucketAssigner.java; this scan makes that physical layout VISIBLE
   * to Spark's planner instead of flattening it away). One
-  * [[InputPartition]] per bucket (every bucket emitted, empty ones
-  * included, so two tables' partition-value sets always align), each
-  * reporting its bucket id as the partition key under a
-  * `KeyGroupedPartitioning` over `bucket(numBuckets, keys...)` resolved
-  * through [[GraftBucketFunction]]. With
-  * `spark.sql.sources.v2.bucketing.enabled`, a join of two co-bucketed
-  * graft tables on their bucket keys then plans with NO exchange on
-  * either side — at 100 TB the single biggest shuffle in a fact-fact
-  * join disappears; so does the exchange under a groupBy on the bucket
-  * keys.
+  * [[InputPartition]] per FILE, each reporting its bucket id as the
+  * partition key under a `KeyGroupedPartitioning` over
+  * `bucket(numBuckets, keys...)` resolved through
+  * [[GraftBucketFunction]]; the exec side groups same-bucket files into
+  * key-grouped tasks, pads buckets missing on one join side
+  * (`v2.bucketing.pushPartValues`, default on), and — because the
+  * per-file splits stay visible — `partiallyClusteredDistribution` can
+  * split a SKEWED bucket across tasks instead of serializing the join
+  * on its hottest key. With `spark.sql.sources.v2.bucketing.enabled`, a
+  * join of two co-bucketed graft tables on their bucket keys then plans
+  * with NO exchange on either side — at 100 TB the single biggest
+  * shuffle in a fact-fact join disappears; so does the exchange under a
+  * groupBy on the bucket keys.
   *
   * Two tiers behind one planner:
   *  - append (log) tables: the committed-visible log files, rows gated
@@ -141,14 +144,18 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       // row-group skipping envelope; the exact per-bucket gate is
       // row-level in the reader (same contract as the streaming scan)
       dataFilters(hi))
-    val byBucket = files.groupBy(_._1)
-    // EVERY bucket planned, data or not: co-partitioned sides must
-    // report identical partition-value sets
-    (0 until desc.numBuckets).map { b =>
-      GraftBucketInputPartition(b,
-        byBucket.getOrElse(b, Nil).map(t => BucketFile(t._2, t._3, t._4)),
-        offsetOrdinal, hi.getOrElse(b, 0L), outputOrdinals, combinedTypes,
-        reader): InputPartition
+    // ONE partition per FILE, not per bucket: the exec side groups
+    // same-key partitions back into key-grouped tasks
+    // (DataSourceV2ScanExecBase.groupedPartitions), missing bucket
+    // values on one join side are padded by Spark's
+    // v2.bucketing.pushPartValues (default on), and keeping per-file
+    // splits visible is what lets partiallyClusteredDistribution split
+    // a SKEWED bucket across tasks instead of serializing the join on
+    // its hottest key
+    files.map { case (bucket, path, len, pv) =>
+      GraftBucketInputPartition(bucket, BucketFile(path, len, pv),
+        offsetOrdinal, hi.getOrElse(bucket, 0L), outputOrdinals,
+        combinedTypes, reader): InputPartition
     }.toArray
   }
 
@@ -187,11 +194,12 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
 private[connector] final case class BucketFile(path: String, len: Long,
     partValues: Array[Any])
 
-/** One bucket's files; `partitionKey` is the bucket id — the value of
-  * the reported `bucket(numBuckets, keys...)` grouping expression.
+/** One file of one bucket; `partitionKey` is the bucket id — the value
+  * of the reported `bucket(numBuckets, keys...)` grouping expression
+  * (many files may share it; the exec groups them).
   */
 private[connector] final case class GraftBucketInputPartition(bucket: Int,
-    files: Seq[BucketFile], offsetOrdinal: Int, hi: Long,
+    file: BucketFile, offsetOrdinal: Int, hi: Long,
     outputOrdinals: Array[Int], combinedTypes: Array[DataType],
     reader: ParquetRead.FileReader)
     extends InputPartition with HasPartitionKey {
@@ -206,29 +214,22 @@ private[connector] object GraftBucketReaderFactory
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketInputPartition]
     new PartitionReader[InternalRow] {
-      private val fileIt = p.files.iterator
-      // each file's parquet iterator registers its own task-completion
-      // close; empty buckets simply never open one
-      private var rows: Iterator[InternalRow] = Iterator.empty
+      // the parquet iterator registers its own task-completion close
+      private val rows = p.reader(ParquetRead.partitionedFile(
+        new GenericInternalRow(p.file.partValues), p.file.path, p.file.len))
       private val proj = UnsafeProjection.create(
         p.outputOrdinals.toIndexedSeq.map(i =>
           BoundReference(i, p.combinedTypes(i), nullable = true)))
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        while (rows.hasNext || fileIt.hasNext) {
-          if (!rows.hasNext) {
-            val f = fileIt.next()
-            rows = p.reader(ParquetRead.partitionedFile(
-              new GenericInternalRow(f.partValues), f.path, f.len))
-          } else {
-            val r = rows.next()
-            // pushed filters only skip row groups; the exact manifest
-            // gate is row-level (ordinal -1 = snapshot tier, no gate)
-            if (p.offsetOrdinal < 0 || r.getLong(p.offsetOrdinal) < p.hi) {
-              current = proj(r)
-              return true
-            }
+        while (rows.hasNext) {
+          val r = rows.next()
+          // pushed filters only skip row groups; the exact manifest
+          // gate is row-level (ordinal -1 = snapshot tier, no gate)
+          if (p.offsetOrdinal < 0 || r.getLong(p.offsetOrdinal) < p.hi) {
+            current = proj(r)
+            return true
           }
         }
         false

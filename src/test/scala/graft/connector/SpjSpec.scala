@@ -157,6 +157,46 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("one side missing buckets still co-partitions (pushPartValues pad)") {
+    wh
+    // only 3 keys → most of the 4 buckets empty on this side; the join
+    // must still plan shuffle-free (Spark pads the missing partition
+    // values) and answer exactly
+    spark.sql("""
+      CREATE TABLE spj.db.sparse (k BIGINT, w INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.sparse VALUES (1, 10), (2, 20), (3, 30)")
+    withSpj() {
+      val df = spark.sql(
+        """SELECT f.k, f.v, s.w FROM spj.db.facts f
+           JOIN spj.db.sparse s ON f.k = s.k""")
+      val rows = df.collect()
+      assert(shuffles(df) == 0,
+        s"sparse side should pad, not shuffle:\n" +
+          s"${df.queryExecution.executedPlan}")
+      assert(rows.map(r => (r.getLong(0), r.getInt(2))).toSet ==
+        Set((1L, 10), (2L, 20), (3L, 30)))
+    }
+  }
+
+  test("partially-clustered distribution splits a skewed bucket, same answer") {
+    wh
+    // facts has two commits → multiple files per bucket; enabling
+    // partially-clustered keeps those splits visible on the bigger side
+    withSpj("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+        -> "true") {
+      val df = spark.sql(joinSql)
+      assert(shuffles(df) == 0,
+        s"partially-clustered SPJ should not shuffle:\n" +
+          s"${df.queryExecution.executedPlan}")
+      val expected = withSpj(
+        "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+        spark.sql(joinSql).collect().map(_.toSeq).toSet
+      }
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
