@@ -897,10 +897,10 @@ class GraftScanBuilder(table: GraftTable,
     else if (!keys.forall(required.fieldNames.contains)) None
     else if (!table.desc.isPrimaryKeyTable)
       Some(new GraftKeyGroupedScan(table, required, pushed,
-        snapshotTier = false))
+        GraftScanTier.AppendLog))
     else if (conf("spark.sql.graft.read.optimized") && table.hasSnapshotTier)
       Some(new GraftKeyGroupedScan(table, required, pushed,
-        snapshotTier = true))
+        GraftScanTier.SnapshotOnly))
     else None
   }
 

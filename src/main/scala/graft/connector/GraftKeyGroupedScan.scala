@@ -6,10 +6,27 @@ import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.graftshim.ParquetRead
-import org.apache.spark.sql.sources.{Filter, LessThan}
+import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.{GraftTable, HiveDirValues, Meta, WarehouseIO}
+import graft.core.{ChangeType, GraftTable, HiveDirValues, Meta, WarehouseIO}
+
+/** What a key-grouped scan reads. */
+private[graft] sealed trait GraftScanTier
+private[graft] object GraftScanTier {
+  /** Append (log) table: committed-visible log rows, manifest-gated. */
+  case object AppendLog extends GraftScanTier
+  /** PK table in read-optimized mode: the KV snapshot tier only. */
+  case object SnapshotOnly extends GraftScanTier
+  /** PK table STATE INPUT: snapshot rows (system columns synthesized —
+    * inserts at offset -1) ∪ the log tail at [snapshot cutoff, manifest)
+    * per bucket — the exact rows [[graft.core.GraftTable]]'s V1
+    * `stateInput` unions, planned as ONE grouped relation so the
+    * PK collapse above it needs no exchange.
+    */
+  case object State extends GraftScanTier
+}
 
 /** Native bucket-grouped batch scan — the storage-partitioned-join
   * surface (the reference distributes every table by
@@ -28,27 +45,21 @@ import graft.core.{GraftTable, HiveDirValues, Meta, WarehouseIO}
   * join of two co-bucketed graft tables on their bucket keys then plans
   * with NO exchange on either side — at 100 TB the single biggest
   * shuffle in a fact-fact join disappears; so does the exchange under a
-  * groupBy on the bucket keys.
-  *
-  * Two tiers behind one planner:
-  *  - append (log) tables: the committed-visible log files, rows gated
-  *    to the manifest's per-bucket published offset exactly like
-  *    [[graft.core.GraftTable.logDF]] (a crashed commit's moved-but-
-  *    unpublished rows never surface);
-  *  - PK tables under `spark.sql.graft.read.optimized`: the KV snapshot
-  *    tier (already collapsed, no gate) — the read-optimized scan with
-  *    its bucketing preserved.
+  * groupBy on the bucket keys, and — via [[GraftScanTier.State]] — the
+  * exchange under every PK table's LatestRow collapse (the reference's
+  * FlussUpsertPartitionReader merges per bucket for the same reason).
   *
   * Opt-in via `spark.sql.graft.read.preserve-data-grouping` (the
   * reference-lake pattern: Iceberg gates the same behavior behind
-  * `preserve-data-grouping` because key-grouped planning caps scan
-  * parallelism at the bucket count — right for big co-located joins,
-  * wrong for a bare full scan). Filters stay best-effort: data-column
-  * predicates push to parquet row groups, partition-dir equalities prune
-  * files, and Spark re-applies everything as residuals above the scan.
+  * `preserve-data-grouping` because key-grouped planning caps
+  * exploited-scan parallelism at the bucket count — right for big
+  * co-located joins and collapses, wrong as a blanket default). Filters
+  * stay best-effort: data-column predicates push to parquet row groups,
+  * partition/bucket-dir equalities prune files, and Spark re-applies
+  * everything as residuals above the scan.
   */
 final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
-    filters: Array[Filter], snapshotTier: Boolean)
+    filters: Array[Filter], tier: GraftScanTier)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
 
@@ -56,40 +67,78 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
   private val desc = table.desc
   private val bucketKeys = desc.effectiveBucketKeys
 
-  // ---- schema split: dirs encode (partitionKeys, __bucket); files hold
-  // the rest (identical layout on both tiers: compact() partitions the
-  // snapshot exactly like the log) ----
+  // ---- schema split per source flavor: dirs encode (partitionKeys,
+  // __bucket); files hold the rest (identical layout on both tiers:
+  // compact() partitions the snapshot exactly like the log). Snapshot
+  // rows in State tier additionally SYNTHESIZE the system columns as
+  // constant partition values (offset -1, epoch ts, insert) — the same
+  // convention as the streaming seed planner.
 
-  private val partitionFields: Array[StructField] =
+  /** One way of mapping files to output rows: which columns are in the
+    * parquet, which ride as partition values, and where each output
+    * column lives in the reader's (data ++ partition) row.
+    */
+  private final case class Flavor(fileSchema: StructType,
+      partFields: Array[StructField], requiredData: StructType,
+      offsetOrdinal: Int, outputOrdinals: Array[Int],
+      combinedTypes: Array[DataType], reader: ParquetRead.FileReader)
+
+  private val dirFields: Array[StructField] =
     (desc.partitionKeys.map(k => desc.schema(desc.schema.fieldIndex(k))) :+
       StructField(Meta.Bucket, IntegerType, nullable = false)).toArray
 
-  private val fileSchema: StructType =
-    if (snapshotTier) StructType(desc.schema.fields.filterNot(f =>
-      desc.partitionKeys.contains(f.name)))
-    else StructType(table.logSchema.fields.filterNot(f =>
-      desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket))
-
-  /** Log rows need the `__offset` visibility gate; snapshot rows are
-    * final. The gate column is projected away after the row-level check.
-    */
-  private val requiredData = StructType(
-    required.fields.filterNot(f =>
-      desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket) ++
-      (if (snapshotTier || required.fieldNames.contains(Meta.Offset)) Nil
-       else Seq(StructField(Meta.Offset, LongType, nullable = false))))
-
-  private val combinedTypes: Array[DataType] =
-    (requiredData.fields ++ partitionFields).map(_.dataType)
-
-  private val outputOrdinals: Array[Int] = required.fields.map { f =>
-    if (requiredData.fieldNames.contains(f.name))
-      requiredData.fieldIndex(f.name)
-    else requiredData.length + partitionFields.indexWhere(_.name == f.name)
+  private def mkFlavor(fileSchema: StructType,
+      partFields: Array[StructField], gateOffsets: Boolean,
+      pushGates: Seq[Filter]): Flavor = {
+    val requiredData = StructType(
+      required.fields.filter(f => fileSchema.fieldNames.contains(f.name)) ++
+        (if (gateOffsets && !required.fieldNames.contains(Meta.Offset))
+           Seq(StructField(Meta.Offset, LongType, nullable = false))
+         else Nil))
+    val combined: Array[DataType] =
+      (requiredData.fields ++ partFields).map(_.dataType)
+    val ordinals: Array[Int] = required.fields.map { f =>
+      if (requiredData.fieldNames.contains(f.name))
+        requiredData.fieldIndex(f.name)
+      else requiredData.length + partFields.indexWhere(_.name == f.name)
+    }
+    val dataCols = fileSchema.fieldNames.toSet
+    val pushable =
+      filters.filter(_.references.forall(dataCols.contains)).toIndexedSeq
+    Flavor(fileSchema, partFields, requiredData,
+      if (gateOffsets) requiredData.fieldIndex(Meta.Offset) else -1,
+      ordinals, combined,
+      ParquetRead.buildReader(spark, fileSchema, StructType(partFields),
+        requiredData, pushable ++ pushGates))
   }
 
-  private val offsetOrdinal =
-    if (snapshotTier) -1 else requiredData.fieldIndex(Meta.Offset)
+  private def logFlavor(lo: Map[Int, Long], hi: Map[Int, Long]): Flavor = {
+    // row-group skipping envelope across all buckets; the exact
+    // per-bucket [lo, hi) gate is row-level in the reader (same
+    // contract as the streaming scan)
+    val gates =
+      (if (hi.nonEmpty) Seq(LessThan(Meta.Offset, hi.values.max)) else Nil) ++
+        // the lower envelope is only sound when EVERY bucket has a
+        // cutoff (a bucket absent from the map defaults to 0 in the
+        // row gate — an envelope above 0 would skip its row groups)
+        (if (lo.size == table.desc.numBuckets && lo.values.forall(_ > 0L))
+           Seq(GreaterThanOrEqual(Meta.Offset, lo.values.min)) else Nil)
+    mkFlavor(
+      StructType(table.logSchema.fields.filterNot(f =>
+        desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket)),
+      dirFields, gateOffsets = true, gates)
+  }
+
+  private def snapshotFlavor(synthesizeSys: Boolean): Flavor =
+    mkFlavor(
+      StructType(desc.schema.fields.filterNot(f =>
+        desc.partitionKeys.contains(f.name))),
+      if (!synthesizeSys) dirFields
+      else dirFields ++ Array(
+        StructField(Meta.Offset, LongType, nullable = false),
+        StructField(Meta.Timestamp, TimestampType, nullable = false),
+        StructField(Meta.ChangeTypeCol, StringType, nullable = false)),
+      gateOffsets = false, Nil)
 
   override def readSchema(): StructType = required
 
@@ -100,50 +149,57 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       Array(Expressions.bucket(desc.numBuckets, bucketKeys: _*)),
       desc.numBuckets)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val baseDir = if (snapshotTier) table.snapshotDirPath else table.logDirPath
-    val entries: Seq[(String, Long)] =
-      if (snapshotTier)
-        WarehouseIO.walkFiles(baseDir)
+  /** Equality predicates on dir-encoded columns (partition keys and the
+    * bucket id) prune FILES — only on types whose dir encoding is the
+    * plain string form of the literal. Skipping a file is an
+    * optimization; keeping one is always safe (Spark re-applies every
+    * filter above the scan).
+    */
+  private val dirEqs: Map[String, Any] =
+    GraftScanBuilder.equalities(filters).filter { case (c, _) =>
+      (c == Meta.Bucket || desc.partitionKeys.contains(c)) &&
+        (if (c == Meta.Bucket) true
+         else desc.schema(c).dataType match {
+           // types whose literal's string form IS the dir encoding
+           // (dates: Spark writes ISO dirs; java.sql.Date.toString is ISO)
+           case StringType | IntegerType | LongType | ShortType | ByteType |
+               DateType => true
+           case _ => false
+         })
+    }
+
+  private def listFiles(baseDir: String)
+      : Seq[(Int, String, Long, Map[String, String])] = {
+    val entries: Seq[(String, Long)] = baseDir match {
+      case d if d == table.logDirPath => table.visibleLogFileEntries()
+      case d =>
+        WarehouseIO.walkFiles(d)
           .filter(e => !e.isDir && e.name.endsWith(".parquet"))
           .map(e => e.path -> e.len)
-      else table.visibleLogFileEntries()
-    // partition-dir pruning from pushed equality predicates: only on
-    // types whose dir encoding is the plain string form of the literal
-    // (skipping a file is an optimization; keeping one is always safe —
-    // Spark re-applies every filter above the scan)
-    val eqs = GraftScanBuilder.equalities(filters).filter { case (c, _) =>
-      desc.partitionKeys.contains(c) && (desc.schema(c).dataType match {
-        case StringType | IntegerType | LongType | ShortType | ByteType => true
-        case _ => false
-      })
     }
-    val hi: Map[Int, Long] =
-      if (snapshotTier) Map.empty else table.latestOffsets
-    val files = entries.flatMap { case (path, len) =>
+    entries.flatMap { case (path, len) =>
       val kvs = HiveDirValues.kvsOf(WarehouseIO.relativize(baseDir, path))
       val bucket = kvs.getOrElse(Meta.Bucket,
         throw new IllegalStateException(
-          s"file $path has no ${Meta.Bucket}= dir segment")).toInt
-      val pruned = eqs.exists { case (c, v) =>
-        kvs.get(c).exists(raw =>
+          s"file $path has no ${Meta.Bucket}= dir segment " +
+            "(legacy unpartitioned layout? re-run compact())")).toInt
+      val pruned = dirEqs.exists { case (c, v) =>
+        val raw = if (c == Meta.Bucket) Some(bucket.toString) else kvs.get(c)
+        raw.exists(r =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(raw) != String.valueOf(v))
+            .unescapePathName(r) != String.valueOf(v))
       }
-      if (pruned) None
-      else {
-        val pv: Array[Any] = partitionFields.map { f =>
-          if (f.name == Meta.Bucket) Int.box(bucket)
-          else HiveDirValues.decode(kvs.get(f.name), f, spark)
-        }
-        Some((bucket, path, len, pv))
-      }
+      if (pruned) None else Some((bucket, path, len, kvs))
     }
-    val reader = ParquetRead.buildReader(spark, fileSchema,
-      StructType(partitionFields), requiredData,
-      // row-group skipping envelope; the exact per-bucket gate is
-      // row-level in the reader (same contract as the streaming scan)
-      dataFilters(hi))
+  }
+
+  private def dirValues(kvs: Map[String, String], bucket: Int): Array[Any] =
+    dirFields.map { f =>
+      if (f.name == Meta.Bucket) Int.box(bucket)
+      else HiveDirValues.decode(kvs.get(f.name), f, spark)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
     // ONE partition per FILE, not per bucket: the exec side groups
     // same-key partitions back into key-grouped tasks
     // (DataSourceV2ScanExecBase.groupedPartitions), missing bucket
@@ -151,23 +207,38 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     // v2.bucketing.pushPartValues (default on), and keeping per-file
     // splits visible is what lets partiallyClusteredDistribution split
     // a SKEWED bucket across tasks instead of serializing the join on
-    // its hottest key
-    files.map { case (bucket, path, len, pv) =>
-      GraftBucketInputPartition(bucket, BucketFile(path, len, pv),
-        offsetOrdinal, hi.getOrElse(bucket, 0L), outputOrdinals,
-        combinedTypes, reader): InputPartition
-    }.toArray
-  }
-
-  /** Pushed filters that live in the FILES (data columns only — dir
-    * columns aren't in the parquet), plus the log-visibility ceiling.
-    */
-  private def dataFilters(hi: Map[Int, Long]): Seq[Filter] = {
-    val dataCols = fileSchema.fieldNames.toSet
-    val pushable = filters.filter(_.references.forall(dataCols.contains))
-    val gate = if (snapshotTier || hi.isEmpty) Nil
-    else Seq(LessThan(Meta.Offset, hi.values.max))
-    pushable.toIndexedSeq ++ gate
+    // its hottest key.
+    def logParts(lo: Map[Int, Long]): Seq[InputPartition] = {
+      val hi = table.latestOffsets
+      val fl = logFlavor(lo, hi)
+      listFiles(table.logDirPath).map { case (b, path, len, kvs) =>
+        GraftBucketInputPartition(b,
+          BucketFile(path, len, dirValues(kvs, b)),
+          fl.offsetOrdinal, lo.getOrElse(b, 0L), hi.getOrElse(b, 0L),
+          fl.outputOrdinals, fl.combinedTypes, fl.reader): InputPartition
+      }
+    }
+    def snapParts(synthesizeSys: Boolean): Seq[InputPartition] = {
+      val fl = snapshotFlavor(synthesizeSys)
+      listFiles(table.snapshotDirPath).map { case (b, path, len, kvs) =>
+        val pv: Array[Any] =
+          if (!synthesizeSys) dirValues(kvs, b)
+          else dirValues(kvs, b) ++ Array[Any](Long.box(-1L), Long.box(0L),
+            UTF8String.fromString(ChangeType.Insert))
+        GraftBucketInputPartition(b, BucketFile(path, len, pv),
+          offsetOrdinal = -1, lo = 0L, hi = 0L,
+          fl.outputOrdinals, fl.combinedTypes, fl.reader): InputPartition
+      }
+    }
+    (tier match {
+      case GraftScanTier.AppendLog => logParts(Map.empty)
+      case GraftScanTier.SnapshotOnly => snapParts(synthesizeSys = false)
+      case GraftScanTier.State =>
+        table.snapshotCutoffs match {
+          case None => logParts(Map.empty)
+          case Some(cut) => snapParts(synthesizeSys = true) ++ logParts(cut)
+        }
+    }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -186,20 +257,28 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
 
   override def description(): String =
     s"GraftKeyGroupedScan(${table.path}, " +
-      s"bucket(${desc.numBuckets}, ${bucketKeys.mkString(",")})" +
-      (if (snapshotTier) ", snapshot-tier" else "") + ")"
+      s"bucket(${desc.numBuckets}, ${bucketKeys.mkString(",")}), $tier)" +
+      // dir-equality file pruning, printed in the V1 scans' audit
+      // vocabulary so plan audits read uniformly
+      (if (dirEqs.isEmpty) ""
+       else dirEqs.toSeq.sortBy(_._1).map { case (c, v) => s"$c = $v" }
+         .mkString(" PartitionFilters: [", ", ", "]"))
 }
 
-/** One file of a bucket: path, size, catalyst-typed dir values. */
+/** One file of one bucket: path, size, catalyst-typed dir (and, for
+  * State-tier snapshot files, synthesized system) values.
+  */
 private[connector] final case class BucketFile(path: String, len: Long,
     partValues: Array[Any])
 
-/** One file of one bucket; `partitionKey` is the bucket id — the value
+/** One file's partition; `partitionKey` is the bucket id — the value
   * of the reported `bucket(numBuckets, keys...)` grouping expression
-  * (many files may share it; the exec groups them).
+  * (many files may share it; the exec groups them). Log files gate
+  * rows to the manifest window `[lo, hi)`; `offsetOrdinal` -1 means
+  * ungated (snapshot tiers).
   */
 private[connector] final case class GraftBucketInputPartition(bucket: Int,
-    file: BucketFile, offsetOrdinal: Int, hi: Long,
+    file: BucketFile, offsetOrdinal: Int, lo: Long, hi: Long,
     outputOrdinals: Array[Int], combinedTypes: Array[DataType],
     reader: ParquetRead.FileReader)
     extends InputPartition with HasPartitionKey {
@@ -227,7 +306,10 @@ private[connector] object GraftBucketReaderFactory
           val r = rows.next()
           // pushed filters only skip row groups; the exact manifest
           // gate is row-level (ordinal -1 = snapshot tier, no gate)
-          if (p.offsetOrdinal < 0 || r.getLong(p.offsetOrdinal) < p.hi) {
+          if (p.offsetOrdinal < 0 || {
+            val off = r.getLong(p.offsetOrdinal)
+            off >= p.lo && off < p.hi
+          }) {
             current = proj(r)
             return true
           }

@@ -145,6 +145,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private[graft] def hasSnapshotTier: Boolean = readSnapshotMeta().isDefined
 
+  /** The snapshot tier's per-bucket log cutoffs (rows below these are in
+    * the snapshot; the tail at/above them replays over it) — the grouped
+    * state scan's planning input.
+    */
+  private[graft] def snapshotCutoffs: Option[Map[Int, Long]] =
+    readSnapshotMeta()
+
   /** Per-bucket value as an O(1) literal-map lookup (a when-chain would
     * grow a numBuckets-deep expression tree on every read/commit).
     */
@@ -2128,6 +2135,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def stateInput(bucketPred: Option[Column]): DataFrame = {
     def p(df: DataFrame): DataFrame = bucketPred.map(df.filter).getOrElse(df)
+    // Grouped state input (opt-in): snapshot ∪ log tail planned as ONE
+    // DSv2 relation reporting KeyGroupedPartitioning over the bucket
+    // function — the LatestRow collapse above it then needs NO exchange
+    // (rows of one key live in one bucket on BOTH tiers; the reference's
+    // per-bucket FlussUpsertPartitionReader merge, Spark-planner form).
+    // A bucket predicate still applies above; its __bucket equality also
+    // prunes files inside the scan.
+    if (groupedReadEnabled)
+      return p(graft.connector.GraftStateRelation.stateInput(this))
     readSnapshotMeta() match {
       case None => p(logDF)
       case Some(snapOffsets) =>
@@ -2166,10 +2182,27 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   // read surfaces
   // ---------------------------------------------------------------------
 
-  /** Batch scan: log table = appended rows; PK table = current state. */
+  /** Batch scan: log table = appended rows; PK table = current state.
+    * With `spark.sql.graft.read.preserve-data-grouping`, a key-bucketed
+    * append table's scan is a grouped DSv2 relation, so engine-API joins
+    * and aggregates on its bucket keys plan exchange-free (the PK path
+    * gets the same through [[stateInput]]'s grouped form).
+    */
   def scan(): DataFrame =
     if (desc.isPrimaryKeyTable) currentState()
+    else if (groupedReadEnabled)
+      graft.connector.GraftStateRelation
+        .grouped(this, graft.connector.GraftScanTier.AppendLog)
+        .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
     else logDF.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** The `preserve-data-grouping` opt-in (session or warehouse-dynamic),
+    * meaningful only on key-bucketed tables.
+    */
+  private def groupedReadEnabled: Boolean =
+    desc.effectiveBucketKeys.nonEmpty && DynamicConfigs.effective(
+      spark, WarehouseIO.warehouseOf(path),
+      "spark.sql.graft.read.preserve-data-grouping", "false").toBoolean
 
   /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
     * connector option, website/docs/engine-spark/options.md:17): PK tables

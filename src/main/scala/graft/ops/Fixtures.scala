@@ -17,8 +17,20 @@ import graft.core._
 object Fixtures {
 
   private val cache = mutable.Map.empty[(String, String), GraftTable]
-  private lazy val warehouse =
-    Files.createTempDirectory("graft-warehouse").toString
+  private lazy val warehouse = {
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    // Grouped reads for every fixture table (round 12): the PK collapse
+    // and bucket-key joins/aggregates plan with NO exchange over the
+    // KeyGroupedPartitioning the scans report — measured FASTER even at
+    // sf0.1 (a1 0.49→0.40s, s7 0.30→0.18s, a5 0.41→0.23s warm) despite
+    // capping exploited-stage parallelism at the bucket count, and it
+    // puts the grouped path under every PK oracle in the driver gate.
+    graft.core.DynamicConfigs.set(wh,
+      Map("spark.sql.graft.read.preserve-data-grouping" -> "true"))
+    org.apache.spark.sql.SparkSession.active.conf
+      .set("spark.sql.sources.v2.bucketing.enabled", "true")
+    wh
+  }
 
   /** Read a testdata table. `events.ts` is nanosecond parquet, which Spark
     * only reads as a long (spark.sql.legacy.parquet.nanosAsLong — set in

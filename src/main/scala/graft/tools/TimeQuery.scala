@@ -19,6 +19,13 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B extra confs, e.g. SPARK_GRAFT_TIME_CONFS=
+    //   "spark.sql.graft.read.preserve-data-grouping=true,..."
+    sys.env.get("SPARK_GRAFT_TIME_CONFS").foreach(_.split(',')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     names.foreach { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Table}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Build a DataFrame directly over a DSv2 [[Table]] — how the engine API
+  * serves a scan that must REPORT things to the planner (a
+  * `KeyGroupedPartitioning`, stats) that the V1 `spark.read.parquet`
+  * path flattens away. `catalog` carries the FunctionCatalog Spark needs
+  * to resolve the partitioning's transform functions
+  * (V2ExpressionUtils.loadV2FunctionOpt). Lives in this package because
+  * `DataSourceV2Relation.create` / `Dataset.ofRows` are `private[sql]`.
+  */
+object V2Relation {
+  def dataFrame(spark: SparkSession, table: Table,
+      catalog: Option[CatalogPlugin]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic,
+      DataSourceV2Relation.create(table, catalog, None))
+  }
+}
