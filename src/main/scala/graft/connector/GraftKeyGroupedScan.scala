@@ -2,11 +2,11 @@ package graft.connector
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
-import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.graftshim.ParquetRead
-import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,7 +61,7 @@ private[graft] object GraftScanTier {
 final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     filters: Array[Filter], tier: GraftScanTier)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val spark = table.sparkSession
   private val desc = table.desc
@@ -149,6 +149,59 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       Array(Expressions.bucket(desc.numBuckets, bucketKeys: _*)),
       desc.numBuckets)
 
+  // ---- runtime filtering (DPP's DSv2 form): a selective join pushes
+  // its build-side key set here before execution, and the scan prunes
+  // to just the BUCKETS those keys hash to (plus any partition-dir
+  // values they pin) — the batch-scale form of the reference's
+  // lookup-side pruning. Over-inclusion is always safe (the join
+  // re-checks keys); pruning is exact: a file is dropped only when NO
+  // pushed key can live in it.
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    (bucketKeys ++ desc.partitionKeys).distinct
+      .map(c => Expressions.column(c)).toArray
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+
+  /** Admissible buckets from runtime In/EqualTo on the (single) bucket
+    * key — each key value hashes through the writer's own assignment
+    * ([[GraftBucketBound]]). None = no constraint.
+    */
+  private def runtimeBuckets(rf: Array[Filter]): Option[Set[Int]] = {
+    if (bucketKeys.length != 1) return None
+    val key = bucketKeys.head
+    val kt = desc.schema(key).dataType
+    val fn = GraftBucketBound(Array(kt))
+    def bucketOf(v: Any): Int = fn.produceResult(new GenericInternalRow(
+      Array[Any](Int.box(desc.numBuckets),
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(v)))).intValue
+    val sets = rf.collect {
+      case In(a, vs) if a == key => vs.toSet.map(bucketOf)
+      case EqualTo(a, v) if a == key => Set(bucketOf(v))
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** Admissible dir values per partition key from runtime In/EqualTo
+    * (same safe-type restriction as [[dirEqs]]).
+    */
+  private def runtimeDirValues(rf: Array[Filter]): Map[String, Set[String]] =
+    rf.collect {
+      case In(a, vs) if dirPrunable(a) =>
+        a -> vs.map(String.valueOf).toSet
+      case EqualTo(a, v) if dirPrunable(a) => a -> Set(String.valueOf(v))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).reduce(_ intersect _) }
+
+  private def dirPrunable(c: String): Boolean =
+    desc.partitionKeys.contains(c) && (desc.schema(c).dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+          DateType => true
+      case _ => false
+    })
+
   /** Equality predicates on dir-encoded columns (partition keys and the
     * bucket id) prune FILES — only on types whose dir encoding is the
     * plain string form of the literal. Skipping a file is an
@@ -177,18 +230,23 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
           .filter(e => !e.isDir && e.name.endsWith(".parquet"))
           .map(e => e.path -> e.len)
     }
+    val rf = runtimeFilters
+    val rtBuckets = runtimeBuckets(rf)
+    val rtDirs = runtimeDirValues(rf)
     entries.flatMap { case (path, len) =>
       val kvs = HiveDirValues.kvsOf(WarehouseIO.relativize(baseDir, path))
       val bucket = kvs.getOrElse(Meta.Bucket,
         throw new IllegalStateException(
           s"file $path has no ${Meta.Bucket}= dir segment " +
             "(legacy unpartitioned layout? re-run compact())")).toInt
+      def dec(r: String): String =
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(r)
       val pruned = dirEqs.exists { case (c, v) =>
         val raw = if (c == Meta.Bucket) Some(bucket.toString) else kvs.get(c)
-        raw.exists(r =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(r) != String.valueOf(v))
-      }
+        raw.exists(dec(_) != String.valueOf(v))
+      } || rtBuckets.exists(!_.contains(bucket)) ||
+        rtDirs.exists { case (c, ok) => kvs.get(c).exists(r => !ok(dec(r))) }
       if (pruned) None else Some((bucket, path, len, kvs))
     }
   }

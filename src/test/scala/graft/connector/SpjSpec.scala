@@ -261,6 +261,33 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("runtime filtering prunes the fact scan to the dim keys' buckets") {
+    wh
+    // a selective dim side: 2 keys → at most 2 of facts' 4 buckets read;
+    // force DPP without stats so the tiny test sizes still trigger it
+    spark.sql("""
+      CREATE TABLE spj.db.seldim (k BIGINT, tag STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.seldim VALUES (7, 'x'), (13, 'x'), (20, 'y')")
+    val sql = """SELECT f.k, f.v, d.tag FROM spj.db.facts f
+                 JOIN spj.db.seldim d ON f.k = d.k WHERE d.tag = 'x'"""
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql(sql).collect().map(_.toSeq).toSet
+    }
+    assert(expected.map(_.head).toSet == Set(7L, 13L))
+    withSpj(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760") {
+      val df = spark.sql(sql)
+      val rows = df.collect().map(_.toSeq).toSet
+      assert(rows == expected)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+        s"expected a runtime filter pushed into the fact scan:\n$plan")
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
