@@ -288,6 +288,35 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned PK table: grouped state handles dt dirs on both tiers") {
+    wh
+    val c = new graft.core.Catalog(wh, spark)
+    val df0 = spark.range(0, 40).selectExpr("id AS k",
+      "CAST(id AS INT) AS v", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS dt")
+    val t = c.createTable("db", "kvpart", graft.core.TableDescriptor(
+      df0.schema, primaryKey = Seq("k", "dt"), partitionKeys = Seq("dt"),
+      numBuckets = 4))
+    t.upsert(df0, orderBy = Seq(org.apache.spark.sql.functions.col("k")))
+    t.compact()
+    // post-compact tail touching one partition
+    t.upsert(spark.sql("SELECT CAST(1 AS BIGINT) AS k, 111 AS v, '2024-01-02' AS dt"),
+      orderBy = Seq(org.apache.spark.sql.functions.col("k")))
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      c.getTable("db", "kvpart").scan().collect().map(_.toSeq).toSet
+    }
+    assert(expected.contains(Seq(1L, 111, "2024-01-02")) && expected.size == 40)
+    withSpj() {
+      val df = c.getTable("db", "kvpart").scan()
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      // partition filter on dt prunes dirs inside the grouped scan
+      val one = df.filter("dt = '2024-01-01'")
+      assert(one.collect().length == 20)
+      assert(one.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [dt = 2024-01-01]"))
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
