@@ -897,10 +897,10 @@ class GraftScanBuilder(table: GraftTable,
     else if (!keys.forall(required.fieldNames.contains)) None
     else if (!table.desc.isPrimaryKeyTable)
       Some(new GraftKeyGroupedScan(table, required, pushed,
-        GraftScanTier.AppendLog))
+        GraftScanTier.AppendLog, streamParams))
     else if (conf("spark.sql.graft.read.optimized") && table.hasSnapshotTier)
       Some(new GraftKeyGroupedScan(table, required, pushed,
-        GraftScanTier.SnapshotOnly))
+        GraftScanTier.SnapshotOnly, streamParams))
     else None
   }
 
@@ -932,7 +932,8 @@ class GraftScanBuilder(table: GraftTable,
         "time-travel reads cannot stream: drop TIMESTAMP/VERSION AS OF")
       require(pushedAgg.isEmpty,
         "aggregate pushdown cannot apply to a streaming scan")
-      new graft.streaming.GraftMicroBatchStream(table, required, streamParams)
+      new graft.streaming.GraftMicroBatchStream(table, required, streamParams,
+        Some(checkpointLocation))
     }
 
     /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the

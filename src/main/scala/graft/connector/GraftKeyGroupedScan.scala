@@ -59,9 +59,20 @@ private[graft] object GraftScanTier {
   * everything as residuals above the scan.
   */
 final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
-    filters: Array[Filter], tier: GraftScanTier)
+    filters: Array[Filter], tier: GraftScanTier,
+    streamParams: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** A catalog table's Scan serves BOTH read modes — Spark decides
+    * batch-vs-stream after `build()`, so a streaming read of a bucketed
+    * table under `preserve-data-grouping` lands here too and must reach
+    * the same micro-batch stream the V1 scan path builds.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(table, required, streamParams,
+      Some(checkpointLocation))
 
   private val spark = table.sparkSession
   private val desc = table.desc
@@ -185,41 +196,33 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
-  /** Admissible dir values per partition key from runtime In/EqualTo
-    * (same safe-type restriction as [[dirEqs]]).
+  /** Admissible dir values per dir-encoded column (the bucket id and
+    * partition keys) from In/EqualTo predicates — only on types whose
+    * dir encoding is the plain string form of the literal. Skipping a
+    * file is an optimization; keeping one is always safe (Spark
+    * re-applies every filter above the scan). Top-level conjuncts only:
+    * an OR cannot pin a dir.
     */
-  private def runtimeDirValues(rf: Array[Filter]): Map[String, Set[String]] =
-    rf.collect {
-      case In(a, vs) if dirPrunable(a) =>
-        a -> vs.map(String.valueOf).toSet
+  private def dirValueSets(fs: Array[Filter]): Map[String, Set[String]] =
+    fs.collect {
+      case In(a, vs) if dirPrunable(a) => a -> vs.map(String.valueOf).toSet
       case EqualTo(a, v) if dirPrunable(a) => a -> Set(String.valueOf(v))
-    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).reduce(_ intersect _) }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).reduce(_ intersect _)
+    }
 
   private def dirPrunable(c: String): Boolean =
-    desc.partitionKeys.contains(c) && (desc.schema(c).dataType match {
-      case StringType | IntegerType | LongType | ShortType | ByteType |
-          DateType => true
-      case _ => false
-    })
+    c == Meta.Bucket ||
+      (desc.partitionKeys.contains(c) && (desc.schema(c).dataType match {
+        // types whose literal's string form IS the dir encoding (dates:
+        // Spark writes ISO dirs; java.sql.Date.toString is ISO)
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+            DateType => true
+        case _ => false
+      }))
 
-  /** Equality predicates on dir-encoded columns (partition keys and the
-    * bucket id) prune FILES — only on types whose dir encoding is the
-    * plain string form of the literal. Skipping a file is an
-    * optimization; keeping one is always safe (Spark re-applies every
-    * filter above the scan).
-    */
-  private val dirEqs: Map[String, Any] =
-    GraftScanBuilder.equalities(filters).filter { case (c, _) =>
-      (c == Meta.Bucket || desc.partitionKeys.contains(c)) &&
-        (if (c == Meta.Bucket) true
-         else desc.schema(c).dataType match {
-           // types whose literal's string form IS the dir encoding
-           // (dates: Spark writes ISO dirs; java.sql.Date.toString is ISO)
-           case StringType | IntegerType | LongType | ShortType | ByteType |
-               DateType => true
-           case _ => false
-         })
-    }
+  /** Static dir pruning sets — printed in [[description]]. */
+  private val dirEqs: Map[String, Set[String]] = dirValueSets(filters)
 
   private def listFiles(baseDir: String)
       : Seq[(Int, String, Long, Map[String, String])] = {
@@ -231,8 +234,15 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
           .map(e => e.path -> e.len)
     }
     val rf = runtimeFilters
-    val rtBuckets = runtimeBuckets(rf)
-    val rtDirs = runtimeDirValues(rf)
+    // key-hash bucket pruning from static AND runtime predicates (a
+    // catalog point lookup `k = 7` prunes to one bucket here, same as
+    // the V1 path's BucketPruneRule)
+    val rtBuckets = runtimeBuckets(filters ++ rf)
+    // static + runtime dir constraints intersect per column
+    val dirSets = (dirEqs.toSeq ++ dirValueSets(rf).toSeq)
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).reduce(_ intersect _)
+      }
     entries.flatMap { case (path, len) =>
       val kvs = HiveDirValues.kvsOf(WarehouseIO.relativize(baseDir, path))
       val bucket = kvs.getOrElse(Meta.Bucket,
@@ -242,11 +252,10 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       def dec(r: String): String =
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(r)
-      val pruned = dirEqs.exists { case (c, v) =>
+      val pruned = dirSets.exists { case (c, ok) =>
         val raw = if (c == Meta.Bucket) Some(bucket.toString) else kvs.get(c)
-        raw.exists(dec(_) != String.valueOf(v))
-      } || rtBuckets.exists(!_.contains(bucket)) ||
-        rtDirs.exists { case (c, ok) => kvs.get(c).exists(r => !ok(dec(r))) }
+        raw.exists(r => !ok(dec(r)))
+      } || rtBuckets.exists(!_.contains(bucket))
       if (pruned) None else Some((bucket, path, len, kvs))
     }
   }
@@ -316,11 +325,13 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
   override def description(): String =
     s"GraftKeyGroupedScan(${table.path}, " +
       s"bucket(${desc.numBuckets}, ${bucketKeys.mkString(",")}), $tier)" +
-      // dir-equality file pruning, printed in the V1 scans' audit
+      // dir-value file pruning, printed in the V1 scans' audit
       // vocabulary so plan audits read uniformly
       (if (dirEqs.isEmpty) ""
-       else dirEqs.toSeq.sortBy(_._1).map { case (c, v) => s"$c = $v" }
-         .mkString(" PartitionFilters: [", ", ", "]"))
+       else dirEqs.toSeq.sortBy(_._1).map { case (c, vs) =>
+         if (vs.size == 1) s"$c = ${vs.head}"
+         else s"$c IN (${vs.toSeq.sorted.mkString(",")})"
+       }.mkString(" PartitionFilters: [", ", ", "]"))
 }
 
 /** One file of one bucket: path, size, catalyst-typed dir (and, for

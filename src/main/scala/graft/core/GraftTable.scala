@@ -2404,13 +2404,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private[graft] def seedFileEntries(seed: GraftTable.SeedSource,
       expected: Map[Int, Long]): Seq[(String, Long, Map[String, String])] = {
-    def hiveKvs(rel: String): Map[String, String] =
-      rel.split('/').dropRight(1).flatMap { seg =>
-        seg.split("=", 2) match {
-          case Array(k, v) => Some(k -> v)
-          case _ => None
-        }
-      }.toMap
+    def hiveKvs(rel: String): Map[String, String] = HiveDirValues.kvsOf(rel)
     seed match {
       case GraftTable.SeedSource.Lake(dir, format) =>
         val fmt = LakeFormatOps.of(format)
@@ -2418,9 +2412,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           requireSeedCurrent(seed, expected)
           fmt.liveFiles(spark, dir)
         }
+        // sizes from ONE recursive listing, not one stat per file: a
+        // 100 TB lake's live set is thousands of files, and per-file
+        // HEADs would serialize cold-start planning on an object store
+        val sizes: Map[String, Long] = WarehouseIO.walkFiles(dir)
+          .filter(e => !e.isDir).map(e => e.path -> e.len).toMap
         rels.map { rel =>
           val abs = s"$dir/$rel"
-          (abs, WarehouseIO.size(abs), hiveKvs(rel))
+          (abs, sizes.getOrElse(abs, WarehouseIO.size(abs)), hiveKvs(rel))
         }
       case GraftTable.SeedSource.Snapshot =>
         requireSeedCurrent(seed, expected)

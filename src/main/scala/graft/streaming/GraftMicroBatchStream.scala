@@ -41,11 +41,12 @@ import graft.core.{GraftTable, Meta, WarehouseIO}
   * ≤numBuckets longs).
   */
 final class GraftMicroBatchStream(table: GraftTable,
-    outputSchema: StructType, parameters: Map[String, String])
+    outputSchema: StructType, parameters: Map[String, String],
+    checkpointPath: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
-  private val source = new GraftSource(table, parameters)
+  private val source = new GraftSource(table, parameters, checkpointPath)
 
   override def initialOffset(): ConnectorOffset = source.initialOffset()
 

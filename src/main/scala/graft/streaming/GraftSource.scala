@@ -41,7 +41,8 @@ import graft.core.{CatalogJson, GraftTable}
   * distributed, codegen'd, partition-pruned like any batch read of the
   * same range. Nothing data-scale ever sits in the source or checkpoint.
   */
-final class GraftSource(table: GraftTable, parameters: Map[String, String])
+final class GraftSource(table: GraftTable, parameters: Map[String, String],
+    metadataPath: Option[String] = None)
     extends Source with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private val params = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -92,9 +93,42 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
     */
   private val fullSeed: Option[(GraftTable.SeedSource, Map[Int, Long])] =
     startup match {
-      case GraftStream.StartupMode.Full => table.resolveFullStartup()
+      case GraftStream.StartupMode.Full => pinnedFullSeed()
       case _ => None
     }
+
+  /** Resolve the full-startup seed ONCE PER CHECKPOINT, not once per
+    * source instance: the first resolution is persisted under the
+    * stream's metadata dir, and every later instance — including a
+    * crash-restart replaying batch 0 — reads the PINNED seed back
+    * instead of re-resolving. That is what makes the replay guard real
+    * across restarts: [[GraftTable.requireSeedCurrent]] then compares
+    * the CURRENT seed surface against what the checkpoint actually
+    * consumed, so a re-tier/re-compact while the stream was down fails
+    * loudly instead of silently double-delivering the window between
+    * the old and new pins. Resolving-to-nothing is pinned too (batch 0
+    * already ran seedless; a later compact must not grow a seed into a
+    * replay). No metadata dir (embedded use) = in-session pin only.
+    */
+  private def pinnedFullSeed()
+      : Option[(GraftTable.SeedSource, Map[Int, Long])] = metadataPath match {
+    case None => table.resolveFullStartup()
+    case Some(dir) =>
+      val f = s"$dir/graft-seed-pin.json"
+      graft.core.WarehouseIO.readStringIfExists(f) match {
+        case Some(json) => GraftSource.parseSeedPin(json)
+        case None =>
+          val resolved = table.resolveFullStartup()
+          graft.core.WarehouseIO.mkdirs(dir)
+          graft.core.CatalogJson.atomicWrite(f,
+            GraftSource.writeSeedPin(resolved))
+          // the file is the source of truth (covers a concurrent-start
+          // race: whoever published first wins)
+          GraftSource.parseSeedPin(
+            graft.core.WarehouseIO.readStringIfExists(f).getOrElse(
+              GraftSource.writeSeedPin(resolved)))
+      }
+  }
 
   // reader option first, then the session/dynamic conf — the only
   // channel `readStream.table(...)` has (V1-fallback resolution drops
@@ -327,6 +361,44 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String])
   override def toString: String = s"GraftSource[${table.path}]"
 }
 
+object GraftSource {
+
+  /** Seed-pin file codec (`<metadataDir>/graft-seed-pin.json`): which
+    * seed surface batch 0 consumed and the per-bucket tail-start
+    * offsets it pinned. `kind: none` records a seedless full startup.
+    */
+  private[streaming] def writeSeedPin(
+      seed: Option[(GraftTable.SeedSource, Map[Int, Long])]): String = {
+    def offs(m: Map[Int, Long]): JValue = JObject(m.toList.sortBy(_._1)
+      .map { case (b, o) => b.toString -> (JInt(o): JValue) })
+    JsonMethods.compact(JsonMethods.render(seed match {
+      case None => JObject("kind" -> JString("none"))
+      case Some((GraftTable.SeedSource.Lake(dir, format), m)) =>
+        JObject("kind" -> JString("lake"), "dir" -> JString(dir),
+          "format" -> JString(format), "offsets" -> offs(m))
+      case Some((GraftTable.SeedSource.Snapshot, m)) =>
+        JObject("kind" -> JString("snapshot"), "offsets" -> offs(m))
+    }))
+  }
+
+  private[streaming] def parseSeedPin(json: String)
+      : Option[(GraftTable.SeedSource, Map[Int, Long])] = {
+    val obj = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+    def str(k: String): String = obj(k).asInstanceOf[JString].s
+    def offs: Map[Int, Long] = obj("offsets").asInstanceOf[JObject].obj
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
+      .toMap
+    str("kind") match {
+      case "none" => None
+      case "lake" =>
+        Some((GraftTable.SeedSource.Lake(str("dir"), str("format")), offs))
+      case "snapshot" => Some((GraftTable.SeedSource.Snapshot, offs))
+      case other => throw new IllegalStateException(
+        s"corrupt graft-seed-pin.json: unknown kind '$other'")
+    }
+  }
+}
+
 /** Per-bucket next-offset map as the stream offset (FlussSourceOffset
   * analog), serialized as a stable-ordered JSON object. `seedPending`
   * marks a `full`-startup stream whose hybrid seed (lake / KV snapshot)
@@ -423,7 +495,8 @@ final class GraftSourceProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftSource(open(sqlContext, parameters), parameters)
+    new GraftSource(open(sqlContext, parameters), parameters,
+      Option(metadataPath).filter(_.nonEmpty))
 }
 
 object GraftSourceProvider {

@@ -2,6 +2,8 @@ package graft.connector
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -149,12 +151,20 @@ class SpjSpec extends SparkTestBase {
 
   test("offset gating holds: uncommitted rows invisible through SPJ scan") {
     wh
-    withSpj() {
-      // the scan must apply the manifest gate exactly like logDF: total
-      // row count through the key-grouped path equals the V1 count
+    // stage a CRASHED COMMIT's leftover: a real parquet file moved into
+    // a bucket dir whose commit id never reached the manifest — the
+    // grouped planner must drop it at the file level, like logDF
+    val logDir = java.nio.file.Paths.get(wh, "db", "facts", "log")
+    val victim = java.nio.file.Files.walk(logDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val ghost = victim.getParent.resolve(
+      s"cid-${java.util.UUID.randomUUID()}-ghost.parquet")
+    java.nio.file.Files.copy(victim, ghost)
+    try withSpj() {
       val n = spark.sql("SELECT k, v FROM spj.db.facts").collect().length
-      assert(n == 52)
-    }
+      assert(n == 52, "uncommitted (manifest-absent) file rows leaked " +
+        "through the grouped scan")
+    } finally java.nio.file.Files.delete(ghost)
   }
 
   test("one side missing buckets still co-partitions (pushPartValues pad)") {
@@ -314,6 +324,26 @@ class SpjSpec extends SparkTestBase {
       assert(one.collect().length == 20)
       assert(one.queryExecution.executedPlan.toString
         .contains("PartitionFilters: [dt = 2024-01-01]"))
+    }
+  }
+
+  test("streaming read still works on a grouped catalog table") {
+    // the Scan served under preserve-data-grouping must carry
+    // toMicroBatchStream: Spark decides batch-vs-stream after build()
+    wh
+    withSpj() {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.table("spj.db.facts")
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf ++= df.select("k").collect().map(_.getLong(0)); ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-spj-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(buf.length == 52, s"drained ${buf.length} rows")
     }
   }
 

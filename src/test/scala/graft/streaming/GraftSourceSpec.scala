@@ -325,6 +325,54 @@ class GraftSourceSpec extends SparkTestBase {
       t.latestOffsets).count() == 3L)
   }
 
+  test("the seed PIN survives a restart: re-tier across a crash fails loudly") {
+    val wh = Files.createTempDirectory("graft-src-wh").toString
+    val lakeDir = s"$wh/_lakes/pinned"
+    val t = new Catalog(wh, spark).createTable("db", "pinned",
+      TableDescriptor(
+        StructType(schema.fields.filterNot(_.name == "ord")),
+        bucketKeys = Seq("k"), numBuckets = 2,
+        properties = Map(
+          "table.datalake.enabled" -> "true",
+          "table.datalake.dir" -> lakeDir,
+          "table.datalake.format" -> "iceberg")))
+    t.append(rows(1L -> 1, 2L -> 2), orderBy = Seq(col("ord")))
+    t.tierSnapshot(lakeDir)
+    t.append(rows(3L -> 3), orderBy = Seq(col("ord")))
+    val meta = Files.createTempDirectory("graft-src-meta").toString
+    // source #1 resolves and PERSISTS the pin (batch 0 planned here,
+    // "crash" before any commit)
+    val s1 = new GraftSource(t, Map("scan.startup.mode" -> "full"), Some(meta))
+    val end1 = s1.latestOffset(s1.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    // batch 0 plans cleanly against the pin (the guard runs inside
+    // getBatch, driver-side; content delivery is covered by the drain
+    // tests)
+    s1.getBatch(None, end1.asInstanceOf[GraftSourceOffset])
+    // while the stream is down, the tail grows and the lake RE-TIERS
+    t.append(rows(4L -> 4), orderBy = Seq(col("ord")))
+    t.tierSnapshot(lakeDir)
+    // source #2 = the restart replaying batch 0: it must read the
+    // CHECKPOINTED pin (not re-resolve to the fresh one) and refuse —
+    // a fresh resolution would re-deliver [old pin, new pin) silently
+    val s2 = new GraftSource(t, Map("scan.startup.mode" -> "full"), Some(meta))
+    val e = intercept[IllegalStateException] {
+      s2.getBatch(None, end1.asInstanceOf[GraftSourceOffset])
+    }
+    assert(e.getMessage.contains("re-tiered"), e.getMessage)
+    // a restart with NO re-tier in between replays batch 0 cleanly
+    val meta2 = Files.createTempDirectory("graft-src-meta").toString
+    val s3 = new GraftSource(t, Map("scan.startup.mode" -> "full"), Some(meta2))
+    val end3 = s3.latestOffset(s3.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val s4 = new GraftSource(t, Map("scan.startup.mode" -> "full"), Some(meta2))
+    s4.getBatch(None, end3.asInstanceOf[GraftSourceOffset])
+    // and the pinned file records the LAKE seed with its offsets
+    val pin = graft.core.WarehouseIO
+      .readStringIfExists(s"$meta2/graft-seed-pin.json")
+    assert(pin.exists(_.contains("\"kind\":\"lake\"")), pin)
+  }
+
   test("the seed marker round-trips through offset JSON") {
     val seeded = GraftSourceOffset(Map(0 -> 5L, 1 -> 7L), seedPending = true)
     assert(GraftSourceOffset.fromJson(seeded.json) == seeded)
