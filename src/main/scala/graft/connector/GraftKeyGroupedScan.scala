@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.graftshim.ParquetRead
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{ChangeType, GraftTable, HiveDirValues, Meta, WarehouseIO}
@@ -49,6 +50,19 @@ private[graft] object GraftScanTier {
   * exchange under every PK table's LatestRow collapse (the reference's
   * FlussUpsertPartitionReader merges per bucket for the same reason).
   *
+  * The scan emits COLUMNAR batches whenever the row-level offset gate is
+  * provably redundant: an id-gated manifest publishes each commit's
+  * files and offsets in one atomic rename, so a visible file can never
+  * hold a row at/above the manifest's next offsets, and the State tier's
+  * exact tail gate moves ABOVE the scan as a Catalyst filter over the
+  * caller-pinned cutoffs ([[GraftStateRelation.stateInput]]) — the
+  * vectorized parquet reader's ColumnarBatches then flow straight into
+  * whole-stage codegen through `ColumnarToRow` instead of one
+  * `UnsafeProjection` copy per row in the reader (the same decode path
+  * `FileSourceScanExec.supportsColumnar` picks for a native parquet
+  * scan). Legacy manifests (no commit-id set) and batch-unsupported
+  * schemas keep the row-based gated reader.
+  *
   * Opt-in via `spark.sql.graft.read.preserve-data-grouping` (the
   * reference-lake pattern: Iceberg gates the same behavior behind
   * `preserve-data-grouping` because key-grouped planning caps
@@ -57,10 +71,19 @@ private[graft] object GraftScanTier {
   * stay best-effort: data-column predicates push to parquet row groups,
   * partition/bucket-dir equalities prune files, and Spark re-applies
   * everything as residuals above the scan.
+  *
+  * @param pinnedCutoffs State tier only: `Some(cutOpt)` means the caller
+  *   read the snapshot cutoffs ONCE at relation construction, plans this
+  *   scan against exactly them, and applies the exact per-bucket tail
+  *   gate (`offset == -1 OR offset >= cutoff(bucket)`) itself above the
+  *   scan — planning re-checks the live cutoffs and refuses loudly if a
+  *   concurrent compact moved them (silent duplication otherwise). None:
+  *   the scan reads cutoffs itself and the reader row-gates.
   */
 final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     filters: Array[Filter], tier: GraftScanTier,
-    streamParams: Map[String, String] = Map.empty)
+    streamParams: Map[String, String] = Map.empty,
+    pinnedCutoffs: Option[Option[Map[Int, Long]]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -98,14 +121,17 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     (desc.partitionKeys.map(k => desc.schema(desc.schema.fieldIndex(k))) :+
       StructField(Meta.Bucket, IntegerType, nullable = false)).toArray
 
+  private def requiredDataOf(fileSchema: StructType,
+      gateOffsets: Boolean): StructType = StructType(
+    required.fields.filter(f => fileSchema.fieldNames.contains(f.name)) ++
+      (if (gateOffsets && !required.fieldNames.contains(Meta.Offset))
+         Seq(StructField(Meta.Offset, LongType, nullable = false))
+       else Nil))
+
   private def mkFlavor(fileSchema: StructType,
       partFields: Array[StructField], gateOffsets: Boolean,
-      pushGates: Seq[Filter]): Flavor = {
-    val requiredData = StructType(
-      required.fields.filter(f => fileSchema.fieldNames.contains(f.name)) ++
-        (if (gateOffsets && !required.fieldNames.contains(Meta.Offset))
-           Seq(StructField(Meta.Offset, LongType, nullable = false))
-         else Nil))
+      pushGates: Seq[Filter], columnar: Boolean): Flavor = {
+    val requiredData = requiredDataOf(fileSchema, gateOffsets)
     val combined: Array[DataType] =
       (requiredData.fields ++ partFields).map(_.dataType)
     val ordinals: Array[Int] = required.fields.map { f =>
@@ -114,19 +140,54 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       else requiredData.length + partFields.indexWhere(_.name == f.name)
     }
     val dataCols = fileSchema.fieldNames.toSet
-    val pushable =
-      filters.filter(_.references.forall(dataCols.contains)).toIndexedSeq
+    // INVARIANT: every pushed filter's references must be in the READ
+    // schema — parquet's row-group stats filter treats a column missing
+    // from the clipped projection as all-null and drops every row group
+    // (both reader modes), silently losing all rows. Spark's own pushed
+    // filters satisfy this (pruneColumns includes residual-filter refs);
+    // the self-synthesized offset gates satisfy it only when __offset is
+    // read (gateOffsets, or the State tail gate above the scan keeping
+    // it required) — otherwise they are dropped here, which is always
+    // sound: pushed gates are row-group skip hints, exactness lives in
+    // the row gate or the caller's filter.
+    val readCols = requiredData.fieldNames.toSet
+    val pushable = (filters.toIndexedSeq ++ pushGates).filter(
+      _.references.forall(r => dataCols.contains(r) && readCols.contains(r)))
     Flavor(fileSchema, partFields, requiredData,
       if (gateOffsets) requiredData.fieldIndex(Meta.Offset) else -1,
       ordinals, combined,
-      ParquetRead.buildReader(spark, fileSchema, StructType(partFields),
-        requiredData, pushable ++ pushGates))
+      if (columnar)
+        ParquetRead.buildBatchReader(spark, fileSchema,
+          StructType(partFields), requiredData, pushable)
+      else
+        ParquetRead.buildReader(spark, fileSchema, StructType(partFields),
+          requiredData, pushable))
   }
 
-  private def logFlavor(lo: Map[Int, Long], hi: Map[Int, Long]): Flavor = {
-    // row-group skipping envelope across all buckets; the exact
-    // per-bucket [lo, hi) gate is row-level in the reader (same
-    // contract as the streaming scan)
+  /** File schema of the log tier (data + non-dir system columns). */
+  private def logFileSchema: StructType =
+    StructType(table.logSchema.fields.filterNot(f =>
+      desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket))
+
+  /** File schema of the snapshot tier (data columns not in dirs). */
+  private def snapFileSchema: StructType =
+    StructType(desc.schema.fields.filterNot(f =>
+      desc.partitionKeys.contains(f.name)))
+
+  private def snapPartFields(synthesizeSys: Boolean): Array[StructField] =
+    if (!synthesizeSys) dirFields
+    else dirFields ++ Array(
+      StructField(Meta.Offset, LongType, nullable = false),
+      StructField(Meta.Timestamp, TimestampType, nullable = false),
+      StructField(Meta.ChangeTypeCol, StringType, nullable = false))
+
+  private def logFlavor(lo: Map[Int, Long], hi: Map[Int, Long],
+      gateRows: Boolean, columnar: Boolean): Flavor = {
+    // row-group/page skipping envelope across all buckets; sound as a
+    // PUSHED filter in every mode: either the reader row-gates the exact
+    // per-bucket [lo, hi) window, or the window is enforced outside the
+    // scan (hi by the id-gated file listing, lo by the caller's pinned
+    // tail filter over the same cutoff map)
     val gates =
       (if (hi.nonEmpty) Seq(LessThan(Meta.Offset, hi.values.max)) else Nil) ++
         // the lower envelope is only sound when EVERY bucket has a
@@ -134,22 +195,14 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
         // row gate — an envelope above 0 would skip its row groups)
         (if (lo.size == table.desc.numBuckets && lo.values.forall(_ > 0L))
            Seq(GreaterThanOrEqual(Meta.Offset, lo.values.min)) else Nil)
-    mkFlavor(
-      StructType(table.logSchema.fields.filterNot(f =>
-        desc.partitionKeys.contains(f.name) || f.name == Meta.Bucket)),
-      dirFields, gateOffsets = true, gates)
+    mkFlavor(logFileSchema, dirFields, gateOffsets = gateRows, gates,
+      columnar)
   }
 
-  private def snapshotFlavor(synthesizeSys: Boolean): Flavor =
-    mkFlavor(
-      StructType(desc.schema.fields.filterNot(f =>
-        desc.partitionKeys.contains(f.name))),
-      if (!synthesizeSys) dirFields
-      else dirFields ++ Array(
-        StructField(Meta.Offset, LongType, nullable = false),
-        StructField(Meta.Timestamp, TimestampType, nullable = false),
-        StructField(Meta.ChangeTypeCol, StringType, nullable = false)),
-      gateOffsets = false, Nil)
+  private def snapshotFlavor(synthesizeSys: Boolean,
+      columnar: Boolean): Flavor =
+    mkFlavor(snapFileSchema, snapPartFields(synthesizeSys),
+      gateOffsets = false, Nil, columnar)
 
   override def readSchema(): StructType = required
 
@@ -224,10 +277,11 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
   /** Static dir pruning sets — printed in [[description]]. */
   private val dirEqs: Map[String, Set[String]] = dirValueSets(filters)
 
-  private def listFiles(baseDir: String)
+  private def listFiles(baseDir: String,
+      logEntries: => Seq[(String, Long)])
       : Seq[(Int, String, Long, Map[String, String])] = {
     val entries: Seq[(String, Long)] = baseDir match {
-      case d if d == table.logDirPath => table.visibleLogFileEntries()
+      case d if d == table.logDirPath => logEntries
       case d =>
         WarehouseIO.walkFiles(d)
           .filter(e => !e.isDir && e.name.endsWith(".parquet"))
@@ -275,33 +329,78 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     // splits visible is what lets partiallyClusteredDistribution split
     // a SKEWED bucket across tasks instead of serializing the join on
     // its hottest key.
+    //
+    // Offsets, visible files and the gate-redundancy proof come from
+    // ONE manifest parse (a commit between two parses could otherwise
+    // list files from a newer manifest than the gate) — when the gate
+    // is redundant and the schema is batch-supported, every partition
+    // flips to COLUMNAR output.
+    val (manifestHi, logEntries, logGateFree) = tier match {
+      case GraftScanTier.SnapshotOnly => (Map.empty[Int, Long], Nil, true)
+      case _ => table.visibleLogPlan()
+    }
+    val cutoffs: Option[Map[Int, Long]] =
+      if (tier != GraftScanTier.State) None
+      else pinnedCutoffs.getOrElse(table.snapshotCutoffs)
+    if (pinnedCutoffs.isDefined) {
+      // the caller's tail gate was built from the pinned cutoffs; a
+      // compact landing since would make this scan's snapshot newer
+      // than the gate and silently duplicate the re-tiered window —
+      // refuse loudly instead (the caller rebuilds and retries)
+      val live = table.snapshotCutoffs
+      require(live == pinnedCutoffs.get,
+        s"snapshot cutoffs of ${table.path} moved from " +
+          s"${pinnedCutoffs.get} to $live between state-relation " +
+          "construction and scan planning (concurrent compact); re-read")
+    }
+    // the reader row-gates only when the gate can actually fire: a
+    // non-id-gated manifest (legacy) can expose rows at/above the
+    // manifest offsets, and a State tail without a caller-side gate
+    // must drop rows below the snapshot cutoffs itself
+    val gateLogRows = tier match {
+      case GraftScanTier.AppendLog => !logGateFree
+      case GraftScanTier.State => !(logGateFree && pinnedCutoffs.isDefined)
+      case GraftScanTier.SnapshotOnly => false
+    }
+    val wantsLog = tier != GraftScanTier.SnapshotOnly
+    val wantsSnap = tier != GraftScanTier.AppendLog &&
+      (tier != GraftScanTier.State || cutoffs.isDefined)
+    val columnar = !gateLogRows &&
+      (!wantsLog || ParquetRead.supportBatch(spark, StructType(
+        requiredDataOf(logFileSchema, gateOffsets = false) ++ dirFields))) &&
+      (!wantsSnap || ParquetRead.supportBatch(spark, StructType(
+        requiredDataOf(snapFileSchema, gateOffsets = false) ++
+          snapPartFields(tier == GraftScanTier.State))))
+
     def logParts(lo: Map[Int, Long]): Seq[InputPartition] = {
-      val hi = table.latestOffsets
-      val fl = logFlavor(lo, hi)
-      listFiles(table.logDirPath).map { case (b, path, len, kvs) =>
+      val fl = logFlavor(lo, manifestHi, gateLogRows, columnar)
+      listFiles(table.logDirPath, logEntries).map { case (b, path, len, kvs) =>
         GraftBucketInputPartition(b,
           BucketFile(path, len, dirValues(kvs, b)),
-          fl.offsetOrdinal, lo.getOrElse(b, 0L), hi.getOrElse(b, 0L),
-          fl.outputOrdinals, fl.combinedTypes, fl.reader): InputPartition
+          fl.offsetOrdinal, lo.getOrElse(b, 0L),
+          manifestHi.getOrElse(b, 0L),
+          fl.outputOrdinals, fl.combinedTypes, fl.reader,
+          columnar): InputPartition
       }
     }
     def snapParts(synthesizeSys: Boolean): Seq[InputPartition] = {
-      val fl = snapshotFlavor(synthesizeSys)
-      listFiles(table.snapshotDirPath).map { case (b, path, len, kvs) =>
+      val fl = snapshotFlavor(synthesizeSys, columnar)
+      listFiles(table.snapshotDirPath, Nil).map { case (b, path, len, kvs) =>
         val pv: Array[Any] =
           if (!synthesizeSys) dirValues(kvs, b)
           else dirValues(kvs, b) ++ Array[Any](Long.box(-1L), Long.box(0L),
             UTF8String.fromString(ChangeType.Insert))
         GraftBucketInputPartition(b, BucketFile(path, len, pv),
           offsetOrdinal = -1, lo = 0L, hi = 0L,
-          fl.outputOrdinals, fl.combinedTypes, fl.reader): InputPartition
+          fl.outputOrdinals, fl.combinedTypes, fl.reader,
+          columnar): InputPartition
       }
     }
     (tier match {
       case GraftScanTier.AppendLog => logParts(Map.empty)
       case GraftScanTier.SnapshotOnly => snapParts(synthesizeSys = false)
       case GraftScanTier.State =>
-        table.snapshotCutoffs match {
+        cutoffs match {
           case None => logParts(Map.empty)
           case Some(cut) => snapParts(synthesizeSys = true) ++ logParts(cut)
         }
@@ -344,12 +443,14 @@ private[connector] final case class BucketFile(path: String, len: Long,
   * of the reported `bucket(numBuckets, keys...)` grouping expression
   * (many files may share it; the exec groups them). Log files gate
   * rows to the manifest window `[lo, hi)`; `offsetOrdinal` -1 means
-  * ungated (snapshot tiers).
+  * ungated (snapshot tiers, or the gate proved redundant at planning).
+  * `columnar` = the reader emits ColumnarBatches (uniform across a
+  * scan's partitions — Spark refuses mixed scans).
   */
 private[connector] final case class GraftBucketInputPartition(bucket: Int,
     file: BucketFile, offsetOrdinal: Int, lo: Long, hi: Long,
     outputOrdinals: Array[Int], combinedTypes: Array[DataType],
-    reader: ParquetRead.FileReader)
+    reader: ParquetRead.FileReader, columnar: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -357,6 +458,9 @@ private[connector] final case class GraftBucketInputPartition(bucket: Int,
 
 private[connector] object GraftBucketReaderFactory
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftBucketInputPartition].columnar
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -388,6 +492,42 @@ private[connector] object GraftBucketReaderFactory
 
       override def get(): InternalRow = current
 
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Columnar path: the batch-mode parquet reader's ColumnarBatches,
+    * columns re-wrapped into the scan's output order (partition/dir
+    * values ride as constant vectors the reader already appended). No
+    * per-row work happens here — the first row-wise touch is the
+    * codegen'd `ColumnarToRow` above the scan.
+    */
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftBucketInputPartition]
+    new PartitionReader[ColumnarBatch] {
+      // erased to Iterator[InternalRow] by the file-source contract;
+      // elements ARE ColumnarBatches (FileSourceScanExec does the same
+      // cast in doExecuteColumnar)
+      private val batches = p.reader(ParquetRead.partitionedFile(
+          new GenericInternalRow(p.file.partValues), p.file.path,
+          p.file.len))
+        .asInstanceOf[Iterator[ColumnarBatch]]
+      private var current: ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (!batches.hasNext) return false
+        val b = batches.next()
+        val out = new ColumnarBatch(p.outputOrdinals.map(b.column))
+        out.setNumRows(b.numRows)
+        current = out
+        true
+      }
+
+      override def get(): ColumnarBatch = current
+
+      // vectors belong to the underlying reader (it closes on task
+      // completion); closing the re-wrap would close them mid-task
       override def close(): Unit = ()
     }
   }

@@ -22,19 +22,30 @@ import graft.core.GraftTable
   */
 private[graft] object GraftStateRelation {
 
-  /** PK state input (snapshot ∪ gated log tail) as one grouped relation. */
-  def stateInput(table: GraftTable): DataFrame =
-    grouped(table, GraftScanTier.State)
+  /** PK state input (snapshot ∪ log tail) as one grouped relation, the
+    * snapshot cutoffs PINNED by the caller: the scan emits the tail
+    * UNGATED below the cutoffs (columnar when the manifest's id set
+    * proves the upper gate redundant too) and the caller applies the
+    * exact per-bucket tail gate above — see
+    * [[graft.core.GraftTable.stateInput]], which filters
+    * `offset == -1 OR offset >= cutoff(bucket)` over this relation.
+    */
+  def stateInput(table: GraftTable,
+      pinnedCutoffs: Option[Map[Int, Long]]): DataFrame =
+    grouped(table, GraftScanTier.State, Some(pinnedCutoffs))
 
   /** Grouped relation over any scan tier. */
-  def grouped(table: GraftTable, tier: GraftScanTier): DataFrame =
+  def grouped(table: GraftTable, tier: GraftScanTier,
+      pinnedCutoffs: Option[Option[Map[Int, Long]]] = None): DataFrame =
     org.apache.spark.sql.graftshim.V2Relation.dataFrame(table.sparkSession,
-      new GroupedTable(table, tier), Some(GraftStandaloneFunctions))
+      new GroupedTable(table, tier, pinnedCutoffs),
+      Some(GraftStandaloneFunctions))
 
   /** Internal DSv2 table exposing raw rows (log schema: data + system
     * columns) through a [[GraftKeyGroupedScan]] of the given tier.
     */
-  private final class GroupedTable(table: GraftTable, tier: GraftScanTier)
+  private final class GroupedTable(table: GraftTable, tier: GraftScanTier,
+      pinnedCutoffs: Option[Option[Map[Int, Long]]])
       extends Table with SupportsRead {
 
     override def name(): String = s"graft_grouped(${table.path}, $tier)"
@@ -62,7 +73,8 @@ private[graft] object GraftStateRelation {
           StructType(table.logSchema.fields.take(1)) else requiredSchema
 
       override def build(): Scan =
-        new GraftKeyGroupedScan(table, required, pushed, tier)
+        new GraftKeyGroupedScan(table, required, pushed, tier,
+          pinnedCutoffs = pinnedCutoffs)
     }
   }
 }

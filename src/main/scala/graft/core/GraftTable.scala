@@ -130,6 +130,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .map(e => e.path -> e.len)
   }
 
+  /** Atomic log planning view for the grouped batch scan: per-bucket
+    * next offsets and the committed-visible file list from ONE manifest
+    * parse (offsets from a different parse than the id set could gate in
+    * rows whose files were listed from another manifest version — the
+    * same race [[logDFFor]] closes), plus whether the listing PROVES the
+    * row-level offset gate redundant: with an id-gated manifest and
+    * every visible file commit-id-stamped, a visible file's rows are all
+    * below the offsets published atomically with its id, so `offset <
+    * next(bucket)` can never fire and the scan may emit raw columnar
+    * batches. Legacy manifests (ids=None) and un-prefixed legacy files
+    * keep the gate load-bearing.
+    */
+  private[graft] def visibleLogPlan()
+      : (Map[Int, Long], Seq[(String, Long)], Boolean) = {
+    val (offsets, _, ids) = readManifest()
+    val all = WarehouseIO.walkFiles(logDir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+    val visible = all
+      .filter(e => ids.forall(idSet => cidOf(e.name).forall(idSet.contains)))
+    val gateFree =
+      ids.isDefined && visible.forall(e => cidOf(e.name).isDefined)
+    (offsets, visible.map(e => e.path -> e.len), gateFree)
+  }
+
   /** The log directory (partition layout: `<partitionKeys>/__bucket=N/`)
     * — the base the streaming planner relativizes file paths against.
     */
@@ -2141,9 +2165,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // (rows of one key live in one bucket on BOTH tiers; the reference's
     // per-bucket FlussUpsertPartitionReader merge, Spark-planner form).
     // A bucket predicate still applies above; its __bucket equality also
-    // prunes files inside the scan.
-    if (groupedReadEnabled)
-      return p(graft.connector.GraftStateRelation.stateInput(this))
+    // prunes files inside the scan. The snapshot cutoffs are read ONCE
+    // here and pinned into the scan; the exact per-bucket tail gate
+    // (`offset >= cutoff(bucket)`, snapshot rows pass at their
+    // synthesized -1) applies ABOVE the scan as a Catalyst filter — with
+    // the gate outside the reader, an id-gated manifest lets the scan
+    // emit raw COLUMNAR batches (the V1 path applies the same
+    // construction-time filter over its snapshot∪tail union below).
+    // FilterExec preserves the reported grouping, so the collapse still
+    // plans exchange-free.
+    if (groupedReadEnabled) {
+      val cut = snapshotCutoffs
+      val base = graft.connector.GraftStateRelation.stateInput(this, cut)
+      val gated = cut match {
+        case Some(c) => base.filter(col(Meta.Offset) === lit(-1L) ||
+          col(Meta.Offset) >= bucketMapExpr(c, 0L))
+        case None => base
+      }
+      return p(gated)
+    }
     readSnapshotMeta() match {
       case None => p(logDF)
       case Some(snapOffsets) =>

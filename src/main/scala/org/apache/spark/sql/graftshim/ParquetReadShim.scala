@@ -39,6 +39,34 @@ object ParquetRead {
       classic.sessionState.newHadoopConf())
   }
 
+  /** Whether the vectorized reader can emit ColumnarBatches for this
+    * RESULT schema (required data + partition columns) — the exact
+    * `FileSourceScanExec.supportsColumnar` question, answered by the
+    * format itself (vectorized reader enabled, every type
+    * batch-supported, codegen field limits).
+    */
+  def supportBatch(spark: SparkSession, resultSchema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      resultSchema)
+
+  /** Build the per-file reader in BATCH mode: the returned iterator's
+    * elements are [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+    * (Spark's file-source contract erases them to `InternalRow`;
+    * `FileSourceScanExec.doExecuteColumnar` performs the same cast).
+    * Callers must have checked [[supportBatch]] on
+    * `requiredSchema ++ partitionSchema` first.
+    */
+  def buildBatchReader(spark: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter]): FileReader = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      classic, dataSchema, partitionSchema, requiredSchema, filters,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
+      classic.sessionState.newHadoopConf())
+  }
+
   /** A whole-file `PartitionedFile` for `path` with the given hive
     * partition values.
     */

@@ -347,6 +347,60 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("grouped scans emit columnar batches (vectorized decode path)") {
+    wh
+    withSpj() {
+      // append table: id-gated manifest proves the offset gate redundant
+      // → the scan reports columnar and Spark plans ColumnarToRow on top
+      val c = new graft.core.Catalog(wh, spark)
+      val ap = c.getTable("db", "facts").scan().select("k", "v")
+      val apRows = ap.collect()
+      assert(apRows.length == 52)
+      assert(ap.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        s"grouped append scan should decode columnar:\n" +
+          s"${ap.queryExecution.executedPlan}")
+      // PK state input: the exact tail gate moved above the scan, so
+      // snapshot AND tail partitions decode columnar under the collapse
+      val pk = c.getTable("db", "kv").scan().select("k", "state")
+      pk.collect()
+      assert(pk.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        s"grouped PK state scan should decode columnar:\n" +
+          s"${pk.queryExecution.executedPlan}")
+      // and the collapse above the columnar scan still plans no exchange
+      assert(shuffles(pk) == 0)
+    }
+  }
+
+  test("legacy manifest (no commit-id set) keeps the row-gated reader") {
+    wh
+    spark.sql("""
+      CREATE TABLE spj.db.legacy (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.legacy VALUES (1, 10), (2, 20), (3, 30)")
+    // strip the "ids" field — the pre-id-gating manifest format, where
+    // the row-level offset gate is load-bearing (directory is the truth)
+    val mf = java.nio.file.Paths.get(wh, "db", "legacy", "_offsets.json")
+    val json = org.json4s.jackson.JsonMethods
+      .parse(new String(java.nio.file.Files.readAllBytes(mf), "UTF-8"))
+      .asInstanceOf[org.json4s.JObject]
+    val stripped = org.json4s.JObject(json.obj.filterNot(_._1 == "ids"))
+    java.nio.file.Files.write(mf, org.json4s.jackson.JsonMethods
+      .compact(org.json4s.jackson.JsonMethods.render(stripped))
+      .getBytes("UTF-8"))
+    withSpj() {
+      val df = new graft.core.Catalog(wh, spark).getTable("db", "legacy")
+        .scan().select("k", "v")
+      assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        Set((1L, 10), (2L, 20), (3L, 30)))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        "legacy manifest must keep the row-gated reader (the gate can " +
+          "fire; columnar output would skip it)")
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
