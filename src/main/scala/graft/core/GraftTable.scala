@@ -1476,9 +1476,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     var exported = false
     while (!exported) {
       val pre = parseManifest()
-      val writer = scan().write.mode("overwrite").options(fileWriteOptions)
-      (if (desc.partitionKeys.nonEmpty) writer.partitionBy(desc.partitionKeys: _*)
-       else writer).parquet(dir)
+      // bucket-aligned layout: files land under `__bucket=N/` dirs
+      // mirroring the table's own storage buckets (PK state re-derives
+      // the bucket from its keys — identical to compact()'s write;
+      // append rows carry their storage bucket in the log). Incremental
+      // PK tiers then replace only the changed BUCKETS, and the lake
+      // union read can merge per bucket.
+      val exportDF =
+        if (desc.isPrimaryKeyTable)
+          currentState().withColumn(Meta.Bucket, bucketCol)
+        else logDF.select(
+          (desc.schema.fieldNames :+ Meta.Bucket).map(col).toIndexedSeq: _*)
+      exportDF.write.mode("overwrite").options(fileWriteOptions)
+        .partitionBy(lakePartitionKeys: _*).parquet(dir)
       val post = parseManifest()
       if (post._1 == pre._1) {
         pinnedOffsets = pre._1
@@ -1495,14 +1505,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .filter(e => !e.isDir && e.name.endsWith(".parquet"))
       .sortBy(_.path)
     writeExportManifest(dir, pinnedOffsets, version,
-      files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len))
+      files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
+      bucketAligned = true)
     // Optional Iceberg-spec metadata (metadata/v1.metadata.json + Avro
     // manifests + version-hint) so the export is a TABLE to any
     // Iceberg-reading engine. Opt-in because the extra metadata/ dir
     // makes the export no longer readable as a bare parquet directory
     // (Spark's parquet source trips over the non-parquet files).
     if (icebergMetadata) {
-      IcebergExport.write(spark, dir, desc.schema, desc.partitionKeys,
+      IcebergExport.write(spark, dir, lakeSchema, lakePartitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, summaryExtra = tierSummary(pinnedOffsets, version))
       ()
@@ -1511,7 +1522,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // Iceberg Avro manifests — the export is then a Delta TABLE to any
     // Delta-reading engine (PROTOCOL.md; see DeltaExport)
     if (deltaMetadata) {
-      DeltaExport.write(dir, desc.schema, desc.partitionKeys,
+      DeltaExport.write(dir, lakeSchema, lakePartitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1520,7 +1531,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // — the reference's primary lake format (fluss-lake-paimon; see
     // PaimonExport)
     if (paimonMetadata) {
-      PaimonExport.write(dir, desc.schema, desc.partitionKeys,
+      PaimonExport.write(dir, lakeSchema, lakePartitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1529,7 +1540,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // manifests — the export is then a Hudi TABLE shape (fluss-lake/
     // fluss-lake-hudi; see HudiExport)
     if (hudiMetadata) {
-      HudiExport.write(dir, desc.schema, desc.partitionKeys,
+      HudiExport.write(dir, lakeSchema, lakePartitionKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1541,10 +1552,21 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * tier, and the crash roll-forward, so the shape can't drift.
     */
   private def writeExportManifest(dir: String, offsets: Map[Int, Long],
-      version: Option[Long], files: Seq[(String, Long)]): Unit =
+      version: Option[Long], files: Seq[(String, Long)],
+      bucketAligned: Boolean): Unit =
     CatalogJson.atomicWrite(s"$dir/_export_manifest.json",
       JsonMethods.pretty(JsonMethods.render(JObject(List(
         "format" -> (JString("parquet"): JValue),
+        // layout=bucket: data files live under an extra `__bucket=N/`
+        // dir level mirroring the table's own storage buckets, and the
+        // lake schema carries __bucket as a partition column (the
+        // reference's paimon lake tables keep the same system column,
+        // fluss-lake-paimon) — incremental PK tiers then replace only
+        // the CHANGED BUCKETS' files instead of whole partitions.
+        // Absent = legacy partition-level layout; tiers keep honoring it
+        // (replacement granularity must match what's on disk).
+        "layout" -> ((if (bucketAligned) JString("bucket")
+                      else JString("partition")): JValue),
         "source" -> (JString(path): JValue),
         "exportedAtMillis" -> (JInt(System.currentTimeMillis()): JValue),
         "version" -> version.map(v => JInt(v): JValue).getOrElse(JNull),
@@ -1557,6 +1579,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           .map { case (rel, len) => JObject(List(
             "path" -> (JString(rel): JValue),
             "bytes" -> (JInt(len): JValue))) }): JValue))))))
+
+  /** The lake-visible schema and partition keys of a bucket-aligned
+    * export: the table's schema plus `__bucket INT` as the innermost
+    * partition column.
+    */
+  private def lakeSchema: StructType =
+    StructType(desc.schema.fields :+
+      StructField(Meta.Bucket, IntegerType, nullable = true))
+
+  private def lakePartitionKeys: Seq[String] =
+    desc.partitionKeys :+ Meta.Bucket
 
   /** The offset window a tier's Iceberg snapshot covers, recorded in the
     * snapshot summary: Iceberg metadata is the commit point of a tier,
@@ -1664,6 +1697,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // rows. Rebuild the manifest from the lake metadata (sizes from disk)
     // and resume from the committed offsets instead.
     val summary = fmt.committedTierTags(dir)
+    // replacement granularity must match what's on disk: a lake exported
+    // before bucket alignment keeps partition-level tiers (a bucket-level
+    // removed-set would miss its partition-level prior files — silent
+    // duplicates); re-export to a fresh dir to upgrade
+    val bucketAligned =
+      em.get("layout").contains(JString("bucket"): JValue)
+    val tierSchema = if (bucketAligned) lakeSchema else desc.schema
+    val tierKeys = if (bucketAligned) lakePartitionKeys else desc.partitionKeys
     val pinned: Map[Int, Long] =
       summary.get(GraftTable.TierOffsetsKey)
         .map(GraftTable.parseTierOffsets) match {
@@ -1671,7 +1712,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           writeExportManifest(dir,
             committed, summary.get(GraftTable.TierVersionKey).map(_.toLong),
             fmt.liveFiles(spark, dir)
-              .map(r => r -> WarehouseIO.size(s"$dir/$r")))
+              .map(r => r -> WarehouseIO.size(s"$dir/$r")), bucketAligned)
           committed
         case _ => manifestPinned
       }
@@ -1709,7 +1750,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         moved.sortBy(_._1)
       }
       def updateManifest(files: Seq[(String, Long)]): Unit =
-        writeExportManifest(dir, current, version, files)
+        writeExportManifest(dir, current, version, files, bucketAligned)
       // sizes come from the manifest when it has the file; a file the
       // manifest missed (roll-forward edge, legacy export) falls back to
       // its on-disk size — identical value, one stat
@@ -1724,15 +1765,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         // lock so a concurrent expire's orphan sweep can never see
         // published-but-uncommitted files, and a concurrent tier of the
         // same window aborts instead of appending the delta twice.
-        tail.select(dataCols.map(col): _*)
+        // bucket-aligned: the tail rows carry their storage bucket —
+        // write it through as the innermost partition dir
+        val tailCols =
+          if (bucketAligned) dataCols :+ Meta.Bucket else dataCols
+        tail.select(tailCols.map(col): _*)
           .write.mode("overwrite").options(fileWriteOptions)
-          .partitionBy(desc.partitionKeys: _*).parquet(staging)
+          .partitionBy(tierKeys: _*).parquet(staging)
         val (added, carried) =
           try fmt.withLock(dir) {
             requireTierBase(fmt, dir, pinned)
             val priorLive = fmt.liveFiles(spark, dir)
             val a = publishStaged()
-            fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
+            fmt.commit(spark, dir, tierSchema, tierKeys,
               a, Set.empty, path, tierSummary(current, version), priorLive)
             updateManifest((priorLive.map(r => r -> sizeOf(r)) ++ a)
               .sortBy(_._1))
@@ -1742,11 +1787,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         return s"tiered append snapshot: ${added.size} files added, " +
           s"$carried carried"
       }
-      // PK table: changed partitions from the delta window
+      // PK table: changed dirs from the delta window — (partition,
+      // bucket) tuples on a bucket-aligned lake (the tier rewrites only
+      // the BUCKETS the window touched: on an unpartitioned table the
+      // legacy layout rewrote the ENTIRE state per tier; now it is
+      // O(changed buckets)), partition tuples on a legacy lake
+      val tupleKeys: Seq[String] =
+        if (bucketAligned) lakePartitionKeys else desc.partitionKeys
       val changedTuples: Seq[Row] =
-        if (desc.partitionKeys.isEmpty) Seq(Row.empty)
+        if (tupleKeys.isEmpty) Seq(Row.empty)
         else {
-          val ts = tail.select(desc.partitionKeys.map(col): _*)
+          // the tail carries each row's storage bucket as a system col
+          val ts = tail.select(tupleKeys.map(col): _*)
             .distinct().limit(100001).collect().toSeq
           require(ts.length <= 100000,
             s"more than 100k partitions changed since the last export of " +
@@ -1754,25 +1806,46 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           ts
         }
       val changedDirs: Set[String] =
-        if (desc.partitionKeys.isEmpty) Set("")
+        if (tupleKeys.isEmpty) Set("")
         else changedTuples.map { r =>
-          desc.partitionKeys.zipWithIndex.map { case (k, i) =>
+          tupleKeys.zipWithIndex.map { case (k, i) =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .getPartitionPathString(k,
                 if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
           }.mkString("/")
         }.toSet
       val state =
-        if (desc.partitionKeys.isEmpty) scan()
-        else {
+        if (tupleKeys.isEmpty) scan()
+        else if (!bucketAligned) {
           // one flat struct-isin, never a per-tuple OR chain
           val key = struct(desc.partitionKeys.map(col): _*)
           scan().filter(key.isin(changedTuples.map(r => struct(
             desc.partitionKeys.indices.map(i => lit(r.get(i))): _*)): _*))
+        } else {
+          // bucket-aligned: the (partition, bucket) restriction runs
+          // BELOW the collapse, on the state INPUT (both tiers carry
+          // __bucket) — the exact flat struct-isin, plus redundant
+          // per-column In conjuncts the scan can actually prune with
+          // (partition dirs on the V1 path, bucket dirs + partition
+          // dirs on the grouped scan). Partition keys are part of the
+          // PK, so pre- and post-collapse filtering agree.
+          val key = struct(tupleKeys.map(col): _*)
+          val exact = key.isin(changedTuples.map(r => struct(
+            tupleKeys.indices.map(i => lit(r.get(i))): _*)): _*)
+          val bIdx = tupleKeys.length - 1
+          val bucketIn = col(Meta.Bucket).isin(
+            changedTuples.map(_.get(bIdx)).distinct: _*)
+          val pred = desc.partitionKeys.zipWithIndex
+            .map { case (k, i) =>
+              col(k).isin(changedTuples.map(_.get(i)).distinct: _*) }
+            .foldLeft(exact && bucketIn)(_ && _)
+          Materialize.currentState(stateInput(Some(pred)), collapseDesc)
+            .withColumn(Meta.Bucket, bucketCol)
         }
+      val stagedKeys =
+        if (bucketAligned) lakePartitionKeys else desc.partitionKeys
       val writer = state.write.mode("overwrite").options(fileWriteOptions)
-      (if (desc.partitionKeys.nonEmpty)
-         writer.partitionBy(desc.partitionKeys: _*)
+      (if (stagedKeys.nonEmpty) writer.partitionBy(stagedKeys: _*)
        else writer).parquet(staging)
       // the state read races concurrent commits (it materializes at
       // execution time): if offsets moved while we wrote, the staged
@@ -1797,7 +1870,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               changedDirs.contains(parent)
             }.toSet
             val added = publishStaged()
-            fmt.commit(spark, dir, desc.schema, desc.partitionKeys,
+            fmt.commit(spark, dir, tierSchema, tierKeys,
               added, removed, path, tierSummary(current, version), priorLive)
             updateManifest(
               (priorLive.filterNot(removed).map(r => r -> sizeOf(r)) ++
@@ -2417,12 +2490,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           requireSeedCurrent(seed, expected)
           fmt.readLive(spark, dir)
         }
-        lakeRaw.select(desc.schema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        // bucket-aligned lakes carry each row's storage bucket as a
+        // partition column — keep it; legacy exports don't keep buckets
+        // (a log-layout notion), so their rows ride as bucket -1
+        val bucketOf: Column =
+          if (lakeRaw.columns.contains(Meta.Bucket))
+            col(Meta.Bucket).cast(IntegerType)
+          else lit(-1)
+        lakeRaw.select((desc.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq :+
+            bucketOf.as(Meta.Bucket)): _*)
           .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
           .withColumn(Meta.Offset, lit(-1L))
           .withColumn(Meta.Timestamp, lit(new java.sql.Timestamp(0L)))
-          .withColumn(Meta.Bucket, lit(-1))
           .select(ordered: _*)
       case GraftTable.SeedSource.Snapshot =>
         requireSeedCurrent(seed, expected)

@@ -49,6 +49,32 @@ private[graft] sealed trait LakeFormatOps {
 
 private[graft] object LakeFormatOps {
 
+  /** Empty-lake read: a zero-row export (a table tiered before its
+    * first commit) has no data file to infer a schema from, so the
+    * format readers fall back to the schema the export manifest pinned
+    * atomically alongside the metadata — Spark StructType JSON plus, on
+    * a bucket-aligned layout, the `__bucket` partition column. None when
+    * the manifest is absent (pre-manifest dirs keep the loud inference
+    * error).
+    */
+  private[core] def emptyRead(spark: SparkSession,
+      dir: String): Option[DataFrame] =
+    WarehouseIO.readStringIfExists(s"$dir/_export_manifest.json").map { s =>
+      val em = org.json4s.jackson.JsonMethods.parse(s)
+        .asInstanceOf[org.json4s.JObject].obj.toMap
+      val base = org.apache.spark.sql.types.DataType.fromJson(
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(em("schema"))))
+        .asInstanceOf[StructType]
+      val schema =
+        if (em.get("layout").contains(org.json4s.JString("bucket")))
+          StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+            Meta.Bucket, org.apache.spark.sql.types.IntegerType))
+        else base
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   def of(format: String): LakeFormatOps = format.trim.toLowerCase match {
     case "iceberg" => Iceberg
     case "delta" => Delta

@@ -51,8 +51,11 @@ class AllTypesLakeSpec extends SparkTestBase {
               f.name, relax(f.dataType), nullable = true)))
         case other => other
       }
+      // the bucket-aligned lake exposes __bucket as a trailing
+      // partition column alongside the table's own fields
       assert(back.schema.fields.map(f => (f.name, relax(f.dataType))).toSeq ==
-        df.schema.fields.map(f => (f.name, relax(f.dataType))).toSeq,
+        df.schema.fields.map(f => (f.name, relax(f.dataType))).toSeq :+
+          (("__bucket", org.apache.spark.sql.types.IntegerType)),
         s"$fmt schema mangled: ${back.schema.sql}")
       val a = df.orderBy("k").collect().toSeq
       val b = back.select(df.columns.map(col).toIndexedSeq: _*)

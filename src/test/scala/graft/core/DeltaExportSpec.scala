@@ -54,15 +54,22 @@ class DeltaExportSpec extends SparkTestBase {
     val md = v0.collectFirst {
       case JObject(f) if f.toMap.contains("metaData") =>
         f.toMap.apply("metaData").asInstanceOf[JObject].obj.toMap }.get
-    assert(md("schemaString").asInstanceOf[JString].s == t.desc.schema.json)
-    assert(md("partitionColumns") == JArray(List(JString("dt"))))
+    // bucket-aligned layout: the lake schema carries __bucket as the
+    // innermost partition column
+    assert(md("schemaString").asInstanceOf[JString].s ==
+      org.apache.spark.sql.types.StructType(t.desc.schema.fields :+
+        org.apache.spark.sql.types.StructField("__bucket",
+          org.apache.spark.sql.types.IntegerType)).json)
+    assert(md("partitionColumns") ==
+      JArray(List(JString("dt"), JString("__bucket"))))
     // every add carries the hive partition value
     val adds0 = v0.flatMap {
       case JObject(f) => f.toMap.get("add").map(
         _.asInstanceOf[JObject].obj.toMap)
       case _ => None }
     assert(adds0.nonEmpty && adds0.forall(a =>
-      a("partitionValues").asInstanceOf[JObject].obj.toMap.keySet == Set("dt")))
+      a("partitionValues").asInstanceOf[JObject].obj.toMap.keySet ==
+        Set("dt", "__bucket")))
 
     // incremental tier: changed partition swapped, replaced files
     // tombstoned in the log but still on disk (history is the lake's)

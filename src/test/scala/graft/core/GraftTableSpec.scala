@@ -759,9 +759,14 @@ class GraftTableSpec extends SparkTestBase {
     val out = Files.createTempDirectory("graft-export").toString
     t.exportSnapshot(out)
     // NO graft involved in the read-back: any parquet engine sees this
+    // (plus the bucket-aligned layout's __bucket partition column)
     val back = spark.read.parquet(out)
-    assertSameRows(back.collect().toSeq, t.scan().collect().toSeq)
-    assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(back.schema.fieldNames.toSeq ==
+      schema.fieldNames.toSeq :+ "__bucket")
+    assertSameRows(
+      back.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect().toSeq,
+      t.scan().collect().toSeq)
     // the manifest names every data file with its size, and pins the
     // exported version/offsets
     val mf = org.json4s.jackson.JsonMethods.parse(new String(

@@ -75,19 +75,24 @@ class IcebergExportSpec extends SparkTestBase {
     val fields = md("schemas").asInstanceOf[JArray].arr.head
       .asInstanceOf[JObject].obj.toMap.apply("fields")
       .asInstanceOf[JArray].arr.map(_.asInstanceOf[JObject].obj.toMap)
+    // bucket-aligned layout: the lake schema carries __bucket as the
+    // innermost partition column (the reference's paimon lake tables
+    // keep the same system column)
     assert(fields.map(f => f("name").asInstanceOf[JString].s) ==
-      List("k", "v", "tags", "dt"))
+      List("k", "v", "tags", "dt", "__bucket"))
     val ids = fields.map(_("id").asInstanceOf[JInt].num.toInt)
     assert(ids == ids.distinct && ids.forall(_ > 0))
     assert(md("last-column-id").asInstanceOf[JInt].num.toInt > ids.max,
       "array element id must be allocated beyond the top-level ids")
-    // partition spec: identity on dt, sourced from dt's field id
-    val spec = md("partition-specs").asInstanceOf[JArray].arr.head
+    // partition spec: identity on (dt, __bucket), sourced from their ids
+    val specFields = md("partition-specs").asInstanceOf[JArray].arr.head
       .asInstanceOf[JObject].obj.toMap.apply("fields")
-      .asInstanceOf[JArray].arr.head.asInstanceOf[JObject].obj.toMap
-    assert(spec("transform") == JString("identity"))
-    assert(spec("source-id") == JInt(ids(3)))
-    assert(spec("field-id") == JInt(1000))
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JObject].obj.toMap)
+    assert(specFields.map(_("transform")) ==
+      List(JString("identity"), JString("identity")))
+    assert(specFields.map(_("source-id")) == List(JInt(ids(3)), JInt(ids(4))))
+    assert(specFields.map(_("field-id")) == List(JInt(1000), JInt(1001)))
+    val spec = specFields.head
 
     // manifest list -> manifest
     val listPath = stripScheme(snaps.head("manifest-list")
@@ -257,6 +262,47 @@ class IcebergExportSpec extends SparkTestBase {
     assert(WarehouseIO.readString(s"$out/metadata/version-hint.text") == "2")
   }
 
+  test("unpartitioned PK tier rewrites only the changed BUCKETS") {
+    // the 100 TB property: before bucket alignment an unpartitioned PK
+    // table re-exported its ENTIRE state every tier (changedDirs = {""});
+    // now the tier is O(buckets the delta touched)
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-tier-whb").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    val t = cat.createTable("db", "pkflat", TableDescriptor(schema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    def rows(r: (Long, Int)*)(ordBase: Long) = spark.createDataFrame(
+      r.zipWithIndex.map { case ((k, v), i) =>
+        Row(k, Int.box(v), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    t.upsert(rows((1L to 8L).map(k => k -> k.toInt * 10): _*)(0L),
+      orderBy = Seq(col("ord")))
+    val out = Files.createTempDirectory("graft-tier-outb").toString
+    assert(t.tierSnapshot(out).startsWith("initial full export"))
+    val before = IcebergExport.liveFiles(out)
+    assert(before.forall(_.startsWith("__bucket=")), before)
+    // touch ONE key -> exactly its bucket refreshes
+    t.upsert(rows(3L -> 333)(100L), orderBy = Seq(col("ord")))
+    val msg = t.tierSnapshot(out)
+    val b = spark.sql("SELECT pmod(hash(CAST(3 AS BIGINT)), 4)")
+      .head.getInt(0)
+    assert(msg.contains("1 partition(s) refreshed"), msg)
+    val after = IcebergExport.liveFiles(out)
+    assert(after.filterNot(_.startsWith(s"__bucket=$b/")) ==
+      before.filterNot(_.startsWith(s"__bucket=$b/")),
+      "untouched buckets must keep their exact files")
+    assert(after.filter(_.startsWith(s"__bucket=$b/"))
+      .forall(!before.contains(_)))
+    // live read equals the table's merged state
+    val got = IcebergExport.readLive(spark, out)
+      .select("k", "v").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(got == t.scan().select("k", "v").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq)
+    assert(got.contains(3L -> 333) && got.size == 8)
+  }
+
   test("incremental tiering on a partitioned PK table: only changed partitions move") {
     val cat = new Catalog(
       Files.createTempDirectory("graft-tier-wh2").toString, spark)
@@ -279,11 +325,21 @@ class IcebergExportSpec extends SparkTestBase {
     t.upsert(rows(("a", 2L, 22), ("a", 3L, 3))(100L), orderBy = Seq(col("ord")))
     val msg = t.tierSnapshot(out)
     assert(msg.contains("tiered overwrite snapshot"), msg)
-    assert(msg.contains("1 partition(s) refreshed"), msg)
+    // bucket-aligned granularity: only the (dt=a, bucket) dirs the delta
+    // touched are refreshed — k=2 and k=3's buckets, computed the way
+    // the writer assigns them
+    val touchedBuckets = Seq(2L, 3L).map(k => spark.sql(
+      s"SELECT pmod(hash(CAST($k AS BIGINT)), 2)").head.getInt(0)).toSet
+    assert(msg.contains(s"${touchedBuckets.size} partition(s) refreshed"),
+      msg)
+    val changedDirs = touchedBuckets.map(b => s"dt=a/__bucket=$b/")
     val after = IcebergExport.liveFiles(out)
-    // untouched partitions keep their exact files; a's were replaced
+    // every untouched dir — other partitions AND a's untouched buckets —
+    // keeps its exact files; the changed dirs were fully replaced
+    assert(after.filterNot(f => changedDirs.exists(f.startsWith)) ==
+      before.filterNot(f => changedDirs.exists(f.startsWith)))
     assert(after.filterNot(_.startsWith("dt=a/")) == untouchedBefore)
-    assert(after.filter(_.startsWith("dt=a/"))
+    assert(after.filter(f => changedDirs.exists(f.startsWith))
       .forall(!before.contains(_)))
     // live read equals the table's current state
     val got = IcebergExport.readLive(spark, out)

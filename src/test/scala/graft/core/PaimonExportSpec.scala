@@ -55,7 +55,8 @@ class PaimonExportSpec extends SparkTestBase {
     // schema-0 has Paimon SQL types and the partition keys
     val sch = JsonMethods.parse(WarehouseIO.readString(
       s"$out/schema/schema-0")).asInstanceOf[JObject].obj.toMap
-    assert(sch("partitionKeys") == JArray(List(JString("dt"))))
+    assert(sch("partitionKeys") ==
+      JArray(List(JString("dt"), JString("__bucket"))))
     val fieldTypes = sch("fields").asInstanceOf[JArray].arr.map { f =>
       val m = f.asInstanceOf[JObject].obj.toMap
       m("name").asInstanceOf[JString].s -> m("type").asInstanceOf[JString].s
