@@ -27,6 +27,21 @@ private[graft] object GraftScanTier {
     * PK collapse above it needs no exchange.
     */
   case object State extends GraftScanTier
+  /** PK table LAKE UNION input (the reference's
+    * FlussLakeUpsertPartitionReader, planner form): the tiered lake's
+    * live files (resolved through the lake metadata under its lock at
+    * relation construction — never re-listed here) ride as inserts at
+    * offset -1, the log tail above the lake's pinned tier offsets gates
+    * `[pinned, manifest)` per bucket. A bucket-aligned lake keeps the
+    * table's own `__bucket=N/` dirs, so both sides report the same
+    * grouping and the collapse above merges PER BUCKET with no
+    * exchange — at 100 TB this deletes the full-lake shuffle every
+    * union read otherwise pays. The caller applies the exact tail gate
+    * above the scan (the State-tier convention).
+    */
+  final case class LakeUnion(lakeDir: String,
+      lakeFiles: Seq[(String, Long)],
+      pinned: Map[Int, Long]) extends GraftScanTier
 }
 
 /** Native bucket-grouped batch scan — the storage-partitioned-join
@@ -278,15 +293,8 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
   private val dirEqs: Map[String, Set[String]] = dirValueSets(filters)
 
   private def listFiles(baseDir: String,
-      logEntries: => Seq[(String, Long)])
+      entries: Seq[(String, Long)])
       : Seq[(Int, String, Long, Map[String, String])] = {
-    val entries: Seq[(String, Long)] = baseDir match {
-      case d if d == table.logDirPath => logEntries
-      case d =>
-        WarehouseIO.walkFiles(d)
-          .filter(e => !e.isDir && e.name.endsWith(".parquet"))
-          .map(e => e.path -> e.len)
-    }
     val rf = runtimeFilters
     // key-hash bucket pruning from static AND runtime predicates (a
     // catalog point lookup `k = 7` prunes to one bucket here, same as
@@ -342,7 +350,7 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     val cutoffs: Option[Map[Int, Long]] =
       if (tier != GraftScanTier.State) None
       else pinnedCutoffs.getOrElse(table.snapshotCutoffs)
-    if (pinnedCutoffs.isDefined) {
+    if (tier == GraftScanTier.State && pinnedCutoffs.isDefined) {
       // the caller's tail gate was built from the pinned cutoffs; a
       // compact landing since would make this scan's snapshot newer
       // than the gate and silently duplicate the re-tiered window —
@@ -356,21 +364,30 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     // the reader row-gates only when the gate can actually fire: a
     // non-id-gated manifest (legacy) can expose rows at/above the
     // manifest offsets, and a State tail without a caller-side gate
-    // must drop rows below the snapshot cutoffs itself
+    // must drop rows below the snapshot cutoffs itself (LakeUnion's
+    // caller ALWAYS gates the tail above, stateInput-style)
     val gateLogRows = tier match {
       case GraftScanTier.AppendLog => !logGateFree
       case GraftScanTier.State => !(logGateFree && pinnedCutoffs.isDefined)
+      case _: GraftScanTier.LakeUnion => !logGateFree
       case GraftScanTier.SnapshotOnly => false
     }
     val wantsLog = tier != GraftScanTier.SnapshotOnly
-    val wantsSnap = tier != GraftScanTier.AppendLog &&
-      (tier != GraftScanTier.State || cutoffs.isDefined)
+    val wantsSnap = tier match {
+      case GraftScanTier.AppendLog => false
+      case GraftScanTier.State => cutoffs.isDefined
+      case _ => true // snapshot dir or lake live files
+    }
+    val synthesizeSys = tier match {
+      case GraftScanTier.State | _: GraftScanTier.LakeUnion => true
+      case _ => false
+    }
     val columnar = !gateLogRows &&
       (!wantsLog || ParquetRead.supportBatch(spark, StructType(
         requiredDataOf(logFileSchema, gateOffsets = false) ++ dirFields))) &&
       (!wantsSnap || ParquetRead.supportBatch(spark, StructType(
         requiredDataOf(snapFileSchema, gateOffsets = false) ++
-          snapPartFields(tier == GraftScanTier.State))))
+          snapPartFields(synthesizeSys))))
 
     def logParts(lo: Map[Int, Long]): Seq[InputPartition] = {
       val fl = logFlavor(lo, manifestHi, gateLogRows, columnar)
@@ -383,9 +400,13 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
           columnar): InputPartition
       }
     }
-    def snapParts(synthesizeSys: Boolean): Seq[InputPartition] = {
+    // snapshot-shaped sides: the KV snapshot dir, or a bucket-aligned
+    // lake's live files (same file layout — data columns in the files,
+    // partition keys + __bucket in the dirs)
+    def snapParts(baseDir: String,
+        entries: Seq[(String, Long)]): Seq[InputPartition] = {
       val fl = snapshotFlavor(synthesizeSys, columnar)
-      listFiles(table.snapshotDirPath, Nil).map { case (b, path, len, kvs) =>
+      listFiles(baseDir, entries).map { case (b, path, len, kvs) =>
         val pv: Array[Any] =
           if (!synthesizeSys) dirValues(kvs, b)
           else dirValues(kvs, b) ++ Array[Any](Long.box(-1L), Long.box(0L),
@@ -396,14 +417,23 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
           columnar): InputPartition
       }
     }
+    def walkDir(d: String): Seq[(String, Long)] =
+      WarehouseIO.walkFiles(d)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .map(e => e.path -> e.len)
     (tier match {
       case GraftScanTier.AppendLog => logParts(Map.empty)
-      case GraftScanTier.SnapshotOnly => snapParts(synthesizeSys = false)
+      case GraftScanTier.SnapshotOnly =>
+        snapParts(table.snapshotDirPath, walkDir(table.snapshotDirPath))
       case GraftScanTier.State =>
         cutoffs match {
           case None => logParts(Map.empty)
-          case Some(cut) => snapParts(synthesizeSys = true) ++ logParts(cut)
+          case Some(cut) =>
+            snapParts(table.snapshotDirPath,
+              walkDir(table.snapshotDirPath)) ++ logParts(cut)
         }
+      case lu: GraftScanTier.LakeUnion =>
+        snapParts(lu.lakeDir, lu.lakeFiles) ++ logParts(lu.pinned)
     }).toArray
   }
 

@@ -34,6 +34,17 @@ private[graft] object GraftStateRelation {
       pinnedCutoffs: Option[Map[Int, Long]]): DataFrame =
     grouped(table, GraftScanTier.State, Some(pinnedCutoffs))
 
+  /** PK lake-union input (lake live files ∪ log tail above the pinned
+    * tier offsets) as one grouped relation — lake files resolved by the
+    * caller under the lake lock; the caller applies the exact tail gate
+    * above (`offset == -1 OR offset >= pinned(bucket)`), like
+    * [[stateInput]].
+    */
+  def lakeUnionInput(table: GraftTable, lakeDir: String,
+      lakeFiles: Seq[(String, Long)],
+      pinned: Map[Int, Long]): DataFrame =
+    grouped(table, GraftScanTier.LakeUnion(lakeDir, lakeFiles, pinned))
+
   /** Grouped relation over any scan tier. */
   def grouped(table: GraftTable, tier: GraftScanTier,
       pinnedCutoffs: Option[Option[Map[Int, Long]]] = None): DataFrame =

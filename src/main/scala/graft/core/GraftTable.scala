@@ -2361,6 +2361,48 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(fmt.hasMetadata(dir),
       s"$dir has no ${fmt.name} metadata; lake union read requires a " +
         "lake-enabled export (tierSnapshot / export_snapshot_*)")
+    // Grouped per-bucket merge (opt-in, PK, bucket-aligned lake): lake
+    // live files ∪ gated log tail as ONE grouped DSv2 relation — both
+    // sides keep the table's `__bucket=N/` dirs, so the collapse above
+    // merges per bucket with NO exchange (the reference's
+    // FlussLakeUpsertPartitionReader). At 100 TB this deletes the
+    // full-lake shuffle every union read otherwise pays.
+    val lakeBucketAligned =
+      WarehouseIO.readStringIfExists(s"$dir/_export_manifest.json")
+        .exists(s => JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
+          .get("layout").contains(JString("bucket"): JValue))
+    if (desc.isPrimaryKeyTable && groupedReadEnabled && lakeBucketAligned) {
+      val (pinned: Map[Int, Long], rels: Seq[String]) = fmt.withLock(dir) {
+        val p = fmt.committedTierTags(dir)
+          .get(GraftTable.TierOffsetsKey).map(GraftTable.parseTierOffsets)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$dir's ${fmt.name} metadata carries no graft tier offsets; " +
+              "only tierSnapshot/exportSnapshot-published lakes support " +
+              "union reads"))
+        (p, fmt.liveFiles(spark, dir))
+      }
+      retainedFloorOffsets.foreach { floor =>
+        val lost = floor.filter { case (b, f) => f > pinned.getOrElse(b, 0L) }
+        require(lost.isEmpty,
+          s"log at $path was vacuumed past the lake's tier offsets " +
+            s"(buckets ${lost.keys.toSeq.sorted.mkString(",")}); " +
+            "re-tier the lake before union reads")
+      }
+      // sizes from ONE recursive listing (seedFileEntries' posture)
+      val sizes: Map[String, Long] = WarehouseIO.walkFiles(dir)
+        .filter(e => !e.isDir).map(e => e.path -> e.len).toMap
+      val entries = rels.map { r =>
+        val abs = s"$dir/$r"
+        abs -> sizes.getOrElse(abs, WarehouseIO.size(abs))
+      }
+      val base = graft.connector.GraftStateRelation
+        .lakeUnionInput(this, dir, entries, pinned)
+      // exact tail gate above the scan (lake rows pass at their
+      // synthesized -1; absent buckets default to 0 = read everything)
+      val gated = base.filter(col(Meta.Offset) === lit(-1L) ||
+        col(Meta.Offset) >= bucketMapExpr(pinned, 0L))
+      return Materialize.currentState(gated, collapseDesc)
+    }
     // offsets + live-file resolution under ONE lake lock: a tier
     // committing between the two reads would otherwise pin offsets from
     // before the commit against a live set from after it — the tiered

@@ -401,6 +401,39 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("grouped lake union read: per-bucket merge, no exchange, columnar") {
+    wh
+    val c = new graft.core.Catalog(wh, spark)
+    spark.sql("""
+      CREATE TABLE spj.db.kvlake (k BIGINT, state STRING)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.kvlake SELECT id, concat('s', id) FROM range(0, 30)")
+    val t = c.getTable("db", "kvlake")
+    val lake = Files.createTempDirectory("graft-spj-lake").toString
+    t.tierSnapshot(lake)
+    // un-tiered tail: one update, one delete, one insert
+    spark.sql("INSERT INTO spj.db.kvlake VALUES (7, 's7b'), (40, 's40')")
+    spark.sql("DELETE FROM spj.db.kvlake WHERE k = 3")
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      t.scanLakeUnion(lake).select("k", "state").collect()
+        .map(_.toSeq).toSet
+    }
+    assert(expected.contains(Seq(7L, "s7b")) &&
+      expected.contains(Seq(40L, "s40")) &&
+      !expected.exists(_.head == 3L) && expected.size == 30)
+    withSpj() {
+      val df = t.scanLakeUnion(lake).select("k", "state")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      assert(shuffles(df) == 0,
+        s"the lake-union collapse should merge per bucket with no " +
+          s"exchange:\n${df.queryExecution.executedPlan}")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        "grouped lake-union scan should decode columnar")
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
