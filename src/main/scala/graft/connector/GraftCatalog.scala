@@ -217,6 +217,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse is required"))
+    // catalog sessions get the engine's optimizer rules without a
+    // separate install step: point-query bucket pruning, V1 stats
+    // forwarding, and (under preserve-data-grouping) the PK collapse
+    // substitution
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.BucketPruning.install)
   }
 
   override def name(): String = catalogName
@@ -587,6 +593,13 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     authz: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement {
+
+  /** A plain current-state handle (no time travel) — what
+    * [[graft.plans.PkCollapseRule]] may substitute with the grouped
+    * collapse plan.
+    */
+  private[graft] def isCurrentStateRead: Boolean =
+    asOf.isEmpty && atVersion.isEmpty
 
   // Streaming through the catalog table — `spark.readStream.table(
   // "cat.db.t")` and `df.writeStream.toTable("cat.db.t")`, the API the

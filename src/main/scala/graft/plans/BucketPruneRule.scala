@@ -81,6 +81,9 @@ object BucketPruning {
     if (!spark.experimental.extraOptimizations.contains(V1StatsRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ V1StatsRule
+    if (!spark.experimental.extraOptimizations.contains(PkCollapseRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PkCollapseRule
   }
 }
 

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.connector.GraftDsTable
+import graft.core.{DynamicConfigs, WarehouseIO}
+
+/** Serves catalog SQL reads of PK tables through the GROUPED collapse
+  * plan instead of the V1 bridge (opt-in, rides
+  * `spark.sql.graft.read.preserve-data-grouping`).
+  *
+  * The V1 bridge is correct but planner-opaque: `buildScan` re-plans the
+  * snapshot ∪ log-tail collapse INSIDE the relation and hands Spark an
+  * `RDD[Row]` — the collapse itself runs grouped/columnar in there, but
+  * the rows pay an InternalRow→Row→InternalRow double conversion at the
+  * bridge, and a join or aggregate ABOVE the relation cannot see the
+  * bucket grouping, so SQL plans an exchange the engine-API path has
+  * already deleted. This rule substitutes the relation with the SAME
+  * logical plan `GraftTable.scan()` builds — the LatestRow collapse over
+  * the grouped DSv2 state input — so catalog SQL gets the identical
+  * exchange-free, columnar, conversion-free plan, and joins above it can
+  * ride the reported `KeyGroupedPartitioning` (the reference's
+  * FlussUpsertPartitionReader merges per bucket for the same reason; in
+  * Spark the merge is an aggregate the planner can SEE).
+  *
+  * Runs in `experimental.extraOptimizations` ("User Provided Optimizers",
+  * after every built-in batch): by then read-side relations are
+  * `DataSourceV2ScanRelation`s — write targets stay `DataSourceV2Relation`
+  * and row-level operations wrap their table in `RowLevelOperationTable`,
+  * so matching scan relations whose table IS a plain [[GraftDsTable]] can
+  * never touch a write — and `V2ScanRelationPushDown` has already run, so
+  * the substituted subplan is optimized in its OWN pass (scan pushdown
+  * included) before grafting. A residual Filter directly above the
+  * relation is folded INTO that pass, so a full-PK point predicate
+  * reaches the grouped scan's bucket pruning exactly like the engine API.
+  *
+  * Skips: time travel (`isCurrentStateRead`), reader options (startup
+  * modes, leases — those semantics live in the V1 scan), read-optimized
+  * and lake-union session modes (different sources), pushed-aggregate
+  * scans (output shape differs; PK tables never push aggregates, the
+  * output-name guard is defensive).
+  */
+object PkCollapseRule extends Rule[LogicalPlan] {
+
+  private def conf(spark: SparkSession, path: String, key: String): Boolean =
+    DynamicConfigs.effective(spark, WarehouseIO.warehouseOf(path),
+      key, "false").toBoolean
+
+  private def eligible(sr: DataSourceV2ScanRelation): Boolean =
+    sr.relation.table match {
+      case t: GraftDsTable if t.isCurrentStateRead =>
+        val gt = t.table
+        val spark = SparkSession.active
+        gt.desc.isPrimaryKeyTable &&
+          gt.desc.effectiveBucketKeys.nonEmpty &&
+          sr.relation.options.isEmpty &&
+          sr.output.forall(a => gt.desc.schema.fieldNames.contains(a.name)) &&
+          conf(spark, gt.path,
+            "spark.sql.graft.read.preserve-data-grouping") &&
+          !conf(spark, gt.path, "spark.sql.graft.read.optimized") &&
+          !conf(spark, gt.path, "spark.sql.graft.read.lake-union")
+      case _ => false
+    }
+
+  /** The grouped collapse plan, pruned to `sr.output` and aliased back to
+    * its exprIds; `cond` (the residual filter that sat above the
+    * relation) is re-applied inside the subplan BEFORE its optimization
+    * pass, so predicate pushdown can carry it through the collapse to the
+    * grouped scan. None = bail (leave the V1 plan).
+    */
+  private def substituted(sr: DataSourceV2ScanRelation,
+      cond: Option[Expression]): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val gt = sr.relation.table.asInstanceOf[GraftDsTable].table
+    // build the collapse plan through the same door the engine API uses
+    val analyzed = gt.scan().queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    if (!sr.output.forall(a => byName.contains(a.name))) return None
+    val remapped: Option[Expression] = cond.map { c =>
+      if (!c.references.forall(a => byName.contains(a.name))) return None
+      c.transform { case a: AttributeReference => byName(a.name) }
+    }
+    val gated = remapped.map(Filter(_, analyzed)).getOrElse(analyzed)
+    val optimized =
+      org.apache.spark.sql.graftshim.V2Relation.optimize(spark, gated)
+    val outByName = optimized.output.map(a => a.name -> a).toMap
+    if (!sr.output.forall(a => outByName.contains(a.name))) return None
+    Some(Project(sr.output.map { a =>
+      Alias(outByName(a.name), a.name)(exprId = a.exprId): NamedExpression
+    }, optimized))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  /** Explicit recursion (not transformDown — a returned node must be
+    * able to STOP descent): row-level commands whose STRATEGY pattern-
+    * matches the scan relation itself (`DeleteFromTable(relation, _)` →
+    * `DeleteFromTableExec`) keep their whole subtree; everything else
+    * recurses, matching Filter-over-relation first so the residual
+    * predicate travels into the subplan's own optimization pass and
+    * reaches the grouped scan's bucket pruning.
+    */
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m
+    case f @ Filter(cond, sr: DataSourceV2ScanRelation) if eligible(sr) =>
+      substituted(sr, Some(cond)).getOrElse(f)
+    case sr: DataSourceV2ScanRelation if eligible(sr) =>
+      substituted(sr, None).getOrElse(sr)
+    case other => other.mapChildren(rewrite)
+  }
+}

@@ -19,4 +19,19 @@ object V2Relation {
     org.apache.spark.sql.classic.Dataset.ofRows(classic,
       DataSourceV2Relation.create(table, catalog, None))
   }
+
+  /** Run the session's FULL optimizer over a logical plan and return the
+    * optimized plan — how a late-batch rule (experimental
+    * extraOptimizations run after every built-in batch, including
+    * V2ScanRelationPushDown) substitutes a subplan that still needs its
+    * own scan pushdown: the subplan is optimized in its own pass first,
+    * then grafted in fully planned.
+    */
+  def optimize(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+      .queryExecution.optimizedPlan
+  }
 }

@@ -434,6 +434,64 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("catalog SQL PK read plans the grouped collapse (PkCollapseRule)") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    val sql = """SELECT f.k, f.v, s.state FROM spj.db.facts f
+                 JOIN spj.db.kv s ON f.k = s.k"""
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql(sql).collect().map(_.toSeq).toSet
+    }
+    withSpj() {
+      // the PK side is the collapse over the grouped state input, IN
+      // the SQL plan (not hidden inside a V1 bridge): the join sees the
+      // bucket grouping on both sides and plans exchange-free
+      val df = spark.sql(sql)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftKeyGroupedScan") &&
+        plan.contains("State"),
+        s"PK side should be the grouped state scan in-plan:\n$plan")
+      assert(shuffles(df) == 0,
+        s"catalog SQL join over the PK collapse should ride the " +
+          s"grouping:\n$plan")
+      // a full-PK point predicate reaches the grouped scan's bucket
+      // pruning through the substitution's own optimization pass
+      val point = spark.sql("SELECT k, state FROM spj.db.kv WHERE k = 7")
+      assert(point.collect().map(_.toSeq).toSet ==
+        expected.collect { case Seq(7L, _, s) => Seq(7L, s) }.toSet)
+    }
+    // conf off: the V1 bridge unchanged, same answer
+    val off = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql(sql).collect().map(_.toSeq).toSet
+    }
+    assert(off == expected)
+  }
+
+  test("PkCollapseRule never touches writes or time travel") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    withSpj() {
+      // INSERT INTO a PK table (write target must stay a V1 write)
+      spark.sql("INSERT INTO spj.db.kv VALUES (70, 's70')")
+      assert(spark.sql("SELECT state FROM spj.db.kv WHERE k = 70")
+        .collect().map(_.getString(0)).toSeq == Seq("s70"))
+      // INSERT ... SELECT from the SAME table: target untouched, the
+      // source read may substitute — both must work
+      spark.sql("""INSERT INTO spj.db.kv
+                   SELECT k + 1000, state FROM spj.db.kv WHERE k = 70""")
+      assert(spark.sql("SELECT state FROM spj.db.kv WHERE k = 1070")
+        .collect().map(_.getString(0)).toSeq == Seq("s70"))
+      // DELETE (SupportsDelete path matches the bare relation)
+      spark.sql("DELETE FROM spj.db.kv WHERE k = 1070")
+      assert(spark.sql("SELECT * FROM spj.db.kv WHERE k = 1070")
+        .collect().isEmpty)
+      spark.sql("DELETE FROM spj.db.kv WHERE k = 70")
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
