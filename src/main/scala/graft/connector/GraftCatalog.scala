@@ -899,9 +899,8 @@ class GraftScanBuilder(table: GraftTable,
     */
   private def keyGroupedScan(): Option[Scan] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val wh = graft.core.WarehouseIO.warehouseOf(table.path)
     def conf(k: String): Boolean =
-      graft.core.DynamicConfigs.effective(spark, wh, k, "false").toBoolean
+      graft.core.DynamicConfigs.readFlag(spark, table.path, k)
     val keys = table.desc.effectiveBucketKeys
     if (!conf("spark.sql.graft.read.preserve-data-grouping")) None
     else if (keys.isEmpty || startup.isDefined || asOf.isDefined ||

@@ -51,7 +51,9 @@ final case class GraftBucketBound(keyTypes: Array[DataType])
 
   override def resultType(): DataType = IntegerType
 
-  override def isResultNullable: Boolean = false
+  // a NULL bucket count yields NULL (SQL-callable surface); key NULLs
+  // fold as no-ops like the write path, never nulling the result
+  override def isResultNullable: Boolean = true
 
   override def name(): String = "bucket"
 
@@ -59,7 +61,9 @@ final case class GraftBucketBound(keyTypes: Array[DataType])
     s"graft.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
 
   override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
     val nb = input.getInt(0)
+    require(nb > 0, s"bucket count must be positive; got $nb")
     var h = 42L // Spark's hash() seed; null inputs leave the fold unchanged
     var i = 0
     while (i < keyTypes.length) {

@@ -311,12 +311,9 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
         throw new IllegalStateException(
           s"file $path has no ${Meta.Bucket}= dir segment " +
             "(legacy unpartitioned layout? re-run compact())")).toInt
-      def dec(r: String): String =
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(r)
       val pruned = dirSets.exists { case (c, ok) =>
         val raw = if (c == Meta.Bucket) Some(bucket.toString) else kvs.get(c)
-        raw.exists(r => !ok(dec(r)))
+        raw.exists(r => !ok(HiveDirValues.unescape(r)))
       } || rtBuckets.exists(!_.contains(bucket))
       if (pruned) None else Some((bucket, path, len, kvs))
     }

@@ -128,6 +128,16 @@ object DynamicConfigs {
     cur.size - kept.size
   }
 
+  /** Boolean read-mode flag for a TABLE path (the grouped-read opt-in
+    * and its sibling read modes) — one definition so every read path
+    * (engine scan, catalog scan builder, optimizer substitution)
+    * resolves the flag identically.
+    */
+  def readFlag(spark: SparkSession, tablePath: String,
+      key: String): Boolean =
+    effective(spark, WarehouseIO.warehouseOf(tablePath), key,
+      "false").toBoolean
+
   /** SESSION > DYNAMIC > DEFAULT, with the registry default as fallback
     * for unregistered reads.
     */

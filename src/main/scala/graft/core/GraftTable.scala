@@ -2313,9 +2313,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * meaningful only on key-bucketed tables.
     */
   private def groupedReadEnabled: Boolean =
-    desc.effectiveBucketKeys.nonEmpty && DynamicConfigs.effective(
-      spark, WarehouseIO.warehouseOf(path),
-      "spark.sql.graft.read.preserve-data-grouping", "false").toBoolean
+    desc.effectiveBucketKeys.nonEmpty && DynamicConfigs.readFlag(
+      spark, path, "spark.sql.graft.read.preserve-data-grouping")
 
   /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
     * connector option, website/docs/engine-spark/options.md:17): PK tables

@@ -22,6 +22,13 @@ private[graft] object HiveDirValues {
       }
     }.toMap
 
+  /** Hive-unescape one raw dir value (the shared definition every
+    * dir-value comparison must use — see the scan-side file pruning).
+    */
+  def unescape(raw: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+
   /** Raw dir value → catalyst partition value, by declared type. */
   def decode(raw: Option[String], f: StructField, spark: SparkSession): Any = {
     val dec = raw.map(org.apache.spark.sql.catalyst.catalog

@@ -154,16 +154,31 @@ object HudiExport {
 
   private def requireRetained(dir: String, instant: String): Unit = {
     requireMetadata(dir)
-    // an instant at or below the compacted base's asOf is rejected even
-    // when its file still sits in the ACTIVE timeline (the expireInstants
-    // crash window between the base publish and the archive moves):
-    // liveEntries applies no instants when upTo <= asOf, so replay would
-    // silently return the base's NEWER live set for it
-    if (instant <= baseAsOf(dir).getOrElse(""))
+    // an instant strictly below the compacted base's asOf is rejected
+    // even when its file still sits in the ACTIVE timeline (the
+    // expireInstants crash window between the base publish and the
+    // archive moves): liveEntries applies no instants when
+    // upTo <= asOf, so replay would silently return the base's NEWER
+    // live set for it. AT asOf the base IS the state as of that
+    // instant — replay answers it exactly, so equality stays readable.
+    val active = completedInstants(dir).map(_._1)
+    if (baseAsOf(dir).contains(instant)) {
+      // AT the base's asOf the base IS that instant's exact state — but
+      // it is only READABLE while the instant still sits in the ACTIVE
+      // timeline (the expireInstants crash window between the base
+      // publish and the archive moves: the orphan sweep runs after the
+      // moves, so the base's files are still on disk). After a
+      // COMPLETED expiry the sweep may have deleted files only the base
+      // references (the retained replay chain removes them) — refuse.
+      if (active.contains(instant)) return
       throw new IllegalArgumentException(
         s"instant $instant of $dir has been archived by expireInstants " +
           s"(compacted base covers through ${baseAsOf(dir).get})")
-    val active = completedInstants(dir).map(_._1)
+    }
+    if (baseAsOf(dir).exists(instant < _))
+      throw new IllegalArgumentException(
+        s"instant $instant of $dir has been archived by expireInstants " +
+          s"(compacted base covers through ${baseAsOf(dir).get})")
     if (!active.contains(instant))
       throw new IllegalArgumentException(
         s"instant $instant does not exist at $dir " +

@@ -83,7 +83,12 @@ object BucketPruning {
         spark.experimental.extraOptimizations :+ V1StatsRule
     if (!spark.experimental.extraOptimizations.contains(PkCollapseRule))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PkCollapseRule
+        spark.experimental.extraOptimizations :+ PkCollapseRule :+
+          // a PkCollapseRule substitution lands AFTER the built-in DPP
+          // batch; re-running Spark's (idempotent) PartitionPruning right
+          // after it lets a selective join still plant its runtime filter
+          // over the substituted grouped scan
+          org.apache.spark.sql.graftshim.V2Relation.partitionPruningRule
   }
 }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
 import graft.connector.GraftDsTable
-import graft.core.{DynamicConfigs, WarehouseIO}
+import graft.core.DynamicConfigs
 
 /** Serves catalog SQL reads of PK tables through the GROUPED collapse
   * plan instead of the V1 bridge (opt-in, rides
@@ -47,8 +47,7 @@ import graft.core.{DynamicConfigs, WarehouseIO}
 object PkCollapseRule extends Rule[LogicalPlan] {
 
   private def conf(spark: SparkSession, path: String, key: String): Boolean =
-    DynamicConfigs.effective(spark, WarehouseIO.warehouseOf(path),
-      key, "false").toBoolean
+    DynamicConfigs.readFlag(spark, path, key)
 
   private def eligible(sr: DataSourceV2ScanRelation): Boolean =
     sr.relation.table match {

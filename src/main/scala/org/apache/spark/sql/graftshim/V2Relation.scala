@@ -20,6 +20,21 @@ object V2Relation {
       DataSourceV2Relation.create(table, catalog, None))
   }
 
+  /** Spark's own dynamic-partition-pruning planner rule, re-exported for
+    * the late user-rule batch: `PkCollapseRule` substitutes a grouped
+    * DSv2 scan AFTER the built-in PartitionPruning batch has run, so the
+    * substituted scan's `SupportsRuntimeFiltering` surface would never
+    * receive a DPP subquery on the catalog-SQL path — re-running the
+    * (idempotent: it skips joins that already carry a
+    * DynamicPruningSubquery) rule right after the substitution plants
+    * it. Lives here because the `execution.dynamicpruning` package is
+    * `private[sql]`.
+    */
+  def partitionPruningRule
+      : org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    org.apache.spark.sql.execution.dynamicpruning.PartitionPruning
+
   /** Run the session's FULL optimizer over a logical plan and return the
     * optimized plan — how a late-batch rule (experimental
     * extraOptimizations run after every built-in batch, including

@@ -462,6 +462,27 @@ class SpjSpec extends SparkTestBase {
       assert(point.collect().map(_.toSeq).toSet ==
         expected.collect { case Seq(7L, _, s) => Seq(7L, s) }.toSet)
     }
+    // DPP through the substitution: the built-in PartitionPruning batch
+    // ran before the relation was swapped, so install() re-runs the rule
+    // after PkCollapseRule — a selective dim join should still plant its
+    // runtime filter over the substituted grouped scan
+    spark.sql("""
+      CREATE TABLE spj.db.seldim2 (k BIGINT, tag STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.seldim2 VALUES (7, 'x'), (13, 'y')")
+    withSpj(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760") {
+      val dpp = spark.sql(
+        """SELECT s.k, s.state, d.tag FROM spj.db.kv s
+           JOIN spj.db.seldim2 d ON s.k = d.k WHERE d.tag = 'x'""")
+      val rows = dpp.collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(7L), rows.toSeq)
+      val plan = dpp.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"selective dim should runtime-filter the substituted PK " +
+          s"scan:\n$plan")
+    }
     // conf off: the V1 bridge unchanged, same answer
     val off = withSpj(
       "spark.sql.graft.read.preserve-data-grouping" -> "false") {

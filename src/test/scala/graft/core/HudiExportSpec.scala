@@ -214,4 +214,56 @@ class HudiExportSpec extends SparkTestBase {
     assert(fmt.expireHistory(spark, dir, 1) == Seq("g0.parquet"))
     assert(fmt.liveFiles(spark, dir) == Seq("g1.parquet"))
   }
+
+  test("expiry crash window: time travel AT the base's asOf stays " +
+      "readable while the instant is still active; strictly-below " +
+      "refuses") {
+    // the TRUE crash-window state: expireInstants published
+    // archived/state.json but crashed BEFORE the archive moves (and so
+    // before the orphan sweep) — every instant still active, every data
+    // file still on disk. Reading AT asOf must answer with the base
+    // (that IS the state as of that instant); strictly below must
+    // refuse (replay would return the base's newer live set).
+    val dir = Files.createTempDirectory("graft-hudi-cw").toString
+    val sch = StructType(Seq(StructField("k", LongType)))
+    def touchData(i: Int): Unit = WarehouseIO.rawPutBytes(
+      s"$dir/f$i.parquet", Array[Byte](1))
+    touchData(0)
+    HudiExport.write(dir, sch, Nil, Seq("f0.parquet" -> 10L), "src")
+    (1 to 2).foreach { i =>
+      touchData(i)
+      HudiExport.commit(dir, sch, Nil,
+        Seq(s"f$i.parquet" -> (10L + i)), Set(s"f${i - 1}.parquet"), "src")
+    }
+    val instants = HudiExport.completedInstants(dir).map(_._1)
+    assert(instants.size == 3)
+    val asOf = instants(1) // base covers through the second instant
+    // the base must key its live map by the commit-assigned fileId (a
+    // UUID) — read it from the asOf instant's own metadata, like
+    // expireInstants' liveEntries replay does
+    val instantFile = WarehouseIO.listDir(s"$dir/.hoodie")
+      .map(_.name).find(n => n == s"$asOf.commit" ||
+        n == s"$asOf.replacecommit").get
+    val meta = JsonMethods.parse(WarehouseIO.readString(
+        s"$dir/.hoodie/$instantFile")).asInstanceOf[JObject].obj.toMap
+    val stat = meta("partitionToWriteStats").asInstanceOf[JObject].obj
+      .head._2.asInstanceOf[JArray].arr.head.asInstanceOf[JObject].obj.toMap
+    val fid = stat("fileId").asInstanceOf[JString].s
+    // hand-publish the base the way expireInstants does, then "crash"
+    WarehouseIO.mkdirs(s"$dir/.hoodie/archived")
+    CatalogJson.atomicWrite(s"$dir/.hoodie/archived/state.json",
+      JsonMethods.pretty(JsonMethods.render(JObject(List(
+        "asOf" -> (JString(asOf): JValue),
+        "live" -> (JObject(List(fid -> (JObject(List(
+          "path" -> (JString("f1.parquet"): JValue),
+          "size" -> (JInt(11): JValue))): JValue))): JValue))))))
+    // current state replays base + the tail above asOf
+    assert(HudiExport.liveFiles(dir) == Seq("f2.parquet"))
+    // AT asOf: the base answers exactly (file still on disk)
+    assert(HudiExport.liveFilesAt(dir, asOf) == Seq("f1.parquet"))
+    // strictly below asOf: refused even though the instant is active
+    val e = intercept[IllegalArgumentException](
+      HudiExport.liveFilesAt(dir, instants.head))
+    assert(e.getMessage.contains("archived"), e.getMessage)
+  }
 }
