@@ -41,7 +41,14 @@ private[graft] object GraftScanTier {
     */
   final case class LakeUnion(lakeDir: String,
       lakeFiles: Seq[(String, Long)],
-      pinned: Map[Int, Long]) extends GraftScanTier
+      pinned: Map[Int, Long]) extends GraftScanTier {
+    // plan-audit form: the tier prints in every scan description (tree
+    // line + detail + Spark UI) — summarize the file list, never dump it
+    override def toString: String =
+      s"LakeUnion($lakeDir, ${lakeFiles.size} lake files, pinned=" +
+        pinned.toSeq.sorted.map { case (b, o) => s"$b:$o" }
+          .mkString("{", ",", "})")
+  }
 }
 
 /** Native bucket-grouped batch scan — the storage-partitioned-join

@@ -513,6 +513,36 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("grouped state read refuses loudly when a compact moves the " +
+      "pinned cutoffs mid-read") {
+    wh
+    spark.sql("""
+      CREATE TABLE spj.db.kvrace (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.kvrace SELECT id, CAST(id AS INT) FROM range(0, 20)")
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "kvrace")
+    t.compact()
+    spark.sql("INSERT INTO spj.db.kvrace VALUES (1, 111)")
+    withSpj() {
+      // stateInput pins the snapshot cutoffs at DataFrame construction
+      // and applies the exact tail gate above the scan from them; scan
+      // planning re-checks the LIVE cutoffs — a compact landing in
+      // between would otherwise double-deliver the re-tiered window
+      val df = t.scan().select("k", "v")
+      t.compact() // cutoffs move
+      val e = intercept[Throwable](df.collect())
+      def messages(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(t =>
+          Option(t.getMessage).toSeq ++ messages(t.getCause))
+      assert(messages(e).exists(_.contains("concurrent compact")),
+        s"expected the pinned-cutoff refusal, got: ${messages(e)}")
+      // a freshly built plan reads the new state fine
+      val rows = t.scan().select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows(1L) == 111 && rows.size == 20)
+    }
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
