@@ -2360,17 +2360,20 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(fmt.hasMetadata(dir),
       s"$dir has no ${fmt.name} metadata; lake union read requires a " +
         "lake-enabled export (tierSnapshot / export_snapshot_*)")
-    // Grouped per-bucket merge (opt-in, PK, bucket-aligned lake): lake
-    // live files ∪ gated log tail as ONE grouped DSv2 relation — both
-    // sides keep the table's `__bucket=N/` dirs, so the collapse above
-    // merges per bucket with NO exchange (the reference's
-    // FlussLakeUpsertPartitionReader). At 100 TB this deletes the
-    // full-lake shuffle every union read otherwise pays.
+    // Grouped per-bucket union (opt-in, bucket-aligned lake): lake live
+    // files ∪ gated log tail as ONE grouped DSv2 relation — both sides
+    // keep the table's `__bucket=N/` dirs. PK tables merge per bucket
+    // with NO exchange above the scan (the reference's
+    // FlussLakeUpsertPartitionReader); append tables concatenate, and
+    // the relation REPORTS the bucket grouping so a join downstream on
+    // the bucket keys plans exchange-free too. At 100 TB this deletes
+    // the full-lake shuffle every union read (or join above it)
+    // otherwise pays.
     val lakeBucketAligned =
       WarehouseIO.readStringIfExists(s"$dir/_export_manifest.json")
         .exists(s => JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
           .get("layout").contains(JString("bucket"): JValue))
-    if (desc.isPrimaryKeyTable && groupedReadEnabled && lakeBucketAligned) {
+    if (groupedReadEnabled && lakeBucketAligned) {
       val (pinned: Map[Int, Long], rels: Seq[String]) = fmt.withLock(dir) {
         val p = fmt.committedTierTags(dir)
           .get(GraftTable.TierOffsetsKey).map(GraftTable.parseTierOffsets)
@@ -2400,7 +2403,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // synthesized -1; absent buckets default to 0 = read everything)
       val gated = base.filter(col(Meta.Offset) === lit(-1L) ||
         col(Meta.Offset) >= bucketMapExpr(pinned, 0L))
-      return Materialize.currentState(gated, collapseDesc)
+      return if (desc.isPrimaryKeyTable)
+        Materialize.currentState(gated, collapseDesc)
+      else gated.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
     // offsets + live-file resolution under ONE lake lock: a tier
     // committing between the two reads would otherwise pin offsets from

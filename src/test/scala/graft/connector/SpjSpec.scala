@@ -513,6 +513,41 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("grouped lake union on an APPEND table: concatenation reports " +
+      "the grouping, join above plans exchange-free") {
+    wh
+    val c = new graft.core.Catalog(wh, spark)
+    spark.sql("""
+      CREATE TABLE spj.db.loglake (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql("INSERT INTO spj.db.loglake SELECT id, CAST(id AS INT) FROM range(0, 30)")
+    val t = c.getTable("db", "loglake")
+    val lake = Files.createTempDirectory("graft-spj-loglake").toString
+    t.tierSnapshot(lake)
+    spark.sql("INSERT INTO spj.db.loglake VALUES (40, 40), (41, 41)")
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      t.scanLakeUnion(lake).select("k", "v").collect().map(_.toSeq).toSet
+    }
+    assert(expected.size == 32)
+    withSpj() {
+      val df = t.scanLakeUnion(lake).select("k", "v")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"))
+      // a co-bucketed join ABOVE the union rides the reported grouping
+      val joined = df.as("u")
+        .join(c.getTable("db", "dims").scan().as("d"), "k")
+        .select("k", "v", "name")
+      val got = joined.collect().map(_.toSeq).toSet
+      assert(got.size == 32, s"30 tiered + 2 tail rows, all in " +
+        s"dims(0..49): ${got.size}")
+      assert(shuffles(joined) == 0,
+        s"append lake union should report the grouping to the join:\n" +
+          s"${joined.queryExecution.executedPlan}")
+    }
+  }
+
   test("grouped state read refuses loudly when a compact moves the " +
       "pinned cutoffs mid-read") {
     wh
