@@ -211,6 +211,19 @@ object SparkEntry {
           col("value").cast("double").as("value"), col("props"))
     }),
 
+    // ----- the SAME union read through catalog SQL (the reference's
+    // SQL-first surface: SET spark.sql.fluss.read.lake-union): the
+    // warehouse pins lake-union + grouping as dynamic configs and
+    // PkCollapseRule substitutes the grouped scanLakeUnion plan — lake
+    // cold state ∪ fresh tail merged per bucket, zero exchanges, from
+    // plain SELECT
+    "s18_lake_union_sql" -> ((s, dir) => {
+      val cat = Fixtures.lakeUnionSqlCatalog(s, dir)
+      s.sql(s"""SELECT event_type, user_id, ts,
+          CAST(value AS DOUBLE) AS value, props
+        FROM $cat.db.events_lu""")
+    }),
+
     // ----- TIER5: type fidelity through ALL FOUR lake formats — an
     // all-types PK table (DECIMAL, TIMESTAMP, TIMESTAMP_NTZ, DATE,
     // BINARY, ARRAY, MAP, STRUCT) tiered through each format's metadata
@@ -1662,6 +1675,22 @@ object SparkEntry {
 
     // lake state (batches 1+2) merged with the fresh log tail (batch 3)
     // = LWW over all three batches
+    "s18_lake_union_sql" ->
+      """WITH u AS (
+        |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT *, 2 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type IN ('click','view')
+        |  UNION ALL
+        |  SELECT *, 3 AS b FROM events
+        |  WHERE event_id % 4 = 0 AND event_type = 'purchase')
+        |SELECT event_type, user_id, ts,
+        |       CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value, props
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY event_type, user_id
+        |        ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM u) WHERE rn = 1""".stripMargin,
+
     "s17_lake_union_read" ->
       """WITH u AS (
         |  SELECT *, 1 AS b FROM events WHERE event_id % 4 <> 0

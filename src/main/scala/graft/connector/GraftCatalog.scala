@@ -220,7 +220,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // catalog sessions get the engine's optimizer rules without a
     // separate install step: point-query bucket pruning, V1 stats
     // forwarding, and (under preserve-data-grouping) the PK collapse
-    // substitution
+    // substitution. Best-effort here — initialize can run on a thread
+    // with no active session (or a different one than later queries), so
+    // loadTable re-installs against the QUERYING session, where
+    // SparkSession.active is always the right one.
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.plans.BucketPruning.install)
   }
@@ -250,6 +253,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(t => Identifier.of(namespace, t)).toArray
 
   override def loadTable(ident: Identifier): Table = {
+    // re-install the optimizer rules against the session that is
+    // actually QUERYING (initialize's best-effort install can land on a
+    // different session, or none — the rules would then silently never
+    // run and catalog SQL would lose bucket pruning / the grouped
+    // collapse while staying correct via the V1 bridge). Idempotent and
+    // cheap: a contains() check per rule.
+    graft.plans.BucketPruning.install(spark)
     // metadata / virtual tables: SELECT * FROM <cat>.<db>.<tbl>.<meta> —
     // the reference's `t$changelog`/`t$binlog` virtual tables
     // (website/docs/table-design/virtual-tables.md:14-16) plus the
@@ -902,10 +912,19 @@ class GraftScanBuilder(table: GraftTable,
     def conf(k: String): Boolean =
       graft.core.DynamicConfigs.readFlag(spark, table.path, k)
     val keys = table.desc.effectiveBucketKeys
-    if (!conf("spark.sql.graft.read.preserve-data-grouping")) None
+    // the session's lake-union mode only binds tables that HAVE a lake
+    // (PkCollapseRule substitutes the grouped scanLakeUnion for those);
+    // for every other table the mode is inert and the native grouped
+    // scan still applies
+    def lakeUnionBinds: Boolean =
+      conf("spark.sql.graft.read.lake-union") &&
+        graft.core.LakeMaintenance.policyOf(table.desc.properties)
+          .exists(p => graft.core.LakeFormatOps.of(p.format)
+            .hasMetadata(p.dir))
+    if (!graft.core.GroupedReads.enabled(spark, table.path,
+      table.desc.numBuckets)) None
     else if (keys.isEmpty || startup.isDefined || asOf.isDefined ||
-      atVersion.isDefined || pushedAgg.isDefined ||
-      conf("spark.sql.graft.read.lake-union")) None
+      atVersion.isDefined || pushedAgg.isDefined || lakeUnionBinds) None
     else if (!keys.forall(required.fieldNames.contains)) None
     else if (!table.desc.isPrimaryKeyTable)
       Some(new GraftKeyGroupedScan(table, required, pushed,

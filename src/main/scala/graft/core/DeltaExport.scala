@@ -173,8 +173,7 @@ object DeltaExport {
     val files = liveFiles(dir, Some(spark))
       .map(r => s"${WarehouseIO.qualify(dir)}/$r")
     if (files.isEmpty)
-      return LakeFormatOps.emptyRead(spark, dir).getOrElse(
-        spark.read.parquet()) // pre-manifest dir: loud error
+      return LakeFormatOps.emptyRead(spark, dir, "delta")
     spark.read.option("basePath", WarehouseIO.qualify(dir))
       .parquet(files: _*)
   }

@@ -27,9 +27,13 @@ object DynamicConfigs {
     */
   val registry: Map[String, (String, Boolean)] = Map(
     "spark.sql.graft.read.optimized" -> ("false", false),
-    // key-grouped scan planning (storage-partitioned joins); off by
-    // default — grouping caps scan parallelism at the bucket count
-    "spark.sql.graft.read.preserve-data-grouping" -> ("false", false),
+    // lake union read (S7's lake form): lake-enabled tables resolve cold
+    // state from their table.datalake.* lake dir + the fresh log tail
+    "spark.sql.graft.read.lake-union" -> ("false", false),
+    // key-grouped scan planning (storage-partitioned joins):
+    // 'true' | 'false' | 'auto' — auto groups per table when the bucket
+    // count can fill the session's cores (see [[GroupedReads]])
+    "spark.sql.graft.read.preserve-data-grouping" -> ("auto", false),
     "spark.sql.graft.scan.startup.mode" -> ("earliest", false),
     // streaming admission control for catalog-table reads (empty = none)
     "spark.sql.graft.maxOffsetsPerTrigger" -> ("", false),

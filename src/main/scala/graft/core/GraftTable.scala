@@ -2309,12 +2309,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
     else logDF.select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
 
-  /** The `preserve-data-grouping` opt-in (session or warehouse-dynamic),
-    * meaningful only on key-bucketed tables.
+  /** The `preserve-data-grouping` setting ('true' | 'false' | 'auto',
+    * session or warehouse-dynamic — [[GroupedReads]]), meaningful only
+    * on key-bucketed tables.
     */
   private def groupedReadEnabled: Boolean =
-    desc.effectiveBucketKeys.nonEmpty && DynamicConfigs.readFlag(
-      spark, path, "spark.sql.graft.read.preserve-data-grouping")
+    desc.effectiveBucketKeys.nonEmpty &&
+      GroupedReads.enabled(spark, path, desc.numBuckets)
 
   /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
     * connector option, website/docs/engine-spark/options.md:17): PK tables

@@ -191,8 +191,7 @@ object HudiExport {
   def readLive(spark: SparkSession, dir: String): DataFrame = {
     val files = liveFiles(dir).map(r => s"${WarehouseIO.qualify(dir)}/$r")
     if (files.isEmpty)
-      return LakeFormatOps.emptyRead(spark, dir).getOrElse(
-        spark.read.parquet()) // pre-manifest dir: loud error
+      return LakeFormatOps.emptyRead(spark, dir, "hudi")
     spark.read.option("basePath", WarehouseIO.qualify(dir))
       .parquet(files: _*)
   }

@@ -53,11 +53,20 @@ private[graft] object LakeFormatOps {
     * first commit) has no data file to infer a schema from, so the
     * format readers fall back to the schema the export manifest pinned
     * atomically alongside the metadata — Spark StructType JSON plus, on
-    * a bucket-aligned layout, the `__bucket` partition column. None when
-    * the manifest is absent (pre-manifest dirs keep the loud inference
-    * error).
+    * a bucket-aligned layout, the `__bucket` partition column. A dir
+    * with format metadata but NO manifest (hand-rolled, or a crash
+    * before the manifest write) fails naming the real condition —
+    * falling through to a zero-path `spark.read.parquet()` would
+    * surface as Spark's opaque 'Unable to infer schema for Parquet'.
     */
-  private[core] def emptyRead(spark: SparkSession,
+  private[core] def emptyRead(spark: SparkSession, dir: String,
+      fmtName: String): DataFrame =
+    emptyReadOpt(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has $fmtName metadata but no live data files and no " +
+        "_export_manifest.json to pin a schema; only " +
+        "tierSnapshot/exportSnapshot-published lakes are readable empty"))
+
+  private def emptyReadOpt(spark: SparkSession,
       dir: String): Option[DataFrame] =
     WarehouseIO.readStringIfExists(s"$dir/_export_manifest.json").map { s =>
       val em = org.json4s.jackson.JsonMethods.parse(s)

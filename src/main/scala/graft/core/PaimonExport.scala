@@ -155,8 +155,7 @@ object PaimonExport {
   def readLive(spark: SparkSession, dir: String): DataFrame = {
     val files = liveFiles(dir).map(r => s"${WarehouseIO.qualify(dir)}/$r")
     if (files.isEmpty)
-      return LakeFormatOps.emptyRead(spark, dir).getOrElse(
-        spark.read.parquet()) // pre-manifest dir: loud error
+      return LakeFormatOps.emptyRead(spark, dir, "paimon")
     spark.read.option("basePath", WarehouseIO.qualify(dir))
       .parquet(files: _*)
   }

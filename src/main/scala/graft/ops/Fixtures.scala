@@ -251,6 +251,58 @@ object Fixtures {
       tbl
     }
 
+  private val luCatCache = mutable.Map.empty[String, String]
+
+  /** The [[tieredLakeUnionTable]] scenario as a CATALOG table read
+    * through SQL — the reference's union read is a SQL-first surface
+    * (`SET spark.sql.fluss.read.lake-union`; website/docs/
+    * streaming-lakehouse/union-read.md). A dedicated warehouse pins
+    * `read.lake-union` + `preserve-data-grouping` as DYNAMIC configs, so
+    * only this catalog's scans read lake-union — no session conf leaks
+    * into other queries — and `PkCollapseRule` substitutes the grouped
+    * `scanLakeUnion` plan in-plan (the bucket-aligned lake keeps the
+    * table's `__bucket=N/` dirs, so the SQL read merges per bucket with
+    * zero exchanges, same as the engine API). Returns the catalog name.
+    */
+  def lakeUnionSqlCatalog(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      luCatCache.getOrElseUpdate(sfDir, {
+        val cat = "glu" + math.abs(sfDir.hashCode)
+        val wh = Files.createTempDirectory("graft-lu-wh").toString
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.connector.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        graft.core.DynamicConfigs.set(wh, Map(
+          "spark.sql.graft.read.preserve-data-grouping" -> "true",
+          "spark.sql.graft.read.lake-union" -> "true"))
+        val core = new Catalog(wh, spark)
+        val ev = eventsTyped(spark, sfDir)
+        val lakeDir = s"$wh/db/events_lu_lake"
+        val tbl = core.createTable("db", "events_lu", TableDescriptor(
+          StructType(eventsSchema(spark, sfDir).fields),
+          primaryKey = Seq("event_type", "user_id"),
+          partitionKeys = Seq("event_type"), numBuckets = 4,
+          properties = Map(
+            "table.datalake.enabled" -> "true",
+            "table.datalake.dir" -> lakeDir,
+            "table.datalake.format" -> "iceberg",
+            "table.datalake.layout" -> "bucket")))
+        tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
+          orderBy = Seq(ev("event_id")))
+        tbl.tierSnapshot(lakeDir)
+        tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+            col("event_type").isin("click", "view")),
+          orderBy = Seq(ev("event_id")))
+        tbl.tierSnapshot(lakeDir)
+        // the fresh tail: purchases land AFTER the last tier
+        tbl.upsert(ev.filter(col("event_id") % 4 === 0 &&
+            col("event_type") === "purchase"),
+          orderBy = Seq(ev("event_id")))
+        cat
+      })
+    }
+
   /** The all-types comparison frame (DECIMAL, TIMESTAMP, TIMESTAMP_NTZ,
     * DATE, BINARY, ARRAY, MAP, STRUCT — the §1.2 surface), derived
     * deterministically from `customer` so a SQL oracle can recompute

@@ -7,11 +7,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
 import graft.connector.GraftDsTable
-import graft.core.DynamicConfigs
+import graft.core.{DynamicConfigs, GraftTable, GroupedReads, LakeFormatOps, LakeMaintenance}
 
-/** Serves catalog SQL reads of PK tables through the GROUPED collapse
-  * plan instead of the V1 bridge (opt-in, rides
-  * `spark.sql.graft.read.preserve-data-grouping`).
+/** Serves catalog SQL reads of PK tables — and, in the session's
+  * lake-union mode, of lake-enabled tables — through the GROUPED engine
+  * plan instead of the V1 bridge (rides
+  * `spark.sql.graft.read.preserve-data-grouping`, 'auto' by default).
   *
   * The V1 bridge is correct but planner-opaque: `buildScan` re-plans the
   * snapshot ∪ log-tail collapse INSIDE the relation and hands Spark an
@@ -20,12 +21,17 @@ import graft.core.DynamicConfigs
   * bridge, and a join or aggregate ABOVE the relation cannot see the
   * bucket grouping, so SQL plans an exchange the engine-API path has
   * already deleted. This rule substitutes the relation with the SAME
-  * logical plan `GraftTable.scan()` builds — the LatestRow collapse over
-  * the grouped DSv2 state input — so catalog SQL gets the identical
-  * exchange-free, columnar, conversion-free plan, and joins above it can
-  * ride the reported `KeyGroupedPartitioning` (the reference's
-  * FlussUpsertPartitionReader merges per bucket for the same reason; in
-  * Spark the merge is an aggregate the planner can SEE).
+  * logical plan the engine API builds — `GraftTable.scan()` (the
+  * LatestRow collapse over the grouped DSv2 state input), or, when the
+  * session has `spark.sql.graft.read.lake-union` set on a lake-enabled
+  * table, `GraftTable.scanLakeUnion()` (lake live files ∪ gated log tail
+  * as one grouped relation; the reference's union read is a SQL-first
+  * surface — website/docs/streaming-lakehouse/union-read.md,
+  * fluss-spark/.../read/lake/FlussLakeUtils.scala) — so catalog SQL gets
+  * the identical exchange-free, columnar, conversion-free plan, and
+  * joins above it can ride the reported `KeyGroupedPartitioning` (the
+  * reference's FlussUpsertPartitionReader merges per bucket for the same
+  * reason; in Spark the merge is an aggregate the planner can SEE).
   *
   * Runs in `experimental.extraOptimizations` ("User Provided Optimizers",
   * after every built-in batch): by then read-side relations are
@@ -38,45 +44,75 @@ import graft.core.DynamicConfigs
   * relation is folded INTO that pass, so a full-PK point predicate
   * reaches the grouped scan's bucket pruning exactly like the engine API.
   *
+  * Per-query planning cost: one nested optimizer pass per eligible
+  * relation (the batch's later fixed-point iterations find nothing to
+  * substitute — the grafted subplan's relations are internal grouped
+  * tables, not [[GraftDsTable]]s). The eligibility checks in front of it
+  * are conf lookups against [[DynamicConfigs]]' mtime-keyed cache plus,
+  * in lake-union mode only, one lake-metadata existence probe.
+  *
   * Skips: time travel (`isCurrentStateRead`), reader options (startup
   * modes, leases — those semantics live in the V1 scan), read-optimized
-  * and lake-union session modes (different sources), pushed-aggregate
-  * scans (output shape differs; PK tables never push aggregates, the
-  * output-name guard is defensive).
+  * session mode (the ScanBuilder already plans that grouped natively),
+  * pushed-aggregate scans (output shape differs; PK tables never push
+  * aggregates, the output-name guard is defensive).
   */
 object PkCollapseRule extends Rule[LogicalPlan] {
 
   private def conf(spark: SparkSession, path: String, key: String): Boolean =
     DynamicConfigs.readFlag(spark, path, key)
 
-  private def eligible(sr: DataSourceV2ScanRelation): Boolean =
+  /** How an eligible relation reads through the engine API. */
+  private sealed trait Mode {
+    def plan(gt: GraftTable): org.apache.spark.sql.DataFrame
+  }
+  private case object PkState extends Mode {
+    def plan(gt: GraftTable) = gt.scan()
+  }
+  private final case class LakeUnion(dir: String, format: String)
+      extends Mode {
+    def plan(gt: GraftTable) = gt.scanLakeUnion(dir, format)
+  }
+
+  private def modeOf(sr: DataSourceV2ScanRelation): Option[Mode] =
     sr.relation.table match {
       case t: GraftDsTable if t.isCurrentStateRead =>
         val gt = t.table
         val spark = SparkSession.active
-        gt.desc.isPrimaryKeyTable &&
-          gt.desc.effectiveBucketKeys.nonEmpty &&
+        val eligible = gt.desc.effectiveBucketKeys.nonEmpty &&
           sr.relation.options.isEmpty &&
           sr.output.forall(a => gt.desc.schema.fieldNames.contains(a.name)) &&
-          conf(spark, gt.path,
-            "spark.sql.graft.read.preserve-data-grouping") &&
-          !conf(spark, gt.path, "spark.sql.graft.read.optimized") &&
-          !conf(spark, gt.path, "spark.sql.graft.read.lake-union")
-      case _ => false
+          GroupedReads.enabled(spark, gt.path, gt.desc.numBuckets) &&
+          !conf(spark, gt.path, "spark.sql.graft.read.optimized")
+        // the session's lake-union mode binds only tables that HAVE a
+        // lake — substitutes for PK AND append tables (both cross the
+        // V1 bridge otherwise); for every other table the mode is inert
+        // and the normal branches apply
+        val lakeUnion: Option[Mode] =
+          if (!eligible ||
+            !conf(spark, gt.path, "spark.sql.graft.read.lake-union")) None
+          else LakeMaintenance.policyOf(gt.desc.properties)
+            .filter(p => LakeFormatOps.of(p.format).hasMetadata(p.dir))
+            .map(p => LakeUnion(p.dir, p.format))
+        if (!eligible) None
+        else if (lakeUnion.isDefined) lakeUnion
+        else if (gt.desc.isPrimaryKeyTable) Some(PkState)
+        else None // plain append reads already plan grouped natively
+      case _ => None
     }
 
-  /** The grouped collapse plan, pruned to `sr.output` and aliased back to
-    * its exprIds; `cond` (the residual filter that sat above the
+  /** The engine plan for `mode`, pruned to `sr.output` and aliased back
+    * to its exprIds; `cond` (the residual filter that sat above the
     * relation) is re-applied inside the subplan BEFORE its optimization
     * pass, so predicate pushdown can carry it through the collapse to the
     * grouped scan. None = bail (leave the V1 plan).
     */
-  private def substituted(sr: DataSourceV2ScanRelation,
+  private def substituted(sr: DataSourceV2ScanRelation, mode: Mode,
       cond: Option[Expression]): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val gt = sr.relation.table.asInstanceOf[GraftDsTable].table
-    // build the collapse plan through the same door the engine API uses
-    val analyzed = gt.scan().queryExecution.analyzed
+    // build the plan through the same door the engine API uses
+    val analyzed = mode.plan(gt).queryExecution.analyzed
     val byName = analyzed.output.map(a => a.name -> a).toMap
     if (!sr.output.forall(a => byName.contains(a.name))) return None
     val remapped: Option[Expression] = cond.map { c =>
@@ -98,19 +134,21 @@ object PkCollapseRule extends Rule[LogicalPlan] {
   /** Explicit recursion (not transformDown — a returned node must be
     * able to STOP descent): row-level commands whose STRATEGY pattern-
     * matches the scan relation itself (`DeleteFromTable(relation, _)` →
-    * `DeleteFromTableExec`) keep their whole subtree; everything else
-    * recurses, matching Filter-over-relation first so the residual
-    * predicate travels into the subplan's own optimization pass and
-    * reaches the grouped scan's bucket pruning.
+    * `DeleteFromTableExec`) keep their TARGET subtree — but a MERGE's
+    * source is a plain read the strategy never pattern-matches, so it
+    * still substitutes. Everything else recurses, matching Filter-over-
+    * relation first so the residual predicate travels into the subplan's
+    * own optimization pass and reaches the grouped scan's bucket pruning.
     */
   private def rewrite(p: LogicalPlan): LogicalPlan = p match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
-    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m
-    case f @ Filter(cond, sr: DataSourceV2ScanRelation) if eligible(sr) =>
-      substituted(sr, Some(cond)).getOrElse(f)
-    case sr: DataSourceV2ScanRelation if eligible(sr) =>
-      substituted(sr, None).getOrElse(sr)
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      m.copy(sourceTable = rewrite(m.sourceTable))
+    case f @ Filter(cond, sr: DataSourceV2ScanRelation) =>
+      modeOf(sr).flatMap(substituted(sr, _, Some(cond))).getOrElse(f)
+    case sr: DataSourceV2ScanRelation =>
+      modeOf(sr).flatMap(substituted(sr, _, None)).getOrElse(sr)
     case other => other.mapChildren(rewrite)
   }
 }

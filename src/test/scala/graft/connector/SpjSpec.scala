@@ -578,6 +578,121 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("catalog SQL lake-union read plans the grouped union, join " +
+      "above rides it (PkCollapseRule)") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    val c = new graft.core.Catalog(wh, spark)
+    val lake = Files.createTempDirectory("graft-spj-lusql").toString
+    spark.sql(s"""
+      CREATE TABLE spj.db.kvlu (k BIGINT, state STRING)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4',
+        'table.datalake.enabled' = 'true', 'table.datalake.dir' = '$lake',
+        'table.datalake.format' = 'iceberg',
+        'table.datalake.layout' = 'bucket')""")
+    spark.sql(
+      "INSERT INTO spj.db.kvlu SELECT id, concat('s', id) FROM range(0, 40)")
+    c.getTable("db", "kvlu").tierSnapshot(lake)
+    // fresh tail: updates landing AFTER the tier
+    spark.sql("INSERT INTO spj.db.kvlu VALUES (7, 'fresh7'), (41, 's41')")
+    val sql = """SELECT u.k, u.state, d.name FROM spj.db.kvlu u
+                 JOIN spj.db.dims d ON u.k = d.k"""
+    // V1 lake-union read (grouping off) pins the expected answer
+    val expected = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false",
+      "spark.sql.graft.read.lake-union" -> "true") {
+      spark.sql(sql).collect().map(_.toSeq).toSet
+    }
+    assert(expected.exists(_ == Seq(7L, "fresh7", "n7")), expected)
+    withSpj("spark.sql.graft.read.lake-union" -> "true") {
+      val df = spark.sql(sql)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftKeyGroupedScan") &&
+        plan.contains("LakeUnion"),
+        s"SQL lake-union read should be the grouped union in-plan:\n$plan")
+      assert(shuffles(df) == 0,
+        s"catalog SQL join over the lake union should ride the " +
+          s"grouping:\n$plan")
+    }
+    // mode off again: plain PK read, fresh tail still wins (log holds all)
+    val off = withSpj() {
+      spark.sql("SELECT state FROM spj.db.kvlu WHERE k = 7")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(off == Seq("fresh7"))
+  }
+
+  test("MERGE: source read substitutes, target subtree stays untouched") {
+    // rule-level test: graft tables don't execute MERGE (no row-level
+    // MERGE support), but a graft PK table can be the SOURCE of a merge
+    // into another catalog's table — the rule must substitute that read
+    // while leaving the target relation alone (the strategy pattern-
+    // matches it)
+    wh
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, MergeIntoTable}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // un-substituted source relation, captured with grouping off
+    val src = withSpj(
+      "spark.sql.graft.read.preserve-data-grouping" -> "false") {
+      spark.sql("SELECT k, state FROM spj.db.kv")
+        .queryExecution.optimizedPlan
+    }
+    assert(src.collectFirst {
+      case sr: DataSourceV2ScanRelation => sr }.isDefined, src)
+    val target = LocalRelation(src.output.map(_.newInstance()))
+    val merge = MergeIntoTable(target, src, Literal(true), Nil, Nil, Nil,
+      withSchemaEvolution = false)
+    withSpj() {
+      val out = graft.plans.PkCollapseRule(merge)
+        .asInstanceOf[MergeIntoTable]
+      assert(out.targetTable eq target, "target subtree must not change")
+      assert(out.sourceTable.collectFirst {
+        case sr: DataSourceV2ScanRelation
+            if sr.relation.table.isInstanceOf[GraftDsTable] => sr
+      }.isEmpty,
+        s"source should be the substituted collapse:\n${out.sourceTable}")
+      assert(out.sourceTable.toString.contains("graft_grouped"),
+        s"substituted source should read the grouped state input:\n" +
+          s"${out.sourceTable}")
+    }
+  }
+
+  test("auto grouping (default): bucket count >= cores plans grouped, " +
+      "fewer buckets stay V1") {
+    wh
+    // no session conf, no warehouse dynamic -> registry default 'auto';
+    // the test session is local[8]
+    assert(spark.sparkContext.defaultParallelism == 8)
+    spark.sql("""
+      CREATE TABLE spj.db.auto8 (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '8')""")
+    spark.sql(
+      "INSERT INTO spj.db.auto8 SELECT id, CAST(id AS INT) FROM range(0, 40)")
+    spark.sql("""
+      CREATE TABLE spj.db.auto4 (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql(
+      "INSERT INTO spj.db.auto4 SELECT id, CAST(id AS INT) FROM range(0, 40)")
+    val prev = spark.conf.getOption(graft.core.GroupedReads.Key)
+    spark.conf.unset(graft.core.GroupedReads.Key)
+    try {
+      val wide = spark.sql("SELECT k, v FROM spj.db.auto8")
+      assert(wide.queryExecution.executedPlan.toString
+        .contains("GraftKeyGroupedScan"),
+        "8 buckets on 8 cores: grouping costs no parallelism -> auto " +
+          s"groups\n${wide.queryExecution.executedPlan}")
+      assert(wide.collect().length == 40)
+      val narrow = spark.sql("SELECT k, v FROM spj.db.auto4")
+      assert(!narrow.queryExecution.executedPlan.toString
+        .contains("GraftKeyGroupedScan"),
+        "4 buckets on 8 cores would cap scan parallelism -> auto stays " +
+          s"V1\n${narrow.queryExecution.executedPlan}")
+      assert(narrow.collect().length == 40)
+    } finally prev.foreach(spark.conf.set(graft.core.GroupedReads.Key, _))
+  }
+
   test("catalog bucket function is callable and matches the writer") {
     wh
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}

@@ -13,7 +13,16 @@ import graft.core._
 /** P5 point-query rewrite + A7 auto-increment + T1 timestamp startup. */
 class BucketPruneRuleSpec extends SparkTestBase {
 
-  private lazy val warehouse = Files.createTempDirectory("graft-plans").toString
+  private lazy val warehouse = {
+    val wh = Files.createTempDirectory("graft-plans").toString
+    // this spec pins the V1 read path (BucketPruneRule targets the
+    // LogicalRelation plan): 8-bucket tables on local[8] would otherwise
+    // auto-group (GroupedReads) and take the grouped scan's own bucket
+    // pruning instead — covered by SpjSpec
+    DynamicConfigs.set(wh,
+      Map("spark.sql.graft.read.preserve-data-grouping" -> "false"))
+    wh
+  }
   private lazy val cat = new Catalog(warehouse, spark)
 
   private def usersTable(): GraftTable = {
