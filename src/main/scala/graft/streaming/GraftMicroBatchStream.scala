@@ -26,8 +26,12 @@ import graft.core.{GraftTable, Meta, WarehouseIO}
   * live in [[GraftSource]] and are DELEGATED to an embedded instance
   * (one definition, two transports), so the V1 `format("graft")` source
   * and this stream can never drift. What this class adds is the
-  * executor plan: one [[InputPartition]] per committed-visible log
-  * parquet file whose bucket window is non-empty, each read by the
+  * executor plan: one [[InputPartition]] per BUCKET per batch (the
+  * reference's per-bucket splits,
+  * fluss-spark/.../read/FlussMicroBatchStream.scala:39) holding the
+  * bucket's committed-visible log files whose window is non-empty —
+  * chunked into several single-bucket partitions when cores exceed
+  * buckets, so grouping never costs parallelism — each read by the
   * session-configured parquet reader ([[ParquetRead]]) with the
   * batch's offset-window envelope PUSHED as parquet filters — row-group
   * stats on `__offset` skip already-consumed files, the same skipping
@@ -36,7 +40,9 @@ import graft.core.{GraftTable, Meta, WarehouseIO}
   *
   * Scale posture: planning is one manifest read + one log-dir walk on
   * the driver (no footers opened); each micro-batch reads only row
-  * groups overlapping its offset window, fully parallel per file.
+  * groups overlapping its offset window, and per-batch task count is
+  * O(max(buckets, cores)) — not O(files) — so a short trigger on a
+  * many-partition table doesn't drown the scheduler in tiny tasks.
   * Nothing data-scale sits in the stream or the checkpoint (offsets =
   * ≤numBuckets longs).
   */
@@ -148,13 +154,40 @@ final class GraftMicroBatchStream(table: GraftTable,
           partitionSchema, requiredSchema,
           Seq(GreaterThanOrEqual(Meta.Offset, windows.map(_._5).min),
             LessThan(Meta.Offset, windows.map(_._6).max)))
-        windows.map { case (path, len, kvs, bucket, lo, hi) =>
-          val pv: Array[Any] = partitionFields.map { f =>
-            if (f.name == Meta.Bucket) Int.box(bucket)
-            else hiveValue(kvs.get(f.name), f)
+        // SAME-BUCKET files group into one partition (the reference
+        // plans one split per bucket per batch —
+        // fluss-spark/.../read/FlussMicroBatchStream.scala:39): a short
+        // trigger on a many-partition table otherwise launches one task
+        // per tiny file, and at 100 TB (hundreds of buckets × a file per
+        // partition-dir per commit) per-batch task count is the
+        // scheduler bottleneck. When cores exceed buckets — the big
+        // catch-up batch 0 on a small cluster — a bucket's files CHUNK
+        // into several single-bucket partitions instead, so grouping
+        // never costs parallelism (the batch analogue is
+        // partiallyClusteredDistribution splitting a hot bucket). Rows
+        // stay bucket-clustered per task either way. No
+        // KeyGroupedPartitioning is REPORTED: Spark's DataSourceV2Strategy
+        // hard-codes None for MicroBatchScanExec, and stateful operators
+        // require exact stable HashPartitioning for their state stores —
+        // a reported grouping could not legally elide those exchanges.
+        val byBucket = windows.groupBy(_._4)
+        val chunksPerBucket = math.max(1,
+          spark.sparkContext.defaultParallelism / byBucket.size)
+        byBucket.toSeq.sortBy(_._1).flatMap { case (bucket, fs) =>
+          val lo = fs.head._5
+          val hi = fs.head._6
+          val nChunks = math.min(chunksPerBucket, fs.size)
+          val per = math.ceil(fs.size.toDouble / nChunks).toInt
+          fs.sortBy(_._1).grouped(per).map { chunk =>
+            GraftStreamInputPartition(
+              chunk.map { case (path, len, kvs, _, _, _) =>
+                StreamFile(path, len, partitionFields.map { f =>
+                  if (f.name == Meta.Bucket) Int.box(bucket)
+                  else hiveValue(kvs.get(f.name), f)
+                })
+              }, lo, hi,
+              offsetOrdinal, outputOrdinals, combinedTypes, reader)
           }
-          GraftStreamInputPartition(path, len, pv, lo, hi,
-            offsetOrdinal, outputOrdinals, combinedTypes, reader)
         }
       }
     (seedParts ++ logParts).toArray
@@ -204,8 +237,10 @@ final class GraftMicroBatchStream(table: GraftTable,
             case _ => hiveValue(kvs.get(f.name), f)
           }
         }
-        GraftStreamInputPartition(path, len, pv, lo = 0L, hi = 0L,
-          offsetOrdinal = -1, ordinals, combined, reader)
+        // seeds stay one partition per file: the cold-start batch is the
+        // biggest read a stream ever does, full parallel load matters
+        GraftStreamInputPartition(Seq(StreamFile(path, len, pv)),
+          lo = 0L, hi = 0L, offsetOrdinal = -1, ordinals, combined, reader)
       }
     }
   }
@@ -222,13 +257,21 @@ final class GraftMicroBatchStream(table: GraftTable,
   override def toString: String = s"GraftMicroBatchStream[${table.path}]"
 }
 
-/** One committed-visible log file whose bucket's offset window is
-  * non-empty. `partValues` are catalyst-typed dir values; `reader` is
-  * the serializable session-configured parquet closure (per bucket — it
-  * embeds the bucket's pushed offset window).
+/** One file of one streaming partition: path, size, catalyst-typed dir
+  * values (partition keys + `__bucket`; seeds add synthesized system
+  * columns).
+  */
+private[streaming] final case class StreamFile(path: String,
+    fileSize: Long, partValues: Array[Any])
+
+/** One micro-batch partition: a SINGLE bucket's committed-visible log
+  * files whose offset window `[lo, hi)` is non-empty (possibly a chunk
+  * of them, when cores exceed buckets), or one full-startup seed file.
+  * `reader` is the serializable session-configured parquet closure,
+  * shared across the batch's partitions.
   */
 private[streaming] final case class GraftStreamInputPartition(
-    path: String, fileSize: Long, partValues: Array[Any],
+    files: Seq[StreamFile],
     lo: Long, hi: Long, offsetOrdinal: Int, outputOrdinals: Array[Int],
     combinedTypes: Array[DataType],
     reader: ParquetRead.FileReader) extends InputPartition
@@ -240,9 +283,11 @@ private[streaming] object GraftStreamReaderFactory
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftStreamInputPartition]
     new PartitionReader[InternalRow] {
-      // the parquet iterator registers its own task-completion close
-      private val it = p.reader(ParquetRead.partitionedFile(
-        new GenericInternalRow(p.partValues), p.path, p.fileSize))
+      // files read sequentially within the task; each parquet iterator
+      // registers its own task-completion close
+      private val it = p.files.iterator.flatMap(f =>
+        p.reader(ParquetRead.partitionedFile(
+          new GenericInternalRow(f.partValues), f.path, f.fileSize)))
       private val proj = UnsafeProjection.create(
         p.outputOrdinals.toIndexedSeq.map(i =>
           BoundReference(i, p.combinedTypes(i), nullable = true)))
