@@ -1463,6 +1463,32 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     require(Seq(icebergMetadata, deltaMetadata, paimonMetadata,
       hudiMetadata).count(identity) <= 1,
       "pick ONE lake metadata format per export directory")
+    // Layout choice, pinned here for the export's LIFETIME (tiers read it
+    // back from the manifest): bucket-aligned keeps the table's own
+    // `__bucket=N/` dirs — incremental PK tiers then rewrite only changed
+    // buckets and union reads merge per bucket with no exchange — but
+    // pays one file per (partition, bucket) dir, a small-file regime when
+    // buckets hold little data. `table.datalake.layout` pins it;
+    // otherwise lake-maintained tables align (incremental tiering is
+    // their point) and plain exports align only above a per-bucket size
+    // floor (`table.datalake.layout.min-bucket-bytes`, default 32 MiB).
+    val minBucketBytes = desc.properties
+      .get("table.datalake.layout.min-bucket-bytes").map(_.toLong)
+      .getOrElse(32L << 20)
+    val estBytes = plannerStats()._1 // one manifest+listing for both uses
+    val bucketAligned = desc.properties.get("table.datalake.layout") match {
+      case Some("bucket") => true
+      case Some("partition") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"table.datalake.layout must be 'bucket' or 'partition'; " +
+          s"got '$other'")
+      case None =>
+        desc.properties.get("table.datalake.enabled")
+          .exists(_.equalsIgnoreCase("true")) ||
+          estBytes >= minBucketBytes * math.max(desc.numBuckets, 1)
+    }
+    val tierSchema = if (bucketAligned) lakeSchema else desc.schema
+    val tierKeys = if (bucketAligned) lakePartitionKeys else desc.partitionKeys
     // The manifest must describe EXACTLY the state exported. scan()
     // pins its own manifest read when the plan is built, which happens
     // between our pre- and post- reads — so if pre == post, no commit
@@ -1483,12 +1509,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // PK tiers then replace only the changed BUCKETS, and the lake
       // union read can merge per bucket.
       val exportDF =
-        if (desc.isPrimaryKeyTable)
+        if (!bucketAligned) {
+          // size-targeted file count: the PK collapse arrives exchange-
+          // free at bucket-count partitions (no AQE coalesce without a
+          // shuffle), which on a small table means bucket-count tiny
+          // files — merge toward maxPartitionBytes-sized outputs.
+          // repartition (not coalesce): the shuffle boundary keeps the
+          // scan+collapse at full parallelism and only the write narrows;
+          // the shuffled bytes are small BY DEFINITION on this path (a
+          // table big enough to care is past the bucket-aligned
+          // threshold)
+          val targetBytes = spark.conf
+            .get("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+            .toLong
+          val nFiles = math.max(1L, math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            estBytes / math.max(targetBytes, 1L) + 1L)).toInt
+          scan().repartition(nFiles)
+        } else if (desc.isPrimaryKeyTable)
           currentState().withColumn(Meta.Bucket, bucketCol)
         else logDF.select(
           (desc.schema.fieldNames :+ Meta.Bucket).map(col).toIndexedSeq: _*)
-      exportDF.write.mode("overwrite").options(fileWriteOptions)
-        .partitionBy(lakePartitionKeys: _*).parquet(dir)
+      val writer = exportDF.write.mode("overwrite").options(fileWriteOptions)
+      (if (tierKeys.nonEmpty) writer.partitionBy(tierKeys: _*)
+       else writer).parquet(dir)
       val post = parseManifest()
       if (post._1 == pre._1) {
         pinnedOffsets = pre._1
@@ -1506,14 +1550,14 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       .sortBy(_.path)
     writeExportManifest(dir, pinnedOffsets, version,
       files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
-      bucketAligned = true)
+      bucketAligned)
     // Optional Iceberg-spec metadata (metadata/v1.metadata.json + Avro
     // manifests + version-hint) so the export is a TABLE to any
     // Iceberg-reading engine. Opt-in because the extra metadata/ dir
     // makes the export no longer readable as a bare parquet directory
     // (Spark's parquet source trips over the non-parquet files).
     if (icebergMetadata) {
-      IcebergExport.write(spark, dir, lakeSchema, lakePartitionKeys,
+      IcebergExport.write(spark, dir, tierSchema, tierKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, summaryExtra = tierSummary(pinnedOffsets, version))
       ()
@@ -1522,7 +1566,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // Iceberg Avro manifests — the export is then a Delta TABLE to any
     // Delta-reading engine (PROTOCOL.md; see DeltaExport)
     if (deltaMetadata) {
-      DeltaExport.write(dir, lakeSchema, lakePartitionKeys,
+      DeltaExport.write(dir, tierSchema, tierKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1531,7 +1575,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // — the reference's primary lake format (fluss-lake-paimon; see
     // PaimonExport)
     if (paimonMetadata) {
-      PaimonExport.write(dir, lakeSchema, lakePartitionKeys,
+      PaimonExport.write(dir, tierSchema, tierKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()
@@ -1540,7 +1584,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // manifests — the export is then a Hudi TABLE shape (fluss-lake/
     // fluss-lake-hudi; see HudiExport)
     if (hudiMetadata) {
-      HudiExport.write(dir, lakeSchema, lakePartitionKeys,
+      HudiExport.write(dir, tierSchema, tierKeys,
         files.map(e => WarehouseIO.relativize(dir, e.path) -> e.len),
         path, tags = tierSummary(pinnedOffsets, version))
       ()

@@ -235,7 +235,10 @@ object Fixtures {
       val schema = StructType(eventsSchema(spark, sfDir).fields)
       val tbl = fresh(spark, sfDir, "users_tiered_union",
         TableDescriptor(schema, primaryKey = Seq("event_type", "user_id"),
-          partitionKeys = Seq("event_type"), numBuckets = 4))
+          partitionKeys = Seq("event_type"), numBuckets = 4,
+          // the grouped (per-bucket, zero-exchange) union read is what
+          // s17 exercises — pin alignment past the small-sf size floor
+          properties = Map("table.datalake.layout" -> "bucket")))
       val dir = tbl.path + "_lake"
       tbl.upsert(ev.filter(col("event_id") % 4 =!= 0),
         orderBy = Seq(ev("event_id")))

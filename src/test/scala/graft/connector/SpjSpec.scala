@@ -406,7 +406,8 @@ class SpjSpec extends SparkTestBase {
     val c = new graft.core.Catalog(wh, spark)
     spark.sql("""
       CREATE TABLE spj.db.kvlake (k BIGINT, state STRING)
-      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4',
+        'table.datalake.layout' = 'bucket')""")
     spark.sql("INSERT INTO spj.db.kvlake SELECT id, concat('s', id) FROM range(0, 30)")
     val t = c.getTable("db", "kvlake")
     val lake = Files.createTempDirectory("graft-spj-lake").toString
@@ -519,7 +520,8 @@ class SpjSpec extends SparkTestBase {
     val c = new graft.core.Catalog(wh, spark)
     spark.sql("""
       CREATE TABLE spj.db.loglake (k BIGINT, v INT)
-      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4')""")
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '4',
+        'table.datalake.layout' = 'bucket')""")
     spark.sql("INSERT INTO spj.db.loglake SELECT id, CAST(id AS INT) FROM range(0, 30)")
     val t = c.getTable("db", "loglake")
     val lake = Files.createTempDirectory("graft-spj-loglake").toString

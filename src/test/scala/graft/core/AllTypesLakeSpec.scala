@@ -31,7 +31,9 @@ class AllTypesLakeSpec extends SparkTestBase {
       Files.createTempDirectory("graft-atl-wh").toString, spark)
     for (fmt <- Seq("iceberg", "delta", "paimon", "hudi")) {
       val t = cat.createTable("db", s"at_$fmt", TableDescriptor(
-        df.schema, primaryKey = Seq("k"), numBuckets = 2))
+        df.schema, primaryKey = Seq("k"), numBuckets = 2,
+        // pin the bucket-aligned layout (tiny tables auto-pick partition)
+        properties = Map("table.datalake.layout" -> "bucket")))
       t.upsert(df, orderBy = Seq(col("k")))
       val lake = t.path + "_lake"
       t.tierSnapshot(lake, fmt)

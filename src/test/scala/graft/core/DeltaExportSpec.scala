@@ -35,7 +35,9 @@ class DeltaExportSpec extends SparkTestBase {
     val cat = new Catalog(
       Files.createTempDirectory("graft-delta-wh").toString, spark)
     val t = cat.createTable("db", "pkdelta", TableDescriptor(schema,
-      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2,
+      // pin the bucket-aligned layout (tiny tables auto-pick partition)
+      properties = Map("table.datalake.layout" -> "bucket")))
     rows(t, 0L, ("a", 1L, 1), ("b", 1L, 10))
     val out = Files.createTempDirectory("graft-delta-out").toString
 

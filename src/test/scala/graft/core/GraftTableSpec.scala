@@ -758,15 +758,30 @@ class GraftTableSpec extends SparkTestBase {
     t.delete(df((2L, null, null)), orderBy = Seq(col("ord")))
     val out = Files.createTempDirectory("graft-export").toString
     t.exportSnapshot(out)
-    // NO graft involved in the read-back: any parquet engine sees this
-    // (plus the bucket-aligned layout's __bucket partition column)
+    // NO graft involved in the read-back: any parquet engine sees this.
+    // A small table auto-picks the partition-level layout (no __bucket
+    // dirs — one file per (partition, bucket) would be a small-file
+    // regime); `table.datalake.layout = bucket` pins alignment (below)
     val back = spark.read.parquet(out)
-    assert(back.schema.fieldNames.toSeq ==
-      schema.fieldNames.toSeq :+ "__bucket")
+    assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
     assertSameRows(
       back.select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .collect().toSeq,
       t.scan().collect().toSeq)
+    // pinned bucket alignment: same rows, __bucket riding as a dir column
+    val t2 = cat.createTable("db", "exp1b",
+      TableDescriptor(schema, primaryKey = Seq("k"), numBuckets = 4,
+        properties = Map("table.datalake.layout" -> "bucket")))
+    t2.upsert(df((1L, 10, "a2"), (3L, 3, "c")), orderBy = Seq(col("ord")))
+    val out2 = Files.createTempDirectory("graft-export-b").toString
+    t2.exportSnapshot(out2)
+    val back2 = spark.read.parquet(out2)
+    assert(back2.schema.fieldNames.toSeq ==
+      schema.fieldNames.toSeq :+ "__bucket")
+    assertSameRows(
+      back2.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect().toSeq,
+      t2.scan().collect().toSeq)
     // the manifest names every data file with its size, and pins the
     // exported version/offsets
     val mf = org.json4s.jackson.JsonMethods.parse(new String(

@@ -46,7 +46,10 @@ class IcebergExportSpec extends SparkTestBase {
       StructField("tags", ArrayType(StringType)),
       StructField("dt", StringType)))
     val t = cat.createTable("db", "ice", TableDescriptor(schema,
-      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2,
+      // this spec pins the bucket-aligned layout (tiny tables auto-pick
+      // the partition layout otherwise)
+      properties = Map("table.datalake.layout" -> "bucket")))
     def rows(r: (Long, Integer, Seq[String], String)*) = spark.createDataFrame(
       r.zipWithIndex.map { case ((k, v, tg, dt), i) =>
         Row(k, v, tg, dt, i.toLong) }.asJava,
@@ -271,7 +274,8 @@ class IcebergExportSpec extends SparkTestBase {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("v", IntegerType)))
     val t = cat.createTable("db", "pkflat", TableDescriptor(schema,
-      primaryKey = Seq("k"), numBuckets = 4))
+      primaryKey = Seq("k"), numBuckets = 4,
+      properties = Map("table.datalake.layout" -> "bucket")))
     def rows(r: (Long, Int)*)(ordBase: Long) = spark.createDataFrame(
       r.zipWithIndex.map { case ((k, v), i) =>
         Row(k, Int.box(v), ordBase + i) }.asJava,
@@ -303,6 +307,56 @@ class IcebergExportSpec extends SparkTestBase {
     assert(got.contains(3L -> 333) && got.size == 8)
   }
 
+  test("export layout guard: small tables auto-pick the partition " +
+      "layout; the property and the size floor flip it") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-layout-wh").toString, spark)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", IntegerType)))
+    def rows(ordBase: Long) = spark.createDataFrame(
+      (1L to 8L).zipWithIndex.map { case (k, i) =>
+        Row(k, Int.box(k.toInt * 10), ordBase + i) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    // AUTO on a tiny table: one file per bucket dir would be a
+    // small-file regime -> partition-level layout, and tiers keep
+    // honoring it (the manifest pins the layout for the export's life)
+    val small = cat.createTable("db", "lysmall", TableDescriptor(schema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    small.upsert(rows(0L), orderBy = Seq(col("ord")))
+    val outSmall = Files.createTempDirectory("graft-layout-s").toString
+    small.tierSnapshot(outSmall)
+    assert(IcebergExport.liveFiles(outSmall)
+      .forall(!_.contains("__bucket=")), IcebergExport.liveFiles(outSmall))
+    small.upsert(spark.createDataFrame(Seq(Row(3L, Int.box(333), 100L)).asJava,
+      StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    small.tierSnapshot(outSmall) // incremental tier keeps the layout
+    assert(IcebergExport.liveFiles(outSmall)
+      .forall(!_.contains("__bucket=")))
+    val got = IcebergExport.readLive(spark, outSmall)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(3L) == 333 && got.size == 8)
+    // a zero size floor makes the SAME data bucket-align (the 'large
+    // table' side of the threshold, without gigabytes of fixture)
+    val big = cat.createTable("db", "lybig", TableDescriptor(schema,
+      primaryKey = Seq("k"), numBuckets = 4,
+      properties = Map("table.datalake.layout.min-bucket-bytes" -> "0")))
+    big.upsert(rows(0L), orderBy = Seq(col("ord")))
+    val outBig = Files.createTempDirectory("graft-layout-b").toString
+    big.tierSnapshot(outBig)
+    assert(IcebergExport.liveFiles(outBig).forall(_.startsWith("__bucket=")),
+      IcebergExport.liveFiles(outBig))
+    // explicit 'partition' pin wins over the floor
+    val pinned = cat.createTable("db", "lypin", TableDescriptor(schema,
+      primaryKey = Seq("k"), numBuckets = 4,
+      properties = Map("table.datalake.layout" -> "partition",
+        "table.datalake.layout.min-bucket-bytes" -> "0")))
+    pinned.upsert(rows(0L), orderBy = Seq(col("ord")))
+    val outPin = Files.createTempDirectory("graft-layout-p").toString
+    pinned.exportSnapshot(outPin, icebergMetadata = true)
+    assert(IcebergExport.liveFiles(outPin).forall(!_.contains("__bucket=")))
+  }
+
   test("incremental tiering on a partitioned PK table: only changed partitions move") {
     val cat = new Catalog(
       Files.createTempDirectory("graft-tier-wh2").toString, spark)
@@ -310,7 +364,8 @@ class IcebergExportSpec extends SparkTestBase {
       StructField("dt", StringType), StructField("k", LongType),
       StructField("v", IntegerType)))
     val t = cat.createTable("db", "pkpart", TableDescriptor(schema,
-      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2,
+      properties = Map("table.datalake.layout" -> "bucket")))
     def rows(r: (String, Long, Int)*)(ordBase: Long) = spark.createDataFrame(
       r.zipWithIndex.map { case ((dt, k, v), i) =>
         Row(dt, k, Int.box(v), ordBase + i) }.asJava,

@@ -36,7 +36,9 @@ class PaimonExportSpec extends SparkTestBase {
     val cat = new Catalog(
       Files.createTempDirectory("graft-paimon-wh").toString, spark)
     val t = cat.createTable("db", "pkpaimon", TableDescriptor(schema,
-      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2))
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"), numBuckets = 2,
+      // pin the bucket-aligned layout (tiny tables auto-pick partition)
+      properties = Map("table.datalake.layout" -> "bucket")))
     rows(t, 0L, ("a", 1L, 1), ("b", 1L, 10))
     val out = Files.createTempDirectory("graft-paimon-out").toString
 

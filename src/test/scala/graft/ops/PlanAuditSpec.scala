@@ -85,11 +85,26 @@ class PlanAuditSpec extends SparkTestBase {
     t.compact()
     val df2 = spark.range(5).selectExpr("id AS k", "CAST(id + 100 AS INT) AS v")
     t.upsert(df2, orderBy = Seq(col("k")))
+    // 8 buckets on local[8] auto-group: ONE grouped scan serves both
+    // tiers, point-pruned to the key's bucket at the FILE level
     val p = t.lookup(Map("k" -> 3L)).queryExecution.executedPlan.toString
-    // both parquet scans (snapshot + log tail) carry a __bucket partition
-    // filter -> 1/numBuckets of the files on each side
-    val hits = raw"PartitionFilters: \[[^\]]*__bucket[^\]]*\]".r.findAllIn(p).size
-    assert(hits >= 2, p)
+    assert(p.contains("GraftKeyGroupedScan") &&
+      raw"PartitionFilters: \[[^\]]*__bucket = \d".r.findFirstIn(p).isDefined,
+      p)
+    // grouping pinned off (the V1 plan): BOTH parquet scans (snapshot +
+    // log tail) carry a __bucket partition filter -> 1/numBuckets of the
+    // files on each side
+    val prev = spark.conf.getOption(graft.core.GroupedReads.Key)
+    spark.conf.set(graft.core.GroupedReads.Key, "false")
+    try {
+      val v1 = t.lookup(Map("k" -> 3L)).queryExecution.executedPlan.toString
+      val hits =
+        raw"PartitionFilters: \[[^\]]*__bucket[^\]]*\]".r.findAllIn(v1).size
+      assert(hits >= 2, v1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.core.GroupedReads.Key, v)
+      case None => spark.conf.unset(graft.core.GroupedReads.Key)
+    }
   }
 
   test("sim1: scoring runs inside whole-stage codegen") {
