@@ -19,6 +19,11 @@ object Bench {
       // fallback would sort anyway; at ~128B/key 1M buffered keys is
       // ~128MB/partition, well within executor memory at this scale
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // CBO on: the scans report fresh per-manifest-state row counts,
+      // sizes AND column min/max/NDV (FooterStats), so selectivity
+      // estimation runs on live numbers - the staleness that keeps
+      // Spark's default off does not apply here
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
       // accumulate status-store state even with the UI off — the

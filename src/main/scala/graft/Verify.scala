@@ -44,6 +44,11 @@ object Verify {
       // fallback would sort anyway; at ~128B/key 1M buffered keys is
       // ~128MB/partition, well within executor memory at this scale
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // CBO on: the scans report fresh per-manifest-state row counts,
+      // sizes AND column min/max/NDV (FooterStats), so selectivity
+      // estimation runs on live numbers - the staleness that keeps
+      // Spark's default off does not apply here
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

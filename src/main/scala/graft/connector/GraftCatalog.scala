@@ -969,7 +969,11 @@ class GraftScanBuilder(table: GraftTable,
 
     /** CBO input ([[GraftTable.plannerStats]]): visible-file bytes + the
       * manifest row count when free — a small dimension table becomes
-      * broadcast-eligible instead of defaulting to never-broadcast.
+      * broadcast-eligible instead of defaulting to never-broadcast —
+      * plus per-column footer stats ([[GraftColumnStats]]) so a
+      * SELECTIVE filter shrinks the estimate and flips the join at plan
+      * time (V1StatsRule forwards this whole surface across Spark's V1
+      * bridge wrapper).
       */
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
       val (bytes, rows) = table.plannerStats()
@@ -979,6 +983,10 @@ class GraftScanBuilder(table: GraftTable,
         override def numRows(): java.util.OptionalLong =
           rows.map(java.util.OptionalLong.of)
             .getOrElse(java.util.OptionalLong.empty())
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          GraftColumnStats.of(table)
       }
     }
 

@@ -452,6 +452,13 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      // per-column min/max/nulls from footers (cached per table state):
+      // CBO estimates filter selectivity at plan time, so a selective
+      // predicate flips a join to broadcast in the INITIAL plan
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        GraftColumnStats.of(table)
     }
   }
 

@@ -3022,6 +3022,28 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     (bytes, rows)
   }
 
+  /** Per-column planner stats (min/max/nullCount) for the DSv2 scans'
+    * `columnStats()` report — see [[FooterStats]] for coverage, caps and
+    * caching. Partition-key columns are dir-encoded (no footer stats);
+    * big tables (> [[FooterStats.MaxFiles]] visible files) report none
+    * and CBO runs on rows+bytes alone.
+    */
+  def columnPlannerStats(): Map[String, FooterStats.ColStats] = {
+    val cols = FooterStats.statableColumns(StructType(
+      desc.schema.fields.filterNot(f => desc.partitionKeys.contains(f.name))))
+    if (cols.isEmpty) return Map.empty
+    def mtimeOr(p: String): Long =
+      if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
+    FooterStats.cached((path, mtimeOr(offsetsFile),
+        mtimeOr(snapshotMetaFile))) {
+      val files = visibleLogFiles()._1 ++
+        WarehouseIO.walkFiles(snapshotDir)
+          .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.path)
+      if (files.isEmpty || files.size > FooterStats.MaxFiles) Map.empty
+      else FooterStats.collect(files, cols)
+    }
+  }
+
   /** A6 count(*) from offset metadata — log tables only: the record count
     * is the sum of per-bucket next offsets, no scan (the reference's
     * `countTable`, PushdownUtils.java:348-440 summing latestOffset −
