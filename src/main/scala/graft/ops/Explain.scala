@@ -21,6 +21,8 @@ object Explain {
       // hash path for the LatestRow PK collapse (buffer = one row) —
       // mirror Verify/Bench so audited plans match executed plans
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // mirror Bench/Verify: CBO on (fresh per-manifest-state stats)
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -16,6 +16,8 @@ object TimeQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match Bench: hash path for the LatestRow PK collapse
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // mirror Bench/Verify: CBO on (fresh per-manifest-state stats)
+      .config("spark.sql.cbo.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
