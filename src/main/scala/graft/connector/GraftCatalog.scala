@@ -922,7 +922,7 @@ class GraftScanBuilder(table: GraftTable,
           .exists(p => graft.core.LakeFormatOps.of(p.format)
             .hasMetadata(p.dir))
     if (!graft.core.GroupedReads.enabled(spark, table.path,
-      table.desc.numBuckets)) None
+      table.desc.numBuckets, table.plannerBytesCached)) None
     else if (keys.isEmpty || startup.isDefined || asOf.isDefined ||
       atVersion.isDefined || pushedAgg.isDefined || lakeUnionBinds) None
     else if (!keys.forall(required.fieldNames.contains)) None

@@ -425,15 +425,27 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
       WarehouseIO.walkFiles(d)
         .filter(e => !e.isDir && e.name.endsWith(".parquet"))
         .map(e => e.path -> e.len)
+    // snapshot META present but the snapshot DIR gone = a crashed
+    // compact's swap window (snapshot.old moved aside, new never
+    // arrived). Reading on would silently serve a log-tail-only state —
+    // fail as loudly as the V1 path's missing-dir parquet read does.
+    def snapshotDirOrFail(): String = {
+      val d = table.snapshotDirPath
+      require(WarehouseIO.exists(d),
+        s"${table.path} has snapshot metadata but no snapshot directory " +
+          "(crashed compact mid-swap?); restore snapshot.old or re-run " +
+          "compact()")
+      d
+    }
     (tier match {
       case GraftScanTier.AppendLog => logParts(Map.empty)
       case GraftScanTier.SnapshotOnly =>
-        snapParts(table.snapshotDirPath, walkDir(table.snapshotDirPath))
+        snapParts(snapshotDirOrFail(), walkDir(table.snapshotDirPath))
       case GraftScanTier.State =>
         cutoffs match {
           case None => logParts(Map.empty)
           case Some(cut) =>
-            snapParts(table.snapshotDirPath,
+            snapParts(snapshotDirOrFail(),
               walkDir(table.snapshotDirPath)) ++ logParts(cut)
         }
       case lu: GraftScanTier.LakeUnion =>

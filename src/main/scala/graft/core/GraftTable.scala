@@ -2359,7 +2359,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def groupedReadEnabled: Boolean =
     desc.effectiveBucketKeys.nonEmpty &&
-      GroupedReads.enabled(spark, path, desc.numBuckets)
+      GroupedReads.enabled(spark, path, desc.numBuckets, plannerBytesCached)
 
   /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
     * connector option, website/docs/engine-spark/options.md:17): PK tables
@@ -3022,6 +3022,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     (bytes, rows)
   }
 
+  /** [[plannerStats]] bytes behind the same mtime-keyed cache as
+    * [[columnPlannerStats]] — [[GroupedReads]]' auto path reads it on
+    * every plan, and re-listing files per plan would not stay flat.
+    */
+  private[graft] def plannerBytesCached: Long = {
+    def mtimeOr(p: String): Long =
+      if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
+    GraftTable.bytesCache.computeIfAbsent(
+      (path, mtimeOr(offsetsFile), mtimeOr(snapshotMetaFile)),
+      _ => plannerStats()._1)
+  }
+
   /** Per-column planner stats (min/max/nullCount) for the DSv2 scans'
     * `columnStats()` report — see [[FooterStats]] for coverage, caps and
     * caching. Partition-key columns are dir-encoded (no footer stats);
@@ -3365,6 +3377,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 }
 
 object GraftTable {
+
+  /** (path, manifest mtime, snapshot mtime) → visible bytes; see
+    * [[GraftTable.plannerBytesCached]]. Bounded like FooterStats' cache.
+    */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
   /** Iceberg snapshot-summary key holding the offset window a tier
     * covers (compact JSON bucket→offset map) — the tier commit's

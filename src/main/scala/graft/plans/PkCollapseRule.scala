@@ -82,7 +82,8 @@ object PkCollapseRule extends Rule[LogicalPlan] {
         val eligible = gt.desc.effectiveBucketKeys.nonEmpty &&
           sr.relation.options.isEmpty &&
           sr.output.forall(a => gt.desc.schema.fieldNames.contains(a.name)) &&
-          GroupedReads.enabled(spark, gt.path, gt.desc.numBuckets) &&
+          GroupedReads.enabled(spark, gt.path, gt.desc.numBuckets,
+            gt.plannerBytesCached) &&
           !conf(spark, gt.path, "spark.sql.graft.read.optimized")
         // the session's lake-union mode binds only tables that HAVE a
         // lake — substitutes for PK AND append tables (both cross the

@@ -661,8 +661,8 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
-  test("auto grouping (default): bucket count >= cores plans grouped, " +
-      "fewer buckets stay V1") {
+  test("auto grouping (default): rides bucket-count-vs-cores and " +
+      "per-bucket-bytes thresholds") {
     wh
     // no session conf, no warehouse dynamic -> registry default 'auto';
     // the test session is local[8]
@@ -686,12 +686,28 @@ class SpjSpec extends SparkTestBase {
         "8 buckets on 8 cores: grouping costs no parallelism -> auto " +
           s"groups\n${wide.queryExecution.executedPlan}")
       assert(wide.collect().length == 40)
-      val narrow = spark.sql("SELECT k, v FROM spj.db.auto4")
-      assert(!narrow.queryExecution.executedPlan.toString
+      // 4 buckets < 8 cores BUT tiny per-bucket bytes: the flat scan
+      // would cut ~one split per bucket anyway -> auto still groups
+      // (the saved exchange is free)
+      val small = spark.sql("SELECT k, v FROM spj.db.auto4")
+      assert(small.queryExecution.executedPlan.toString
         .contains("GraftKeyGroupedScan"),
-        "4 buckets on 8 cores would cap scan parallelism -> auto stays " +
-          s"V1\n${narrow.queryExecution.executedPlan}")
-      assert(narrow.collect().length == 40)
+        "tiny 4-bucket table should auto-group (no parallelism to " +
+          s"lose)\n${small.queryExecution.executedPlan}")
+      assert(small.collect().length == 40)
+      // between the thresholds (few buckets AND per-bucket data past
+      // maxPartitionBytes — simulated by shrinking the conf): the cap
+      // is real, auto stays V1
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      try {
+        val big = spark.sql("SELECT k, v FROM spj.db.auto4")
+        assert(!big.queryExecution.executedPlan.toString
+          .contains("GraftKeyGroupedScan"),
+          "4 buckets on 8 cores with big buckets would cap scan " +
+            s"parallelism -> auto stays V1\n" +
+            s"${big.queryExecution.executedPlan}")
+        assert(big.collect().length == 40)
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     } finally prev.foreach(spark.conf.set(graft.core.GroupedReads.Key, _))
   }
 

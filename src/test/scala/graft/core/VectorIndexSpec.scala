@@ -57,7 +57,9 @@ class VectorIndexSpec extends SparkTestBase {
     // the probe's list filter reaches the scan as a PARTITION filter —
     // asserting on the PartitionFilters clause, not the schema echo
     val plan = vi.topK(q, 10, 3).queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[.*ivf_list#\\d+ IN ".r
+    // V1 form `ivf_list#12 IN (...)` or the grouped scan's description
+    // form `ivf_list IN (...)` — both mean the probe pruned partitions
+    assert("PartitionFilters: \\[.*ivf_list(#\\d+)? IN ".r
         .findFirstIn(plan).isDefined,
       s"expected a pushed partition filter on ivf_list, plan:\n$plan")
   }
