@@ -969,6 +969,21 @@ object SparkEntry {
     // applied as one mixed merge batch
     "rl2_merge_into" -> ((s, dir) => Fixtures.usersMerged(s, dir).scan()),
 
+    // ----- RL3/RL4 (beyond the reference): the SAME row-level semantics
+    // through PLAIN SQL — UPDATE and MERGE INTO ride Spark's delta-based
+    // row-level framework (SupportsRowLevelOperations/SupportsDelta);
+    // the delta applies as one atomic mixed merge commit
+    "rl3_sql_update" -> ((s, dir) => {
+      val cat = Fixtures.rowLevelSqlCatalog(s, dir)
+      s.sql(s"""SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM $cat.db.users_rl WHERE event_type = 'purchase'""")
+    }),
+    "rl4_sql_merge" -> ((s, dir) => {
+      val cat = Fixtures.rowLevelSqlCatalog(s, dir)
+      s.sql(s"""SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM $cat.db.users_rl""")
+    }),
+
     // ----- T3 + ChangelogImage.WAL: -U before-images suppressed
     "t3_changelog_wal" -> ((s, dir) =>
       Fixtures.usersLwwWal(s, dir).changelog()
@@ -2432,6 +2447,48 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 AND NOT (user_id % 3 = 0 AND event_type = 'error')""".stripMargin,
+
+    // replay LWW -> SQL UPDATE (purchase values doubled) -> SQL MERGE
+    // (%3==0: error rows deleted, others get +user_id; one synthetic
+    // not-matched insert)
+    "rl3_sql_update" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |upd AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2
+        |         ELSE value END AS value
+        |  FROM lww),
+        |merged AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN user_id % 3 = 0 THEN value + user_id
+        |         ELSE value END AS value
+        |  FROM upd WHERE NOT (user_id % 3 = 0 AND event_type = 'error'))
+        |SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM merged WHERE event_type = 'purchase'""".stripMargin,
+
+    "rl4_sql_merge" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |upd AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2
+        |         ELSE value END AS value
+        |  FROM lww),
+        |merged AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN user_id % 3 = 0 THEN value + user_id
+        |         ELSE value END AS value
+        |  FROM upd WHERE NOT (user_id % 3 = 0 AND event_type = 'error')
+        |  UNION ALL SELECT -1, 'synthetic', CAST(42 AS DECIMAL(18,6)))
+        |SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM merged""".stripMargin,
 
     "t3_changelog_wal" ->
       """WITH o AS (

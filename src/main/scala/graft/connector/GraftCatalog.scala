@@ -602,7 +602,48 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
     atVersion: Option[Long] = None,
     authz: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with SupportsPartitionManagement {
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE on PK tables — the
+    * delta-based row-level framework ([[GraftRowLevelOperation]]: the
+    * delta IS a CDC batch, applied as one atomic mixed merge commit).
+    * Plain translatable DELETEs still take the metadata path: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
+    * back to [[deleteWhere]] when every predicate pushes down.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    authz("WRITE")
+    val cmd = info.command
+    require(isCurrentStateRead,
+      s"$cmd cannot target a time-travel read")
+    require(table.desc.isPrimaryKeyTable,
+      s"$cmd requires a primary-key table; ${ident.toString} is append-only")
+    // UPDATE rides delete+reinsert and MERGE can delete, so every
+    // command needs honest delete semantics: engines that fold deletes
+    // away (FIRST_ROW keeps the first row, VERSIONED ignores
+    // unversioned intents) or tables configured to IGNORE deletes must
+    // reject the statement rather than report success while changing
+    // nothing — the same posture as canDeleteWhere. DELETE additionally
+    // admits AGGREGATION tables (delete intents clear the aggregate
+    // state, canDeleteWhere's contract); UPDATE/MERGE must not — their
+    // reinserts would be re-AGGREGATED into what they meant to replace.
+    val engineOk = table.desc.mergeEngine match {
+      case graft.core.MergeEngine.Default => true
+      case graft.core.MergeEngine.Aggregation(_) =>
+        cmd == org.apache.spark.sql.connector.write
+          .RowLevelOperation.Command.DELETE
+      case _ => false
+    }
+    require(engineOk,
+      s"$cmd is not supported under merge engine " +
+        s"${table.desc.mergeEngine} on ${ident.toString}")
+    require(table.desc.deleteBehavior == graft.core.DeleteBehavior.Allow,
+      s"$cmd on ${ident.toString} is disabled by table.delete-behavior")
+    () => new GraftRowLevelOperation(this, cmd)
+  }
 
   /** A plain current-state handle (no time travel) — what
     * [[graft.plans.PkCollapseRule]] may substitute with the grouped
@@ -727,9 +768,17 @@ class GraftDsTable(val table: GraftTable, ident: Identifier,
   }
 
   override def name(): String = ident.toString
-  override def schema(): StructType = table.desc.schema
-  override def columns(): Array[Column] =
+  /** PRIMARY KEY columns surface as non-nullable: the merge identity
+    * can never be null (the write path hashes and groups by it), and
+    * Spark's row-level rewrites REQUIRE non-null row ids
+    * (NULLABLE_ROW_ID_ATTRIBUTES).
+    */
+  override def schema(): StructType = StructType(
     table.desc.schema.fields.map(f =>
+      if (table.desc.primaryKey.contains(f.name)) f.copy(nullable = false)
+      else f))
+  override def columns(): Array[Column] =
+    schema().fields.map(f =>
       Column.create(f.name, f.dataType, f.nullable))
 
   override def partitioning(): Array[Transform] = {

@@ -306,6 +306,48 @@ object Fixtures {
       })
     }
 
+  private val rlCatCache = mutable.Map.empty[String, String]
+
+  /** SQL row-level DML fixture (RL3/RL4, beyond the reference): a PK
+    * catalog table loaded deterministically (engine upsert ordered by
+    * event_id — SQL INSERT cannot fix intra-batch LWW order), then
+    * mutated ONCE through plain SQL — an UPDATE (rl1's updateWhere
+    * semantics) and a MERGE (rl2's mergeInto semantics, plus one
+    * not-matched INSERT) — both riding the delta-based row-level write
+    * ([[graft.connector.GraftRowLevelOperation]]). Returns the catalog.
+    */
+  def rowLevelSqlCatalog(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      rlCatCache.getOrElseUpdate(sfDir, {
+        val cat = "grl" + math.abs(sfDir.hashCode)
+        val wh = Files.createTempDirectory("graft-rl-wh").toString
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.connector.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        val core = new Catalog(wh, spark)
+        val ev = eventsTyped(spark, sfDir)
+        val tbl = core.createTable("db", "users_rl", TableDescriptor(
+          StructType(eventsSchema(spark, sfDir).fields),
+          primaryKey = Seq("user_id"), numBuckets = 4))
+        tbl.upsert(ev, orderBy = Seq(ev("event_id")))
+        // RL3: SQL UPDATE (non-key SET, selective predicate)
+        spark.sql(s"""UPDATE $cat.db.users_rl
+          SET value = value * 2 WHERE event_type = 'purchase'""")
+        // RL4: SQL MERGE — per-source-row delete/update/insert in one
+        // statement (the rl2 shape through SQL)
+        spark.sql(s"""MERGE INTO $cat.db.users_rl t
+          USING (SELECT user_id, CAST(user_id AS DECIMAL(18,6)) AS bump
+                 FROM $cat.db.users_rl WHERE user_id % 3 = 0
+                 UNION ALL SELECT -1L, CAST(42 AS DECIMAL(18,6))) s
+          ON t.user_id = s.user_id
+          WHEN MATCHED AND t.event_type = 'error' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET t.value = t.value + s.bump
+          WHEN NOT MATCHED THEN INSERT (user_id, event_type, value)
+            VALUES (s.user_id, 'synthetic', s.bump)""")
+        cat
+      })
+    }
+
   /** The all-types comparison frame (DECIMAL, TIMESTAMP, TIMESTAMP_NTZ,
     * DATE, BINARY, ARRAY, MAP, STRUCT — the §1.2 surface), derived
     * deterministically from `customer` so a SQL oracle can recompute

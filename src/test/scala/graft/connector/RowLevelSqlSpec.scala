@@ -1,0 +1,111 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** SQL UPDATE / MERGE INTO / subquery DELETE on PK catalog tables — the
+  * delta-based row-level framework over the engine's mixed merge commit.
+  */
+class RowLevelSqlSpec extends SparkTestBase {
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-rls").toString
+    spark.conf.set("spark.sql.catalog.rls", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rls.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rls.db")
+    dir
+  }
+
+  private def freshKv(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS rls.db.$name")
+    spark.sql(s"""
+      CREATE TABLE rls.db.$name (k BIGINT, v INT, tag STRING)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '4')""")
+    spark.sql(s"""INSERT INTO rls.db.$name
+      SELECT id, CAST(id * 10 AS INT), concat('t', id % 3) FROM range(0, 30)""")
+  }
+
+  private def stateOf(name: String): Map[Long, (Int, String)] =
+    spark.sql(s"SELECT k, v, tag FROM rls.db.$name").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+
+  test("SQL UPDATE: non-key SET applies as one merge commit") {
+    wh; freshKv("u1")
+    spark.sql("UPDATE rls.db.u1 SET v = v + 1000 WHERE tag = 't1'")
+    val got = stateOf("u1")
+    assert(got.size == 30)
+    (0L until 30L).foreach { k =>
+      val exp = if (k % 3 == 1) k.toInt * 10 + 1000 else k.toInt * 10
+      assert(got(k)._1 == exp, s"k=$k -> ${got(k)}")
+    }
+  }
+
+  test("SQL UPDATE of the PRIMARY KEY itself: old key removed, new key in") {
+    wh; freshKv("u2")
+    spark.sql("UPDATE rls.db.u2 SET k = k + 100 WHERE k = 7")
+    val got = stateOf("u2")
+    assert(!got.contains(7L) && got(107L) == (70, "t1"), got.get(107L))
+    assert(got.size == 30)
+  }
+
+  test("SQL MERGE INTO: update, delete and insert in one statement") {
+    wh; freshKv("m1")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW rls_src AS
+      SELECT * FROM VALUES (1L, 111), (2L, 222), (99L, 999) AS s(k, nv)""")
+    spark.sql("""
+      MERGE INTO rls.db.m1 t USING rls_src s ON t.k = s.k
+      WHEN MATCHED AND s.k = 2 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, 'new')""")
+    val got = stateOf("m1")
+    assert(got(1L) == (111, "t1"), got.get(1L))
+    assert(!got.contains(2L))
+    assert(got(99L) == (999, "new"), got.get(99L))
+    assert(got.size == 30, s"30 - 1 delete + 1 insert = 30; got ${got.size}")
+    // the merge emitted ordinary changelog rows: the statement's delete
+    // shows as -D, the update as +U, the insert as +I/+A — same CDC
+    // surface as every other write path
+    val ct = new graft.core.Catalog(wh, spark).getTable("db", "m1")
+      .changelog().select("_change_type", "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(ct.contains("-D" -> 2L), ct.toSeq.sorted.mkString(","))
+    assert(ct.exists { case (t, k) => k == 99L && t.startsWith("+") })
+  }
+
+  test("DELETE with a subquery predicate (not metadata-translatable)") {
+    wh; freshKv("d1")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW rls_kill AS
+      SELECT * FROM VALUES (3L), (5L), (200L) AS x(kk)""")
+    spark.sql(
+      "DELETE FROM rls.db.d1 WHERE k IN (SELECT kk FROM rls_kill)")
+    val got = stateOf("d1")
+    assert(!got.contains(3L) && !got.contains(5L) && got.size == 28)
+  }
+
+  test("plain translatable DELETE still takes the metadata-only path") {
+    wh; freshKv("d2")
+    val df = spark.sql("DELETE FROM rls.db.d2 WHERE k = 11")
+    // a metadata delete plans DeleteFromTableExec (no WriteDelta)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DeleteFromTable"), plan)
+    assert(!stateOf("d2").contains(11L))
+  }
+
+  test("guards: append tables, non-default engines and time travel refuse") {
+    wh
+    spark.sql("""CREATE TABLE rls.db.applog (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO rls.db.applog VALUES (1, 1)")
+    val e1 = intercept[Exception](
+      spark.sql("UPDATE rls.db.applog SET v = 2 WHERE k = 1"))
+    assert(e1.getMessage.contains("primary-key"), e1.getMessage)
+    spark.sql("""CREATE TABLE rls.db.fr (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('primary.key' = 'k', 'bucket.num' = '2',
+        'table.merge-engine' = 'first_row')""")
+    spark.sql("INSERT INTO rls.db.fr VALUES (1, 1)")
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE rls.db.fr SET v = 2 WHERE k = 1"))
+    assert(e2.getMessage.contains("merge engine"), e2.getMessage)
+  }
+}
