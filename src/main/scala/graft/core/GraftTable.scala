@@ -625,6 +625,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def append(df: DataFrame, orderBy: Seq[Column] = Nil,
       commitTag: Option[(String, Long)] = None): Unit = {
     require(!desc.isPrimaryKeyTable, "use upsert() for PK tables")
+    require(orderBy.size <= 1,
+      "orderBy takes ONE numeric ordering expression (it becomes the " +
+        "batch's __ord); combine columns into a single expression")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // Bulk ingestion: when ord and bucket are both content-derived
     // (caller-supplied orderBy — which must be a deterministic function
@@ -680,6 +683,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       commitTag: Option[(String, Long)] = None,
       mayDelete: Boolean = true): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
+    require(orderBy.size <= 1,
+      "orderBy takes ONE numeric ordering expression (it becomes the " +
+        "batch's __ord); combine columns into a single expression")
     val ord = if (orderBy.nonEmpty) orderBy else Seq(monotonically_increasing_id())
     // project to full schema (missing cols null — partial updates) and
     // COERCE every column to its declared type up front: downstream
@@ -3043,7 +3049,6 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def columnPlannerStats(): Map[String, FooterStats.ColStats] = {
     val cols = FooterStats.statableColumns(StructType(
       desc.schema.fields.filterNot(f => desc.partitionKeys.contains(f.name))))
-    if (cols.isEmpty) return Map.empty
     def mtimeOr(p: String): Long =
       if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
     FooterStats.cached((path, mtimeOr(offsetsFile),
@@ -3051,9 +3056,50 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       val files = visibleLogFiles()._1 ++
         WarehouseIO.walkFiles(snapshotDir)
           .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.path)
-      if (files.isEmpty || files.size > FooterStats.MaxFiles) Map.empty
-      else FooterStats.collect(files, cols)
+      val footer =
+        if (cols.isEmpty || files.isEmpty ||
+          files.size > FooterStats.MaxFiles) Map.empty[String, FooterStats.ColStats]
+        else FooterStats.collect(files, cols)
+      // partition-key columns are dir-encoded (no footer stats), but the
+      // dir NAMES are the exact value set — one listing gives min/max and
+      // the TRUE distinct count, at any table size (dirs, not files)
+      footer ++ partitionKeyStats()
     }
+  }
+
+  /** Dir-value stats for int/long/date partition keys: exact bounds and
+    * NDV from the partition directory names — no files opened, so this
+    * holds even past the footer-sweep cap.
+    */
+  private def partitionKeyStats(): Map[String, FooterStats.ColStats] = {
+    if (desc.partitionKeys.isEmpty) return Map.empty
+    val statable = FooterStats.statableColumns(StructType(
+      desc.partitionKeys.map(k => desc.schema(desc.schema.fieldIndex(k)))))
+    if (statable.isEmpty) return Map.empty
+    val values = try partitionValues() catch { case _: Exception => return Map.empty }
+    if (values.isEmpty) return Map.empty
+    statable.flatMap { k =>
+      val i = desc.partitionKeys.indexOf(k)
+      // catalyst-internal form (days for DATE, the raw number otherwise)
+      def internal(v: String): Option[Any] = desc.schema(k).dataType match {
+        case IntegerType => v.toIntOption.map(Int.box)
+        case LongType => v.toLongOption.map(Long.box)
+        case DateType => try Some(Int.box(
+            java.time.LocalDate.parse(v).toEpochDay.toInt))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+      val vs = values.map(_(i)).distinct.flatMap(internal)
+      if (vs.isEmpty) None
+      else {
+        def lt(a: Any, b: Any) =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        Some(k -> FooterStats.ColStats(
+          vs.reduce((a, b) => if (lt(a, b)) a else b),
+          vs.reduce((a, b) => if (lt(a, b)) b else a),
+          nullCount = 0L, nonNullCount = vs.size.toLong))
+      }
+    }.toMap
   }
 
   /** A6 count(*) from offset metadata — log tables only: the record count

@@ -90,4 +90,23 @@ class CboStatsSpec extends SparkTestBase {
     // identical state -> the SAME cached map instance (no re-sweep)
     assert(t.columnPlannerStats() eq stats)
   }
+
+  test("partition-key columns report exact dir-value stats (no footers)") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    val t = c.createTable("db", "pstats", graft.core.TableDescriptor(
+      StructType(Seq(StructField("dt", IntegerType),
+        StructField("k", LongType), StructField("v", IntegerType))),
+      bucketKeys = Seq("k"), numBuckets = 2, partitionKeys = Seq("dt")))
+    val df = spark.range(0, 300).selectExpr(
+      "CAST(id % 3 + 10 AS INT) AS dt", "id AS k", "CAST(id AS INT) AS v")
+    t.append(df, orderBy = Seq(df("k")))
+    val stats = t.columnPlannerStats()
+    val dt = stats("dt")
+    // bounds and the TRUE distinct count from the dir names
+    assert(dt.min == 10 && dt.max == 12 && dt.nonNullCount == 3L, dt)
+    assert(stats("k").min == 0L && stats("k").max == 299L)
+  }
 }
