@@ -3035,6 +3035,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private[graft] def plannerBytesCached: Long = {
     def mtimeOr(p: String): Long =
       if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
+    if (GraftTable.bytesCache.size > 512) GraftTable.bytesCache.clear()
     GraftTable.bytesCache.computeIfAbsent(
       (path, mtimeOr(offsetsFile), mtimeOr(snapshotMetaFile)),
       _ => plannerStats()._1)

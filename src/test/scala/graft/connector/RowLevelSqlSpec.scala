@@ -92,6 +92,33 @@ class RowLevelSqlSpec extends SparkTestBase {
     assert(!stateOf("d2").contains(11L))
   }
 
+  test("partitioned + bucketed target: UPDATE moves rows across " +
+      "partition dirs") {
+    wh
+    spark.sql("""CREATE TABLE rls.db.pt (dt STRING, k BIGINT, v INT)
+      USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES ('primary.key' = 'dt,k', 'bucket.num' = '2')""")
+    spark.sql("""INSERT INTO rls.db.pt VALUES
+      ('a', 1, 10), ('a', 2, 20), ('b', 3, 30)""")
+    // SET on the PARTITION column (also part of the PK): the row must
+    // move dirs — delete old identity, reinsert under the new one
+    spark.sql("UPDATE rls.db.pt SET dt = 'c' WHERE dt = 'a' AND k = 2")
+    val got = spark.sql("SELECT dt, k, v FROM rls.db.pt ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 1L, 10), ("c", 2L, 20), ("b", 3L, 30)), got)
+    // and MERGE with a partitioned target stays exact
+    spark.sql("""MERGE INTO rls.db.pt t
+      USING (SELECT 'b' AS dt, 3L AS k, 333 AS nv
+             UNION ALL SELECT 'd', 9L, 999) s
+      ON t.dt = s.dt AND t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv
+      WHEN NOT MATCHED THEN INSERT (dt, k, v) VALUES (s.dt, s.k, s.nv)""")
+    val got2 = spark.sql("SELECT dt, k, v FROM rls.db.pt ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got2 == Seq(("a", 1L, 10), ("c", 2L, 20), ("b", 3L, 333),
+      ("d", 9L, 999)), got2)
+  }
+
   test("guards: append tables, non-default engines and time travel refuse") {
     wh
     spark.sql("""CREATE TABLE rls.db.applog (k BIGINT, v INT)
