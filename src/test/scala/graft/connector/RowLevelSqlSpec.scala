@@ -119,6 +119,52 @@ class RowLevelSqlSpec extends SparkTestBase {
       ("d", 9L, 999)), got2)
   }
 
+  test("concurrent SQL UPDATEs serialize on the commit lock: loud " +
+      "conflict, never a silent lost update") {
+    wh; freshKv("cc1")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def run(sql: String): java.util.concurrent.Future[Int] = pool.submit(
+      new java.util.concurrent.Callable[Int] {
+        override def call(): Int = {
+          start.await(30, TimeUnit.SECONDS)
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            try { spark.sql(sql); done = true }
+            catch {
+              // the ONLY acceptable failure is the loud commit conflict;
+              // retry it (the engine's documented posture)
+              case e: Throwable =>
+                def isConflict(t: Throwable): Boolean = t != null && (
+                  t.isInstanceOf[java.util.ConcurrentModificationException] ||
+                    Option(t.getMessage).exists(_.contains("commit")) ||
+                    isConflict(t.getCause))
+                if (!isConflict(e) || attempts > 10) throw e
+            }
+          }
+          attempts
+        }
+      })
+    val f1 = run("UPDATE rls.db.cc1 SET v = v + 1 WHERE tag = 't0'")
+    val f2 = run("UPDATE rls.db.cc1 SET v = v + 2 WHERE tag = 't1'")
+    start.countDown()
+    val (a1, a2) = (f1.get(120, TimeUnit.SECONDS), f2.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // BOTH statements' effects present — whichever order they serialized
+    val got = stateOf("cc1")
+    (0L until 30L).foreach { k =>
+      val exp = (k % 3) match {
+        case 0 => k.toInt * 10 + 1
+        case 1 => k.toInt * 10 + 2
+        case _ => k.toInt * 10
+      }
+      assert(got(k)._1 == exp, s"k=$k got=${got(k)} (attempts $a1/$a2)")
+    }
+  }
+
   test("guards: append tables, non-default engines and time travel refuse") {
     wh
     spark.sql("""CREATE TABLE rls.db.applog (k BIGINT, v INT)
