@@ -1161,6 +1161,19 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         .filter(e => !e.isDir && e.name.contains(".tmp-") &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => WarehouseIO.deleteIfExists(e.path))
+      // per-QUERY staging left by a crashed streaming sink or row-level
+      // DML statement (commit/abort clean up in-process; a driver crash
+      // leaks the dir). Age-check the per-query SUBDIR, not the parent —
+      // a live query keeps its own dir's mtime fresh (new epoch dirs /
+      // task files), while a dead query's dir goes stale
+      Seq("_stream_staging", "_rowlevel_staging").foreach { root =>
+        val dir = s"$path/$root"
+        if (WarehouseIO.exists(dir))
+          WarehouseIO.listDir(dir)
+            .filter(e => e.isDir &&
+              now - e.mtimeMillis >= stagingOlderThanMs)
+            .foreach(e => deleteTree(e.path))
+      }
     }
 
   /** Assign per-bucket contiguous offsets and append to the log dir.

@@ -165,6 +165,20 @@ class RowLevelSqlSpec extends SparkTestBase {
     }
   }
 
+  test("orphan GC sweeps crashed-query staging; fresh staging survives") {
+    wh; freshKv("gc1")
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "gc1")
+    val stale = java.nio.file.Paths.get(t.path, "_rowlevel_staging", "dead-q")
+    val fresh = java.nio.file.Paths.get(t.path, "_stream_staging", "live-q")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.createDirectories(fresh)
+    assert(stale.toFile.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    t.removeOrphanFiles() // default: older than 24h
+    assert(!java.nio.file.Files.exists(stale), "stale staging must sweep")
+    assert(java.nio.file.Files.exists(fresh), "fresh staging must survive")
+  }
+
   test("guards: append tables, non-default engines and time travel refuse") {
     wh
     spark.sql("""CREATE TABLE rls.db.applog (k BIGINT, v INT)
