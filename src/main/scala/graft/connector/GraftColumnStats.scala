@@ -12,15 +12,28 @@ import graft.core.GraftTable
   */
 private[connector] object GraftColumnStats {
 
+  /** A span-derived NDV bound is only CREDIBLE when the value range is
+    * within this factor of the row count — a wide-span low-cardinality
+    * column (an int status spanning 0..500 with 3 values, a timestamp)
+    * would otherwise overestimate NDV by orders of magnitude, making
+    * equality-filter selectivity underestimate and a large filtered side
+    * wrongly plan as broadcast. Key columns (PK / bucket keys) are exempt:
+    * dense surrogate keys are exactly the shape the bound is tight for.
+    */
+  private val SpanCredibilityFactor = 8L
+
   def of(table: GraftTable)
       : java.util.Map[NamedReference, ColumnStatistics] = {
+    val keyCols =
+      (table.desc.primaryKey ++ table.desc.effectiveBucketKeys).toSet
     val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
     table.columnPlannerStats().foreach { case (name, cs) =>
-      // NDV bound — footers carry none, but FilterEstimation requires a
-      // distinctCount before it ranges over min/max at all. min(value
-      // span, non-null rows) is the tight sound upper bound for the
-      // integral types FooterStats covers (exact for dense surrogate
-      // keys, the join-key shape that matters)
+      // NDV — sketch-measured when the manifest carries one
+      // ([[graft.core.ManifestColStats]]); otherwise the span bound
+      // min(value span, non-null rows), reported only when credibly
+      // tight (FilterEstimation requires a distinctCount before it
+      // ranges over min/max at all, so omitting it falls back to
+      // default selectivity — better than a confident wrong estimate)
       val span: Long = (cs.min, cs.max) match {
         case (mn: java.lang.Integer, mx: java.lang.Integer) =>
           mx.longValue - mn.longValue + 1L
@@ -29,7 +42,11 @@ private[connector] object GraftColumnStats {
           if (d < 0 || d == Long.MaxValue) Long.MaxValue else d + 1L
         case _ => Long.MaxValue
       }
-      val ndv = math.max(1L, math.min(span, cs.nonNullCount))
+      val spanCredible = keyCols.contains(name) ||
+        span / SpanCredibilityFactor <= cs.nonNullCount
+      val ndv: Option[Long] = cs.ndv
+        .orElse(if (spanCredible)
+          Some(math.max(1L, math.min(span, cs.nonNullCount))) else None)
       m.put(Expressions.column(name), new ColumnStatistics {
         override def min(): java.util.Optional[Object] =
           java.util.Optional.ofNullable(cs.min.asInstanceOf[Object])
@@ -38,7 +55,8 @@ private[connector] object GraftColumnStats {
         override def nullCount(): java.util.OptionalLong =
           java.util.OptionalLong.of(cs.nullCount)
         override def distinctCount(): java.util.OptionalLong =
-          java.util.OptionalLong.of(ndv)
+          ndv.map(java.util.OptionalLong.of)
+            .getOrElse(java.util.OptionalLong.empty())
       })
     }
     m

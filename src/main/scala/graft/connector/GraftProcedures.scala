@@ -350,6 +350,17 @@ object GraftProcedures {
         si.refresh()
         s"index refreshed to base version ${si.appliedVersion}"
       })
+      case "analyze_column_stats" => Some(proc(catalog, "analyze_column_stats",
+        Seq(in("table", StringType)),
+        out("result", StringType)) { (t, _) =>
+        // the ANALYZE analog: one distributed pass over the visible
+        // state rebuilds the manifest column-stats blob (min/max/nulls/
+        // HLL NDV) so plan-time CBO stats hold at any table size — the
+        // arming path for tables whose history predates write-time stats
+        t.analyzeColumnStats()
+        val cols = t.readColStatsBlob().map(_.cols.size).getOrElse(0)
+        s"column stats rebuilt into the manifest ($cols columns)"
+      })
       case "remove_orphan_files" => Some(proc(catalog, "remove_orphan_files",
         Seq(in("table", StringType),
           in("staging_older_than", StringType, Some("'24h'"))),

@@ -31,17 +31,29 @@ import org.apache.spark.sql.types._
   */
 private[graft] object FooterStats {
 
+  /** `min`/`max` are catalyst-internal values (or null when unknown —
+    * NDV-only entries for string columns); `ndv` is a MEASURED distinct
+    * count (manifest HLL sketch, [[ManifestColStats]]) — absent for
+    * footer-swept stats, where the consumer derives a span bound instead.
+    */
   final case class ColStats(min: Any, max: Any, nullCount: Long,
-      nonNullCount: Long)
+      nonNullCount: Long, ndv: Option[Long] = None)
 
   val MaxFiles = 64
 
-  // (table path, manifest mtime, snapshot mtime) -> per-column stats;
-  // bounded — a long-lived session over many temp tables must not grow it
-  private val cache =
-    new ConcurrentHashMap[(String, Long, Long), Map[String, ColStats]]()
+  /** Footer files opened by [[collect]], cumulative — observability for
+    * the plan-time contract that manifest-persisted stats
+    * ([[ManifestColStats]]) make planning footer-free (CboStatsSpec
+    * asserts this stays flat across plans of a stats-armed table).
+    */
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def cached(key: (String, Long, Long))(
+  // (table path, manifest (mtime,len), snapshot (mtime,len)) -> stats;
+  // bounded — a long-lived session over many temp tables must not grow it
+  private val cache = new ConcurrentHashMap[
+    (String, (Long, Long), (Long, Long)), Map[String, ColStats]]()
+
+  def cached(key: (String, (Long, Long), (Long, Long)))(
       compute: => Map[String, ColStats]): Map[String, ColStats] = {
     if (cache.size > 512) cache.clear()
     cache.computeIfAbsent(key, _ => compute)
@@ -64,7 +76,7 @@ private[graft] object FooterStats {
     * under.
     */
   def collect(files: Seq[String],
-      columns: Seq[String]): Map[String, ColStats] = {
+      columns: Seq[String]): Map[String, ColStats] = try {
     if (files.isEmpty || columns.isEmpty) return Map.empty
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -74,8 +86,12 @@ private[graft] object FooterStats {
     // per column: (min, max, nulls, nonNulls, statsComplete)
     val acc = scala.collection.mutable.HashMap
       .empty[String, (Any, Any, Long, Long, Boolean)]
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the SESSION's conf, not a bare Configuration: footer reads must see
+    // the same fs.* bindings (credentials, scheme registrations) as every
+    // other metadata read or a remote warehouse fails at plan time
+    val conf = WarehouseIO.hadoopConf
     files.foreach { f =>
+      filesOpened.incrementAndGet()
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
@@ -112,5 +128,10 @@ private[graft] object FooterStats {
         if mn != null =>
       name -> ColStats(mn, mx, nulls, nonNulls)
     }.toMap
+  } catch {
+    // stats are ESTIMATES — an unreadable footer (permissions, a
+    // concurrent vacuum, a flaky store) must degrade to "no column
+    // stats", never fail the planning pass that asked for them
+    case scala.util.control.NonFatal(_) => Map.empty
   }
 }

@@ -297,8 +297,32 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def readVersionHistory(): List[VersionEntry] = parseManifest()._4
 
+  /** How a manifest write treats the persisted column-stats blob:
+    * `Preserve` carries the current blob through unchanged (offset
+    * rewrites, rollbacks, tag-only writes — the data they publish is a
+    * subset/rewrite of what the blob already over-approximates), `Put`
+    * replaces it (data-adding commits merge their entry in; analyze
+    * rebuilds).
+    */
+  private sealed trait ColStatsUpdate
+  private case object PreserveColStats extends ColStatsUpdate
+  private final case class PutColStats(blob: ManifestColStats.Blob)
+      extends ColStatsUpdate
+
+  /** The persisted column-stats blob, if any commit has written one. */
+  private[graft] def readColStatsBlob(): Option[ManifestColStats.Blob] =
+    WarehouseIO.readStringIfExists(offsetsFile).flatMap { manifestJson =>
+      JsonMethods.parse(manifestJson).asInstanceOf[JObject].obj.toMap
+        .get("colstats").map(ManifestColStats.fromJson)
+    }
+
   private def writeManifest(m: Map[Int, Long], commits: Map[String, Long],
-      ids: Set[String], history: List[VersionEntry]): Unit =
+      ids: Set[String], history: List[VersionEntry],
+      colStats: ColStatsUpdate = PreserveColStats): Unit = {
+    val blob = colStats match {
+      case PutColStats(b) => Some(b)
+      case PreserveColStats => readColStatsBlob()
+    }
     CatalogJson.atomicWrite(offsetsFile, JsonMethods.compact(JsonMethods.render(JObject(List(
       "offsets" -> JObject(m.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }),
       "commits" -> JObject(commits.toList.sorted.map { case (k, v) => k -> (JInt(v): JValue) }),
@@ -307,7 +331,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         "v" -> (JInt(e.version): JValue),
         "ts" -> (JInt(e.tsMillis): JValue),
         "o" -> (JObject(e.offsets.toList.sortBy(_._1)
-          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue))): JValue)))))))
+          .map { case (k, v) => k.toString -> (JInt(v): JValue) }): JValue))): JValue))) ++
+      blob.map(b => "colstats" -> ManifestColStats.toJson(b)).toList))))
+  }
 
   /** Last streaming batch id committed by sink `sinkId`, if any. */
   def committedBatchId(sinkId: String): Option[Long] = readManifest()._2.get(sinkId)
@@ -665,6 +691,28 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       targetColumns: Option[Seq[String]] = None): Unit =
     writePk(df, deleteFlag = df("__delete"), targetColumns, orderBy)
 
+  /** [[upsertMixed]] with optimistic-concurrency preconditions — the SQL
+    * row-level commit path ([[graft.connector.GraftRowLevelOperation]]).
+    * `expectedOffsets` pins the per-bucket offsets the caller validated
+    * against (its conflict/overlap check): if ANY commit has landed since
+    * — i.e. the manifest this write starts from differs — the write
+    * aborts with a loud `ConcurrentModificationException` BEFORE staging,
+    * closing the check-then-write window the plain path leaves open.
+    */
+  private[graft] def upsertMixedIfUnchanged(df: DataFrame,
+      orderBy: Seq[Column], expectedOffsets: Map[Int, Long]): Unit =
+    writePk(df, deleteFlag = df("__delete"), None, orderBy,
+      expectedOffsets = Some(expectedOffsets))
+
+  /** Committed (visible) rows at/above the given per-bucket offsets —
+    * "what landed since this manifest state": the row-level write's
+    * overlap-detection input. One gated log read; the offset predicate
+    * prunes via row-group stats, so on a large table this touches only
+    * the tail files written since the pin.
+    */
+  private[graft] def committedRowsSince(offsets: Map[Int, Long]): DataFrame =
+    logDF.filter(col(Meta.Offset) >= bucketMapExpr(offsets, 0L))
+
   /** Apply a CDC changelog batch: `df` carries `_change_type`
     * (`+A/+I/+U` upsert, `-U` retraction, `-D` delete). Retractions reach
     * the merge engines' retract path — the AGGREGATION engine's sum
@@ -681,7 +729,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       targetColumns: Option[Seq[String]], orderBy: Seq[Column],
       retractFlag: Column = lit(false),
       commitTag: Option[(String, Long)] = None,
-      mayDelete: Boolean = true): Unit = {
+      mayDelete: Boolean = true,
+      expectedOffsets: Option[Map[Int, Long]] = None): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     require(orderBy.size <= 1,
       "orderBy takes ONE numeric ordering expression (it becomes the " +
@@ -716,7 +765,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       }
 
     val changes = computeChanges(projected, targetColumns, touched, mayDelete)
-    commitToLog(changes, commitTag)
+    commitToLog(changes, commitTag, expectedOffsets = expectedOffsets)
   }
 
   /** Current state restricted to a bucket subset (write-path merge input). */
@@ -1181,8 +1230,17 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   private def commitToLog(df: DataFrame,
       commitTag: Option[(String, Long)] = None,
-      materializeBatch: Boolean = true): Unit = {
+      materializeBatch: Boolean = true,
+      expectedOffsets: Option[Map[Int, Long]] = None): Unit = {
     val (bases, _, _) = readManifest()
+    // optimistic precondition (row-level SQL path): the caller validated
+    // against a specific manifest state — starting from any other state
+    // would apply a delta its overlap check never saw
+    expectedOffsets.foreach { e =>
+      if (e != bases) throw new java.util.ConcurrentModificationException(
+        s"offsets on $path advanced from $e to $bases since this " +
+          "statement's conflict check; re-validate and retry")
+    }
     // localCheckpoint (not cache): __ord / key-less __bucket derive from
     // monotonically_increasing_id / spark_partition_id, so a recomputed
     // partition (cache eviction, executor loss) could re-assign them
@@ -1204,6 +1262,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       val numbered = withBucket
         .withColumn(Meta.Offset, baseExpr + row_number().over(w) - 1)
         .withColumn(Meta.Timestamp, lit(commitTs))
+
+      // write-time column stats: each arm attaches ONE observe() to its
+      // write job (min/max/nulls/HLL per stats-bearing column — no extra
+      // pass); publish merges the fetched entry into the manifest blob.
+      // Disabled (or failed) collection marks the blob incomplete — the
+      // footer sweep then remains the plan-time source, never a stale
+      // under-approximation.
+      val statsEnabled = desc.properties
+        .getOrElse(GraftTable.ColumnStatsProp, "true") != "false"
+      var fetchCommitStats: () => Option[Map[String, ManifestColStats.Entry]] =
+        () => None
+      def observeStats(out: DataFrame): DataFrame =
+        if (!statsEnabled) out
+        else {
+          val (instrumented, fetch) =
+            ManifestColStats.observe(out, desc.schema, desc.partitionKeys)
+          fetchCommitStats = fetch
+          instrumented
+        }
 
       // finalize: re-read the manifest, conflict-check, move the staged
       // files into the readers’ view, publish. The manifest is re-read
@@ -1232,13 +1309,27 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           staging.foreach(moveStagedFiles(_, commitId))
           val advanced =
             bases ++ counts.map { case (b, n) => b -> (bases.getOrElse(b, 0L) + n) }
+          // merge this commit's observed column stats into the blob —
+          // atomically with the offsets that make its rows visible. A
+          // first commit on an EMPTY table starts a complete blob; any
+          // commit that skipped stats degrades it (one-way) so the blob
+          // can never under-approximate visible data.
+          val wasEmpty = currentBases.isEmpty && readSnapshotMeta().isEmpty
+          val mergedBlob = (readColStatsBlob(), fetchCommitStats()) match {
+            case (Some(p), Some(s)) => p.merge(s)
+            case (Some(p), None) => p.copy(complete = false)
+            case (None, Some(s)) =>
+              ManifestColStats.Blob(complete = wasEmpty, Map.empty).merge(s)
+            case (None, None) => ManifestColStats.Incomplete
+          }
           // every offset-advancing commit is a new table version, appended
           // atomically with the offsets it pins (VERSION AS OF travel)
           writeManifest(advanced,
             currentCommits ++ commitTag,
             currentIds.getOrElse(Set.empty) + commitId,
             hist :+ VersionEntry(hist.lastOption.map(_.version + 1).getOrElse(1L),
-              commitTs.getTime, advanced))
+              commitTs.getTime, advanced),
+            PutColStats(mergedBlob))
           GraftMetrics.inc(path, GraftMetrics.Commits)
           GraftMetrics.inc(path, GraftMetrics.CommittedRows, counts.values.sum)
         } else {
@@ -1269,10 +1360,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
               case (acc, (b, base)) =>
                 when(col(Meta.Bucket) === b, lit(base)).otherwise(acc)
             }
-            val out = numbered
+            val out = observeStats(numbered
               .withColumn(c, lit(aiBase) + cumExpr + row_number().over(w) - 1)
               .drop("__ord")
-              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*))
             val staging = newStagingDir()
             out.write.mode("overwrite").options(fileWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
@@ -1285,8 +1376,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           val counts = withBucket.groupBy(col(Meta.Bucket)).count().collect()
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
           if (counts.nonEmpty) {
-            val out = numbered.drop("__ord")
-              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+            val out = observeStats(numbered.drop("__ord")
+              .select(logSchema.fieldNames.map(col).toIndexedSeq: _*))
             val staging = newStagingDir()
             out.write.mode("overwrite").options(fileWriteOptions)
               .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
@@ -1299,9 +1390,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           val obs = org.apache.spark.sql.Observation()
           val countExprs = (0 until desc.numBuckets).map(b =>
             count(when(col(Meta.Bucket) === b, 1)).as(s"__c$b"))
-          val out = numbered.drop("__ord")
+          val out = observeStats(numbered.drop("__ord")
             .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-            .observe(obs, countExprs.head, countExprs.tail: _*)
+            .observe(obs, countExprs.head, countExprs.tail: _*))
           val staging = newStagingDir()
           out.write.mode("overwrite").options(fileWriteOptions)
             .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(staging)
@@ -3045,39 +3136,90 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * [[columnPlannerStats]] — [[GroupedReads]]' auto path reads it on
     * every plan, and re-listing files per plan would not stay flat.
     */
+  /** Identity of the table's committed STATE for planning caches:
+    * (manifest (mtime,len), snapshot meta (mtime,len)). Any commit,
+    * compact, vacuum or rollback changes at least one component, so a
+    * cache keyed on this can never serve a plan built over stale state.
+    */
+  private[graft] def planningStateKey: ((Long, Long), (Long, Long)) =
+    (WarehouseIO.statIdentity(offsetsFile),
+      WarehouseIO.statIdentity(snapshotMetaFile))
+
   private[graft] def plannerBytesCached: Long = {
-    def mtimeOr(p: String): Long =
-      if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
     if (GraftTable.bytesCache.size > 512) GraftTable.bytesCache.clear()
     GraftTable.bytesCache.computeIfAbsent(
-      (path, mtimeOr(offsetsFile), mtimeOr(snapshotMetaFile)),
+      (path, WarehouseIO.statIdentity(offsetsFile),
+        WarehouseIO.statIdentity(snapshotMetaFile)),
       _ => plannerStats()._1)
   }
 
-  /** Per-column planner stats (min/max/nullCount) for the DSv2 scans'
-    * `columnStats()` report — see [[FooterStats]] for coverage, caps and
-    * caching. Partition-key columns are dir-encoded (no footer stats);
-    * big tables (> [[FooterStats.MaxFiles]] visible files) report none
-    * and CBO runs on rows+bytes alone.
+  /** Per-column planner stats (min/max/nullCount/NDV) for the DSv2
+    * scans' `columnStats()` report. Source of truth, in order:
+    *
+    *  1. the MANIFEST blob ([[ManifestColStats]]) when complete — one
+    *     manifest read, measured NDV, holds at ANY table size (the
+    *     100 TB case the footer cap goes dark on), zero footer opens;
+    *  2. the footer sweep ([[FooterStats]]) for pre-existing /
+    *     incomplete tables, capped at [[FooterStats.MaxFiles]] visible
+    *     files — past that CBO runs on rows+bytes alone (or run
+    *     [[analyzeColumnStats]] once to arm the blob).
+    *
+    * Partition-key columns are dir-encoded either way: the dir NAMES are
+    * the exact value set — one listing gives bounds and the TRUE
+    * distinct count at any size.
     */
   def columnPlannerStats(): Map[String, FooterStats.ColStats] = {
     val cols = FooterStats.statableColumns(StructType(
       desc.schema.fields.filterNot(f => desc.partitionKeys.contains(f.name))))
-    def mtimeOr(p: String): Long =
-      if (WarehouseIO.exists(p)) WarehouseIO.mtimeMillis(p) else -1L
-    FooterStats.cached((path, mtimeOr(offsetsFile),
-        mtimeOr(snapshotMetaFile))) {
-      val files = visibleLogFiles()._1 ++
-        WarehouseIO.walkFiles(snapshotDir)
-          .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.path)
-      val footer =
+    FooterStats.cached((path, WarehouseIO.statIdentity(offsetsFile),
+        WarehouseIO.statIdentity(snapshotMetaFile))) {
+      val fromBlob = readColStatsBlob()
+        .filter(_.complete)
+        .map(b => ManifestColStats.toColStats(b, StructType(desc.schema
+          .fields.filterNot(f => desc.partitionKeys.contains(f.name)))))
+      val base = fromBlob.getOrElse {
+        val files = visibleLogFiles()._1 ++
+          WarehouseIO.walkFiles(snapshotDir)
+            .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.path)
         if (cols.isEmpty || files.isEmpty ||
           files.size > FooterStats.MaxFiles) Map.empty[String, FooterStats.ColStats]
         else FooterStats.collect(files, cols)
-      // partition-key columns are dir-encoded (no footer stats), but the
-      // dir NAMES are the exact value set — one listing gives min/max and
-      // the TRUE distinct count, at any table size (dirs, not files)
-      footer ++ partitionKeyStats()
+      }
+      base ++ partitionKeyStats()
+    }
+  }
+
+  /** Rebuild the manifest column-stats blob from the VISIBLE state — the
+    * one-shot `ANALYZE` that arms [[columnPlannerStats]]' manifest path
+    * on tables whose history predates write-time stats. One distributed
+    * pass over the visible rows (snapshot ∪ gated log); the blob
+    * publishes under the commit lock only if no commit landed during the
+    * scan (loud conflict otherwise — retry, same posture as every other
+    * table-maintenance op).
+    */
+  def analyzeColumnStats(): Unit = {
+    val stateBefore = planningStateKey
+    val visible =
+      if (desc.isPrimaryKeyTable) stateInput(None)
+      else logDF
+    val (instrumented, fetch) =
+      ManifestColStats.observe(visible.select(
+          desc.schema.fieldNames.filterNot(desc.partitionKeys.contains)
+            .map(col).toIndexedSeq: _*),
+        desc.schema, desc.partitionKeys)
+    // observation metrics resolve on job completion; a cheap count is the
+    // smallest action that runs the full scan
+    instrumented.write.format("noop").mode("overwrite").save()
+    val entries = fetch().getOrElse(throw new IllegalStateException(
+      s"analyzeColumnStats on $path: stats observation failed"))
+    withCommitLock(None) {
+      if (planningStateKey != stateBefore)
+        throw new java.util.ConcurrentModificationException(
+          s"a commit landed on $path during analyzeColumnStats(); retry")
+      val (m, commits, ids, hist) = parseManifest()
+      writeManifest(m, commits, ids.getOrElse(Set.empty), hist,
+        PutColStats(ManifestColStats.Blob(complete = true, Map.empty)
+          .merge(entries)))
     }
   }
 
@@ -3438,11 +3580,20 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 
 object GraftTable {
 
-  /** (path, manifest mtime, snapshot mtime) → visible bytes; see
-    * [[GraftTable.plannerBytesCached]]. Bounded like FooterStats' cache.
+  /** (path, manifest (mtime,len), snapshot (mtime,len)) → visible bytes;
+    * see [[GraftTable.plannerBytesCached]]. Bounded like FooterStats'
+    * cache.
     */
-  private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+  private val bytesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, (Long, Long), (Long, Long)), java.lang.Long]()
+
+  /** Table property gating write-time column statistics (observe-based
+    * min/max/nulls/HLL merged into the commit manifest). Default ON;
+    * `false` skips collection and marks the blob incomplete, so the
+    * plan-time path falls back to footer sweeps — never a stale
+    * under-approximation.
+    */
+  val ColumnStatsProp = "table.statistics.column.enabled"
 
   /** Iceberg snapshot-summary key holding the offset window a tier
     * covers (compact JSON bucket→offset map) — the tier commit's

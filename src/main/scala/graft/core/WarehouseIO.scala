@@ -217,6 +217,32 @@ object WarehouseIO {
     case None => fs(path).getFileStatus(p(path)).getModificationTime
   }
 
+  /** (mtimeMillis, length) as one stat, or (-1, -1) when absent — the
+    * cache identity for manifest-derived caches. Mtime alone is too
+    * coarse: on filesystems with 1 s granularity two commits in the same
+    * second would serve stale cached stats; the length breaks the tie
+    * (manifests grow monotonically within a second in practice).
+    */
+  def statIdentity(path: String): (Long, Long) = localPathOf(path) match {
+    case Some(l) =>
+      try (NioFiles.getLastModifiedTime(l).toMillis, NioFiles.size(l))
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    case None =>
+      val f = fs(path)
+      try {
+        val st = f.getFileStatus(p(path))
+        (st.getModificationTime, st.getLen)
+      } catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
+  }
+
+  /** The session-derived Hadoop conf this object does its IO with —
+    * shared with driver-side parquet footer reads
+    * ([[graft.core.FooterStats]]) so they see the same `fs.*` bindings
+    * (credentials, endpoint/scheme registrations) as every other
+    * metadata read, instead of a bare `new Configuration()`.
+    */
+  private[core] def hadoopConf: Configuration = conf
+
   /** Bump a file's mtime to now (lock heartbeats). Swallows EVERY
     * non-fatal failure, not just IO: a heartbeat lambda that throws
     * (e.g. an object-store connector's UnsupportedOperationException

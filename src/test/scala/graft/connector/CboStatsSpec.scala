@@ -85,10 +85,117 @@ class CboStatsSpec extends SparkTestBase {
     val stats = t.columnPlannerStats()
     val k = stats("k")
     assert(k.min == 0L && k.max == 19999L && k.nullCount == 0L, k)
-    // strings are not estimation-usable; never reported
-    assert(!stats.contains("name"))
+    // measured NDV from the manifest HLL sketch (20000 distinct ±1.6%)
+    assert(k.ndv.exists(n => n > 19000 && n < 21000), k.ndv)
+    // strings never range, but their measured distinct count is join-
+    // estimation input — NDV-only entry, null bounds
+    val name = stats("name")
+    assert(name.min == null && name.max == null)
+    assert(name.ndv.exists(n => n > 19000 && n < 21000), name.ndv)
     // identical state -> the SAME cached map instance (no re-sweep)
     assert(t.columnPlannerStats() eq stats)
+  }
+
+  test("manifest stats hold past the footer cap: >64-file table still " +
+      "flips the join to broadcast at plan time, ZERO footer opens") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    spark.sql("""
+      CREATE TABLE cbo.db.bigdim (k BIGINT, name STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '8')""")
+    // 9 commits x 8 buckets = 72 visible files > FooterStats.MaxFiles
+    (0 until 9).foreach { i =>
+      spark.sql(s"""INSERT INTO cbo.db.bigdim
+        SELECT id, concat('name-', id, '-', repeat('x', 30))
+        FROM range(${i * 2500}, ${(i + 1) * 2500})""")
+    }
+    val t = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+      .getTable("db", "bigdim")
+    val blob = t.readColStatsBlob()
+    assert(blob.exists(_.complete), "9 empty-start commits must keep a " +
+      s"complete blob: $blob")
+    val opensBefore = graft.core.FooterStats.filesOpened.get()
+    val stats = t.columnPlannerStats()
+    assert(stats("k").min == 0L && stats("k").max == 22499L, stats("k"))
+    assert(stats("k").ndv.exists(n => n > 21000 && n < 24000), stats("k"))
+    val planned = withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.cbo.enabled" -> "true") {
+      val df = spark.sql(
+        """SELECT f.k, f.v, d.name FROM cbo.db.facts f
+           JOIN cbo.db.bigdim d ON f.k = d.k WHERE d.k < 225""")
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"manifest stats should broadcast the filtered dim:\n$plan")
+      df.count()
+    }
+    assert(planned == 675L, s"225 dim keys x 3 fact rows: $planned")
+    assert(graft.core.FooterStats.filesOpened.get() == opensBefore,
+      "planning a blob-armed table must open ZERO parquet footers")
+  }
+
+  test("stats-disabled table: incomplete blob, footer fallback; " +
+      "analyzeColumnStats() arms the manifest path") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    val t = c.createTable("db", "legacy", graft.core.TableDescriptor(
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", IntegerType), StructField("s", StringType))),
+      bucketKeys = Seq("k"), numBuckets = 2,
+      properties = Map(graft.core.GraftTable.ColumnStatsProp -> "false")))
+    val df = spark.range(0, 1000).selectExpr(
+      "id AS k", "CAST(id % 7 AS INT) AS v", "concat('s', id % 40) AS s")
+    t.append(df, orderBy = Seq(df("k")))
+    // disabled at write time -> no complete blob; footer sweep serves
+    // int/long bounds (2 files, under the cap), no string entry
+    assert(!t.readColStatsBlob().exists(_.complete))
+    val before = t.columnPlannerStats()
+    assert(before("k").min == 0L && before("k").ndv.isEmpty, before("k"))
+    assert(!before.contains("s"))
+    // one-shot rebuild arms the manifest path with measured NDVs —
+    // through the SQL procedure surface (the ANALYZE analog)
+    val msg = spark.sql(
+      "CALL cbo.system.analyze_column_stats('db.legacy')").collect()
+    assert(msg.head.getString(0).contains("rebuilt"), msg.head)
+    assert(t.readColStatsBlob().exists(_.complete))
+    val after = t.columnPlannerStats()
+    assert(after("k").min == 0L && after("k").max == 999L)
+    assert(after("k").ndv.exists(n => n > 950 && n < 1050), after("k"))
+    assert(after("v").ndv.contains(7L), after("v"))
+    assert(after("s").ndv.contains(40L), after("s"))
+  }
+
+  test("incremental merge stays exact across commits, and a DELETE " +
+      "keeps a sound over-approximation") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    val t = c.createTable("db", "mrg", graft.core.TableDescriptor(
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", IntegerType))),
+      primaryKey = Seq("k"), numBuckets = 2))
+    def up(lo: Long, hi: Long): Unit = {
+      val df = spark.range(lo, hi).selectExpr("id AS k", "CAST(id AS INT) AS v")
+      t.upsert(df, orderBy = Seq(df("k")))
+    }
+    up(0, 100); up(100, 250); up(200, 300) // overlap 200..250 re-upserted
+    val s1 = t.columnPlannerStats()("k")
+    assert(s1.min == 0L && s1.max == 299L)
+    // HLL dedups the overlap: ~300 distinct, not 350
+    assert(s1.ndv.exists(n => n > 285 && n < 315), s1.ndv)
+    val del = spark.range(290, 300).selectExpr("id AS k")
+    t.delete(del, orderBy = Seq(del("k")))
+    // removal keeps the blob an over-approximation (bounds contain all
+    // live values; NDV may overcount) — estimates stay sound, results
+    // exact
+    val s2 = t.columnPlannerStats()("k")
+    assert(s2.max == 299L && t.readColStatsBlob().exists(_.complete))
+    assert(t.scan().count() == 290L)
   }
 
   test("partition-key columns report exact dir-value stats (no footers)") {
