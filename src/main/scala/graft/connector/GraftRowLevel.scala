@@ -50,13 +50,28 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
 
   private def gt: GraftTable = dsTable.table
 
+  /** Per-bucket offsets pinned when the statement's TARGET SCAN was
+    * built — the manifest state the delta was derived from. The write's
+    * conflict check validates against THIS pin, not the offsets at
+    * commit start, closing the scan→commit window where a concurrent
+    * commit to the same keys would otherwise last-win silently.
+    */
+  @volatile private[connector] var scanPinnedOffsets:
+      Option[Map[Int, Long]] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** The rewrite reads the target through the table's ordinary scan —
-    * merge-on-read current state, pushdowns, grouping and all.
+    * merge-on-read current state, pushdowns, grouping and all. The FIRST
+    * scan build pins the manifest state (a runtime group-filter scan may
+    * build again later; the earliest pin is the conservative one — it
+    * can only widen the overlap check, never miss a commit).
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (scanPinnedOffsets.isEmpty)
+      scanPinnedOffsets = Some(gt.latestOffsets)
     dsTable.newScanBuilder(options)
+  }
 
   override def rowId(): Array[NamedReference] =
     gt.desc.primaryKey.map(Expressions.column).toArray
@@ -71,16 +86,20 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(gt, info, SparkSession.active)
+        new GraftDeltaWrite(gt, info, SparkSession.active,
+          () => scanPinnedOffsets)
     }
 
   override def description(): String =
     s"GraftRowLevelOperation($cmd, ${gt.path})"
 }
 
-/** The delta write: stage → one mixed merge commit. */
+/** The delta write: stage → conflict-check → one mixed merge commit,
+  * with bounded optimistic retry ([[GraftRowLevel.checkAndApply]]).
+  */
 private[connector] final class GraftDeltaWrite(gt: GraftTable,
-    info: LogicalWriteInfo, spark: SparkSession)
+    info: LogicalWriteInfo, spark: SparkSession,
+    pinnedOffsets: () => Option[Map[Int, Long]])
     extends DeltaWrite with DeltaBatchWrite {
 
   // staged record: __seq (0 delete / 1 upsert — the intra-batch merge
@@ -121,7 +140,8 @@ private[connector] final class GraftDeltaWrite(gt: GraftTable,
       // statement (Spark's MERGE cardinality guarantee) EXCEPT an
       // update's delete+reinsert pair, which __seq orders (delete 0,
       // reinsert 1 — last write wins, so the new row survives)
-      gt.upsertMixed(batch, orderBy = Seq(batch("__seq")))
+      GraftRowLevel.checkAndApply(gt, batch,
+        pinnedOffsets().getOrElse(gt.latestOffsets))
     } finally cleanup()
   }
 
@@ -132,6 +152,75 @@ private[connector] final class GraftDeltaWrite(gt: GraftTable,
     catch { case _: Exception => () }
 
   override def toString: String = s"GraftDeltaWrite(${gt.path})"
+}
+
+/** Optimistic concurrency for the row-level SQL commit: write-set
+  * overlap detection against the statement's pinned scan state, plus a
+  * bounded retry for non-overlapping races.
+  *
+  * Semantics (documented contract):
+  *  - two concurrent statements touching DISJOINT key sets both commit,
+  *    no user retry: the loser's delta is unaffected by the winner's
+  *    rows, so re-staging against the new state is exact;
+  *  - a statement whose write set OVERLAPS rows committed since its scan
+  *    fails loudly (`ConcurrentModificationException`) — its delta was
+  *    derived from values the other statement replaced, and applying it
+  *    would silently lose that update. The user re-runs the statement
+  *    (which re-reads current state). First-committer-wins, the same
+  *    posture as Delta/Iceberg serializable conflict detection.
+  *  - reads the statement did OUTSIDE its write set (predicate phantoms:
+  *    a row another commit moved INTO the WHERE clause after the scan)
+  *    are not conflict-checked — write-set serializability, the
+  *    WriteSerializable posture of the lake formats.
+  *
+  * Cost: the overlap check runs ONLY when offsets actually advanced
+  * since the pin (a manifest compare — free in the common case), and
+  * then scans only rows at/above the pinned offsets (row-group pruned
+  * tail, not the table).
+  */
+private[connector] object GraftRowLevel {
+
+  private val MaxRetries = 3
+
+  /** Keys of `sinceRows` that intersect the staged delta's keys. */
+  private[connector] def overlapCount(gt: GraftTable,
+      staged: org.apache.spark.sql.DataFrame,
+      pinned: Map[Int, Long]): Long = {
+    val pk = gt.desc.primaryKey
+    gt.committedRowsSince(pinned)
+      .select(pk.map(col): _*).distinct()
+      .join(staged.select(pk.map(col): _*).distinct(), pk, "left_semi")
+      .count()
+  }
+
+  /** Validate-then-commit with bounded jittered retry. `batch` carries
+    * `__seq`/`__delete` plus the data columns (the staged delta).
+    */
+  private[connector] def checkAndApply(gt: GraftTable,
+      batch: org.apache.spark.sql.DataFrame,
+      pinned: Map[Int, Long]): Unit = {
+    var attempt = 0
+    while (true) {
+      val current = gt.latestOffsets
+      if (current != pinned && overlapCount(gt, batch, pinned) > 0L)
+        throw new java.util.ConcurrentModificationException(
+          s"rows this statement modifies on ${gt.path} were concurrently " +
+            "updated since its scan; re-run the statement against current " +
+            "state (write-set conflict, first committer wins)")
+      try {
+        gt.upsertMixedIfUnchanged(batch, Seq(batch("__seq")), current)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a commit raced our write; if it doesn't overlap our keys the
+          // retry re-merges against the new state exactly — bounded, so
+          // a pathological commit storm still surfaces loudly
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          Thread.sleep(25L + scala.util.Random.nextInt(100))
+      }
+    }
+  }
 }
 
 /** Executor side: each task stages its delta records into one uniquely
