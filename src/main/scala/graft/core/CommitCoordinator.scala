@@ -113,8 +113,16 @@ final class FileLeaseCommitCoordinator(leaseRoot: String)
     // still-missing parent FATAL — inheriting withFileLock's run-unlocked
     // fallback here would reopen the exact multi-writer race this
     // coordinator exists to close, silently.
+    //
+    // Acquisition budget: generous (2 min), NOT withFileLock's 10 s
+    // default — the critical section is tiny (one exists check + one
+    // put) but on a loaded host many racers starve each other past 10 s,
+    // and a coordinator that times out under load turns contention into
+    // spurious commit failures. Stale leases still break at 60 s, so a
+    // crashed holder never wedges the queue.
     WarehouseIO.mkdirs(leaseRoot)
-    CatalogJson.withFileLock(leaseFor(path), missingParentFatal = true)(body)
+    CatalogJson.withFileLock(leaseFor(path), timeoutMs = 120000L,
+      missingParentFatal = true)(body)
   }
 
   override def createExclusive(path: String): Boolean = withLease(path) {

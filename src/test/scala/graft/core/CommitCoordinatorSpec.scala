@@ -49,7 +49,10 @@ class CommitCoordinatorSpec extends SparkTestBase {
         } catch { case t: Throwable => errs.add(t) }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    // load-tolerant budget: under a full parallel suite the racers are
+    // CPU-starved; a short join would undercount wins and flake
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive), "racer still running after 180 s")
     assert(errs.isEmpty, s"racer threw: ${errs.asScala.headOption}")
     wins.get()
   }
