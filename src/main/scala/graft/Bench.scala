@@ -24,6 +24,10 @@ object Bench {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
+      // stateful streaming state on RocksDB (spills to local disk) — the
+      // engine default; heap-backed HDFS provider is the scale ceiling
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.GraftStream.RocksDbProvider)
       .config("spark.ui.enabled", "false")
       // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
       // accumulate status-store state even with the UI off — the

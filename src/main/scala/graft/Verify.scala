@@ -49,6 +49,10 @@ object Verify {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
+      // stateful streaming state on RocksDB (spills to local disk) — the
+      // engine default; heap-backed HDFS provider is the scale ceiling
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.GraftStream.RocksDbProvider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

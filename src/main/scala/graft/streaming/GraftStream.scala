@@ -33,6 +33,37 @@ import graft.merge.RowMergers
   */
 object GraftStream {
 
+  /** Spark's built-in default state store, which [[applyScaleStateStore]]
+    * treats as "not a user choice".
+    */
+  private val HdfsProvider = "org.apache.spark.sql.execution.streaming" +
+    ".state.HDFSBackedStateStoreProvider"
+
+  /** The engine's default stateful-stream state store. */
+  val RocksDbProvider = "org.apache.spark.sql.execution.streaming" +
+    ".state.RocksDBStateStoreProvider"
+
+  /** Default STATEFUL streaming state onto RocksDB: the HDFS-backed
+    * default holds every key's state on the executor HEAP — the known
+    * scale ceiling for dedup/session/stream-join state (a 100 TB
+    * stream's key space does not fit), while RocksDB spills to local
+    * disk with an in-heap cache (the reference keeps its KV state in
+    * RocksDB for the same reason — fluss-server/.../kv/rocksdb/
+    * RocksDBKv.java). Called by the engine's stateful stream builders;
+    * overridable two ways: an EXPLICIT non-default
+    * `spark.sql.streaming.stateStore.providerClass` always wins, and
+    * `spark.sql.graft.streaming.rocksdb=false` keeps Spark's default.
+    * The provider is pinned per CHECKPOINT at first query start —
+    * existing checkpoints keep whatever they started with.
+    */
+  def applyScaleStateStore(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val optOut = spark.conf
+      .getOption("spark.sql.graft.streaming.rocksdb").contains("false")
+    if (!optOut && spark.conf.get(key, HdfsProvider) == HdfsProvider)
+      spark.conf.set(key, RocksDbProvider)
+  }
+
   sealed trait StartupMode
   object StartupMode {
     /** Read from the first retained offset. */
@@ -406,8 +437,10 @@ object GraftStream {
     * keys ever) — the property that keeps it viable on unbounded streams.
     */
   def dedupStream(stream: DataFrame, tsCol: String, delay: String,
-      keys: Seq[String]): DataFrame =
+      keys: Seq[String]): DataFrame = {
+    applyScaleStateStore(stream.sparkSession)
     stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+  }
 
   /** J4 delta join (website/docs/engine-flink/delta-joins.mdx:8-21): the
     * reference rewrites a stream–stream join into bidirectional index
@@ -420,6 +453,7 @@ object GraftStream {
   def deltaJoin(left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       joinKeys: Seq[String], delay: String): DataFrame = {
+    applyScaleStateStore(left.sparkSession)
     val l = left.withWatermark(leftTsCol, delay)
     val r = right.withWatermark(rightTsCol, delay)
     l.join(r, joinKeys, "inner")
@@ -443,6 +477,7 @@ object GraftStream {
   def deltaJoin(left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       condition: org.apache.spark.sql.Column, delay: String): DataFrame = {
+    applyScaleStateStore(left.sparkSession)
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val l = left.withWatermark(leftTsCol, delay)

@@ -13,6 +13,10 @@ object SparkTestBase {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // hash path for the LatestRow PK collapse (buffer = one row)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // the engine's stateful-stream default (matches Bench/Verify):
+      // every streaming spec exercises the RocksDB state store
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.GraftStream.RocksDbProvider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
