@@ -1200,10 +1200,14 @@ object SparkEntry {
     }),
 
     // ----- MM3: REAL image codec — genuine PNGs (seeded per doc)
-    // decoded/resized/featurized through javax.imageio; rows-only check
-    // (no SQL engine decodes PNG), pixel math pinned by PipelineSpec
+    // decoded/resized/featurized through javax.imageio; HASH-verified
+    // against the generation-time analytic oracle (the media is drawn
+    // from the seed by a closed formula and PNG round-trips losslessly,
+    // so the expected features are pure math — mm3Mm4Oracle below)
     "mm3_image_codec" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id")).limit(256)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(256)
+      mm3Ids = Some(docs.collect().map(_.getLong(0)))
       val media = Multimodal.packSyntheticImages(docs, "doc_id")
       val small = Multimodal.resizeImages(media, 8, 8)
       Multimodal.imageFeatures(small, gridW = 2, gridH = 2)
@@ -1214,10 +1218,13 @@ object SparkEntry {
     }),
 
     // ----- MM4: REAL audio codec — seeded sine WAVs decoded through
-    // javax.sound.sampled; windowed RMS energy. Rows-only check (no SQL
-    // engine decodes WAV); PCM math pinned by PipelineSpec
+    // javax.sound.sampled; windowed RMS energy. HASH-verified against
+    // the generation-time analytic oracle (sine synthesis is a closed
+    // formula and WAV is raw PCM — mm3Mm4Oracle below)
     "mm4_audio_codec" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id")).limit(128)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(128)
+      mm4Ids = Some(docs.collect().map(_.getLong(0)))
       val media = docs.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -1487,6 +1494,51 @@ object SparkEntry {
     */
   @volatile private var mix3Centroids: Option[Array[(Int, Seq[Double])]] = None
 
+  /** mm3/mm4's selected doc ids, captured when the queries run (same
+    * post-run generated-oracle pattern as [[mix3Centroids]]). The media
+    * is synthesized from the id as seed, so with the ids in hand the
+    * EXPECTED codec features are pure generation-time math
+    * ([[Multimodal.expectedImageLumSum]]/[[Multimodal.expectedAudioEnergySum]]
+    * — no codec on the oracle side) and the oracle is a VALUES table.
+    */
+  @volatile private var mm3Ids: Option[Array[Long]] = None
+  @volatile private var mm4Ids: Option[Array[Long]] = None
+
+  /** Replica of Spark's `round(x, s)` on DOUBLE (HALF_UP via BigDecimal)
+    * — the oracle must emit the exact post-round bits.
+    */
+  private def sparkRound(d: Double, s: Int): Double =
+    BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def mm3Mm4Oracle: Map[String, String] = {
+    val m3 = mm3Ids.map { ids =>
+      val vals = ids.sorted.map { id =>
+        val lum = sparkRound(Multimodal.expectedImageLumSum(id.toInt), 4)
+        s"($id, true, 8, 8, $lum)"
+      }.mkString(",\n    ")
+      "mm3_image_codec" ->
+        s"""SELECT CAST(media_id AS BIGINT) AS media_id, decoded,
+           |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           |  CAST(lum_sum AS DOUBLE) AS lum_sum
+           |FROM (VALUES
+           |    $vals) t(media_id, decoded, width, height, lum_sum)""".stripMargin
+    }
+    val m4 = mm4Ids.map { ids =>
+      val vals = ids.sorted.map { id =>
+        val en = sparkRound(Multimodal.expectedAudioEnergySum(id.toInt), 4)
+        s"($id, true, 8000.0, 100.0, $en)"
+      }.mkString(",\n    ")
+      "mm4_audio_codec" ->
+        s"""SELECT CAST(media_id AS BIGINT) AS media_id, decoded,
+           |  CAST(sample_rate AS REAL) AS sample_rate,
+           |  CAST(duration_ms AS DOUBLE) AS duration_ms,
+           |  CAST(energy_sum AS DOUBLE) AS energy_sum
+           |FROM (VALUES
+           |    $vals) t(media_id, decoded, sample_rate, duration_ms, energy_sum)""".stripMargin
+    }
+    (m3.toSeq ++ m4.toSeq).toMap
+  }
+
   private def mix3Oracle: Map[String, String] = mix3Centroids.map { cens =>
     val vals = cens.sortBy(_._1).map { case (i, c) =>
       s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])"
@@ -1511,7 +1563,7 @@ object SparkEntry {
          |  FROM asg) WHERE rank <= 40""".stripMargin
   }.toMap
 
-  def oracleSql: Map[String, String] = mix3Oracle ++ Map(
+  def oracleSql: Map[String, String] = mix3Oracle ++ mm3Mm4Oracle ++ Map(
     "ta11_top_fraction" ->
       s"""WITH scored AS (
          |  SELECT doc_id, $qualitySqlExpr AS quality FROM documents),

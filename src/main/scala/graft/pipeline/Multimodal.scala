@@ -398,6 +398,81 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ---------------------------------------------------------------------
+  // Generation-time ANALYTIC expectations — the ORACLE side of the codec
+  // queries. The synthetic media is drawn from a seed by a closed pixel/
+  // sample formula, and both codecs round-trip losslessly (PNG on
+  // TYPE_INT_RGB; WAV is raw 16-bit PCM), so the features the pipeline
+  // must produce are computable in PURE MATH at generation time — no
+  // ImageIO / javax.sound anywhere below. Any codec, resample, or
+  // plumbing fault diverges from these numbers. (The reference has no
+  // media codecs; this is the mm3/mm4 verification harness.)
+  // ---------------------------------------------------------------------
+
+  /** Pure-math replica of `packSyntheticImages(seed) → resizeImages(dstW,
+    * dstH) → imageFeatures(gridW, gridH)`: draw formula + nearest-
+    * neighbor sampling + luminance grid, accumulation order identical to
+    * [[luminanceGrid]] (bit-exact doubles).
+    */
+  def expectedImageLumSum(seed: Int, srcW: Int = 32, srcH: Int = 16,
+      dstW: Int = 8, dstH: Int = 8, gridW: Int = 2, gridH: Int = 2): Double = {
+    val sums = new Array[Double](gridW * gridH)
+    val counts = new Array[Long](gridW * gridH)
+    var y = 0
+    while (y < dstH) {
+      val cy = math.min(y * gridH / dstH, gridH - 1)
+      val sy = math.min(y * srcH / dstH, srcH - 1)
+      var x = 0
+      while (x < dstW) {
+        val cx = math.min(x * gridW / dstW, gridW - 1)
+        val sx = math.min(x * srcW / dstW, srcW - 1)
+        val r = (sx * 255 / math.max(srcW - 1, 1)) & 0xFF
+        val g = (sy * 255 / math.max(srcH - 1, 1)) & 0xFF
+        val b = (seed * 31 + sx * sy) & 0xFF
+        val lum = (r * 0.299 + g * 0.587 + b * 0.114) / 255.0
+        val c = cy * gridW + cx
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var acc = 0.0
+    var c = 0
+    while (c < gridW * gridH) {
+      acc += (if (counts(c) == 0) 0f
+        else (sums(c) / counts(c)).toFloat).toDouble
+      c += 1
+    }
+    acc
+  }
+
+  /** Pure-math replica of `syntheticWav(millis, seed) →
+    * audioFeatures(windows)`: sine synthesis + windowed RMS, same
+    * accumulation order as [[audioFeatures]].
+    */
+  def expectedAudioEnergySum(seed: Int, millis: Int = 100,
+      sampleRate: Int = 8000, windows: Int = 4): Double = {
+    val n = sampleRate * millis / 1000
+    val freq = 200.0 + (math.abs(seed) % 20) * 40.0
+    val pcm = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toShort)
+    val per = math.max(1, n / windows)
+    var acc = 0.0
+    var w = 0
+    while (w < windows) {
+      val from = w * per
+      val until = if (w == windows - 1) n else math.min(n, from + per)
+      var s = 0.0
+      var i = from
+      while (i < until) { val v = pcm(i) / 32768.0; s += v * v; i += 1 }
+      acc += (if (until > from)
+        math.sqrt(s / (until - from)).toFloat else 0f).toDouble
+      w += 1
+    }
+    acc
+  }
+
   /** Frame sampling: slice the blob into fixed-size "frames" and keep every
     * `stride`-th one — a generator (posexplode), so it parallelizes and
     * never materializes all frames of a blob at once downstream of the scan.

@@ -243,6 +243,42 @@ class PipelineSpec extends SparkTestBase {
     assert(cl(30L) == 30L && cl(4L) == 1L && cl(12L) == 10L && cl(21L) == 20L)
   }
 
+  test("multimodal: analytic oracle replicas equal the REAL codec path " +
+      "bit-for-bit (the mm3/mm4 oracle contract)") {
+    import spark.implicits._
+    val seeds = Seq(0, 1, 7, 123, 65535, -3)
+    // image: pack -> resize(8x8) -> features(2x2), exactly mm3's shape
+    val media = Multimodal.packSyntheticImages(
+      seeds.map(_.toLong).toDF("doc_id"), "doc_id")
+    val small = Multimodal.resizeImages(media, 8, 8)
+    val got = Multimodal.imageFeatures(small, gridW = 2, gridH = 2)
+      .collect().map { r =>
+        val feats = r.getAs[scala.collection.Seq[Float]]("features")
+        r.getAs[Long]("media_id") ->
+          feats.foldLeft(0.0)((a, f) => a + f.toDouble)
+      }.toMap
+    seeds.foreach { s =>
+      val exp = Multimodal.expectedImageLumSum(s)
+      assert(got(s.toLong) == exp, s"image seed $s: ${got(s.toLong)} != $exp")
+    }
+    // audio: wav(100ms) -> energy(4 windows), exactly mm4's shape
+    val wavs = seeds.map(s => (s.toLong, Multimodal.syntheticWav(100, s)))
+      .toDF("media_id", "media")
+    val gotA = Multimodal.audioFeatures(wavs, windows = 4)
+      .collect().map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]]("energy")
+        r.getAs[Long]("media_id") ->
+          (e.foldLeft(0.0)((a, f) => a + f.toDouble),
+            r.getAs[Boolean]("decoded"))
+      }.toMap
+    seeds.foreach { s =>
+      val exp = Multimodal.expectedAudioEnergySum(s)
+      assert(gotA(s.toLong)._2, s"wav seed $s must decode")
+      assert(gotA(s.toLong)._1 == exp,
+        s"audio seed $s: ${gotA(s.toLong)._1} != $exp")
+    }
+  }
+
   test("multimodal: REAL jdk codec — decode, grid features, resize round-trip") {
     import spark.implicits._
     // genuine PNGs through the genuine codec (javax.imageio is in the JDK)
