@@ -28,6 +28,10 @@ object Bench {
       // engine default; heap-backed HDFS provider is the scale ceiling
       .config("spark.sql.streaming.stateStore.providerClass",
         graft.streaming.GraftStream.RocksDbProvider)
+      // incremental checkpointing: per-batch deltas, not full RocksDB
+      // snapshots (small-state micro-batch overhead; see GraftStream)
+      .config("spark.sql.streaming.stateStore.rocksdb"
+        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
       // accumulate status-store state even with the UI off — the

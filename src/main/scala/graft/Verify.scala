@@ -53,6 +53,10 @@ object Verify {
       // engine default; heap-backed HDFS provider is the scale ceiling
       .config("spark.sql.streaming.stateStore.providerClass",
         graft.streaming.GraftStream.RocksDbProvider)
+      // incremental checkpointing: per-batch deltas, not full RocksDB
+      // snapshots (small-state micro-batch overhead; see GraftStream)
+      .config("spark.sql.streaming.stateStore.rocksdb"
+        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

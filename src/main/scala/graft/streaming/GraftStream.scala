@@ -60,8 +60,17 @@ object GraftStream {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val optOut = spark.conf
       .getOption("spark.sql.graft.streaming.rocksdb").contains("false")
-    if (!optOut && spark.conf.get(key, HdfsProvider) == HdfsProvider)
+    if (!optOut && spark.conf.get(key, HdfsProvider) == HdfsProvider) {
       spark.conf.set(key, RocksDbProvider)
+      // incremental (changelog) checkpointing: upload per-batch deltas,
+      // not a full RocksDB snapshot per micro-batch — without it the
+      // per-batch snapshot overhead dominates small-state streams
+      // (measured: t8 7.5 s -> 4.4 s at sf0.1, parity with the heap
+      // provider) and at scale it is strictly less upload per commit
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
   }
 
   sealed trait StartupMode

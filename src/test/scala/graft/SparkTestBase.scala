@@ -17,6 +17,10 @@ object SparkTestBase {
       // every streaming spec exercises the RocksDB state store
       .config("spark.sql.streaming.stateStore.providerClass",
         graft.streaming.GraftStream.RocksDbProvider)
+      // incremental checkpointing: per-batch deltas, not full RocksDB
+      // snapshots (small-state micro-batch overhead; see GraftStream)
+      .config("spark.sql.streaming.stateStore.rocksdb"
+        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
