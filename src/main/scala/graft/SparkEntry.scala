@@ -492,6 +492,13 @@ object SparkEntry {
       Dedup.canonicalDocs(docs, "doc_id", pairs, "n_chars")
     }),
 
+    // ----- D11: dedup-at-ingest — incremental batches filtered against
+    // the PERSISTED MinHash band index (the streaming complement of
+    // d1–d6: "keep the corpus deduplicated as it grows"); the index
+    // probe is a broadcast of the micro-batch against a narrow
+    // 3-column scan, never a corpus-wide pairwise job
+    "d11_ingest_dedup" -> ((s, dir) => Fixtures.ingestDedupResult(s, dir)),
+
     // ----- DC1: benchmark decontamination — corpus docs sharing any word
     // 8-gram with the (broadcast) benchmark split are flagged with their
     // distinct-hit count; corpus side is a pure map-side probe, no
@@ -2005,6 +2012,36 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8""".stripMargin,
+
+    // ingest order: odd-id batch then even-id batch; a doc drops iff it
+    // exact-Jaccard-matches (>= 0.8) an ACCEPTED doc of an earlier batch
+    // or ANY lower-id doc of its own batch — the unrolled replay of
+    // MinHashIngestIndex.ingest (banding only bounds candidates; the
+    // accept test is exact Jaccard, so the oracle needs no banding)
+    "d11_ingest_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS gs
+        |  FROM documents),
+        |jac AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.8),
+        |acc1 AS (
+        |  SELECT doc_id FROM documents d WHERE doc_id % 2 = 1
+        |    AND NOT EXISTS (SELECT 1 FROM jac
+        |      WHERE jac.b_id = d.doc_id AND jac.a_id % 2 = 1
+        |        AND jac.a_id < d.doc_id)),
+        |acc2 AS (
+        |  SELECT doc_id FROM documents d WHERE doc_id % 2 = 0
+        |    AND NOT EXISTS (SELECT 1 FROM jac JOIN acc1 ON jac.a_id = acc1.doc_id
+        |      WHERE jac.b_id = d.doc_id)
+        |    AND NOT EXISTS (SELECT 1 FROM jac
+        |      WHERE jac.b_id = d.doc_id AND jac.a_id % 2 = 0
+        |        AND jac.a_id < d.doc_id))
+        |SELECT doc_id FROM acc1 UNION ALL SELECT doc_id FROM acc2""".stripMargin,
 
     "d6_dedup_clusters" ->
       """WITH RECURSIVE

@@ -757,6 +757,33 @@ object Fixtures {
     }
   }
 
+  /** D11 dedup-at-ingest: the documents table ingested in TWO batches
+    * (odd ids, then even) through [[graft.pipeline.MinHashIngestIndex]] —
+    * each batch near-dup-filtered against the ACCEPTED corpus via the
+    * persisted band index plus the in-batch lower-id rule — returning
+    * the accepted corpus ids. Deterministic: the accept rule unrolls per
+    * batch (a row drops iff it exact-Jaccard-matches an accepted earlier
+    * batch's doc, or ANY lower-id doc of its own batch), which is what
+    * the d11 oracle replays in SQL.
+    */
+  def ingestDedupResult(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDf("ingest_dedup", sfDir) {
+      val corpus = fresh(spark, sfDir, "ing_corpus", TableDescriptor(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))),
+        bucketKeys = Seq("doc_id"), numBuckets = 4))
+      val cat = catalog(spark)
+      val db = "fx" + math.abs(sfDir.hashCode)
+      if (cat.tableExists(db, "ing_idx")) cat.dropTable(db, "ing_idx")
+      val idx = graft.pipeline.MinHashIngestIndex.create(cat, db, "ing_idx",
+        corpus, "doc_id", "text")
+      val docs = read(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      idx.ingest(docs.filter(col("doc_id") % 2 === 1), threshold = 0.8)
+      idx.ingest(docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+      corpus.scan().select(col("doc_id"))
+    }
+
   /** T8 streaming dedup: the event stream deduplicated on
     * (user_id, event_type) with watermark-bounded state. Only the KEY set
     * is emitted — which of a key's duplicate rows survives depends on

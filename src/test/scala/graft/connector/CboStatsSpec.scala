@@ -136,6 +136,30 @@ class CboStatsSpec extends SparkTestBase {
       "planning a blob-armed table must open ZERO parquet footers")
   }
 
+  test("string-key equality: the measured string NDV drives the " +
+      "selectivity estimate and flips the join to broadcast") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    // an equality filter on a STRING column has no min/max to range
+    // over — only a measured distinctCount makes 1/NDV selectivity
+    // possible. The footer path never covered strings; the manifest HLL
+    // does.
+    val planned = withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.cbo.enabled" -> "true") {
+      val df = spark.sql(
+        """SELECT f.k, f.v FROM cbo.db.facts f
+           JOIN cbo.db.dim d ON f.k = d.k
+           WHERE d.name = concat('name-7-', repeat('x', 30))""")
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"string-NDV selectivity should broadcast the dim:\n$plan")
+      df.count()
+    }
+    assert(planned == 3L, s"1 dim key x 3 fact rows: $planned")
+  }
+
   test("stats-disabled table: incomplete blob, footer fallback; " +
       "analyzeColumnStats() arms the manifest path") {
     wh
