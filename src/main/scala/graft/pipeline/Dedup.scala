@@ -278,7 +278,7 @@ object Dedup {
   /** Fraction of agreeing minhash positions — the unbiased signature
     * Jaccard estimator every LSH path prescreens with.
     */
-  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+  private[pipeline] def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") /
       lit(numHashes.toDouble)
 
@@ -351,7 +351,7 @@ object Dedup {
     * is the widest stage, so row width there is what the plan lives or
     * dies on.
     */
-  private def bandBuckets(sigs: DataFrame, numHashes: Int,
+  private[pipeline] def bandBuckets(sigs: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

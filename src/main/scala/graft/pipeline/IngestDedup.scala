@@ -46,17 +46,20 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     * [[Dedup.minhashLshVerifiedPairs]] (same slice hash, same seed), so
     * index probes see exactly the collisions the batch job would.
     */
-  def bandRows(docs: DataFrame): DataFrame = {
-    val sh = Dedup.hashedShingleDocs(
-      docs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
-    Dedup.minhashSignaturesFromDocs(sh, numHashes, seed)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)), b))))
-      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
-        col("id").as(idCol))
-  }
+  def bandRows(docs: DataFrame): DataFrame =
+    bandRowsFromSigs(Dedup.minhashSignaturesFromDocs(
+      Dedup.hashedShingleDocs(
+        docs.select(col(idCol), col(textCol)), idCol, textCol, shingleN),
+      numHashes, seed))
+
+  /** Same banding over PRE-BUILT signatures — [[ingest]] computes
+    * shingles and signatures once and feeds every stage from them (a
+    * prior version re-shingled and re-signed the batch inside each
+    * stage, tripling the per-batch CPU).
+    */
+  private def bandRowsFromSigs(sigs: DataFrame): DataFrame =
+    Dedup.bandBuckets(sigs, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as(idCol))
 
   /** Ingest one batch: returns the NOVEL rows (batch schema) after
     * appending them to the corpus and indexing their band rows. A batch
@@ -78,11 +81,16 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     val shingled = Dedup.hashedShingleDocs(
         fresh.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
       .localCheckpoint()
+    // ONE signature pass feeds the index probes, the in-batch banding
+    // AND the in-batch prescreen — identical kernels/seed to the batch
+    // dedup family, computed once per micro-batch
+    val sigs = Dedup.minhashSignaturesFromDocs(shingled, numHashes, seed)
+      .localCheckpoint()
     // --- vs the accepted corpus ---
     // materialized once: probed against the index AND reused below as
     // the novel rows' index entries (the hashes are deterministic, so a
     // recompute would produce the identical rows at double the cost)
-    val probes = bandRows(fresh).localCheckpoint()
+    val probes = bandRowsFromSigs(sigs).localCheckpoint()
     val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
       .join(index.scan().withColumnRenamed(idCol, "b_id"),
         Seq("band", "bucket"))
@@ -95,8 +103,21 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
         shingled.unionByName(pastShingled), threshold)
       .select(col("a_id").as("__dup"))
     // --- within the batch (keep the lowest id of each dup group) ---
-    val dupInBatch = Dedup.minhashLshVerifiedPairs(shingled, threshold,
-        numHashes, bands, seed)
+    // same banding + signature prescreen + exact verify as
+    // Dedup.minhashLshVerifiedPairs, built from the SHARED probes/sigs
+    // instead of re-signing the batch
+    val candIn = probes.select(col("band"), col("bucket"),
+        col(idCol).as("a_id"))
+      .join(probes.select(col("band"), col("bucket"), col(idCol).as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .filter(Dedup.sigAgreement(col("a_sig"), col("b_sig"), numHashes)
+        >= threshold - 0.25)
+      .select(col("a_id"), col("b_id"))
+    val dupInBatch = Dedup.verifyJaccard(candIn, shingled, threshold)
       .select(col("b_id").as("__dup")) // b_id > a_id by construction
     val novel = fresh.join(
       dupVsPast.unionByName(dupInBatch).distinct()
