@@ -24,14 +24,6 @@ object Bench {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
-      // stateful streaming state on RocksDB (spills to local disk) — the
-      // engine default; heap-backed HDFS provider is the scale ceiling
-      .config("spark.sql.streaming.stateStore.providerClass",
-        graft.streaming.GraftStream.RocksDbProvider)
-      // incremental checkpointing: per-batch deltas, not full RocksDB
-      // snapshots (small-state micro-batch overhead; see GraftStream)
-      .config("spark.sql.streaming.stateStore.rocksdb"
-        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
       // accumulate status-store state even with the UI off — the
@@ -48,6 +40,10 @@ object Bench {
       .config("spark.ui.retainedDeadExecutors", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ONE source of truth for the engine's streaming-state defaults
+    // (RocksDB + changelog checkpointing): the same call every stateful
+    // stream builder makes, so Bench measures production sessions
+    graft.streaming.GraftStream.applyScaleStateStore(spark)
     // "WindowExec: No Partition Defined" warnings in this log are
     // expected and BOUNDED: every unpartitioned window in the engine is
     // the prefix-sum step of the two-level scan (Sampling.ntileExact /

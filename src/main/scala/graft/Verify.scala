@@ -49,17 +49,12 @@ object Verify {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
-      // stateful streaming state on RocksDB (spills to local disk) — the
-      // engine default; heap-backed HDFS provider is the scale ceiling
-      .config("spark.sql.streaming.stateStore.providerClass",
-        graft.streaming.GraftStream.RocksDbProvider)
-      // incremental checkpointing: per-batch deltas, not full RocksDB
-      // snapshots (small-state micro-batch overhead; see GraftStream)
-      .config("spark.sql.streaming.stateStore.rocksdb"
-        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine streaming-state defaults (RocksDB + changelog ckpt) — the
+    // same single source of truth the stream builders apply
+    graft.streaming.GraftStream.applyScaleStateStore(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -202,6 +202,22 @@ private[connector] object GraftRowLevel {
     var attempt = 0
     while (true) {
       val current = gt.latestOffsets
+      // the overlap check reads the LOG at/above the pin — it is only
+      // SOUND while those rows are still all in the log. Maintenance
+      // that moved them out (compact+vacuum advancing the retained
+      // floor past the pin) or erased them (rollback rewinding offsets
+      // below the pin) makes overlap unprovable: refuse loudly instead
+      // of silently applying a delta whose conflicts we cannot see.
+      if (current != pinned) {
+        val floors = gt.retainedFloorOffsets.getOrElse(Map.empty)
+        val unprovable =
+          floors.exists { case (b, f) => f > pinned.getOrElse(b, 0L) } ||
+            pinned.exists { case (b, o) => current.getOrElse(b, 0L) < o }
+        if (unprovable) throw new java.util.ConcurrentModificationException(
+          s"table maintenance (vacuum/rollback) on ${gt.path} overlapped " +
+            "this statement's scan window; conflicts are unprovable — " +
+            "re-run the statement against current state")
+      }
       if (current != pinned && overlapCount(gt, batch, pinned) > 0L)
         throw new java.util.ConcurrentModificationException(
           s"rows this statement modifies on ${gt.path} were concurrently " +

@@ -3250,10 +3250,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       else {
         def lt(a: Any, b: Any) =
           a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        // the dir-name value set IS the column's value set: its size is
+        // the EXACT distinct count (carried explicitly — the consumer's
+        // span-credibility gate must never suppress it for sparse keys,
+        // e.g. 12 month dirs spanning 365 days)
         Some(k -> FooterStats.ColStats(
           vs.reduce((a, b) => if (lt(a, b)) a else b),
           vs.reduce((a, b) => if (lt(a, b)) b else a),
-          nullCount = 0L, nonNullCount = vs.size.toLong))
+          nullCount = 0L, nonNullCount = vs.size.toLong,
+          ndv = Some(vs.size.toLong)))
       }
     }.toMap
   }

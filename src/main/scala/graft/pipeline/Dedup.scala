@@ -275,6 +275,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Default signature-prescreen slack below the exact threshold —
+    * shared by every LSH path (batch pairs, fuzzy decontamination,
+    * ingest dedup) so their candidate-miss budgets cannot drift apart.
+    */
+  val DefaultEstMargin: Double = 0.25
+
   /** Fraction of agreeing minhash positions — the unbiased signature
     * Jaccard estimator every LSH path prescreens with.
     */
@@ -395,7 +401,7 @@ object Dedup {
     */
   def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
-      estMargin: Double = 0.25): DataFrame = {
+      estMargin: Double = DefaultEstMargin): DataFrame = {
     // eager localCheckpoint: signatures are computed once and read by the
     // banding and both join probes; unlike persist, the blocks are
     // GC-reclaimed with the DataFrame instead of pinned in CacheManager
@@ -432,7 +438,7 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5, threshold: Double = 0.8,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
-      estMargin: Double = 0.25): DataFrame =
+      estMargin: Double = DefaultEstMargin): DataFrame =
     fuzzyDecontaminateFromDocs(
       hashedShingleDocs(corpus, idCol, textCol, n).localCheckpoint(),
       hashedShingleDocs(benchmark, idCol, textCol, n).localCheckpoint(),
@@ -445,7 +451,7 @@ object Dedup {
   def fuzzyDecontaminateFromDocs(cd: DataFrame, bd: DataFrame,
       idCol: String, threshold: Double,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
-      estMargin: Double = 0.25): DataFrame = {
+      estMargin: Double = DefaultEstMargin): DataFrame = {
     val cs = minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint()
     val bs = minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint()
     // explicit broadcast on every benchmark-side join (the decontaminate

@@ -115,7 +115,7 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .filter(Dedup.sigAgreement(col("a_sig"), col("b_sig"), numHashes)
-        >= threshold - 0.25)
+        >= threshold - Dedup.DefaultEstMargin)
       .select(col("a_id"), col("b_id"))
     val dupInBatch = Dedup.verifyJaccard(candIn, shingled, threshold)
       .select(col("b_id").as("__dup")) // b_id > a_id by construction

@@ -125,6 +125,14 @@ object PkCollapseRule extends Rule[LogicalPlan] {
 
   private def substitutedMemo(sr: DataSourceV2ScanRelation, mode: Mode,
       cond: Option[Expression]): Option[LogicalPlan] = {
+    // LakeUnion subplans pin the LAKE's live-file list, whose state the
+    // graft-side key below cannot see (external lake maintenance never
+    // touches the manifest/snapshot stats) — a memoized lake plan could
+    // serve deleted files. Those substitutions always build fresh.
+    if (mode != PkState) {
+      nestedPasses.incrementAndGet()
+      return substituted(sr, mode, cond)
+    }
     val gt = sr.relation.table.asInstanceOf[GraftDsTable].table
     val key = (gt.path, gt.planningStateKey, mode,
       sr.output.map(a => a.name -> a.exprId.id),

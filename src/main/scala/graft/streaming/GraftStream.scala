@@ -341,6 +341,9 @@ object GraftStream {
   def changelogStream(stream: DataFrame, desc: TableDescriptor,
       ordCol: String): DataFrame = {
     require(desc.isPrimaryKeyTable, "changelogStream needs a PK table descriptor")
+    // per-PK state with NO timeout — the worst state-scale profile of
+    // all the stateful builders; RocksDB is non-negotiable at size
+    applyScaleStateStore(stream.sparkSession)
     val dataSchema = desc.schema
     val pk = desc.primaryKey
     val pkSchema = StructType(pk.map(c => dataSchema(dataSchema.fieldIndex(c))).toArray)

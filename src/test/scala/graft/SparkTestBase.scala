@@ -13,17 +13,12 @@ object SparkTestBase {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // hash path for the LatestRow PK collapse (buffer = one row)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-      // the engine's stateful-stream default (matches Bench/Verify):
-      // every streaming spec exercises the RocksDB state store
-      .config("spark.sql.streaming.stateStore.providerClass",
-        graft.streaming.GraftStream.RocksDbProvider)
-      // incremental checkpointing: per-batch deltas, not full RocksDB
-      // snapshots (small-state micro-batch overhead; see GraftStream)
-      .config("spark.sql.streaming.stateStore.rocksdb"
-        + ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // engine streaming-state defaults (RocksDB + changelog ckpt): every
+    // streaming spec exercises the production state store
+    graft.streaming.GraftStream.applyScaleStateStore(s)
     s
   }
 }

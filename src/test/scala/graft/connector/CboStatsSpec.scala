@@ -236,8 +236,35 @@ class CboStatsSpec extends SparkTestBase {
     t.append(df, orderBy = Seq(df("k")))
     val stats = t.columnPlannerStats()
     val dt = stats("dt")
-    // bounds and the TRUE distinct count from the dir names
+    // bounds and the TRUE distinct count from the dir names — carried as
+    // an explicit exact NDV (the consumer's span-credibility gate must
+    // never suppress it)
     assert(dt.min == 10 && dt.max == 12 && dt.nonNullCount == 3L, dt)
+    assert(dt.ndv.contains(3L), dt)
     assert(stats("k").min == 0L && stats("k").max == 299L)
+  }
+
+  test("SPARSE partition keys keep their exact dir-name NDV (the span " +
+      "gate must not suppress it)") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    // 3 values spanning 0..800 — a span-derived bound would be gated as
+    // incredible (span >> rows); the dir names give the exact count
+    val t = c.createTable("db", "psparse", graft.core.TableDescriptor(
+      StructType(Seq(StructField("m", IntegerType),
+        StructField("k", LongType))),
+      bucketKeys = Seq("k"), numBuckets = 2, partitionKeys = Seq("m")))
+    val df = spark.range(0, 90).selectExpr(
+      "CAST((id % 3) * 400 AS INT) AS m", "id AS k")
+    t.append(df, orderBy = Seq(df("k")))
+    val m = t.columnPlannerStats()("m")
+    assert(m.min == 0 && m.max == 800 && m.ndv.contains(3L), m)
+    import scala.jdk.CollectionConverters._
+    val exported = graft.connector.GraftColumnStats.of(t).asScala
+      .find(_._1.fieldNames.head == "m").map(_._2)
+    assert(exported.exists(_.distinctCount.getAsLong == 3L),
+      s"exact dir NDV must survive to the DSv2 report: $exported")
   }
 }

@@ -177,6 +177,31 @@ class RowLevelSqlSpec extends SparkTestBase {
     assert(stateOf("ov1")(7L) == (1, "mine"))
   }
 
+  test("maintenance during the statement window makes conflicts " +
+      "UNPROVABLE: vacuum past the pin refuses even a disjoint delta") {
+    wh; freshKv("mv1")
+    import org.apache.spark.sql.functions._
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "mv1")
+    val pinned = t.latestOffsets
+    // interloper commit, then compact+vacuum move its rows (and the
+    // whole log) OUT of the gated log — the overlap check can no longer
+    // SEE what landed since the pin, so it must refuse rather than
+    // silently pass a delta whose conflicts are invisible
+    val up = spark.sql("SELECT 5L AS k, 555 AS v, 'raced' AS tag")
+    t.upsert(up, orderBy = Seq(lit(0L)))
+    t.compact(); t.vacuumLog()
+    def delta(key: Long) = spark.sql(
+      s"SELECT 1L AS __seq, $key AS k, 1 AS v, 'mine' AS tag")
+      .withColumn("__delete", lit(false))
+    val e = intercept[java.util.ConcurrentModificationException](
+      GraftRowLevel.checkAndApply(t, delta(7L), pinned))
+    assert(e.getMessage.contains("unprovable"), e.getMessage)
+    // a FRESH pin (post-maintenance state) commits fine
+    GraftRowLevel.checkAndApply(t, delta(7L), t.latestOffsets)
+    assert(stateOf("mv1")(7L) == (1, "mine"))
+    assert(stateOf("mv1")(5L) == (555, "raced"))
+  }
+
   test("orphan GC sweeps crashed-query staging; fresh staging survives") {
     wh; freshKv("gc1")
     val t = new graft.core.Catalog(wh, spark).getTable("db", "gc1")
