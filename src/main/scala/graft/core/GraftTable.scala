@@ -1521,8 +1521,22 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // union read replays any tail >= the recorded cutoff idempotently).
     val epochAtStart = rollbackEpoch
     val tmpDir = s"$path/snapshot.compact-${java.util.UUID.randomUUID()}"
-    currentState().withColumn(Meta.Bucket, bucketCol)
-      .write.mode("overwrite").options(fileWriteOptions)
+    // the compaction scan reads every LIVE row anyway — observing it
+    // rebuilds the column-stats blob EXACTLY (resetting the documented
+    // over-approximation drift of heavily-overwritten PK tables, and
+    // arming tables whose history predates write-time stats) at zero
+    // extra IO. Published below only when no commit raced the
+    // compaction, so accumulated entries are never lost.
+    val statsEnabled = desc.properties
+      .getOrElse(GraftTable.ColumnStatsProp, "true") != "false"
+    val (snapDf, fetchSnapStats) =
+      if (statsEnabled)
+        ManifestColStats.observe(
+          currentState().withColumn(Meta.Bucket, bucketCol),
+          desc.schema, desc.partitionKeys)
+      else (currentState().withColumn(Meta.Bucket, bucketCol),
+        () => Option.empty[Map[String, ManifestColStats.Entry]])
+    snapDf.write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     withCommitLock(Some(tmpDir)) {
       val now = readOffsets()
@@ -1547,6 +1561,16 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         JsonMethods.compact(JsonMethods.render(JObject(
           upTo.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
       deleteTree(old)
+      // quiet compaction (no commit landed since the scan's offsets):
+      // the observed live-row stats replace the blob, EXACT and
+      // complete. A raced-forward commit means its entry lives only in
+      // the accumulated blob — keep it (sound, just over-approximate).
+      if (now == upTo) fetchSnapStats().foreach { entries =>
+        val (m, commits, ids, hist) = parseManifest()
+        writeManifest(m, commits, ids.getOrElse(Set.empty), hist,
+          PutColStats(ManifestColStats.Blob(complete = true, Map.empty)
+            .merge(entries)))
+      }
     }
     GraftMetrics.inc(path, GraftMetrics.Compactions)
   }

@@ -193,6 +193,36 @@ class CboStatsSpec extends SparkTestBase {
     assert(after("s").ndv.contains(40L), after("s"))
   }
 
+  test("compact() rebuilds the blob EXACTLY from the live rows it " +
+      "scans anyway — overwrite drift resets to truth") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    val t = c.createTable("db", "churn", graft.core.TableDescriptor(
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", IntegerType))),
+      primaryKey = Seq("k"), numBuckets = 2))
+    def up(off: Int): Unit = {
+      val df = spark.range(0, 100).selectExpr(
+        "id AS k", s"CAST(id + $off AS INT) AS v")
+      t.upsert(df, orderBy = Seq(df("k")))
+    }
+    up(0); up(1000); up(5000) // every row overwritten twice
+    // accumulated blob over-approximates: ~300 distinct v values ever
+    // committed, only 100 live
+    val drifted = t.columnPlannerStats()("v")
+    assert(drifted.ndv.exists(_ > 250), drifted.ndv)
+    t.compact()
+    val fresh = t.columnPlannerStats()("v")
+    assert(fresh.ndv.exists(n => n > 95 && n < 105),
+      s"post-compact NDV must be the LIVE count: ${fresh.ndv}")
+    assert(fresh.min == 5000 && fresh.max == 5099, fresh)
+    assert(t.readColStatsBlob().exists(_.complete))
+    // and the table still reads exactly
+    assert(t.scan().count() == 100L)
+  }
+
   test("incremental merge stays exact across commits, and a DELETE " +
       "keeps a sound over-approximation") {
     wh
