@@ -1269,12 +1269,10 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // Disabled (or failed) collection marks the blob incomplete — the
       // footer sweep then remains the plan-time source, never a stale
       // under-approximation.
-      val statsEnabled = desc.properties
-        .getOrElse(GraftTable.ColumnStatsProp, "true") != "false"
       var fetchCommitStats: () => Option[Map[String, ManifestColStats.Entry]] =
         () => None
       def observeStats(out: DataFrame): DataFrame =
-        if (!statsEnabled) out
+        if (!columnStatsEnabled) out
         else {
           val (instrumented, fetch) =
             ManifestColStats.observe(out, desc.schema, desc.partitionKeys)
@@ -1507,6 +1505,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     */
   def compact(): Unit = {
     require(desc.isPrimaryKeyTable, "compact() applies to PK tables")
+    // epoch FIRST: a rollback flips offsets after bumping the epoch, so
+    // reading the epoch after the offsets would let a rollback landing
+    // between the two reads slip past BOTH abort checks below (the new
+    // timeline can re-advance offsets to exactly upTo — the ABA shape)
+    val epochAtStart = rollbackEpoch
     val upTo = readOffsets()
     // Partitioned EXACTLY like the log (partition keys, then bucket), so
     // partition pruning and point lookups prune the snapshot's dirs the
@@ -1519,7 +1522,6 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // silently overwritten with pre-restore state (offsets moving
     // BACKWARD aborts; commits racing forward are replay-safe — the
     // union read replays any tail >= the recorded cutoff idempotently).
-    val epochAtStart = rollbackEpoch
     val tmpDir = s"$path/snapshot.compact-${java.util.UUID.randomUUID()}"
     // the compaction scan reads every LIVE row anyway — observing it
     // rebuilds the column-stats blob EXACTLY (resetting the documented
@@ -1527,19 +1529,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // arming tables whose history predates write-time stats) at zero
     // extra IO. Published below only when no commit raced the
     // compaction, so accumulated entries are never lost.
-    val statsEnabled = desc.properties
-      .getOrElse(GraftTable.ColumnStatsProp, "true") != "false"
+    val liveRows = currentState().withColumn(Meta.Bucket, bucketCol)
     val (snapDf, fetchSnapStats) =
-      if (statsEnabled)
-        ManifestColStats.observe(
-          currentState().withColumn(Meta.Bucket, bucketCol),
-          desc.schema, desc.partitionKeys)
-      else (currentState().withColumn(Meta.Bucket, bucketCol),
-        () => Option.empty[Map[String, ManifestColStats.Entry]])
+      if (columnStatsEnabled)
+        ManifestColStats.observe(liveRows, desc.schema, desc.partitionKeys)
+      else (liveRows, () => Option.empty[Map[String, ManifestColStats.Entry]])
     snapDf.write.mode("overwrite").options(fileWriteOptions)
       .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
     withCommitLock(Some(tmpDir)) {
-      val now = readOffsets()
+      val (now, commitsNow, idsNow, histNow) = parseManifest()
       // offsets alone cannot catch a rollback followed by new commits
       // (offsets are REUSABLE after the physical truncation — the ABA
       // shape); the rollback epoch does
@@ -1566,8 +1564,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       // complete. A raced-forward commit means its entry lives only in
       // the accumulated blob — keep it (sound, just over-approximate).
       if (now == upTo) fetchSnapStats().foreach { entries =>
-        val (m, commits, ids, hist) = parseManifest()
-        writeManifest(m, commits, ids.getOrElse(Set.empty), hist,
+        writeManifest(now, commitsNow, idsNow.getOrElse(Set.empty), histNow,
           PutColStats(ManifestColStats.Blob(complete = true, Map.empty)
             .merge(entries)))
       }
@@ -2232,8 +2229,21 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           s"removeOrphanFiles?); retry $op()")
     val newId = java.util.UUID.randomUUID().toString
     moveStagedFiles(tmpDir, newId)
-    writeManifest(newOffsets.getOrElse(bases), commits, Set(newId),
-      newHistory.getOrElse(hist))
+    // blob posture: row REMOVAL (vacuum/expire) and same-row rewrites
+    // keep the blob a sound over-approximation — preserve. A BACKWARD
+    // offset flip (rollback) RESTORES older rows, which a post-compact
+    // EXACT blob may not cover; it must degrade (one-way) so the
+    // planner never serves under-approximating bounds for the restored
+    // state.
+    val finalOffsets = newOffsets.getOrElse(bases)
+    val rewound = bases.exists { case (b, o) =>
+      finalOffsets.getOrElse(b, 0L) < o }
+    val blobUpdate: ColStatsUpdate =
+      if (!rewound) PreserveColStats
+      else readColStatsBlob().map(b => PutColStats(b.copy(complete = false)))
+        .getOrElse(PreserveColStats)
+    writeManifest(finalOffsets, commits, Set(newId),
+      newHistory.getOrElse(hist), blobUpdate)
     cleanUnmanifestedResidue(Set(newId))
     // legacy un-prefixed files are not "residue"; remove them explicitly
     WarehouseIO.walkFiles(logDir)
@@ -3192,6 +3202,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * the exact value set — one listing gives bounds and the TRUE
     * distinct count at any size.
     */
+  /** One gate for every write-time stats collection site (commit
+    * observe, compact rebuild) — see [[GraftTable.ColumnStatsProp]].
+    */
+  private def columnStatsEnabled: Boolean =
+    desc.properties.getOrElse(GraftTable.ColumnStatsProp, "true") != "false"
+
   def columnPlannerStats(): Map[String, FooterStats.ColStats] = {
     val cols = FooterStats.statableColumns(StructType(
       desc.schema.fields.filterNot(f => desc.partitionKeys.contains(f.name))))

@@ -223,6 +223,34 @@ class CboStatsSpec extends SparkTestBase {
     assert(t.scan().count() == 100L)
   }
 
+  test("rollback after an exact compact-rebuild DEGRADES the blob: the " +
+      "restored older values must never be under-approximated") {
+    wh
+    val c = new graft.core.Catalog(
+      spark.conf.get("spark.sql.catalog.cbo.warehouse"), spark)
+    import org.apache.spark.sql.types._
+    val t = c.createTable("db", "rbstats", graft.core.TableDescriptor(
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", IntegerType))),
+      primaryKey = Seq("k"), numBuckets = 2))
+    def up(off: Int): Unit = {
+      val df = spark.range(0, 100).selectExpr(
+        "id AS k", s"CAST(id + $off AS INT) AS v")
+      t.upsert(df, orderBy = Seq(df("k")))
+    }
+    up(0)     // version 1: v in [0, 99]
+    up(5000)  // version 2: v in [5000, 5099]
+    t.compact() // EXACT blob of the live state: v bounds [5000, 5099]
+    assert(t.columnPlannerStats()("v").min == 5000)
+    t.rollbackTo(1) // restores v in [0, 99] — outside the exact blob
+    assert(!t.readColStatsBlob().exists(_.complete),
+      "a backward offset flip must degrade the exact blob (one-way)")
+    // the footer fallback serves the TRUE restored bounds
+    val v = t.columnPlannerStats()("v")
+    assert(v.min == 0 && v.max == 99, v)
+    assert(t.scan().count() == 100L)
+  }
+
   test("incremental merge stays exact across commits, and a DELETE " +
       "keeps a sound over-approximation") {
     wh
