@@ -866,8 +866,11 @@ object SparkEntry {
     // ----- PIPE3: corpus -> MATERIALIZED training shards, end to end:
     // rule filter -> per-source quality cap -> hive-partitioned shard
     // write (one dir per shard) -> the manifest a training job checks.
-    // Rows-only: the query's real output is the directory tree it wrote
-    // (layout + shard exactness pinned by SamplingSessionsSpec)
+    // The manifest (shard, n_docs, n_tokens) read BACK from the written
+    // tree IS the output: the shard rule is the deterministic ta7
+    // running-sum assignment, so the oracle replays it in SQL and the
+    // write path itself is under the hash gate (layout also pinned by
+    // SamplingSessionsSpec)
     "pipe3_write_shards" -> ((s, dir) => {
       val docs = TextAnalysis.widen(t(s, dir, "documents"))
       val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
@@ -2807,6 +2810,33 @@ object SparkEntry {
          |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |     - n_tokens) // 10000 AS BIGINT) AS shard
          |FROM capped""".stripMargin,
+
+    // pipe3's shard MANIFEST: the same selection as pipe2 (gopher keep ->
+    // per-source quality cap), the same running-sum shard rule as ta7,
+    // folded to (shard, n_docs, n_tokens) — the write is exercised by the
+    // query (the manifest is read BACK from the written tree), while the
+    // oracle replays the deterministic assignment arithmetic
+    "pipe3_write_shards" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    source, $qualitySqlExpr AS quality
+         |  FROM documents
+         |  WHERE $gopherKeepSqlExpr),
+         |capped AS (
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT doc_id, n_tokens,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY quality DESC, doc_id) AS rank
+         |    FROM kept) WHERE rank <= 20),
+         |sharded AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |       - n_tokens) // 10000 AS BIGINT) AS shard
+         |  FROM capped)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sharded GROUP BY shard""".stripMargin,
 
     // mirrors dsirScore(buckets=4096, target = doc_id % 10 = 0): unigram
     // + bigram hashed features (md5-60 % 4096), add-one-smoothed log

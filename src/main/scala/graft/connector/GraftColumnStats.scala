@@ -19,6 +19,18 @@ private[connector] object GraftColumnStats {
     * equality-filter selectivity underestimate and a large filtered side
     * wrongly plan as broadcast. Key columns (PK / bucket keys) are exempt:
     * dense surrogate keys are exactly the shape the bound is tight for.
+    *
+    * Documented cost of the gate: FilterEstimation only ranges over
+    * min/max when a distinctCount is present, so a non-key wide-span
+    * column that fails the gate (typically a TIMESTAMP on a table whose
+    * manifest blob is incomplete — footer-swept stats carry no HLL NDV)
+    * loses RANGE-predicate selectivity estimation too, not just
+    * equality. That is the chosen trade — a confident wrong equality
+    * estimate flips joins to broadcast, while default range selectivity
+    * merely under-prunes — and the escape hatch is measured NDV:
+    * `CALL sys.analyze_column_stats(...)` (or any write on a
+    * stats-armed table) re-arms the manifest sketch, after which
+    * `cs.ndv` is present and the gate never fires.
     */
   private val SpanCredibilityFactor = 8L
 

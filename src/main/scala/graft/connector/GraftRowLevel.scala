@@ -59,6 +59,23 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
   @volatile private[connector] var scanPinnedOffsets:
       Option[Map[Int, Long]] = None
 
+  /** Rollback epoch pinned with (and READ BEFORE) the offsets — the
+    * compact() ABA pattern: a concurrent rollback rewinds offsets and
+    * later commits may re-advance them to (or past) the pinned values,
+    * making `current == pinned` a lie — the reused offset range holds
+    * DIFFERENT rows than the scan saw, invisible to
+    * `committedRowsSince(pinned)`. Any epoch change between the pin and
+    * the commit makes conflicts unprovable and fails the statement.
+    */
+  @volatile private[connector] var scanPinnedEpoch: Option[Long] = None
+
+  /** Every scan builder the statement planned through — their pushed
+    * filters reconstruct the statement's target predicate for the
+    * SERIALIZABLE isolation phantom check.
+    */
+  private val builders =
+    new java.util.concurrent.CopyOnWriteArrayList[GraftScanBuilder]()
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** The rewrite reads the target through the table's ordinary scan —
@@ -68,9 +85,42 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
     * can only widen the overlap check, never miss a commit).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (scanPinnedOffsets.isEmpty)
+    if (scanPinnedOffsets.isEmpty) {
+      // epoch BEFORE offsets: pinning them in the other order could pin
+      // a pre-rollback epoch against post-rollback offsets, which the
+      // commit-time equality check would then wrongly validate
+      scanPinnedEpoch = Some(gt.rollbackEpoch)
       scanPinnedOffsets = Some(gt.latestOffsets)
-    dsTable.newScanBuilder(options)
+    }
+    val b = dsTable.newScanBuilder(options)
+    b match {
+      case g: GraftScanBuilder => builders.add(g)
+      case _ =>
+    }
+    b
+  }
+
+  /** The statement's pushed target predicate, as ONE Column — the
+    * phantom-detection input under SERIALIZABLE isolation. Pushed
+    * filters are a (possibly empty) SUBSET of the WHERE's conjuncts, so
+    * the reconstruction is WIDER than the true predicate — it can only
+    * flag more rows as phantoms, never miss one the true predicate
+    * matches. No builders / no pushed filters → None, and the caller
+    * falls back to "any committed row is a phantom" (maximally
+    * conservative). Multiple scan builds OR together (each is already a
+    * widening of the same statement predicate).
+    */
+  private[connector] def pushedTargetPredicate
+      : Option[org.apache.spark.sql.Column] = {
+    import scala.jdk.CollectionConverters._
+    val perBuild = builders.asScala.toSeq.map { b =>
+      val fs = b.pushedFilters().toSeq
+      if (fs.isEmpty) None
+      else fs.flatMap(GraftScanBuilder.toColumn)
+        .reduceOption(_ && _)
+    }
+    if (perBuild.isEmpty || perBuild.exists(_.isEmpty)) None
+    else perBuild.flatten.reduceOption(_ || _)
   }
 
   override def rowId(): Array[NamedReference] =
@@ -87,7 +137,7 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new GraftDeltaWrite(gt, info, SparkSession.active,
-          () => scanPinnedOffsets)
+          GraftRowLevelOperation.this)
     }
 
   override def description(): String =
@@ -99,7 +149,7 @@ private[connector] final class GraftRowLevelOperation(dsTable: GraftDsTable,
   */
 private[connector] final class GraftDeltaWrite(gt: GraftTable,
     info: LogicalWriteInfo, spark: SparkSession,
-    pinnedOffsets: () => Option[Map[Int, Long]])
+    op: GraftRowLevelOperation)
     extends DeltaWrite with DeltaBatchWrite {
 
   // staged record: __seq (0 delete / 1 upsert — the intra-batch merge
@@ -141,7 +191,10 @@ private[connector] final class GraftDeltaWrite(gt: GraftTable,
       // update's delete+reinsert pair, which __seq orders (delete 0,
       // reinsert 1 — last write wins, so the new row survives)
       GraftRowLevel.checkAndApply(gt, batch,
-        pinnedOffsets().getOrElse(gt.latestOffsets))
+        op.scanPinnedOffsets.getOrElse(gt.latestOffsets),
+        pinnedEpoch = op.scanPinnedEpoch,
+        targetPredicate = op.pushedTargetPredicate,
+        serializable = GraftRowLevel.serializableIsolation(spark))
     } finally cleanup()
   }
 
@@ -158,6 +211,14 @@ private[connector] final class GraftDeltaWrite(gt: GraftTable,
   * overlap detection against the statement's pinned scan state, plus a
   * bounded retry for non-overlapping races.
   *
+  * Isolation ladder (`spark.sql.graft.dml.isolation`, the
+  * Delta/Iceberg two-level shape):
+  *
+  * | level | conflict = fail loudly | tolerated |
+  * |---|---|---|
+  * | `write-serializable` (default) | commits since the scan touching the statement's WRITE SET; rollback during the window (epoch change); vacuum past the pin | predicate phantoms: a row another commit moved into the WHERE range after the scan |
+  * | `serializable` | all of the above, PLUS any committed row matching the statement's pushed target predicate (phantom protection); with nothing pushed, ANY commit since the scan | — |
+  *
   * Semantics (documented contract):
   *  - two concurrent statements touching DISJOINT key sets both commit,
   *    no user retry: the loser's delta is unaffected by the winner's
@@ -168,19 +229,41 @@ private[connector] final class GraftDeltaWrite(gt: GraftTable,
   *    would silently lose that update. The user re-runs the statement
   *    (which re-reads current state). First-committer-wins, the same
   *    posture as Delta/Iceberg serializable conflict detection.
-  *  - reads the statement did OUTSIDE its write set (predicate phantoms:
-  *    a row another commit moved INTO the WHERE clause after the scan)
-  *    are not conflict-checked — write-set serializability, the
-  *    WriteSerializable posture of the lake formats.
+  *  - under the DEFAULT level, reads the statement did OUTSIDE its
+  *    write set (predicate phantoms) are not conflict-checked —
+  *    write-set serializability, the WriteSerializable posture of the
+  *    lake formats. Under `serializable`, the phantom check evaluates
+  *    the pushed predicate over every changelog row committed since the
+  *    pin (+I/+U new images and, on FULL-image tables, -U/-D
+  *    pre-images); predicate conjuncts that could not push make the
+  *    check WIDER (more conservative), never narrower.
+  *  - a concurrent ROLLBACK always fails the statement (both levels):
+  *    rollback can rewind offsets that later commits re-advance, so the
+  *    offset ranges the overlap check reads may hold different rows
+  *    than the scan saw (ABA) — the pinned rollback epoch detects this
+  *    and conflicts become unprovable.
   *
-  * Cost: the overlap check runs ONLY when offsets actually advanced
-  * since the pin (a manifest compare — free in the common case), and
-  * then scans only rows at/above the pinned offsets (row-group pruned
-  * tail, not the table).
+  * Cost: the overlap/phantom checks run ONLY when offsets actually
+  * advanced since the pin (a manifest compare — free in the common
+  * case), and then scan only rows at/above the pinned offsets
+  * (row-group pruned tail, not the table).
   */
 private[connector] object GraftRowLevel {
 
   private val MaxRetries = 3
+
+  /** `spark.sql.graft.dml.isolation`: `write-serializable` (default) or
+    * `serializable`.
+    */
+  private[connector] def serializableIsolation(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.graft.dml.isolation", "write-serializable")
+      .toLowerCase(java.util.Locale.ROOT) match {
+      case "serializable" => true
+      case "write-serializable" | "writeserializable" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.sql.graft.dml.isolation must be 'write-serializable' or " +
+          s"'serializable'; got '$other'")
+    }
 
   /** Keys of `sinceRows` that intersect the staged delta's keys. */
   private[connector] def overlapCount(gt: GraftTable,
@@ -195,18 +278,41 @@ private[connector] object GraftRowLevel {
 
   /** Validate-then-commit with bounded jittered retry. `batch` carries
     * `__seq`/`__delete` plus the data columns (the staged delta).
+    * `pinnedEpoch` is the rollback epoch read when the scan pinned its
+    * offsets (None for engine-API callers that never pinned one);
+    * `targetPredicate`/`serializable` drive the phantom check.
     */
   private[connector] def checkAndApply(gt: GraftTable,
       batch: org.apache.spark.sql.DataFrame,
-      pinned: Map[Int, Long]): Unit = {
+      pinned: Map[Int, Long],
+      pinnedEpoch: Option[Long] = None,
+      targetPredicate: Option[org.apache.spark.sql.Column] = None,
+      serializable: Boolean = false): Unit = {
     var attempt = 0
     while (true) {
+      // epoch BEFORE offsets (the compact() ABA pattern): if the epoch
+      // still equals the pin AFTER this read, no rollback has run since
+      // the scan, so the offsets read next are monotonic successors of
+      // the pinned ones and the range [pinned, current) really holds
+      // exactly what landed since the scan. Without this, a rollback
+      // that rewound and was then re-advanced to == pinned would skip
+      // every check below, and one re-advanced PAST the pin would reuse
+      // offset ranges committedRowsSince can't tell apart — a stale
+      // delta would silently apply.
+      val epochNow = gt.rollbackEpoch
       val current = gt.latestOffsets
+      pinnedEpoch.foreach { e =>
+        if (epochNow != e) throw new java.util.ConcurrentModificationException(
+          s"a rollback on ${gt.path} overlapped this statement's scan " +
+            "window; offset ranges may have been reused — conflicts are " +
+            "unprovable, re-run the statement against current state")
+      }
       // the overlap check reads the LOG at/above the pin — it is only
       // SOUND while those rows are still all in the log. Maintenance
       // that moved them out (compact+vacuum advancing the retained
       // floor past the pin) or erased them (rollback rewinding offsets
-      // below the pin) makes overlap unprovable: refuse loudly instead
+      // below the pin — also caught epoch-first above when the caller
+      // pinned one) makes overlap unprovable: refuse loudly instead
       // of silently applying a delta whose conflicts we cannot see.
       if (current != pinned) {
         val floors = gt.retainedFloorOffsets.getOrElse(Map.empty)
@@ -217,6 +323,21 @@ private[connector] object GraftRowLevel {
           s"table maintenance (vacuum/rollback) on ${gt.path} overlapped " +
             "this statement's scan window; conflicts are unprovable — " +
             "re-run the statement against current state")
+        if (serializable) {
+          // SERIALIZABLE phantom check: any committed row matching the
+          // statement's target predicate means the scan would read
+          // differently now — no serial order exists where this delta
+          // is still the statement's output. With nothing pushed, ANY
+          // commit since the pin conflicts (maximally conservative).
+          val since = gt.committedRowsSince(pinned)
+          val phantoms = targetPredicate.fold(since)(since.filter(_))
+          if (!phantoms.isEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"rows matching this statement's predicate were committed " +
+                s"on ${gt.path} since its scan (phantom under " +
+                "SERIALIZABLE isolation); re-run the statement against " +
+                "current state")
+        }
       }
       if (current != pinned && overlapCount(gt, batch, pinned) > 0L)
         throw new java.util.ConcurrentModificationException(
@@ -224,7 +345,8 @@ private[connector] object GraftRowLevel {
             "updated since its scan; re-run the statement against current " +
             "state (write-set conflict, first committer wins)")
       try {
-        gt.upsertMixedIfUnchanged(batch, Seq(batch("__seq")), current)
+        gt.upsertMixedIfUnchanged(batch, Seq(batch("__seq")), current,
+          expectedEpoch = pinnedEpoch.map(_ => epochNow))
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

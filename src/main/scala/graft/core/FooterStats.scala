@@ -31,6 +31,8 @@ import org.apache.spark.sql.types._
   */
 private[graft] object FooterStats {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** `min`/`max` are catalyst-internal values (or null when unknown —
     * NDV-only entries for string columns); `ndv` is a MEASURED distinct
     * count (manifest HLL sketch, [[ManifestColStats]]) — absent for
@@ -76,7 +78,9 @@ private[graft] object FooterStats {
     * under.
     */
   def collect(files: Seq[String],
-      columns: Seq[String]): Map[String, ColStats] = try {
+      columns: Seq[String]): Map[String, ColStats] = {
+    var currentFile: String = "" // names the culprit in the WARN below
+    try {
     if (files.isEmpty || columns.isEmpty) return Map.empty
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -91,6 +95,7 @@ private[graft] object FooterStats {
     // other metadata read or a remote warehouse fails at plan time
     val conf = WarehouseIO.hadoopConf
     files.foreach { f =>
+      currentFile = f
       filesOpened.incrementAndGet()
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
@@ -131,7 +136,17 @@ private[graft] object FooterStats {
   } catch {
     // stats are ESTIMATES — an unreadable footer (permissions, a
     // concurrent vacuum, a flaky store) must degrade to "no column
-    // stats", never fail the planning pass that asked for them
-    case scala.util.control.NonFatal(_) => Map.empty
+    // stats", never fail the planning pass that asked for them. The
+    // degradation is LOUD (a silently stats-less CBO plan is
+    // undebuggable) and deliberately drops EVERY column, not just the
+    // failing file's contribution: min/max missing one file's range
+    // would be an UNDER-approximation, and the consumer's span gate
+    // assumes bounds that cover all visible rows.
+    case scala.util.control.NonFatal(e) =>
+      log.warn(s"footer stats sweep failed at '$currentFile' — CBO " +
+        s"column stats dropped for this table state: " +
+        s"${e.getClass.getName}: ${e.getMessage}")
+      Map.empty
+    }
   }
 }

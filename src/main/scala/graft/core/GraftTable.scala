@@ -46,6 +46,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private val retentionMarkerFile = s"$path/_retention.json"
   private val leasesFile = s"$path/_leases.json"
   private val rollbackEpochFile = s"$path/_rollbacks.json"
+  private val rebucketMarkerFile = s"$path/_rebucket.json"
   @volatile private var snapshotLayoutChecked = false
 
   // P5: let the optimizer rule map this log dir back to its bucket layout.
@@ -700,9 +701,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * closing the check-then-write window the plain path leaves open.
     */
   private[graft] def upsertMixedIfUnchanged(df: DataFrame,
-      orderBy: Seq[Column], expectedOffsets: Map[Int, Long]): Unit =
+      orderBy: Seq[Column], expectedOffsets: Map[Int, Long],
+      expectedEpoch: Option[Long] = None): Unit =
     writePk(df, deleteFlag = df("__delete"), None, orderBy,
-      expectedOffsets = Some(expectedOffsets))
+      expectedOffsets = Some(expectedOffsets),
+      expectedEpoch = expectedEpoch)
 
   /** Committed (visible) rows at/above the given per-bucket offsets —
     * "what landed since this manifest state": the row-level write's
@@ -730,7 +733,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       retractFlag: Column = lit(false),
       commitTag: Option[(String, Long)] = None,
       mayDelete: Boolean = true,
-      expectedOffsets: Option[Map[Int, Long]] = None): Unit = {
+      expectedOffsets: Option[Map[Int, Long]] = None,
+      expectedEpoch: Option[Long] = None): Unit = {
     require(desc.isPrimaryKeyTable, "append-only table: use append()")
     require(orderBy.size <= 1,
       "orderBy takes ONE numeric ordering expression (it becomes the " +
@@ -765,7 +769,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       }
 
     val changes = computeChanges(projected, targetColumns, touched, mayDelete)
-    commitToLog(changes, commitTag, expectedOffsets = expectedOffsets)
+    commitToLog(changes, commitTag, expectedOffsets = expectedOffsets,
+      expectedEpoch = expectedEpoch)
   }
 
   /** Current state restricted to a bucket subset (write-path merge input). */
@@ -1120,6 +1125,31 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * through the tablet leader; this is the shared-filesystem analog.)
     */
   private def withCommitLock[T](staging: Option[String])(body: => T): T = {
+    // every mutator serializes through here, so this is the ONE place
+    // the rebucket fences live: (1) an intent marker blocks all other
+    // mutation from marker-write to meta-flip — including after a crash
+    // (loud, recovered by the next CALL sys.rebucket); (2) a handle
+    // whose descriptor bucket count no longer matches the published
+    // meta.json must not commit — its rows are hashed with the OLD
+    // bucket count and would land in the wrong partition dirs.
+    if (!GraftTable.inRebucket.get()) {
+      if (WarehouseIO.exists(rebucketMarkerFile)) {
+        staging.foreach(deleteTree)
+        throw new java.util.ConcurrentModificationException(
+          s"a rebucket is in progress (or crashed) on $path; mutation is " +
+            "fenced until it completes — re-run CALL sys.rebucket(table, n) " +
+            "to finish or abort it")
+      }
+      WarehouseIO.readStringIfExists(s"$path/meta.json").foreach { m =>
+        val live = CatalogJson.read(m).numBuckets
+        if (live != desc.numBuckets) {
+          staging.foreach(deleteTree)
+          throw new java.util.ConcurrentModificationException(
+            s"table at $path was rebucketed from ${desc.numBuckets} to " +
+              s"$live buckets; this handle is stale — re-open the table")
+        }
+      }
+    }
     val lock = s"$path/_commit.lock"
     if (!WarehouseIO.createExclusive(lock)) {
       // the holder may release between our failed create and this stat —
@@ -1231,7 +1261,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def commitToLog(df: DataFrame,
       commitTag: Option[(String, Long)] = None,
       materializeBatch: Boolean = true,
-      expectedOffsets: Option[Map[Int, Long]] = None): Unit = {
+      expectedOffsets: Option[Map[Int, Long]] = None,
+      expectedEpoch: Option[Long] = None): Unit = {
+    // epoch read BEFORE the manifest (ABA): unchanged-epoch-then-offsets
+    // proves no rollback slid between the caller's check and this read
+    val epochAtStart = expectedEpoch.map(_ => rollbackEpoch)
     val (bases, _, _) = readManifest()
     // optimistic precondition (row-level SQL path): the caller validated
     // against a specific manifest state — starting from any other state
@@ -1240,6 +1274,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       if (e != bases) throw new java.util.ConcurrentModificationException(
         s"offsets on $path advanced from $e to $bases since this " +
           "statement's conflict check; re-validate and retry")
+    }
+    expectedEpoch.foreach { e =>
+      if (!epochAtStart.contains(e))
+        throw new java.util.ConcurrentModificationException(
+          s"a rollback landed on $path since this statement's conflict " +
+            "check; offset ranges may have been reused — re-validate and retry")
     }
     // localCheckpoint (not cache): __ord / key-less __bucket derive from
     // monotonically_increasing_id / spark_partition_id, so a recomputed
@@ -1299,6 +1339,18 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit detected on $path: offsets advanced from " +
                 s"$bases to $currentBases during this commit")
+          }
+          // authoritative epoch check UNDER the lock (rollback bumps its
+          // epoch holding this same lock): offsets-equal plus
+          // epoch-equal rules out the rewind-then-readvance ABA that an
+          // offsets compare alone cannot see
+          expectedEpoch.foreach { e =>
+            if (rollbackEpoch != e) {
+              staging.foreach(deleteTree)
+              throw new java.util.ConcurrentModificationException(
+                s"a rollback landed on $path during this commit; offset " +
+                  "ranges may have been reused — re-validate and retry")
+            }
           }
           // self-heal residue of commits that crashed mid-move (their ids
           // were never published, so their files were never readable)
@@ -2806,6 +2858,42 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     } else scan()
   }
 
+  /** Scan pruned to the buckets a SET of key rows hashes to — the
+    * probe-side discipline of the reference's lookup path
+    * (PrefixKeyLookuper.java:49 / TabletService.java:353: a probe reads
+    * the buckets it routes to, never the table) generalized to a
+    * DataFrame of keys. `keyRows` must carry the table's bucket-key
+    * columns; the pre-pass is ONE tiny job — a distinct over the keys'
+    * storage buckets, ≤ numBuckets ints to the driver — after which the
+    * read is partition-pruned to those `__bucket=` directories. For a
+    * micro-batch probing a corpus-scale table this turns a full scan
+    * into O(batch-bucket-set) IO: the dedup-at-ingest index probe
+    * ([[graft.pipeline.MinHashIngestIndex]]) is the motivating caller.
+    * Falls back to the plain scan when the table is key-less, the key
+    * columns are missing, or the key set already touches every bucket.
+    */
+  def scanPrunedToKeys(keyRows: DataFrame): DataFrame = {
+    val keys = desc.effectiveBucketKeys
+    if (keys.isEmpty || !keys.forall(keyRows.columns.contains) ||
+        (visibleLogFiles()._1.isEmpty && readSnapshotMeta().isEmpty))
+      return scan()
+    // coerce to the declared column types before hashing — an Int 7 for
+    // a BIGINT key hashes to a different bucket than the Long 7 the log
+    // holds (same rule as the write-path pre-pass)
+    val bs = keyRows.select(pmod(hash(keys.map(k =>
+        col(k).cast(desc.schema(k).dataType)): _*),
+        lit(desc.numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    if (bs.length >= desc.numBuckets) scan()
+    else {
+      val pred = col(Meta.Bucket).isin(bs.toIndexedSeq: _*)
+      if (desc.isPrimaryKeyTable)
+        Materialize.currentState(stateInput(Some(pred)), collapseDesc)
+      else logDF.filter(pred)
+        .select(desc.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** `t$changelog` virtual table (website/docs/table-design/
     * virtual-tables.md:14): data + `_change_type`, `_log_offset`,
     * `_commit_timestamp`.
@@ -3624,6 +3712,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
 }
 
 object GraftTable {
+
+  /** Exemption flag for the rebucket fences in `withCommitLock`: the
+    * rebucket flow itself must commit THROUGH its own marker (and
+    * through the temporarily stale meta.json) — everyone else refuses.
+    * Thread-local because the fence must hold across tables and
+    * sessions sharing a JVM.
+    */
+  private[core] val inRebucket: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   /** (path, manifest (mtime,len), snapshot (mtime,len)) → visible bytes;
     * see [[GraftTable.plannerBytesCached]]. Bounded like FooterStats'

@@ -17,10 +17,13 @@ import graft.core.{Catalog, GraftTable, TableDescriptor}
   *
   *  1. shingle + sign the batch (one pass, the d3 kernels);
   *  2. candidates vs the PAST: the batch's band rows probe the index —
-  *     the batch side is micro-batch-sized, so Catalyst broadcasts it
-  *     and the index side is a narrow 3-column parquet scan with no
-  *     shuffle (at extreme index sizes the same rows serve `lookupAll`
-  *     point reads instead, the index being bucketed on (band, bucket));
+  *     the batch side is micro-batch-sized, so Catalyst broadcasts it,
+  *     and the index side is BUCKET-PRUNED to the (band, bucket) dirs
+  *     the batch hashes to ([[graft.core.GraftTable.scanPrunedToKeys]]):
+  *     per-batch probe IO follows the batch's bucket set, never the
+  *     corpus-wide index size — the reference's lookup-side posture
+  *     (PrefixKeyLookuper.java:49, a probe reads the buckets it routes
+  *     to, not the table);
   *  3. candidates WITHIN the batch: the ordinary LSH pipeline on the
   *     batch alone (in-batch copies must not both be accepted);
   *  4. exact-Jaccard verification of both candidate sets (the
@@ -71,10 +74,11 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // definition, and letting it through would put two rows of the same
     // id into the verifyJaccard docs union, skewing shingle-set sizes.
     // The corpus is append-only (this class only ever append()s novel
-    // rows), so scan() here is a column-pruned log read of just the id
-    // column — no merge, no shuffle — broadcast-probed by the
-    // micro-batch.
-    val resent = corpus.scan().select(col(idCol))
+    // rows) and bucketed on the id, so the guard reads ONLY the bucket
+    // dirs the batch's ids hash to (scanPrunedToKeys — O(batch buckets)
+    // IO, not O(corpus)), broadcast-probed by the micro-batch.
+    val resent = corpus.scanPrunedToKeys(batch.select(col(idCol)))
+      .select(col(idCol))
       .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
     val fresh = batch.join(broadcast(resent), Seq(idCol), "left_anti")
       .localCheckpoint()
@@ -91,12 +95,23 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // the novel rows' index entries (the hashes are deterministic, so a
     // recompute would produce the identical rows at double the cost)
     val probes = bandRowsFromSigs(sigs).localCheckpoint()
+    // the index is bucketed on (band, bucket): the probe reads only the
+    // bucket dirs the batch's band rows hash to — per-batch IO follows
+    // the BATCH's bucket set, never the corpus-wide index size
     val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
-      .join(index.scan().withColumnRenamed(idCol, "b_id"),
+      .join(index.scanPrunedToKeys(probes.select(col("band"), col("bucket")))
+          .withColumnRenamed(idCol, "b_id"),
         Seq("band", "bucket"))
       .select(col("a_id"), col("b_id")).distinct()
-    val pastDocs = corpus.scan().join(
-        broadcast(candPast.select(col("b_id").as(idCol)).distinct()), Seq(idCol))
+      // pinned: consumed three ways below (candidate-id bucket set, the
+      // past-doc fetch, the verify join) — without it each consumer
+      // re-runs the probe join
+      .localCheckpoint()
+    // fetching candidate texts is a point-read too: prune the corpus to
+    // the candidates' id buckets before the equi-join
+    val pastIds = candPast.select(col("b_id").as(idCol)).distinct()
+    val pastDocs = corpus.scanPrunedToKeys(pastIds)
+      .join(broadcast(pastIds), Seq(idCol))
     val pastShingled = Dedup.hashedShingleDocs(
       pastDocs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
     val dupVsPast = Dedup.verifyJaccard(candPast,

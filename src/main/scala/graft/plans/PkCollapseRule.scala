@@ -138,10 +138,20 @@ object PkCollapseRule extends Rule[LogicalPlan] {
       sr.output.map(a => a.name -> a.exprId.id),
       cond.map(_.canonicalized))
     if (memo.size > 256) memo.clear()
-    memo.computeIfAbsent(key, _ => {
+    // NOT computeIfAbsent: running a full nested optimizer pass inside
+    // the map's bin lock would serialize concurrent planners hashing to
+    // the same bin, and a substituted subplan that (however unlikely)
+    // contained another eligible relation would re-enter the map and
+    // throw "Recursive update". Lookup, build OUTSIDE the map, publish;
+    // a lost race costs one duplicate pass, never a lock.
+    val cached = memo.get(key)
+    if (cached != null) cached
+    else {
       nestedPasses.incrementAndGet()
-      substituted(sr, mode, cond)
-    })
+      val built = substituted(sr, mode, cond)
+      val prior = memo.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
   }
 
   /** The engine plan for `mode`, pruned to `sr.output` and aliased back

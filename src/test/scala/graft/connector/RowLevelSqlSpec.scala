@@ -202,6 +202,127 @@ class RowLevelSqlSpec extends SparkTestBase {
     assert(stateOf("mv1")(5L) == (555, "raced"))
   }
 
+  test("SERIALIZABLE isolation: a concurrent insert INTO the WHERE range " +
+      "fails the statement; the default (write-serializable) commits it") {
+    wh; freshKv("ser1")
+    import org.apache.spark.sql.functions._
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "ser1")
+    val pinnedEpoch = t.rollbackEpoch
+    val pinned = t.latestOffsets
+    // interloper: a NEW key lands inside tag='t1' — not in our write
+    // set (key 7 below), so it is a pure predicate PHANTOM
+    val up = spark.sql("SELECT 100L AS k, 1 AS v, 't1' AS tag")
+    t.upsert(up, orderBy = Seq(lit(0L)))
+    def delta(key: Long) = spark.sql(
+      s"SELECT 1L AS __seq, $key AS k, 1 AS v, 'mine' AS tag")
+      .withColumn("__delete", lit(false))
+    val pred = Some(col("tag") === "t1")
+    // serializable: phantom detected, statement fails loudly
+    val e = intercept[java.util.ConcurrentModificationException](
+      GraftRowLevel.checkAndApply(t, delta(7L), pinned, Some(pinnedEpoch),
+        pred, serializable = true))
+    assert(e.getMessage.contains("phantom"), e.getMessage)
+    // a phantom OUTSIDE the predicate range does NOT fail serializable
+    val up2 = spark.sql("SELECT 101L AS k, 2 AS v, 'zz' AS tag")
+    val pinned2 = t.latestOffsets
+    t.upsert(up2, orderBy = Seq(lit(0L)))
+    GraftRowLevel.checkAndApply(t, delta(8L), pinned2, Some(t.rollbackEpoch),
+      pred, serializable = true)
+    assert(stateOf("ser1")(8L) == (1, "mine"))
+    // default level: the SAME in-range phantom is tolerated (write-set
+    // serializability — key 7 was never concurrently touched)
+    GraftRowLevel.checkAndApply(t, delta(7L), pinned, Some(pinnedEpoch),
+      pred, serializable = false)
+    assert(stateOf("ser1")(7L) == (1, "mine"))
+    // serializable with NOTHING pushed: ANY commit since the pin fails
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      GraftRowLevel.checkAndApply(t, delta(9L), pinned, Some(pinnedEpoch),
+        None, serializable = true))
+    assert(e2.getMessage.contains("phantom"), e2.getMessage)
+    // the conf gate rejects junk values
+    spark.conf.set("spark.sql.graft.dml.isolation", "junk")
+    try intercept[IllegalArgumentException](
+      GraftRowLevel.serializableIsolation(spark))
+    finally spark.conf.unset("spark.sql.graft.dml.isolation")
+  }
+
+  test("a concurrent ROLLBACK that re-advances offsets to the pin is " +
+      "caught by the pinned epoch (ABA), both isolation levels") {
+    wh; freshKv("aba1")
+    import org.apache.spark.sql.functions._
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "aba1")
+    val vBefore = t.latestVersion.get
+    // commit A advances offsets; a statement pins epoch-then-offsets
+    val upA = spark.sql("SELECT 5L AS k, 555 AS v, 'a' AS tag")
+    t.upsert(upA, orderBy = Seq(lit(0L)))
+    val pinnedEpoch = t.rollbackEpoch
+    val pinned = t.latestOffsets
+    // rollback erases commit A, then commit B re-advances the SAME
+    // bucket by the SAME row count — offsets end EQUAL to the pin while
+    // the log's rows in that range are different (the ABA shape)
+    t.rollbackTo(vBefore)
+    val upB = spark.sql("SELECT 5L AS k, 666 AS v, 'b' AS tag")
+    t.upsert(upB, orderBy = Seq(lit(0L)))
+    assert(t.latestOffsets == pinned,
+      s"fixture must re-advance to the pin: ${t.latestOffsets} vs $pinned")
+    def delta(key: Long) = spark.sql(
+      s"SELECT 1L AS __seq, $key AS k, 1 AS v, 'mine' AS tag")
+      .withColumn("__delete", lit(false))
+    val e = intercept[java.util.ConcurrentModificationException](
+      GraftRowLevel.checkAndApply(t, delta(7L), pinned, Some(pinnedEpoch)))
+    assert(e.getMessage.contains("rollback"), e.getMessage)
+    // the pre-r15 behavior (no epoch pinned) would skip every check:
+    // prove the delta itself was appliable, so ONLY the epoch caught it
+    GraftRowLevel.checkAndApply(t, delta(7L), pinned)
+    assert(stateOf("aba1")(7L) == (1, "mine"))
+    assert(stateOf("aba1")(5L) == (666, "b"), "commit B survives")
+  }
+
+  test("the SQL path pins epoch and captures the pushed WHERE for the " +
+      "serializable phantom check") {
+    wh; freshKv("cap1")
+    import org.apache.spark.sql.connector.write.RowLevelOperationInfo
+    import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "cap1")
+    val dsT = new GraftDsTable(t,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "cap1"))
+    val info = new RowLevelOperationInfo {
+      override def command() = org.apache.spark.sql.connector.write
+        .RowLevelOperation.Command.UPDATE
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val op = dsT.newRowLevelOperationBuilder(info).build()
+      .asInstanceOf[GraftRowLevelOperation]
+    val sb = op.newScanBuilder(CaseInsensitiveStringMap.empty())
+    assert(op.scanPinnedOffsets.contains(t.latestOffsets))
+    assert(op.scanPinnedEpoch.contains(t.rollbackEpoch))
+    // before any pushdown: conservative (no predicate)
+    assert(op.pushedTargetPredicate.isEmpty)
+    sb.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(EqualTo("tag", "t1")))
+    val pred = op.pushedTargetPredicate
+    assert(pred.isDefined)
+    // the reconstructed predicate matches exactly the t1 rows
+    assert(t.scan().filter(pred.get).count() == 10)
+  }
+
+  test("SQL UPDATE under serializable isolation commits when nothing " +
+      "raced, and UPDATE semantics are unchanged") {
+    wh; freshKv("ser2")
+    spark.conf.set("spark.sql.graft.dml.isolation", "serializable")
+    try {
+      spark.sql("UPDATE rls.db.ser2 SET v = v + 1000 WHERE tag = 't1'")
+      val got = stateOf("ser2")
+      (0L until 30L).foreach { k =>
+        val exp = if (k % 3 == 1) k.toInt * 10 + 1000 else k.toInt * 10
+        assert(got(k)._1 == exp, s"k=$k -> ${got(k)}")
+      }
+    } finally spark.conf.unset("spark.sql.graft.dml.isolation")
+  }
+
   test("orphan GC sweeps crashed-query staging; fresh staging survives") {
     wh; freshKv("gc1")
     val t = new graft.core.Catalog(wh, spark).getTable("db", "gc1")

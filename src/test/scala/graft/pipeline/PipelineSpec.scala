@@ -204,6 +204,63 @@ class PipelineSpec extends SparkTestBase {
     assert(idx.index.scan().count() == 5 * 20)
   }
 
+  test("ingest probes are bucket-pruned: files read follow the batch, not the index") {
+    import spark.implicits._
+    import graft.core.{Catalog, TableDescriptor}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-ingest-prune").toString, spark)
+    val corpus = cat.createTable("db", "corpus", TableDescriptor(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      bucketKeys = Seq("doc_id"), numBuckets = 64))
+    val rnd = new scala.util.Random(31)
+    def doc(): String = (1 to 50).map(_ => s"w${rnd.nextInt(9999)}").mkString(" ")
+    corpus.append((1L to 32L).map(i => (i, doc())).toDF("doc_id", "text"))
+    val idx = MinHashIngestIndex.create(cat, "db", "corpus_idx", corpus,
+      "doc_id", "text")
+
+    // a 1-doc batch has 20 band rows -> at most 20 of the index's 64
+    // storage buckets; the probe scan must read ONLY those bucket dirs
+    val batch = Seq((100L, doc())).toDF("doc_id", "text")
+    val probes = idx.bandRows(batch).localCheckpoint()
+    val expected = probes.select(pmod(hash(col("band"), col("bucket")),
+        lit(64)).as("b")).distinct().collect().map(_.getInt(0)).toSet
+    assert(expected.size <= 20)
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray
+          .map(_.filePath.toString).toSeq
+      }.flatten.distinct
+    def diskFiles(t: graft.core.GraftTable): Seq[String] =
+      graft.core.WarehouseIO.walkFiles(t.path)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet")).map(_.path)
+
+    val total = diskFiles(idx.index)
+    val pruned = scanFiles(
+      idx.index.scanPrunedToKeys(probes.select(col("band"), col("bucket"))))
+    assert(pruned.nonEmpty && pruned.size < total.size,
+      s"probe read ${pruned.size}/${total.size} index files")
+    assert(pruned.forall(p => expected.exists(b => p.contains(s"__bucket=$b/"))),
+      s"probe read files outside its bucket set:\n${pruned.mkString("\n")}")
+    // the resent-id guard prunes the corpus the same way
+    val corpusPruned = scanFiles(
+      corpus.scanPrunedToKeys(batch.select(col("doc_id"))))
+    assert(corpusPruned.size < diskFiles(corpus).size && corpusPruned.size <= 1,
+      s"1-id guard read ${corpusPruned.size} corpus files")
+    // semantics: the pruned probe joins to exactly the full scan's matches
+    def cands(index: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      probes.join(index.withColumnRenamed("doc_id", "b_id"),
+          Seq("band", "bucket"))
+        .select("doc_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(idx.index.scanPrunedToKeys(
+        probes.select(col("band"), col("bucket")))) ==
+      cands(idx.index.logDF.select("band", "bucket", "doc_id")))
+  }
+
   test("winnowing: detects a copied paragraph inside otherwise different docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
