@@ -24,6 +24,10 @@ object Bench {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
+      // join reorder too: with measured per-column NDV free at plan
+      // time (manifest HLL sketches), multi-join queries reorder by
+      // estimated cardinality instead of SQL text order
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       // Session-isolation hygiene: 132 queries × 3 passes in ONE JVM
       // accumulate status-store state even with the UI off — the

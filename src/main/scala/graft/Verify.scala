@@ -49,6 +49,10 @@ object Verify {
       // estimation runs on live numbers - the staleness that keeps
       // Spark's default off does not apply here
       .config("spark.sql.cbo.enabled", "true")
+      // join reorder too: with measured per-column NDV free at plan
+      // time (manifest HLL sketches), multi-join queries reorder by
+      // estimated cardinality instead of SQL text order
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -105,6 +105,19 @@ object GraftProcedures {
         out("result", StringType)) { (t, _) =>
         t.vacuumLog(); "log vacuumed to the snapshot cutoff"
       })
+      // the reference's CALL sys.rebalance moves replicas across tablet
+      // servers (procedures.md:432); a library engine has no replicas —
+      // the Spark-meaningful twin is changing the storage bucket count
+      // that SPJ / auto grouping / pruning / lookups key off
+      case "rebucket" => Some(proc(catalog, "rebucket",
+        Seq(in("table", StringType), in("buckets", IntegerType)),
+        out("result", StringType)) { (_, row) =>
+        val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
+        val n = row.getInt(1)
+        catalog.coreCatalog.rebucket(tdb, tname, n)
+        s"table rebucketed to $n buckets (derived indexes refuse and " +
+          "must be rebuilt; re-open any cached handles)"
+      })
       case "rollback_to_version" => Some(proc(catalog, "rollback_to_version",
         Seq(in("table", StringType), in("version", LongType)),
         out("result", StringType)) { (t, row) =>

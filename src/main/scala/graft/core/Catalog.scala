@@ -295,6 +295,21 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     new GraftTable(s"$warehouse/$db/$name", desc2, spark)
   }
 
+  /** Change a table's storage bucket count ([[GraftTable.rebucketTo]]):
+    * full log re-hash + atomic swap + descriptor flip, crash-recovered
+    * through the intent marker. Finishes (or aborts) a crashed earlier
+    * attempt first, then applies `newBuckets` if it still differs.
+    * Returns a FRESH handle — handles opened before the rebucket refuse
+    * to commit (stale bucket count) and must be re-opened.
+    */
+  def rebucket(db: String, name: String, newBuckets: Int): GraftTable = {
+    authorize("ALTER", Seq(db, name))
+    val t0 = getTable(db, name)
+    val t = if (t0.completeCrashedRebucket()) getTable(db, name) else t0
+    t.rebucketTo(newBuckets)
+    getTable(db, name)
+  }
+
   /** Clone a table: descriptor + log + snapshot + manifests copied to a
     * new name (the lakehouse `CREATE TABLE ... CLONE` analog; on an
     * object store this is a metadata-level copy). The clone is fully

@@ -2259,7 +2259,9 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
       op: String,
       newOffsets: Option[Map[Int, Long]] = None,
       newHistory: Option[List[VersionEntry]] = None,
-      inLock: () => Unit = () => ()): Unit = withCommitLock(Some(tmpDir)) {
+      inLock: () => Unit = () => (),
+      blobOverride: Option[ColStatsUpdate] = None): Unit =
+    withCommitLock(Some(tmpDir)) {
     val (bases, commits, ids, hist) = parseManifest()
     if (bases != manifestAtStart._1 || ids != manifestAtStart._3) {
       deleteTree(tmpDir)
@@ -2290,10 +2292,15 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     val finalOffsets = newOffsets.getOrElse(bases)
     val rewound = bases.exists { case (b, o) =>
       finalOffsets.getOrElse(b, 0L) < o }
-    val blobUpdate: ColStatsUpdate =
+    // blobOverride: rebucket re-keys offsets into a NEW bucket space, so
+    // the backward-flip heuristic below reads as a rewind even though
+    // the row multiset is identical (bounds still cover every row) —
+    // the caller asserts preservation explicitly
+    val blobUpdate: ColStatsUpdate = blobOverride.getOrElse {
       if (!rewound) PreserveColStats
       else readColStatsBlob().map(b => PutColStats(b.copy(complete = false)))
         .getOrElse(PreserveColStats)
+    }
     writeManifest(finalOffsets, commits, Set(newId),
       newHistory.getOrElse(hist), blobUpdate)
     cleanUnmanifestedResidue(Set(newId))
@@ -2379,6 +2386,167 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         bumpRollbackEpoch()
       })
     GraftMetrics.inc(path, GraftMetrics.Rollbacks)
+  }
+
+  /** Rewrite the table to `newBuckets` storage buckets — the library
+    * twin of the reference's cluster rebalance (fluss-server/.../
+    * coordinator/rebalance/RebalanceManager.java, user-facing
+    * `CALL sys.rebalance`, website/docs/maintenance/operations/
+    * rebalance.md): replica/leader movement has no analog in a library
+    * engine (Spark schedules placement), but the load problem it solves
+    * — a mis-chosen bucket count skewing per-bucket volume — maps to
+    * the storage bucket count that SPJ co-partitioning, auto grouping,
+    * bucket pruning and point lookups all key off. One distributed job
+    * re-hashes every gated log row and renumbers per-bucket offsets in
+    * (old bucket, old offset) order — a key's changes all share one old
+    * bucket, so per-key changelog order is preserved exactly — then the
+    * log swaps through the same atomic rewrite/visibility-flip protocol
+    * as rollback/vacuum.
+    *
+    * Crash-safety (two files — descriptor and manifest — cannot flip in
+    * one rename, so an intent marker bridges them):
+    *  1. under the commit lock, `_rebucket.json` publishes the intent,
+    *     pinning the manifest id set; from here EVERY other mutator
+    *     refuses (the [[withCommitLock]] fence) until the marker clears;
+    *  2. the rewrite job + atomic swap: conflict check, rollback-epoch
+    *     bump (derived secondary/vector indexes pin the epoch and now
+    *     refuse-then-rebuild), snapshot tier dropped (its dirs are laid
+    *     out in the OLD bucketing; the log retains full history —
+    *     vacuumed tables are refused up front), manifest flips to the
+    *     new per-bucket offsets with ONE fresh version entry (old
+    *     entries pin old-space offsets — VERSION AS OF across a
+    *     rebucket is deliberately unsupported);
+    *  3. meta.json flips `numBuckets` and the marker clears. A crash
+    *     between 2 and 3 leaves the marker: mutation stays fenced and
+    *     [[completeCrashedRebucket]] (run by the next
+    *     `CALL sys.rebucket`) replays or aborts from the marker — the
+    *     manifest id set proves whether the swap published.
+    *
+    * Handles opened before the rebucket are STALE: their commits refuse
+    * (the meta.json bucket-count fence) and their bucket-pruned READ
+    * surfaces (lookup/lookupAll/prefixLookup/scanPruned/
+    * scanPrunedToKeys) self-heal by re-resolving the published
+    * descriptor ([[currentHandle]]) — full scans were never
+    * bucketing-dependent. Column stats are PRESERVED: the row multiset
+    * is identical, so the blob's bounds still cover every visible row.
+    */
+  private[core] def rebucketTo(newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
+    require(desc.effectiveBucketKeys.nonEmpty,
+      "rebucket applies to key-bucketed tables (key-less logs spread " +
+        "round-robin; their bucket count is cosmetic)")
+    if (newBuckets == desc.numBuckets) return
+    require(!retainedFloorOffsets.exists(_.values.exists(_ > 0L)),
+      s"log vacuumed on $path: pre-floor history lives only in the " +
+        "snapshot tier, whose layout cannot be re-hashed row-exactly; " +
+        "rebucket before vacuuming")
+    // 1. intent marker, atomically with the manifest read it pins: the
+    // lock guarantees no commit is in flight, and from the marker's
+    // rename on every other mutator refuses — so the id set can only be
+    // changed by OUR swap, which is what recovery relies on
+    val (manifestAtStart, hist) = withCommitLock(None) {
+      val (o, c, ids, h) = parseManifest()
+      CatalogJson.atomicWrite(rebucketMarkerFile,
+        JsonMethods.compact(JsonMethods.render(JObject(List(
+          "to" -> (JInt(newBuckets): JValue),
+          "ids" -> ids.map(s => JArray(s.toList.sorted.map(JString(_)): List[JValue]))
+            .getOrElse(JNull: JValue))))))
+      ((o, c, ids), h)
+    }
+    GraftTable.inRebucket.set(java.lang.Boolean.TRUE)
+    var published = false
+    try {
+      // 2. the rewrite: re-hash, renumber, one hive-partitioned write.
+      // localCheckpoint pins (bucket, offset) before the plan branches
+      // into the write and the counts aggregate (the commitToLog lesson:
+      // window numbering must not be recomputed per consumer).
+      val tmpDir = s"$path/log.rebucket-${java.util.UUID.randomUUID()}"
+      val keys = desc.effectiveBucketKeys
+      val w = Window.partitionBy(col(Meta.Bucket))
+        .orderBy(col("__old_b"), col("__old_o"))
+      val renumbered = logDFFor(manifestAtStart)
+        .withColumn("__old_b", col(Meta.Bucket))
+        .withColumn("__old_o", col(Meta.Offset))
+        .withColumn(Meta.Bucket,
+          pmod(hash(keys.map(col): _*), lit(newBuckets)))
+        .withColumn(Meta.Offset, (row_number().over(w) - 1).cast("long"))
+        .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .localCheckpoint()
+      renumbered.write.mode("overwrite").options(fileWriteOptions)
+        .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
+      // next-offset per new bucket = its row count (numbered from 0);
+      // ≤ newBuckets rows reach the driver
+      val newOffsets = renumbered.groupBy(col(Meta.Bucket))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      swapRewrittenLog(tmpDir, manifestAtStart, s"rebucketTo($newBuckets)",
+        newOffsets = Some(newOffsets),
+        newHistory = Some(List(VersionEntry(
+          hist.lastOption.map(_.version + 1).getOrElse(1L),
+          System.currentTimeMillis(), newOffsets))),
+        inLock = () => {
+          // meta FIRST, dir second — a crash between leaves an inert
+          // orphan dir, never a meta pointing at a missing one (the
+          // rollback snapshotGuard pattern)
+          WarehouseIO.deleteIfExists(snapshotMetaFile)
+          deleteTree(snapshotDir)
+          // epoch bump BEFORE the flip: fail-safe direction, same as
+          // rollback — indexes rebuild unnecessarily on a crash here,
+          // never serve rows keyed to a vanished bucketing
+          bumpRollbackEpoch()
+        },
+        blobOverride = Some(PreserveColStats))
+      published = true
+      // 3. descriptor flip + marker clear (replayed by recovery)
+      finishRebucketMeta(newBuckets)
+    } catch {
+      case t: Throwable =>
+        // the swap is atomic: if it never published, the attempt left no
+        // trace but the marker — drop it so the table unfences
+        if (!published) WarehouseIO.deleteIfExists(rebucketMarkerFile)
+        throw t
+    } finally GraftTable.inRebucket.set(java.lang.Boolean.FALSE)
+  }
+
+  /** Step 3 of [[rebucketTo]], idempotent (recovery replays it). */
+  private def finishRebucketMeta(n: Int): Unit = {
+    val metaFile = s"$path/meta.json"
+    WarehouseIO.readStringIfExists(metaFile).foreach { m =>
+      val d = CatalogJson.read(m)
+      if (d.numBuckets != n)
+        CatalogJson.atomicWrite(metaFile,
+          CatalogJson.write(d.copy(numBuckets = n)))
+    }
+    WarehouseIO.deleteIfExists(rebucketMarkerFile)
+  }
+
+  /** Finish or abort a crashed [[rebucketTo]] (its marker fences all
+    * mutation until this runs). The marker's pinned manifest id set
+    * decides: ids unchanged ⇒ the swap never published — abort (drop
+    * the marker, nothing else changed); ids changed ⇒ the swap
+    * published (nothing else can commit under the marker) — replay the
+    * descriptor flip. Returns true when the descriptor changed (the
+    * caller must re-open the table).
+    */
+  private[core] def completeCrashedRebucket(): Boolean = {
+    val mk = WarehouseIO.readStringIfExists(rebucketMarkerFile)
+    if (mk.isEmpty) return false
+    val obj = JsonMethods.parse(mk.get).asInstanceOf[JObject].obj.toMap
+    val to = obj("to").asInstanceOf[JInt].num.toInt
+    val markerIds: Option[Set[String]] = obj.get("ids").collect {
+      case a: JArray => a.arr.map(_.asInstanceOf[JString].s).toSet
+    }
+    GraftTable.inRebucket.set(java.lang.Boolean.TRUE)
+    try withCommitLock(None) {
+      val (_, _, ids) = readManifest()
+      if (ids == markerIds) {
+        WarehouseIO.deleteIfExists(rebucketMarkerFile)
+        false
+      } else {
+        finishRebucketMeta(to)
+        true
+      }
+    } finally GraftTable.inRebucket.set(java.lang.Boolean.FALSE)
   }
 
   /** Drop ALL rows and log/snapshot state back to an empty table (the
@@ -2837,6 +3005,23 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     }
   }
 
+  /** This handle, re-resolved against the PUBLISHED descriptor when a
+    * rebucket has made it stale: bucket-pruned reads (lookups,
+    * scanPruned) through a stale handle hash keys with the old bucket
+    * count and probe the wrong partition dirs — the read-side twin of
+    * the commit fence. One small meta.json read; non-catalog tables
+    * (no meta.json) are never stale. The reference's client refreshes
+    * stale tablet metadata the same way (re-route on NOT_LEADER).
+    */
+  def currentHandle(): GraftTable =
+    WarehouseIO.readStringIfExists(s"$path/meta.json") match {
+      case Some(m) =>
+        val d = CatalogJson.read(m)
+        if (d.numBuckets != desc.numBuckets) new GraftTable(path, d, spark)
+        else this
+      case None => this
+    }
+
   /** Best-effort bucket-pruned scan (P5 through any entry point, e.g.
     * the DSv2 connector): when equality predicates pin every bucket key,
     * read only that bucket's partition directory — 1/numBuckets of the
@@ -2845,6 +3030,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * hashing (same rule as lookup).
     */
   def scanPruned(eq: Map[String, Any]): DataFrame = {
+    val fresh = currentHandle()
+    if (fresh ne this) return fresh.scanPruned(eq)
     val keys = desc.effectiveBucketKeys
     if (keys.nonEmpty && keys.forall(eq.contains)) {
       if (desc.isPrimaryKeyTable) prunedState(eq)
@@ -2873,6 +3060,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * columns are missing, or the key set already touches every bucket.
     */
   def scanPrunedToKeys(keyRows: DataFrame): DataFrame = {
+    val fresh = currentHandle()
+    if (fresh ne this) return fresh.scanPrunedToKeys(keyRows)
     val keys = desc.effectiveBucketKeys
     if (keys.isEmpty || !keys.forall(keyRows.columns.contains) ||
         (visibleLogFiles()._1.isEmpty && readSnapshotMeta().isEmpty))
@@ -3041,6 +3230,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * partition dir.
     */
   def lookup(key: Map[String, Any]): DataFrame = {
+    val fresh = currentHandle()
+    if (fresh ne this) return fresh.lookup(key)
     require(desc.isPrimaryKeyTable, "lookup requires a PK table")
     require(key.keySet == desc.primaryKey.toSet, s"full PK required: ${desc.primaryKey}")
     GraftMetrics.inc(path, GraftMetrics.Lookups)
@@ -3053,6 +3244,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * job, never N jobs.
     */
   def lookupAll(keys: Seq[Map[String, Any]]): DataFrame = {
+    val fresh = currentHandle()
+    if (fresh ne this) return fresh.lookupAll(keys)
     require(desc.isPrimaryKeyTable, "lookup requires a PK table")
     require(keys.nonEmpty, "no keys")
     keys.foreach(k => require(k.keySet == desc.primaryKey.toSet,
@@ -3087,6 +3280,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * bucket key — a prefix of the PK (LookupNormalizer.java:241-256).
     */
   def prefixLookup(prefix: Map[String, Any]): DataFrame = {
+    val fresh = currentHandle()
+    if (fresh ne this) return fresh.prefixLookup(prefix)
     require(desc.isPrimaryKeyTable, "prefixLookup requires a PK table")
     require(prefix.keySet == desc.effectiveBucketKeys.toSet,
       s"prefix must equal bucket keys ${desc.effectiveBucketKeys}")

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 final class SecondaryIndex private[core] (val table: GraftTable,
     val indexColumns: Seq[String], val idx: GraftTable) {
 
+  /** The base handle, re-resolved when a rebucket made `table` stale —
+    * the probe path point-reads the base by bucket, and a stale handle
+    * would hash keys into dirs that no longer exist
+    * ([[GraftTable.currentHandle]]).
+    */
+  private def base: GraftTable = table.currentHandle()
+
   private def metaFile = s"${idx.path}/_index_meta.json"
 
   /** Base-table version the index reflects (0 = nothing applied). */
@@ -58,21 +65,22 @@ final class SecondaryIndex private[core] (val table: GraftTable,
     * undone commits' index entries cannot be retracted incrementally.
     */
   def refresh(): Unit = {
-    val epoch = table.rollbackEpoch
+    val t = base
+    val epoch = t.rollbackEpoch
     val (from, appliedEp) = readApplied()
     // a vacuum past the applied version truncated the changelog slice we
     // would need — re-baseline from current state instead of refusing
     // forever (the create-time snapshot-build path, made recoverable)
     def vacuumedPast(fromV: Long): Boolean =
-      try table.retainedFloorOffsets.exists { floor =>
-        val fromOff = table.offsetsAtVersion(fromV)
+      try t.retainedFloorOffsets.exists { floor =>
+        val fromOff = t.offsetsAtVersion(fromV)
         floor.exists { case (b, f) => fromOff.getOrElse(b, 0L) < f }
       } catch { case _: IllegalArgumentException => true }
-    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(epoch)
-    else table.latestVersion.foreach { to =>
+    if (appliedEp != epoch || vacuumedPast(from)) rebuildFromState(t, epoch)
+    else t.latestVersion.foreach { to =>
       if (to > from) {
-        val ch = table.changesBetween(from, to)
-        val entry = (indexColumns ++ table.desc.primaryKey).map(col) ++ Seq(
+        val ch = t.changesBetween(from, to)
+        val entry = (indexColumns ++ t.desc.primaryKey).map(col) ++ Seq(
           col(Meta.LogOffset).as(SecondaryIndex.SourceOffsetCol),
           col(Meta.ChangeTypeCol).isin(
             ChangeType.UpdateBefore, ChangeType.Delete).as("__delete"))
@@ -86,12 +94,12 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   /** Truncate + rebuild from the base's CURRENT state (also the
     * post-vacuum initial-build path).
     */
-  private def rebuildFromState(epoch: Long): Unit = {
+  private def rebuildFromState(t: GraftTable, epoch: Long): Unit = {
     idx.truncate()
-    val v = table.latestVersion.getOrElse(0L)
+    val v = t.latestVersion.getOrElse(0L)
     if (v > 0L) {
-      val snap = table.scan().select(
-        ((indexColumns ++ table.desc.primaryKey).map(col) :+
+      val snap = t.scan().select(
+        ((indexColumns ++ t.desc.primaryKey).map(col) :+
           lit(0L).as(SecondaryIndex.SourceOffsetCol) :+
           lit(false).as("__delete")): _*)
       idx.upsertMixed(snap, orderBy = Seq(col(SecondaryIndex.SourceOffsetCol)))
@@ -115,28 +123,29 @@ final class SecondaryIndex private[core] (val table: GraftTable,
   def lookupWithThreshold(maxCollectedKeys: Int, values: Any*): DataFrame = {
     require(values.length == indexColumns.length,
       s"expected ${indexColumns.length} value(s) for $indexColumns")
-    refreshGuard()
-    val pk = table.desc.primaryKey
+    val t = base
+    refreshGuard(t)
+    val pk = t.desc.primaryKey
     val probe = idx.prefixLookup(indexColumns.zip(values).toMap)
       .select(pk.map(col): _*)
     // peek one past the threshold: ≤ threshold -> batched point lookups
     // (bucket-pruned, no shuffle); beyond it -> keyed semi-join
     val head = probe.limit(maxCollectedKeys + 1).collect()
-    if (head.isEmpty) table.scan().limit(0)
+    if (head.isEmpty) t.scan().limit(0)
     else if (head.length <= maxCollectedKeys) {
       val keys = head.map(r =>
         pk.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap).toSeq
-      table.lookupAll(keys)
-    } else table.scan().join(probe, pk, "left_semi")
+      t.lookupAll(keys)
+    } else t.scan().join(probe, pk, "left_semi")
   }
 
-  private def refreshGuard(): Unit = {
+  private def refreshGuard(t: GraftTable): Unit = {
     val (version, epoch) = readApplied()
-    require(epoch == table.rollbackEpoch,
+    require(epoch == t.rollbackEpoch,
       s"index at ${idx.path} predates a base-table restore — call " +
         "refresh() to rebuild (version numbers are reused after a " +
         "rollback, so the stale entries could silently serve undone rows)")
-    val latest = table.latestVersion.getOrElse(0L)
+    val latest = t.latestVersion.getOrElse(0L)
     require(version == latest,
       s"index at ${idx.path} reflects base version $version but the " +
         s"table is at $latest — call refresh() first (stale reads are a " +
@@ -193,7 +202,7 @@ object SecondaryIndex {
       // vacuumed history: snapshot build, then incremental from here
       // (the same rebuild the post-rollback path uses — one projection
       // to keep in sync, not two)
-      si.rebuildFromState(table.rollbackEpoch)
+      si.rebuildFromState(table, table.rollbackEpoch)
     else si.refresh()
     si
   }

@@ -23,6 +23,7 @@ object Explain {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // mirror Bench/Verify: CBO on (fresh per-manifest-state stats)
       .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -76,6 +76,53 @@ class CboStatsSpec extends SparkTestBase {
       s"${planned.size} rows") // 200 dim keys × 3 fact rows each
   }
 
+  test("join reorder: measured stats rewrite a bad SQL join order to " +
+      "selective-first, same results") {
+    wh
+    graft.plans.BucketPruning.install(spark)
+    spark.sql("""
+      CREATE TABLE cbo.db.tiny (k BIGINT, tag STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql(
+      "INSERT INTO cbo.db.tiny SELECT id, concat('t', id) FROM range(0, 8)")
+    // deliberately bad text order: the two 20k+-row tables join first,
+    // the 8-row table last — CBO with measured rowCount/NDV must rebuild
+    // bottom-up with the tiny join innermost
+    val sql3 = """SELECT f.k, f.v, t.tag FROM cbo.db.facts f
+                  JOIN cbo.db.dim d ON f.k = d.k
+                  JOIN cbo.db.tiny t ON f.k = t.k"""
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def innermostJoin(df: org.apache.spark.sql.DataFrame): String = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.filter(j => j.children.forall(
+        _.collectFirst { case jj: Join => jj }.isEmpty))
+        .map(_.toString).mkString("\n")
+    }
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true")
+    val reordered = withConfs(confs :+
+        ("spark.sql.cbo.joinReorder.enabled" -> "true"): _*) {
+      val df = spark.sql(sql3)
+      assert(innermostJoin(df).contains("tiny"),
+        s"selective-first order expected:\n" +
+          s"${df.queryExecution.optimizedPlan}")
+      df.collect().map(_.toSeq).toSet
+    }
+    // control: reorder off keeps the SQL text order (the always-on
+    // predicate-based ReorderJoin preserves fully-conditioned orders)
+    val textOrder = withConfs(confs :+
+        ("spark.sql.cbo.joinReorder.enabled" -> "false"): _*) {
+      val df = spark.sql(sql3)
+      assert(!innermostJoin(df).contains("tiny"),
+        s"control should keep the text order:\n" +
+          s"${df.queryExecution.optimizedPlan}")
+      df.collect().map(_.toSeq).toSet
+    }
+    assert(reordered == textOrder && reordered.size == 24,
+      s"${reordered.size} rows") // 8 tiny keys × 3 fact rows each
+  }
+
   test("columnPlannerStats: exact bounds and null counts, cached and " +
       "capped") {
     wh

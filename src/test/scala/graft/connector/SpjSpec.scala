@@ -189,6 +189,32 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("sys.rebucket aligns a mismatched dim to the fact's bucket count: " +
+      "the join flips from shuffled to co-partitioned, same answer") {
+    wh
+    // an 8-bucket twin of dims: joins against 4-bucket facts must shuffle
+    spark.sql("""
+      CREATE TABLE spj.db.dims8r (k BIGINT, name STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '8')""")
+    spark.sql(
+      "INSERT INTO spj.db.dims8r SELECT id, concat('r', id) FROM range(0, 50)")
+    val sql = """SELECT f.k, f.v, d.name FROM spj.db.facts f
+                 JOIN spj.db.dims8r d ON f.k = d.k"""
+    val (expected, mismatched) = withSpj() {
+      val df = spark.sql(sql)
+      (df.collect().map(_.toSeq).toSet, shuffles(df))
+    }
+    assert(mismatched > 0, "4x8 must not co-partition")
+    spark.sql("CALL spj.system.rebucket('db.dims8r', 4)")
+    withSpj() {
+      val df = spark.sql(sql)
+      assert(shuffles(df) == 0,
+        s"rebucketed dim should co-partition:\n" +
+          s"${df.queryExecution.executedPlan}")
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("partially-clustered distribution splits a skewed bucket, same answer") {
     wh
     // facts has two commits → multiple files per bucket; enabling

@@ -1,0 +1,177 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** `CALL sys.rebucket` — full log re-hash to a new storage bucket count
+  * through the atomic rewrite/visibility-flip protocol: scan equality,
+  * changelog order, stale-handle fencing, crash recovery from the intent
+  * marker, and derived-index refusal-then-rebuild. (The SPJ co-partition
+  * case lives in SpjSpec, next to its plan-shape helpers.)
+  */
+class RebucketSpec extends SparkTestBase {
+
+  private def newCatalog() =
+    new Catalog(Files.createTempDirectory("graft-rebucket").toString, spark)
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", IntegerType)))
+
+  private def kvDf(rows: (Long, Integer)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava,
+      StructType(kvSchema.fields :+ StructField("ord", LongType)))
+  }
+
+  test("log table: scan set, fast count and bucket-pruned reads survive " +
+      "a rebucket in both directions") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "lg", TableDescriptor(kvSchema,
+      bucketKeys = Seq("k"), numBuckets = 4))
+    import spark.implicits._
+    t.append((1L to 200L).map(i => (i, i.toInt)).toDF("k", "v"))
+    val before = t.scan().collect().map(_.toSeq).toSet
+    val t8 = cat.rebucket("db", "lg", 8)
+    assert(t8.desc.numBuckets == 8)
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+    assert(t8.fastCount == 200L)
+    // pruned point read finds its row under the NEW hashing (scanPruned
+    // returns the key's bucket; callers apply the residual predicate)
+    assert(t8.scanPruned(Map("k" -> 7L)).filter(col("k") === 7L)
+      .collect().toSeq == Seq(Row(7L, 7)))
+    // shrink back down; appends keep working on the fresh handle
+    val t2 = cat.rebucket("db", "lg", 2)
+    assert(t2.scan().collect().map(_.toSeq).toSet == before)
+    t2.append(Seq((201L, 201)).toDF("k", "v"))
+    assert(t2.fastCount == 201L)
+  }
+
+  test("PK table: state, lookups and per-key changelog order survive; " +
+      "the snapshot tier is dropped and recompacts") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "kv", TableDescriptor(kvSchema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(kvDf((1L to 50L).map(i => (i, Integer.valueOf(i.toInt))): _*),
+      orderBy = Seq(col("ord")))
+    t.upsert(kvDf((1L, 100), (2L, 200)), orderBy = Seq(col("ord")))
+    t.compact() // snapshot tier in the OLD bucketing
+    val before = t.scan().collect().map(_.toSeq).toSet
+    val t8 = cat.rebucket("db", "kv", 8)
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+    assert(t8.lookup(Map("k" -> 1L)).collect().toSeq == Seq(Row(1L, 100)))
+    // per-key changelog order preserved exactly: k=1 is +I then -U/+U
+    val ct = t8.changelog().filter(col("k") === 1L)
+      .orderBy(col("_log_offset"))
+      .select("_change_type", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(ct == Seq(("+I", 1), ("-U", 1), ("+U", 100)), ct)
+    // the old-bucketing snapshot tier is gone; compacting rebuilds it
+    // in the new layout and reads stay exact
+    t8.compact()
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+    t8.upsert(kvDf((3L, 300)), orderBy = Seq(col("ord")))
+    assert(t8.lookup(Map("k" -> 3L)).collect().toSeq == Seq(Row(3L, 300)))
+  }
+
+  test("handles opened before the rebucket refuse to commit (stale " +
+      "bucket count); vacuumed tables refuse up front") {
+    val cat = newCatalog()
+    val stale = cat.createTable("db", "st", TableDescriptor(kvSchema,
+      bucketKeys = Seq("k"), numBuckets = 4))
+    import spark.implicits._
+    stale.append(Seq((1L, 1)).toDF("k", "v"))
+    cat.rebucket("db", "st", 8)
+    val e = intercept[java.util.ConcurrentModificationException](
+      stale.append(Seq((2L, 2)).toDF("k", "v")))
+    assert(e.getMessage.contains("rebucketed"), e.getMessage)
+    // ...while its bucket-pruned READS self-heal against the published
+    // descriptor (hashing k=1 with the old count would probe the wrong
+    // dir and silently miss)
+    assert(stale.scanPruned(Map("k" -> 1L)).filter(col("k") === 1L)
+      .collect().toSeq == Seq(Row(1L, 1)))
+    // fresh handle commits fine
+    cat.getTable("db", "st").append(Seq((2L, 2)).toDF("k", "v"))
+    assert(cat.getTable("db", "st").fastCount == 2L)
+
+    val vac = cat.createTable("db", "vc", TableDescriptor(kvSchema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    vac.upsert(kvDf((1L, 1), (2L, 2)), orderBy = Seq(col("ord")))
+    vac.compact(); vac.vacuumLog()
+    val ev = intercept[IllegalArgumentException](cat.rebucket("db", "vc", 8))
+    assert(ev.getMessage.contains("vacuum"), ev.getMessage)
+  }
+
+  test("crash recovery: a pre-swap marker fences mutation and aborts; a " +
+      "post-swap marker replays the descriptor flip") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "cr", TableDescriptor(kvSchema,
+      bucketKeys = Seq("k"), numBuckets = 4))
+    import spark.implicits._
+    t.append((1L to 20L).map(i => (i, i.toInt)).toDF("k", "v"))
+    val before = t.scan().collect().map(_.toSeq).toSet
+    val marker = s"${t.path}/_rebucket.json"
+
+    // (a) crash AFTER the marker, BEFORE the swap: ids in the marker
+    // still match the manifest. Every mutator refuses loudly...
+    val ids: org.json4s.JValue = org.json4s.jackson.JsonMethods
+      .parse(WarehouseIO.readString(s"${t.path}/_offsets.json"))
+      .asInstanceOf[org.json4s.JObject].obj
+      .toMap[String, org.json4s.JValue].apply("ids")
+    CatalogJson.atomicWrite(marker, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(List(
+        "to" -> (org.json4s.JInt(8): org.json4s.JValue), "ids" -> ids)))))
+    val e = intercept[java.util.ConcurrentModificationException](
+      t.append(Seq((21L, 21)).toDF("k", "v")))
+    assert(e.getMessage.contains("rebucket"), e.getMessage)
+    // ...and the next rebucket call recovers (abort) then re-runs clean
+    val t8 = cat.rebucket("db", "cr", 8)
+    assert(t8.desc.numBuckets == 8 && !WarehouseIO.exists(marker))
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+
+    // (b) crash AFTER the swap, BEFORE the meta flip: reconstruct that
+    // state from the completed rebucket — descriptor reverted to the old
+    // count, marker pinning the PRE-swap id set (≠ current ids)
+    val d = CatalogJson.read(WarehouseIO.readString(s"${t8.path}/meta.json"))
+    CatalogJson.atomicWrite(s"${t8.path}/meta.json",
+      CatalogJson.write(d.copy(numBuckets = 4)))
+    CatalogJson.atomicWrite(marker, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(List(
+        "to" -> (org.json4s.JInt(8): org.json4s.JValue), "ids" -> ids)))))
+    // recovery proves the swap published (ids moved) and replays step 3
+    val fixed = cat.rebucket("db", "cr", 8)
+    assert(fixed.desc.numBuckets == 8 && !WarehouseIO.exists(marker))
+    assert(fixed.scan().collect().map(_.toSeq).toSet == before)
+  }
+
+  test("derived secondary index refuses after a rebucket (epoch) and " +
+      "refresh() rebuilds it") {
+    val cat = newCatalog()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("cat", StringType),
+      StructField("v", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    def df(rows: (Long, String, Integer)*) = spark.createDataFrame(
+      rows.zipWithIndex.map { case ((k, c, v), i) =>
+        Row(k, c, v, i.toLong) }.asJava,
+      StructType(schema.fields :+ StructField("ord", LongType)))
+    val t = cat.createTable("db", "ix", TableDescriptor(schema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(df((1L, "a", 1), (2L, "b", 2), (3L, "a", 3)),
+      orderBy = Seq(col("ord")))
+    val si = SecondaryIndex.create(cat, "db", "ix_by_cat", t, Seq("cat"))
+    assert(si.lookup("a").count() == 2)
+    cat.rebucket("db", "ix", 8)
+    // epoch bumped: the index must refuse, not serve rows keyed to a
+    // bucketing that no longer exists
+    intercept[IllegalArgumentException](si.lookup("a"))
+    si.refresh() // epoch mismatch -> full rebuild against the new layout
+    assert(si.lookup("a").select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+  }
+}
