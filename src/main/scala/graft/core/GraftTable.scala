@@ -3069,10 +3069,26 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     // coerce to the declared column types before hashing — an Int 7 for
     // a BIGINT key hashes to a different bucket than the Long 7 the log
     // holds (same rule as the write-path pre-pass)
-    val bs = keyRows.select(pmod(hash(keys.map(k =>
-        col(k).cast(desc.schema(k).dataType)): _*),
-        lit(desc.numBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0))
+    val bucketOf = pmod(hash(keys.map(k =>
+      col(k).cast(desc.schema(k).dataType)): _*), lit(desc.numBuckets))
+    // BOUNDED saturation probe before the exact pre-pass: a key set much
+    // larger than the bucket count (a backfill-sized "batch" probing a
+    // small-bucket table) covers every bucket with near-certainty, and a
+    // full-keyRows distinct would then be pure overhead before an
+    // unpruned scan. 16×numBuckets sampled rows either (a) don't fill
+    // the limit — the sample IS the key set, exact and done — or
+    // (b) already touch every bucket — scan, nothing to prune. Only the
+    // narrow middle (big key set, genuinely sparse coverage) pays the
+    // exact pass, and that is the case pruning actually wins.
+    val cap = 16 * desc.numBuckets
+    val sampled = keyRows.select(bucketOf.as("b")).limit(cap)
+      .collect().map(_.getInt(0))
+    val bs: Array[Int] =
+      if (sampled.length < cap) sampled.distinct
+      else if (sampled.distinct.length >= desc.numBuckets)
+        return scan()
+      else keyRows.select(bucketOf.as("b"))
+        .distinct().collect().map(_.getInt(0))
     if (bs.length >= desc.numBuckets) scan()
     else {
       val pred = col(Meta.Bucket).isin(bs.toIndexedSeq: _*)

@@ -79,6 +79,32 @@ class RebucketSpec extends SparkTestBase {
     assert(t8.lookup(Map("k" -> 3L)).collect().toSeq == Seq(Row(3L, 300)))
   }
 
+  test("partitioned table: rows stay in their partition dirs, partition " +
+      "pruning and state both survive the rebucket") {
+    val cat = newCatalog()
+    val schema = StructType(Seq(
+      StructField("dt", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val t = cat.createTable("db", "pt", TableDescriptor(schema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"),
+      numBuckets = 4))
+    import scala.jdk.CollectionConverters._
+    val rows = (1L to 40L).map(i =>
+      Row(if (i % 2 == 0) "a" else "b", i, i.toInt, i))
+    t.upsert(spark.createDataFrame(rows.asJava,
+        StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val before = t.scan().collect().map(_.toSeq).toSet
+    val t8 = cat.rebucket("db", "pt", 8)
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+    assert(t8.scan().filter(col("dt") === "a").count() == 20)
+    // hive layout intact: partition dirs above the new bucket dirs
+    assert(WarehouseIO.walkFiles(s"${t8.path}/log")
+      .exists(e => e.path.contains("dt=a/") && e.path.contains("__bucket=")))
+    assert(t8.lookup(Map("dt" -> "a", "k" -> 2L)).collect().toSeq ==
+      Seq(Row("a", 2L, 2)))
+  }
+
   test("handles opened before the rebucket refuse to commit (stale " +
       "bucket count); vacuumed tables refuse up front") {
     val cat = newCatalog()
