@@ -118,6 +118,26 @@ object GraftProcedures {
         s"table rebucketed to $n buckets (derived indexes refuse and " +
           "must be rebuilt; re-open any cached handles)"
       })
+      // measurement + advisory half of the same twin: per-bucket load
+      // from one listing, suggested count for a target bytes/bucket —
+      // the library form of the reference's rebalance goal optimizer
+      case "suggest_rebucket" => Some(proc(catalog, "suggest_rebucket",
+        Seq(in("table", StringType), in("target_bytes", LongType)),
+        out("result", StringType)) { (t, row) =>
+        val target = row.getLong(1)
+        val load = t.bucketLoadStats()
+        val bytes = load.values.map(_._2)
+        val total = bytes.sum
+        val suggested = t.suggestBucketCount(target)
+        val skew =
+          if (load.isEmpty || total == 0L) 1.0
+          else bytes.max.toDouble / (total.toDouble / t.desc.numBuckets)
+        f"buckets=${t.desc.numBuckets} populated=${load.size} " +
+          f"total_bytes=$total max_bucket_bytes=${if (bytes.isEmpty) 0L else bytes.max} " +
+          f"skew=$skew%.2f suggested=$suggested" +
+          (if (suggested != t.desc.numBuckets)
+            s" — CALL sys.rebucket(table, $suggested)" else " — balanced")
+      })
       case "rollback_to_version" => Some(proc(catalog, "rollback_to_version",
         Seq(in("table", StringType), in("version", LongType)),
         out("result", StringType)) { (t, row) =>

@@ -2508,6 +2508,45 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     } finally GraftTable.inRebucket.set(java.lang.Boolean.FALSE)
   }
 
+  /** Per-bucket live load — (files, bytes) across the committed-visible
+    * log and the snapshot tier — the MEASUREMENT half of the reference's
+    * goal-based rebalance (its goal optimizer weighs per-tablet replica
+    * counts and disk usage, `fluss-server/.../rebalance/goal/`; a
+    * library engine's analogous imbalance lives in the per-bucket byte
+    * distribution). ONE recursive listing per tier, bucket parsed from
+    * the `__bucket=` dir name — no file opens, driver-scale output
+    * (≤ numBuckets entries).
+    */
+  def bucketLoadStats(): Map[Int, (Long, Long)] = {
+    val ids = readManifest()._3
+    def tier(dir: String, gated: Boolean): Seq[(Int, Long)] =
+      WarehouseIO.walkFiles(dir)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .filter(e => !gated ||
+          ids.forall(idSet => cidOf(e.name).forall(idSet.contains)))
+        .flatMap(e => "__bucket=(\\d+)".r.findFirstMatchIn(e.path)
+          .map(m => m.group(1).toInt -> e.len))
+    val entries = tier(logDir, gated = true) ++
+      (if (hasSnapshotTier) tier(snapshotDir, gated = false) else Nil)
+    entries.groupBy(_._1).map { case (b, es) =>
+      b -> (es.size.toLong, es.map(_._2).sum)
+    }
+  }
+
+  /** Advisory bucket count for a target per-bucket data volume — the
+    * DECISION half of the rebalance twin ([[rebucketTo]] is the
+    * execution half): enough buckets that each holds ≤ `targetBytes`,
+    * never fewer than one. The default target (1 GiB) keeps a bucket a
+    * few scan partitions wide at `spark.sql.files.maxPartitionBytes`
+    * while leaving SPJ/grouped plans enough buckets to fill a cluster's
+    * cores at 100 TB scale.
+    */
+  def suggestBucketCount(targetBytes: Long = 1L << 30): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val total = bucketLoadStats().values.iterator.map(_._2).sum
+    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+  }
+
   /** Step 3 of [[rebucketTo]], idempotent (recovery replays it). */
   private def finishRebucketMeta(n: Int): Unit = {
     val metaFile = s"$path/meta.json"

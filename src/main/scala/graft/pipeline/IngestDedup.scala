@@ -149,6 +149,31 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     corpus.append(novel)
     novel
   }
+
+  /** The STREAMING form: keep the corpus deduplicated as documents
+    * arrive — each micro-batch runs [[ingest]] inside `foreachBatch`,
+    * so batch boundaries are the dedup boundaries (in-batch lower-id
+    * rule within a trigger, index-probe rule across triggers). Replay
+    * after a crash is IDEMPOTENT: re-ingested accepted ids drop at the
+    * resent guard, re-evaluated dropped rows drop again (the decision
+    * is deterministic), and a batch replayed after its index append but
+    * before its corpus append re-accepts the same rows — its orphan
+    * band rows only ever create candidates that fail exact
+    * verification, and the probe distinct collapses the duplicates.
+    */
+  def ingestStream(docs: DataFrame, threshold: Double,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingest(batch, threshold)
+        ()
+      }
+      .start()
 }
 
 object MinHashIngestIndex {

@@ -175,6 +175,37 @@ class RebucketSpec extends SparkTestBase {
     assert(fixed.scan().collect().map(_.toSeq).toSet == before)
   }
 
+  test("bucketLoadStats + suggestBucketCount: the advisory half of the " +
+      "rebalance twin, through the engine API and CALL sys.suggest_rebucket") {
+    val whDir = Files.createTempDirectory("graft-rebucket-adv").toString
+    val cat = new Catalog(whDir, spark)
+    val t = cat.createTable("db", "adv", TableDescriptor(kvSchema,
+      bucketKeys = Seq("k"), numBuckets = 2))
+    import spark.implicits._
+    t.append((1L to 500L).map(i => (i, i.toInt)).toDF("k", "v"))
+    val load = t.bucketLoadStats()
+    assert(load.keySet.subsetOf(Set(0, 1)) && load.nonEmpty)
+    val total = load.values.map(_._2).sum
+    assert(total > 0L && load.values.forall(_._1 > 0L))
+    // a tiny per-bucket target recommends growing; an unbounded one
+    // collapses to a single bucket; the defaults stay sane
+    assert(t.suggestBucketCount(targetBytes = 1L) > 2)
+    assert(t.suggestBucketCount(targetBytes = Long.MaxValue) == 1)
+    assert(t.suggestBucketCount() == 1) // 1 GiB target, KB-scale table
+    // the SQL surface reports load, skew and the recommendation
+    spark.conf.set("spark.sql.catalog.rbadv",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rbadv.warehouse", whDir)
+    val res = spark.sql("CALL rbadv.system.suggest_rebucket('db.adv', 1)")
+      .collect()(0).getString(0)
+    assert(res.contains("buckets=2") && res.contains("suggested=") &&
+      res.contains("CALL sys.rebucket"), res)
+    val balanced = spark.sql(
+        s"CALL rbadv.system.suggest_rebucket('db.adv', $total)")
+      .collect()(0).getString(0)
+    assert(balanced.contains("suggested=1"), balanced)
+  }
+
   test("derived secondary index refuses after a rebucket (epoch) and " +
       "refresh() rebuilds it") {
     val cat = newCatalog()

@@ -204,6 +204,53 @@ class PipelineSpec extends SparkTestBase {
     assert(idx.index.scan().count() == 5 * 20)
   }
 
+  test("streaming ingest: readStream -> foreachBatch keeps the corpus " +
+      "deduplicated; replayed batches are idempotent") {
+    import spark.implicits._
+    import graft.core.{Catalog, TableDescriptor}
+    import org.apache.spark.sql.types._
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-ing-stream").toString,
+      spark)
+    val corpus = cat.createTable("db", "scorpus", TableDescriptor(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      bucketKeys = Seq("doc_id"), numBuckets = 2))
+    val idx = MinHashIngestIndex.create(cat, "db", "scorpus_idx", corpus,
+      "doc_id", "text")
+    def doc(seed: Int): String =
+      new scala.util.Random(seed).shuffle(
+        (1 to 40).map(i => s"w${(i * seed) % 23}")).mkString(" ")
+    val srcDir =
+      java.nio.file.Files.createTempDirectory("graft-ing-src").toString
+    // file 1: doc A (id 1), doc B (id 2), in-batch dup of A (id 3);
+    // file 2: near-dup of B (id 10), novel C (id 11). File order is not
+    // guaranteed, so assertions are on ORDER-INVARIANT properties: one
+    // representative per near-dup class, whichever file won
+    val file1 = Seq((1L, doc(3)), (2L, doc(5)), (3L, doc(3)))
+      .toDF("doc_id", "text")
+    file1.repartition(1).write.mode("append").parquet(srcDir)
+    Seq((10L, doc(5)), (11L, doc(9))).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = idx.ingestStream(stream, threshold = 0.8,
+      java.nio.file.Files.createTempDirectory("graft-ing-ckpt").toString)
+    q.awaitTermination()
+    val accepted = corpus.scan().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(accepted.size == 3, accepted)
+    assert(accepted.contains(1L) && accepted.contains(11L), accepted)
+    assert(Seq(2L, 10L).count(accepted.contains) == 1,
+      s"exactly one of the B-class docs survives: $accepted")
+    assert(!accepted.contains(3L), "in-batch dup of an accepted doc")
+    assert(idx.index.scan().count() == 3 * 20)
+    // crash-replay: re-ingesting an already-processed batch is a no-op
+    assert(idx.ingest(file1, threshold = 0.8).isEmpty)
+    assert(corpus.scan().count() == 3 && idx.index.scan().count() == 60)
+  }
+
   test("ingest probes are bucket-pruned: files read follow the batch, not the index") {
     import spark.implicits._
     import graft.core.{Catalog, TableDescriptor}
