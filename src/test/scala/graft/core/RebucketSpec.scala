@@ -175,6 +175,34 @@ class RebucketSpec extends SparkTestBase {
     assert(fixed.scan().collect().map(_.toSeq).toSet == before)
   }
 
+  test("vector index refuses after a base rebucket (epoch) and refresh() " +
+      "rebuilds it") {
+    val cat = newCatalog()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val t = cat.createTable("db", "vx", TableDescriptor(schema,
+      primaryKey = Seq("vec_id"), numBuckets = 4))
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 16L).map(i =>
+      Row(i, Seq.fill(8)(rnd.nextGaussian()), i))
+    t.upsert(spark.createDataFrame(rows.asJava,
+        StructType(schema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    val vi = VectorIndex.create(cat, "db", "vx_ivf", t, "vec_id",
+      "embedding", nlist = 2)
+    val q = Seq.fill(8)(rnd.nextGaussian())
+    val before = vi.topK(q, k = 3, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.length == 3)
+    cat.rebucket("db", "vx", 8)
+    val e = intercept[IllegalArgumentException](vi.topK(q, 3, 2))
+    assert(e.getMessage.contains("refresh"), e.getMessage)
+    vi.refresh() // epoch mismatch -> full rebuild against the new layout
+    assert(vi.topK(q, 3, 2).collect().map(_.getLong(0)).toSeq == before)
+  }
+
   test("bucketLoadStats + suggestBucketCount: the advisory half of the " +
       "rebalance twin, through the engine API and CALL sys.suggest_rebucket") {
     val whDir = Files.createTempDirectory("graft-rebucket-adv").toString
