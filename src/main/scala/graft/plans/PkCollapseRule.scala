@@ -109,13 +109,24 @@ object PkCollapseRule extends Rule[LogicalPlan] {
     * and separate subplans, never shared exprIds within one tree), and
     * the canonicalized residual condition. Entries include `None` bails —
     * the expensive case VERDICT flagged was a bail REBUILDING the nested
-    * plan on every fixed-point iteration. Bounded like the other planner
-    * caches; survives across QueryExecutions of the same DataFrame (same
-    * exprIds), so EXPLAIN-then-execute pays one nested pass.
+    * plan on every fixed-point iteration. Survives across
+    * QueryExecutions of the same DataFrame (same exprIds), so
+    * EXPLAIN-then-execute pays one nested pass. Bounded by a real LRU
+    * (access-ordered LinkedHashMap, not a clear-at-cap): a planning
+    * storm over > 256 distinct keys evicts the coldest entry instead of
+    * thrashing every planner to a zero hit rate. Map operations are a
+    * short synchronized get/put — the expensive substituted() build
+    * stays OUTSIDE the lock.
     */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, ((Long, Long), (Long, Long)), Mode,
-      Seq[(String, Long)], Option[Expression]), Option[LogicalPlan]]()
+  private type MemoKey = (String, ((Long, Long), (Long, Long)), Mode,
+    Seq[(String, Long)], Option[Expression])
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[MemoKey, Option[LogicalPlan]](
+        64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[MemoKey, Option[LogicalPlan]]): Boolean =
+        size() > 256
+    })
 
   /** Nested optimizer passes actually RUN (memo misses) — instrumentation
     * for PkCollapsePlanningSpec's flat-planning-cost contract.
@@ -137,20 +148,23 @@ object PkCollapseRule extends Rule[LogicalPlan] {
     val key = (gt.path, gt.planningStateKey, mode,
       sr.output.map(a => a.name -> a.exprId.id),
       cond.map(_.canonicalized))
-    if (memo.size > 256) memo.clear()
-    // NOT computeIfAbsent: running a full nested optimizer pass inside
-    // the map's bin lock would serialize concurrent planners hashing to
-    // the same bin, and a substituted subplan that (however unlikely)
-    // contained another eligible relation would re-enter the map and
-    // throw "Recursive update". Lookup, build OUTSIDE the map, publish;
-    // a lost race costs one duplicate pass, never a lock.
+    // NOT compute-in-map: running a full nested optimizer pass inside
+    // the map lock would serialize concurrent planners, and a
+    // substituted subplan that (however unlikely) contained another
+    // eligible relation would re-enter the map. Lookup, build OUTSIDE
+    // the lock, publish; a lost race costs one duplicate pass, never a
+    // lock — and the loser adopts the winner's entry so object
+    // identity stays stable for repeated plans.
     val cached = memo.get(key)
     if (cached != null) cached
     else {
       nestedPasses.incrementAndGet()
       val built = substituted(sr, mode, cond)
-      val prior = memo.putIfAbsent(key, built)
-      if (prior != null) prior else built
+      memo.synchronized {
+        val prior = memo.get(key)
+        if (prior != null) prior
+        else { memo.put(key, built); built }
+      }
     }
   }
 
