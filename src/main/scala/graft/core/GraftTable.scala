@@ -1230,6 +1230,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
             e.name.startsWith("log.vacuum") ||
             e.name.startsWith("log.rewrite") ||
             e.name.startsWith("log.rollback") ||
+            e.name.startsWith("log.rebucket") ||
             e.name.startsWith("snapshot.compact")) &&
           now - e.mtimeMillis >= stagingOlderThanMs)
         .foreach(e => deleteTree(e.path))
