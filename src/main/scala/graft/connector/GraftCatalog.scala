@@ -296,6 +296,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StructField("next_offset",
               org.apache.spark.sql.types.LongType, nullable = false))))
         })
+        // per-bucket load (the reference's `sys.list_rebalance`-shaped
+        // observability, library form): files/bytes from the same one-
+        // listing walk sys.suggest_rebucket uses (bytes = LIVE estimate
+        // — snapshot tier + post-cutoff log tail), log rows from
+        // manifest arithmetic (offsets are dense per bucket — free).
+        // The SQL surface an operator joins/sorts to find hot buckets
+        // before a CALL sys.rebucket.
+        case "buckets" => return new GraftMetaTable(qualified, () => {
+          val load = t.bucketLoadStats()
+          val latest = t.latestOffsets
+          val floor = t.retainedFloorOffsets.getOrElse(Map.empty[Int, Long])
+          val ids = (load.keySet ++ latest.keySet).toSeq.sorted
+          val rows = ids.map { b =>
+            val (files, bytes) = load.getOrElse(b, (0L, 0L))
+            Row(b, files, bytes,
+              math.max(0L, latest.getOrElse(b, 0L) - floor.getOrElse(b, 0L)))
+          }
+          spark.createDataFrame(rows.asJava, StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("num_files",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("bytes",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("log_rows",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        })
         // schema history (the reference's SchemaInfo ids,
         // Admin.getTableSchema(path, schemaId)): one row per recorded
         // schema version, ascending

@@ -305,8 +305,14 @@ final class GraftKeyGroupedScan(table: GraftTable, required: StructType,
     val rf = runtimeFilters
     // key-hash bucket pruning from static AND runtime predicates (a
     // catalog point lookup `k = 7` prunes to one bucket here, same as
-    // the V1 path's BucketPruneRule)
-    val rtBuckets = runtimeBuckets(filters ++ rf)
+    // the V1 path's BucketPruneRule) — DISABLED while a rebucket marker
+    // exists: the hash would use a possibly-stale bucket count over a
+    // log already swapped into the new numbering and silently drop the
+    // key's real file (over-inclusion is always safe, Spark re-applies
+    // the filters above the scan)
+    val rtBuckets =
+      if (table.bucketPruneUnsafe) None
+      else runtimeBuckets(filters ++ rf)
     // static + runtime dir constraints intersect per column
     val dirSets = (dirEqs.toSeq ++ dirValueSets(rf).toSeq)
       .groupBy(_._1).map { case (k, vs) =>

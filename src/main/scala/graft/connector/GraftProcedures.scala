@@ -45,7 +45,8 @@ object GraftProcedures {
     "set_cluster_configs", "append_cluster_configs",
     "subtract_cluster_configs", "reset_cluster_configs",
     "register_producer_offsets", "get_producer_offsets",
-    "delete_producer_offsets", "recover_producer")
+    "delete_producer_offsets", "recover_producer",
+    "rebucket", "suggest_rebucket")
 
   /** `'k1=v1;k2=v2'` → pairs (the reference passes variadic
     * 'key','value' pairs; Spark procedure parameters are fixed-arity, so
@@ -110,13 +111,19 @@ object GraftProcedures {
       // the Spark-meaningful twin is changing the storage bucket count
       // that SPJ / auto grouping / pruning / lookups key off
       case "rebucket" => Some(proc(catalog, "rebucket",
-        Seq(in("table", StringType), in("buckets", IntegerType)),
+        Seq(in("table", StringType), in("buckets", IntegerType),
+          // opt-in for VACUUMED PK tables: re-hash current state, fresh
+          // history (changelog restarts as +I; streams must restart)
+          in("state_seeded", BooleanType, Some("false"))),
         out("result", StringType)) { (_, row) =>
         val (tdb, tname) = splitTableName(row.getUTF8String(0).toString)
         val n = row.getInt(1)
-        catalog.coreCatalog.rebucket(tdb, tname, n)
-        s"table rebucketed to $n buckets (derived indexes refuse and " +
-          "must be rebuilt; re-open any cached handles)"
+        val seeded = !row.isNullAt(2) && row.getBoolean(2)
+        catalog.coreCatalog.rebucket(tdb, tname, n, seeded)
+        s"table rebucketed to $n buckets" +
+          (if (seeded) " from current state (history restarted)" else "") +
+          " (derived indexes refuse and must be rebuilt; re-open any " +
+          "cached handles)"
       })
       // measurement + advisory half of the same twin: per-bucket load
       // from one listing, suggested count for a target bytes/bucket —
@@ -126,17 +133,34 @@ object GraftProcedures {
         out("result", StringType)) { (t, row) =>
         val target = row.getLong(1)
         val load = t.bucketLoadStats()
-        val bytes = load.values.map(_._2)
+        val bytes = load.values.map(_._2).toSeq.sorted
         val total = bytes.sum
         val suggested = t.suggestBucketCount(target)
-        val skew =
-          if (load.isEmpty || total == 0L) 1.0
-          else bytes.max.toDouble / (total.toDouble / t.desc.numBuckets)
+        val mean = total.toDouble / t.desc.numBuckets
+        val p99 =
+          if (bytes.isEmpty) 0L
+          else bytes(math.min(bytes.size - 1,
+            math.ceil(0.99 * bytes.size).toInt - 1))
+        val skew = if (load.isEmpty || total == 0L) 1.0 else p99 / mean
+        // NDV ceiling: a volume-based suggestion past the bucket key's
+        // distinct count manufactures empty buckets — warn, don't just
+        // silently cap, so the operator knows WHY the number is low
+        val byVolume = math.max(1,
+          math.ceil(total.toDouble / target).toInt)
+        val ndvNote = t.bucketKeyNdv() match {
+          case Some(ndv) if ndv < byVolume =>
+            s" WARNING: bucket-key NDV ~$ndv is below the volume-based " +
+              s"suggestion $byVolume — more buckets than distinct keys " +
+              "cannot spread load; suggestion capped at the NDV"
+          case _ => ""
+        }
         f"buckets=${t.desc.numBuckets} populated=${load.size} " +
           f"total_bytes=$total max_bucket_bytes=${if (bytes.isEmpty) 0L else bytes.max} " +
+          f"p99_bucket_bytes=$p99 mean_bucket_bytes=${mean.toLong} " +
           f"skew=$skew%.2f suggested=$suggested" +
           (if (suggested != t.desc.numBuckets)
-            s" — CALL sys.rebucket(table, $suggested)" else " — balanced")
+            s" — CALL sys.rebucket(table, $suggested)" else " — balanced") +
+          ndvNote
       })
       case "rollback_to_version" => Some(proc(catalog, "rollback_to_version",
         Seq(in("table", StringType), in("version", LongType)),

@@ -301,12 +301,17 @@ final class Catalog(val warehouse: String, spark: SparkSession) {
     * attempt first, then applies `newBuckets` if it still differs.
     * Returns a FRESH handle — handles opened before the rebucket refuse
     * to commit (stale bucket count) and must be re-opened.
+    * `stateSeeded = true`: the vacuumed-PK-table form — re-hash the
+    * current state with a FRESH history (changelog restarts as `+I`
+    * rows; streams/pollers/indexes on the table must restart, which the
+    * timeline stamp enforces).
     */
-  def rebucket(db: String, name: String, newBuckets: Int): GraftTable = {
+  def rebucket(db: String, name: String, newBuckets: Int,
+      stateSeeded: Boolean = false): GraftTable = {
     authorize("ALTER", Seq(db, name))
     val t0 = getTable(db, name)
     val t = if (t0.completeCrashedRebucket()) getTable(db, name) else t0
-    t.rebucketTo(newBuckets)
+    t.rebucketTo(newBuckets, stateSeeded)
     getTable(db, name)
   }
 

@@ -1125,31 +1125,6 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * through the tablet leader; this is the shared-filesystem analog.)
     */
   private def withCommitLock[T](staging: Option[String])(body: => T): T = {
-    // every mutator serializes through here, so this is the ONE place
-    // the rebucket fences live: (1) an intent marker blocks all other
-    // mutation from marker-write to meta-flip — including after a crash
-    // (loud, recovered by the next CALL sys.rebucket); (2) a handle
-    // whose descriptor bucket count no longer matches the published
-    // meta.json must not commit — its rows are hashed with the OLD
-    // bucket count and would land in the wrong partition dirs.
-    if (!GraftTable.inRebucket.get()) {
-      if (WarehouseIO.exists(rebucketMarkerFile)) {
-        staging.foreach(deleteTree)
-        throw new java.util.ConcurrentModificationException(
-          s"a rebucket is in progress (or crashed) on $path; mutation is " +
-            "fenced until it completes — re-run CALL sys.rebucket(table, n) " +
-            "to finish or abort it")
-      }
-      WarehouseIO.readStringIfExists(s"$path/meta.json").foreach { m =>
-        val live = CatalogJson.read(m).numBuckets
-        if (live != desc.numBuckets) {
-          staging.foreach(deleteTree)
-          throw new java.util.ConcurrentModificationException(
-            s"table at $path was rebucketed from ${desc.numBuckets} to " +
-              s"$live buckets; this handle is stale — re-open the table")
-        }
-      }
-    }
     val lock = s"$path/_commit.lock"
     if (!WarehouseIO.createExclusive(lock)) {
       // the holder may release between our failed create and this stat —
@@ -1163,7 +1138,39 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         s"another commit holds the lock on $path" +
           (if (ageMs > 10 * 60 * 1000) " (stale lock broken; retry)" else ""))
     }
-    try body finally WarehouseIO.deleteIfExists(lock)
+    // every mutator serializes through here, so this is the ONE place
+    // the rebucket fences live: (1) an intent marker blocks all other
+    // mutation from marker-write to meta-flip — including after a crash
+    // (loud, recovered by the next CALL sys.rebucket); (2) a handle
+    // whose descriptor bucket count no longer matches the published
+    // meta.json must not commit — its rows are hashed with the OLD
+    // bucket count and would land in the wrong partition dirs. The
+    // fences are evaluated INSIDE the lock: a rebucket cannot swap the
+    // numbering between a mutator's fence check and its commit (a
+    // pre-lock check left that window open — a mutator delayed across
+    // the whole rebucket, e.g. a long GC pause, could pass stale checks
+    // and then commit old-space rows into the new-space log).
+    try {
+      if (!GraftTable.inRebucket.get()) {
+        if (WarehouseIO.exists(rebucketMarkerFile)) {
+          staging.foreach(deleteTree)
+          throw new java.util.ConcurrentModificationException(
+            s"a rebucket is in progress (or crashed) on $path; mutation is " +
+              "fenced until it completes — re-run CALL sys.rebucket(table, n) " +
+              "to finish or abort it")
+        }
+        WarehouseIO.readStringIfExists(s"$path/meta.json").foreach { m =>
+          val live = CatalogJson.read(m).numBuckets
+          if (live != desc.numBuckets) {
+            staging.foreach(deleteTree)
+            throw new java.util.ConcurrentModificationException(
+              s"table at $path was rebucketed from ${desc.numBuckets} to " +
+                s"$live buckets; this handle is stale — re-open the table")
+          }
+        }
+      }
+      body
+    } finally WarehouseIO.deleteIfExists(lock)
   }
 
   private def newStagingDir(): String =
@@ -2417,6 +2424,13 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     *     new per-bucket offsets with ONE fresh version entry (old
     *     entries pin old-space offsets — VERSION AS OF across a
     *     rebucket is deliberately unsupported);
+    *     `stateSeeded = true` (PK tables only) re-hashes the CURRENT
+    *     STATE instead of the full log — the opt-in for VACUUMED tables,
+    *     whose pre-floor history lives only in the snapshot tier and
+    *     cannot be re-hashed row-exactly: the changelog restarts as all
+    *     `+I` rows at offset 0 with the vacuum/retention markers
+    *     cleared (at 100 TB, TTL+vacuum is routine — the tables that
+    *     most need a bucket-count fix are exactly the vacuumed ones);
     *  3. meta.json flips `numBuckets` and the marker clears. A crash
     *     between 2 and 3 leaves the marker: mutation stays fenced and
     *     [[completeCrashedRebucket]] (run by the next
@@ -2431,16 +2445,25 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * bucketing-dependent. Column stats are PRESERVED: the row multiset
     * is identical, so the blob's bounds still cover every visible row.
     */
-  private[core] def rebucketTo(newBuckets: Int): Unit = {
+  private[core] def rebucketTo(newBuckets: Int,
+      stateSeeded: Boolean = false): Unit = {
     require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
     require(desc.effectiveBucketKeys.nonEmpty,
       "rebucket applies to key-bucketed tables (key-less logs spread " +
         "round-robin; their bucket count is cosmetic)")
     if (newBuckets == desc.numBuckets) return
-    require(!retainedFloorOffsets.exists(_.values.exists(_ > 0L)),
-      s"log vacuumed on $path: pre-floor history lives only in the " +
-        "snapshot tier, whose layout cannot be re-hashed row-exactly; " +
-        "rebucket before vacuuming")
+    require(!stateSeeded || desc.isPrimaryKeyTable,
+      "state-seeded rebucket applies to PK tables only: an append table " +
+        "has no collapsed current state to seed from — its vacuumed " +
+        "rows are simply gone")
+    if (!stateSeeded)
+      require(!retainedFloorOffsets.exists(_.values.exists(_ > 0L)),
+        s"log vacuumed on $path: pre-floor history lives only in the " +
+          "snapshot tier, whose layout cannot be re-hashed row-exactly; " +
+          "rebucket before vacuuming" +
+          (if (desc.isPrimaryKeyTable)
+            " — or rebucket(stateSeeded = true) to re-hash the CURRENT " +
+              "state with a fresh history" else ""))
     // 1. intent marker, atomically with the manifest read it pins: the
     // lock guarantees no commit is in flight, and from the marker's
     // rename on every other mutator refuses — so the id set can only be
@@ -2458,27 +2481,56 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     var published = false
     try {
       // 2. the rewrite: re-hash, renumber, one hive-partitioned write.
-      // localCheckpoint pins (bucket, offset) before the plan branches
-      // into the write and the counts aggregate (the commitToLog lesson:
-      // window numbering must not be recomputed per consumer).
+      // The renumbering is DETERMINISTIC per plan (row_number over a
+      // total per-bucket order; the state-seeded path bakes one literal
+      // timestamp), so the write needs no checkpoint pin — and the
+      // per-bucket counts are derived from the WRITTEN tree afterwards,
+      // which by construction sees exactly the numbering the write
+      // produced. (An earlier version localCheckpoint()ed the whole
+      // renumbered table so write and counts shared one plan — a
+      // transient second full copy of the table in executor storage,
+      // intolerable at 100 TB.)
       val tmpDir = s"$path/log.rebucket-${java.util.UUID.randomUUID()}"
       val keys = desc.effectiveBucketKeys
-      val w = Window.partitionBy(col(Meta.Bucket))
-        .orderBy(col("__old_b"), col("__old_o"))
-      val renumbered = logDFFor(manifestAtStart)
-        .withColumn("__old_b", col(Meta.Bucket))
-        .withColumn("__old_o", col(Meta.Offset))
-        .withColumn(Meta.Bucket,
-          pmod(hash(keys.map(col): _*), lit(newBuckets)))
-        .withColumn(Meta.Offset, (row_number().over(w) - 1).cast("long"))
-        .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .localCheckpoint()
+      val renumbered =
+        if (stateSeeded) {
+          // vacuumed-PK form: re-hash the CURRENT STATE (snapshot ∪ log
+          // collapse) into the new bucket space as a fresh all-`+I`
+          // changelog — history restarts, the same contract the rebucket
+          // already declares for VERSION AS OF. One row per key, so
+          // per-key changelog order is trivially preserved; rows order
+          // by PK within a bucket (total, deterministic).
+          val w = Window.partitionBy(col(Meta.Bucket))
+            .orderBy(desc.primaryKey.map(col): _*)
+          Materialize.currentState(stateInput(None), collapseDesc)
+            .withColumn(Meta.Bucket,
+              pmod(hash(keys.map(col): _*), lit(newBuckets)))
+            .withColumn(Meta.Offset, (row_number().over(w) - 1).cast("long"))
+            .withColumn(Meta.Timestamp,
+              lit(new java.sql.Timestamp(System.currentTimeMillis())))
+            .withColumn(Meta.ChangeTypeCol, lit(ChangeType.Insert))
+            .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+        } else {
+          val w = Window.partitionBy(col(Meta.Bucket))
+            .orderBy(col("__old_b"), col("__old_o"))
+          logDFFor(manifestAtStart)
+            .withColumn("__old_b", col(Meta.Bucket))
+            .withColumn("__old_o", col(Meta.Offset))
+            .withColumn(Meta.Bucket,
+              pmod(hash(keys.map(col): _*), lit(newBuckets)))
+            .withColumn(Meta.Offset, (row_number().over(w) - 1).cast("long"))
+            .select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+        }
       renumbered.write.mode("overwrite").options(fileWriteOptions)
         .partitionBy((desc.partitionKeys :+ Meta.Bucket): _*).parquet(tmpDir)
-      // next-offset per new bucket = its row count (numbered from 0);
+      // next-offset per new bucket = its row count (numbered from 0),
+      // read back from the written tree: the group keys on the
+      // `__bucket=` DIR column only, so no file column is decoded — the
+      // parquet reader serves row counts from footer metadata — and
       // ≤ newBuckets rows reach the driver
-      val newOffsets = renumbered.groupBy(col(Meta.Bucket))
-        .agg(count(lit(1)).as("n"))
+      val newOffsets = spark.read.schema(logSchema)
+        .option("basePath", tmpDir).parquet(tmpDir)
+        .groupBy(col(Meta.Bucket)).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       swapRewrittenLog(tmpDir, manifestAtStart, s"rebucketTo($newBuckets)",
         newOffsets = Some(newOffsets),
@@ -2491,6 +2543,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           // rollback snapshotGuard pattern)
           WarehouseIO.deleteIfExists(snapshotMetaFile)
           deleteTree(snapshotDir)
+          if (stateSeeded) {
+            // history restarts at offset 0: the old vacuum floor and
+            // retention bound are coordinates in the vanished numbering
+            WarehouseIO.deleteIfExists(vacuumMarkerFile)
+            WarehouseIO.deleteIfExists(retentionMarkerFile)
+          }
           // epoch bump BEFORE the flip: fail-safe direction, same as
           // rollback — indexes rebuild unnecessarily on a crash here,
           // never serve rows keyed to a vanished bucketing
@@ -2519,7 +2577,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * (≤ numBuckets entries).
     */
   def bucketLoadStats(): Map[Int, (Long, Long)] = {
-    val ids = readManifest()._3
+    val (latest, _, ids) = readManifest()
     def tier(dir: String, gated: Boolean): Seq[(Int, Long)] =
       WarehouseIO.walkFiles(dir)
         .filter(e => !e.isDir && e.name.endsWith(".parquet"))
@@ -2527,17 +2585,64 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
           ids.forall(idSet => cidOf(e.name).forall(idSet.contains)))
         .flatMap(e => "__bucket=(\\d+)".r.findFirstMatchIn(e.path)
           .map(m => m.group(1).toInt -> e.len))
-    val entries = tier(logDir, gated = true) ++
-      (if (hasSnapshotTier) tier(snapshotDir, gated = false) else Nil)
+    val logTier = tier(logDir, gated = true)
+    val snapTier = if (hasSnapshotTier) tier(snapshotDir, gated = false) else Nil
+    // LIVE load, not scannable bytes: a compacted, frequently-updated PK
+    // table holds its live data twice (snapshot tier + the changelog
+    // history below the cutoff), and summing both would have
+    // suggestBucketCount recommend up to ~2x more buckets than the live
+    // volume warrants. Offsets are dense per bucket, so the retained-log
+    // and post-cutoff-tail ROW counts are exact manifest arithmetic;
+    // log-tier bytes scale by that tail fraction (uniform-row-size
+    // estimate — advisory metric, no file opens).
+    val tailFrac: Int => Double =
+      if (snapTier.isEmpty) _ => 1.0
+      else {
+        val cut = readSnapshotMeta().getOrElse(Map.empty)
+        val floor = retainedFloorOffsets.getOrElse(Map.empty)
+        b => {
+          val lo = floor.getOrElse(b, 0L)
+          val hi = latest.getOrElse(b, 0L)
+          val retained = math.max(0L, hi - lo)
+          val tail = math.max(0L, hi - math.max(lo, cut.getOrElse(b, 0L)))
+          if (retained == 0L) 1.0 else tail.toDouble / retained
+        }
+      }
+    val entries = logTier.map { case (b, len) =>
+      (b, len, math.round(len * tailFrac(b))) } ++
+      snapTier.map { case (b, len) => (b, len, len) }
     entries.groupBy(_._1).map { case (b, es) =>
-      b -> (es.size.toLong, es.map(_._2).sum)
+      b -> (es.size.toLong, es.map(_._3).sum)
     }
+  }
+
+  /** Estimated distinct bucket-key tuples, from the manifest HLL column
+    * stats ([[columnPlannerStats]]) — the CEILING on useful bucket
+    * counts: hashing cannot spread K distinct keys over more than K
+    * buckets, so suggesting past the NDV just manufactures empty
+    * buckets. Compound keys use the per-column NDV product (an upper
+    * bound on tuple NDV — the cap only fires when even the bound is
+    * below the suggestion, never spuriously). None when any key column
+    * lacks stats.
+    */
+  def bucketKeyNdv(): Option[Long] = {
+    val keys = desc.effectiveBucketKeys
+    if (keys.isEmpty) return None
+    val stats = columnPlannerStats()
+    val ndvs = keys.map(k => stats.get(k).flatMap(_.ndv))
+    if (ndvs.exists(_.isEmpty)) None
+    else Some(ndvs.flatten.foldLeft(1L) { (acc, n) =>
+      val p = acc * math.max(1L, n)
+      if (p / math.max(1L, n) != acc || p < 0) Long.MaxValue else p // saturate
+    })
   }
 
   /** Advisory bucket count for a target per-bucket data volume — the
     * DECISION half of the rebalance twin ([[rebucketTo]] is the
-    * execution half): enough buckets that each holds ≤ `targetBytes`,
-    * never fewer than one. The default target (1 GiB) keeps a bucket a
+    * execution half): enough buckets that each holds ≤ `targetBytes`
+    * of LIVE data, never fewer than one, and never more than the bucket
+    * key's NDV (when stats know it — more buckets cannot help a
+    * low-cardinality key). The default target (1 GiB) keeps a bucket a
     * few scan partitions wide at `spark.sql.files.maxPartitionBytes`
     * while leaving SPJ/grouped plans enough buckets to fill a cluster's
     * cores at 100 TB scale.
@@ -2545,7 +2650,11 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def suggestBucketCount(targetBytes: Long = 1L << 30): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val total = bucketLoadStats().values.iterator.map(_._2).sum
-    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val byVolume = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    bucketKeyNdv() match {
+      case Some(ndv) if ndv < byVolume => math.max(1, ndv.toInt)
+      case _ => byVolume
+    }
   }
 
   /** Step 3 of [[rebucketTo]], idempotent (recovery replays it). */
@@ -2761,8 +2870,12 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
     * session or warehouse-dynamic — [[GroupedReads]]), meaningful only
     * on key-bucketed tables.
     */
+  // !bucketPruneUnsafe: grouped reads REPORT the descriptor's bucket
+  // numbering (KeyGroupedPartitioning + key-hash runtime pruning); while
+  // a rebucket marker exists that numbering is ambiguous, so the plain
+  // union path (bucketing-independent) serves instead
   private def groupedReadEnabled: Boolean =
-    desc.effectiveBucketKeys.nonEmpty &&
+    desc.effectiveBucketKeys.nonEmpty && !bucketPruneUnsafe &&
       GroupedReads.enabled(spark, path, desc.numBuckets, plannerBytesCached)
 
   /** Read-optimized scan (the reference's `spark.sql.fluss.read.optimized`
@@ -3072,6 +3185,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def scanPruned(eq: Map[String, Any]): DataFrame = {
     val fresh = currentHandle()
     if (fresh ne this) return fresh.scanPruned(eq)
+    if (bucketPruneUnsafe) return scan()
     val keys = desc.effectiveBucketKeys
     if (keys.nonEmpty && keys.forall(eq.contains)) {
       if (desc.isPrimaryKeyTable) prunedState(eq)
@@ -3102,6 +3216,7 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   def scanPrunedToKeys(keyRows: DataFrame): DataFrame = {
     val fresh = currentHandle()
     if (fresh ne this) return fresh.scanPrunedToKeys(keyRows)
+    if (bucketPruneUnsafe) return scan()
     val keys = desc.effectiveBucketKeys
     if (keys.isEmpty || !keys.forall(keyRows.columns.contains) ||
         (visibleLogFiles()._1.isEmpty && readSnapshotMeta().isEmpty))
@@ -3328,7 +3443,8 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
         tuple.isin(lits: _*)
       }
     Materialize.currentState(
-        stateInput(Some(col(Meta.Bucket).isin(buckets: _*))), collapseDesc)
+        stateInput(if (bucketPruneUnsafe) None
+          else Some(col(Meta.Bucket).isin(buckets: _*))), collapseDesc)
       .filter(pred)
   }
 
@@ -3953,13 +4069,30 @@ final class GraftTable(val path: String, val desc: TableDescriptor,
   private def prunedState(key: Map[String, Any]): DataFrame = {
     val keys = desc.effectiveBucketKeys
     val pred =
-      if (keys.forall(key.contains)) {
+      if (bucketPruneUnsafe) None // rebucket in flight: unpruned is correct
+      else if (keys.forall(key.contains)) {
         val b = pmod(hash(keys.map(k =>
           lit(key(k)).cast(desc.schema(k).dataType)): _*), lit(desc.numBuckets))
         Some(col(Meta.Bucket) === b) // foldable -> partition pruning
       } else None
     Materialize.currentState(stateInput(pred), collapseDesc)
   }
+
+  /** READ-side rebucket fence (the commit fence's quiet twin): while
+    * `_rebucket.json` exists the bucket NUMBERING is ambiguous — after a
+    * crash between the manifest swap and the meta.json flip, meta.json
+    * still shows the old count while the log already lives in the new
+    * space, so a key hashed with either count may probe the wrong
+    * `__bucket=` dir and silently return empty. Mutation refuses loudly
+    * (withCommitLock); reads need no refusal because the UNPRUNED form
+    * is always correct — manifest-gated full scans never consult the
+    * bucket hash — so every pruned entry point falls back to it for the
+    * marker's lifetime (normal-operation swap window included). One
+    * marker stat per pruned read, same cost class as the currentHandle
+    * meta.json read beside it.
+    */
+  private[graft] def bucketPruneUnsafe: Boolean =
+    WarehouseIO.exists(rebucketMarkerFile)
 }
 
 object GraftTable {

@@ -46,8 +46,21 @@ object BucketPruning {
       Iterator.iterate(p)(s => s.substring(0, math.max(s.lastIndexOf('/'), 0)))
         .takeWhile(_.nonEmpty)
     rootPaths.iterator.map(normalize)
-      .flatMap(p => ancestors(p).flatMap(a => Option(registry.get(a))).take(1))
+      .flatMap(p => ancestors(p).flatMap(a =>
+        Option(registry.get(a)).map(a -> _)).take(1))
       .nextOption()
+      // rebucket read fence: while `<table>/_rebucket.json` exists the
+      // registered layout may describe a numbering the log no longer
+      // lives in (stale-handle registration, or the swap→meta-flip crash
+      // window) — adding a `__bucket = b` conjunct hashed with it would
+      // silently prune to the wrong dir. Skipping the rewrite is always
+      // correct, just unpruned. One marker stat per candidate rewrite.
+      .filterNot { case (logDir, _) =>
+        val tableDir = logDir.substring(0, math.max(logDir.lastIndexOf('/'), 0))
+        tableDir.nonEmpty &&
+          graft.core.WarehouseIO.exists(s"$tableDir/_rebucket.json")
+      }
+      .map(_._2)
   }
 
   /** Same hash the write path uses: pmod(murmur3(keys), n) — evaluated at

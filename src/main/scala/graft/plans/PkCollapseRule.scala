@@ -80,6 +80,10 @@ object PkCollapseRule extends Rule[LogicalPlan] {
         val gt = t.table
         val spark = SparkSession.active
         val eligible = gt.desc.effectiveBucketKeys.nonEmpty &&
+          // rebucket marker: the bucket numbering is ambiguous — the
+          // substituted grouped scan would report/prune with a possibly
+          // stale count; the V1 bridge (bucketing-independent) serves
+          !gt.bucketPruneUnsafe &&
           sr.relation.options.isEmpty &&
           sr.output.forall(a => gt.desc.schema.fieldNames.contains(a.name)) &&
           GroupedReads.enabled(spark, gt.path, gt.desc.numBuckets,

@@ -126,7 +126,7 @@ final class GraftMicroBatchStream(table: GraftTable,
         seedPending = source.resolvedSeed.isDefined))
     val from = fromOff.buckets
     val until = GraftSourceOffset.from(end)
-    source.noteBatchWindow(from, until)
+    source.noteBatchWindow(fromOff, until)
     val seedParts: Seq[InputPartition] = source.seedToDeliver(fromOff)
       .map(planSeedPartitions(_, from)).getOrElse(Nil)
     val logDir = table.logDirPath

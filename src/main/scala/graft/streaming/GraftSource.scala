@@ -192,8 +192,20 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String],
   override def getDefaultReadLimit: ReadLimit =
     maxOffsetsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
 
+  /** The timeline these offsets are coordinates in: (rollbackEpoch,
+    * PUBLISHED bucket count). Read fresh each time it is consulted — the
+    * source's table handle pins construction-time state, but a rollback
+    * or rebucket lands while the stream runs or sleeps, and the check
+    * must see it. Two tiny driver-side file reads (`_rollbacks.json`,
+    * `meta.json`), the same order of work as the per-trigger manifest
+    * read; non-catalog dirs (no meta.json) fall back to the descriptor.
+    */
+  private[streaming] def currentStamp: (Long, Int) =
+    (table.rollbackEpoch, table.currentHandle().desc.numBuckets)
+
   override def initialOffset(): ConnectorOffset =
-    GraftSourceOffset(startOffsets, seedPending = fullSeed.isDefined)
+    GraftSourceOffset(startOffsets, seedPending = fullSeed.isDefined,
+      stamp = Some(currentStamp))
 
   /** Trigger.AvailableNow: pin the tail ONCE at trigger start; rate-limited
     * batches then run up to exactly that tail and stop, even while writers
@@ -216,20 +228,23 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String],
     // snapshot taken at trigger start
     val avail = availableNowCap.getOrElse(table.latestOffsets)
     lastAvail = Some(avail)
+    val st = Some(currentStamp)
     limit match {
-      case r: ReadMaxRows => GraftSourceOffset(capped(from, avail, r.maxRows()))
-      case _ => GraftSourceOffset(avail)
+      case r: ReadMaxRows =>
+        GraftSourceOffset(capped(from, avail, r.maxRows()), stamp = st)
+      case _ => GraftSourceOffset(avail, stamp = st)
     }
   }
 
   override def reportLatestOffset(): ConnectorOffset =
-    GraftSourceOffset(table.latestOffsets)
+    GraftSourceOffset(table.latestOffsets, stamp = Some(currentStamp))
 
   // legacy no-admission-control planning path
   override def getOffset: Option[V1Offset] = {
     val avail = table.latestOffsets
     lastAvail = Some(avail)
-    if (avail.isEmpty) None else Some(GraftSourceOffset(avail))
+    if (avail.isEmpty) None
+    else Some(GraftSourceOffset(avail, stamp = Some(currentStamp)))
   }
 
   /** Per-batch bookkeeping shared by this V1 `getBatch` and the DSv2
@@ -252,8 +267,28 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String],
     * gauge momentarily reports lag relative to the replayed batch's old
     * end — accurate: those records genuinely remain unprocessed.
     */
-  private[streaming] def noteBatchWindow(from: Map[Int, Long],
+  private[streaming] def noteBatchWindow(fromOff: GraftSourceOffset,
       until: Map[Int, Long]): Unit = {
+    val from = fromOff.buckets
+    // Timeline pin FIRST (before the vacuum-floor check — a rollback can
+    // leave the floor satisfied while the offsets mean different rows):
+    // a checkpoint stamped under one (rollbackEpoch, numBuckets) must
+    // not replay under another. rollback_to_version REUSES the undone
+    // offset range for later commits — same numbers, other rows — and
+    // sys.rebucket replaces the whole bucket numbering; both would
+    // double-deliver / skip / cross-deliver silently. Unstamped (legacy)
+    // checkpoints skip the check once; every offset planned from here on
+    // carries a stamp.
+    fromOff.stamp.foreach { case (e, n) =>
+      val (ce, cn) = currentStamp
+      if (e != ce || n != cn) throw new IllegalStateException(
+        s"checkpoint for ${table.path} was written under " +
+          s"(rollbackEpoch=$e, numBuckets=$n) but the table is now at " +
+          s"(rollbackEpoch=$ce, numBuckets=$cn) — a rollback_to_version/" +
+          "undo or sys.rebucket re-made what these offsets mean, so " +
+          "resuming would deliver wrong rows; restart the stream from a " +
+          "fresh checkpoint (full/earliest startup re-reads current state)")
+    }
     table.retainedFloorOffsets.foreach { floor =>
       val lost = floor.filter { case (b, f) =>
         from.getOrElse(b, 0L) < math.min(f, until.getOrElse(b, 0L))
@@ -304,7 +339,7 @@ final class GraftSource(table: GraftTable, parameters: Map[String, String],
       GraftSourceOffset(startOffsets, seedPending = fullSeed.isDefined))
     val from = fromOff.buckets
     val until = GraftSourceOffset.from(end)
-    noteBatchWindow(from, until)
+    noteBatchWindow(fromOff, until)
     val range = table.scanRange(from, until)
     val batch = seedToDeliver(fromOff) match {
       case Some(seed) => table.seedFrame(seed, from).unionByName(range)
@@ -406,13 +441,30 @@ object GraftSource {
   * first planned batch consumes it, so its end offset (and every later
   * one) serializes without the marker, and a checkpoint replay of that
   * first batch re-reads the seed exactly once.
+  *
+  * `stamp = (rollbackEpoch, numBuckets)`: the TIMELINE these offsets are
+  * coordinates in. `rollback_to_version` physically truncates, so undone
+  * offsets are REUSED by later commits; `sys.rebucket` replaces the
+  * whole bucket numbering. Either makes a bare offset map silently mean
+  * different rows — the checkpoint ABA the DML scans close with
+  * epoch-first pinning and derived indexes close with refuse-then-
+  * rebuild. Offsets checkpointed before the stamp existed parse to
+  * `None` and are accepted once (stamp-on-first-contact: the next
+  * planned offset carries one); thereafter any epoch/bucket-count change
+  * refuses loudly at batch planning (the reference guards fetches with
+  * the tablet leader epoch, fluss-client/.../LogFetcher.java — this is
+  * the checkpointed-offset form).
   */
 final case class GraftSourceOffset(buckets: Map[Int, Long],
-    seedPending: Boolean = false) extends V1Offset {
+    seedPending: Boolean = false,
+    stamp: Option[(Long, Int)] = None) extends V1Offset {
   override val json: String = JsonMethods.compact(JsonMethods.render(
     JObject(
       (if (seedPending) List(GraftSourceOffset.SeedKey -> (JInt(1): JValue))
        else Nil) ++
+        stamp.toList.flatMap { case (e, n) => List(
+          GraftSourceOffset.EpochKey -> (JInt(e): JValue),
+          GraftSourceOffset.NumBucketsKey -> (JInt(n): JValue)) } ++
         buckets.toList.sortBy(_._1)
           .map { case (b, o) => b.toString -> (JInt(o): JValue) })))
 }
@@ -422,16 +474,22 @@ object GraftSourceOffset {
     * prefixed keys can never collide with bucket ids).
     */
   private val SeedKey = "_seed"
+  private val EpochKey = "_epoch"
+  private val NumBucketsKey = "_nb"
 
   def parse(json: String): Map[Int, Long] = fromJson(json).buckets
 
   def fromJson(json: String): GraftSourceOffset = {
     val obj = JsonMethods.parse(json).asInstanceOf[JObject].obj
+    def longOf(k: String): Option[Long] = obj.collectFirst {
+      case (`k`, v: JInt) => v.num.toLong }
     GraftSourceOffset(
       obj.filterNot(_._1.startsWith("_"))
         .map { case (k, v) => k.toInt -> v.asInstanceOf[JInt].num.toLong }
         .toMap,
-      obj.exists(_._1 == SeedKey))
+      obj.exists(_._1 == SeedKey),
+      for (e <- longOf(EpochKey); n <- longOf(NumBucketsKey))
+        yield (e, n.toInt))
   }
 
   /** Accept our own offset or any serialized form round-tripped through

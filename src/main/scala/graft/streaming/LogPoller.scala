@@ -43,6 +43,35 @@ final class LogPoller(table: GraftTable, group: String,
   private def sub(m: Map[Int, Long]): Map[Int, Long] =
     buckets.map(bs => m.filter { case (b, _) => bs.contains(b) }).getOrElse(m)
 
+  /** The timeline the group's offsets are coordinates in — same pin as
+    * the streaming checkpoint ([[GraftSourceOffset]] scaladoc): rollback
+    * REUSES undone offsets, rebucket replaces the bucket numbering, and
+    * a bare (bucket → offset) map survives both meaning different rows.
+    */
+  private def tableStamp: (Long, Int) =
+    (table.rollbackEpoch, table.currentHandle().desc.numBuckets)
+
+  private def refuseStamp(stored: (Long, Int), now: (Long, Int)): Nothing =
+    throw new IllegalStateException(
+      s"group '$group' committed its position under (rollbackEpoch=" +
+        s"${stored._1}, numBuckets=${stored._2}) but ${table.path} is " +
+        s"now at (rollbackEpoch=${now._1}, numBuckets=${now._2}) — a " +
+        "rollback_to_version/undo or sys.rebucket re-made what these " +
+        "offsets mean, so resuming would deliver wrong rows; seek() to " +
+        "an explicit position or restart the group from scratch")
+
+  // pinned at first resolution; committed groups restore their stamp and
+  // refuse up front when the table moved timelines while they were down.
+  // Pre-stamp (legacy) group files restore with the CURRENT stamp —
+  // stamp-on-first-contact, refusal starts at the next detected change.
+  private var pinnedStamp: (Long, Int) = {
+    val now = tableStamp
+    LogPoller.committedStamp(table, group).foreach { stored =>
+      if (stored != now) refuseStamp(stored, now)
+    }
+    now
+  }
+
   private var pos: Map[Int, Long] = committed.map(sub).getOrElse(sub(mode match {
     // Earliest = first RETAINED offset (post-vacuum, the log start moved)
     case GraftStream.StartupMode.Earliest =>
@@ -65,8 +94,15 @@ final class LogPoller(table: GraftTable, group: String,
   def committed: Option[Map[Int, Long]] =
     LogPoller.committedOffsets(table, group)
 
-  /** Explicit reposition (LogScanner.subscribe with an offset). */
-  def seek(offsets: Map[Int, Long]): Unit = { pos = sub(offsets) }
+  /** Explicit reposition (LogScanner.subscribe with an offset) — also
+    * re-pins the timeline stamp: a seek is the caller ASSERTING a
+    * position in the table as it is now (it is the documented recovery
+    * from a stamp refusal).
+    */
+  def seek(offsets: Map[Int, Long]): Unit = {
+    pos = sub(offsets)
+    pinnedStamp = tableStamp
+  }
 
   /** All records committed since the last poll: `[position, latest)` per
     * subscribed bucket, with system columns (the ScanRecord view). The
@@ -83,6 +119,11 @@ final class LogPoller(table: GraftTable, group: String,
     * stopped.
     */
   def poll(): DataFrame = {
+    // timeline pin FIRST (a live poller across a rollback/rebucket has
+    // the same ABA as a restored group — and a rollback can leave the
+    // vacuum floor satisfied while the offsets mean different rows)
+    val now = tableStamp
+    if (now != pinnedStamp) refuseStamp(pinnedStamp, now)
     // OFFSET_OUT_OF_RANGE (the reference's fetch error for a position
     // below the log start): a vacuum may have purged records this group
     // never consumed — failing loudly beats silently skipping them.
@@ -117,11 +158,19 @@ final class LogPoller(table: GraftTable, group: String,
     graft.core.WarehouseIO.mkdirs(s"${table.path}/_consumer_offsets")
     CatalogJson.atomicWrite(offsetsFile,
       JsonMethods.compact(JsonMethods.render(JObject(
+        List(LogPoller.EpochKey -> (JInt(pinnedStamp._1): JValue),
+          LogPoller.NumBucketsKey -> (JInt(pinnedStamp._2): JValue)) ++
         pos.toList.sortBy(_._1).map { case (k, v) => k.toString -> (JInt(v): JValue) }))))
   }
 }
 
 object LogPoller {
+
+  // reserved keys in the group file (underscore-prefixed keys can never
+  // collide with bucket ids): the (rollbackEpoch, numBuckets) the
+  // committed offsets are coordinates in
+  private val EpochKey = "_epoch"
+  private val NumBucketsKey = "_nb"
 
   /** Consumer groups with a durably committed position on `table` (the
     * Kafka-admin listConsumerGroups analog for the poll surface) — one
@@ -132,15 +181,31 @@ object LogPoller {
       .filter(e => !e.isDir && e.name.endsWith(".json"))
       .map(_.name.stripSuffix(".json")).sorted
 
+  private def groupFields(table: graft.core.GraftTable,
+      group: String): Option[List[(String, org.json4s.JValue)]] =
+    graft.core.WarehouseIO.readStringIfExists(
+        s"${table.path}/_consumer_offsets/$group.json")
+      .map(posJson => org.json4s.jackson.JsonMethods.parse(posJson)
+        .asInstanceOf[org.json4s.JObject].obj)
+
   /** The committed per-bucket position of one group, if it ever
     * committed (offset-admin surface; a poller resumes from this).
     */
   def committedOffsets(table: graft.core.GraftTable,
       group: String): Option[Map[Int, Long]] =
-    graft.core.WarehouseIO.readStringIfExists(
-        s"${table.path}/_consumer_offsets/$group.json")
-      .map(posJson => org.json4s.jackson.JsonMethods.parse(posJson)
-        .asInstanceOf[org.json4s.JObject].obj
-        .map { case (k, v) =>
-          k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
+    groupFields(table, group).map(_.filterNot(_._1.startsWith("_"))
+      .map { case (k, v) =>
+        k.toInt -> v.asInstanceOf[org.json4s.JInt].num.toLong }.toMap)
+
+  /** The (rollbackEpoch, numBuckets) stamp of a group's committed
+    * position; `None` for a never-committed group or a pre-stamp file.
+    */
+  private[streaming] def committedStamp(table: graft.core.GraftTable,
+      group: String): Option[(Long, Int)] =
+    groupFields(table, group).flatMap { obj =>
+      def longOf(k: String): Option[Long] = obj.collectFirst {
+        case (`k`, v: org.json4s.JInt) => v.num.toLong }
+      for (e <- longOf(EpochKey); n <- longOf(NumBucketsKey))
+        yield (e, n.toInt)
+    }
 }

@@ -395,4 +395,35 @@ class CatalogStreamingSpec extends SparkTestBase {
       assert(s.toSeq == Seq(("spark.sql.graft.read.optimized", "true", "SESSION")))
     } finally spark.conf.unset("spark.sql.graft.read.optimized")
   }
+
+  test("readStream.table resuming across CALL sys.rebucket refuses " +
+      "loudly (DSv2 transport carries the timeline stamp too)") {
+    wh
+    spark.sql("""
+      CREATE TABLE gstr.db.rbs (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gstr.db.rbs VALUES (1, 1), (2, 2), (3, 3)")
+    val ckpt = Files.createTempDirectory("graft-cstr-rbk").toString
+    var seen = 0L
+    def drainOnce(): Unit = {
+      val q = spark.readStream.table("gstr.db.rbs")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += df.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(seen == 3)
+    spark.sql("CALL gstr.system.rebucket('db.rbs', 8)")
+    spark.sql("INSERT INTO gstr.db.rbs VALUES (4, 4)")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce()
+    }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("numBuckets"), msg)
+    assert(msg.contains("fresh checkpoint"), msg)
+  }
 }

@@ -729,4 +729,45 @@ class ConnectorSpec extends SparkTestBase {
       m.contains("EXCEED_LIMIT_LENGTH") || m.contains("exceeds char/varchar")))
     assert(spark.sql("SELECT count(*) FROM gfs.db.chr").collect()(0).getLong(0) == 2)
   }
+
+  test("<tbl>.buckets metadata table: per-bucket files/bytes/log rows — " +
+      "the SQL observability behind CALL sys.suggest_rebucket") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.bload (k BIGINT, v INT)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    spark.sql("INSERT INTO gfs.db.bload SELECT id, CAST(id AS INT) " +
+      "FROM range(1, 101)")
+    val rows = spark.sql(
+        "SELECT bucket, num_files, bytes, log_rows FROM gfs.db.bload.buckets " +
+        "ORDER BY bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1), rows.toSeq)
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0), rows.toSeq)
+    assert(rows.map(_._4).sum == 100L, rows.toSeq)
+    // an operator's hot-bucket query composes like any SQL
+    assert(spark.sql("SELECT max(bytes) FROM gfs.db.bload.buckets")
+      .collect()(0).getLong(0) > 0)
+  }
+
+  test("suggest_rebucket warns and caps when the bucket-key NDV is below " +
+      "the volume-based suggestion (more buckets cannot help)") {
+    wh
+    spark.sql("""
+      CREATE TABLE gfs.db.lowndv (k BIGINT, v STRING)
+      USING graft TBLPROPERTIES ('bucket.key' = 'k', 'bucket.num' = '2')""")
+    // 3 distinct keys over many rows: a 1-byte target asks for thousands
+    // of buckets by volume, but hashing 3 keys can fill at most 3
+    spark.sql("INSERT INTO gfs.db.lowndv SELECT id % 3, repeat('x', 100) " +
+      "FROM range(0, 3000)")
+    val res = spark.sql("CALL gfs.system.suggest_rebucket('db.lowndv', 1)")
+      .collect()(0).getString(0)
+    assert(res.contains("WARNING") && res.contains("NDV"), res)
+    assert(res.contains("p99_bucket_bytes=") && res.contains("mean_bucket_bytes="), res)
+    // capped at the (HLL-estimated) key NDV, not the volume suggestion
+    val suggested = "suggested=(\\d+)".r.findFirstMatchIn(res).get.group(1).toInt
+    assert(suggested <= 4, s"suggested=$suggested should be ~NDV(3): $res")
+    val t = new graft.core.Catalog(wh, spark).getTable("db", "lowndv")
+    assert(t.bucketKeyNdv().exists(n => n >= 2 && n <= 4))
+  }
 }

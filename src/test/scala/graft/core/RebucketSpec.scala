@@ -232,6 +232,20 @@ class RebucketSpec extends SparkTestBase {
         s"CALL rbadv.system.suggest_rebucket('db.adv', $total)")
       .collect()(0).getString(0)
     assert(balanced.contains("suggested=1"), balanced)
+
+    // LIVE load, not scannable bytes: compacting a PK table materializes
+    // the live state into the snapshot tier — the pre-cutoff changelog
+    // history must not double-count, or suggest_rebucket recommends ~2x
+    // the buckets the live volume warrants
+    val pk = cat.createTable("db", "advpk", TableDescriptor(kvSchema,
+      primaryKey = Seq("k"), numBuckets = 2))
+    pk.upsert(kvDf((1L to 300L).map(i =>
+      (i, Integer.valueOf(i.toInt))): _*), orderBy = Seq(col("ord")))
+    val beforeCompact = pk.bucketLoadStats().values.map(_._2).sum
+    pk.compact() // snapshot now duplicates every live row
+    val afterCompact = pk.bucketLoadStats().values.map(_._2).sum
+    assert(afterCompact < beforeCompact * 3 / 2,
+      s"live-bytes metric double-counted: $beforeCompact -> $afterCompact")
   }
 
   test("derived secondary index refuses after a rebucket (epoch) and " +
@@ -258,5 +272,88 @@ class RebucketSpec extends SparkTestBase {
     si.refresh() // epoch mismatch -> full rebuild against the new layout
     assert(si.lookup("a").select("k").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L))
+  }
+
+  test("state-seeded rebucket: a vacuumed PK table re-hashes its CURRENT " +
+      "state with a fresh history; vacuumed append tables still refuse") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "ss", TableDescriptor(kvSchema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(kvDf((1L to 40L).map(i => (i, Integer.valueOf(i.toInt))): _*),
+      orderBy = Seq(col("ord")))
+    t.upsert(kvDf((1L, 100), (2L, 200)), orderBy = Seq(col("ord")))
+    t.deleteWhere(col("k") === 3L)
+    t.compact(); t.vacuumLog()
+    val before = t.scan().collect().map(_.toSeq).toSet
+    assert(before.size == 39)
+    // the plain form refuses, pointing at the state-seeded escape hatch
+    val e = intercept[IllegalArgumentException](cat.rebucket("db", "ss", 8))
+    assert(e.getMessage.contains("stateSeeded"), e.getMessage)
+    val t8 = cat.rebucket("db", "ss", 8, stateSeeded = true)
+    assert(t8.desc.numBuckets == 8)
+    assert(t8.scan().collect().map(_.toSeq).toSet == before)
+    assert(t8.lookup(Map("k" -> 1L)).collect().toSeq == Seq(Row(1L, 100)))
+    assert(t8.lookup(Map("k" -> 3L)).collect().isEmpty) // stays deleted
+    // history restarted: changelog is all +I from offset 0, vacuum floor
+    // cleared, ONE fresh version entry
+    assert(t8.changelog().select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("+I"))
+    assert(t8.retainedFloorOffsets.isEmpty)
+    assert(t8.history().count() == 1)
+    // the table keeps working: upserts, compact, lookups
+    t8.upsert(kvDf((5L, 500)), orderBy = Seq(col("ord")))
+    assert(t8.lookup(Map("k" -> 5L)).collect().toSeq == Seq(Row(5L, 500)))
+    t8.compact()
+    assert(t8.lookup(Map("k" -> 2L)).collect().toSeq == Seq(Row(2L, 200)))
+
+    // append table: no collapsed state to seed from — refuse always
+    val ap = cat.createTable("db", "ssa", TableDescriptor(kvSchema,
+      bucketKeys = Seq("k"), numBuckets = 4))
+    import spark.implicits._
+    ap.append(Seq((1L, 1)).toDF("k", "v"))
+    val ea = intercept[IllegalArgumentException](
+      cat.rebucket("db", "ssa", 8, stateSeeded = true))
+    assert(ea.getMessage.contains("PK tables only"), ea.getMessage)
+  }
+
+  test("pruned reads fall back to unpruned while a rebucket marker " +
+      "exists: the swap-to-meta-flip crash window serves correct rows") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "rf", TableDescriptor(kvSchema,
+      primaryKey = Seq("k"), numBuckets = 4))
+    t.upsert(kvDf((1L to 30L).map(i => (i, Integer.valueOf(i.toInt))): _*),
+      orderBy = Seq(col("ord")))
+    val before = t.scan().collect().map(_.toSeq).toSet
+    val t8 = cat.rebucket("db", "rf", 8)
+    // reconstruct the crash window: log ALREADY in the 8-space, meta.json
+    // reverted to the old count, intent marker still present (its pinned
+    // ids deliberately ≠ current so recovery replays the flip)
+    val d = CatalogJson.read(WarehouseIO.readString(s"${t8.path}/meta.json"))
+    CatalogJson.atomicWrite(s"${t8.path}/meta.json",
+      CatalogJson.write(d.copy(numBuckets = 4)))
+    CatalogJson.atomicWrite(s"${t8.path}/_rebucket.json",
+      """{"to":8,"ids":null}""")
+    // a handle opened NOW believes numBuckets=4 over an 8-space log:
+    // hashing with 4 would probe the wrong __bucket= dirs for ~half the
+    // keys and silently return empty — the marker forces the unpruned
+    // (always-correct) form on every pruned read surface
+    val h = cat.getTable("db", "rf")
+    assert(h.desc.numBuckets == 4)
+    assert(h.lookup(Map("k" -> 7L)).collect().toSeq == Seq(Row(7L, 7)))
+    assert(h.lookupAll((1L to 30L).map(i => Map[String, Any]("k" -> i)))
+      .count() == 30)
+    assert(h.scanPruned(Map("k" -> 9L)).filter(col("k") === 9L)
+      .collect().toSeq == Seq(Row(9L, 9)))
+    import spark.implicits._
+    assert(h.scanPrunedToKeys(Seq(7L, 9L).toDF("k"))
+      .filter(col("k").isin(7L, 9L)).count() == 2)
+    // mutation stays loudly fenced through the same window
+    intercept[java.util.ConcurrentModificationException](
+      h.upsert(kvDf((31L, 31)), orderBy = Seq(col("ord"))))
+    // recovery replays the flip; pruned reads prune again and stay exact
+    val fixed = cat.rebucket("db", "rf", 8)
+    assert(fixed.desc.numBuckets == 8)
+    assert(fixed.scan().collect().map(_.toSeq).toSet == before)
+    assert(fixed.lookup(Map("k" -> 7L)).collect().toSeq == Seq(Row(7L, 7)))
   }
 }

@@ -383,4 +383,61 @@ class GraftSourceSpec extends SparkTestBase {
     assert(seeded.json != plain.json)
     assert(GraftSourceOffset.parse(seeded.json) == plain.buckets)
   }
+
+  test("the timeline stamp round-trips through offset JSON; a pre-stamp " +
+      "checkpoint parses to no stamp") {
+    val stamped = GraftSourceOffset(Map(0 -> 5L, 1 -> 7L),
+      stamp = Some((3L, 8)))
+    assert(GraftSourceOffset.fromJson(stamped.json) == stamped)
+    assert(GraftSourceOffset.parse(stamped.json) == stamped.buckets)
+    // legacy checkpoint JSON (no _epoch/_nb): accepted, stamp None —
+    // stamp-on-first-contact, the next planned offset carries one
+    assert(GraftSourceOffset.fromJson("""{"0":5,"1":7}""").stamp.isEmpty)
+  }
+
+  test("resume across rollback_to_version refuses loudly (offsets are " +
+      "reusable after a rollback — the checkpoint ABA)") {
+    val t = newTable("roll")
+    t.append(rows(1L -> 10, 2L -> 20), orderBy = Seq(col("ord")))
+    val v = t.latestVersion.get
+    t.append(rows(3L -> 30, 4L -> 40), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ck").toString
+    val (got, _) = drain(t, ckpt)
+    assert(got.toSet == Set(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40))
+    // the stream is down; the table is rolled back — undone offsets are
+    // now REUSED by a different append
+    t.rollbackTo(v)
+    t.append(rows(5L -> 50, 6L -> 60), orderBy = Seq(col("ord")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, ckpt)
+    }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("rollbackEpoch"), msg)
+    assert(msg.contains("fresh checkpoint"), msg)
+    // a fresh checkpoint reads the post-rollback timeline cleanly
+    val ckpt2 = Files.createTempDirectory("graft-src-ck").toString
+    val (got2, _) = drain(t, ckpt2)
+    assert(got2.toSet == Set(1L -> 10, 2L -> 20, 5L -> 50, 6L -> 60))
+  }
+
+  test("resume across sys.rebucket refuses loudly (old offsets are " +
+      "coordinates in a vanished bucket numbering)") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-src-wh").toString, spark)
+    val t = cat.createTable("db", "rbk", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")),
+      bucketKeys = Seq("k"), numBuckets = 2))
+    t.append(rows(1L -> 10, 2L -> 20, 3L -> 30), orderBy = Seq(col("ord")))
+    val ckpt = Files.createTempDirectory("graft-src-ck").toString
+    val (got, _) = drain(t, ckpt)
+    assert(got.toSet == Set(1L -> 10, 2L -> 20, 3L -> 30))
+    val t8 = cat.rebucket("db", "rbk", 8)
+    t8.append(rows(4L -> 40), orderBy = Seq(col("ord")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t8, ckpt)
+    }
+    val msg = e.getCause.getMessage
+    assert(msg.contains("numBuckets"), msg)
+    assert(msg.contains("fresh checkpoint"), msg)
+  }
 }

@@ -499,4 +499,53 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.sql("SELECT n FROM win1").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(Array(40L, 60L))) // 100 minutes -> 60 + 40
   }
+
+  test("log poller: a group resuming across rollback_to_version refuses " +
+      "loudly; seek() re-pins and recovers") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "pepoch", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")),
+      bucketKeys = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava, schema)
+    t.append(rows((1L, 1), (2L, 2)), orderBy = Seq(col("ord")))
+    val v = t.latestVersion.get
+    t.append(rows((3L, 3), (4L, 4)), orderBy = Seq(col("ord")))
+    val p = new LogPoller(t, "geo")
+    assert(p.poll().count() == 4)
+    p.commit()
+    // group is idle; the rollback REUSES the undone offsets for new rows
+    t.rollbackTo(v)
+    t.append(rows((5L, 5), (6L, 6)), orderBy = Seq(col("ord")))
+    val e = intercept[IllegalStateException](new LogPoller(t, "geo"))
+    assert(e.getMessage.contains("rollbackEpoch"), e.getMessage)
+    // recovery: an uncommitted fresh group reads the current timeline,
+    // and the refused group can seek() to an explicit position
+    val p2 = new LogPoller(t, "geo2")
+    assert(p2.poll().count() == 4) // 1,2 + 5,6
+    val p3 = intercept[IllegalStateException](new LogPoller(t, "geo"))
+    assert(p3.getMessage.contains("seek()"), p3.getMessage)
+  }
+
+  test("log poller: a LIVE poller across sys.rebucket refuses at the " +
+      "next poll (bucket numbering vanished under it)") {
+    val cat = newCatalog()
+    val t = cat.createTable("db", "prbk", TableDescriptor(
+      StructType(schema.fields.filterNot(_.name == "ord")),
+      bucketKeys = Seq("k"), numBuckets = 2))
+    def rows(kv: (Long, Int)*) = spark.createDataFrame(
+      kv.zipWithIndex.map { case ((k, v), i) => Row(k, v, i.toLong) }.asJava, schema)
+    t.append(rows((1L, 1), (2L, 2), (3L, 3)), orderBy = Seq(col("ord")))
+    val p = new LogPoller(t, "live")
+    assert(p.poll().count() == 3)
+    cat.rebucket("db", "prbk", 8)
+    val e = intercept[IllegalStateException](p.poll())
+    assert(e.getMessage.contains("numBuckets"), e.getMessage)
+    // seek() asserts a position in the NEW numbering and recovers
+    val t8 = cat.getTable("db", "prbk")
+    p.seek(t8.latestOffsets)
+    assert(p.poll().count() == 0)
+    t8.append(rows((4L, 4)), orderBy = Seq(col("ord")))
+    assert(p.poll().select("k").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
 }
