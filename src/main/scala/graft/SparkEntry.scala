@@ -1149,19 +1149,35 @@ object SparkEntry {
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("token_entropy", round(col("token_entropy"), 6))),
 
-    // ----- BPE1: tokenizer induction + segmentation — learn a BPE merge
-    // table from the corpus (greedy pair merges over the vocab-sized
-    // (word,freq) table; numMerges small distributed jobs, never a
-    // corpus-scale pass) and count real subword tokens per doc. The
-    // training loop is iterative argmax — not SQL-expressible, so this
-    // entry has no oracle (driver records the rows-only check); the
-    // trainer and encoder are cross-checked against a naive reference
-    // implementation in BpeSpec.
+    // ----- BPE1: tokenizer induction + segmentation, HASH-VERIFIED via
+    // a generation-time-oracle corpus (the mm3/mm4 trick): each doc
+    // contributes ONE two-char word over a class-disjoint alphabet
+    // (class c = doc_id % 8 → word chr(97+2c)·chr(98+2c)), so BPE's
+    // greedy loop is analytically forced — pair counts ARE the class
+    // frequencies (2-char words share no symbols, merging one creates
+    // no new pairs), the merge order is exactly (count desc, left asc),
+    // and the encoder emits 1 subword for merged classes, 2 otherwise.
+    // The REAL trainer runs (distributed loop forced via
+    // driverVocabLimit=0) and the real encoder segments every doc; only
+    // the corpus is synthetic. Free-text induction (iterative argmax,
+    // not SQL-expressible) stays cross-checked against a naive
+    // reference implementation in BpeSpec.
     "bpe1_tokenize" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = Bpe.train(docs, "text", numMerges = 16).collect()
-        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-      Bpe.encodeStats(docs, "doc_id", "text", merges)
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        expr("char(97 + (doc_id % 8) * 2)").as("__l"),
+        concat(expr("char(97 + (doc_id % 8) * 2)"),
+          expr("char(98 + (doc_id % 8) * 2)")).as("text"))
+      val mergesDf = Bpe.train(corpus, "text", numMerges = 8,
+        driverVocabLimit = 0L)
+        .select(col("rank").cast("long").as("rank"),
+          col("left"), col("right"), col("pair_count"))
+      val learned = mergesDf.collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeStats(corpus, "doc_id", "text", learned)
+        .join(corpus.select(col("doc_id"), col("__l")), Seq("doc_id"))
+        .join(broadcast(mergesDf), col("__l") === mergesDf("left"), "left")
+        .select(col("doc_id"), col("n_subwords"), col("rank"),
+          col("pair_count"))
     }),
 
     // ----- TA19: CCNet head/middle/tail perplexity buckets — exact
@@ -2935,6 +2951,25 @@ object SparkEntry {
         |    - sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
         |      / CAST(sum(tf) AS DOUBLE), 6) AS token_entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+
+    // BPE on the generation-time-oracle corpus: one two-char word per
+    // doc over class-disjoint alphabets (class = doc_id % 8, word =
+    // chr(97+2c)·chr(98+2c)) makes the greedy merge sequence closed-form
+    // — pair counts are the class frequencies, order is (count desc,
+    // left asc) = (count desc, class asc), minPairCount=2 drops
+    // singleton classes, and the encoder yields 1 subword for merged
+    // classes / 2 for unmerged
+    "bpe1_tokenize" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 8 AS c FROM documents),
+        |freq AS (SELECT c, count(*) AS cnt FROM cls GROUP BY c),
+        |ranked AS (SELECT c, cnt,
+        |    (ROW_NUMBER() OVER (ORDER BY cnt DESC, c ASC) - 1) AS rank
+        |  FROM freq WHERE cnt >= 2)
+        |SELECT cls.doc_id AS doc_id,
+        |  CAST(CASE WHEN r.c IS NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_subwords,
+        |  r.rank AS rank, r.cnt AS pair_count
+        |FROM cls LEFT JOIN ranked r ON cls.c = r.c""".stripMargin,
 
     // ta16's NLL + SQL-standard NTILE(3) over (rounded score, doc_id)
     "ta19_ppl_buckets" ->

@@ -314,6 +314,31 @@ class RebucketSpec extends SparkTestBase {
     val ea = intercept[IllegalArgumentException](
       cat.rebucket("db", "ssa", 8, stateSeeded = true))
     assert(ea.getMessage.contains("PK tables only"), ea.getMessage)
+
+    // partitioned PK table: rows stay in their partition dirs and the
+    // fresh per-bucket numbering spans partitions (offsets are
+    // per-bucket, not per-(partition, bucket))
+    val pschema = StructType(Seq(
+      StructField("dt", StringType), StructField("k", LongType),
+      StructField("v", IntegerType)))
+    val pt = cat.createTable("db", "ssp", TableDescriptor(pschema,
+      primaryKey = Seq("dt", "k"), partitionKeys = Seq("dt"),
+      numBuckets = 4))
+    import scala.jdk.CollectionConverters._
+    val prows = (1L to 24L).map(i =>
+      Row(if (i % 2 == 0) "a" else "b", i, i.toInt, i))
+    pt.upsert(spark.createDataFrame(prows.asJava,
+        StructType(pschema.fields :+ StructField("ord", LongType))),
+      orderBy = Seq(col("ord")))
+    pt.compact(); pt.vacuumLog()
+    val pBefore = pt.scan().collect().map(_.toSeq).toSet
+    val pt8 = cat.rebucket("db", "ssp", 8, stateSeeded = true)
+    assert(pt8.scan().collect().map(_.toSeq).toSet == pBefore)
+    assert(pt8.scan().filter(col("dt") === "a").count() == 12)
+    assert(pt8.lookup(Map("dt" -> "a", "k" -> 2L)).collect().toSeq ==
+      Seq(Row("a", 2L, 2)))
+    assert(WarehouseIO.walkFiles(s"${pt8.path}/log")
+      .exists(e => e.path.contains("dt=b/") && e.path.contains("__bucket=")))
   }
 
   test("pruned reads fall back to unpruned while a rebucket marker " +
