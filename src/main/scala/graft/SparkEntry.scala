@@ -20,6 +20,80 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Fixtures.read(s, dir, n)
 
+  /** The d6/d10-shared (doc_id, canonical_id) cluster map over the exact
+    * Jaccard pair graph — connected components run ONCE per bench pass
+    * (the same cross-query reuse discipline as the shingle stage and the
+    * pair graph themselves; each pass resets the cache and re-pays).
+    */
+  private def jaccardClusters(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    Fixtures.cachedDf("jaccard_clusters", dir) {
+      val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
+        Dedup.ngramJaccardPairsFromDocs(shingleDocs(s, dir), threshold = 0.8)
+      }
+      Dedup.clusters(docs, "doc_id", pairs)
+    }
+
+  /** The dedup-family shared shingle table (one corpus shingling pass per
+    * bench pass — d2/d3/d6/d10/dc2 all read it).
+    */
+  private def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("shingle_docs", dir) {
+      Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
+    }
+
+  /** The shared MinHash signature table over [[shingleDocs]] (d3's LSH
+    * table; dc2's split signatures are filters of it) — the corpus is
+    * signed once per bench pass.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("minhash_sigs", dir) {
+      Dedup.minhashSignaturesFromDocs(shingleDocs(s, dir), numHashes = 60)
+    }
+
+  /** The ta8/ta16/ta19/ta20-shared per-(doc, token) frequency table —
+    * the corpus tokenize+explode (the widest scalar stage of the ta
+    * family) runs once per bench pass.
+    */
+  private def tokenTf(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("token_tf", dir) {
+      TextAnalysis.docTokenTf(t(s, dir, "documents"), "doc_id", "text")
+    }
+
+  /** The d7/dc1-shared per-document DISTINCT word-8-gram hash table —
+    * the corpus-wide explode runs once per bench pass.
+    */
+  private def docGram8(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("doc_gram8", dir) {
+      Dedup.docNGramHashes(t(s, dir, "documents"), "doc_id", "text", n = 8)
+    }
+
+  /** (doc_id, source, quality, n_tokens) — the per-document quality/size
+    * table five selection operators rank on (ta11/ta12/ta15, pipe2,
+    * pipe3). One regex+tokenize pass over the corpus per bench pass,
+    * shared through the same cross-query cache as the shingle stage.
+    */
+  private def docScores(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("doc_scores", dir) {
+      TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
+        col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }
+
+  /** The pipe2/pipe3-shared selection prefix: Gopher rule filter →
+    * per-source salted top-k cap, carrying every column either pipeline
+    * reads downstream (pipe2 keeps quality/rank in its output; pipe3
+    * packs n_tokens into shards).
+    */
+  private def pipeCapped(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedDf("pipe_capped", dir) {
+      val kept = TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id",
+        "text", minWords = 20).filter(col("keep")).select("doc_id")
+      Sampling.capPerGroup(docScores(s, dir).join(kept, Seq("doc_id")),
+        "doc_id", "source", "quality", k = 20)
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * pricing-summary aggregate over the lineitem log (Catalyst handles
     * scan+filter pushdown; one shuffle, map-side partial agg).
@@ -425,10 +499,7 @@ object SparkEntry {
     // shared with d3's MinHash path)
     "d2_ngram_jaccard" -> ((s, dir) =>
       Fixtures.cachedDf("jaccard_pairs", dir) {
-        Dedup.ngramJaccardPairsFromDocs(
-          Fixtures.cachedDf("shingle_docs", dir) {
-            Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
-          }, threshold = 0.8)
+        Dedup.ngramJaccardPairsFromDocs(shingleDocs(s, dir), threshold = 0.8)
       }),
 
     // ----- D3: MinHash+LSH candidates + signature prescreen + exact-
@@ -436,10 +507,8 @@ object SparkEntry {
     // t>=0.8 pair is ~1.4e-6, so the verified output equals the exact
     // all-pairs answer — oracle-checked against the same SQL as D2
     "d3_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshVerifiedPairs(
-        Fixtures.cachedDf("shingle_docs", dir) {
-          Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
-        }, threshold = 0.8)),
+      Dedup.minhashLshVerifiedPairsFromSigs(
+        shingleDocs(s, dir), minhashSigs(s, dir), threshold = 0.8)),
 
     // ----- D4: SimHash near-dup pairs (hamming <= 3). The 60-bit
     // md5-derived token hash has an exact DuckDB twin, so the whole
@@ -468,14 +537,9 @@ object SparkEntry {
     "d6_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // same builder composition as d2 — whichever runs first, the pair
-      // graph and the shingle stage are each built exactly once
-      val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
-        Dedup.ngramJaccardPairsFromDocs(
-          Fixtures.cachedDf("shingle_docs", dir) {
-            Dedup.hashedShingleDocs(docs, "doc_id", "text", n = 5)
-          }, threshold = 0.8)
-      }
-      Dedup.clusters(docs, "doc_id", pairs)
+      // graph, the shingle stage AND the connected-components fixpoint
+      // (d10 reads the identical cluster map) are each built exactly once
+      jaccardClusters(s, dir, docs)
     }),
 
     // ----- D10: canonical-corpus selection — one kept document per
@@ -483,13 +547,8 @@ object SparkEntry {
     // turns the d6 cluster map into the deduplicated training set
     "d10_canonical_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Fixtures.cachedDf("jaccard_pairs", dir) {
-        Dedup.ngramJaccardPairsFromDocs(
-          Fixtures.cachedDf("shingle_docs", dir) {
-            Dedup.hashedShingleDocs(docs, "doc_id", "text", n = 5)
-          }, threshold = 0.8)
-      }
-      Dedup.canonicalDocs(docs, "doc_id", pairs, "n_chars")
+      Dedup.canonicalDocsFromClusters(docs, "doc_id",
+        jaccardClusters(s, dir, docs), "n_chars")
     }),
 
     // ----- D11: dedup-at-ingest — incremental batches filtered against
@@ -504,11 +563,13 @@ object SparkEntry {
     // distinct-hit count; corpus side is a pure map-side probe, no
     // corpus-scale shuffle
     "dc1_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.decontaminate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", n = 8)
+      // both splits filter the d7-shared per-doc-distinct gram table —
+      // the corpus word-8-grams explode once per bench pass
+      val dg = docGram8(s, dir)
+      Dedup.decontaminateFromGrams(
+        dg.filter(col("doc_id") % 20 =!= 0),
+        dg.filter(col("doc_id") % 20 === 0),
+        "doc_id")
     }),
 
     // ----- DC2: FUZZY decontamination — corpus docs whose shingle
@@ -518,14 +579,16 @@ object SparkEntry {
     // equals the exact cross-split Jaccard the oracle computes (same
     // ~1e-6 miss budget as d3)
     "dc2_fuzzy_decontam" -> ((s, dir) => {
-      // the same shared shingle stage d2/d3/d6/d10 read — the corpus is
-      // shingled once across the whole dedup/decontamination family
-      val sh = Fixtures.cachedDf("shingle_docs", dir) {
-        Dedup.hashedShingleDocs(t(s, dir, "documents"), "doc_id", "text", n = 5)
-      }
-      Dedup.fuzzyDecontaminateFromDocs(
+      // the same shared shingle AND signature stages d3 reads — the
+      // corpus is shingled and minhash-signed once across the whole
+      // dedup/decontamination family; the splits are filters of both
+      val sh = shingleDocs(s, dir)
+      val sg = minhashSigs(s, dir)
+      Dedup.fuzzyDecontaminateFromSigs(
         sh.filter(col("id") % 20 =!= 0),
         sh.filter(col("id") % 20 === 0),
+        sg.filter(col("id") % 20 =!= 0),
+        sg.filter(col("id") % 20 === 0),
         "doc_id", threshold = 0.8)
     }),
 
@@ -533,7 +596,7 @@ object SparkEntry {
     // boilerplate/template signal — the across-documents companion to
     // ta6's within-doc repetition score)
     "d7_dup_ngrams" -> ((s, dir) =>
-      Dedup.dupNGramStats(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+      Dedup.dupNGramStatsFromGrams(docGram8(s, dir), "doc_id")),
 
     // ----- D8: cross-doc duplicated-SPAN removal (Lee et al. dedup at
     // word-8-gram granularity): tokens inside any gram shared with
@@ -704,11 +767,10 @@ object SparkEntry {
     // two-level scan (the generic form behind ta19's CCNet buckets);
     // the fixed-order quality arithmetic is bit-identical cross-engine,
     // so the decile ASSIGNMENT hash-matches
-    "h9_quality_deciles" -> ((s, dir) => {
-      val q = TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      Sampling.ntileExact(q, "doc_id", "quality", 10, out = "decile")
-    }),
+    "h9_quality_deciles" -> ((s, dir) =>
+      Sampling.ntileExact(
+        docScores(s, dir).select(col("doc_id"), col("quality")),
+        "doc_id", "quality", 10, out = "decile")),
 
     // ----- FP1: document fingerprint (collision-free on corpus == oracle)
     "fp1_fingerprint" -> ((s, dir) =>
@@ -771,15 +833,14 @@ object SparkEntry {
     // ----- TA8: corpus-statistics token rarity (unigram-LM-style quality
     // filter: explode → vocab count → join back → per-doc aggregate)
     "ta8_token_rarity" -> ((s, dir) =>
-      TextAnalysis.tokenRarity(t(s, dir, "documents"), "doc_id", "text")),
+      TextAnalysis.tokenRarityFromTf(tokenTf(s, dir), "doc_id")),
 
     // ----- TA11: budget-constrained quality selection — keep the global
     // top 10% of docs by quality score (two-level scan: no single-task
     // global ranking window at any corpus size)
     "ta11_top_fraction" -> ((s, dir) =>
       Sampling.selectTopFraction(
-        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality")),
+        docScores(s, dir).select(col("doc_id"), col("quality")),
         "doc_id", "quality", frac = 0.1)),
 
     // ----- TA12: token-budget corpus fill — highest-quality docs first
@@ -787,9 +848,8 @@ object SparkEntry {
     // turns per-doc scores into a fixed-size training corpus)
     "ta12_budget_fill" -> ((s, dir) =>
       Sampling.selectByTokenBudgetFraction(
-        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        docScores(s, dir).select(col("doc_id"), col("quality"),
+          col("n_tokens")),
         "doc_id", "quality", "n_tokens", frac = 0.25)),
 
     // ----- MIX2: epoch-style domain upsampling — repeat factors > 1
@@ -820,16 +880,29 @@ object SparkEntry {
     // checks that they compose (filters stay pushable, the dedup is one
     // aggregate + semi-join, packing keeps the two-level scan shape).
     "pipe1_clean_corpus" -> ((s, dir) => {
-      val red = TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
-        TextAnalysis.redactEmails(col("text")).as("text"))
-      // materialize the cleaned corpus once (eager localCheckpoint): the
-      // keeper aggregate and the semi-join probe would otherwise EACH
-      // re-run the langid/quality regex pass over every document — and a
-      // real pipeline persists its cleaned corpus before dedup anyway
-      val clean = red
-        .filter(TextAnalysis.langId(col("text")) === "en")
-        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      // ONE projection computes the redacted text, the language id and
+      // the quality score side by side, then materializes (eager
+      // localCheckpoint) BEFORE the filters. Filtering first looks
+      // cheaper (fewer rows materialized) but costs more: Catalyst
+      // substitutes the alias into the pushed-down filters, so the
+      // regexp_replace + the ~6 tokenize passes inside langId/quality
+      // re-run per FILTER and once more in the projection, and the two
+      // pipeline consumers (keeper aggregate, semi-join probe) can't
+      // share any of it. Here every expensive scalar expression runs
+      // exactly once per document (subexpression elimination shares the
+      // tokenize across the three output columns), and the filters are
+      // column references over the cached table — and a real pipeline
+      // persists its scored corpus before dedup anyway.
+      val enriched = TextAnalysis.widen(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.redactEmails(col("text")).as("text"))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("__lang"),
+          TextAnalysis.qualityScore(col("text")).as("__q"))
         .localCheckpoint()
+      val clean = enriched
+        .filter(col("__lang") === "en" && col("__q") >= 0.5)
+        .select(col("doc_id"), col("text"))
       // keeper key = fixed-width digest pair of the normalized text (not
       // the body): the exchange ships 24 bytes/row instead of the document
       val normed = TextAnalysis.normalize(col("text"))
@@ -848,15 +921,10 @@ object SparkEntry {
     // skew-safe) → token-shard packing; the shape that turns raw crawl
     // into a training mix
     "pipe2_select_corpus" -> ((s, dir) => {
-      val docs = TextAnalysis.widen(t(s, dir, "documents"))
-      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
-        minWords = 20).filter(col("keep")).select("doc_id")
-      val scored = docs.join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val capped = Sampling.capPerGroup(scored, "doc_id", "source",
-        "quality", k = 20)
+      // rule filter + quality scoring + per-source cap shared with pipe3
+      // (and the quality/token pass itself with ta11/ta12/ta15) via the
+      // cross-query cache — built once per bench pass
+      val capped = pipeCapped(s, dir)
       Sampling.packTokenShards(capped.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = 10000L)
         .join(capped.select(col("doc_id"), col("source"), col("quality"),
@@ -872,15 +940,8 @@ object SparkEntry {
     // write path itself is under the hash gate (layout also pinned by
     // SamplingSessionsSpec)
     "pipe3_write_shards" -> ((s, dir) => {
-      val docs = TextAnalysis.widen(t(s, dir, "documents"))
-      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text",
-        minWords = 20).filter(col("keep")).select("doc_id")
-      val scored = docs.join(kept, Seq("doc_id"))
-        .select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val capped = Sampling.capPerGroup(scored, "doc_id", "source",
-        "quality", k = 20).select("doc_id", "n_tokens")
+      // same shared selection prefix as pipe2 (cross-query cache)
+      val capped = pipeCapped(s, dir).select("doc_id", "n_tokens")
       // path derived from the input dir: concurrent harness runs on one
       // machine must not overwrite each other's shard tree mid-read
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1097,15 +1158,18 @@ object SparkEntry {
     // k·salts rows no matter how skewed the domain is
     "ta15_source_cap" -> ((s, dir) =>
       Sampling.capPerGroup(
-        TextAnalysis.widen(t(s, dir, "documents")).select(col("doc_id"),
-          col("source"), TextAnalysis.qualityScore(col("text")).as("quality")),
+        docScores(s, dir).select(col("doc_id"), col("source"),
+          col("quality")),
         "doc_id", "source", "quality", k = 20)),
 
     // ----- TA16: CCNet-style unigram-LM NLL/token (head/middle/tail
     // perplexity bucketing signal); rounded to 6 dp in both engines
+    // (the NLL table is shared with ta19's bucketing via the cross-query
+    // cache — one corpus tokenize + vocabulary join per bench pass)
     "ta16_unigram_nll" -> ((s, dir) =>
-      TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
-        .withColumn("unigram_nll", round(col("unigram_nll"), 6))),
+      Fixtures.cachedDf("unigram_nll", dir) {
+        TextAnalysis.unigramNllFromTf(tokenTf(s, dir), "doc_id")
+      }.withColumn("unigram_nll", round(col("unigram_nll"), 6))),
 
     // ----- TA21: interpolated bigram-LM NLL/token — the CCNet-style
     // perplexity signal one order up from ta16 (corpus-MLE bigram +
@@ -1146,7 +1210,7 @@ object SparkEntry {
     // signal; per-doc statistic only (no corpus vocabulary join), exact
     // modulo the 6-dp rounding both engines apply
     "ta20_token_entropy" -> ((s, dir) =>
-      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.tokenEntropyFromTf(tokenTf(s, dir), "doc_id")
         .withColumn("token_entropy", round(col("token_entropy"), 6))),
 
     // ----- BPE1: tokenizer induction + segmentation, HASH-VERIFIED via
@@ -1185,7 +1249,9 @@ object SparkEntry {
     // single-task window; the rounded score makes the ORDER itself
     // engine-reproducible, so the bucket assignment hash-matches
     "ta19_ppl_buckets" -> ((s, dir) => {
-      val nll = TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+      val nll = Fixtures.cachedDf("unigram_nll", dir) {
+          TextAnalysis.unigramNllFromTf(tokenTf(s, dir), "doc_id")
+        }
         .select(col("doc_id"), round(col("unigram_nll"), 6).as("unigram_nll"))
       Sampling.ntileExact(nll, "doc_id", "unigram_nll", 3, out = "__b")
         .select(col("doc_id"), col("unigram_nll"),

@@ -82,6 +82,28 @@ object Dedup {
       .agg(countDistinct(col("__g")).as("n_hits"))
   }
 
+  /** [[decontaminate]] over PRE-BUILT per-doc-DISTINCT gram-hash tables
+    * (the [[docNGramHashes]] shape both splits can filter from): with
+    * per-doc distinct grams, the distinct-hit count is a plain count —
+    * identical n_hits, one shared explode pass with [[dupNGramStats]].
+    */
+  def decontaminateFromGrams(cg: DataFrame, bg: DataFrame,
+      idCol: String): DataFrame =
+    cg.join(broadcast(bg.select(col("__g")).distinct()), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** (id, __g): per-document DISTINCT lowercased word-n-gram xxhash64
+    * hashes — the shared first stage of [[dupNGramStats]] and
+    * [[decontaminateFromGrams]].
+    */
+  def docNGramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    TextAnalysis.widen(df)
+      .select(col(idCol), explode(array_distinct(
+        TextAnalysis.wordNGrams(lower(col(textCol)), n))).as("__gs"))
+      .select(col(idCol), xxhash64(col("__gs")).as("__g"))
+
   /** Cross-document duplicated-n-gram stats: per document, how many of its
     * distinct word n-grams also occur in at least one OTHER document —
     * the corpus-level companion to the within-doc repetition score
@@ -95,12 +117,14 @@ object Dedup {
     * pattern, all map-side-combined equi-joins on 8-byte hashes.
     */
   def dupNGramStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val dg = TextAnalysis.widen(df)
-      .select(col(idCol), explode(array_distinct(
-        TextAnalysis.wordNGrams(lower(col(textCol)), n))).as("__gs"))
-      .select(col(idCol), xxhash64(col("__gs")).as("__g"))
-      .localCheckpoint()
+      n: Int = 8): DataFrame =
+    dupNGramStatsFromGrams(
+      docNGramHashes(df, idCol, textCol, n).localCheckpoint(), idCol)
+
+  /** Same, over a PRE-BUILT (and materialized) [[docNGramHashes]] table —
+    * shared with the decontamination probe's corpus side.
+    */
+  def dupNGramStatsFromGrams(dg: DataFrame, idCol: String): DataFrame = {
     // per-doc-distinct input, so count(*) per gram == doc frequency
     val freq = dg.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     dg.join(freq, Seq("__g"))
@@ -401,12 +425,22 @@ object Dedup {
     */
   def minhashLshVerifiedPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
-      estMargin: Double = DefaultEstMargin): DataFrame = {
+      estMargin: Double = DefaultEstMargin): DataFrame =
     // eager localCheckpoint: signatures are computed once and read by the
     // banding and both join probes; unlike persist, the blocks are
     // GC-reclaimed with the DataFrame instead of pinned in CacheManager
-    val sigs = minhashSignaturesFromDocs(docs, numHashes, seed)
-      .localCheckpoint()
+    minhashLshVerifiedPairsFromSigs(docs,
+      minhashSignaturesFromDocs(docs, numHashes, seed).localCheckpoint(),
+      threshold, numHashes, bands, estMargin)
+
+  /** Same, over a PRE-BUILT (and materialized) signature table — a
+    * pipeline that also runs fuzzy decontamination signs the corpus once
+    * and feeds both (the [[hashedShingleDocs]] sharing pattern one stage
+    * up).
+    */
+  def minhashLshVerifiedPairsFromSigs(docs: DataFrame, sigs: DataFrame,
+      threshold: Double, numHashes: Int = 60, bands: Int = 20,
+      estMargin: Double = DefaultEstMargin): DataFrame = {
     val cand = minhashLshCandidates(sigs, numHashes, bands)
     val screened = cand
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
@@ -451,9 +485,20 @@ object Dedup {
   def fuzzyDecontaminateFromDocs(cd: DataFrame, bd: DataFrame,
       idCol: String, threshold: Double,
       numHashes: Int = 60, bands: Int = 20, seed: Long = 42L,
+      estMargin: Double = DefaultEstMargin): DataFrame =
+    fuzzyDecontaminateFromSigs(cd, bd,
+      minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint(),
+      minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint(),
+      idCol, threshold, numHashes, bands, estMargin)
+
+  /** Same, over PRE-BUILT signature tables for both splits — when the
+    * corpus signatures already exist (the d3 LSH table), the splits are
+    * filters of it, not two fresh signing passes.
+    */
+  def fuzzyDecontaminateFromSigs(cd: DataFrame, bd: DataFrame,
+      cs: DataFrame, bs: DataFrame, idCol: String, threshold: Double,
+      numHashes: Int = 60, bands: Int = 20,
       estMargin: Double = DefaultEstMargin): DataFrame = {
-    val cs = minhashSignaturesFromDocs(cd, numHashes, seed).localCheckpoint()
-    val bs = minhashSignaturesFromDocs(bd, numHashes, seed).localCheckpoint()
     // explicit broadcast on every benchmark-side join (the decontaminate
     // posture): checkpointed plans report conservative size stats, so
     // without the hint a pre-AQE planner would shuffle the corpus band
@@ -559,10 +604,14 @@ object Dedup {
       maxDocFreq: Long = 20): DataFrame = {
     // materialize the fingerprint table once: the rare-fp aggregate and
     // the join probe are different subtrees, so without this the winnow
-    // kernel (an md5 per k-gram over every document) would run twice
+    // kernel (an md5 per k-gram over every document) would run twice.
+    // Checkpoint the per-doc ARRAY table (one row per doc), not the
+    // exploded rows (~2·chars/(w+1) per doc): the kernel still runs once,
+    // and each consumer re-runs only the cheap explode over cached arrays
+    // instead of materializing the wide row table to executor storage
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("id"), explode(col("fps")).as("fp"))
       .localCheckpoint()
+      .select(col("id"), explode(col("fps")).as("fp"))
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pruned = fp.join(rare.select(col("fp")), Seq("fp"))
@@ -698,6 +747,17 @@ object Dedup {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct().localCheckpoint()
+    // The edge set is the NEAR-DUP GRAPH — orders of magnitude smaller
+    // than the corpus that produced it. Each star round is ~5 exchanges
+    // over it; inheriting the session's scan-sized shuffle width makes
+    // every round pay (tasks × stages) scheduling overhead for near-empty
+    // partitions. Size the loop's shuffle to the measured edge count
+    // (~64k edges/partition, 16-byte rows ≈ 1 MB), capped at the session
+    // setting so a genuinely large graph keeps full parallelism —
+    // scale-adaptive, not a local-mode constant. Restored in finally.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    def loopPartitions(edges: Long): Int =
+      math.min(math.max(1L, (edges + 65535L) / 65536L), prevShuffle.toLong).toInt
 
     // large-star: each node u links every LARGER neighbor to the minimum
     // of its closed neighborhood; small-star: links every smaller neighbor
@@ -723,19 +783,23 @@ object Dedup {
     var round = 0
     var sig = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
       .head.toSeq
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = next.agg(count(lit(1)),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
-      // the (count, hash-sum) signature is a cheap screen; an exact
-      // set-difference confirms the fixpoint (guards the 2^-32 hash-sum
-      // collision that would otherwise stop the loop on a wrong answer —
-      // it runs once, at the suspected fixpoint)
-      converged = nextSig == sig && next.exceptAll(e).isEmpty
-      sig = nextSig
-      e = next
-      round += 1
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        loopPartitions(sig.head.asInstanceOf[Long]))
+      while (!converged && round < maxRounds) {
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val nextSig = next.agg(count(lit(1)),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
+        // the (count, hash-sum) signature is a cheap screen; an exact
+        // set-difference confirms the fixpoint (guards the 2^-32 hash-sum
+        // collision that would otherwise stop the loop on a wrong answer —
+        // it runs once, at the suspected fixpoint)
+        converged = nextSig == sig && next.exceptAll(e).isEmpty
+        sig = nextSig
+        e = next
+        round += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
     // fixpoint edges are (node -> component min); representatives self-map
@@ -767,8 +831,16 @@ object Dedup {
     */
   def canonicalDocs(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String, aCol: String = "a_id",
-      bCol: String = "b_id"): DataFrame = {
-    val cl = clusters(df, idCol, pairs, aCol, bCol)
+      bCol: String = "b_id"): DataFrame =
+    canonicalDocsFromClusters(df, idCol,
+      clusters(df, idCol, pairs, aCol, bCol), scoreCol)
+
+  /** [[canonicalDocs]] over a PRE-BUILT (id, canonical_id) cluster map —
+    * pipelines that already ran [[clusters]] (the d6 shape) pick the
+    * keepers without a second connected-components fixpoint loop.
+    */
+  def canonicalDocsFromClusters(df: DataFrame, idCol: String,
+      cl: DataFrame, scoreCol: String): DataFrame = {
     graft.functions.LatestRow.ensureHashFallbackThreshold(df.sparkSession)
     // min_by over (-score, id): max score with ties to the SMALLEST id,
     // without ever negating the id — ids may be strings (URLs, hashes),

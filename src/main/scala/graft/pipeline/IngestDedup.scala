@@ -70,6 +70,13 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     * (exact Jaccard ≥ threshold) or a LOWER-id row of the same batch.
     */
   def ingest(batch: DataFrame, threshold: Double): DataFrame = {
+    val sc = batch.sparkSession.sparkContext
+    // stage labels (guide §1.5): the ingest is a multi-job pipeline, and
+    // unlabeled jobs make its profile unreadable
+    def staged[T](label: String)(body: => T): T = {
+      sc.setJobDescription(s"d11 ingest: $label")
+      try body finally sc.setJobDescription(null)
+    }
     // drop batch ids already accepted: a re-ingested id is a duplicate by
     // definition, and letting it through would put two rows of the same
     // id into the verifyJaccard docs union, skewing shingle-set sizes.
@@ -77,36 +84,52 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // rows) and bucketed on the id, so the guard reads ONLY the bucket
     // dirs the batch's ids hash to (scanPrunedToKeys — O(batch buckets)
     // IO, not O(corpus)), broadcast-probed by the micro-batch.
-    val resent = corpus.scanPrunedToKeys(batch.select(col(idCol)))
-      .select(col(idCol))
-      .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
-    val fresh = batch.join(broadcast(resent), Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val shingled = Dedup.hashedShingleDocs(
-        fresh.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
-      .localCheckpoint()
-    // ONE signature pass feeds the index probes, the in-batch banding
-    // AND the in-batch prescreen — identical kernels/seed to the batch
-    // dedup family, computed once per micro-batch
-    val sigs = Dedup.minhashSignaturesFromDocs(shingled, numHashes, seed)
-      .localCheckpoint()
-    // --- vs the accepted corpus ---
-    // materialized once: probed against the index AND reused below as
-    // the novel rows' index entries (the hashes are deterministic, so a
-    // recompute would produce the identical rows at double the cost)
-    val probes = bandRowsFromSigs(sigs).localCheckpoint()
+    val resent = staged("resent guard") {
+      corpus.scanPrunedToKeys(batch.select(col(idCol)))
+        .select(col(idCol))
+        .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+    }
+    // ONE eager materialization per batch carrying the fresh rows PLUS
+    // their shingle hashes and minhash signature (identical kernels/seed
+    // to the batch dedup family): a prior shape checkpointed fresh,
+    // shingled and sigs separately — three jobs re-walking the same
+    // micro-batch; every downstream view (fresh rows, shingle table,
+    // signature table, band rows) is now a projection of this one cached
+    // table, so the expensive scalar kernels run exactly once
+    val (hashA, hashB) = graft.functions.MinHashSig.params(numHashes, seed)
+    val enriched = staged("shingle+sign batch") {
+      TextAnalysis.widen(
+          batch.join(broadcast(resent), Seq(idCol), "left_anti"))
+        .withColumn("__gs",
+          graft.functions.VectorExprs.shingleHashes(col(textCol), shingleN))
+        .withColumn("__sig", graft.functions.VectorExprs.minhashSig(
+          col("__gs"), hashA, hashB, graft.functions.MinHashSig.P))
+        .localCheckpoint()
+    }
+    val fresh = enriched.select(batch.columns.map(col).toIndexedSeq: _*)
+    val shingled = enriched.select(col(idCol).as("id"), col("__gs").as("gs"))
+      .withColumn("sz", size(col("gs")))
+    val sigs = enriched.select(col(idCol).as("id"), col("__sig").as("sig"))
+      .filter(col("sig").isNotNull)
+    // band rows derive lazily from the checkpointed signatures: each of
+    // the three consumers (index probe, in-batch banding, novel-row index
+    // entries) re-runs only the cheap per-row band slicing over cached
+    // data — no fourth materialization job
+    val probes = bandRowsFromSigs(sigs)
     // the index is bucketed on (band, bucket): the probe reads only the
     // bucket dirs the batch's band rows hash to — per-batch IO follows
     // the BATCH's bucket set, never the corpus-wide index size
-    val candPast = broadcast(probes.withColumnRenamed(idCol, "a_id"))
-      .join(index.scanPrunedToKeys(probes.select(col("band"), col("bucket")))
-          .withColumnRenamed(idCol, "b_id"),
-        Seq("band", "bucket"))
-      .select(col("a_id"), col("b_id")).distinct()
-      // pinned: consumed three ways below (candidate-id bucket set, the
-      // past-doc fetch, the verify join) — without it each consumer
-      // re-runs the probe join
-      .localCheckpoint()
+    val candPast = staged("index probe") {
+      broadcast(probes.withColumnRenamed(idCol, "a_id"))
+        .join(index.scanPrunedToKeys(probes.select(col("band"), col("bucket")))
+            .withColumnRenamed(idCol, "b_id"),
+          Seq("band", "bucket"))
+        .select(col("a_id"), col("b_id")).distinct()
+        // pinned: consumed three ways below (candidate-id bucket set, the
+        // past-doc fetch, the verify join) — without it each consumer
+        // re-runs the probe join
+        .localCheckpoint()
+    }
     // fetching candidate texts is a point-read too: prune the corpus to
     // the candidates' id buckets before the equi-join
     val pastIds = candPast.select(col("b_id").as(idCol)).distinct()
@@ -134,19 +157,23 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       .select(col("a_id"), col("b_id"))
     val dupInBatch = Dedup.verifyJaccard(candIn, shingled, threshold)
       .select(col("b_id").as("__dup")) // b_id > a_id by construction
-    val novel = fresh.join(
-      dupVsPast.unionByName(dupInBatch).distinct()
-        .withColumnRenamed("__dup", idCol),
-      Seq(idCol), "left_anti")
-      .localCheckpoint() // pin: the appends below must see ONE snapshot
+    val novel = staged("verify + novel") {
+      fresh.join(
+        dupVsPast.unionByName(dupInBatch).distinct()
+          .withColumnRenamed("__dup", idCol),
+        Seq(idCol), "left_anti")
+        .localCheckpoint() // pin: the appends below must see ONE snapshot
+    }
     // index FIRST: the two appends are separate atomic commits, and a
     // crash between them must err on the harmless side. An orphan index
     // row (banded but not in the corpus) only creates candidates that
     // fail exact-Jaccard verification; the reverse order would admit
     // every later duplicate of an un-indexed accepted document forever.
-    index.append(probes.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col("band"), col("bucket"), col(idCol)))
-    corpus.append(novel)
+    staged("index append") {
+      index.append(probes.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col("band"), col("bucket"), col(idCol)))
+    }
+    staged("corpus append") { corpus.append(novel) }
     novel
   }
 

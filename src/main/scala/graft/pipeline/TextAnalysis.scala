@@ -174,17 +174,31 @@ object TextAnalysis {
     * integer counts and a ratio of exact integers, so the doubles are
     * bit-identical across engines.
     */
+  /** (id, __t, __tf): the per-(document, distinct-lowercased-token)
+    * frequency table — the shared first stage of [[tokenRarity]],
+    * [[unigramNll]] and [[tokenEntropy]]. One corpus tokenize + explode
+    * (the widest scalar stage of the whole ta family); callers
+    * materialize it once and feed every vocabulary-keyed statistic.
+    */
+  def docTokenTf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    widen(df)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+
   def tokenRarity(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
+      textCol: String, rareMax: Long = 2): org.apache.spark.sql.DataFrame =
     // one explode pass: the compact per-(doc, distinct-token) TF table is
     // materialized once (eager localCheckpoint — lineage cut, blocks
     // GC-reclaimed) and feeds both the vocabulary count and the per-doc
     // aggregate; deriving both from raw occurrences would scan and
     // explode the whole corpus twice
-    val tf = widen(df)
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+    tokenRarityFromTf(docTokenTf(df, idCol, textCol).localCheckpoint(),
+      idCol, rareMax)
+
+  /** Same, over a PRE-BUILT (and materialized) [[docTokenTf]] table. */
+  def tokenRarityFromTf(tf: org.apache.spark.sql.DataFrame, idCol: String,
+      rareMax: Long = 2): org.apache.spark.sql.DataFrame = {
     val freq = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__f"))
     tf.join(freq, Seq("__t"))
       .groupBy(col(idCol))
@@ -220,9 +234,12 @@ object TextAnalysis {
     */
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
-    widen(df)
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    tokenEntropyFromTf(docTokenTf(df, idCol, textCol), idCol)
+
+  /** Same, over a PRE-BUILT [[docTokenTf]] table. */
+  def tokenEntropyFromTf(tf: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    tf
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tokens"),
         (log(sum(col("__tf")).cast("double")) -
@@ -235,11 +252,12 @@ object TextAnalysis {
           / sum(col("__tf")).cast("double")).as("token_entropy"))
 
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val tf = widen(df)
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+      textCol: String): org.apache.spark.sql.DataFrame =
+    unigramNllFromTf(docTokenTf(df, idCol, textCol).localCheckpoint(), idCol)
+
+  /** Same, over a PRE-BUILT (and materialized) [[docTokenTf]] table. */
+  def unigramNllFromTf(tf: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
     val freq = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__f"))
     val total = freq.agg(sum(col("__f")).as("__tot"))
     tf.join(freq, Seq("__t")).crossJoin(broadcast(total))
