@@ -286,7 +286,7 @@ object Dedup {
     * so the jaccard expression can never drift between paths — it must
     * stay in lockstep with the DuckDB oracles.
     */
-  private def verifyJaccardAcross(cand: DataFrame, docsA: DataFrame,
+  private[pipeline] def verifyJaccardAcross(cand: DataFrame, docsA: DataFrame,
       docsB: DataFrame, threshold: Double): DataFrame = {
     val da = docsA.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
     val db = docsB.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))

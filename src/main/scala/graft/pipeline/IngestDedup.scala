@@ -111,6 +111,12 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       .withColumn("sz", size(col("gs")))
     val sigs = enriched.select(col(idCol).as("id"), col("__sig").as("sig"))
       .filter(col("sig").isNotNull)
+    // NOTE (measured, round 16): narrowing the ingest's shuffles to the
+    // micro-batch row count (the connectedComponents treatment) was
+    // tried and REVERTED — the verify stage is compute-bound (candidate
+    // pairs × signature/shingle array work), not scheduling-bound:
+    // 1-partition shuffles serialized it onto one core (7.7 s → 15 s per
+    // profile). The session width + AQE coalescing is the right sizing.
     // band rows derive lazily from the checkpointed signatures: each of
     // the three consumers (index probe, in-batch banding, novel-row index
     // entries) re-runs only the cheap per-row band slicing over cached
@@ -137,8 +143,13 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       .join(broadcast(pastIds), Seq(idCol))
     val pastShingled = Dedup.hashedShingleDocs(
       pastDocs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
-    val dupVsPast = Dedup.verifyJaccard(candPast,
-        shingled.unionByName(pastShingled), threshold)
+    // two-table verify: candPast's a-side ids are strictly THIS batch
+    // (the resent guard removed re-sent accepted ids) and its b-side ids
+    // strictly the accepted past — resolving each side against its own
+    // shingle table halves both join inputs and computes pastShingled
+    // (a pruned corpus read + shingle kernel) once, not once per side
+    val dupVsPast = Dedup.verifyJaccardAcross(candPast,
+        shingled, pastShingled, threshold)
       .select(col("a_id").as("__dup"))
     // --- within the batch (keep the lowest id of each dup group) ---
     // same banding + signature prescreen + exact verify as
@@ -150,8 +161,15 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      // explicit broadcasts: the signature table is batch-derived (the
+      // micro-batch contract that already broadcasts resent/probes/
+      // pastIds), but it hangs off a localCheckpoint whose conservative
+      // size stats would otherwise shuffle the full candidate stream
+      // through a sort-merge join
+      .join(broadcast(sigs.select(col("id").as("a_id"), col("sig").as("a_sig"))),
+        Seq("a_id"))
+      .join(broadcast(sigs.select(col("id").as("b_id"), col("sig").as("b_sig"))),
+        Seq("b_id"))
       .filter(Dedup.sigAgreement(col("a_sig"), col("b_sig"), numHashes)
         >= threshold - Dedup.DefaultEstMargin)
       .select(col("a_id"), col("b_id"))
