@@ -54,6 +54,110 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmax-centroid assignment against a FIXED centroid matrix in one
+  * codegen'd pass: index i maximizing `dot(v, c_i) / (‖v‖ · ‖c_i‖)`
+  * (`divide = true`; `false` scores by the raw dot — the spherical
+  * k-means iteration form over unit vectors), ties to the LARGER index.
+  *
+  * Replaces the `greatest(struct(score_0, 0), …, struct(score_k, k))("i")`
+  * formulation, which re-evaluates the `cast(vec as array<double>)` child
+  * and the `sqrt(dot(v,v))` norm once PER CENTROID when the optimizer
+  * inlines it into a Filter (predicate pushdown substitutes aliases with
+  * no cost check, and FilterExec does no subexpression elimination) —
+  * measured 34 dot-products and 33 array casts per row in sim3's probe
+  * filter. Arithmetic is bit-identical to the struct form: same
+  * sequential dot loops, same `dot / (nv * cn)` evaluation order, same
+  * nan-safe double comparison (NaN greatest, NaN == NaN), so existing
+  * oracles replay unchanged.
+  */
+case class IvfArgmax(child: Expression, centroids: Array[Array[Double]],
+    divide: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_ivf_argmax"
+
+  // ‖c_i‖ exactly as the struct form's driver-side literal:
+  // sqrt(sum of squares, sequential left fold)
+  private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var nv = 0.0
+    if (divide) {
+      var i = 0
+      var s = 0.0
+      while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+      nv = math.sqrt(s)
+    }
+    var bestI = 0
+    var bestS = Double.NaN
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += v.getDouble(i) * c(i); i += 1 }
+      val s = if (divide) d / (nv * cnorms(k)) else d
+      // ties to the larger index; NaN greatest, NaN == NaN (Spark's
+      // nan-safe double ordering == java.lang.Double.compare)
+      if (k == 0 || java.lang.Double.compare(s, bestS) >= 0) {
+        bestS = s; bestI = k
+      }
+      k += 1
+    }
+    bestI
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("ivfCnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val nv = ctx.freshName("nv")
+      val m = ctx.freshName("m"); val c = ctx.freshName("c")
+      val bestI = ctx.freshName("bestI"); val bestS = ctx.freshName("bestS")
+      val sq = ctx.freshName("sq"); val x = ctx.freshName("x")
+      val divNv = if (divide) s"$d / ($nv * $nRef[$k])" else d
+      val nvCalc = if (!divide) "" else s"""
+        |double $sq = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = $v.getDouble($i); $sq += $x * $x;
+        |}
+        |$nv = java.lang.Math.sqrt($sq);
+      """.stripMargin
+      s"""
+        |int $n = $v.numElements();
+        |double $nv = 0.0;
+        |$nvCalc
+        |int $bestI = 0;
+        |double $bestS = Double.NaN;
+        |for (int $k = 0; $k < $cRef.length; $k++) {
+        |  double[] $c = $cRef[$k];
+        |  int $m = java.lang.Math.min($n, $c.length);
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $m; $i++) {
+        |    $d += $v.getDouble($i) * $c[$i];
+        |  }
+        |  double $s = $divNv;
+        |  if ($k == 0 || java.lang.Double.compare($s, $bestS) >= 0) {
+        |    $bestS = $s; $bestI = $k;
+        |  }
+        |}
+        |${ev.value} = $bestI;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of common elements of two SORTED, duplicate-free array<bigint>
   * columns — a merge walk with no allocation, vs `size(array_intersect)`
   * which builds a hash set and a result array per row. Used by the exact
@@ -112,6 +216,14 @@ object VectorExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumn.of(SortedIntersectCount(
       GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
+
+  /** Argmax-centroid index of an array<double> column against a fixed
+    * centroid matrix (cosine when divide=true, raw dot when false), ties
+    * to the larger index — one pass, one cast, one norm per row.
+    */
+  def ivfArgmax(v: Column, centroids: Array[Array[Double]],
+      divide: Boolean): Column =
+    GraftColumn.of(IvfArgmax(GraftColumn.expressionOf(v), centroids, divide))
 
   /** Full MinHash signature of an array<bigint> shingle-hash column in one
     * pass (k universal hashes (a_i·h + b_i) mod p, elementwise min).

@@ -200,15 +200,16 @@ object Similarity {
     * so tie-breaking can never drift between them).
     */
   def ivfListOf(vec: Column,
-      centroids: Array[(Int, Seq[Double])]): Column = {
-    val v = vec.cast("array<double>")
-    val best = centroids.sortBy(_._1).map { case (i, c) =>
-      struct((dot(v, typedlit(c)) /
-        (l2norm(v) * lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
-        lit(i).as("i"))
-    }
-    greatest(best.toIndexedSeq: _*)("i")
-  }
+      centroids: Array[(Int, Seq[Double])]): Column =
+    // one-pass native kernel: the declarative greatest-of-structs form
+    // re-evaluated the vector cast and the norm once per centroid when
+    // the optimizer inlined the assignment into a probe filter (alias
+    // substitution has no cost check, and FilterExec does no
+    // subexpression elimination — 34 dots + 33 casts/row in sim3's
+    // audited plan). Identical arithmetic and tie-breaking (larger
+    // index), so every generated oracle replays unchanged.
+    graft.functions.VectorExprs.ivfArgmax(vec.cast("array<double>"),
+      centroids.sortBy(_._1).map(_._2.toArray).toArray, divide = true)
 
   /** IVF coarse centroids via deterministic spherical k-means — the
     * production quantizer ([[ivfAssign]]'s first-n-by-id centroids stay as
@@ -321,11 +322,17 @@ object Similarity {
         centroids = next
       }
       // assign the ORIGINAL frame like ivfAssign (zero vectors included;
-      // centroids are unit so cosine = dot / ||v||)
+      // centroids are unit so cosine = dot / ||v||); cast + norm hoisted
+      // into their own projection so they evaluate once per row, not
+      // once per centroid (see ivfAssign)
       val best = centroids.zipWithIndex.map { case (c, i) =>
-        struct((dot(vd, typedlit(c.toSeq)) / l2norm(vd)).as("s"), lit(i).as("i"))
+        struct((dot(col("__ivf_vd"), typedlit(c.toSeq)) / col("__ivf_nv"))
+          .as("s"), lit(i).as("i"))
       }
-      (df.withColumn("__list", greatest(best.toIndexedSeq: _*)("i")),
+      (df.withColumn("__ivf_vd", vd)
+        .withColumn("__ivf_nv", l2norm(col("__ivf_vd")))
+        .withColumn("__list", greatest(best.toIndexedSeq: _*)("i"))
+        .drop("__ivf_vd", "__ivf_nv"),
         centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
     } finally unit.unpersist()
   }
@@ -393,9 +400,19 @@ object Similarity {
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebook.length
     val dsub = codebook(0)(0).length
-    val v = col(vecCol).cast("array<double>")
+    // hoist the cast vector and each subspace slice into their own
+    // multi-referenced projection columns: inlined, every candidate
+    // centroid re-evaluated its subspace's slice AND the cast (m·ksub
+    // array materializations per row); hoisted they evaluate once per
+    // row/subspace — identical values (see ivfAssign for the same move)
+    val subCols = (0 until m).map(j => s"__pq_s$j")
+    val withSubs = (0 until m).foldLeft(
+        df.withColumn("__pq_vd", col(vecCol).cast("array<double>"))) {
+      (d, j) => d.withColumn(subCols(j),
+        slice(col("__pq_vd"), j * dsub + 1, dsub))
+    }
     val codes = (0 until m).map { j =>
-      val sub = slice(v, j * dsub + 1, dsub)
+      val sub = col(subCols(j))
       val cands = codebook(j).zipWithIndex.map { case (c, i) =>
         val cc = c.map(x => x * x).sum
         struct((lit(cc) - lit(2.0) * dot(sub, typedlit(c.toSeq))).as("d"),
@@ -403,7 +420,8 @@ object Similarity {
       }
       least(cands.toIndexedSeq: _*)("i")
     }
-    df.withColumn("__code", array(codes: _*))
+    withSubs.withColumn("__code", array(codes: _*))
+      .drop(("__pq_vd" +: subCols): _*)
   }
 
   /** PQ top-k via asymmetric distance computation (ADC): the query builds

@@ -220,4 +220,46 @@ class VectorExprsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(fast == ref)
   }
+
+  test("IvfArgmax matches greatest(struct(score, i)) incl. zero vectors and ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val centroids = Array.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 200).map(_ => Seq.fill(dim)(rnd.nextGaussian())) ++
+      Seq(centroids(2).toSeq, // exact centroid hit
+        centroids(2).map(_ * 3.0).toSeq) // same direction, scaled (cosine tie shape)
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // the struct-greatest reference formulation IvfArgmax replaced
+    def ref(v: org.apache.spark.sql.Column) = {
+      val best = centroids.zipWithIndex.map { case (c, i) =>
+        struct((VectorExprs.dot(v, typedlit(c.toSeq)) /
+          (sqrt(VectorExprs.dot(v, v)) *
+            lit(math.sqrt(c.map(x => x * x).sum)))).as("s"),
+          lit(i).as("i"))
+      }
+      greatest(best.toIndexedSeq: _*)("i")
+    }
+    val got = df.select(
+      VectorExprs.ivfArgmax(col("v"), centroids, divide = true).as("fast"),
+      ref(col("v")).as("slow")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // divide=false scores by raw dot (the k-means iteration form)
+    def refDot(v: org.apache.spark.sql.Column) =
+      greatest(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorExprs.dot(v, typedlit(c.toSeq)).as("s"), lit(i).as("i"))
+      }.toIndexedSeq: _*)("i")
+    val gotDot = df.select(
+      VectorExprs.ivfArgmax(col("v"), centroids, divide = false).as("fast"),
+      refDot(col("v")).as("slow")).collect()
+    gotDot.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // zero vector: every cosine score is NaN (0/0) — the nan-safe tie
+    // rule picks the LARGEST index. (The struct-greatest reference can't
+    // be compared here: under ANSI mode its 0-divisor raises, which is
+    // what the old formulation would also have done.)
+    val zero = Seq((0L, Seq.fill(dim)(0.0))).toDF("id", "v")
+      .select(VectorExprs.ivfArgmax(col("v"), centroids, divide = true))
+      .head.getInt(0)
+    assert(zero == centroids.length - 1)
+  }
 }
