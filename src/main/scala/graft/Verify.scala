@@ -53,6 +53,8 @@ object Verify {
       // time (manifest HLL sketches), multi-join queries reorder by
       // estimated cardinality instead of SQL text order
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // workload-sized generated-class cache — mirror Bench (see there)
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

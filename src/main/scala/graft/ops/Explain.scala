@@ -24,6 +24,8 @@ object Explain {
       // mirror Bench/Verify: CBO on (fresh per-manifest-state stats)
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // workload-sized generated-class cache — mirror Bench (see there)
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -32,6 +32,7 @@ object Profile {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "3000") // mirror Bench
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
