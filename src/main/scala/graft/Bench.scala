@@ -211,11 +211,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Two lines: the growing per-query map under its own metric key, then
-    // a short fixed-size "total" line LAST so the driver's bounded
-    // tail-capture always parses (round-6 fix). Distinct metric names so
-    // a consumer summing metric=="total" lines counts the total once.
+    // Three lines, additive (round-17): the full named per-query map, then
+    // a PACKED per-query line, then the short fixed-size "total" line LAST
+    // so the driver's bounded tail-capture always parses (round-6 fix).
+    // The packed line exists because the driver keeps only the last ~2000
+    // chars of output: the 139 query names alone are 2139 chars, so NO
+    // named encoding can ever fit the window (measured round 17) — values
+    // in bench name order (sorted ascending, the names are stable in
+    // SparkEntry.queries) are ~850 chars and survive the tail intact.
+    // Distinct metric names so a consumer summing metric=="total" lines
+    // counts the total once.
     println(f"""{"metric":"queries","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val packed = results.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]")
+    println(f"""{"metric":"queries_packed","value":$total%.3f,"unit":"sec","n_queries":${results.size},"order":"name_asc","values":$packed,"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

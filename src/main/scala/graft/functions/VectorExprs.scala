@@ -69,6 +69,13 @@ case class DotProduct(left: Expression, right: Expression)
   * sequential dot loops, same `dot / (nv * cn)` evaluation order, same
   * nan-safe double comparison (NaN greatest, NaN == NaN), so existing
   * oracles replay unchanged.
+  *
+  * NULL contract: null vector in, NULL out (standard null-safe unary
+  * expression). This deliberately diverges from the struct-greatest
+  * form, whose struct ordering over null scores returned the largest
+  * centroid index — no fixture carries null embeddings (oracles
+  * re-gated), and NULL is the saner answer for a missing vector.
+  * Pinned by VectorExprsSpec.
   */
 case class IvfArgmax(child: Expression, centroids: Array[Array[Double]],
     divide: Boolean)
@@ -206,6 +213,133 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two array<bigint> columns agree — the MinHash
+  * signature-agreement estimator's counting step in one allocation-free
+  * loop. Replaces `size(filter(zip_with(a, b, (x,y) => x === y), m => m))`,
+  * which materializes a boolean array AND a filtered copy per row — pure
+  * allocation churn on the LSH prescreen's candidate stream. Identical
+  * semantics for the signature tables (equal-length non-null arrays);
+  * for unequal lengths both forms count agreements up to the shorter
+  * array (zip_with pads with null, null === x is null, filter drops it).
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agree_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $i = 0; int $c = 0;
+        |while ($i < $n) {
+        |  if ($a.getLong($i) == $b.getLong($i)) { $c++; }
+        |  $i++;
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard coefficient |A∩B| / |A∪B| of two SORTED duplicate-free
+  * array<bigint> columns in ONE merge pass, with an ADMISSIBLE early
+  * exit at `threshold`: while merging, once even a perfect remainder
+  * (inter + min(remaining)) cannot reach `threshold`, the walk stops and
+  * returns that upper bound (a deterministic value strictly below
+  * `threshold`). Rows at or above the threshold never trigger the exit —
+  * the bound is ≥ the true coefficient throughout — so for every
+  * surviving row of a `>= threshold` filter the result is the EXACT
+  * coefficient, bit-identical to the declarative
+  * `cast(inter as double) / cast((cast((sa+sb) as bigint) - inter) as
+  * double)` form (the whole computation is exact integer arithmetic
+  * until the one final division; sa/sb are the array lengths by the
+  * [[graft.pipeline.Dedup.hashedShingleDocs]] contract, sz = size(gs)).
+  *
+  * Exists because the declarative form referenced `inter` TWICE
+  * (numerator and denominator); when the verify filter is pushed into a
+  * join condition — where there is no subexpression elimination — every
+  * candidate pair paid the O(sa+sb) merge walk twice (measured: the d10
+  * verify join condition evaluated graft_sorted_intersect_count 2×1.6M
+  * times). One call per pair, and the early exit trims the walks of the
+  * overwhelming below-threshold majority.
+  */
+case class JaccardGeCoeff(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaccard_ge"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    val tot = (n + m).toLong
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else {
+        if (u < v) i += 1 else j += 1
+        // upper bound on the final intersection from here on
+        val best = c + math.min(n - i, m - j)
+        val bj = best.toDouble / (tot - best).toDouble
+        if (bj < threshold) return bj
+      }
+    }
+    c.toDouble / (tot - c).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val u = ctx.freshName("u")
+      val v = ctx.freshName("v"); val tot = ctx.freshName("tot")
+      val best = ctx.freshName("best"); val bj = ctx.freshName("bj")
+      val res = ctx.freshName("res"); val done = ctx.freshName("done")
+      s"""
+        |int $n = $a.numElements(); int $m = $b.numElements();
+        |long $tot = (long) ($n + $m);
+        |int $i = 0; int $j = 0; long $c = 0L;
+        |boolean $done = false; double $res = 0.0;
+        |while ($i < $n && $j < $m) {
+        |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+        |  if ($u == $v) { $c++; $i++; $j++; }
+        |  else {
+        |    if ($u < $v) { $i++; } else { $j++; }
+        |    long $best = $c + (long) java.lang.Math.min($n - $i, $m - $j);
+        |    double $bj = (double) $best / (double) ($tot - $best);
+        |    if ($bj < $threshold) { $res = $bj; $done = true; break; }
+        |  }
+        |}
+        |${ev.value} = $done ? $res : ((double) $c / (double) ($tot - $c));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Dot product of two array<double> columns (codegen'd tight loop). */
   def dot(a: Column, b: Column): Column =
@@ -215,6 +349,21 @@ object VectorExprs {
   /** |A ∩ B| for sorted duplicate-free array<bigint> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumn.of(SortedIntersectCount(
+      GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
+
+  /** Exact Jaccard of sorted duplicate-free array<bigint> columns in one
+    * merge pass, early-exiting (admissibly) below `threshold` — exact for
+    * every row a `>= threshold` filter keeps.
+    */
+  def jaccardGe(a: Column, b: Column, threshold: Double): Column =
+    GraftColumn.of(JaccardGeCoeff(
+      GraftColumn.expressionOf(a), GraftColumn.expressionOf(b), threshold))
+
+  /** Count of agreeing positions of two array<bigint> columns (the
+    * MinHash signature-agreement counter), allocation-free.
+    */
+  def sigAgreeCount(a: Column, b: Column): Column =
+    GraftColumn.of(SigAgreeCount(
       GraftColumn.expressionOf(a), GraftColumn.expressionOf(b)))
 
   /** Argmax-centroid index of an array<double> column against a fixed

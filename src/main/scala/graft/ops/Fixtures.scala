@@ -63,9 +63,15 @@ object Fixtures {
   /** Cache an expensive shared intermediate across queries (persisted —
     * first action materializes it). Used where two SparkEntry queries
     * share a stage, e.g. d2's Jaccard pair graph feeding d6's clusters.
+    * SERIALIZED storage (guide §5): several of these stages are
+    * corpus-sized (token TF, shingle arrays, signatures) — deserialized
+    * MEMORY_AND_DISK would pin executor memory as object graphs and spill
+    * deserialized at scale; MEMORY_AND_DISK_SER stores the compact
+    * columnar bytes instead (measured round 17: bench-neutral at sf0.1).
     */
   def cachedDf(key: String, sfDir: String)(build: => DataFrame): DataFrame =
-    synchronized { dfCache.getOrElseUpdate((key, sfDir), build.persist()) }
+    synchronized { dfCache.getOrElseUpdate((key, sfDir),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)) }
 
   /** Drop all cachedDf entries (profiling: re-measure a query cold). */
   def clearCache(): Unit = synchronized {

@@ -288,13 +288,20 @@ object Dedup {
     */
   private[pipeline] def verifyJaccardAcross(cand: DataFrame, docsA: DataFrame,
       docsB: DataFrame, threshold: Double): DataFrame = {
-    val da = docsA.select(col("id").as("a_id"), col("gs").as("a_gs"), col("sz").as("sa"))
-    val db = docsB.select(col("id").as("b_id"), col("gs").as("b_gs"), col("sz").as("sb"))
+    // ONE kernel call computes the coefficient (sa/sb are the array
+    // lengths — the hashedShingleDocs contract, sz = size(gs)). The
+    // previous two-step form (sortedIntersectCount, then a jaccard
+    // expression referencing it twice) was inlined by filter pushdown
+    // into the verify JOIN CONDITION, where no subexpression elimination
+    // exists — every candidate pair paid the O(sa+sb) merge walk TWICE
+    // (measured on d10: 2 × 1.6M walks). The kernel also early-exits
+    // below the threshold (admissible bound — exact for every kept row),
+    // trimming the walks of the below-threshold candidate majority.
+    val da = docsA.select(col("id").as("a_id"), col("gs").as("a_gs"))
+    val db = docsB.select(col("id").as("b_id"), col("gs").as("b_gs"))
     cand.join(da, Seq("a_id")).join(db, Seq("b_id"))
-      .withColumn("inter", graft.functions.VectorExprs
-        .sortedIntersectCount(col("a_gs"), col("b_gs")))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
+      .withColumn("jaccard", graft.functions.VectorExprs
+        .jaccardGe(col("a_gs"), col("b_gs"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -309,7 +316,11 @@ object Dedup {
     * Jaccard estimator every LSH path prescreens with.
     */
   private[pipeline] def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") /
+    // native counting kernel: the zip_with/filter/size form materialized a
+    // boolean array plus a filtered copy per candidate pair — identical
+    // count, same cast/division, zero allocation (VectorExprsSpec pins
+    // the equivalence)
+    graft.functions.VectorExprs.sigAgreeCount(a, b).cast("double") /
       lit(numHashes.toDouble)
 
   /** MinHash signatures: `numHashes` permutations approximated by
@@ -754,52 +765,59 @@ object Dedup {
     // partitions. Size the loop's shuffle to the measured edge count
     // (~64k edges/partition, 16-byte rows ≈ 1 MB), capped at the session
     // setting so a genuinely large graph keeps full parallelism —
-    // scale-adaptive, not a local-mode constant. Restored in finally.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // scale-adaptive, not a local-mode constant. The sizing is scoped to
+    // the loop's OWN DataFrames via explicit repartition(n, key) calls
+    // whose partitioning the downstream groupBy/join/distinct reuse (no
+    // added exchanges) — a previous version mutated the session-global
+    // spark.sql.shuffle.partitions for the loop's duration, which was
+    // safe in the sequential Bench but wrong for any concurrent query
+    // planned on the same session (round-16 advice).
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toLong
     def loopPartitions(edges: Long): Int =
-      math.min(math.max(1L, (edges + 65535L) / 65536L), prevShuffle.toLong).toInt
+      math.min(math.max(1L, (edges + 65535L) / 65536L), sessionShuffle).toInt
 
     // large-star: each node u links every LARGER neighbor to the minimum
     // of its closed neighborhood; small-star: links every smaller neighbor
     // (and u itself) to that minimum. Both preserve connectivity and the
     // u > v orientation.
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, n: Int): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(n, col("u"))
       val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .repartition(n, col("u"), col("v")).distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy("u").agg(min(col("v")).as("m")) // all v < u, so min(N∪{u}) = min(v)
-      val linked = e.join(m, "u").filter(col("v") =!= col("m"))
+    def smallStar(e: DataFrame, n: Int): DataFrame = {
+      val keyed = e.repartition(n, col("u"))
+      val m = keyed.groupBy("u").agg(min(col("v")).as("m")) // all v < u, so min(N∪{u}) = min(v)
+      val linked = keyed.join(m, "u").filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
       val self = m.select(col("u"), col("m").as("v"))
-      linked.union(self).filter(col("u") =!= col("v")).distinct()
+      linked.union(self).filter(col("u") =!= col("v"))
+        .repartition(n, col("u"), col("v")).distinct()
     }
 
     var converged = false
     var round = 0
     var sig = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
       .head.toSeq
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        loopPartitions(sig.head.asInstanceOf[Long]))
-      while (!converged && round < maxRounds) {
-        val next = smallStar(largeStar(e)).localCheckpoint()
-        val nextSig = next.agg(count(lit(1)),
-          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
-        // the (count, hash-sum) signature is a cheap screen; an exact
-        // set-difference confirms the fixpoint (guards the 2^-32 hash-sum
-        // collision that would otherwise stop the loop on a wrong answer —
-        // it runs once, at the suspected fixpoint)
-        converged = nextSig == sig && next.exceptAll(e).isEmpty
-        sig = nextSig
-        e = next
-        round += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val n = loopPartitions(sig.head.asInstanceOf[Long])
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e, n), n).localCheckpoint()
+      val nextSig = next.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head.toSeq
+      // the (count, hash-sum) signature is a cheap screen; an exact
+      // set-difference confirms the fixpoint (guards the 2^-32 hash-sum
+      // collision that would otherwise stop the loop on a wrong answer —
+      // it runs once, at the suspected fixpoint)
+      converged = nextSig == sig && next.exceptAll(e).isEmpty
+      sig = nextSig
+      e = next
+      round += 1
+    }
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
     // fixpoint edges are (node -> component min); representatives self-map

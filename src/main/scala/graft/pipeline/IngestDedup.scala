@@ -68,6 +68,15 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     * appending them to the corpus and indexing their band rows. A batch
     * row is dropped when it near-dup-matches an accepted document
     * (exact Jaccard ≥ threshold) or a LOWER-id row of the same batch.
+    *
+    * Size contract: `batch` is assumed MICRO-BATCH-sized (the streaming
+    * complement posture — [[ingestStream]] feeds trigger-sized batches).
+    * The fast path broadcasts batch-derived tables (ids, band rows,
+    * signatures) past the conservative post-checkpoint size stats; a
+    * caller-supplied batch above [[MinHashIngestIndex.MaxBroadcastBatchRows]]
+    * rows falls back to stats-based join planning instead of risking the
+    * 8 GB broadcast cap / driver memory (the guard is a cheap count over
+    * the checkpointed batch, not a second source scan).
     */
   def ingest(batch: DataFrame, threshold: Double): DataFrame = {
     val sc = batch.sparkSession.sparkContext
@@ -106,6 +115,14 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
           col("__gs"), hashA, hashB, graft.functions.MinHashSig.P))
         .localCheckpoint()
     }
+    // micro-batch guard for the explicit broadcasts below (see the method
+    // contract): one cheap count over the checkpointed blocks decides
+    // whether batch-derived tables may be broadcast — a too-large batch
+    // degrades to stats-based planning instead of a broadcast hard-fail
+    val batchRows = staged("batch count")(enriched.count())
+    def bcastIfSmall(df: DataFrame): DataFrame =
+      if (batchRows <= MinHashIngestIndex.MaxBroadcastBatchRows) broadcast(df)
+      else df
     val fresh = enriched.select(batch.columns.map(col).toIndexedSeq: _*)
     val shingled = enriched.select(col(idCol).as("id"), col("__gs").as("gs"))
       .withColumn("sz", size(col("gs")))
@@ -126,7 +143,7 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // bucket dirs the batch's band rows hash to — per-batch IO follows
     // the BATCH's bucket set, never the corpus-wide index size
     val candPast = staged("index probe") {
-      broadcast(probes.withColumnRenamed(idCol, "a_id"))
+      bcastIfSmall(probes.withColumnRenamed(idCol, "a_id"))
         .join(index.scanPrunedToKeys(probes.select(col("band"), col("bucket")))
             .withColumnRenamed(idCol, "b_id"),
           Seq("band", "bucket"))
@@ -147,9 +164,13 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // (the resent guard removed re-sent accepted ids) and its b-side ids
     // strictly the accepted past — resolving each side against its own
     // shingle table halves both join inputs and computes pastShingled
-    // (a pruned corpus read + shingle kernel) once, not once per side
+    // (a pruned corpus read + shingle kernel) once, not once per side.
+    // The batch-side shingle table is broadcast under the micro-batch
+    // contract (its localCheckpoint parent reports conservative stats);
+    // the past side is corpus-derived, so its strategy is left to the
+    // planner/AQE.
     val dupVsPast = Dedup.verifyJaccardAcross(candPast,
-        shingled, pastShingled, threshold)
+        bcastIfSmall(shingled), pastShingled, threshold)
       .select(col("a_id").as("__dup"))
     // --- within the batch (keep the lowest id of each dup group) ---
     // same banding + signature prescreen + exact verify as
@@ -165,15 +186,16 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
       // micro-batch contract that already broadcasts resent/probes/
       // pastIds), but it hangs off a localCheckpoint whose conservative
       // size stats would otherwise shuffle the full candidate stream
-      // through a sort-merge join
-      .join(broadcast(sigs.select(col("id").as("a_id"), col("sig").as("a_sig"))),
+      // through a sort-merge join. Size-guarded (method contract): an
+      // over-large caller batch degrades to stats-based planning.
+      .join(bcastIfSmall(sigs.select(col("id").as("a_id"), col("sig").as("a_sig"))),
         Seq("a_id"))
-      .join(broadcast(sigs.select(col("id").as("b_id"), col("sig").as("b_sig"))),
+      .join(bcastIfSmall(sigs.select(col("id").as("b_id"), col("sig").as("b_sig"))),
         Seq("b_id"))
       .filter(Dedup.sigAgreement(col("a_sig"), col("b_sig"), numHashes)
         >= threshold - Dedup.DefaultEstMargin)
       .select(col("a_id"), col("b_id"))
-    val dupInBatch = Dedup.verifyJaccard(candIn, shingled, threshold)
+    val dupInBatch = Dedup.verifyJaccard(candIn, bcastIfSmall(shingled), threshold)
       .select(col("b_id").as("__dup")) // b_id > a_id by construction
     val novel = staged("verify + novel") {
       fresh.join(
@@ -222,6 +244,15 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
 }
 
 object MinHashIngestIndex {
+
+  /** Largest batch (rows) the ingest fast path will broadcast. A
+    * signature row is ~600 B framed (id + 60 longs), so 500 k rows keep
+    * every batch-derived broadcast well under the driver-memory comfort
+    * zone and far from Spark's 8 GB broadcast cap; above it, [[MinHash
+    * IngestIndex.ingest]] lets the planner pick join strategies from
+    * stats instead.
+    */
+  val MaxBroadcastBatchRows: Long = 500000L
 
   /** Create the index table beside an existing corpus table and backfill
     * it from the corpus's current rows.

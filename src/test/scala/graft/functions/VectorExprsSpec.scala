@@ -221,6 +221,70 @@ class VectorExprsSpec extends SparkTestBase {
     assert(fast == ref)
   }
 
+  test("SigAgreeCount matches size(filter(zip_with(a,b,===)))") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val a = Array.fill(60)(rnd.nextInt(8).toLong)
+      val b = Array.fill(60)(rnd.nextInt(8).toLong)
+      (i.toLong, a, b)
+    } :+ ((300L, Array(1L, 2L, 3L), Array(1L, 9L))) // unequal lengths
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorExprs.sigAgreeCount(col("a"), col("b")).as("c"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          m => m)).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+  }
+
+  test("JaccardGeCoeff: exact for kept rows, admissible early exit below") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random sorted distinct long arrays with controlled overlap levels
+    val rows = (0 until 400).map { i =>
+      val base = Seq.fill(40 + rnd.nextInt(160))(rnd.nextLong()).distinct
+      val shared = (0 until rnd.nextInt(base.size + 1)).map(base)
+      val other = Seq.fill(base.size - shared.size)(rnd.nextLong()).distinct
+      (i.toLong, base.sorted.toArray, (shared ++ other).distinct.sorted.toArray)
+    }
+    val df = rows.toDF("id", "a", "b")
+    Seq(0.2, 0.5, 0.8).foreach { t =>
+      // the declarative reference form the kernel replaced
+      val ref = df.withColumn("inter",
+          VectorExprs.sortedIntersectCount(col("a"), col("b")))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("a")) + size(col("b")) - col("inter")).cast("double"))
+        .filter(col("j") >= t).select(col("id"), col("j"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = df.withColumn("j", VectorExprs.jaccardGe(col("a"), col("b"), t))
+        .filter(col("j") >= t).select(col("id"), col("j"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == ref.keySet, s"kept-row set at t=$t")
+      // bit-identical coefficients for every kept row
+      got.foreach { case (id, j) =>
+        assert(java.lang.Double.doubleToLongBits(j) ==
+          java.lang.Double.doubleToLongBits(ref(id)), s"id=$id t=$t")
+      }
+      // every early-exited (dropped) row's value stays strictly below t
+      val below = df.withColumn("j", VectorExprs.jaccardGe(col("a"), col("b"), t))
+        .filter(!(col("j") >= t)).select(col("j")).collect().map(_.getDouble(0))
+      below.foreach(j => assert(j.isNaN || j < t))
+    }
+    // NULL array in, NULL out
+    val nul = Seq((1L, Option.empty[Seq[Long]], Option(Seq(1L, 2L))))
+      .toDF("id", "a", "b")
+      .select(VectorExprs.jaccardGe(col("a"), col("b"), 0.5)).head
+    assert(nul.isNullAt(0))
+    // two EMPTY arrays: impossible in the verify path (candidates share
+    // ≥1 gram, so the union is never empty), pinned anyway: 0/0 → NaN in
+    // the kernel (Java double division — never raises, ANSI included)
+    val empty = Seq((1L, Seq.empty[Long], Seq.empty[Long])).toDF("id", "a", "b")
+      .select(VectorExprs.jaccardGe(col("a"), col("b"), 0.5))
+      .head.getDouble(0)
+    assert(empty.isNaN)
+  }
+
   test("IvfArgmax matches greatest(struct(score, i)) incl. zero vectors and ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -253,13 +317,24 @@ class VectorExprsSpec extends SparkTestBase {
       VectorExprs.ivfArgmax(col("v"), centroids, divide = false).as("fast"),
       refDot(col("v")).as("slow")).collect()
     gotDot.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
-    // zero vector: every cosine score is NaN (0/0) — the nan-safe tie
-    // rule picks the LARGEST index. (The struct-greatest reference can't
-    // be compared here: under ANSI mode its 0-divisor raises, which is
-    // what the old formulation would also have done.)
+    // zero vector: every cosine score is NaN (0/0) in the kernel's Java
+    // double division — the nan-safe tie rule picks the LARGEST index.
+    // The struct-greatest reference can't be compared on this row:
+    // MEASURED (round 17, Spark 4.1.2, ansi=true session default):
+    // Spark's `/` raises DIVIDE_BY_ZERO for DOUBLES too under ANSI, so
+    // the old formulation would have errored on a zero vector.
     val zero = Seq((0L, Seq.fill(dim)(0.0))).toDF("id", "v")
       .select(VectorExprs.ivfArgmax(col("v"), centroids, divide = true))
       .head.getInt(0)
     assert(zero == centroids.length - 1)
+    // NULL vector: the kernel is null-safe — NULL in, NULL out. This is a
+    // DOCUMENTED divergence from the struct-greatest form (whose struct
+    // ordering over null scores yielded the largest index): no fixture
+    // carries null embeddings (oracles re-gated round 16), and NULL is
+    // the saner contract for a missing vector.
+    val nul = Seq((0L, Option.empty[Seq[Double]])).toDF("id", "v")
+      .select(VectorExprs.ivfArgmax(col("v"), centroids, divide = true))
+      .head
+    assert(nul.isNullAt(0))
   }
 }
