@@ -88,8 +88,17 @@ object SparkEntry {
     */
   private def pipeCapped(s: SparkSession, dir: String): DataFrame =
     Fixtures.cachedDf("pipe_capped", dir) {
+      // localCheckpoint BEFORE the keep-filter (the pipe1 lesson, round
+      // 17 audit): filtering the gopherRules projection directly lets
+      // pushdown substitute every rule alias into ONE Filter condition
+      // over raw text — six split(trim(text)) tokenizations plus two
+      // regexes per doc, since FilterExec does no subexpression
+      // elimination. Materializing the rule table first (tiny rows: id +
+      // flag columns, no text) evaluates the rules ONCE in a projection,
+      // where subexpression elimination shares the tokenize.
       val kept = TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id",
-        "text", minWords = 20).filter(col("keep")).select("doc_id")
+        "text", minWords = 20).localCheckpoint()
+        .filter(col("keep")).select("doc_id")
       Sampling.capPerGroup(docScores(s, dir).join(kept, Seq("doc_id")),
         "doc_id", "source", "quality", k = 20)
     }

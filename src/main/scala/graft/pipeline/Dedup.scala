@@ -347,10 +347,16 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     // 2^31 minhash space (p = 2^31-1) is ample for banding
     val (a, b) = graft.functions.MinHashSig.params(numHashes, seed)
-    docs.select(col("id"),
-      graft.functions.VectorExprs.minhashSig(col("gs"), a, b,
-        graft.functions.MinHashSig.P).as("sig"))
-      .filter(col("sig").isNotNull)
+    // drop signature-less docs BEFORE the projection: the previous
+    // post-filter `sig IS NOT NULL` was alias-substituted below the
+    // projection, so the minhash kernel ran TWICE per doc (Filter +
+    // Project — round-17 plan audit). Under the [[hashedShingleDocs]]
+    // contract (gs = sorted distinct non-null hashes) the predicates are
+    // equivalent: the kernel returns null iff gs is null or empty.
+    docs.filter(col("gs").isNotNull && size(col("gs")) > 0)
+      .select(col("id"),
+        graft.functions.VectorExprs.minhashSig(col("gs"), a, b,
+          graft.functions.MinHashSig.P).as("sig"))
   }
 
   /** MinHash + LSH banding: signature split into `bands` bands; docs
@@ -567,7 +573,13 @@ object Dedup {
     require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
     require(nBits % 4 == 0, "4-chunk pigeonhole needs nBits % 4 == 0")
     val chunkBits = nBits / 4
-    val sig = simhash(df, idCol, textCol, nBits, md560)
+    // materialize the (id, simhash) table ONCE (16 B/row — trivially
+    // checkpointable at any scale). Without it the plan evaluated the
+    // simhash kernel (tokenize + md5 per token) FOUR times per document:
+    // simhash()'s isNotNull filter is alias-substituted below the
+    // projection (Filter + Project = 2×), and the banding self-join then
+    // recomputes that subtree on each side (round-17 plan audit).
+    val sig = simhash(df, idCol, textCol, nBits, md560).localCheckpoint()
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * chunkBits)

@@ -154,10 +154,14 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
         .localCheckpoint()
     }
     // fetching candidate texts is a point-read too: prune the corpus to
-    // the candidates' id buckets before the equi-join
-    val pastIds = candPast.select(col("b_id").as(idCol)).distinct()
-    val pastDocs = corpus.scanPrunedToKeys(pastIds)
-      .join(broadcast(pastIds), Seq(idCol))
+    // the candidates' id buckets before the equi-join. Labeled: the
+    // bucket pre-pass inside scanPrunedToKeys runs eager jobs at
+    // CONSTRUCTION time, which otherwise show up unattributed.
+    val pastDocs = staged("past fetch") {
+      val pastIds = candPast.select(col("b_id").as(idCol)).distinct()
+      corpus.scanPrunedToKeys(pastIds)
+        .join(broadcast(pastIds), Seq(idCol))
+    }
     val pastShingled = Dedup.hashedShingleDocs(
       pastDocs.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
     // two-table verify: candPast's a-side ids are strictly THIS batch
@@ -176,8 +180,8 @@ final class MinHashIngestIndex(val corpus: GraftTable, val index: GraftTable,
     // same banding + signature prescreen + exact verify as
     // Dedup.minhashLshVerifiedPairs, built from the SHARED probes/sigs
     // instead of re-signing the batch
-    val candIn = probes.select(col("band"), col("bucket"),
-        col(idCol).as("a_id"))
+    val candIn = bcastIfSmall(probes.select(col("band"), col("bucket"),
+        col(idCol).as("a_id")))
       .join(probes.select(col("band"), col("bucket"), col(idCol).as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))

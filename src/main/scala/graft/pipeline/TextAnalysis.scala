@@ -314,13 +314,15 @@ object TextAnalysis {
     val fp = fb.groupBy(col("__u")).agg(sum(col("__fb")).as("__fp"))
     // unigram counts WITHOUT a second corpus tokenize: count(v) =
     // (bigram occurrences ending in v) + (docs whose first token is v);
-    // the limit-2 split stops at the first separator
-    // null text yields a NULL first token (the exploded path emits no
+    // the limit-2 split stops at the first separator.
+    // Null text yields a NULL first token (the exploded path emits no
     // row for it) — drop it, or it lands as a phantom null-key count
-    // inflating T
-    val firsts = widen(df).select(
-        split(trim(lower(col(textCol))), "\\s+", 2).getItem(0).as("__v"))
-      .filter(col("__v").isNotNull)
+    // inflating T. Filter the TEXT, not the derived token: a non-null
+    // text always splits to a non-empty array (equivalent predicate),
+    // and post-filtering the alias re-evaluated the split per doc
+    // (Filter + Project — the round-17 pushdown-duplication audit).
+    val firsts = widen(df).filter(col(textCol).isNotNull)
+      .select(split(trim(lower(col(textCol))), "\\s+", 2).getItem(0).as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val fu = docBi.groupBy(col("__v")).agg(sum(col("__tf")).as("__c"))
       .unionByName(firsts)
