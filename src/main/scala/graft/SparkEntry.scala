@@ -1018,6 +1018,12 @@ object SparkEntry {
     "h1_segment_revenue" -> ((s, dir) => {
       val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // NOTE (measured, round 17): pre-aggregating lineitem by
+      // l_orderkey before this join (the h4 Expand treatment) was tried
+      // and REVERTED — the added exchange+aggregate (600 k rows, 150 k
+      // groups) costs more than the smaller join saves (A/B: 0.93 s →
+      // 1.11 s isolated); the fact-side rows here are narrow enough that
+      // the SMJ is not the bottleneck.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
@@ -1108,11 +1114,23 @@ object SparkEntry {
     }),
 
     // ----- §2.4 note: grouping sets / rollup from Catalyst
-    "h4_rollup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))),
+    "h4_rollup" -> ((s, dir) => {
+      // aggregate BEFORE the Expand (guide §2.3, round 17): rollup's
+      // Expand triples its input rows ahead of the partial aggregate, so
+      // pre-aggregating by the full grouping key first (a handful of
+      // (flag, status) cells) makes Expand + rollup run over cells, not
+      // the corpus. Exact: count = sum of cell counts, sum = sum of cell
+      // sums (decimal addition exact), null grouping values group
+      // identically at every rollup level in both forms; the cast pins
+      // the original Decimal(28,2) output type (oracle-gated).
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"))
+      cells.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__q")).cast(DecimalType(28, 2)).as("sum_qty"))
+    }),
 
     // ----- H5: ordered conversion funnel over the event stream — one
     // shuffle (all step mins chain over the same partitionBy(user))
